@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Registry of the driver-generated parquet testdata tables
+  * (TESTDATA.md). Mirrors the reference's lazy table catalog
+  * (`/root/reference/utils.py:313-408` ensure_tables) — but where the
+  * reference issues DDL against one SQLite file, here tables are
+  * parquet directories surfaced as DataFrames / temp views, and the
+  * "ATTACH alias" input mechanism (`/root/reference/utils.py:514-531`)
+  * becomes `createOrReplaceTempView` on the session catalog.
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Timestamp columns the driver's datagen wrote as parquet
+    * TIMESTAMP(NANOS), which Spark has no native type for. We read them
+    * via `nanosAsLong` and convert long-nanos → TimestampType (micros)
+    * here, so every operator sees real timestamps.
+    */
+  private val nanoTsColumns = Set("ts", "o_orderdate", "l_shipdate")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (nanoTsColumns.contains(f.name) && f.dataType == LongType)
+        // `div` = exact integer division: a double `/` would lose
+        // precision on ~1.7e18 nano values (past 2^53).
+        acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000L")))
+      else acc
+    }
+  }
+
+  /** ATTACH-equivalent: expose every testdata table as a temp view so
+    * arbitrary `spark.sql` (the reference's `--sql` surface) works.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's delegated SQL query surface (SURVEY.md §2.6, §2.3):
+  * twitter-to-sqlite executes arbitrary SQL over its normalized tables
+  * (`/root/reference/utils.py:514-531`; README.md:222-259 recipes).
+  * Each op here re-expresses one exercised pattern as a declarative
+  * DataFrame program, leaving join selection / pushdown / partial
+  * aggregation to Catalyst.
+  *
+  * Determinism-for-oracle notes:
+  *  - every result has a total ORDER BY over key columns (never over
+  *    floating-point results);
+  *  - monetary math runs in exact DECIMAL on both engines and is cast
+  *    to DOUBLE only at the end, so value hashes are bit-identical
+  *    regardless of partitioning / summation order.
+  */
+object RelationalOps {
+
+  /** Exact decimal view of a monetary/quantity double column. */
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  /** Decimal sum rendered as double (order-independent, bit-exact). */
+  private def dsum(c: Column): Column = sum(c).cast("double")
+
+  // ---------------------------------------------------------------------
+  // q_agg_pricing — the groupBy/agg surface (SURVEY §2.6 aggregates):
+  // pricing-summary shape over lineitem; sums exact via decimal.
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Catalog.table(spark, sfDir, "lineitem")
+    val disc  = dec(lit(1), 4, 2) - dec(col("l_discount"), 4, 2)
+    val taxed = dec(lit(1), 4, 2) + dec(col("l_tax"), 4, 2)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(dec(col("l_quantity"))).as("sum_qty"),
+        dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(dec(col("l_extendedprice")) * disc).as("sum_disc_price"),
+        dsum(dec(col("l_extendedprice")) * disc * taxed).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_semi_facet — J4 (README.md:212): `id in (subquery)` semi-join +
+  // descending sort + facet group-count, the flagship Datasette shape.
+  def semiFacet(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Catalog.table(spark, sfDir, "orders")
+    val li = Catalog.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 45)
+    orders
+      .join(li, orders("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+  }
+
+  val semiFacetSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY n DESC, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_anti_join — J1/J3 (cli.py:483-487 --skip-existing; README.md:246
+  // `not in` recipe): keys on one side absent from the other.
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Catalog.table(spark, sfDir, "customer")
+    val bigOrders = Catalog.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000)
+    customer
+      .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_semi_lookup — J2 (utils.py:647-653): case-folded IN-list lookup
+  // (`select id from users where lower(screen_name) in (...)`).
+  def semiLookup(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "customer")
+      .filter(lower(col("c_mktsegment")).isin("building", "machinery"))
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  val semiLookupSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE lower(c_mktsegment) IN ('building', 'machinery')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_distinct — SURVEY §2.6 (README.md:326 `distinct`).
+  def distinctPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val distinctPairsSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_topk — SURVEY §2.6 sort/limit: top-k with unique-key tiebreak;
+  // Catalyst plans TakeOrderedAndProject (no global sort materialized).
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_join_agg — multi-way join + facet (README.md:212 facet over a
+  // joined provenance table): revenue per nation; dims broadcast.
+  def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Catalog.table(spark, sfDir, "customer")
+    val orders = Catalog.table(spark, sfDir, "orders")
+    val nation = Catalog.table(spark, sfDir, "nation")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(dec(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val joinAggSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_set_ops — SURVEY §2.6 union/except/intersect: customers in the
+  // 'BUILDING' segment vs customers that placed high-value orders.
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Catalog.table(spark, sfDir, "customer")
+    val orders = Catalog.table(spark, sfDir, "orders")
+    val building = customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = orders
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(bigSpenders)
+      .withColumn("tag", lit("both"))
+    val onlyBuilding = building.except(bigSpenders)
+      .withColumn("tag", lit("building_only"))
+    both.unionByName(onlyBuilding)
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val setOpsSql: String =
+    """WITH building AS (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |), big AS (
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      |)
+      |SELECT c_custkey, 'both' AS tag FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big)
+      |UNION ALL
+      |SELECT c_custkey, 'building_only' AS tag FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_rollup — SURVEY §7.2-3 grouping-sets breadth (Catalyst-native
+  // Expand): counts by returnflag × linestatus with subtotals.
+  def rollupCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val rollupCountsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_not_null_projection — J6 (README.md:113-116): `where … is not
+  // null` projection feeding a statuses-lookup; here: orders that are
+  // replies-to-something analog via a filtered projection on events.
+  def notNullProjection(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 150)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  val notNullProjectionSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value > 150
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_insert_select — J5 (README.md:362-363 `INSERT OR IGNORE … SELECT`):
+  // new-rows-only = source anti-join destination, then union; shown as
+  // the rows that WOULD be inserted (favorited_by from archive_like).
+  def insertSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Catalog.table(spark, sfDir, "events")
+    // "destination" link table: (user_id, day) pairs seen for purchases;
+    // "source": pairs for clicks; insert-ignore = clicks not already
+    // present as purchase pairs.
+    val dst = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val src = events.filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    src.join(dst, Seq("user_id", "day"), "left_anti")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val insertSelectSql: String =
+    """WITH dst AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+      |), src AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+      |)
+      |SELECT user_id, day FROM src
+      |WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.user_id = src.user_id AND dst.day = src.day)
+      |ORDER BY user_id, day""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q_agg_pricing", aggPricing, Some(aggPricingSql)),
+    Op("q_semi_facet", semiFacet, Some(semiFacetSql)),
+    Op("q_anti_join", antiJoin, Some(antiJoinSql)),
+    Op("q_semi_lookup", semiLookup, Some(semiLookupSql)),
+    Op("q_distinct", distinctPairs, Some(distinctPairsSql)),
+    Op("q_topk", topK, Some(topKSql)),
+    Op("q_join_agg", joinAgg, Some(joinAggSql)),
+    Op("q_set_ops", setOps, Some(setOpsSql)),
+    Op("q_rollup", rollupCounts, Some(rollupCountsSql)),
+    Op("q_not_null_projection", notNullProjection, Some(notNullProjectionSql)),
+    Op("q_insert_select", insertSelect, Some(insertSelectSql)))
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (BASELINE.json
+  * north-star extension): brute-force cosine top-k as the exact
+  * baseline, and random-hyperplane LSH bucketing as the 100 TB scale
+  * path (candidates restricted to equal sign-bit buckets → equi-join
+  * instead of all-pairs).
+  *
+  * Numeric parity with the DuckDB oracle: dot products / norms are
+  * LEFT-FOLD sequential double sums (higher-order `aggregate` with 0.0
+  * init on the Spark side, `list_reduce` with a prepended 0.0 on the
+  * DuckDB side), so every float is widened and accumulated in the same
+  * order → bit-identical doubles, no rounding slop needed.
+  */
+object SimilarityOps {
+
+  /** float[] → double[] (exact IEEE widening on both engines). */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential left-fold dot product (codegen'd higher-order fns). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  // ---------------------------------------------------------------------
+  // q_cosine_topk — brute-force exact ANN baseline: top-5 cosine
+  // neighbors for each of 8 probe vectors. Probe side is tiny →
+  // broadcast; candidate side streams (no shuffle of the big table;
+  // per-query top-k via window on the joined result).
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"))
+    val scored = cands.crossJoin(broadcast(probes))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val cosineTopKSql: String = {
+    s"""WITH emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${dotSql("q.e", "c.e")} / (q.norm * c.norm) AS cosine
+       |  FROM emb q JOIN emb c ON q.vec_id < 8 AND c.vec_id >= 8
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM ranked
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ann_lsh_buckets — the scale path: 8 deterministic Rademacher
+  // hyperplanes (sign of md5(plane_dim) hex digit) → 8 sign bits →
+  // 256-way bucket space. Planes are plan literals on the Spark side
+  // (broadcast-free, codegen'd); the oracle recomputes the identical
+  // weights from md5 in SQL.
+  private val nPlanes = 8
+  private val dims = 64
+
+  /** Rademacher weight for (plane, dim): -1 if first hex digit of
+    * md5("p_d") is 0-7, else +1 — reproducible in any engine with md5.
+    */
+  private[queries] def planeWeight(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+    val firstHexDigit = (digest(0) >> 4) & 0xf
+    if (firstHexDigit < 8) -1.0 else 1.0
+  }
+
+  def annLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = (0 until nPlanes).map { p =>
+      val weights = typedLit((0 until dims).map(d => planeWeight(p, d)))
+      when(dot(weights, col("e")) > 0, lit("1")).otherwise(lit("0"))
+    }
+    Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("bucket"))
+  }
+
+  val annLshBucketsSql: String = {
+    val planeExprs = (0 until nPlanes).map { p =>
+      val w = s"(CASE WHEN substr(md5(CAST($p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1) " +
+        s"IN ('0','1','2','3','4','5','6','7') THEN -1.0 ELSE 1.0 END)"
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1), i -> $w * e[i])), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0 THEN '1' ELSE '0' END)"
+    }
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |)
+       |SELECT ${planeExprs.mkString(" || ")} AS bucket, COUNT(*) AS n_vecs
+       |FROM emb
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_embed_norms — embedding hygiene scan (norm distribution by
+  // label): one narrow pass, partial-agg before the single shuffle.
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("e"))
+      .select(col("label"), sqrt(dot(col("e"), col("e"))).as("norm"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  val embedNormsSql: String = {
+    val d = dotSql("e", "e")
+    s"""SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
+       |FROM (
+       |  SELECT label, sqrt($d) AS norm
+       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |)
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
+    Op("q_embed_norms", embedNorms, Some(embedNormsSql)))
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateful / incremental operators (SURVEY.md §2.4): the since_id
+  * high-watermark (A1, `/root/reference/utils.py:154-225`), the
+  * follower-count change-data-capture append (A2,
+  * `/root/reference/utils.py:676-701`), and their batch-analytics
+  * equivalents over the `events` stream table. Streaming variants live
+  * in graft.streaming; these are the batch/window re-expressions the
+  * oracle can check.
+  */
+object StateOps {
+
+  // ---------------------------------------------------------------------
+  // q_watermark_max — A1: per-(type,key) monotone max id persisted as
+  // the resume watermark (`since_ids` table). Batch form: max(id) per
+  // key — partial aggregation map-side, one narrow shuffle.
+  def watermarkMax(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(max(col("event_id")).as("since_id"), count(lit(1)).as("n_seen"))
+      .orderBy(col("event_type"))
+
+  val watermarkMaxSql: String =
+    """SELECT event_type, MAX(event_id) AS since_id, COUNT(*) AS n_seen
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_cdc_changes — A2: `save_user_counts` inserts a (type,user,ts,count)
+  // row only when the count CHANGED vs the latest stored row — i.e.
+  // change-data-capture compression of a time series. Batch form:
+  // lag() over (user,type ordered by ts) and keep rows that differ.
+  // Scale note: the window partitions by (user_id, event_type) — state
+  // is bounded per key and shuffles once on the key, no global sort.
+  def cdcChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Catalog.table(spark, sfDir, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  val cdcChangesSql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |         LAG(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_value
+      |  FROM events
+      |) WHERE prev_value IS NULL OR value <> prev_value
+      |ORDER BY user_id, event_type, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_top1_per_group — A2's read side: `order by datetime desc limit 1`
+  // per (type,user) = top-1-per-group via row_number (TakeOrdered per
+  // key, single shuffle on the group key).
+  def top1PerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Catalog.table(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val top1PerGroupSql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_window_hourly — SURVEY §2.7: the reference has no event-time
+  // windows (its only watermark is since_id); tumbling windows over
+  // `events` are the idiomatic Spark extension. Batch form of the
+  // streaming `groupBy(window($"ts","1 hour"))` aggregation.
+  def windowHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val windowHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_sessionize — extension shown against events: gap-based session
+  // assignment (30-min inactivity) via lag + running conditional sum —
+  // the batch analog of flatMapGroupsWithState sessionization.
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      .otherwise(0)
+    Catalog.table(spark, sfDir, "events")
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_idx, COUNT(*) AS n_events, MAX(event_id) AS last_event
+      |FROM (
+      |  SELECT user_id, event_id,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q_watermark_max", watermarkMax, Some(watermarkMaxSql)),
+    Op("q_cdc_changes", cdcChanges, Some(cdcChangesSql)),
+    Op("q_top1_per_group", top1PerGroup, Some(top1PerGroupSql)),
+    Op("q_window_hourly", windowHourly, Some(windowHourlySql)),
+    Op("q_sessionize", sessionize, Some(sessionizeSql)))
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.Transforms
+
+/** The reference's row-level text transforms (SURVEY.md §2.2 T1-T4) and
+  * the FTS surface (§4.3), demonstrated over `documents`/`events`
+  * testdata (role mapping in FIXTURES.md §3: documents.text ≈
+  * tweets.full_text, events.props ≈ entities JSON). The Twitter-schema
+  * versions of the same transforms are exercised by the golden-fixture
+  * ScalaTest suites.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------------
+  // q_ts_roundtrip — T1 (`utils.py:310`): Twitter created_at parse →
+  // ISO-8601 output. The Twitter-format string is constructed from
+  // events.ts (testdata carries no such strings), then parsed back with
+  // the engine's parser and rendered ISO.
+  def tsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat(
+      date_format(col("ts"), "EEE MMM dd HH:mm:ss"),
+      lit(" +0000 "),
+      date_format(col("ts"), "yyyy"))
+    Catalog.table(spark, sfDir, "events")
+      .filter(col("event_id") < 1000)
+      .select(
+        col("event_id"),
+        raw.as("twitter_ts"),
+        Transforms.isoFormat(Transforms.parseTwitterTime(raw)).as("iso_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsRoundtripSql: String =
+    """SELECT event_id,
+      |  strftime(ts, '%a %b %d %H:%M:%S') || ' +0000 ' || strftime(ts, '%Y') AS twitter_ts,
+      |  strftime(strptime(strftime(ts, '%a %b %d %H:%M:%S') || ' +0000 ' || strftime(ts, '%Y'),
+      |           '%a %b %d %H:%M:%S +0000 %Y'), '%Y-%m-%dT%H:%M:%S+00:00') AS iso_ts
+      |FROM events WHERE event_id < 1000
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_entity_expand — T3 (`utils.py:275-281`): sequential fold of
+  // (short → expanded) replacements over text, as a higher-order
+  // `aggregate` (stays in codegen; no UDF). Oracle: the same fold
+  // unrolled as nested REPLACE calls.
+  private val expansions = Seq(
+    " agg " -> " aggregation ",
+    " hash " -> " hashtable ",
+    " scan " -> " tablescan ")
+
+  def entityExpand(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(Transforms.expandEntities(col("text"), expansions)).as("expanded_md5"))
+      .orderBy(col("doc_id"))
+
+  val entityExpandSql: String =
+    """SELECT doc_id,
+      |  md5(replace(replace(replace(text, ' agg ', ' aggregation '), ' hash ', ' hashtable '), ' scan ', ' tablescan ')) AS expanded_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_source_extract — T4 (`utils.py:668-673`): regex-parse the
+  // `<a href="URL">NAME</a>` source anchor into (url, name) and build
+  // the distinct `sources` dimension. Anchor strings are constructed
+  // from documents.source, then parsed with the engine's pattern.
+  def sourceExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchor = concat(
+      lit("<a href=\"http://example.com/"), col("source"),
+      lit("\" rel=\"nofollow\">"), upper(col("source")), lit("</a>"))
+    Catalog.table(spark, sfDir, "documents")
+      .select(anchor.as("source_html"))
+      .select(
+        Transforms.sourceUrl(col("source_html")).as("url"),
+        Transforms.sourceName(col("source_html")).as("name"))
+      .distinct()
+      .orderBy(col("url"))
+  }
+
+  val sourceExtractSql: String =
+    """SELECT DISTINCT
+      |  regexp_extract('<a href="http://example.com/' || source || '" rel="nofollow">' || upper(source) || '</a>', '<a href="(.*?)".*?>(.*?)</a>', 1) AS url,
+      |  regexp_extract('<a href="http://example.com/' || source || '" rel="nofollow">' || upper(source) || '</a>', '<a href="(.*?)".*?>(.*?)</a>', 2) AS name
+      |FROM documents
+      |ORDER BY url""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_html_unescape — T1 component: html.unescape over entity-laden
+  // text (constructed; fixtures' real entities are covered by the
+  // golden ScalaTest).
+  def htmlUnescape(spark: SparkSession, sfDir: String): DataFrame = {
+    val encoded = concat(
+      lit("A &amp; B &lt;"), col("source"),
+      lit("&gt; &quot;q&quot; &#39;s&#39; &amp;lt;stay&amp;gt;"))
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Transforms.htmlUnescape(encoded).as("unescaped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val htmlUnescapeSql: String =
+    """SELECT doc_id,
+      |  replace(replace(replace(replace(replace(
+      |    'A &amp; B &lt;' || source || '&gt; &quot;q&quot; &#39;s&#39; &amp;lt;stay&amp;gt;',
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&') AS unescaped
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_json_extract — entity-JSON access (events.props ≈ entities JSON;
+  // reference stores nested JSON as text, SURVEY §1.3): extract, cast,
+  // aggregate.
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "events")
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_fts_index — §4.3 FTS: the inverted-index build (explode tokens →
+  // (token, doc_id)) plus a term-lookup aggregation — the Spark
+  // re-expression of the FTS5 shadow tables (`utils.py:330-332`).
+  def ftsIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Transforms.tokens(col("text")))).as("token"))
+      .filter(col("token").isin("spark", "join", "stream", "window"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+
+  val ftsIndexSql: String =
+    """SELECT token, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> ''))) AS token
+      |  FROM documents
+      |)
+      |WHERE token IN ('spark', 'join', 'stream', 'window')
+      |GROUP BY token
+      |ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_fts_match — FTS MATCH-style predicate: docs containing BOTH terms
+  // (AND semantics of `MATCH 'spark join'`), via word-boundary regex.
+  def ftsMatch(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .filter(
+        lower(col("text")).rlike("\\bspark\\b") &&
+          lower(col("text")).rlike("\\bvector\\b"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val ftsMatchSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE regexp_matches(lower(text), '\bspark\b') AND regexp_matches(lower(text), '\bvector\b')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_token_count — LLM-pipeline text analysis: token counting
+  // (whitespace/word-regex tokenizer) per document.
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(Transforms.tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS n_tokens,
+      |  length(text) AS n_chars_actual
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_text_stats — quality scoring: per-doc length, token count, mean
+  // token length, stopword ratio. Single-division doubles only (bit-
+  // exact across engines; no multi-order float reductions).
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Transforms.tokens(col("text"))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val stopHits =
+      (length(padded) - length(replace(padded, lit(" the "), lit("")))) / lit(5)
+    Catalog.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(toks).as("n_tokens"),
+        (length(col("text")).cast("double") / size(toks).cast("double"))
+          .as("chars_per_token"),
+        (stopHits.cast("double") / size(toks).cast("double"))
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_actual,
+      |  len(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS n_tokens,
+      |  CAST(length(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS DOUBLE) AS chars_per_token,
+      |  CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5 AS DOUBLE)
+      |    / CAST(len(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS DOUBLE) AS stopword_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
+    Op("q_entity_expand", entityExpand, Some(entityExpandSql)),
+    Op("q_source_extract", sourceExtract, Some(sourceExtractSql)),
+    Op("q_html_unescape", htmlUnescape, Some(htmlUnescapeSql)),
+    Op("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    Op("q_fts_index", ftsIndex, Some(ftsIndexSql)),
+    Op("q_fts_match", ftsMatch, Some(ftsMatchSql)),
+    Op("q_token_count", tokenCount, Some(tokenCountSql)),
+    Op("q_text_stats", textStats, Some(textStatsSql)))
+}
