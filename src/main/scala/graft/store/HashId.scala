@@ -1,0 +1,105 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Content-hash surrogate keys (SURVEY.md §2.4 H1): sqlite-utils
+  * `hash_id` semantics, verified byte-exact against the reference
+  * goldens (`/root/reference/tests/test_save_tweets.py:321` id
+  * `95f3aaad…` for sources; `tests/test_import.py:99` `c4e32e91…` for
+  * archive_account):
+  *
+  *   sha1(json.dumps(record, separators=(",",":"), sort_keys=True,
+  *        default=repr).encode("utf8"))
+  *
+  * i.e. compact separators, keys sorted, ensure_ascii escaping of
+  * non-ASCII, over every column EXCEPT the hash column itself. This is
+  * a driver-side-deterministic serializer used for small dimension
+  * tables — correctness beats codegen here (SURVEY §4.3.1).
+  */
+object HashId {
+
+  /** Python-json string literal: ensure_ascii=True escaping. */
+  private[store] def pyJsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  /** Canonical compact JSON of a runtime value, matching Python
+    * json.dumps(..., separators=(",",":"), sort_keys=True). Doubles
+    * restricted to the formats Java and Python agree on (whole or
+    * plain decimals — the only shapes that reach hash ids here).
+    */
+  private[store] def canonicalJson(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => if (b) "true" else "false"
+    case s: String => pyJsonString(s)
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case s: Short => s.toString
+    case b: Byte => b.toString
+    case d: Double =>
+      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e16)
+        s"${d.toLong}.0"
+      else d.toString
+    case f: Float => canonicalJson(f.toDouble)
+    case seq: Seq[_] => seq.map(canonicalJson).mkString("[", ",", "]")
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => s"${pyJsonString(k)}:${canonicalJson(x)}" }
+        .mkString("{", ",", "}")
+    case r: Row =>
+      val schema = r.schema
+      require(schema != null, "hash_id row needs a schema")
+      schema.fieldNames.sorted.map { name =>
+        s"${pyJsonString(name)}:${canonicalJson(r.getAs[Any](name))}"
+      }.mkString("{", ",", "}")
+    case other =>
+      // Python's default=repr fallback is only hit for exotic types the
+      // reference never actually hashes; string-ify defensively.
+      pyJsonString(other.toString)
+  }
+
+  def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** hash_id of a record given as (column name → value). */
+  def hashRecord(record: Map[String, Any]): String =
+    sha1Hex(canonicalJson(record))
+
+  /** Column form: hash over named columns (sorted by name inside). The
+    * UDF receives a struct Row that carries its schema (Java UDF1 form
+    * — the typed Scala `udf` can't encode Row inputs).
+    */
+  private val rowHashUdf: UserDefinedFunction = udf(
+    new org.apache.spark.sql.api.java.UDF1[Row, String] {
+      override def call(r: Row): String =
+        if (r == null) null else sha1Hex(canonicalJson(r))
+    }, StringType)
+
+  def hashId(fields: (String, Column)*): Column = {
+    val st = struct(fields.map { case (n, c) => c.as(n) }: _*)
+    rowHashUdf(st)
+  }
+
+  /** hash_id over every column of a row except `except` — the
+    * archive-table form (`/root/reference/archive.py:248` pk="pk").
+    */
+  def hashIdOfAllColumns(schema: StructType, except: Set[String] = Set.empty): Column =
+    hashId(schema.fieldNames.filterNot(except).map(n => n -> col(n)).toSeq: _*)
+}

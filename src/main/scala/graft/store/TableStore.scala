@@ -1,0 +1,56 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-directory table catalog with the reference's sink semantics
+  * (SURVEY.md §2.5): `upsert` (K1/K2 replace), `insertIgnore` (K7
+  * following edges), `overwrite` (K4 archive drop-and-recreate). One
+  * directory per table under `root`.
+  *
+  * Writes go to a temp dir then swap (read-modify-write over the same
+  * parquet path is illegal in Spark). A lakehouse format would replace
+  * exactly this class with MERGE INTO; everything above it is
+  * format-agnostic.
+  */
+class TableStore(spark: SparkSession, root: String) {
+
+  private def path(name: String) = s"$root/$name"
+
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
+
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  def readIfExists(name: String): Option[DataFrame] =
+    if (exists(name)) Some(read(name)) else None
+
+  def tableNames: Seq[String] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+
+  /** Atomic-ish replace: write to `<name>.__tmp`, then swap. */
+  private def writeSwapped(name: String, df: DataFrame): Unit = {
+    val tmp = new Path(path(name + ".__tmp"))
+    val dst = new Path(path(name))
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  def overwrite(name: String, df: DataFrame): Unit = writeSwapped(name, df)
+
+  def drop(name: String): Unit = {
+    val dst = new Path(path(name))
+    if (fs.exists(dst)) fs.delete(dst, true)
+  }
+
+  def upsert(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
+    writeSwapped(name, Upsert.upsert(readIfExists(name), incoming, pk))
+
+  def insertIgnore(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
+    writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
+}
