@@ -254,4 +254,32 @@ object Normalize {
       mediaTweets.map("media_tweets" -> _) ++
       favorited.map("favorited_by" -> _)
   }
+
+  /** save_users (K2, `utils.py:449-469`): transform + upsert user
+    * docs; optionally emit `following` graph edges — when fetched as
+    * someone's followers, followedId is fixed and each user is the
+    * follower (and vice versa). Edges carry first_seen and are
+    * insert-IGNORED downstream so the original sighting date survives
+    * re-fetches (K7).
+    */
+  def saveUsers(
+      raw: DataFrame,
+      followedId: Option[Long] = None,
+      followerId: Option[Long] = None,
+      firstSeen: String = ""): Map[String, DataFrame] = {
+    require(followedId.isEmpty || followerId.isEmpty,
+      "pass followedId or followerId, not both")
+    val withOrd =
+      if (raw.columns.contains(Ord)) raw
+      else raw.withColumn(Ord, monotonically_increasing_id())
+    val users = Upsert.upsert(None, transformUsers(withOrd), Seq("id"))
+    val edges = (followedId, followerId) match {
+      case (None, None) => None
+      case _ => Some(users.select(
+        followedId.map(lit(_)).getOrElse(col("id")).as("followed_id"),
+        followerId.map(lit(_)).getOrElse(col("id")).as("follower_id"),
+        lit(firstSeen).as("first_seen")))
+    }
+    Map("users" -> users) ++ edges.map("following" -> _)
+  }
 }

@@ -138,6 +138,29 @@ object TwitterSchemas {
     StructField("expanded", StringType),
     StructField("display", StringType)))
 
+  /** Streaming-format extras (S12, `/root/reference/utils.py:636-644`):
+    * the firehose delivers truncated `text` plus an `extended_tweet`
+    * envelope holding the full versions.
+    */
+  val extendedTweet: StructType = StructType(Seq(
+    StructField("full_text", StringType),
+    StructField("display_text_range", ArrayType(LongType)),
+    StructField("entities", entities),
+    StructField("extended_entities", extendedEntities)))
+
+  /** Tweet document as delivered by the streaming API: REST shape plus
+    * `extended_tweet` at every nesting level.
+    */
+  def streamTweet(depth: Int = 2): StructType = {
+    val base = tweet(0).fields.toSeq :+ StructField("extended_tweet", extendedTweet)
+    val nested =
+      if (depth <= 0) Seq.empty
+      else Seq(
+        StructField("retweeted_status", streamTweet(depth - 1)),
+        StructField("quoted_status", streamTweet(depth - 1)))
+    StructType(base ++ nested)
+  }
+
   /** Tweet document. `depth` controls how many levels of nested
     * quoted_status / retweeted_status are modeled (the API nests at
     * most a retweet-of-a-quote = 2; the reference recursion is

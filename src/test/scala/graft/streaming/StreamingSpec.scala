@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.TableStore
+
+/** Streaming semantics (SURVEY.md §2.7): control-record drop,
+  * streaming-format normalization (extended_tweet hoist, text →
+  * full_text), per-batch idempotent multi-table upsert, redelivery
+  * safety.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+
+  private val user =
+    """"user": {"id": 42, "id_str": "42", "name": "Streamer",
+      | "screen_name": "streamer", "location": "", "description": "",
+      | "url": null, "protected": false, "followers_count": 10,
+      | "friends_count": 5, "listed_count": 1,
+      | "created_at": "Mon Sep 02 14:19:58 +0000 2019",
+      | "favourites_count": 3, "geo_enabled": false, "verified": false,
+      | "statuses_count": 7}""".stripMargin.replace("\n", "")
+
+  // streaming-format tweet: truncated `text`, full version in extended_tweet
+  private val streamingTweet =
+    s"""{"created_at": "Wed Sep 04 13:51:55 +0000 2019", "id": 900000000000000001,
+       | "id_str": "900000000000000001", "text": "truncated…",
+       | "extended_tweet": {"full_text": "the full streaming text &amp; more",
+       |   "entities": {"urls": []}},
+       | "source": "<a href=\\"http://twitter.com/download/iphone\\" rel=\\"nofollow\\">Twitter for iPhone</a>",
+       | "truncated": true, $user, "is_quote_status": false,
+       | "retweet_count": 0, "favorite_count": 0, "favorited": false,
+       | "retweeted": false, "lang": "en"}""".stripMargin.replace("\n", "")
+
+  // REST-format tweet with a nested retweet whose text needs the fallback
+  private val restTweet =
+    s"""{"created_at": "Wed Sep 04 14:00:00 +0000 2019", "id": 900000000000000002,
+       | "id_str": "900000000000000002",
+       | "full_text": "RT @streamer: nested goes here",
+       | "retweeted_status": {"created_at": "Wed Sep 04 13:59:00 +0000 2019",
+       |   "id": 900000000000000003, "id_str": "900000000000000003",
+       |   "text": "nested streaming-format text", $user,
+       |   "is_quote_status": false, "retweet_count": 1, "favorite_count": 2,
+       |   "favorited": false, "retweeted": false, "lang": "en"},
+       | $user, "is_quote_status": false, "retweet_count": 0,
+       | "favorite_count": 0, "favorited": false, "retweeted": false,
+       | "lang": "en"}""".stripMargin.replace("\n", "")
+
+  // keepalive / control messages the firehose interleaves
+  private val controlMessages = Seq(
+    """{"limit": {"track": 123}}""",
+    """{"delete": {"status": {"id": 123, "user_id": 456}}}""")
+
+  test("end-to-end: control drop + S12 normalize + K8 upsert + redelivery") {
+    val store = freshStore()
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-chk").toString
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamNormalize.start(mem.toDF(), store, checkpoint)
+
+    mem.addData(controlMessages :+ streamingTweet: _*)
+    q.processAllAvailable()
+
+    // control messages dropped; streaming tweet normalized
+    val tweets1 = store.read("tweets").collect()
+    assert(tweets1.map(_.getAs[Long]("id")).toSet === Set(900000000000000001L))
+    val t1 = tweets1(0)
+    // extended_tweet hoisted THEN entity-expanded/unescaped by save_tweets
+    assert(t1.getAs[String]("full_text") === "the full streaming text & more")
+    assert(t1.getAs[String]("source") === "95f3aaaddaa45937ac94765e0ddb68ba2be92d20")
+
+    // second batch: REST tweet with nested streaming-format retweet
+    mem.addData(restTweet)
+    q.processAllAvailable()
+    val tweets2 = store.read("tweets").collect()
+    assert(tweets2.map(_.getAs[Long]("id")).toSet ===
+      Set(900000000000000001L, 900000000000000002L, 900000000000000003L))
+    val nested = tweets2.find(_.getAs[Long]("id") == 900000000000000003L).get
+    // nested tweet had only `text` → fallback populated full_text
+    assert(nested.getAs[String]("full_text") === "nested streaming-format text")
+    val parent = tweets2.find(_.getAs[Long]("id") == 900000000000000002L).get
+    assert(parent.getAs[Long]("retweeted_status") === 900000000000000003L)
+
+    // redelivery: same payload again → idempotent (counts unchanged)
+    mem.addData(streamingTweet, restTweet)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("tweets").count() === 3)
+    assert(store.read("users").count() === 1)
+    assert(store.read("users").collect()(0).getAs[Long]("id") === 42L)
+    assert(store.read("sources").count() === 1)
+  }
+}
