@@ -1,0 +1,50 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{HashId, TableStore}
+
+/** Provenance link sinks and the search-run ledger (SURVEY.md §2.5
+  * K5/K6, §2.4 A5).
+  */
+object LinkSinks {
+
+  /** A5 (`cli.py:817-819`): sha1 fingerprint of the canonical JSON of
+    * the search args — doubles as the since_ids key and the
+    * search_runs.hash. Identical formula to hash_id (sorted keys,
+    * compact separators).
+    */
+  def searchArgsFingerprint(args: Map[String, String]): String =
+    HashId.sha1Hex(HashId.canonicalJson(args))
+
+  /** K6 (`cli.py:836-874`): allocate the next search_runs row (rowid
+    * analog = max(id)+1) recording name, args-minus-q/count JSON,
+    * started timestamp and the args hash; returns the run id.
+    */
+  def recordSearchRun(
+      spark: SparkSession,
+      store: TableStore,
+      searchArgs: Map[String, String],
+      started: String): Long = {
+    import spark.implicits._
+    val nextId: Long = store.readIfExists("search_runs")
+      .flatMap(df => Option(df.agg(max(col("id"))).collect()(0).get(0)))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    val argsJson = HashId.canonicalJson(
+      searchArgs.view.filterKeys(k => k != "q" && k != "count").toMap)
+    val row = Seq((nextId, searchArgs("q"), argsJson, started,
+      searchArgsFingerprint(searchArgs)))
+      .toDF("id", "name", "args", "started", "hash")
+    store.upsert("search_runs", row, Seq("id"))
+    nextId
+  }
+
+  /** K6's link half (`cli.py:841-852`): (search_run, tweet) provenance
+    * rows, replace-upserted.
+    */
+  def linkSearchRun(store: TableStore, runId: Long, tweets: DataFrame): Unit =
+    store.upsert("search_runs_tweets",
+      tweets.select(lit(runId).as("search_run"), col("id").as("tweet")),
+      Seq("search_run", "tweet"))
+}

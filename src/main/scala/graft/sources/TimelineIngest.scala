@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.Normalize
+import graft.schema.TwitterSchemas
+import graft.state.Watermarks
+import graft.store.TableStore
+
+/** S2/S3 + K1/K5 assembled: the user-timeline / favorites /
+  * home-timeline ingest lifecycle (SURVEY.md §3.1) with the fetch
+  * boundary injected. Per page: parse on the cluster → save_tweets
+  * normalization → multi-table upsert → advance the since_id
+  * watermark, so an interrupted scan resumes exactly like the
+  * reference (`/root/reference/utils.py:209-222`).
+  *
+  * `linkTable` implements K5 (`cli.py:398-431`): timeline_tweets /
+  * mentions_tweets provenance rows (user, tweet), replace-upserted.
+  */
+object TimelineIngest {
+
+  def run(
+      spark: SparkSession,
+      store: TableStore,
+      fetch: Map[String, String] => Seq[String],
+      sinceType: String,
+      sinceKey: String,
+      useSince: Boolean = false,
+      sinceId: Option[Long] = None,
+      stopAfter: Option[Int] = None,
+      linkTable: Option[(String, Long)] = None,
+      favoritedBy: Option[Long] = None,
+      sleep: Long => Unit = _ => ()): Long = {
+    import spark.implicits._
+    require(!(useSince && sinceId.isDefined),
+      "Use either since or sinceId, not both")
+    Watermarks.ensureTypeTables(spark, store)
+    val effectiveSince =
+      if (useSince) Watermarks.sinceId(store, sinceType, sinceKey) else sinceId
+
+    var total = 0L
+    val extractId: String => Long = doc => {
+      // driver-side peek, no full parse: "id": <digits>
+      val m = """"id"\s*:\s*(\d+)""".r.findFirstMatchIn(doc)
+      m.map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException("tweet without id"))
+    }
+
+    Paginate.timeline(fetch, extractId,
+      sinceId = effectiveSince, stopAfter = stopAfter, sleep = sleep)
+      .foreach { page =>
+        val raw = spark.read
+          .schema(TwitterSchemas.tweet(2))
+          .json(page.toDS)
+        val tables = Normalize.saveTweets(raw, favoritedBy)
+        Seq("users", "sources", "places", "media").foreach { t =>
+          tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
+        }
+        tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
+        tables.get("media_tweets").foreach(df =>
+          store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
+        tables.get("favorited_by").foreach(df =>
+          store.upsert("favorited_by", df, Seq("user", "tweet")))
+        linkTable.foreach { case (table, userId) =>
+          import org.apache.spark.sql.functions._
+          val links = tables("tweets")
+            .select(lit(userId).as("user"), col("id").as("tweet"))
+          store.upsert(table, links, Seq("user", "tweet"))
+        }
+        // watermark AFTER the page is durably sunk (resume-safe)
+        Watermarks.recordBatchMax(spark, store, sinceType, sinceKey,
+          tables("tweets"))
+        total += page.size
+      }
+    total
+  }
+}

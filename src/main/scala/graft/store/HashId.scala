@@ -43,7 +43,7 @@ object HashId {
     * restricted to the formats Java and Python agree on (whole or
     * plain decimals — the only shapes that reach hash ids here).
     */
-  private[store] def canonicalJson(v: Any): String = v match {
+  def canonicalJson(v: Any): String = v match {
     case null => "null"
     case b: Boolean => if (b) "true" else "false"
     case s: String => pyJsonString(s)
