@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.Transforms
 
@@ -218,7 +218,70 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_langid — marker-token language scoring (n-gram-heuristic
+  // language ID): count language-marker occurrences via the padded
+  // replace-length trick, argmax with fixed precedence. The engine
+  // design point is that scoring is pure column math (no UDF) and the
+  // marker table is a literal — at 100 TB this is one codegen'd
+  // projection.
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "es" -> Seq(" el ", " la "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "))
+
+  private def markerScore(padded: Column, markers: Seq[String]): Column =
+    markers.map { m =>
+      (length(padded) - length(replace(padded, lit(m), lit("")))) / lit(m.length)
+    }.reduce(_ + _)
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> markerScore(padded, ms)
+    }
+    // argmax with precedence = declaration order; all-zero → "und"
+    val best = scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(s > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        best.as("guessed_lang"))
+      .groupBy(col("declared_lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("declared_lang"), col("guessed_lang"))
+  }
+
+  val langIdSql: String = {
+    def score(markers: Seq[String]): String =
+      markers.map { m =>
+        s"(length(padded) - length(replace(padded, '$m', ''))) // ${m.length}"
+      }.mkString(" + ")
+    val scoreDefs = langMarkers.map { case (lang, ms) =>
+      s"${score(ms)} AS s_$lang"
+    }.mkString(", ")
+    val langs = langMarkers.map(_._1)
+    val caseExpr = langMarkers.map { case (lang, _) =>
+      val isMax = langs.map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT declared_lang, guessed_lang, COUNT(*) AS n
+       |FROM (
+       |  SELECT doc_id, lang AS declared_lang,
+       |    CASE $caseExpr ELSE 'und' END AS guessed_lang
+       |  FROM (
+       |    SELECT doc_id, lang, $scoreDefs
+       |    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents)
+       |  )
+       |)
+       |GROUP BY declared_lang, guessed_lang
+       |ORDER BY declared_lang, guessed_lang""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_langid", langId, Some(langIdSql)),
     Op("q_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
     Op("q_entity_expand", entityExpand, Some(entityExpandSql)),
     Op("q_source_extract", sourceExtract, Some(sourceExtractSql)),
