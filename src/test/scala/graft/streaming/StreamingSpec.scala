@@ -98,4 +98,77 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("users").collect()(0).getAs[Long]("id") === 42L)
     assert(store.read("sources").count() === 1)
   }
+
+  test("event-time tumbling window with watermark drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val agg = EventWindows.tumblingCounts(events,
+      windowLength = "1 hour", lateness = "10 minutes")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_out")
+      .start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two full hours of events, then an event far ahead to advance the
+    // watermark past hour 1 and 2 so their windows finalize (append
+    // mode only emits closed windows)
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "buy", 5.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 13:00:00"), "click", 0.5))
+    q.processAllAvailable()
+    // a LATE event for hour 10 arrives after the watermark passed — dropped
+    mem.addData((ts("2024-01-01 10:30:00"), "click", 99.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "click", 0.1))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("total_value")))
+    // hour 10: the 99.0 late event must NOT be counted
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 11:00:00.0", "buy", 1L, 5.0)))
+  }
+
+  test("A2 streaming CDC: flatMapGroupsWithState emits only count changes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String, Long)]
+    val counts = mem.toDF().toDF("typeId", "user", "datetime", "count")
+
+    val q = StreamCdc.changesOnly(counts).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("cdc_out")
+      .start()
+
+    // batch 1: first sighting (emit) + unchanged (suppress) + change (emit)
+    mem.addData((1, 7L, "t1", 100L), (1, 7L, "t2", 100L), (1, 7L, "t3", 101L))
+    q.processAllAvailable()
+    // batch 2: unchanged across batches (state!) then a change
+    mem.addData((1, 7L, "t4", 101L))
+    q.processAllAvailable()
+    mem.addData((1, 7L, "t5", 99L), (2, 7L, "t5", 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cdc_out").orderBy("typeId", "datetime").collect()
+      .map(r => (r.getAs[Int]("typeId"), r.getAs[String]("datetime"),
+        r.getAs[Long]("count")))
+    assert(rows.toSeq === Seq(
+      (1, "t1", 100L), (1, "t3", 101L), (1, "t5", 99L), (2, "t5", 5L)))
+  }
 }
