@@ -147,8 +147,101 @@ object SimilarityOps {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Shared LSH machinery for the bucketed search path: per vector, the
+  // 8-bit hyperplane bucket + the norm, computed once.
+  private def withBucketAndNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = (0 until nPlanes).map { p =>
+      val weights = typedLit((0 until dims).map(d => planeWeight(p, d)))
+      when(dot(weights, col("e")) > 0, lit("1")).otherwise(lit("0"))
+    }
+    Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e"),
+        concat(bits: _*).as("bucket"),
+        sqrt(dot(col("e"), col("e"))).as("norm"))
+  }
+
+  private val bucketNormCte: String = {
+    val planeExprs = (0 until nPlanes).map { p =>
+      val w = s"(CASE WHEN substr(md5(CAST($p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1) " +
+        s"IN ('0','1','2','3','4','5','6','7') THEN -1.0 ELSE 1.0 END)"
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1), i -> $w * e[i])), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0 THEN '1' ELSE '0' END)"
+    }
+    s"""emb AS (
+       |  SELECT vec_id, e, ${planeExprs.mkString(" || ")} AS bucket,
+       |    sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |)""".stripMargin
+  }
+
+  // q_ann_lsh_topk — the bucketed ANN search itself: probes hit ONLY
+  // their own sign-bucket's candidates (equi-join on bucket, ~N/256 of
+  // the table), then exact cosine re-rank top-3. This is the plan
+  // shape that survives 100 TB: the crossJoin of the brute-force
+  // baseline becomes a hash join on the bucket key.
+  def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = withBucketAndNorm(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("bucket"))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"), col("bucket"))
+    val scored = cands.join(broadcast(probes), Seq("bucket"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annLshTopKSql: String =
+    s"""WITH $bucketNormCte, scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${dotSql("q.e", "c.e")} / (q.norm * c.norm) AS cosine
+       |  FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id < 8 AND c.vec_id >= 8
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // q_embed_near_dup — embedding-cosine near-duplicate detection,
+  // bucketed: candidate pairs share an LSH bucket, verified by exact
+  // cosine above threshold. Quadratic only within buckets.
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = withBucketAndNorm(spark, sfDir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("norm").as("na"), col("bucket"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("norm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") > 0.25)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH $bucketNormCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.e", "b.e")} / (a.norm * b.norm) AS cosine
+       |FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.e", "b.e")} / (a.norm * b.norm) > 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
+    Op("q_ann_lsh_topk", annLshTopK, Some(annLshTopKSql)),
+    Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)))
 }
