@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.Archive
+import graft.store.{Fts, SqliteCompat, TableStore}
+
+/** Thin command surface mirroring the reference CLI's offline
+  * commands (the network-bound commands — user-timeline, search,
+  * track — need an API fetch function injected; see
+  * graft.sources.TimelineIngest / graft.streaming.StreamNormalize):
+  *
+  *   import <store> <zip|dir|file.js>...   archive ETL (K4)
+  *   save-tweets <store> <tweets.json>     batch save_tweets (K1)
+  *   fts-index <store> <table> <pk> <text> build FTS index
+  *   fts-search <store> <table> <query>    MATCH-style AND search
+  *   tables <store>                        list tables + counts
+  *   show <store> <table> [n]              rows (sqlite-compat form)
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: <command> <store> [args...]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cmd = args(0)
+    val store = new TableStore(spark, args(1))
+
+    cmd match {
+      case "import" =>
+        args.drop(2).foreach { path =>
+          val tables = Archive.importPath(spark, store, path)
+          println(s"[import] $path -> ${tables.mkString(", ")}")
+        }
+      case "save-tweets" =>
+        val raw = spark.read.option("multiLine", true)
+          .schema(graft.schema.TwitterSchemas.tweet(2)).json(args(2))
+        val tables = graft.ingest.Normalize.saveTweets(raw)
+        Seq("users", "sources", "places", "media").foreach(t =>
+          tables.get(t).foreach(df => store.upsert(t, df, Seq("id"))))
+        tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
+        tables.get("media_tweets").foreach(df =>
+          store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
+        println(s"[save-tweets] ${store.read("tweets").count()} tweets total")
+      case "fts-index" =>
+        Fts.upsertWithIndex(store, args(2), store.read(args(2)), args(3), args(4))
+        println(s"[fts-index] ${store.read(Fts.indexName(args(2))).count()} postings")
+      case "fts-search" =>
+        Fts.search(spark, store, args(2), args.drop(3).mkString(" "))
+          .orderBy("pk").show(50, truncate = false)
+      case "tables" =>
+        store.tableNames.foreach(t =>
+          println(f"$t%-28s ${store.read(t).count()}%8d rows"))
+      case "show" =>
+        val n = if (args.length > 3) args(3).toInt else 10
+        SqliteCompat.render(store.read(args(2))).show(n, truncate = false)
+      case other =>
+        sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

@@ -47,4 +47,36 @@ object LinkSinks {
     store.upsert("search_runs_tweets",
       tweets.select(lit(runId).as("search_run"), col("id").as("tweet")),
       Seq("search_run", "tweet"))
+
+  /** K9 (`utils.py:534-568` fetch_and_save_list + `utils.py:102-116`
+    * fetch_lists): upsert the list dimension row (owner user FK
+    * extracted, created_at parsed to ISO) and the (list, user)
+    * membership links; member user docs go through save_users.
+    */
+  def saveList(
+      spark: SparkSession,
+      store: TableStore,
+      listRow: DataFrame,
+      members: DataFrame): Unit = {
+    import graft.ingest.{Normalize, Transforms}
+    // owner is a nested user doc: save it, keep the FK
+    val withOwner =
+      if (listRow.schema.fieldNames.contains("user")) {
+        val owner = listRow.select(col("user.*"))
+        store.upsert("users", Normalize.saveUsers(owner)("users"), Seq("id"))
+        listRow.withColumn("user", col("user.id"))
+      } else listRow
+    val transformed = withOwner
+      .withColumn("created_at",
+        Transforms.isoFormat(Transforms.parseTwitterTime(col("created_at"))))
+      .drop("id_str")
+    store.upsert("lists", transformed, Seq("id"))
+
+    val savedMembers = Normalize.saveUsers(members)("users")
+    store.upsert("users", savedMembers, Seq("id"))
+    val listId = transformed.select("id").collect()(0).getLong(0)
+    store.upsert("list_members",
+      savedMembers.select(lit(listId).as("list"), col("id").as("user")),
+      Seq("list", "user"))
+  }
 }

@@ -38,7 +38,10 @@ object Fts {
       batch: DataFrame,
       pkCol: String,
       textCol: String): Unit = {
-    store.upsert(table, batch, Seq(pkCol))
+    // Index FIRST, base table second: `batch` may lazily reference the
+    // base table's current parquet files (e.g. a reindex of the table
+    // itself), and TableStore's write-swap deletes them — any plan
+    // still pointing at the old files would fail afterwards.
     val fresh = indexRows(batch, pkCol, textCol)
     val existing = store.readIfExists(indexName(table))
     val merged = existing match {
@@ -49,6 +52,7 @@ object Fts {
       case None => fresh
     }
     store.overwrite(indexName(table), merged)
+    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** FTS5 `MATCH 'w1 w2 …'` (AND semantics): pks containing every
