@@ -237,7 +237,7 @@ object DedupOps {
     Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), simhash(col("toks")).as("simhash16"))
+      .select(col("doc_id"), simhash(col("toks")).cast("long").as("simhash16"))
       .orderBy(col("doc_id"))
 
   val simhashSql: String = {

@@ -50,7 +50,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rnk"))
@@ -194,7 +194,7 @@ object SimilarityOps {
         (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rnk"))

@@ -176,7 +176,7 @@ object TextOps {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(Transforms.tokens(col("text"))).as("n_tokens"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_tokens"),
         length(col("text")).as("n_chars_actual"))
       .orderBy(col("doc_id"))
 
@@ -200,7 +200,7 @@ object TextOps {
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_actual"),
-        size(toks).as("n_tokens"),
+        size(toks).cast("long").as("n_tokens"),
         (length(col("text")).cast("double") / size(toks).cast("double"))
           .as("chars_per_token"),
         (stopHits.cast("double") / size(toks).cast("double"))
