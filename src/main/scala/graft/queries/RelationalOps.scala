@@ -252,7 +252,29 @@ object RelationalOps {
       |WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.user_id = src.user_id AND dst.day = src.day)
       |ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cube_having — grouping-sets breadth (Expand operator) + HAVING:
+  // event counts by (event_type × hour-of-day bucket) with all
+  // subtotal combinations, keeping only groups above a threshold.
+  def cubeHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "events")
+      .select(col("event_type"), (hour(col("ts")) / lit(6)).cast("long").as("day_quarter"))
+      .cube(col("event_type"), col("day_quarter"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(
+        col("event_type").asc_nulls_first,
+        col("day_quarter").asc_nulls_first)
+
+  val cubeHavingSql: String =
+    """SELECT event_type, day_quarter, COUNT(*) AS n
+      |FROM (SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS day_quarter FROM events)
+      |GROUP BY CUBE (event_type, day_quarter)
+      |HAVING COUNT(*) >= 10
+      |ORDER BY event_type ASC NULLS FIRST, day_quarter ASC NULLS FIRST""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_cube_having", cubeHaving, Some(cubeHavingSql)),
     Op("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     Op("q_semi_facet", semiFacet, Some(semiFacetSql)),
     Op("q_anti_join", antiJoin, Some(antiJoinSql)),
