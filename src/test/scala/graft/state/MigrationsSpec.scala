@@ -41,4 +41,31 @@ class MigrationsSpec extends SparkSpec {
     assert(ran2.isEmpty)
     assert(store.read("migrations").count() === 1)
   }
+
+  test("convert_source_column golden port (test_migrations.py:23-50)") {
+    val store = freshStore()
+    store.overwrite("tweets", Seq(
+      (1L, """<a href="URL">NAME</a>"""),
+      (2L, """<a href="URL2">NAME2</a>"""),
+      (3L, "d3c1d39c57fecfc09202f20ea5e2db30262029fd"))
+      .toDF("id", "source"))
+
+    val ran = Migrations.migrate(spark, store,
+      ReferenceMigrations.all, "2026-01-01")
+    assert(ran === Seq("convert_source_column"))
+
+    val sources = store.read("sources").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("url"),
+        r.getAs[String]("name"))).toSet
+    assert(sources === Set(
+      ("d3c1d39c57fecfc09202f20ea5e2db30262029fd", "URL", "NAME"),
+      ("000e4c4db71278018fb8c322f070d051e76885b1", "URL2", "NAME2")))
+
+    val tweets = store.read("tweets").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("source")))
+    assert(tweets.toSeq === Seq(
+      (1L, "d3c1d39c57fecfc09202f20ea5e2db30262029fd"),
+      (2L, "000e4c4db71278018fb8c322f070d051e76885b1"),
+      (3L, "d3c1d39c57fecfc09202f20ea5e2db30262029fd")))
+  }
 }
