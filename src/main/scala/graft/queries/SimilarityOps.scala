@@ -238,10 +238,99 @@ object SimilarityOps {
        |WHERE ${dotSql("a.e", "b.e")} / (a.norm * b.norm) > 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_ann_ivf_topk — the IVF flavor of the scale path: vectors are
+  // assigned to their nearest "centroid" cell (here: the first 16
+  // vectors stand in for k-means centroids — deterministic so the
+  // oracle can reproduce the partitioning; a real pipeline plugs
+  // trained centroids into the same plan); probes search only their
+  // nprobe=2 closest cells. Same join shape as LSH: assignment is a
+  // narrow map against a broadcast centroid set, search is an
+  // equi-join on the cell id + exact re-rank.
+  private val nCentroids = 16
+  private val nProbeCells = 2
+
+  def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
+        col("norm").as("cent_norm"))
+    val cands = emb.filter(col("vec_id") >= nCentroids)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"))
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+
+    def cellRank(idCol: String, eCol: String, normCol: String) = Window
+      .partitionBy(col(idCol))
+      .orderBy(
+        (dot(col(eCol), col("cent_e")) / (col(normCol) * col("cent_norm"))).desc,
+        col("cent_id"))
+
+    val assignment = cands.crossJoin(broadcast(cents))
+      .withColumn("crnk", row_number().over(cellRank("cand_id", "ce", "cnorm")))
+      .filter(col("crnk") === 1)
+      .select(col("cand_id"), col("ce"), col("cnorm"), col("cent_id").as("cell"))
+
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("crnk", row_number().over(cellRank("query_id", "qe", "qnorm")))
+      .filter(col("crnk") <= nProbeCells)
+      .select(col("query_id"), col("qe"), col("qnorm"), col("cent_id").as("cell"))
+
+    val scored = assignment.join(broadcast(probeCells), Seq("cell"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfTopKSql: String = {
+    def cosSql(a: String, b: String, na: String, nb: String) =
+      s"${dotSql(a, b)} / ($na * $nb)"
+    s"""WITH emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, e AS cent_e, norm AS cent_norm FROM emb WHERE vec_id < $nCentroids
+       |), assignment AS (
+       |  SELECT cand_id, ce, cnorm, cell FROM (
+       |    SELECT c.vec_id AS cand_id, c.e AS ce, c.norm AS cnorm, k.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosSql("c.e", "k.cent_e", "c.norm", "k.cent_norm")} DESC, k.cent_id) AS crnk
+       |    FROM emb c CROSS JOIN cents k WHERE c.vec_id >= $nCentroids
+       |  ) WHERE crnk = 1
+       |), probe_cells AS (
+       |  SELECT query_id, qe, qnorm, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.norm AS qnorm, k.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.e", "k.cent_e", "q.norm", "k.cent_norm")} DESC, k.cent_id) AS crnk
+       |    FROM emb q CROSS JOIN cents k WHERE q.vec_id < 4
+       |  ) WHERE crnk <= $nProbeCells
+       |), scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    ${cosSql("p.qe", "a.ce", "p.qnorm", "a.cnorm")} AS cosine
+       |  FROM assignment a JOIN probe_cells p ON a.cell = p.cell
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
     Op("q_ann_lsh_topk", annLshTopK, Some(annLshTopKSql)),
+    Op("q_ann_ivf_topk", annIvfTopK, Some(annIvfTopKSql)),
     Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)))
 }
