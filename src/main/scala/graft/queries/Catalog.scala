@@ -24,17 +24,27 @@ object Catalog {
     */
   private val nanoTsColumns = Set("ts", "o_orderdate", "l_shipdate")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (nanoTsColumns.contains(f.name) && f.dataType == LongType)
-        // `div` = exact integer division: a double `/` would lose
-        // precision on ~1.7e18 nano values (past 2^53).
-        acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000L")))
-      else acc
-    }
-  }
+  /** Memoized per (session, dir, table): the testdata is immutable and
+    * re-creating the DataFrame re-lists files and re-reads parquet
+    * footers — measurable fixed cost when 40+ queries each touch a few
+    * tables. Reusing the logical plan lets Spark reuse the FileIndex
+    * and schema.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        if (nanoTsColumns.contains(f.name) && f.dataType == LongType)
+          // `div` = exact integer division: a double `/` would lose
+          // precision on ~1.7e18 nano values (past 2^53).
+          acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000L")))
+        else acc
+      }
+    })
 
   /** ATTACH-equivalent: expose every testdata table as a temp view so
     * arbitrary `spark.sql` (the reference's `--sql` surface) works.
