@@ -258,7 +258,35 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_winnow_fp — rolling-hash document fingerprinting (winnowing):
+  // char-8-gram hashes → sliding-window-16 minima → distinct → digest.
+  // Native expression on the Spark side (graft.functions.WinnowFp);
+  // the oracle spells the identical math declaratively.
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WinnowFp.winnowFp(spark, col("text")).as("winnow_fp"))
+      .filter(col("winnow_fp").isNotNull)
+      .orderBy(col("doc_id"))
+
+  val winnowFpSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(grams) - 15, 1) + 1),
+      |      j -> list_aggregate(grams[j:j+15], 'min')))), ',')) AS winnow_fp
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(norm) - 7 + 1),
+      |      i -> substr(md5(substr(norm, i, 8)), 1, 8)) AS grams
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS norm
+      |        FROM documents)
+      |)
+      |WHERE len(grams) > 0
+      |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_winnow_fp", winnowFingerprints, Some(winnowFpSql)),
     Op("q_simhash", simhashFingerprints, Some(simhashSql)),
     Op("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("q_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
