@@ -285,7 +285,62 @@ object DedupOps {
       |WHERE len(grams) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_simhash_blocks — web-scale simhash dedup indexing: 60-bit native
+  // SimHashFp fingerprints, split into 4 exact-match blocks of 15 bits
+  // (pigeonhole: any Hamming-≤4 near-dup pair collides on ≥... with 4
+  // blocks, any Hamming-≤3 pair shares at least one block). Output:
+  // per-block bucket statistics — the health metric that guards the
+  // candidate-join fan-out.
+  def simhashBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = graft.functions.SimHashFp.simhashFp(spark, col("text"))
+    // array-bind => ONE fingerprint eval per row (see withBands note)
+    val blocksArr = flatten(transform(
+      filter(array(sim), s => s.isNotNull),
+      s => array((0 until 4).map(i =>
+        struct(lit(i.toLong).as("block_idx"),
+          shiftright(s, 15 * i).bitwiseAND(lit(32767L)).as("block_val"))): _*)))
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(blocksArr).as("b"))
+      .select(col("b.block_idx").as("block_idx"), col("b.block_val").as("block_val"))
+      .groupBy(col("block_idx"), col("block_val"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("block_idx"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"),
+        max(col("n")).as("max_bucket"))
+      .orderBy(col("block_idx"))
+  }
+
+  val simhashBlocksSql: String = {
+    // declarative 60-bit simhash identical to the native expression
+    val bitExprs = (0 until 60).map { j =>
+      val hexPos = 1 + j / 4
+      val shift = math.pow(2, 3 - j % 4).toLong
+      val score = s"list_aggregate(list_transform(toks, t -> " +
+        s"(((strpos('0123456789abcdef', substr(md5(t), $hexPos, 1)) - 1) // $shift) % 2) * 2 - 1), 'sum')"
+      s"(CASE WHEN $score > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    s"""WITH sims AS (
+       |  SELECT doc_id, ${bitExprs.mkString(" + ")} AS sim
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+       |    FROM documents
+       |  )
+       |  WHERE len(toks) > 0
+       |), blocks AS (
+       |  SELECT CAST(i AS BIGINT) AS block_idx, (sim >> (15 * i)) & 32767 AS block_val
+       |  FROM sims, (SELECT unnest(range(0, 4)) AS i)
+       |), buckets AS (
+       |  SELECT block_idx, block_val, COUNT(*) AS n FROM blocks GROUP BY block_idx, block_val
+       |)
+       |SELECT block_idx, COUNT(*) AS n_buckets, SUM(n) AS n_docs, MAX(n) AS max_bucket
+       |FROM buckets GROUP BY block_idx
+       |ORDER BY block_idx""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_simhash_blocks", simhashBlocks, Some(simhashBlocksSql)),
     Op("q_winnow_fp", winnowFingerprints, Some(winnowFpSql)),
     Op("q_simhash", simhashFingerprints, Some(simhashSql)),
     Op("q_dedup_exact", dedupExact, Some(dedupExactSql)),
