@@ -133,6 +133,13 @@ object Normalize {
   private def tweetFact(df: DataFrame): DataFrame = {
     val schema = df.schema
     val entSchema = structField(schema, "entities")
+    // With INFERRED schemas (the reference's alter=True world), an
+    // always-null nested field (place, quoted_status, …) infers as
+    // StringType — extract the surrogate key only when it is actually
+    // a struct, otherwise keep the (null) column as-is.
+    def keyOf(name: String): Column =
+      if (structField(schema, name).isDefined) col(s"$name.id").as(name)
+      else col(name)
     val cols: Seq[Column] = schema.fields.flatMap { f =>
       f.name match {
         case "created_at" =>
@@ -142,11 +149,11 @@ object Normalize {
             .map(es => expandEntities(col("full_text"), col("entities"), es))
             .getOrElse(col("full_text"))
           Some(htmlUnescape(expanded).as("full_text"))
-        case "user" => Some(col("user.id").as("user"))
-        case "place" => Some(col("place.id").as("place"))
+        case "user" => Some(keyOf("user"))
+        case "place" => Some(keyOf("place"))
         case "source" => Some(sourceHashId(col("source")).as("source"))
-        case "quoted_status" => Some(col("quoted_status.id").as("quoted_status"))
-        case "retweeted_status" => Some(col("retweeted_status.id").as("retweeted_status"))
+        case "quoted_status" => Some(keyOf("quoted_status"))
+        case "retweeted_status" => Some(keyOf("retweeted_status"))
         case "entities" | "extended_entities" | "quoted_status_id" |
             "quoted_status_permalink" | "text" => None
         case n if n.endsWith("_str") => None

@@ -179,6 +179,28 @@ class SaveTweetsSpec extends SparkSpec {
     assert(links(0).getAs[Long]("tweets_id") === 1169196446043664400L)
   }
 
+  test("dynamic schema: fully INFERRED input produces the same tables (alter=True analog)") {
+    // the reference never declares tweet schemas — sqlite-utils infers
+    // and alters. The pipeline is schema-driven, so it must work
+    // against spark.read.json's inferred schema too (including columns
+    // the explicit seed schema doesn't know about).
+    val inferred = spark.read
+      .option("multiLine", true)
+      .json(resource("tweets.json"))
+    val out = Normalize.saveTweets(inferred)
+    assert(out("tweets").count() === 5)
+    assert(out("users").count() === 3)
+    assert(out("sources").count() === 4)
+    assert(out("places").count() === 1)
+    assert(out("media").count() === 1)
+    // inferred path carries the same golden values
+    val rt = out("tweets").filter(col("id") === 1169246717864136700L).collect()(0)
+    assert(rt.getAs[Long]("retweeted_status") === 1169242008432644000L)
+    assert(rt.getAs[String]("source") === "95f3aaaddaa45937ac94765e0ddb68ba2be92d20")
+    val simonw = out("users").filter(col("id") === 12497L).collect()(0)
+    assert(simonw.getAs[String]("url") === "https://simonwillison.net/")
+  }
+
   test("favorited_by variant (utils.py:435-441)") {
     val raw = spark.read
       .option("multiLine", true)
