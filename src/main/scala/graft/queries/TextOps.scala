@@ -280,7 +280,32 @@ object TextOps {
        |ORDER BY declared_lang, guessed_lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_bpe_tokens — BPE-ish token counting: a GPT-2-style pre-tokenizer
+  // regex (contractions, space-prefixed letter runs, digit runs,
+  // punctuation runs) via regexp_extract_all; the distribution of
+  // regex-token counts vs whitespace-token counts is the standard
+  // proxy for tokenizer budget planning over a corpus.
+  private val bpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val bpeTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '${bpePattern.replace("'", "''")}')) AS n_bpe_tokens,
+       |  len(list_filter(string_split_regex(lower(text), '\\\\W+'), t -> t <> '')) AS n_ws_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Op("q_langid", langId, Some(langIdSql)),
     Op("q_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
     Op("q_entity_expand", entityExpand, Some(entityExpandSql)),
