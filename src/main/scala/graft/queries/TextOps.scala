@@ -300,7 +300,7 @@ object TextOps {
   val bpeTokensSql: String =
     s"""SELECT doc_id,
        |  len(regexp_extract_all(lower(text), '${bpePattern.replace("'", "''")}')) AS n_bpe_tokens,
-       |  len(list_filter(string_split_regex(lower(text), '\\\\W+'), t -> t <> '')) AS n_ws_tokens
+       |  len(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS n_ws_tokens
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
