@@ -339,7 +339,74 @@ object DedupOps {
        |ORDER BY block_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_simhash_near_dup — the retrieval half of the simhash scheme:
+  // candidate pairs share at least one 15-bit block (exact-match
+  // index), verified by full Hamming distance ≤ 8. Pair expansion
+  // happens inside buckets (collect_set + indexed transform), so the
+  // one quadratic step is bounded by bucket size. On synthetic random
+  // docs the result set is small/empty — the oracle confirms the
+  // SEMANTICS either way.
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = graft.functions.SimHashFp.simhashFp(spark, col("text"))
+    val simRow = flatten(transform(
+      filter(array(sim), s => s.isNotNull),
+      s => transform(sequence(lit(0), lit(3)), i =>
+        struct((i * 15).cast("int").as("shift"), s.as("sim")))))
+    val blocks = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(simRow).as("b"))
+      .select(col("doc_id"), col("b.shift").as("shift"), col("b.sim").as("sim"))
+      .withColumn("block_val",
+        expr("(sim div cast(pow(2, shift) as bigint)) % 32768"))
+    val buckets = blocks
+      .groupBy(col("shift"), col("block_val"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("sim")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    val pairs = buckets.select(explode(flatten(
+      transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
+          struct(
+            x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
+              .cast("long").as("hamming")))))).as("p"))
+    pairs.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupSql: String = {
+    val bitExprs = (0 until 60).map { j =>
+      val hexPos = 1 + j / 4
+      val shift = math.pow(2, 3 - j % 4).toLong
+      val score = s"list_aggregate(list_transform(toks, t -> " +
+        s"(((strpos('0123456789abcdef', substr(md5(t), $hexPos, 1)) - 1) // $shift) % 2) * 2 - 1), 'sum')"
+      s"(CASE WHEN $score > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    s"""WITH sims AS (
+       |  SELECT doc_id, ${bitExprs.mkString(" + ")} AS sim
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+       |    FROM documents
+       |  )
+       |  WHERE len(toks) > 0
+       |), blocks AS (
+       |  SELECT doc_id, sim, i AS block_idx, (sim >> (15 * i)) & 32767 AS block_val
+       |  FROM sims, (SELECT unnest(range(0, 4)) AS i)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_simhash_near_dup", simhashNearDup, Some(simhashNearDupSql)),
     Op("q_simhash_blocks", simhashBlocks, Some(simhashBlocksSql)),
     Op("q_winnow_fp", winnowFingerprints, Some(winnowFpSql)),
     Op("q_simhash", simhashFingerprints, Some(simhashSql)),
