@@ -43,6 +43,8 @@ object Cli {
         val tables = graft.ingest.Normalize.saveTweets(raw)
         Seq("users", "sources", "places", "media").foreach(t =>
           tables.get(t).foreach(df => store.upsert(t, df, Seq("id"))))
+        graft.state.Watermarks.saveUserCounts(store, tables("users"),
+          graft.sources.TimelineIngest.utcNowIso())
         tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
         tables.get("media_tweets").foreach(df =>
           store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))

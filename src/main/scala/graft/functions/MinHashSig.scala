@@ -52,7 +52,8 @@ case class MinHashSig(child: Expression, shingleSize: Int = 3)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val toks = splitter.split(text).filter(_.nonEmpty)
     if (toks.length < shingleSize) return null
     val seen = new java.util.HashSet[String]()

@@ -31,7 +31,8 @@ case class SimHashFp(child: Expression, bits: Int = 60)
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val toks = splitter.split(text).filter(_.nonEmpty)
     if (toks.isEmpty) return null
     val votes = new Array[Int](bits)

@@ -48,7 +48,7 @@ case class WinnowFp(child: Expression, k: Int = 8, w: Int = 16)
 
   override def nullSafeEval(input: Any): Any = {
     val norm = nonWord.matcher(
-      input.asInstanceOf[UTF8String].toString.toLowerCase)
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
       .replaceAll(" ").trim
     val n = norm.length
     if (n < k) return null

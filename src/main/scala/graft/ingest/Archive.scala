@@ -263,8 +263,13 @@ object Archive {
               case None => rows.withColumn("pk",
                 HashId.hashIdOfAllColumns(rows.schema))
             }
+            // intra-file duplicates resolve last-wins in FILE order,
+            // like sqlite-utils' sequential replace (the parsed array
+            // is one partition, so the id is file-order-stable)
+            val ordered = keyed.withColumn(graft.store.Upsert.OrdCol,
+              org.apache.spark.sql.functions.monotonically_increasing_id())
             val deduped = graft.store.Upsert.upsert(
-              None, keyed, Seq(pk.getOrElse("pk")))
+              None, ordered, Seq(pk.getOrElse("pk")))
             store.overwrite(tableName, deduped)
             Some(tableName)
           }

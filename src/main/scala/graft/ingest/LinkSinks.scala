@@ -15,25 +15,33 @@ object LinkSinks {
     * search_runs.hash. Identical formula to hash_id (sorted keys,
     * compact separators).
     */
-  def searchArgsFingerprint(args: Map[String, String]): String =
-    HashId.sha1Hex(HashId.canonicalJson(args))
+  def searchArgsFingerprint(args: Seq[(String, String)]): String =
+    HashId.sha1Hex(HashId.canonicalJson(args.toMap))
 
   /** K6 (`cli.py:836-874`): allocate the next search_runs row (rowid
     * analog = max(id)+1) recording name, args-minus-q/count JSON,
-    * started timestamp and the args hash; returns the run id.
+    * started timestamp and the args hash; returns the run id. Args are
+    * ORDERED (the reference's dict preserves construction order) and
+    * the stored `args` TEXT uses Python's default json.dumps
+    * separators, like every other SQLite-compat rendering; the hash
+    * stays sorted+compact (the two serializations differ in the
+    * reference too).
     */
   def recordSearchRun(
       spark: SparkSession,
       store: TableStore,
-      searchArgs: Map[String, String],
+      searchArgs: Seq[(String, String)],
       started: String): Long = {
     import spark.implicits._
     val nextId: Long = store.readIfExists("search_runs")
       .flatMap(df => Option(df.agg(max(col("id"))).collect()(0).get(0)))
       .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
-    val argsJson = HashId.canonicalJson(
-      searchArgs.view.filterKeys(k => k != "q" && k != "count").toMap)
-    val row = Seq((nextId, searchArgs("q"), argsJson, started,
+    val argsJson = searchArgs
+      .filter { case (k, _) => k != "q" && k != "count" }
+      .map { case (k, v) => s"${HashId.pyJsonString(k)}: ${HashId.pyJsonString(v)}" }
+      .mkString("{", ", ", "}")
+    val q = searchArgs.collectFirst { case ("q", v) => v }.getOrElse("")
+    val row = Seq((nextId, q, argsJson, started,
       searchArgsFingerprint(searchArgs)))
       .toDF("id", "name", "args", "started", "hash")
     store.upsert("search_runs", row, Seq("id"))

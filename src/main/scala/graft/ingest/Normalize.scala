@@ -108,15 +108,22 @@ object Normalize {
     def finish(df: DataFrame, off: Int): DataFrame =
       df.withColumn(Ord, col(iid) * 10 + off).drop(iid)
 
-    val l2 = (l1qRaw.toSeq ++ l1rRaw.toSeq).flatMap { l1 =>
-      Seq(("quoted_status", 0), ("retweeted_status", 1)).flatMap { case (f, off) =>
-        structField(l1.schema, f).map { _ =>
-          l1.filter(col(s"$f.id").isNotNull)
-            .select(col(iid), col(s"$f.*"))
-            .withColumn(Ord, col(iid) * 10 + off)
-            .drop(iid)
+    // reference insertion sequence per input tweet (utils.py:424-431):
+    // quoted's children, quoted, retweeted's children, retweeted,
+    // parent — so the two subtrees' children get DISTINCT ord bases
+    // (0/1 vs 2/3); a tweet id present in both subtrees then resolves
+    // LWW exactly like the reference's last sequential insert.
+    val l2 = (l1qRaw.map((_, 0)).toSeq ++ l1rRaw.map((_, 2)).toSeq).flatMap {
+      case (l1, base) =>
+        Seq(("quoted_status", base), ("retweeted_status", base + 1)).flatMap {
+          case (f, off) =>
+            structField(l1.schema, f).map { _ =>
+              l1.filter(col(s"$f.id").isNotNull)
+                .select(col(iid), col(s"$f.*"))
+                .withColumn(Ord, col(iid) * 10 + off)
+                .drop(iid)
+            }
         }
-      }
     }
     val l1 = l1qRaw.map(finish(_, 4)).toSeq ++ l1rRaw.map(finish(_, 5)).toSeq
     l2 ++ l1 ++ Seq(l0)
@@ -252,8 +259,11 @@ object Normalize {
       col("m.id").as("media_id"), col("__tweet_id").as("tweets_id"), col(Ord))))
       .map(Upsert.upsert(None, _, Seq("media_id", "tweets_id")))
 
+    // favorited_by records only the TOP-LEVEL tweets (the reference's
+    // recursion passes no favorited_by for nested statuses,
+    // utils.py:431 vs :435-441)
     val favorited = favoritedBy.map(uid =>
-      tweets.select(col("id").as("tweet")).withColumn("user", lit(uid)))
+      raw.select(col("id").as("tweet")).distinct().withColumn("user", lit(uid)))
 
     Map("tweets" -> tweets, "users" -> users, "sources" -> sources) ++
       places.map("places" -> _) ++

@@ -30,7 +30,8 @@ object TimelineIngest {
       stopAfter: Option[Int] = None,
       linkTable: Option[(String, Long)] = None,
       favoritedBy: Option[Long] = None,
-      sleep: Long => Unit = _ => ()): Long = {
+      sleep: Long => Unit = _ => (),
+      now: () => String = TimelineIngest.utcNowIso): Long = {
     import spark.implicits._
     require(!(useSince && sinceId.isDefined),
       "Use either since or sinceId, not both")
@@ -56,22 +57,34 @@ object TimelineIngest {
         Seq("users", "sources", "places", "media").foreach { t =>
           tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
         }
+        // A2: follower/friend/listed count CDC rides every user save
+        // (utils.py:433 save_user_counts inside save_tweets)
+        Watermarks.saveUserCounts(store, tables("users"), now())
         tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
         tables.get("media_tweets").foreach(df =>
           store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
         tables.get("favorited_by").foreach(df =>
           store.upsert("favorited_by", df, Seq("user", "tweet")))
+        // provenance links + the since_id watermark use the PAGE's
+        // top-level tweets only — nested quoted/retweeted statuses are
+        // normalized into `tweets` but never appeared in the timeline
+        // (cli.py:417-422 links only `tweet in chunk`)
+        import org.apache.spark.sql.functions._
+        val pageIds = raw.select(col("id"))
         linkTable.foreach { case (table, userId) =>
-          import org.apache.spark.sql.functions._
-          val links = tables("tweets")
-            .select(lit(userId).as("user"), col("id").as("tweet"))
+          val links = pageIds
+            .select(lit(userId).as("user"), col("id").as("tweet")).distinct()
           store.upsert(table, links, Seq("user", "tweet"))
         }
         // watermark AFTER the page is durably sunk (resume-safe)
-        Watermarks.recordBatchMax(spark, store, sinceType, sinceKey,
-          tables("tweets"))
+        Watermarks.recordBatchMax(spark, store, sinceType, sinceKey, pageIds)
         total += page.size
       }
     total
   }
+
+  def utcNowIso(): String =
+    java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(
+        "yyyy-MM-dd'T'HH:mm:ss'+00:00'"))
 }

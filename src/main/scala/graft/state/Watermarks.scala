@@ -89,6 +89,9 @@ object Watermarks {
     * condition → append; one shuffle on (type, user).
     */
   def saveUserCounts(store: TableStore, users: DataFrame, now: String): Unit = {
+    // nothing to record if the user docs carry no count columns
+    if (!Set("followers_count", "friends_count", "listed_count")
+        .subsetOf(users.columns.toSet)) return
     val ord = graft.store.Upsert.OrdCol
     val withOrd =
       if (users.columns.contains(ord)) users else users.withColumn(ord, lit(0L))

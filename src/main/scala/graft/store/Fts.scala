@@ -60,7 +60,7 @@ object Fts {
     * postings — single shuffle on pk.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
-    val terms = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).distinct.toSeq
     val idx = store.read(indexName(table))
     idx.filter(col("token").isin(terms: _*))
       .groupBy(col("pk"))

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
 object HashId {
 
   /** Python-json string literal: ensure_ascii=True escaping. */
-  private[store] def pyJsonString(s: String): String = {
+  def pyJsonString(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -97,9 +97,36 @@ object HashId {
     rowHashUdf(st)
   }
 
+  /** Like canonicalJson over a Row but SKIPPING null fields: in the
+    * reference's dict world a key a record doesn't carry simply isn't
+    * in the dict and is not hashed; Spark's union schema null-fills
+    * absent keys, so nulls here stand for "absent". (A record with an
+    * explicit JSON null is indistinguishable — documented divergence.)
+    */
+  private def canonicalJsonSkippingNulls(r: Row): String = {
+    val schema = r.schema
+    schema.fieldNames.sorted.flatMap { name =>
+      r.getAs[Any](name) match {
+        case null => None
+        case v => Some(s"${pyJsonString(name)}:${canonicalJson(v)}")
+      }
+    }.mkString("{", ",", "}")
+  }
+
+  private val rowHashSkipNullsUdf: UserDefinedFunction = udf(
+    new org.apache.spark.sql.api.java.UDF1[Row, String] {
+      override def call(r: Row): String =
+        if (r == null) null else sha1Hex(canonicalJsonSkippingNulls(r))
+    }, StringType)
+
   /** hash_id over every column of a row except `except` — the
     * archive-table form (`/root/reference/archive.py:248` pk="pk").
+    * Null (= absent) fields are excluded from the hash, matching
+    * sqlite-utils hashing only the keys present in each record.
     */
-  def hashIdOfAllColumns(schema: StructType, except: Set[String] = Set.empty): Column =
-    hashId(schema.fieldNames.filterNot(except).map(n => n -> col(n)).toSeq: _*)
+  def hashIdOfAllColumns(schema: StructType, except: Set[String] = Set.empty): Column = {
+    val fields = schema.fieldNames.filterNot(except)
+      .map(n => col(n).as(n)).toSeq
+    rowHashSkipNullsUdf(struct(fields: _*))
+  }
 }

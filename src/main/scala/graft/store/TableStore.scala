@@ -30,15 +30,23 @@ class TableStore(spark: SparkSession, root: String) {
   def tableNames: Seq[String] =
     if (!fs.exists(new Path(root))) Seq.empty
     else fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath.getName).toSeq.sorted
+      .map(_.getPath.getName)
+      .filterNot(_.endsWith(".__tmp")) // stale swap leftovers are not tables
+      .toSeq.sorted
 
-  /** Atomic-ish replace: write to `<name>.__tmp`, then swap. */
+  /** Atomic-ish replace: write to `<name>.__tmp`, then swap. A failed
+    * rename must THROW — the destination was already deleted, and
+    * silently returning would present data loss as success.
+    */
   private def writeSwapped(name: String, df: DataFrame): Unit = {
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dst failed; data is preserved at $tmp")
   }
 
   def overwrite(name: String, df: DataFrame): Unit = writeSwapped(name, df)

@@ -42,13 +42,18 @@ object StreamNormalize {
     val fixed = hoistCols(schema).foldLeft(df) { case (acc, (name, c)) =>
       acc.withColumn(name, c)
     }
-    Seq("retweeted_status", "quoted_status").foldLeft(fixed) { (acc, f) =>
+    val recursed = Seq("retweeted_status", "quoted_status").foldLeft(fixed) { (acc, f) =>
       schema.fields.find(_.name == f).map(_.dataType) match {
         case Some(st: StructType) =>
           acc.withColumn(f, fixStruct(col(f), st))
         case _ => acc
       }
     }
+    // the reference POPS extended_tweet after hoisting (utils.py:638);
+    // the redundant truncated `text` is likewise dropped downstream by
+    // tweetFact (deliberate divergence: the reference keeps `text` as
+    // an accident of dict dynamism)
+    recursed.drop("extended_tweet")
   }
 
   /** Top-level (name → fixed column) pairs for one tweet level. */
@@ -103,8 +108,12 @@ object StreamNormalize {
         case _ => acc
       }
     }
+    val popped =
+      if (st.fieldNames.contains("extended_tweet"))
+        recursed.dropFields("extended_tweet")
+      else recursed
     // a null nested tweet must stay null, not become a struct of nulls
-    when(c.isNull, lit(null)).otherwise(recursed)
+    when(c.isNull, lit(null)).otherwise(popped)
   }
 
   /** K8: one microbatch → full save_tweets normalization → idempotent
@@ -117,6 +126,8 @@ object StreamNormalize {
     Seq("users", "sources", "places", "media").foreach { t =>
       tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
     }
+    graft.state.Watermarks.saveUserCounts(store, tables("users"),
+      graft.sources.TimelineIngest.utcNowIso())
     tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
     tables.get("media_tweets").foreach(df =>
       store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))

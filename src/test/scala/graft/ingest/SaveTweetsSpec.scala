@@ -208,9 +208,12 @@ class SaveTweetsSpec extends SparkSpec {
       .json(resource("tweets.json"))
     val withFav = Normalize.saveTweets(raw, favoritedBy = Some(12497L))
     val favs = withFav("favorited_by").collect()
-    assert(favs.length === 5)
+    // only the 3 TOP-LEVEL tweets are favorited — the nested quote and
+    // retweet are normalized into `tweets` but were never favorited
+    // (reference recursion passes no favorited_by, utils.py:431)
+    assert(favs.length === 3)
     assert(favs.map(_.getAs[Long]("user")).toSet === Set(12497L))
     assert(favs.map(_.getAs[Long]("tweet")).toSet ===
-      tables("tweets").collect().map(_.getAs[Long]("id")).toSet)
+      Set(1169246717864136700L, 1169196446043664400L, 1168529001599533000L))
   }
 }

@@ -88,6 +88,8 @@ class SourcesSpec extends SparkSpec {
     assert(store.read("timeline_tweets").count() === 23)
     assert(store.read("users").count() === 1)
     assert(Watermarks.sinceId(store, "user", "u") === Some(23L))
+    // A2 rides the ingest: first sighting of user 7's counts = 3 rows
+    assert(store.read("count_history").count() === 3)
 
     // nothing new → second run fetches nothing (since_id floor)
     val calls0 = api.calls
@@ -140,7 +142,7 @@ class SourcesSpec extends SparkSpec {
 
   test("K6+A5: search run ledger with args fingerprint") {
     val store = freshStore()
-    val args = Map("q" -> "spark", "lang" -> "en", "count" -> "100")
+    val args = Seq("q" -> "spark", "lang" -> "en", "count" -> "100")
     // fingerprint matches the reference formula: sha1 of canonical JSON
     val fp = LinkSinks.searchArgsFingerprint(args)
     assert(fp.length === 40)
@@ -149,8 +151,9 @@ class SourcesSpec extends SparkSpec {
     assert(run1 === 1L && run2 === 2L)
     val rows = store.read("search_runs").orderBy("id").collect()
     assert(rows(0).getAs[String]("hash") === fp)
-    // args JSON excludes q and count (cli.py:861-866)
-    assert(rows(0).getAs[String]("args") === """{"lang":"en"}""")
+    // args JSON excludes q and count, stored with Python's default
+    // json.dumps separators in insertion order (cli.py:861-866)
+    assert(rows(0).getAs[String]("args") === """{"lang": "en"}""")
 
     import spark.implicits._
     LinkSinks.linkSearchRun(store, run1,
