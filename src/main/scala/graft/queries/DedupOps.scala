@@ -130,7 +130,8 @@ object DedupOps {
     s"""WITH $bandsCte, buckets AS (
        |  SELECT band_idx, band, COUNT(*) AS n FROM bands GROUP BY band_idx, band
        |)
-       |SELECT band_idx, COUNT(*) AS n_buckets, SUM(n) AS n_docs, MAX(n) AS max_bucket
+       |SELECT band_idx, COUNT(*) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_bucket
        |FROM buckets GROUP BY band_idx
        |ORDER BY band_idx""".stripMargin
 
@@ -204,7 +205,7 @@ object DedupOps {
       |   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
       |)
       |SELECT source, COUNT(*) AS n_pairs,
-      |  SUM(CASE WHEN jaccard > 0.5 THEN 1 ELSE 0 END) AS n_similar,
+      |  CAST(SUM(CASE WHEN jaccard > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
       |  MAX(jaccard) AS max_jaccard
       |FROM pairs GROUP BY source
       |ORDER BY source""".stripMargin
@@ -334,7 +335,8 @@ object DedupOps {
        |), buckets AS (
        |  SELECT block_idx, block_val, COUNT(*) AS n FROM blocks GROUP BY block_idx, block_val
        |)
-       |SELECT block_idx, COUNT(*) AS n_buckets, SUM(n) AS n_docs, MAX(n) AS max_bucket
+       |SELECT block_idx, COUNT(*) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_bucket
        |FROM buckets GROUP BY block_idx
        |ORDER BY block_idx""".stripMargin
   }

@@ -46,7 +46,7 @@ object MultimodalOps {
   val multimodalKindsSql: String =
     """SELECT CASE ascii(substr(text, 1, 1)) % 3
       |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  COUNT(*) AS n, SUM(octet_length(encode(text))) AS total_bytes
+      |  COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM documents
       |GROUP BY 1
       |ORDER BY kind""".stripMargin

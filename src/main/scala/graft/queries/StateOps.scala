@@ -126,8 +126,8 @@ object StateOps {
     """SELECT user_id, session_idx, COUNT(*) AS n_events, MAX(event_id) AS last_event
       |FROM (
       |  SELECT user_id, event_id,
-      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM (
       |    SELECT user_id, event_id, ts,
       |           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800

@@ -126,7 +126,7 @@ object TextOps {
   val jsonExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
