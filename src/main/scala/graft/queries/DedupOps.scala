@@ -136,22 +136,17 @@ object DedupOps {
        |ORDER BY band_idx""".stripMargin
 
   // q_near_dup_pairs — LSH candidate pairs: docs sharing any band.
-  // Shape: ONE signature pass → groupBy(band) → in-bucket pair
-  // expansion from the sorted id list. A naive self-join would compute
-  // the (expensive) signatures twice and shuffle twice; this computes
-  // them once and is quadratic only within buckets — which LSH keeps
-  // tiny — exactly the property that survives a 100× scale-up.
+  // Shape: ONE signature pass → skew-bounded in-bucket pair expansion
+  // (store/PairExpansion: dynamic grid split keeps every task's
+  // expansion ≤ ~cellSize² even for a degenerate boilerplate band —
+  // the hot-bucket cap SCALING.md promises). A naive self-join would
+  // compute the (expensive) signatures twice and shuffle twice; this
+  // computes them once and is quadratic only within grid cells.
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = withBands(spark, sfDir)
-    val buckets = bands
-      .groupBy(col("band_idx"), col("band"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = buckets.select(explode(flatten(
-      transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-    pairs.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    graft.store.PairExpansion.pairsWithinBuckets(
+        bands, keyCols = Seq("band_idx", "band"), idCol = "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -344,11 +339,12 @@ object DedupOps {
   // ---------------------------------------------------------------------
   // q_simhash_near_dup — the retrieval half of the simhash scheme:
   // candidate pairs share at least one 15-bit block (exact-match
-  // index), verified by full Hamming distance ≤ 8. Pair expansion
-  // happens inside buckets (collect_set + indexed transform), so the
-  // one quadratic step is bounded by bucket size. On synthetic random
-  // docs the result set is small/empty — the oracle confirms the
-  // SEMANTICS either way.
+  // index), verified by full Hamming distance ≤ 8. Pair expansion is
+  // skew-bounded via store/PairExpansion (grid split per block
+  // bucket), carrying each doc's 60-bit fingerprint as pair payload
+  // so the Hamming verify happens inline. On synthetic random docs
+  // the result set is small/empty — the oracle confirms the SEMANTICS
+  // either way.
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val sim = graft.functions.SimHashFp.simhashFp(spark, col("text"))
     val simRow = flatten(transform(
@@ -360,20 +356,12 @@ object DedupOps {
       .select(col("doc_id"), col("b.shift").as("shift"), col("b.sim").as("sim"))
       .withColumn("block_val",
         expr("(sim div cast(pow(2, shift) as bigint)) % 32768"))
-    val buckets = blocks
-      .groupBy(col("shift"), col("block_val"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("sim")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-    val pairs = buckets.select(explode(flatten(
-      transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
-          struct(
-            x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
-              .cast("long").as("hamming")))))).as("p"))
-    pairs.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
+    graft.store.PairExpansion.pairsWithinBuckets(
+        blocks, keyCols = Seq("shift", "block_val"), idCol = "doc_id",
+        payloadCols = Seq("sim"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
