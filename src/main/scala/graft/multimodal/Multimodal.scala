@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, library handles
   * amortized per batch, arbitrary Scala inside).
   *
-  * The actual codec call is STUBBED — this container ships no image/
-  * audio libraries — behind `DecodeStub`, which parses a deterministic
-  * fake header instead. Everything AROUND the stub is real and load-
-  * bearing: schema, null handling, partition batching, output shape.
-  * Swapping `DecodeStub.decode` for javacv/ffmpeg is the only change
-  * needed on a real cluster.
+  * PNG/JPEG payloads decode for REAL through the JDK's ImageIO (magic
+  * byte dispatch in `Decoder`); audio/video payloads fall back to the
+  * deterministic `DecodeStub` — this container ships no a/v codec
+  * libraries. Everything around the seam is real and load-bearing:
+  * schema, null handling, partition batching, output shape. Swapping
+  * the stub fallback for javacv/ffmpeg is the only change needed on a
+  * real cluster.
   *
   * Scale notes: binary payloads stay columnar (parquet binary) and are
   * never collected; decode is a narrow map (no shuffle); downstream
@@ -33,18 +34,61 @@ object Multimodal {
       nBytes: Long,
       meanByte: Double)
 
-  /** STUB decoder ("???" seam): a real implementation would hand
-    * `bytes` to an image/audio codec. The fake is deterministic:
-    * kind from bytes(0) % 3, dims from the next bytes, so tests can
-    * assert exact outputs.
+  /** Dispatching decoder: REAL codec for what the JDK can decode,
+    * deterministic stub for everything else.
+    *
+    * PNG/JPEG payloads (detected by magic bytes) go through
+    * `javax.imageio.ImageIO` and report true pixel dimensions; other
+    * payloads (audio/video containers — no codec libs in this
+    * container) fall back to `DecodeStub`'s deterministic fake. A real
+    * cluster swaps the fallback for javacv/ffmpeg; the ImageIO branch
+    * shows the seam working end-to-end with an actual codec.
+    */
+  object Decoder {
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && (b(4) & 0xff) == 0x0d &&
+        (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+      if (isPng(bytes) || isJpeg(bytes)) {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) DecodeStub.decode(docId, bytes) // corrupt header → stub
+        else {
+          val mean =
+            bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+          MediaMeta(docId, kind = "image",
+            width = img.getWidth, height = img.getHeight, nFrames = 1,
+            nBytes = bytes.length.toLong, meanByte = mean)
+        }
+      } else DecodeStub.decode(docId, bytes)
+  }
+
+  /** STUB decoder ("???" seam) for payloads the JDK cannot decode: a
+    * real implementation would hand `bytes` to an audio/video codec.
+    * The fake is deterministic: kind from the first UTF-8 CODE POINT
+    * (not byte) % 3 — matching what SQL `ascii(substr(text, 1, 1))`
+    * sees, so the oracle agrees for non-ASCII payloads too — and dims
+    * from the next bytes, so tests can assert exact outputs.
     */
   object DecodeStub {
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      // ??? real codec goes here (e.g. ImageIO.read / ffmpeg frame grab)
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      // ??? real codec goes here (e.g. ffmpeg frame grab)
+      // first code point: the leading UTF-8 sequence is ≤ 4 bytes;
+      // malformed input decodes to U+FFFD, still deterministic
+      val cp =
+        if (bytes.isEmpty) 0
+        else new String(bytes.take(4), java.nio.charset.StandardCharsets.UTF_8)
+          .codePointAt(0)
       val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
       val b2 = if (bytes.length > 2) bytes(2) & 0xff else 0
-      val kind = (b0 % 3) match {
+      val kind = (cp % 3) match {
         case 0 => "image"
         case 1 => "audio"
         case _ => "video"
@@ -53,7 +97,7 @@ object Multimodal {
         if (bytes.isEmpty) 0.0
         else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
       MediaMeta(docId, kind, width = 16 + b1, height = 16 + b2,
-        nFrames = if (kind == "video") 1 + b0 % 8 else 1,
+        nFrames = if (kind == "video") 1 + cp % 8 else 1,
         nBytes = bytes.length.toLong, meanByte = mean)
     }
   }
@@ -71,7 +115,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init seam (native codec context, model weights…)
         rows.map { case (id, bytes) =>
-          DecodeStub.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+          Decoder.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
         }
       }(enc)
   }

@@ -30,8 +30,9 @@ object MultimodalOps {
 
   // q_multimodal_kinds — the decode path's aggregate shape: kind
   // distribution + mean payload size. The decode stub derives kind
-  // from the first byte (ascii code % 3) — reproduced in SQL so the
-  // full mapPartitions path is oracle-checked end to end.
+  // from the first CODE POINT % 3 (exactly what the oracle's
+  // ascii(substr(text,1,1)) returns, ASCII or not) — so the full
+  // mapPartitions path is oracle-checked end to end.
   def multimodalKinds(spark: SparkSession, sfDir: String): DataFrame = {
     val meta = Multimodal.decodeMeta(
       Multimodal.binariesFromDocuments(Catalog.table(spark, sfDir, "documents")))

@@ -26,6 +26,42 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).meanByte === (97 + 98 + 99) / 3.0)
   }
 
+  test("real PNG and JPEG payloads decode through ImageIO to true dims") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = encode("png", 2, 2)
+    val jpg = encode("jpg", 5, 3)
+    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "content")
+    val meta = Multimodal.decodeMeta(df).collect().sortBy(_.docId)
+    assert(meta(0).kind === "image")
+    assert((meta(0).width, meta(0).height) === (2, 2))
+    assert(meta(0).nBytes === png.length.toLong)
+    assert(meta(1).kind === "image")
+    assert((meta(1).width, meta(1).height) === (5, 3))
+    // non-image bytes with an image-ish first byte still go to the stub
+    val stub = Multimodal.Decoder.decode(3L, "HELLO".getBytes("UTF-8"))
+    assert(stub.width === 16 + 'E'.toInt)
+  }
+
+  test("kind parity uses the first code point, not the first byte") {
+    // 'é' = U+00E9 (233): 233 % 3 = 2 → video. Its UTF-8 lead byte is
+    // 0xC3 (195): 195 % 3 = 0 would have said image — the SQL oracle
+    // (ascii of the first CHARACTER) must agree with the stub.
+    val meta = Multimodal.DecodeStub.decode(1L, "été".getBytes("UTF-8"))
+    assert(meta.kind === "video")
+    // malformed UTF-8 → replacement char, still deterministic
+    val bad = Multimodal.DecodeStub.decode(2L, Array[Byte](0xc3.toByte))
+    assert(bad.kind === (0xfffd % 3 match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }))
+  }
+
   test("null and empty payloads are safe") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(Multimodal.binariesFromDocuments(df))
