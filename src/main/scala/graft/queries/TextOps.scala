@@ -171,6 +171,34 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_ranked — FTS MATCH with relevance ORDER (FTS5 `ORDER BY
+  // rank`, utils.py:330-332 creates a ranking FTS5 index): AND-matched
+  // docs ordered by total term frequency. The oracle-checked score is
+  // the integer tf sum (bit-exact across engines); the full BM25
+  // scorer (floats, corpus stats) lives in store/Fts.searchRanked and
+  // is order-asserted in FtsSpec.
+  def ftsRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("token"))
+      .filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"), countDistinct(col("token")).as("n_terms"))
+      .filter(col("n_terms") === 2)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  val ftsRankedSql: String =
+    """SELECT doc_id, COUNT(*) AS score
+      |FROM (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')) AS token
+      |  FROM documents
+      |)
+      |WHERE token IN ('spark', 'vector')
+      |GROUP BY doc_id
+      |HAVING COUNT(DISTINCT token) = 2
+      |ORDER BY score DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_token_count — LLM-pipeline text analysis: token counting
   // (whitespace/word-regex tokenizer) per document.
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -314,6 +342,7 @@ object TextOps {
     Op("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     Op("q_fts_index", ftsIndex, Some(ftsIndexSql)),
     Op("q_fts_match", ftsMatch, Some(ftsMatchSql)),
+    Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)))
 }

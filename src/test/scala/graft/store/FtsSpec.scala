@@ -1,9 +1,11 @@
 package graft.store
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** FTS inverted-index semantics: build-on-upsert (trigger analog),
-  * AND match, index freshness after re-upsert.
+  * AND match, BM25 ranked order, index freshness after re-upsert.
   */
 class FtsSpec extends SparkSpec {
   import spark.implicits._
@@ -28,6 +30,37 @@ class FtsSpec extends SparkSpec {
     assert(hits("spark fox") === Set.empty)
     assert(hits("THE") === Set(1L, 2L)) // case folded
     assert(hits("absent") === Set.empty)
+  }
+
+  test("ranked search: BM25 relevance order (FTS5 ORDER BY rank analog)") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark spark spark window"),
+      (2L, "spark window and other words about other things"),
+      (3L, "spark spark window window"),
+      (4L, "unrelated text entirely")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    // single term: highest tf in the shortest doc wins
+    val one = Fts.searchRanked(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSeq
+    assert(one === Seq(1L, 3L, 2L))
+
+    // two terms: BM25 tf saturation prefers the balanced doc (2+2)
+    // over the lopsided one (3+1)
+    val two = Fts.searchRanked(spark, store, "tweets", "spark window")
+      .collect().map(_.getLong(0)).toSeq
+    assert(two === Seq(3L, 1L, 2L))
+
+    // AND semantics preserved: docs missing a term don't appear
+    assert(Fts.searchRanked(spark, store, "tweets", "spark unrelated")
+      .isEmpty)
+
+    // index carries tf and dl per posting
+    val idx = store.read(Fts.indexName("tweets"))
+    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl"))
+    val row = idx.filter(col("pk") === 1L && col("token") === "spark").head
+    assert(row.getAs[Long]("tf") === 3L && row.getAs[Long]("dl") === 4L)
   }
 
   test("re-upsert replaces a doc's postings (trigger analog)") {
