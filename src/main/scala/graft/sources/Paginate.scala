@@ -24,7 +24,7 @@ object Paginate {
     */
   final case class RateLimited(message: String) extends RuntimeException(message)
 
-  def withRetry[A](sleep: Long => Unit, maxRetries: Int = 5)(fetch: => A): A = {
+  def withRetry[A](sleep: Long => Unit, maxRetries: Int = Endpoints.RetryMax)(fetch: => A): A = {
     var attempts = 0
     while (true) {
       try return fetch
@@ -32,7 +32,7 @@ object Paginate {
         case RateLimited(_) =>
           attempts += 1
           require(attempts < maxRetries, s"More than $maxRetries rate limit errors")
-          sleep(15000L)
+          sleep(Endpoints.RetrySleepMillis)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -126,4 +126,21 @@ object Paginate {
     */
   def batched[T](ids: Iterable[T], batchSize: Int): Iterator[Seq[T]] =
     ids.grouped(batchSize).map(_.toSeq)
+
+  /** Stop requesting pages once `cap` total items have been served —
+    * the home-timeline shape, where the API caps the scan at 800
+    * (cli.py:395): the page that crosses the cap is kept (the server
+    * would have trimmed it), no further page is fetched.
+    */
+  def capTotal(pages: Iterator[Seq[String]], cap: Int): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private var seen = 0
+      override def hasNext: Boolean = seen < cap && pages.hasNext
+      override def next(): Seq[String] = {
+        if (!hasNext) throw new NoSuchElementException
+        val p = pages.next()
+        seen += p.size
+        p
+      }
+    }
 }

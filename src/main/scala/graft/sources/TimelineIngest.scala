@@ -31,7 +31,8 @@ object TimelineIngest {
       linkTable: Option[(String, Long)] = None,
       favoritedBy: Option[Long] = None,
       sleep: Long => Unit = _ => (),
-      now: () => String = TimelineIngest.utcNowIso): Long = {
+      now: () => String = TimelineIngest.utcNowIso,
+      pacing: Endpoints.Pacing = Endpoints.UserTimeline): Long = {
     import spark.implicits._
     require(!(useSince && sinceId.isDefined),
       "Use either since or sinceId, not both")
@@ -47,8 +48,12 @@ object TimelineIngest {
         throw new IllegalArgumentException("tweet without id"))
     }
 
-    Paginate.timeline(fetch, extractId,
-      sinceId = effectiveSince, stopAfter = stopAfter, sleep = sleep)
+    val pages = Paginate.timeline(fetch, extractId,
+      count = pacing.pageSize, sinceId = effectiveSince,
+      stopAfter = stopAfter, sleep = sleep,
+      sleepMillis = pacing.sleepMillis)
+    // API-imposed total cap (home timeline: 800, cli.py:395)
+    pacing.hardCap.fold(pages)(Paginate.capTotal(pages, _))
       .foreach { page =>
         val raw = spark.read
           .schema(TwitterSchemas.tweet(2))

@@ -116,6 +116,43 @@ class SourcesSpec extends SparkSpec {
     assert(store.read("tweets").count() === 5)
   }
 
+  test("per-endpoint pacing: injected sleep sequence matches reference constants") {
+    val extract: String => Long =
+      d => """"id"\s*:\s*(\d+)""".r.findFirstMatchIn(d).get.group(1).toLong
+    def sleepsFor(pacing: Endpoints.Pacing): Seq[Long] = {
+      val api = new FakeTimelineApi(total = 25, pageSize = 10)
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      Paginate.timeline(api.fetch, extract, count = pacing.pageSize,
+          sleep = sleeps += _, sleepMillis = pacing.sleepMillis)
+        .foreach(_ => ())
+      sleeps.toSeq
+    }
+    // 3 pages → one inter-page sleep after each non-empty page
+    assert(sleepsFor(Endpoints.UserTimeline) === Seq(1000L, 1000L, 1000L))
+    assert(sleepsFor(Endpoints.Favorites) === Seq(12000L, 12000L, 12000L))
+    assert(sleepsFor(Endpoints.MentionsTimeline) === Seq(10000L, 10000L, 10000L))
+    assert(sleepsFor(Endpoints.Search).forall(_ === 6000L))
+    // page sizes encode the reference's batch constants
+    assert(Endpoints.UsersLookup.pageSize === 70)
+    assert(Endpoints.StatusesLookup.pageSize === 100)
+    assert(Endpoints.FollowerIds.pageSize === 5000)
+    assert(Endpoints.FollowersHydrated.sleepMillis === 61000L)
+  }
+
+  test("home timeline: API hard cap stops the scan at 800 tweets") {
+    val store = freshStore()
+    val api = new FakeTimelineApi(total = 2000, pageSize = 200)
+    val n = TimelineIngest.run(spark, store, api.fetch,
+      sinceType = "home", sinceKey = "7", useSince = true,
+      pacing = Endpoints.HomeTimeline)
+    assert(n === 800)
+    assert(store.read("tweets").count() === 800)
+    // 4 pages of 200 requested, then the cap halts — no 5th fetch
+    assert(api.calls === 4)
+    // resume continues from the watermark like any timeline
+    assert(Watermarks.sinceId(store, "home", "7") === Some(2000L))
+  }
+
   test("S4/S5: cursor pagination terminates on cursor 0") {
     val pages = Map(
       -1L -> (Seq("a", "b"), 17L),
