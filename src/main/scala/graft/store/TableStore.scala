@@ -38,18 +38,31 @@ class TableStore(spark: SparkSession, root: String) {
     * rename must THROW — the destination was already deleted, and
     * silently returning would present data loss as success.
     */
-  private def writeSwapped(name: String, df: DataFrame): Unit = {
+  private def writeSwapped(
+      name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"rename $tmp -> $dst failed; data is preserved at $tmp")
   }
 
-  def overwrite(name: String, df: DataFrame): Unit = writeSwapped(name, df)
+  /** Replace a table wholesale. `partitionBy` lays the table out as a
+    * Hive-partitioned directory tree (e.g. `day=…/`), the lake layout
+    * an append-mostly stream (the `events` firehose) wants: time
+    * predicates then prune at PLANNING time to the matching
+    * directories (PartitionPruningSpec proves the scan's
+    * PartitionFilters). Key-upsert tables stay unpartitioned — the
+    * rewrite-based upsert would churn every partition anyway; a
+    * lakehouse MERGE is the scale path for those (see class doc).
+    */
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    writeSwapped(name, df, partitionBy)
 
   def drop(name: String): Unit = {
     val dst = new Path(path(name))

@@ -12,6 +12,28 @@ import graft.SparkSpec
   */
 class PartitionPruningSpec extends SparkSpec {
 
+  test("TableStore.overwrite(partitionBy=day): store-written table prunes") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-store-part").toString)
+    val events = Catalog.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", to_date(col("ts")))
+    store.overwrite("events", events, partitionBy = Seq("day"))
+
+    val lake = store.read("events")
+    val minDay = lake.select(min(col("day"))).collect()(0).getDate(0)
+    val oneDay = lake.filter(col("day") === minDay)
+    val scan = oneDay.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"))
+    assert(scan.selectedPartitions.partitionCount === 1)
+    // swap-write semantics preserved: a second partitioned overwrite
+    // fully replaces the tree
+    store.overwrite("events", events.filter(col("day") === minDay),
+      partitionBy = Seq("day"))
+    assert(store.read("events").select("day").distinct().count() === 1)
+  }
+
   test("day-partitioned events: time predicate prunes to matching partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = Catalog.table(spark, "/root/testdata/sf0.001", "events")
