@@ -113,22 +113,31 @@ object Archive {
       case st: StructType => st
     }
 
-  /** T8 (`archive.py:132-141`): `niDeviceResponse` is a one-key dict
-    * whose KEY is the category — pivot schema-driven: one branch per
-    * struct field, tagged with the field name. (The reference writes
-    * this table as `ne-devices` — a typo its own tests never cover; we
-    * use the correct name and note the divergence.)
+  /** T8 (`archive.py:131-140`): `niDeviceResponse` is a one-key dict
+    * whose KEY is the category. The reference takes exactly the FIRST
+    * key per block (`list(block.keys())[0]`) and writes the result as
+    * `ne-devices` — a typo for ni-devices, but its table name
+    * nonetheless; both are replicated for drop-in compatibility. JSON
+    * key order is lost after parsing, so schema field order stands in
+    * for "first" — identical whenever a block carries one category,
+    * which is every observed archive.
     */
   private def niDevices(df: DataFrame): Map[String, DataFrame] = {
     val resp = structFieldOf(df.schema, "niDeviceResponse").getOrElse(return Map.empty)
-    val branches = resp.fields.collect {
-      case StructField(cat, _: StructType, _, _) =>
-        df.filter(col(s"niDeviceResponse.`$cat`").isNotNull)
-          .select(col(s"niDeviceResponse.`$cat`.*"))
-          .withColumn("category", lit(cat))
+    val cats = resp.fields.collect {
+      case StructField(cat, _: StructType, _, _) => cat
+    }
+    val branches = cats.zipWithIndex.map { case (cat, i) =>
+      val firstPresent = cats.take(i).foldLeft(
+        col(s"niDeviceResponse.`$cat`").isNotNull) { (acc, prior) =>
+        acc && col(s"niDeviceResponse.`$prior`").isNull
+      }
+      df.filter(firstPresent)
+        .select(col(s"niDeviceResponse.`$cat`.*"))
+        .withColumn("category", lit(cat))
     }
     branches.reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .map("ni-devices" -> _).toMap
+      .map("ne-devices" -> _).toMap
   }
 
   /** T7 (`archive.py:147-180`): the personalization multi-output

@@ -108,12 +108,16 @@ object Normalize {
     def finish(df: DataFrame, off: Int): DataFrame =
       df.withColumn(Ord, col(iid) * 10 + off).drop(iid)
 
-    // reference insertion sequence per input tweet (utils.py:424-431):
-    // quoted's children, quoted, retweeted's children, retweeted,
-    // parent — so the two subtrees' children get DISTINCT ord bases
-    // (0/1 vs 2/3); a tweet id present in both subtrees then resolves
-    // LWW exactly like the reference's last sequential insert.
-    val l2 = (l1qRaw.map((_, 0)).toSeq ++ l1rRaw.map((_, 2)).toSeq).flatMap {
+    // reference insertion sequence per input tweet (utils.py:424-431,
+    // recursive save_tweets([quoted, retweeted])): quoted's children,
+    // QUOTED ITSELF, retweeted's children, retweeted, parent — i.e.
+    // q.q=0, q.r=1, q=2, r.q=3, r.r=4, r=5, parent=9. The quoted
+    // subtree completes (2) BEFORE retweeted's children (3,4) start,
+    // so a tweet id present in both subtrees resolves LWW exactly
+    // like the reference's last sequential insert — including the
+    // retweet-of-a-quote shape where the same id is both the parent's
+    // quoted_status and retweeted_status.quoted_status.
+    val l2 = (l1qRaw.map((_, 0)).toSeq ++ l1rRaw.map((_, 3)).toSeq).flatMap {
       case (l1, base) =>
         Seq(("quoted_status", base), ("retweeted_status", base + 1)).flatMap {
           case (f, off) =>
@@ -125,7 +129,7 @@ object Normalize {
             }
         }
     }
-    val l1 = l1qRaw.map(finish(_, 4)).toSeq ++ l1rRaw.map(finish(_, 5)).toSeq
+    val l1 = l1qRaw.map(finish(_, 2)).toSeq ++ l1rRaw.map(finish(_, 5)).toSeq
     l2 ++ l1 ++ Seq(l0)
   }
 

@@ -29,12 +29,26 @@ object Catalog {
     * footers — measurable fixed cost when 40+ queries each touch a few
     * tables. Reusing the logical plan lets Spark reuse the FileIndex
     * and schema.
+    *
+    * Weak-keyed on the SparkSession itself: an identity-hash key could
+    * collide with a stopped-and-collected session's stale entry (and
+    * would pin every DataFrame for the JVM's lifetime); weak keys make
+    * a dead session's cache collectable and collision-free.
     */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        memo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema.fields.foldLeft(df) { (acc, f) =>
@@ -45,6 +59,7 @@ object Catalog {
         else acc
       }
     })
+  }
 
   /** ATTACH-equivalent: expose every testdata table as a temp view so
     * arbitrary `spark.sql` (the reference's `--sql` surface) works.

@@ -38,10 +38,48 @@ object HashId {
     sb.append("\"").toString
   }
 
+  /** Python `repr(float)` / json.dumps float rendering: fixed notation
+    * while the leading digit's decimal exponent X satisfies
+    * -4 ≤ X < 16, else `d.ddde±XX` scientific (sign always, exponent
+    * ≥ 2 digits, no trailing `.0` on a bare mantissa digit). Digits
+    * come from Java's shortest round-trip rendering; pre-JDK-19 Java
+    * may very rarely emit one digit more than CPython's shortest —
+    * still round-trip-exact, and none of the reference's hashed
+    * fixtures hit such a value.
+    */
+  def pyReprDouble(d: Double): String = {
+    if (d.isNaN) "NaN" // json.dumps writes bare NaN/Infinity
+    else if (d == Double.PositiveInfinity) "Infinity"
+    else if (d == Double.NegativeInfinity) "-Infinity"
+    else if (d == 0.0) { if (1 / d < 0) "-0.0" else "0.0" }
+    else {
+      val neg = d < 0
+      // shortest digits D and exponent e with |d| = 0.D × 10^e
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(Math.abs(d)))
+      val unscaled = bd.unscaledValue.toString
+      val stripped = unscaled.reverse.dropWhile(_ == '0').reverse
+      val digits = if (stripped.isEmpty) "0" else stripped
+      val e = digits.length + (unscaled.length - stripped.length) - bd.scale
+      val x = e - 1 // decimal exponent of the leading digit
+      val body =
+        if (x >= -4 && x < 16) {
+          if (e <= 0) "0." + ("0" * -e) + digits
+          else if (e >= digits.length) digits + ("0" * (e - digits.length)) + ".0"
+          else digits.substring(0, e) + "." + digits.substring(e)
+        } else {
+          val mantissa =
+            if (digits.length == 1) digits
+            else digits.substring(0, 1) + "." + digits.substring(1)
+          f"${mantissa}e$x%+03d"
+        }
+      if (neg) "-" + body else body
+    }
+  }
+
   /** Canonical compact JSON of a runtime value, matching Python
     * json.dumps(..., separators=(",",":"), sort_keys=True). Doubles
-    * restricted to the formats Java and Python agree on (whole or
-    * plain decimals — the only shapes that reach hash ids here).
+    * render through pyReprDouble so every float shape — including
+    * scientific notation — serializes exactly as CPython would.
     */
   def canonicalJson(v: Any): String = v match {
     case null => "null"
@@ -51,10 +89,7 @@ object HashId {
     case l: Long => l.toString
     case s: Short => s.toString
     case b: Byte => b.toString
-    case d: Double =>
-      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e16)
-        s"${d.toLong}.0"
-      else d.toString
+    case d: Double => pyReprDouble(d)
     case f: Float => canonicalJson(f.toDouble)
     case seq: Seq[_] => seq.map(canonicalJson).mkString("[", ",", "]")
     case m: Map[_, _] =>

@@ -131,7 +131,7 @@ class ArchiveSpec extends SparkSpec {
     assert(rows === Set(("simonw", "datasette"), ("natbat", "owls")))
   }
 
-  test("ni-devices category pivot (archive.py:132-141)") {
+  test("ni-devices category pivot (archive.py:131-140)") {
     val store = freshStore()
     val content =
       """window.YTD.ni_devices.part0 = [
@@ -139,8 +139,12 @@ class ArchiveSpec extends SparkSpec {
         |{"niDeviceResponse": {"web": {"agent": "Mozilla"}}}
         |]""".stripMargin
     Archive.importFromFile(spark, store, "ni-devices.js", content)
-    val rows = store.read("archive_ni_devices").collect()
+    // the reference writes table "ne-devices" (its typo, its name)
+    val rows = store.read("archive_ne_devices").collect()
     assert(rows.map(_.getAs[String]("category")).toSet === Set("messagingDevice", "web"))
+    // one row per block, first category only (list(block.keys())[0]):
+    // a two-category block contributes a single row
+    assert(rows.length === 2)
   }
 
   test("personalization multi-output fan-out (archive.py:147-180)") {

@@ -85,6 +85,32 @@ class SaveTweetsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("user")).toSet === Set(12497L, 14148390L, 22737278L))
   }
 
+  test("cross-level LWW: retweet-of-a-quote keeps the nested copy") {
+    import spark.implicits._
+    def t(id: Long, text: String, extra: String = ""): String =
+      s"""{"id": $id, "created_at": "Wed Sep 04 13:51:55 +0000 2019",
+         | "full_text": "$text",
+         | "user": {"id": 7, "created_at": "Mon Sep 02 14:19:58 +0000 2019",
+         |   "name": "U", "screen_name": "u", "followers_count": 1,
+         |   "friends_count": 2, "listed_count": 3}$extra}"""
+        .stripMargin.replace("\n", "")
+    // id 100 appears BOTH as the parent's quoted_status ("top copy")
+    // and as retweeted_status.quoted_status ("nested copy"). The
+    // reference's recursive save_tweets inserts quoted fully (top copy)
+    // BEFORE retweeted's children (nested copy) — last insert wins, so
+    // the NESTED copy must survive (utils.py:425-431).
+    val parent = t(1, "parent",
+      s""", "quoted_status": ${t(100, "top copy")},
+         | "retweeted_status": ${t(2, "rt",
+        s""", "quoted_status": ${t(100, "nested copy")}""")}"""
+        .stripMargin.replace("\n", ""))
+    val raw = spark.read.schema(TwitterSchemas.tweet(2)).json(Seq(parent).toDS)
+    val row = Normalize.saveTweets(raw)("tweets")
+      .filter(col("id") === 100L).collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[String]("full_text") === "nested copy")
+  }
+
   test("sqlite-compat rendering of tweets (display_text_range, bools)") {
     val compat = SqliteCompat.render(tables("tweets"))
       .filter(col("id") === 1168529001599533000L).collect()(0)

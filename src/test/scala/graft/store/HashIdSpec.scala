@@ -53,6 +53,28 @@ class HashIdSpec extends AnyFunSuite {
     assert(HashId.canonicalJson(0.25d) === "0.25")
   }
 
+  test("doubles render exactly like CPython repr (goldens from python3)") {
+    // each pair generated with python3 `repr(v)`
+    val goldens = Seq[(Double, String)](
+      0.0 -> "0.0", -0.0 -> "-0.0", 1.0 -> "1.0", -1.5 -> "-1.5",
+      123.456 -> "123.456", 0.0001 -> "0.0001", 0.00001 -> "1e-05",
+      1.23e-5 -> "1.23e-05", 1e15 -> "1000000000000000.0",
+      1e16 -> "1e+16", 1.5e16 -> "1.5e+16", 1e20 -> "1e+20",
+      1.5e20 -> "1.5e+20", 2.5e-10 -> "2.5e-10", 3.14159 -> "3.14159",
+      123456789.5 -> "123456789.5", 9.87e100 -> "9.87e+100",
+      -4.2e-7 -> "-4.2e-07", 0.1 -> "0.1",
+      1.0 / 3.0 -> "0.3333333333333333",
+      9007199254740993.0 -> "9007199254740992.0",
+      6.02e23 -> "6.02e+23")
+    goldens.foreach { case (v, expected) =>
+      assert(HashId.pyReprDouble(v) === expected, s"for $v")
+    }
+    // json.dumps writes bare NaN / Infinity tokens
+    assert(HashId.pyReprDouble(Double.NaN) === "NaN")
+    assert(HashId.pyReprDouble(Double.PositiveInfinity) === "Infinity")
+    assert(HashId.pyReprDouble(Double.NegativeInfinity) === "-Infinity")
+  }
+
   test("property: serialization total, deterministic, key-order-insensitive") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
