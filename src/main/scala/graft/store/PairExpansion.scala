@@ -16,15 +16,18 @@ import org.apache.spark.sql.functions._
   *
   *  - each bucket is split into `ng = ceil(size / cellSize)` groups by
   *    a stable hash of the member id, so no aggregation buffer ever
-  *    holds more than ~cellSize members;
-  *  - pairs WITHIN a group expand from that group's sorted list
-  *    (≤ cellSize² work per task);
-  *  - pairs ACROSS groups come from replicating each member to every
-  *    higher-numbered group and equi-joining on (bucket, group) — the
-  *    Salting.saltedJoin shape — so a hot bucket's cross-group work is
-  *    spread over ng join partitions instead of one;
+  *    holds more than ~2·cellSize members;
+  *  - the bucket's pair space is covered by the TRIANGLE of group
+  *    tasks (i, j) with i ≤ j: every member of group g replicates to
+  *    the ng tasks {(min(g, j), max(g, j)) : j < ng}, one aggregation
+  *    collects each task's ≤ 2·cellSize members, and each task row
+  *    expands only the pairs it owns (both-in-i for the diagonal,
+  *    one-from-each off it) — ≤ ~(2·cellSize)² work per task, spread
+  *    over ng² reducers for a hot bucket, all in ONE aggregation
+  *    subtree (no self-join: a join-based variant re-executed the
+  *    expensive upstream member computation once per plan branch);
   *  - a bucket smaller than `cellSize` has ng = 1 and degenerates to
-  *    exactly the naive single-list plan (no replication rows).
+  *    exactly the naive single-list plan (one task, no replication).
   *
   * The emitted pair set is identical to the naive expansion for any
   * `cellSize` (every unordered pair of distinct-id members sharing a
@@ -76,33 +79,33 @@ object PairExpansion {
           .cast("long"))
       .withColumn("__g", pmod(xxhash64(col(idCol)), col("__ng")))
 
-    // One bounded sorted list per (bucket, group) cell.
-    val cells = sized
-      .groupBy((keys :+ col("__g")): _*)
-      .agg(sort_array(collect_set(item)).as("__xs"))
+    // Triangle cover: member of group g participates in tasks
+    // (min(g, j), max(g, j)) for every j — its own diagonal (g, g)
+    // once (j = g) and one mixed task per other group. Each unordered
+    // group pair is exactly one task, so each id pair is produced
+    // exactly once.
+    val tasks = sized.select((keys :+
+      struct(item.as("x"), col("__g").as("g")).as("__xg") :+
+      explode(transform(sequence(lit(0L), col("__ng") - 1), j =>
+        struct(least(col("__g"), j).as("ti"),
+          greatest(col("__g"), j).as("tj")))).as("__t")): _*)
 
-    // Pairs within a cell: indexed expansion of the sorted list
-    // (i < j ⇒ a.id < b.id).
-    val within = cells.select(explode(flatten(
-      transform(col("__xs"), (x, i) =>
-        transform(slice(col("__xs"), i + 2, size(col("__xs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+    // One bounded sorted list per (bucket, task): ≤ 2·cellSize
+    // members (the task's one or two cells). Sorting by the member
+    // struct (id leads) makes indexed i < j expansion emit a.id <
+    // b.id; the diagonal task owns same-group pairs, mixed tasks own
+    // exactly the cross-group pairs (one member from each side).
+    val expanded = tasks
+      .groupBy((keys :+ col("__t")): _*)
+      .agg(sort_array(collect_set(col("__xg"))).as("__xs"))
+      .select(explode(flatten(transform(col("__xs"), (x, i) =>
+        filter(
+          transform(slice(col("__xs"), i + 2, size(col("__xs"))), y =>
+            when(col("__t.ti") === col("__t.tj") ||
+                x.getField("g") =!= y.getField("g"),
+              struct(x.getField("x").as("a"), y.getField("x").as("b")))),
+          p => p.isNotNull)))).as("__p"))
 
-    // Pairs across cells: replicate each member to every HIGHER group
-    // of its bucket and join on (bucket, group) — each joined row
-    // expands against one ≤cellSize list; the join key spreads a hot
-    // bucket over its ng groups. Pair order is canonicalized by id
-    // (structs compare by their first field).
-    val rep = sized.select((keys :+ item.as("__x") :+
-      explode(filter(sequence(lit(0L), col("__ng") - 1),
-        gb => gb > col("__g"))).as("__g")): _*)
-    val cross = rep
-      .join(cells, keyCols :+ "__g")
-      .select(explode(transform(col("__xs"), y =>
-        when(col("__x") < y, struct(col("__x").as("a"), y.as("b")))
-          .otherwise(struct(y.as("a"), col("__x").as("b"))))).as("__p"))
-
-    within.unionByName(cross)
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    expanded.select(col("__p.a").as("a"), col("__p.b").as("b"))
   }
 }
