@@ -395,8 +395,69 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_dedup_clusters — the dedup endgame: connected components over
+  // the near-dup candidate graph, labeling every involved doc with
+  // its cluster representative (min doc_id in the component) so dedup
+  // keeps one doc per cluster. Iterative min-label propagation (the
+  // GraphX/GraphFrames CC shape): each round every vertex takes the
+  // min of its own and its neighbors' labels — one equi-join + one
+  // partial-agg'd groupBy per round, converging in O(component
+  // diameter) rounds. The per-round fixpoint probe is a scalar action
+  // (inherent to iterative graph algorithms); localCheckpoint
+  // truncates the otherwise-exponential lineage. The oracle computes
+  // the same fixpoint as a recursive transitive closure.
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      // old label rides along so the fixpoint probe is a local filter
+      // over the checkpointed round output, not a second join job
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("label") < col("old")).isEmpty
+      labels = updated.drop("old")
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $bandsCte, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs
+       |), reach AS (
+       |  SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS cluster
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_simhash_near_dup", simhashNearDup, Some(simhashNearDupSql)),
+    Op("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Op("q_simhash_blocks", simhashBlocks, Some(simhashBlocksSql)),
     Op("q_winnow_fp", winnowFingerprints, Some(winnowFpSql)),
     Op("q_simhash", simhashFingerprints, Some(simhashSql)),

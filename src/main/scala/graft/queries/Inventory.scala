@@ -23,7 +23,8 @@ object Inventory {
     */
   def all: Seq[Op] =
     RelationalOps.ops ++ StateOps.ops ++ TextOps.ops ++
-      DedupOps.ops ++ SimilarityOps.ops ++ MultimodalOps.ops
+      DedupOps.ops ++ SimilarityOps.ops ++ MultimodalOps.ops ++
+      SamplingOps.ops
 
   lazy val byName: Map[String, Op] = all.map(op => op.name -> op).toMap
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting and sampling for training-data
+  * pipelines (BASELINE.json north-star extension): assignments derive
+  * purely from a hash of the document id, so they are reproducible
+  * across runs, engines and data orderings, stable under corpus
+  * growth (a doc never migrates between splits when new docs arrive —
+  * the property `rand()`-based sampling lacks), and need no shuffle:
+  * split assignment is a narrow codegen'd map.
+  *
+  * The hash bucket is the first md5 byte of the decimal-rendered id
+  * (0-255), identically computable in any engine with md5.
+  */
+object SamplingOps {
+
+  /** First md5 byte of the id rendered in decimal: 0-255. */
+  private def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  private val hashBucketSql =
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+
+  // ---------------------------------------------------------------------
+  // q_hash_split — train/val/test assignment: train < 205/256 (~80%),
+  // val < 230/256 (~10%), test otherwise (~10%).
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), b.as("bucket"),
+        when(b < 205, "train").when(b < 230, "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val hashSplitSql: String =
+    s"""SELECT doc_id, CAST($hashBucketSql AS INT) AS bucket,
+       |  CASE WHEN $hashBucketSql < 205 THEN 'train'
+       |       WHEN $hashBucketSql < 230 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_stratified_sample — deterministic ~25% subsample per stratum
+  // (language): counts before/after, the hygiene readout of a
+  // downsampling stage. COUNT of a conditional (never SUM) keeps both
+  // engines in BIGINT.
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    Catalog.table(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(b < 64, 1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN $hashBucketSql < 64 THEN 1 END) AS n_sampled
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q_hash_split", hashSplit, Some(hashSplitSql)),
+    Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+}
