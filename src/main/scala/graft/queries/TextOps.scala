@@ -247,6 +247,54 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_quality_filter — Gopher-style document quality gating (Rae et
+  // al. 2021 §A1.1 heuristics re-expressed): each doc gets its FIRST
+  // failing rule (too short / implausible mean word length / no
+  // stopwords) or 'keep', aggregated to a per-reason census — the
+  // admission-control stage of a training-data pipeline. Pure column
+  // math, one codegen'd projection + one partial-agg'd groupBy; rule
+  // order is the CASE order on both engines, and the only double
+  // (mean token length) is a single integer-sum division → bit-exact.
+  private val qfStopwords = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Transforms.tokens(col("text"))
+    val nTok = size(toks)
+    val charSum = aggregate(toks, lit(0), (a, t) => a + length(t))
+    val meanLen = charSum.cast("double") / nTok.cast("double")
+    val stopHits = size(array_intersect(toks, typedLit(qfStopwords)))
+    val reason = when(length(col("text")) < 200 || nTok < 10, "too_short")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(stopHits < 2, "no_stopwords")
+      .otherwise("keep")
+    Catalog.table(spark, sfDir, "documents")
+      .select(reason.as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+  }
+
+  val qualityFilterSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val stops = qfStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT reason, COUNT(*) AS n
+       |FROM (
+       |  SELECT CASE
+       |    WHEN length(text) < 200 OR len(toks) < 10 THEN 'too_short'
+       |    WHEN CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE) < 3.0
+       |      OR CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE) > 10.0 THEN 'word_length'
+       |    WHEN len(list_intersect(toks, $stops)) < 2 THEN 'no_stopwords'
+       |    ELSE 'keep' END AS reason
+       |  FROM (SELECT text, $toks AS toks FROM documents)
+       |)
+       |GROUP BY reason
+       |ORDER BY reason""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_langid — marker-token language scoring (n-gram-heuristic
   // language ID): count language-marker occurrences via the padded
   // replace-length trick, argmax with fixed precedence. The engine
@@ -343,6 +391,7 @@ object TextOps {
     Op("q_fts_index", ftsIndex, Some(ftsIndexSql)),
     Op("q_fts_match", ftsMatch, Some(ftsMatchSql)),
     Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
+    Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)))
 }
