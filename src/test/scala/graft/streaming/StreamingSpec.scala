@@ -143,6 +143,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00.0", "buy", 1L, 5.0)))
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, state bounded by watermark") {
+    import java.sql.Timestamp
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+
+    val q = StreamDedup.dedupWithinWatermark(docs, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "Hello, World!"),
+      (ts("2024-01-01 10:01:00"), 2L, "hello   world"), // same normalized fp
+      (ts("2024-01-01 10:02:00"), 3L, "something else"))
+    q.processAllAvailable()
+    // duplicate within the horizon → dropped even across batches
+    mem.addData((ts("2024-01-01 10:03:00"), 4L, "HELLO WORLD"))
+    q.processAllAvailable()
+    // advance the watermark far past the fingerprints' horizon…
+    mem.addData((ts("2024-01-01 12:00:00"), 5L, "advancer"))
+    q.processAllAvailable()
+    // …after expiry the same text is admitted again (state was evicted;
+    // the batch sweep owns cross-horizon dedup)
+    mem.addData((ts("2024-01-01 12:01:00"), 6L, "hello world"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 5L, 6L)) // 2 and 4 deduped, 6 re-admitted
+    // batch fallback: same API exact-dedups a static frame
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "a b"),
+      (ts("2024-01-01 10:01:00"), 2L, "A  b"),
+      (ts("2024-01-01 10:02:00"), 3L, "c")).toDF("ts", "doc_id", "text")
+    assert(StreamDedup.dedupWithinWatermark(batch).count() === 2)
+  }
+
   test("A2 streaming CDC: flatMapGroupsWithState emits only count changes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
