@@ -69,6 +69,15 @@ object Transforms {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => t =!= "")
 
+  /** Exact-dedup fingerprint shared by the batch sweep
+    * (queries/DedupOps) and the streaming stage (streaming/
+    * StreamDedup) — ONE definition of "duplicate": md5 of the
+    * lowercased text with non-word runs collapsed to single spaces,
+    * trimmed. (md5 because the DuckDB oracle computes it identically.)
+    */
+  def exactFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+
   /** Word n-gram shingles over `tokens` (for MinHash / Jaccard dedup).
     * Guarded: `sequence(0, negative)` would count DOWN in Spark, so
     * short documents yield an empty shingle set explicitly.

@@ -56,10 +56,14 @@ object Multimodal {
 
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
       if (isPng(bytes) || isJpeg(bytes)) {
+        // NonFatal, not just IOException: the JDK decoders throw
+        // IllegalArgument/NegativeArraySize/IndexOutOfBounds on
+        // crafted or truncated headers, and one bad document must not
+        // fail the whole decode job
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
-        if (img == null) DecodeStub.decode(docId, bytes) // corrupt header → stub
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) DecodeStub.decode(docId, bytes) // corrupt payload → stub
         else {
           val mean =
             bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length

@@ -30,17 +30,19 @@ object Catalog {
     * tables. Reusing the logical plan lets Spark reuse the FileIndex
     * and schema.
     *
-    * Weak-keyed on the SparkSession itself: an identity-hash key could
-    * collide with a stopped-and-collected session's stale entry (and
-    * would pin every DataFrame for the JVM's lifetime); weak keys make
-    * a dead session's cache collectable and collision-free.
+    * Keyed by session REFERENCE identity (IdentityHashMap resolves by
+    * eq, so unlike a raw identityHashCode key there is no collision
+    * path), with stopped sessions' caches evicted before every
+    * lookup. A weak-keyed map would be a no-op here: the cached
+    * DataFrames strongly reference their SparkSession, reaching the
+    * key through the value — the documented WeakHashMap anti-pattern.
     */
-  private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+  private val memo = new java.util.IdentityHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = memo.synchronized {
+      memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = memo.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]

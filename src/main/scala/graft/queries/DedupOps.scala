@@ -22,7 +22,7 @@ object DedupOps {
     * identically for the oracle.)
     */
   private def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+    Transforms.exactFingerprint(text)
 
   private val fingerprintSql =
     "md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))"
@@ -142,14 +142,20 @@ object DedupOps {
   // the hot-bucket cap SCALING.md promises). A naive self-join would
   // compute the (expensive) signatures twice and shuffle twice; this
   // computes them once and is quadratic only within grid cells.
-  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unordered distinct candidate-pair set (shared by the ranked
+    * query surface below and dedupClusters, which would otherwise pay
+    * a global sort it immediately discards).
+    */
+  private def candidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = withBands(spark, sfDir)
     graft.store.PairExpansion.pairsWithinBuckets(
         bands, keyCols = Seq("band_idx", "band"), idCol = "doc_id")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    candidatePairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
   val nearDupPairsSql: String =
     s"""WITH $bandsCte
@@ -399,16 +405,28 @@ object DedupOps {
   // q_dedup_clusters — the dedup endgame: connected components over
   // the near-dup candidate graph, labeling every involved doc with
   // its cluster representative (min doc_id in the component) so dedup
-  // keeps one doc per cluster. Iterative min-label propagation (the
-  // GraphX/GraphFrames CC shape): each round every vertex takes the
-  // min of its own and its neighbors' labels — one equi-join + one
-  // partial-agg'd groupBy per round, converging in O(component
-  // diameter) rounds. The per-round fixpoint probe is a scalar action
+  // keeps one doc per cluster. Iterative min-label propagation with
+  // POINTER JUMPING (the GraphX/GraphFrames CC shape): each round
+  // every vertex takes the min over its own, its neighbors', and its
+  // current label's label — the last join halves label-chain depth
+  // each round, so convergence is O(log diameter) rounds even on a
+  // path-shaped component (plain neighbor propagation needs
+  // O(diameter), which a 60-doc edit chain would push past any fixed
+  // round cap). The per-round fixpoint probe is a scalar action
   // (inherent to iterative graph algorithms); localCheckpoint
-  // truncates the otherwise-exponential lineage. The oracle computes
-  // the same fixpoint as a recursive transitive closure.
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+  // truncates the otherwise-exponential lineage; a non-converged exit
+  // THROWS rather than return wrong labels. The oracle computes the
+  // same fixpoint as a recursive transitive closure.
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(candidatePairs(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** Min-label connected components over an undirected (doc_a, doc_b)
+    * pair set → (doc_id, cluster). Public for reuse and direct spec
+    * coverage (a path-shaped component exercises the pointer-jumping
+    * round bound).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
@@ -417,24 +435,35 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = labels.isEmpty
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 64 // log2-ish bound; unreachable for real graphs
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("label")).as("nmin"))
+      // pointer jump: label of my label (labels always point at vertex
+      // ids — they are mins over vertex ids — so the join always hits)
+      val jump = labels
+        .join(labels.select(col("id").as("label"), col("label").as("jmin")),
+          Seq("label"))
+        .select(col("id"), col("jmin"))
       // old label rides along so the fixpoint probe is a local filter
       // over the checkpointed round output, not a second join job
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          least(least(col("label"), coalesce(col("nmin"), col("label"))),
+            coalesce(col("jmin"), col("label"))).as("label"),
           col("label").as("old"))
         .localCheckpoint(true)
       converged = updated.filter(col("label") < col("old")).isEmpty
       labels = updated.drop("old")
       rounds += 1
     }
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-      .orderBy(col("doc_id"))
   }
 
   val dedupClustersSql: String =

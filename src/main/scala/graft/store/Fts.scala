@@ -56,6 +56,13 @@ object Fts {
     val fresh = indexRows(batch, pkCol, textCol)
     val existing = store.readIfExists(indexName(table))
     val merged = existing match {
+      case Some(ex) if !ex.columns.contains("tf") =>
+        // pre-ranking index layout (pk, token) from before tf/dl were
+        // added: a union would fail to resolve the new columns, so
+        // migrate in place — rebuild the postings wholesale from the
+        // post-upsert base table (the text lives there)
+        indexRows(Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
+          .select(col(pkCol), col(textCol)), pkCol, textCol)
       case Some(ex) =>
         // drop all index rows of the re-upserted pks, then add fresh
         ex.join(batch.select(col(pkCol).as("pk")).distinct(), Seq("pk"), "left_anti")

@@ -19,23 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
-  /** Fingerprint matching queries/DedupOps.dedupExact's normalization
-    * exactly (same expression): md5 of the lowercased text with runs
-    * of non-word characters collapsed to single spaces, trimmed — so
-    * the stream stage and the batch sweep agree on what "duplicate"
-    * means.
+  /** THE exact-dedup fingerprint — the same `Transforms
+    * .exactFingerprint` the batch sweep (q_dedup_exact) uses, so the
+    * stream stage and the batch sweep agree on what "duplicate" means
+    * by construction, not by parallel maintenance.
     */
   def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+    graft.ingest.Transforms.exactFingerprint(text)
 
   /** Exact-dedup a (ts, doc_id, text, …) stream within the watermark
     * horizon. Works on batch frames too (falls back to plain
     * dropDuplicates semantics there via the same fingerprint column).
+    *
+    * Null-text documents (media-only records) are NOT duplicates of
+    * each other: dropDuplicates treats null keys as equal, so they get
+    * a per-document surrogate fingerprint instead of md5(null)=null.
     */
   def dedupWithinWatermark(
       docs: DataFrame,
       lateness: String = "10 minutes"): DataFrame = {
-    val fp = docs.withColumn("__fp", fingerprint(col("text")))
+    val fp = docs.withColumn("__fp",
+      coalesce(fingerprint(col("text")),
+        concat(lit("null:"), col("doc_id").cast("string"))))
     if (docs.isStreaming)
       fp.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark("__fp")

@@ -63,6 +63,26 @@ class FtsSpec extends SparkSpec {
     assert(row.getAs[Long]("tf") === 3L && row.getAs[Long]("dl") === 4L)
   }
 
+  test("legacy (pk, token) index migrates to the ranked layout on upsert") {
+    val store = freshStore()
+    // seed base + a pre-ranking-era index (schema without tf/dl)
+    store.upsert("tweets",
+      Seq((1L, "old spark words")).toDF("id", "full_text"), Seq("id"))
+    store.overwrite(Fts.indexName("tweets"),
+      Seq((1L, "old"), (1L, "spark"), (1L, "words")).toDF("pk", "token"))
+
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((2L, "new spark text")).toDF("id", "full_text"), "id", "full_text")
+
+    val idx = store.read(Fts.indexName("tweets"))
+    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl"))
+    // both the pre-existing doc and the new batch are searchable/ranked
+    assert(Fts.search(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(Fts.searchRanked(spark, store, "tweets", "old")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("re-upsert replaces a doc's postings (trigger analog)") {
     val store = freshStore()
     Fts.upsertWithIndex(store, "tweets",

@@ -181,6 +181,14 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:01:00"), 2L, "A  b"),
       (ts("2024-01-01 10:02:00"), 3L, "c")).toDF("ts", "doc_id", "text")
     assert(StreamDedup.dedupWithinWatermark(batch).count() === 2)
+    // null-text (media-only) docs are NOT duplicates of each other:
+    // md5(null) would be a shared null key — they get per-doc
+    // surrogates instead
+    val nulls = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, null.asInstanceOf[String]),
+      (ts("2024-01-01 10:01:00"), 2L, null.asInstanceOf[String]),
+      (ts("2024-01-01 10:02:00"), 3L, "x")).toDF("ts", "doc_id", "text")
+    assert(StreamDedup.dedupWithinWatermark(nulls).count() === 3)
   }
 
   test("A2 streaming CDC: flatMapGroupsWithState emits only count changes") {
