@@ -353,7 +353,74 @@ object SimilarityOps {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_kmeans_step — one Lloyd iteration of IVF centroid TRAINING (the
+  // "a real pipeline plugs trained centroids into the same plan" half
+  // of q_ann_ivf_topk): assign every vector to its nearest centroid
+  // (max_by partial agg, same shape as the search-side assignment),
+  // then recompute each centroid as the member mean per dimension.
+  //
+  // Distributed float means are partitioning-DEPENDENT (double
+  // addition is not associative), which would break the oracle hash —
+  // so the mean runs on 1e-6-quantized integers: floor(x·1e6) sums
+  // exactly and commutatively in any order, and the single final
+  // division is one double op. The quantization (≤1e-6 per component)
+  // is far below embedding noise; what matters is that the SHAPE —
+  // posexplode to (cell, dim), partial-agg'd sum, repack — is the
+  // 100 TB-correct training step.
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
+        col("norm").as("cent_norm"))
+    val assignment = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"),
+        col("cent_id"),
+        (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+          .as("_cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("cent_id").as("cell")),
+        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("_best.cell").as("cell"), col("_best.e").as("e"))
+    assignment
+      .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 1e6).cast("long")).as("q"))
+      .select(col("cell"), col("dim").cast("long").as("dim"), col("n"),
+        ((col("q").cast("double") / 1e6) / col("n").cast("double"))
+          .as("centroid"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val kmeansStepSql: String = {
+    val cos = s"${dotSql("v.e", "k.cent_e")} / (v.norm * k.cent_norm)"
+    s"""WITH emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, e AS cent_e, norm AS cent_norm
+       |  FROM emb WHERE vec_id < $nCentroids
+       |), assignment AS (
+       |  SELECT cell, e FROM (
+       |    SELECT v.vec_id, v.e, k.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $cos DESC, k.cent_id) AS crnk
+       |    FROM emb v CROSS JOIN cents k
+       |  ) WHERE crnk = 1
+       |)
+       |SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+       |  (CAST(CAST(SUM(CAST(floor(e[dim] * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6)
+       |    / CAST(COUNT(*) AS DOUBLE) AS centroid
+       |FROM assignment, (SELECT unnest(range(1, 65)) AS dim)
+       |GROUP BY cell, dim
+       |ORDER BY cell, dim""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
     Op("q_ann_lsh_topk", annLshTopK, Some(annLshTopKSql)),
