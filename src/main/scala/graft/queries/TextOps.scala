@@ -295,6 +295,82 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_repetition — Gopher-style repetition signal: the fraction of
+  // duplicate word-3-grams within each document (boilerplate and
+  // looping generations score high). Reuses the dedup shingle
+  // machinery; ratio = 1 - distinct/total is one exact subtraction on
+  // a single-division double → bit-exact across engines.
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Transforms.tokens(col("text"))
+    val sh = Transforms.shingles(toks, 3)
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_trigrams"),
+        (lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")).cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id, len(sh) AS n_trigrams,
+      |  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS dup_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(0, greatest(len(toks) - 2, 0)),
+      |      j -> array_to_string(toks[j+1:j+3], ' ')) AS sh
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |    FROM documents)
+      |)
+      |WHERE len(sh) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_pii_scan — PII detection census (the scrub stage's dry run):
+  // per source, how many docs match email / phone / URL patterns and
+  // the total match count. Patterns restricted to syntax Java regex
+  // and RE2 interpret identically; counts are COUNT/len ints (SUM
+  // cast to BIGINT on the oracle side — DuckDB widens integer SUMs).
+  private val piiPatterns = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9 -]{7,}[0-9]",
+    "url" -> "https?://[^ ]+")
+
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = piiPatterns.map { case (kind, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"n_$kind")
+    }
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("source") +: counts: _*)
+      .groupBy(col("source"))
+      .agg(
+        count(when(piiPatterns.map(p => col(s"n_${p._1}") > 0)
+          .reduce(_ || _), 1)).as("n_docs_with_pii"),
+        piiPatterns.map { case (kind, _) =>
+          sum(col(s"n_$kind")).as(s"total_$kind")
+        }: _*)
+      .orderBy(col("source"))
+  }
+
+  val piiScanSql: String = {
+    val exprs = piiPatterns.map { case (kind, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS n_$kind"
+    }.mkString(", ")
+    val anyPii = piiPatterns.map(p => s"n_${p._1} > 0").mkString(" OR ")
+    val sums = piiPatterns.map { case (kind, _) =>
+      s"CAST(SUM(n_$kind) AS BIGINT) AS total_$kind"
+    }.mkString(", ")
+    s"""SELECT source,
+       |  COUNT(CASE WHEN $anyPii THEN 1 END) AS n_docs_with_pii, $sums
+       |FROM (SELECT source, $exprs FROM documents)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_langid — marker-token language scoring (n-gram-heuristic
   // language ID): count language-marker occurrences via the padded
   // replace-length trick, argmax with fixed precedence. The engine
@@ -392,6 +468,8 @@ object TextOps {
     Op("q_fts_match", ftsMatch, Some(ftsMatchSql)),
     Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
+    Op("q_repetition", repetition, Some(repetitionSql)),
+    Op("q_pii_scan", piiScan, Some(piiScanSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)))
 }
