@@ -301,15 +301,17 @@ object TextOps {
   // machinery; ratio = 1 - distinct/total is one exact subtraction on
   // a single-division double → bit-exact across engines.
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Transforms.tokens(col("text"))
-    val sh = Transforms.shingles(toks, 3)
+    // native one-pass expression (graft.functions.TrigramStats): the
+    // declarative shingle chain runs interpreted and measured ~4 s at
+    // sf0.1 vs ~0.3 s for the native loop — same oracle semantics.
+    // array(...) + lambda binding force one eval per row and turn the
+    // null (short-doc) case into explode-drop.
+    val stats = graft.functions.TrigramStats.trigramStats(spark, col("text"))
     Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_trigrams"),
-        (lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
-          size(col("sh")).cast("double")).as("dup_ratio"))
+        explode(filter(array(stats), s => s.isNotNull)).as("r"))
+      .select(col("doc_id"), col("r.n_trigrams").as("n_trigrams"),
+        col("r.dup_ratio").as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
 
