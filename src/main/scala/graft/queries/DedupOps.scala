@@ -442,16 +442,23 @@ object DedupOps {
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("label")).as("nmin"))
       // pointer jump: label of my label (labels always point at vertex
-      // ids — they are mins over vertex ids — so the join always hits)
-      val jump = labels
-        .join(labels.select(col("id").as("label"), col("label").as("jmin")),
-          Seq("label"))
-        .select(col("id"), col("jmin"))
+      // ids — they are mins over vertex ids — so the join always
+      // hits). Skipped in round 0 where labels are identity and the
+      // jump is a no-op join.
+      val joined =
+        if (rounds == 0) labels.join(neighborMin, Seq("id"), "left")
+          .withColumn("jmin", col("label"))
+        else {
+          val jump = labels
+            .join(labels.select(col("id").as("label"), col("label").as("jmin")),
+              Seq("label"))
+            .select(col("id"), col("jmin"))
+          labels.join(neighborMin, Seq("id"), "left")
+            .join(jump, Seq("id"), "left")
+        }
       // old label rides along so the fixpoint probe is a local filter
       // over the checkpointed round output, not a second join job
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .join(jump, Seq("id"), "left")
+      val updated = joined
         .select(col("id"),
           least(least(col("label"), coalesce(col("nmin"), col("label"))),
             coalesce(col("jmin"), col("label"))).as("label"),
