@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.Transforms
+
 /** Deterministic corpus splitting and sampling for training-data
   * pipelines (BASELINE.json north-star extension): assignments derive
   * purely from a hash of the document id, so they are reproducible
@@ -65,7 +67,47 @@ object SamplingOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_seq_pack — greedy sequence packing: assign documents to fixed
+  // token-budget bins (the packing stage that turns a corpus into
+  // training batches). Packing is inherently sequential, so it runs
+  // PER SHARD: a deterministic hash shard (first md5 byte % 8) keys a
+  // bounded window — running token total within (shard, doc order) —
+  // and bin = tokens-before-this-doc div budget. Each shard's window
+  // state is one running sum; shards scale out with the cluster
+  // (global-order packing would funnel the corpus into one task).
+  private val packBudget = 2048
+
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(Transforms.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), pmod(hashBucket(col("doc_id")), lit(8)).as("shard"),
+        nTok.as("n_tokens"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / packBudget)
+          .cast("long"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    s"""SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       |  CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        - n_tokens) // $packBudget AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, ($hashBucketSql) % 8 AS shard,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_hash_split", hashSplit, Some(hashSplitSql)),
-    Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Op("q_seq_pack", seqPack, Some(seqPackSql)))
 }
