@@ -21,6 +21,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("property: random graphs match a driver-side union-find model") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val nVerts = 2 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(60)
+      val pairs = (1 to nEdges).map { _ =>
+        val a = 1L + rnd.nextInt(nVerts)
+        val b = 1L + rnd.nextInt(nVerts)
+        if (a <= b) (a, b + 1) else (b, a) // doc_a < doc_b, like LSH pairs
+      }.distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = DedupOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"verts=$nVerts edges=${pairs.length}")
+    }
+  }
+
   test("path-shaped component of diameter 60 converges (pointer jumping)") {
     // chain 1-2-…-61: incrementally edited boilerplate is exactly this
     // shape; min label must traverse 60 hops — log-rounds with

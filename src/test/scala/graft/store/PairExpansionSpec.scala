@@ -49,6 +49,23 @@ class PairExpansionSpec extends SparkSpec {
     }
   }
 
+  test("property: random corpora match naive expansion across cell sizes") {
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { round =>
+      val nBuckets = 1 + rnd.nextInt(5)
+      val members = (1 to 60 + rnd.nextInt(120)).map { i =>
+        (rnd.nextInt(nBuckets).toLong, s"k${rnd.nextInt(2)}",
+          i.toLong, s"p$i")
+      }.toDF("k1", "k2", "id", "payload")
+      val expected = naivePairs(members)
+      val cellSize = 1 + rnd.nextInt(20)
+      val got = gridPairs(members, cellSize)
+      assert(got.count() === expected.count(), s"round=$round cs=$cellSize")
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"round=$round cs=$cellSize")
+    }
+  }
+
   test("adversarial single hot bucket: exact pair set, bounded cells") {
     // 300 members in ONE bucket → 300·299/2 = 44850 pairs; with
     // cellSize=16 the grid splits it into ceil(300/16)=19 groups so no
