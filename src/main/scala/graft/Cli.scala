@@ -14,6 +14,8 @@ import graft.store.{Fts, SqliteCompat, TableStore}
   *   save-tweets <store> <tweets.json>     batch save_tweets (K1)
   *   fts-index <store> <table> <pk> <text> build FTS index
   *   fts-search <store> <table> <query>    MATCH-style AND search
+  *   fts-ranked <store> <table> <query>    BM25-ranked search
+  *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   */
@@ -55,6 +57,25 @@ object Cli {
       case "fts-search" =>
         Fts.search(spark, store, args(2), args.drop(3).mkString(" "))
           .orderBy("pk").show(50, truncate = false)
+      case "fts-ranked" =>
+        Fts.searchRanked(spark, store, args(2), args.drop(3).mkString(" "))
+          .show(50, truncate = false)
+      case "dedup-stream" =>
+        import org.apache.spark.sql.functions.{col, min_by, struct}
+        val (table, pk, text) = (args(2), args(3), args(4))
+        val before = store.read(table)
+        // keep the min-pk row per fingerprint (deterministic, unlike
+        // dropDuplicates' partition-order pick)
+        val deduped = before
+          .withColumn("__fp", graft.streaming.StreamDedup.fingerprint(col(text)))
+          .groupBy(col("__fp"))
+          .agg(min_by(struct(before.columns.map(col): _*), col(pk)).as("__m"))
+          .select(col("__m.*"))
+        // counts BEFORE the swap-write: after it the old files are gone
+        val (nBefore, nAfter) = (before.count(), deduped.count())
+        store.overwrite(table, deduped)
+        println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
+          s" ($nAfter rows remain, key=$pk)")
       case "tables" =>
         store.tableNames.foreach(t =>
           println(f"$t%-28s ${store.read(t).count()}%8d rows"))
