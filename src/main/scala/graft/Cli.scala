@@ -65,15 +65,21 @@ object Cli {
         val (table, pk, text) = (args(2), args(3), args(4))
         val before = store.read(table)
         // keep the min-pk row per fingerprint (deterministic, unlike
-        // dropDuplicates' partition-order pick)
-        val deduped = before
+        // dropDuplicates' partition-order pick); null-text rows have a
+        // null fingerprint and are NOT duplicates of each other — they
+        // pass through untouched
+        val fp = before
           .withColumn("__fp", graft.streaming.StreamDedup.fingerprint(col(text)))
+        val deduped = fp.filter(col("__fp").isNotNull)
           .groupBy(col("__fp"))
           .agg(min_by(struct(before.columns.map(col): _*), col(pk)).as("__m"))
           .select(col("__m.*"))
-        // counts BEFORE the swap-write: after it the old files are gone
-        val (nBefore, nAfter) = (before.count(), deduped.count())
+          .unionByName(fp.filter(col("__fp").isNull).drop("__fp"))
+        // nBefore BEFORE the swap-write (the old files are gone after);
+        // nAfter from the freshly written table so the dedup job runs once
+        val nBefore = before.count()
         store.overwrite(table, deduped)
+        val nAfter = store.read(table).count()
         println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
           s" ($nAfter rows remain, key=$pk)")
       case "tables" =>

@@ -414,7 +414,7 @@ object SimilarityOps {
        |SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
        |  (CAST(CAST(SUM(CAST(floor(e[dim] * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6)
        |    / CAST(COUNT(*) AS DOUBLE) AS centroid
-       |FROM assignment, (SELECT unnest(range(1, 65)) AS dim)
+       |FROM assignment, (SELECT unnest(range(1, ${dims + 1})) AS dim)
        |GROUP BY cell, dim
        |ORDER BY cell, dim""".stripMargin
   }

@@ -29,7 +29,8 @@ class ConnectedComponentsSpec extends SparkSpec {
       val pairs = (1 to nEdges).map { _ =>
         val a = 1L + rnd.nextInt(nVerts)
         val b = 1L + rnd.nextInt(nVerts)
-        if (a <= b) (a, b + 1) else (b, a) // doc_a < doc_b, like LSH pairs
+        // doc_a < doc_b like LSH pairs; bump self-loops to a real edge
+        if (a == b) (a, a + 1) else (math.min(a, b), math.max(a, b))
       }.distinct
       // driver-side union-find reference
       val parent = scala.collection.mutable.Map[Long, Long]()
