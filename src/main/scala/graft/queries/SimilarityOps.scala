@@ -419,6 +419,52 @@ object SimilarityOps {
        |ORDER BY cell, dim""".stripMargin
   }
 
+  /** Full Lloyd training loop around the oracle-verified step shape:
+    * seed with the k lowest-id vectors (deterministic), iterate
+    * assignment (max_by against broadcast centroids) + quantized-mean
+    * update, localCheckpoint truncating lineage per iteration. Empty
+    * cells keep their previous centroid. Returns (cent_id, cent_e) —
+    * exactly what annIvfTopK-style search plans take as their
+    * centroid set.
+    *
+    * `emb` needs (vec_id: long, e: array<double>).
+    */
+  def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"))
+      .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val assignment = emb
+        .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cent_id"),
+          (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+            .as("_cs"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("e"), col("cent_id").as("cell")),
+          struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+        .select(col("_best.cell").as("cell"), col("_best.e").as("e"))
+      val updated = assignment
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 1e6).cast("long")).as("q"))
+        .select(col("cell"), col("pos"),
+          ((col("q").cast("double") / 1e6) / col("n").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("new_e"))
+      cents = cents
+        .join(updated.withColumnRenamed("cell", "cent_id"), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_e"), col("cent_e")).as("cent_e"))
+        .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
+        .localCheckpoint(true)
+    }
+    cents.select(col("cent_id"), col("cent_e"))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
