@@ -138,7 +138,97 @@ object StateOps {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_funnel — ordered 3-stage conversion funnel (signup → click →
+  // purchase, each stage strictly AFTER the previous per user): the
+  // event-analytics staple. Each stage is a filtered min-timestamp
+  // aggregation joined on user_id — co-partitioned equi-joins, state
+  // bounded per user, no window over the whole stream. Conversion
+  // rates are single-division doubles.
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Catalog.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n_click_after"))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        (col("n_click_after").cast("double") / col("n_signup").cast("double"))
+          .as("conv_click"),
+        (col("n_purchase_after").cast("double") /
+          col("n_click_after").cast("double")).as("conv_purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      |  (SELECT COUNT(*) FROM s2) AS n_click_after,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+      |  CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) /
+      |    CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_click,
+      |  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) /
+      |    CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) AS conv_purchase""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_cohort_retention — first-seen-day cohorts × day-offset activity
+  // (the retention triangle, offsets 0-7): cohort assignment is one
+  // min-aggregation, activity one distinct projection, both joined on
+  // user_id. countDistinct shuffles on (cohort, offset) after a
+  // per-key partial — the standard scalable retention shape.
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Catalog.table(spark, sfDir, "events")
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") >= 0 && col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |WHERE datediff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_funnel", funnel, Some(funnelSql)),
+    Op("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("q_watermark_max", watermarkMax, Some(watermarkMaxSql)),
     Op("q_cdc_changes", cdcChanges, Some(cdcChangesSql)),
     Op("q_top1_per_group", top1PerGroup, Some(top1PerGroupSql)),
