@@ -402,10 +402,42 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------------
+  /** Jaccard verification of LSH candidate pairs — the verify stage
+    * between candidate generation and clustering. Clustering raw band
+    * collisions transitively over-merges: ONE spurious collision
+    * bridges two unrelated clusters, and a 100 TB corpus amplifies
+    * exactly that failure. Each pair joins both sides' distinct token
+    * sets (two hash joins on doc_id — candidate pairs are a tiny
+    * fraction of the corpus, so these stay cheap) and survives iff
+    * token-set Jaccard >= threshold. Single-division double →
+    * bit-identical across engines.
+    *
+    * @param pairs (doc_a, doc_b) candidate pairs
+    * @param docs  (doc_id, text) corpus to verify against
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(Transforms.tokens(col("text"))).as("toks"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .filter(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double")
+          >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------------
   // q_dedup_clusters — the dedup endgame: connected components over
-  // the near-dup candidate graph, labeling every involved doc with
-  // its cluster representative (min doc_id in the component) so dedup
-  // keeps one doc per cluster. Iterative min-label propagation with
+  // the VERIFIED near-dup graph (LSH candidates filtered through the
+  // blocked-Jaccard threshold above — the verify-then-cluster
+  // composition a production dedup pipeline ships), labeling every
+  // involved doc with its cluster representative (min doc_id in the
+  // component) so dedup keeps one doc per cluster. Iterative min-label
+  // propagation with
   // POINTER JUMPING (the GraphX/GraphFrames CC shape): each round
   // every vertex takes the min over its own, its neighbors', and its
   // current label's label — the last join halves label-chain depth
@@ -413,12 +445,17 @@ object DedupOps {
   // path-shaped component (plain neighbor propagation needs
   // O(diameter), which a 60-doc edit chain would push past any fixed
   // round cap). The per-round fixpoint probe is a scalar action
-  // (inherent to iterative graph algorithms); localCheckpoint
-  // truncates the otherwise-exponential lineage; a non-converged exit
-  // THROWS rather than return wrong labels. The oracle computes the
-  // same fixpoint as a recursive transitive closure.
+  // (inherent to iterative graph algorithms); per-round outputs pin
+  // through store.Iteration (reliable checkpoint() when a checkpoint
+  // dir is configured, localCheckpoint otherwise) so lineage stays
+  // flat; a non-converged exit THROWS rather than return wrong
+  // labels. The oracle computes the same fixpoint as a recursive
+  // transitive closure over the same verified pair set.
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(candidatePairs(spark, sfDir))
+    connectedComponents(jaccardVerify(
+        candidatePairs(spark, sfDir),
+        Catalog.table(spark, sfDir, "documents"),
+        threshold = 0.5))
       .orderBy(col("doc_id"))
 
   /** Min-label connected components over an undirected (doc_a, doc_b)
@@ -427,12 +464,11 @@ object DedupOps {
     * round bound).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    import graft.store.Iteration.materialize
+    val edges = materialize(pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = materialize(edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = labels.isEmpty
     var rounds = 0
     val maxRounds = 64 // log2-ish bound; unreachable for real graphs
@@ -458,12 +494,11 @@ object DedupOps {
         }
       // old label rides along so the fixpoint probe is a local filter
       // over the checkpointed round output, not a second join job
-      val updated = joined
+      val updated = materialize(joined
         .select(col("id"),
           least(least(col("label"), coalesce(col("nmin"), col("label"))),
             coalesce(col("jmin"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint(true)
+          col("label").as("old")))
       converged = updated.filter(col("label") < col("old")).isEmpty
       labels = updated.drop("old")
       rounds += 1
@@ -478,10 +513,21 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |), toksets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS toks
+       |  FROM documents
+       |), vpairs AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN toksets a ON p.doc_a = a.doc_id
+       |  JOIN toksets b ON p.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
        |), edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  SELECT doc_a AS s, doc_b AS d FROM vpairs
        |  UNION ALL
-       |  SELECT doc_b AS s, doc_a AS d FROM pairs
+       |  SELECT doc_b AS s, doc_a AS d FROM vpairs
        |), reach AS (
        |  SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
        |  UNION

@@ -422,7 +422,9 @@ object SimilarityOps {
   /** Full Lloyd training loop around the oracle-verified step shape:
     * seed with the k lowest-id vectors (deterministic), iterate
     * assignment (max_by against broadcast centroids) + quantized-mean
-    * update, localCheckpoint truncating lineage per iteration. Empty
+    * update, each iteration's centroids pinned through store.Iteration
+    * (reliable checkpoint() when a checkpoint dir is configured —
+    * cluster fault tolerance — localCheckpoint otherwise). Empty
     * cells keep their previous centroid. Returns (cent_id, cent_e) —
     * exactly what annIvfTopK-style search plans take as their
     * centroid set.
@@ -430,10 +432,10 @@ object SimilarityOps {
     * `emb` needs (vec_id: long, e: array<double>).
     */
   def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = emb.orderBy(col("vec_id")).limit(k)
+    import graft.store.Iteration.materialize
+    var cents = materialize(emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("e").as("cent_e"))
-      .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
-      .localCheckpoint(true)
+      .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e")))))
     (1 to iters).foreach { _ =>
       val assignment = emb
         .withColumn("norm", sqrt(dot(col("e"), col("e"))))
@@ -455,12 +457,11 @@ object SimilarityOps {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("new_e"))
-      cents = cents
+      cents = materialize(cents
         .join(updated.withColumnRenamed("cell", "cent_id"), Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("new_e"), col("cent_e")).as("cent_e"))
-        .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
-        .localCheckpoint(true)
+        .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e")))))
     }
     cents.select(col("cent_id"), col("cent_e"))
   }

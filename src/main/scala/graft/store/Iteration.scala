@@ -1,0 +1,34 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Durable materialization seam for iterative algorithms (connected
+  * components, k-means training): each round's output must be pinned
+  * so lineage does not grow exponentially across iterations, but the
+  * two pinning mechanisms trade durability for cost.
+  *
+  *  - `localCheckpoint(eager = true)` stores blocks on EXECUTORS and
+  *    truncates lineage: cheap, but on a real cluster an executor loss
+  *    mid-iteration loses blocks that can no longer be recomputed —
+  *    the job dies unrecoverably. Fine on local[n] (one JVM, no
+  *    executor churn) and for tests.
+  *  - reliable `checkpoint()` writes blocks to the configured
+  *    checkpoint directory (HDFS/object store on a cluster): an
+  *    executor loss just re-reads the files. The cost is one
+  *    write+read of the frame per round — the standard price of a
+  *    fault-tolerant iterative job at 100 TB.
+  *
+  * This seam picks reliable checkpointing whenever the session has a
+  * checkpoint dir configured (`spark.sparkContext.setCheckpointDir`),
+  * so cluster deployments opt in with one line of session setup and
+  * local runs keep the cheap path. See SCALING.md §iterative loops.
+  */
+object Iteration {
+
+  /** Pin `df` eagerly: reliable `checkpoint()` when the session has a
+    * checkpoint dir, `localCheckpoint(true)` otherwise.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+}

@@ -49,6 +49,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("jaccardVerify drops spurious band collisions, keeps real near-dups") {
+    // (1,2) near-identical (Jaccard 4/5 = 0.8), (1,3) a spurious
+    // collision (Jaccard 1/7) — verify-then-cluster must keep only
+    // the first so 3 never transitively merges into cluster 1
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "completely unrelated text about turbines")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val kept = DedupOps.jaccardVerify(pairs, docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 2L)))
+    val clusters = DedupOps.connectedComponents(
+        DedupOps.jaccardVerify(pairs, docs, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L)) // 3 not over-merged
+  }
+
+  test("reliable checkpoint dir: same labels through the Iteration seam") {
+    // with a checkpoint dir configured, store.Iteration switches the
+    // per-round pin from executor-local localCheckpoint to reliable
+    // checkpoint() — labels must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val got = DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable checkpoint files actually landed in the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the dir")
+    } finally {
+      // the dir cannot be unset on a live context; point it at a fresh
+      // scratch dir so later suites keep a valid (still-reliable) seam
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-rest").toString)
+    }
+  }
+
   test("path-shaped component of diameter 60 converges (pointer jumping)") {
     // chain 1-2-…-61: incrementally edited boilerplate is exactly this
     // shape; min label must traverse 60 hops — log-rounds with
