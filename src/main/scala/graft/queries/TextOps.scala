@@ -199,6 +199,63 @@ object TextOps {
       |ORDER BY score DESC, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_phrase — FTS5 phrase MATCH (`MATCH '"spark vector"'`,
+  // utils.py:330-332 FTS5 tables accept phrase syntax): docs whose
+  // token stream contains the words CONSECUTIVELY, not merely both.
+  // Built on the positional inverted index (postings carry sorted
+  // position lists — FTS5's poslist, same layout store/Fts persists):
+  // per-word token-pruned postings equi-join on doc_id (≤1 row per doc
+  // per word), then shift-and-intersect the position lists. The oracle
+  // states the same predicate as a word-boundary regex — equivalent
+  // because tokens are exactly the \W+ splits, so "consecutive tokens"
+  // ⟺ `\bspark\W+vector\b`.
+  def ftsPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val a = postings.filter(col("token") === "spark")
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postings.filter(col("token") === "vector")
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(size(array_intersect(transform(col("pa"), x => x + 1), col("pb"))) > 0)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ftsPhraseSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE regexp_matches(lower(text), '\bspark\W+vector\b')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_fts_prefix — FTS5 prefix MATCH (`MATCH 'wind*'`): docs containing
+  // any token with the prefix. On the indexed path (store/Fts.search)
+  // this is a startsWith range predicate pushed to the postings scan;
+  // here the same semantics over the corpus, AND-composed with a plain
+  // term the way a saved Datasette search would write it.
+  def ftsPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
+      .filter(exists(col("toks"), t => t.startsWith("wind")) &&
+        array_contains(col("toks"), "spark"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val ftsPrefixSql: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |  FROM documents
+      |)
+      |WHERE len(list_filter(toks, t -> t LIKE 'wind%')) > 0
+      |  AND list_contains(toks, 'spark')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_token_count — LLM-pipeline text analysis: token counting
   // (whitespace/word-regex tokenizer) per document.
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -469,6 +526,8 @@ object TextOps {
     Op("q_fts_index", ftsIndex, Some(ftsIndexSql)),
     Op("q_fts_match", ftsMatch, Some(ftsMatchSql)),
     Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
+    Op("q_fts_phrase", ftsPhrase, Some(ftsPhraseSql)),
+    Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),
     Op("q_pii_scan", piiScan, Some(piiScanSql)),

@@ -1,47 +1,65 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Transforms
 
 /** Full-text search (SURVEY.md §4.3.2): SQLite FTS5 shadow tables
   * (`/root/reference/utils.py:330-332, 352`) re-expressed as a derived
-  * inverted-index table `<table>_fts(pk, token, tf, dl)` maintained
-  * alongside the base table, queried by token equi-join. Covers both
-  * halves of FTS5 `MATCH`: the AND token predicate (`search`) and
-  * relevance order (`searchRanked`, BM25 — FTS5 ranks with bm25() as
-  * its default `rank`).
+  * inverted-index table `<table>_fts(pk, token, tf, dl, positions)`
+  * maintained alongside the base table, queried by token equi-join.
+  * Covers the FTS5 `MATCH` surface the reference exposes:
+  *
+  *  - AND-of-terms (`spark window`)
+  *  - quoted phrases (`"spark window"` — positional verify against the
+  *    per-posting position list, FTS5's poslist analog)
+  *  - trailing-`*` prefix terms (`spar*` — a `startsWith` range
+  *    predicate on the token column, pushed to the parquet scan)
+  *  - relevance order (`searchRanked`, BM25 — FTS5's default `rank`)
   *
   * The reference keeps the index fresh with sync triggers; here the
   * index rebuild rides the same upsert batch (rebuild-of-affected-keys
-  * — the index rows for an upserted pk are replaced wholesale).
+  * — the index rows for an upserted pk are replaced wholesale), and the
+  * corpus-level stats BM25 needs (doc count, mean doc length) are
+  * persisted ONCE per index build into `<table>_fts_stats` — the FTS5
+  * docsize/stat shadow-table analog — so ranked search never
+  * re-aggregates the full postings table in the query hot path.
   *
-  * Scale: the index is a (token, pk) table hash-partitioned by token,
-  * so a term lookup is a pruned scan + semi-join; multi-term AND is an
-  * intersection of per-term pk sets done as a groupBy count filter —
-  * one shuffle, no quadratic step.
+  * Scale: the index is a (token, pk) table, so a term lookup is a
+  * pruned scan + semi-join; multi-term AND is an intersection of
+  * per-term pk sets done as a groupBy count filter — one shuffle, no
+  * quadratic step. A phrase adds one ≤1-row-per-pk equi-join per phrase
+  * word over the already-token-pruned postings; corpus stats ride a
+  * broadcast of the 1-row stats table.
   */
 object Fts {
 
   def indexName(table: String): String = s"${table}_fts"
 
+  /** 1-row corpus stats `(n_docs, avgdl)` — FTS5 keeps the same in its
+    * docsize/stat shadow tables, computed at write time not query time.
+    */
+  def statsName(table: String): String = s"${table}_fts_stats"
+
   /** Build/refresh index rows for a batch of (pk, text): one posting
-    * per (pk, token) carrying the term frequency and the document's
-    * token count — the per-document stats BM25 needs, computed once at
-    * index time (FTS5 keeps the same in its docsize shadow table).
+    * per (pk, token) carrying the term frequency, the document's token
+    * count, and the sorted token positions (FTS5's poslist) — the
+    * per-document stats BM25 and phrase verification need, computed
+    * once at index time.
     */
   def indexRows(batch: DataFrame, pkCol: String, textCol: String): DataFrame =
     batch
       .select(col(pkCol).as("pk"), Transforms.tokens(col(textCol)).as("toks"))
       .select(col("pk"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("token"))
+        posexplode(col("toks")).as(Seq("pos", "token")))
       .groupBy(col("pk"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("pk"), col("token"), col("tf"), col("dl"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("pk"), col("token"), col("tf"), col("dl"), col("positions"))
 
   /** Upsert base rows AND their index rows: delete-and-replace the
-    * index entries of every pk in the batch (trigger analog).
+    * index entries of every pk in the batch (trigger analog), then
+    * refresh the persisted corpus stats from the new index.
     */
   def upsertWithIndex(
       store: TableStore,
@@ -56,11 +74,12 @@ object Fts {
     val fresh = indexRows(batch, pkCol, textCol)
     val existing = store.readIfExists(indexName(table))
     val merged = existing match {
-      case Some(ex) if !ex.columns.contains("tf") =>
-        // pre-ranking index layout (pk, token) from before tf/dl were
-        // added: a union would fail to resolve the new columns, so
-        // migrate in place — rebuild the postings wholesale from the
-        // post-upsert base table (the text lives there)
+      case Some(ex) if !ex.columns.contains("positions") =>
+        // pre-positions index layout ((pk, token) or (pk, token, tf,
+        // dl)) from before positions/tf/dl were added: a union would
+        // fail to resolve the new columns, so migrate in place —
+        // rebuild the postings wholesale from the post-upsert base
+        // table (the text lives there)
         indexRows(Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
           .select(col(pkCol), col(textCol)), pkCol, textCol)
       case Some(ex) =>
@@ -70,29 +89,113 @@ object Fts {
       case None => fresh
     }
     store.overwrite(indexName(table), merged)
+    // Corpus stats from the FRESH index (one scan at write time — the
+    // price FTS5 pays in its docsize table), so ranked queries read a
+    // broadcast 1-row table instead of re-aggregating the postings.
+    val stats = store.read(indexName(table))
+      .select(col("pk"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    store.overwrite(statsName(table), stats)
     store.upsert(table, batch, Seq(pkCol))
   }
 
-  /** FTS5 `MATCH 'w1 w2 …'` (AND semantics): pks containing every
-    * query token. Intersection via groupBy-count over the per-term
-    * postings — single shuffle on pk.
+  // --- query parsing (FTS5 MATCH subset) -------------------------------
+
+  private[store] sealed trait Term
+  private[store] case class Plain(tok: String) extends Term
+  private[store] case class PrefixTerm(pre: String) extends Term
+  private[store] case class Phrase(toks: Seq[String]) extends Term
+
+  private def tokenize(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
+
+  /** Parse the FTS5 MATCH subset: `"quoted phrase"`, `prefix*`, bare
+    * terms — all implicitly ANDed (FTS5's default connective). A
+    * one-word quoted phrase degrades to a plain term; a `*` after a
+    * multi-token unit applies to the last token (FTS5 parses `ab-cd*`
+    * as a phrase with a prefix tail — same containment semantics here
+    * since all terms AND).
+    */
+  private[store] def parseQuery(query: String): Seq[Term] = {
+    val quoted = "\"([^\"]*)\"".r
+    val phraseTerms = quoted.findAllMatchIn(query).map(_.group(1)).flatMap { p =>
+      tokenize(p) match {
+        case Seq()  => Seq.empty[Term]
+        case Seq(w) => Seq(Plain(w))
+        case ws     => Seq(Phrase(ws))
+      }
+    }.toSeq
+    val rest = quoted.replaceAllIn(query, " ")
+    val bareTerms = rest.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { unit =>
+      if (unit.endsWith("*"))
+        tokenize(unit.dropRight(1)) match {
+          case Seq()           => Seq.empty[Term]
+          case ws :+ last      => ws.map(Plain.apply) :+ PrefixTerm(last)
+        }
+      else tokenize(unit).map(Plain.apply)
+    }
+    (phraseTerms ++ bareTerms).distinct
+  }
+
+  /** pks whose token stream contains `ws` consecutively: equi-join the
+    * per-word postings (≤1 row per pk each — (pk, token) is unique),
+    * then verify positions by shift-and-intersect: positions where the
+    * phrase prefix ending at word i matches = (prev matches + 1) ∩
+    * positions(word i). All word scans are token-pruned.
+    */
+  private def phrasePks(idx: DataFrame, ws: Seq[String]): DataFrame = {
+    val parts = ws.zipWithIndex.map { case (w, i) =>
+      idx.filter(col("token") === w).select(col("pk"), col("positions").as(s"__p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("pk")))
+    val ends = (1 until ws.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + 1), col(s"__p$i"))
+    }
+    joined.filter(size(ends) > 0).select(col("pk"))
+  }
+
+  /** FTS5 `MATCH` (implicit AND): pks satisfying every query term —
+    * plain terms via one groupBy-count intersection over the
+    * token-pruned postings (single shuffle), each phrase/prefix term
+    * via one additional pk-set semi-join.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
-    val terms = queryTerms(query)
+    val terms = parseQuery(query)
     val idx = store.read(indexName(table))
-    idx.filter(col("token").isin(terms: _*))
-      .groupBy(col("pk"))
-      .agg(countDistinct(col("token")).as("n_terms"))
-      .filter(col("n_terms") === terms.size)
-      .select(col("pk"))
+    if (terms.isEmpty) return idx.select(col("pk")).limit(0)
+    val plain = terms.collect { case Plain(t) => t }
+    val extra: Seq[DataFrame] = terms.collect {
+      case PrefixTerm(p) =>
+        // startsWith pushes to the scan as a StringStartsWith filter;
+        // distinct because several tokens of one doc can share a prefix
+        idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
+      case Phrase(ws) => phrasePks(idx, ws)
+    }
+    val base: DataFrame =
+      if (plain.nonEmpty)
+        idx.filter(col("token").isin(plain: _*))
+          .groupBy(col("pk"))
+          .agg(countDistinct(col("token")).as("n_terms"))
+          .filter(col("n_terms") === plain.size)
+          .select(col("pk"))
+      else extra.head
+    val rest = if (plain.nonEmpty) extra else extra.tail
+    rest.foldLeft(base)((acc, pks) => acc.join(pks, Seq("pk"))).select(col("pk"))
   }
 
   /** FTS5 `MATCH … ORDER BY rank`: AND-matched pks scored with BM25
     * (k1=1.2, b=0.75 — FTS5's constants, fts5_aux.c), best first.
+    * Phrase/prefix markers are accepted but scored bag-of-words (each
+    * word an independent BM25 term — FTS5 scores phrase hits as units;
+    * match filtering via `search` composes when exact phrase semantics
+    * are needed).
     *
-    * Corpus stats (N, avgdl) ride a broadcast 1-row aggregate and the
-    * per-term document frequencies a broadcast |terms|-row aggregate,
-    * so scoring adds no extra shuffle over the unranked search: one
+    * Corpus stats (N, avgdl) come from the persisted 1-row
+    * `<table>_fts_stats` table (built at index time — no full-postings
+    * aggregation in the query path; a legacy store without the stats
+    * table falls back to computing them once from the index). Per-term
+    * document frequencies ride a broadcast |terms|-row aggregate, so
+    * scoring adds no extra shuffle over the unranked search: one
     * groupBy(pk) on the matched postings, everything upstream narrow.
     */
   def searchRanked(
@@ -104,8 +207,13 @@ object Fts {
       b: Double = 0.75): DataFrame = {
     val terms = queryTerms(query)
     val idx = store.read(indexName(table))
-    val stats = idx.select(col("pk"), col("dl")).distinct()
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats: DataFrame = store.readIfExists(statsName(table)) match {
+      case Some(st) =>
+        st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
+      case None => // legacy store indexed before stats persistence
+        idx.select(col("pk"), col("dl")).distinct()
+          .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    }
     val matched = idx.filter(col("token").isin(terms: _*))
     val docFreq = matched.groupBy(col("token"))
       .agg(countDistinct(col("pk")).cast("double").as("df"))

@@ -1,11 +1,16 @@
 package graft.store
 
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
 /** FTS inverted-index semantics: build-on-upsert (trigger analog),
-  * AND match, BM25 ranked order, index freshness after re-upsert.
+  * AND match, phrase + prefix MATCH, BM25 ranked order with persisted
+  * corpus stats, index freshness after re-upsert, and the
+  * incremental-maintenance parity property (any batch sequence ==
+  * from-scratch index of the final table — the FTS5 sync-trigger
+  * guarantee, utils.py:330-332).
   */
 class FtsSpec extends SparkSpec {
   import spark.implicits._
@@ -32,6 +37,56 @@ class FtsSpec extends SparkSpec {
     assert(hits("absent") === Set.empty)
   }
 
+  test("phrase MATCH: quoted phrase requires consecutive tokens") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark window functions"),
+      (2L, "window spark things"),
+      (3L, "spark and window"),
+      (4L, "big spark window functions today")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("\"spark window\"") === Set(1L, 4L)) // consecutive only
+    assert(hits("\"window spark\"") === Set(2L))     // order matters
+    assert(hits("spark window") === Set(1L, 2L, 3L, 4L)) // unquoted = AND
+    assert(hits("\"spark window functions\"") === Set(1L, 4L)) // 3-word
+    assert(hits("\"window functions spark\"") === Set.empty)
+    assert(hits("\"spark window\" today") === Set(4L)) // phrase AND term
+    assert(hits("\"spark\"") === Set(1L, 2L, 3L, 4L)) // 1-word phrase = term
+  }
+
+  test("phrase MATCH with a repeated word verifies both positions") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "the the end"),
+      (2L, "the end the")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+    val got = Fts.search(spark, store, "tweets", "\"the the\"")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L)) // doc 2 has both "the"s but never adjacent
+  }
+
+  test("prefix MATCH: trailing * matches any token with the prefix") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "sparkle stream"),
+      (2L, "spark joins"),
+      (3L, "nothing here")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("spar*") === Set(1L, 2L))
+    assert(hits("spark*") === Set(1L, 2L)) // exact token also has itself as prefix
+    assert(hits("spar* stream") === Set(1L)) // prefix AND plain
+    assert(hits("xyz*") === Set.empty)
+    assert(hits("stre* joi*") === Set.empty) // two prefixes, no doc has both
+  }
+
   test("ranked search: BM25 relevance order (FTS5 ORDER BY rank analog)") {
     val store = freshStore()
     val docs = Seq(
@@ -56,14 +111,59 @@ class FtsSpec extends SparkSpec {
     assert(Fts.searchRanked(spark, store, "tweets", "spark unrelated")
       .isEmpty)
 
-    // index carries tf and dl per posting
+    // index carries tf, dl and the position list per posting
     val idx = store.read(Fts.indexName("tweets"))
-    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl"))
+    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl", "positions"))
     val row = idx.filter(col("pk") === 1L && col("token") === "spark").head
     assert(row.getAs[Long]("tf") === 3L && row.getAs[Long]("dl") === 4L)
+    assert(row.getAs[Seq[Int]]("positions") === Seq(0, 1, 2))
   }
 
-  test("legacy (pk, token) index migrates to the ranked layout on upsert") {
+  test("ranked search reads persisted corpus stats, not a full-index rescan") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark spark spark window"),
+      (2L, "spark window and other words about other things"),
+      (3L, "spark spark window window"),
+      (4L, "unrelated text entirely")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    // stats persisted at index time (FTS5 docsize/stat analog)
+    val st = store.read(Fts.statsName("tweets")).collect()
+    assert(st.length === 1)
+    assert(st(0).getAs[Long]("n_docs") === 4L)
+    assert(st(0).getAs[Double]("avgdl") === (4 + 8 + 4 + 3) / 4.0)
+
+    // the ranked plan scans the postings only through token-pruned
+    // branches (matched + docFreq) and gets corpus stats from the
+    // 1-row stats table — no third, unfiltered aggregation of the
+    // full index in the query hot path
+    val df = Fts.searchRanked(spark, store, "tweets", "spark window")
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).mkString(",")
+        case _ => ""
+      }
+    }
+    assert(paths.count(_.contains("tweets_fts_stats")) === 1, paths)
+    assert(paths.count(p => p.contains("tweets_fts") && !p.contains("_fts_stats")) === 2, paths)
+  }
+
+  test("legacy index without a stats table still ranks (one-off fallback)") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark spark spark window"),
+      (2L, "spark window and other words about other things"),
+      (3L, "spark spark window window")).toDF("id", "full_text")
+    // index built directly, bypassing upsertWithIndex → no stats table
+    store.overwrite(Fts.indexName("tweets"), Fts.indexRows(docs, "id", "full_text"))
+    assert(!store.exists(Fts.statsName("tweets")))
+    val got = Fts.searchRanked(spark, store, "tweets", "spark window")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 1L, 2L))
+  }
+
+  test("legacy (pk, token) index migrates to the positional layout on upsert") {
     val store = freshStore()
     // seed base + a pre-ranking-era index (schema without tf/dl)
     store.upsert("tweets",
@@ -75,12 +175,32 @@ class FtsSpec extends SparkSpec {
       Seq((2L, "new spark text")).toDF("id", "full_text"), "id", "full_text")
 
     val idx = store.read(Fts.indexName("tweets"))
-    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl"))
+    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl", "positions"))
     // both the pre-existing doc and the new batch are searchable/ranked
     assert(Fts.search(spark, store, "tweets", "spark")
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
     assert(Fts.searchRanked(spark, store, "tweets", "old")
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // and phrases work against the migrated (rebuilt) postings
+    assert(Fts.search(spark, store, "tweets", "\"old spark\"")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("mid-era (pk, token, tf, dl) index without positions migrates on upsert") {
+    val store = freshStore()
+    store.upsert("tweets",
+      Seq((1L, "old spark words")).toDF("id", "full_text"), Seq("id"))
+    store.overwrite(Fts.indexName("tweets"),
+      Seq((1L, "old", 1L, 3L), (1L, "spark", 1L, 3L), (1L, "words", 1L, 3L))
+        .toDF("pk", "token", "tf", "dl"))
+
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((2L, "new spark text")).toDF("id", "full_text"), "id", "full_text")
+
+    val idx = store.read(Fts.indexName("tweets"))
+    assert(idx.columns.toSet === Set("pk", "token", "tf", "dl", "positions"))
+    assert(Fts.search(spark, store, "tweets", "\"spark words\"")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("re-upsert replaces a doc's postings (trigger analog)") {
@@ -95,5 +215,41 @@ class FtsSpec extends SparkSpec {
     assert(Fts.search(spark, store, "tweets", "new").count() === 1)
     // base table also replaced
     assert(store.read("tweets").count() === 1)
+  }
+
+  test("incremental maintenance == from-scratch index (trigger parity, seeded)") {
+    // the FTS5 sync-trigger property: applying ANY sequence of upsert
+    // batches leaves exactly the index a from-scratch build of the
+    // final base table would produce — postings AND corpus stats
+    val words = Vector("spark", "window", "join", "stream", "data",
+      "fast", "slow", "the", "batch", "query")
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { round =>
+      val store = freshStore()
+      (1 to 4).foreach { _ =>
+        val batch = (1 to (1 + rnd.nextInt(5))).map { _ =>
+          val id = rnd.nextInt(8).toLong
+          val text = Seq.fill(1 + rnd.nextInt(7))(words(rnd.nextInt(words.size)))
+            .mkString(" ")
+          (id, text)
+        }
+        // a pk may repeat within a batch; keep the last occurrence like
+        // a map-style upsert payload would
+        val dedup = batch.groupBy(_._1).map(_._2.last).toSeq
+        Fts.upsertWithIndex(store, "docs",
+          dedup.toDF("id", "full_text"), "id", "full_text")
+      }
+      val incremental = store.read(Fts.indexName("docs"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getAs[Seq[Int]]("positions"))).toSet
+      val scratch = Fts.indexRows(store.read("docs"), "id", "full_text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getAs[Seq[Int]]("positions"))).toSet
+      assert(incremental === scratch, s"postings diverged in round $round")
+
+      val gotStats = store.read(Fts.statsName("docs")).collect()(0)
+      val n = store.read("docs").count()
+      assert(gotStats.getAs[Long]("n_docs") === n, s"n_docs diverged in round $round")
+    }
   }
 }
