@@ -71,28 +71,51 @@ object SamplingOps {
   // q_seq_pack — greedy sequence packing: assign documents to fixed
   // token-budget bins (the packing stage that turns a corpus into
   // training batches). Packing is inherently sequential, so it runs
-  // PER SHARD: a deterministic hash shard (first md5 byte % 8) keys a
-  // bounded window — running token total within (shard, doc order) —
-  // and bin = tokens-before-this-doc div budget. Each shard's window
-  // state is one running sum; shards scale out with the cluster
-  // (global-order packing would funnel the corpus into one task).
+  // PER SHARD: a deterministic hash shard (first md5 byte % nShards)
+  // keys a bounded window — running token total within (shard, doc
+  // order) — and bin = tokens-before-this-doc div budget. Each shard's
+  // window state is one running sum.
   private val packBudget = 2048
 
-  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shard-local greedy packing of (doc_id, n_tokens) rows into
+    * token-budget bins. `nShards` bounds window parallelism: it
+    * defaults to the session's shuffle parallelism so the window stage
+    * scales with the cluster instead of capping at a constant
+    * (global-order packing would funnel the corpus into one task).
+    * Shard membership is a pure hash of doc_id, so each shard's bins
+    * depend only on that shard's docs — adding shards re-shards but
+    * never reorders packing within a shard.
+    */
+  def packIntoBins(docs: DataFrame, budget: Int, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nTok = size(Transforms.tokens(col("text"))).cast("long")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), pmod(hashBucket(col("doc_id")), lit(8)).as("shard"),
-        nTok.as("n_tokens"))
+    docs
+      .select(col("doc_id"), pmod(hashBucket(col("doc_id")), lit(nShards)).as("shard"),
+        col("n_tokens"))
       .withColumn("bin",
-        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / packBudget)
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget)
           .cast("long"))
       .select(col("doc_id"), col("shard").cast("long").as("shard"),
         col("n_tokens"), col("bin"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Cluster-sized default: one packing shard per shuffle partition. */
+  def packIntoBins(docs: DataFrame, budget: Int): DataFrame =
+    packIntoBins(docs, budget,
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
+  // The oracle-checked query keeps the original 8 shards so its SQL
+  // stays engine-independent; callers sizing for a cluster use the
+  // default overload above.
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame =
+    packIntoBins(
+      Catalog.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(Transforms.tokens(col("text"))).cast("long").as("n_tokens")),
+      packBudget, nShards = 8)
+      .orderBy(col("doc_id"))
 
   val seqPackSql: String =
     s"""SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,

@@ -19,8 +19,12 @@ object Endpoints {
   /** statuses/user_timeline: 200/page, 1 s (utils.py:176,243). */
   val UserTimeline: Pacing = Pacing(200, 1000L)
 
-  /** statuses/home_timeline: API serves at most 800 (cli.py:395
-    * expected_length), 1 s sleep (cli.py:316).
+  /** statuses/home_timeline: 1 s sleep (cli.py:316). The 800 cap is
+    * the SERVER's documented limit — cli.py:395's expected_length=800
+    * only sizes a progress bar; the reference client never stops
+    * early. Enforcing it client-side here is a deliberate safety
+    * tightening (a misbehaving endpoint can't run the ingest
+    * unbounded), not a reproduction of a reference fetch-stop.
     */
   val HomeTimeline: Pacing = Pacing(200, 1000L, hardCap = Some(800))
 

@@ -106,6 +106,13 @@ object PairExpansion {
               struct(x.getField("x").as("a"), y.getField("x").as("b")))),
           p => p.isNotNull)))).as("__p"))
 
+    // Guard the id-uniqueness precondition: duplicate ids within a
+    // bucket (differing payloads survive collect_set) would sort
+    // adjacent and emit an a.id == b.id "pair" — filter strictly so a
+    // caller violating the precondition gets degraded pairs, never a
+    // self-pair downstream (Jaccard/Hamming verifies would score a
+    // doc against itself as a perfect duplicate).
     expanded.select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
   }
 }

@@ -147,6 +147,23 @@ class ArchiveSpec extends SparkSpec {
     assert(rows.length === 2)
   }
 
+  test("re-import drops the pre-rename archive_ni_devices table") {
+    // earlier versions of this repo wrote the corrected name; a store
+    // carrying it must not keep an orphan beside the reference-parity
+    // archive_ne_devices after a re-import
+    val store = freshStore()
+    import spark.implicits._
+    store.overwrite("archive_ni_devices",
+      Seq(("old", "row")).toDF("category", "agent"))
+    val content =
+      """window.YTD.ni_devices.part0 = [
+        |{"niDeviceResponse": {"web": {"agent": "Mozilla"}}}
+        |]""".stripMargin
+    Archive.importFromFile(spark, store, "ni-devices.js", content)
+    assert(!store.exists("archive_ni_devices"))
+    assert(store.read("archive_ne_devices").count() === 1)
+  }
+
   test("personalization multi-output fan-out (archive.py:147-180)") {
     val store = freshStore()
     val content =

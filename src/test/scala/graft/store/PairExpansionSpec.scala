@@ -89,4 +89,18 @@ class PairExpansionSpec extends SparkSpec {
     assert(cellSizes.count() > 10)
     assert(cellSizes.agg(max("count")).head.getLong(0) <= 3 * 16)
   }
+
+  test("duplicate ids in a bucket never emit a self-pair (precondition guard)") {
+    // id 1 appears twice with different payloads — a violated
+    // uniqueness precondition must degrade (no (1,1) pair), not emit a
+    // self-pair that a Jaccard/Hamming verify would score as a perfect
+    // duplicate of itself
+    val members = Seq(
+      (0L, "x", 1L, "pA"), (0L, "x", 1L, "pB"), (0L, "x", 2L, "p2"))
+      .toDF("k1", "k2", "id", "payload")
+    val got = gridPairs(members, cellSize = 4)
+    assert(got.filter(col("a_id") === col("b_id")).isEmpty)
+    // the distinct-id pair is still produced (with either payload)
+    assert(got.filter(col("a_id") === 1L && col("b_id") === 2L).count() >= 1)
+  }
 }
