@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, library handles
   * amortized per batch, arbitrary Scala inside).
   *
-  * PNG/JPEG payloads decode for REAL through the JDK's ImageIO (magic
-  * byte dispatch in `Decoder`); audio/video payloads fall back to the
-  * deterministic `DecodeStub` — this container ships no a/v codec
-  * libraries. Everything around the seam is real and load-bearing:
-  * schema, null handling, partition batching, output shape. Swapping
-  * the stub fallback for javacv/ffmpeg is the only change needed on a
-  * real cluster.
+  * PNG/JPEG payloads decode for REAL through the JDK's ImageIO, and
+  * WAV/AIFF audio headers through `javax.sound.sampled.AudioSystem`
+  * (magic byte dispatch in `Decoder`); only compressed audio and video
+  * containers fall back to the deterministic `DecodeStub` — this
+  * container ships no mp3/video codec libraries. Everything around the
+  * seam is real and load-bearing: schema, null handling, partition
+  * batching, output shape. Swapping the stub fallback for
+  * javacv/ffmpeg is the only change needed on a real cluster.
   *
   * Scale notes: binary payloads stay columnar (parquet binary) and are
   * never collected; decode is a narrow map (no shuffle); downstream
@@ -38,11 +39,14 @@ object Multimodal {
     * deterministic stub for everything else.
     *
     * PNG/JPEG payloads (detected by magic bytes) go through
-    * `javax.imageio.ImageIO` and report true pixel dimensions; other
-    * payloads (audio/video containers — no codec libs in this
-    * container) fall back to `DecodeStub`'s deterministic fake. A real
-    * cluster swaps the fallback for javacv/ffmpeg; the ImageIO branch
-    * shows the seam working end-to-end with an actual codec.
+    * `javax.imageio.ImageIO` and report true pixel dimensions; WAV and
+    * AIFF payloads go through `javax.sound.sampled.AudioSystem` and
+    * report true sample rate / channels / frame count; remaining
+    * payloads (compressed audio, video containers — no codec libs in
+    * this container) fall back to `DecodeStub`'s deterministic fake. A
+    * real cluster swaps the fallback for javacv/ffmpeg; the
+    * ImageIO/AudioSystem branches show the seam working end-to-end
+    * with actual codecs.
     */
   object Decoder {
     private def isPng(b: Array[Byte]): Boolean =
@@ -54,8 +58,36 @@ object Multimodal {
       b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
         (b(2) & 0xff) == 0xff
 
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    private def isAiff(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+        (b(11) == 'F' || b(11) == 'C')
+
+    private def meanByte(bytes: Array[Byte]): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
-      if (isPng(bytes) || isJpeg(bytes)) {
+      if (isWav(bytes) || isAiff(bytes)) {
+        // real audio header decode via the JDK's sampled-audio stack;
+        // MediaMeta's pixel fields carry the audio analogs (documented
+        // mapping): width = sample rate in Hz, height = channel count,
+        // nFrames = sample frames
+        val fmt =
+          try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (fmt == null) DecodeStub.decode(docId, bytes) // corrupt header → stub
+        else MediaMeta(docId, kind = "audio",
+          width = fmt.getFormat.getSampleRate.toInt,
+          height = fmt.getFormat.getChannels,
+          nFrames = math.max(fmt.getFrameLength, 0), // NOT_SPECIFIED = -1 → 0
+          nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
+      } else if (isPng(bytes) || isJpeg(bytes)) {
         // NonFatal, not just IOException: the JDK decoders throw
         // IllegalArgument/NegativeArraySize/IndexOutOfBounds on
         // crafted or truncated headers, and one bad document must not
@@ -64,18 +96,15 @@ object Multimodal {
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) DecodeStub.decode(docId, bytes) // corrupt payload → stub
-        else {
-          val mean =
-            bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-          MediaMeta(docId, kind = "image",
-            width = img.getWidth, height = img.getHeight, nFrames = 1,
-            nBytes = bytes.length.toLong, meanByte = mean)
-        }
+        else MediaMeta(docId, kind = "image",
+          width = img.getWidth, height = img.getHeight, nFrames = 1,
+          nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
       } else DecodeStub.decode(docId, bytes)
   }
 
-  /** STUB decoder ("???" seam) for payloads the JDK cannot decode: a
-    * real implementation would hand `bytes` to an audio/video codec.
+  /** STUB decoder ("???" seam) for payloads the JDK cannot decode
+    * (compressed audio, video containers): a real implementation would
+    * hand `bytes` to an audio/video codec.
     * The fake is deterministic: kind from the first UTF-8 CODE POINT
     * (not byte) % 3 — matching what SQL `ascii(substr(text, 1, 1))`
     * sees, so the oracle agrees for non-ASCII payloads too — and dims

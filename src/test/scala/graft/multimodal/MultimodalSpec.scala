@@ -49,6 +49,34 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.width === 16 + 'E'.toInt)
   }
 
+  test("real WAV and AIFF payloads decode through AudioSystem to true format") {
+    def encode(fileType: javax.sound.sampled.AudioFileFormat.Type,
+        sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true,
+        fileType == javax.sound.sampled.AudioFileFormat.Type.AIFF) // AIFF is big-endian
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in, fileType, out)
+      out.toByteArray
+    }
+    val wav = encode(javax.sound.sampled.AudioFileFormat.Type.WAVE, 8000f, 1, 1600)
+    val aiff = encode(javax.sound.sampled.AudioFileFormat.Type.AIFF, 44100f, 2, 441)
+    val df = Seq((1L, wav), (2L, aiff)).toDF("doc_id", "content")
+    val meta = Multimodal.decodeMeta(df).collect().sortBy(_.docId)
+    assert(meta(0).kind === "audio")
+    // audio mapping: width = sample rate Hz, height = channels
+    assert((meta(0).width, meta(0).height, meta(0).nFrames) === (8000, 1, 1600))
+    assert(meta(0).nBytes === wav.length.toLong)
+    assert(meta(1).kind === "audio")
+    assert((meta(1).width, meta(1).height, meta(1).nFrames) === (44100, 2, 441))
+    // a truncated RIFF header (magic only, no fmt chunk) falls back to
+    // the stub instead of failing the decode job
+    val corrupt = Multimodal.Decoder.decode(3L, "RIFFxxxxWAVE".getBytes("US-ASCII"))
+    assert(corrupt.width === 16 + 'I'.toInt) // stub dims, not a throw
+  }
+
   test("kind parity uses the first code point, not the first byte") {
     // 'é' = U+00E9 (233): 233 % 3 = 2 → video. Its UTF-8 lead byte is
     // 0xC3 (195): 195 % 3 = 0 would have said image — the SQL oracle
