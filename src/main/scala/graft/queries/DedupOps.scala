@@ -67,7 +67,14 @@ object DedupOps {
   // hashing than seeded re-hashing, the dominant cost at scale. 2
   // bands × 2 rows. All inside codegen via higher-order functions; no
   // shuffle until the band groupBy.
-  private def withBands(spark: SparkSession, sfDir: String): DataFrame = {
+  private def withBands(spark: SparkSession, sfDir: String): DataFrame =
+    bandsOf(spark, Catalog.table(spark, sfDir, "documents"))
+
+  /** LSH band rows of an arbitrary (doc_id, text) corpus slice —
+    * reused by the composed pipeline (PipelineOps), where banding runs
+    * over the survivors of earlier stages, not the raw table.
+    */
+  private[queries] def bandsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     // One native-expression pass per document (graft.functions
     // .MinHashSig): tokenize → shingle → md5 → 4 min-slices in a tight
     // loop. The declarative higher-order-function formulation (which
@@ -85,21 +92,27 @@ object DedupOps {
       s => array(
         struct(lit(0).as("band_idx"), substring(s, 1, 16).as("band")),
         struct(lit(1).as("band_idx"), substring(s, 17, 16).as("band")))))
-    Catalog.table(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), explode(bandsArr).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"),
         col("b.band").as("band"))
   }
 
-  private val bandsCte: String =
-    """docs AS (
+  private val bandsCte: String = bandsCteOver("documents")
+
+  /** The band CTE chain over an arbitrary source relation (must expose
+    * doc_id, text) — `documents` for the standalone queries, a
+    * survivor CTE for the composed pipeline.
+    */
+  private[queries] def bandsCteOver(src: String): String =
+    s"""docs AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
       |      j -> array_to_string(toks[j+1:j+3], ' '))) AS sh
       |  FROM (
       |    SELECT doc_id,
-      |      list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
-      |    FROM documents)
+      |      list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+      |    FROM $src)
       |), mh AS (
       |  SELECT doc_id,
       |    list_aggregate(list_transform(hs, h -> substr(h, 1, 8)), 'min') AS h0,
@@ -146,8 +159,12 @@ object DedupOps {
     * query surface below and dedupClusters, which would otherwise pay
     * a global sort it immediately discards).
     */
-  private def candidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = withBands(spark, sfDir)
+  private def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    candidatePairsOf(spark, Catalog.table(spark, sfDir, "documents"))
+
+  /** LSH candidate pairs of an arbitrary (doc_id, text) corpus slice. */
+  private[queries] def candidatePairsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = bandsOf(spark, docs)
     graft.store.PairExpansion.pairsWithinBuckets(
         bands, keyCols = Seq("band_idx", "band"), idCol = "doc_id")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

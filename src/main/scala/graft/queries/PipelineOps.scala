@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Transforms
+import graft.store.Iteration.materialize
+
+/** The LLM-training-data pipeline composed END TO END as one DAG
+  * (BASELINE.json north-star): quality gate → exact dedup (keep
+  * first) → near-dup verify-then-cluster (keep representative) →
+  * deterministic train split → sequence packing. Each stage consumes
+  * the previous stage's SURVIVORS — the composition is what a
+  * production corpus build ships, whereas the standalone q_* queries
+  * demonstrate each stage against the raw table.
+  *
+  * The census output is one row per stage with its survivor count
+  * (for seq-packing: the bin count), so the whole pipeline is
+  * oracle-checkable as a single 6-row result.
+  *
+  * Scale: every stage is the already-verified scale shape (column-math
+  * gate, hash-partition groupBys, skew-bounded LSH expansion, pointer
+  * -jumping CC, hash split, shard-local packing). Stage boundaries pin
+  * through store.Iteration — Spark performs no common-subexpression
+  * elimination across DataFrame branches, so without pinning the
+  * census's six count branches would recompute the expensive survivor
+  * chain once each (and the CC loop must materialize its input
+  * anyway).
+  */
+object PipelineOps {
+
+  // q_pipeline_census — per-stage survivor census of the composed
+  // pipeline over `documents`.
+  def pipelineCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Catalog.table(spark, sfDir, "documents")
+
+    // stage 2: Gopher-style quality gate (same rules as
+    // q_quality_filter — ONE definition, TextOps.qualityReason)
+    val quality = materialize(docs
+      .filter(TextOps.qualityReason === "keep")
+      .select(col("doc_id"), col("text")))
+
+    // stage 3: exact dedup among survivors, keep lowest doc_id per
+    // normalized fingerprint (insert-or-ignore content identity)
+    val exact = materialize(quality
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(Transforms.exactFingerprint(col("text")))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text")))
+
+    // stage 4: near-dup removal on the exact-dedup'd survivors —
+    // LSH candidates → Jaccard verify → connected components → keep
+    // each cluster's representative (its min doc_id label)
+    val clusters = DedupOps.connectedComponents(
+      DedupOps.jaccardVerify(
+        DedupOps.candidatePairsOf(spark, exact), exact, threshold = 0.5))
+    val nearKept = materialize(exact.join(
+      clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti"))
+
+    // stage 5: deterministic train split (same 205/256 ≈ 80% rule as
+    // q_hash_split)
+    val train = materialize(nearKept
+      .filter(SamplingOps.hashBucket(col("doc_id")) < 205)
+      .select(col("doc_id"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_tokens")))
+
+    // stage 6: shard-local sequence packing of the train split; the
+    // census reports how many (shard, bin) training batches came out
+    val bins = SamplingOps.packIntoBins(train, budget = 2048, nShards = 8)
+      .select(col("shard"), col("bin")).distinct()
+
+    def stageCount(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+
+    stageCount("1_total", docs)
+      .unionByName(stageCount("2_quality", quality))
+      .unionByName(stageCount("3_exact", exact))
+      .unionByName(stageCount("4_near_dup", nearKept))
+      .unionByName(stageCount("5_train", train))
+      .unionByName(stageCount("6_train_bins", bins))
+      .orderBy(col("stage"))
+  }
+
+  val pipelineCensusSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val fp = "md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))"
+    s"""WITH RECURSIVE qdocs AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, ${TextOps.qualityReasonSql} AS reason
+       |    FROM (SELECT doc_id, text, $toks AS toks FROM documents)
+       |  ) WHERE reason = 'keep'
+       |), edocs AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY $fp) AS keeper
+       |    FROM qdocs
+       |  ) WHERE doc_id = keeper
+       |), ${DedupOps.bandsCteOver("edocs")}, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |), toksets AS (
+       |  SELECT doc_id, list_distinct($toks) AS toks FROM edocs
+       |), vpairs AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN toksets a ON p.doc_a = a.doc_id
+       |  JOIN toksets b ON p.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM vpairs
+       |), reach AS (
+       |  SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+       |), clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+       |), ndocs AS (
+       |  SELECT doc_id, text FROM edocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+       |), tdocs AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM ndocs
+       |  WHERE ${SamplingOps.hashBucketSql} < 205
+       |), bins AS (
+       |  SELECT DISTINCT shard,
+       |    CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          - n_tokens) // 2048 AS BIGINT) AS bin
+       |  FROM (
+       |    SELECT doc_id, (${SamplingOps.hashBucketSql}) % 8 AS shard, n_tokens
+       |    FROM tdocs
+       |  )
+       |)
+       |SELECT '1_total' AS stage, COUNT(*) AS n FROM documents
+       |UNION ALL SELECT '2_quality', COUNT(*) FROM qdocs
+       |UNION ALL SELECT '3_exact', COUNT(*) FROM edocs
+       |UNION ALL SELECT '4_near_dup', COUNT(*) FROM ndocs
+       |UNION ALL SELECT '5_train', COUNT(*) FROM tdocs
+       |UNION ALL SELECT '6_train_bins', COUNT(*) FROM bins
+       |ORDER BY stage""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_decontaminate — benchmark decontamination: train-split documents
+  // sharing any word-8-gram with the held-out test split (the
+  // Brown/GPT-3-style n-gram overlap rule). The eval side's distinct
+  // grams join the train side's grams on the gram key — an equi-join
+  // on a derived key, never a doc×doc product; a doc shorter than the
+  // gram length can neither contaminate nor be contaminated, so both
+  // sides filter before exploding (the oracle's empty gram lists drop
+  // in the unnest).
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Catalog.table(spark, sfDir, "documents")
+    val bucket = SamplingOps.hashBucket(col("doc_id"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 8),
+          j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram"))
+    val evalGrams = grams(docs.filter(bucket >= 230)).select(col("gram")).distinct()
+    grams(docs.filter(bucket < 205))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH grams AS (
+       |  SELECT doc_id, b, unnest(list_distinct(
+       |    list_transform(range(0, greatest(len(toks) - 7, 0)),
+       |      j -> array_to_string(toks[j+1:j+8], ' ')))) AS gram
+       |  FROM (SELECT doc_id, $toks AS toks,
+       |          ${SamplingOps.hashBucketSql} AS b
+       |        FROM documents)
+       |), eval_grams AS (
+       |  SELECT DISTINCT gram FROM grams WHERE b >= 230
+       |)
+       |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+       |FROM grams g JOIN eval_grams e USING (gram)
+       |WHERE g.b < 205
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_mixture_weights — data-mixture bookkeeping: per-source document
+  // and token counts plus each source's share of the total token
+  // budget (the sampling-weight table a mixture-aware training loader
+  // consumes). One partial-agg'd groupBy; the total rides a single
+  // unpartitioned window over the 20 aggregated rows, not the corpus.
+  // Weight is a single division of exact longs → bit-exact.
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("source"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS weight
+       |FROM (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  GROUP BY source
+       |)
+       |ORDER BY source""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("q_pipeline_census", pipelineCensus, Some(pipelineCensusSql)),
+    Op("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Op("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)))
+}

@@ -19,10 +19,10 @@ import graft.ingest.Transforms
 object SamplingOps {
 
   /** First md5 byte of the id rendered in decimal: 0-255. */
-  private def hashBucket(id: Column): Column =
+  private[queries] def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
-  private val hashBucketSql =
+  private[queries] val hashBucketSql =
     "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
       "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
 

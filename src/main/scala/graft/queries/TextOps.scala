@@ -256,6 +256,31 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_vocab_df — vocabulary build: document frequency of every token,
+  // top 25 (the seed statistics of a tokenizer/stopword pipeline).
+  // array_distinct BEFORE explode keeps the shuffle at one row per
+  // (doc, distinct token), and the top-k goes through a partial
+  // TakeOrderedAndProject, not a global sort. The (df DESC, token)
+  // order is total, so LIMIT is deterministic on both engines.
+  def vocabDf(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(explode(array_distinct(Transforms.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(25)
+
+  val vocabDfSql: String =
+    """SELECT token, COUNT(*) AS df
+      |FROM (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> ''))) AS token
+      |  FROM documents
+      |)
+      |GROUP BY token
+      |ORDER BY df DESC, token
+      |LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_token_count — LLM-pipeline text analysis: token counting
   // (whitespace/word-regex tokenizer) per document.
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -315,18 +340,39 @@ object TextOps {
   private val qfStopwords = Seq(
     "the", "be", "to", "of", "and", "that", "have", "with")
 
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The gate's per-doc verdict over a `text` column — ONE definition
+    * of the rules, shared by the census query and the composed
+    * pipeline (PipelineOps). First failing rule or 'keep'.
+    */
+  private[queries] def qualityReason: Column = {
     val toks = Transforms.tokens(col("text"))
     val nTok = size(toks)
     val charSum = aggregate(toks, lit(0), (a, t) => a + length(t))
     val meanLen = charSum.cast("double") / nTok.cast("double")
     val stopHits = size(array_intersect(toks, typedLit(qfStopwords)))
-    val reason = when(length(col("text")) < 200 || nTok < 10, "too_short")
+    when(length(col("text")) < 200 || nTok < 10, "too_short")
       .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
       .when(stopHits < 2, "no_stopwords")
       .otherwise("keep")
+  }
+
+  /** The same verdict in DuckDB SQL, with `text` in scope. */
+  private[queries] val qualityReasonSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val stops = qfStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""CASE
+       |    WHEN length(text) < 200 OR len(toks) < 10 THEN 'too_short'
+       |    WHEN CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE) < 3.0
+       |      OR CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+       |         / CAST(len(toks) AS DOUBLE) > 10.0 THEN 'word_length'
+       |    WHEN len(list_intersect(toks, $stops)) < 2 THEN 'no_stopwords'
+       |    ELSE 'keep' END""".stripMargin
+  }
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     Catalog.table(spark, sfDir, "documents")
-      .select(reason.as("reason"))
+      .select(qualityReason.as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("reason"))
@@ -334,17 +380,9 @@ object TextOps {
 
   val qualityFilterSql: String = {
     val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
-    val stops = qfStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""SELECT reason, COUNT(*) AS n
        |FROM (
-       |  SELECT CASE
-       |    WHEN length(text) < 200 OR len(toks) < 10 THEN 'too_short'
-       |    WHEN CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
-       |         / CAST(len(toks) AS DOUBLE) < 3.0
-       |      OR CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
-       |         / CAST(len(toks) AS DOUBLE) > 10.0 THEN 'word_length'
-       |    WHEN len(list_intersect(toks, $stops)) < 2 THEN 'no_stopwords'
-       |    ELSE 'keep' END AS reason
+       |  SELECT $qualityReasonSql AS reason
        |  FROM (SELECT text, $toks AS toks FROM documents)
        |)
        |GROUP BY reason
@@ -528,6 +566,7 @@ object TextOps {
     Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
     Op("q_fts_phrase", ftsPhrase, Some(ftsPhraseSql)),
     Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
+    Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),
     Op("q_pii_scan", piiScan, Some(piiScanSql)),
