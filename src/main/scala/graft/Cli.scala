@@ -12,7 +12,9 @@ import graft.store.{Fts, SqliteCompat, TableStore}
   *
   *   import <store> <zip|dir|file.js>...   archive ETL (K4)
   *   save-tweets <store> <tweets.json>     batch save_tweets (K1)
-  *   fts-index <store> <table> <pk> <text> build FTS index
+  *   fts-index <store> <table> <pk> <text> [buckets]  build FTS index
+  *                                         (buckets>0: pk-hash
+  *                                         partitioned postings)
   *   fts-search <store> <table> <query>    MATCH-style AND search
   *   fts-ranked <store> <table> <query>    BM25-ranked search
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
@@ -52,7 +54,8 @@ object Cli {
           store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
         println(s"[save-tweets] ${store.read("tweets").count()} tweets total")
       case "fts-index" =>
-        Fts.upsertWithIndex(store, args(2), store.read(args(2)), args(3), args(4))
+        val buckets = if (args.length > 5) args(5).toInt else 0
+        Fts.upsertWithIndex(store, args(2), store.read(args(2)), args(3), args(4), buckets)
         println(s"[fts-index] ${store.read(Fts.indexName(args(2))).count()} postings")
       case "fts-search" =>
         Fts.search(spark, store, args(2), args.drop(3).mkString(" "))

@@ -57,46 +57,141 @@ object Fts {
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("pk"), col("token"), col("tf"), col("dl"), col("positions"))
 
+  /** Partition column of the bucketed postings layout. */
+  private val BucketCol = "pk_bucket"
+
+  private def bucketOf(pk: Column, buckets: Int): Column =
+    pmod(xxhash64(pk), lit(buckets.toLong))
+
   /** Upsert base rows AND their index rows: delete-and-replace the
     * index entries of every pk in the batch (trigger analog), then
-    * refresh the persisted corpus stats from the new index.
+    * refresh the persisted corpus stats.
+    *
+    * `buckets = 0` (default) keeps the postings as one unpartitioned
+    * table, rewritten wholesale per batch — fine while the index is
+    * small. `buckets > 0` lays the postings out Hive-partitioned by a
+    * pk hash (`pk_bucket`) and maintains them with DYNAMIC PARTITION
+    * OVERWRITE: a batch rewrites only the ≤|batch| buckets containing
+    * its pks, so index maintenance is O(batch), not O(corpus) — the
+    * scale path for a 100 TB index (a lakehouse MERGE would replace
+    * exactly this seam with transactional semantics). Rows are sorted
+    * by token within each written file so term lookups prune row
+    * groups via parquet min/max stats even though the partitioning key
+    * is the pk hash. Corpus stats update INCREMENTALLY on this path
+    * (counts/totals ± the replaced and fresh docs — FTS5's docsize
+    * bookkeeping), never rescanning the index. Switching layouts (or
+    * migrating a pre-positions index) rebuilds wholesale once.
     */
   def upsertWithIndex(
       store: TableStore,
       table: String,
       batch: DataFrame,
       pkCol: String,
-      textCol: String): Unit = {
+      textCol: String,
+      buckets: Int = 0): Unit = {
     // Index FIRST, base table second: `batch` may lazily reference the
     // base table's current parquet files (e.g. a reindex of the table
     // itself), and TableStore's write-swap deletes them — any plan
     // still pointing at the old files would fail afterwards.
     val fresh = indexRows(batch, pkCol, textCol)
     val existing = store.readIfExists(indexName(table))
-    val merged = existing match {
-      case Some(ex) if !ex.columns.contains("positions") =>
-        // pre-positions index layout ((pk, token) or (pk, token, tf,
-        // dl)) from before positions/tf/dl were added: a union would
-        // fail to resolve the new columns, so migrate in place —
-        // rebuild the postings wholesale from the post-upsert base
-        // table (the text lives there)
-        indexRows(Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
-          .select(col(pkCol), col(textCol)), pkCol, textCol)
-      case Some(ex) =>
-        // drop all index rows of the re-upserted pks, then add fresh
-        ex.join(batch.select(col(pkCol).as("pk")).distinct(), Seq("pk"), "left_anti")
-          .unionByName(fresh)
-      case None => fresh
+    val existingBucketed = existing.exists(_.columns.contains(BucketCol))
+
+    existing match {
+      case Some(ex) if ex.columns.contains("positions") &&
+          existingBucketed && buckets > 0 =>
+        val batchPks = batch.select(col(pkCol).as("pk")).distinct()
+        // affected buckets derive from the BATCH pks (not from fresh
+        // postings): a doc re-upserted with empty text has no fresh
+        // rows but its old postings must still be cleared
+        val affected = batchPks.select(bucketOf(col("pk"), buckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val exAffected = ex.filter(col(BucketCol).isin(affected: _*))
+        // incremental stats deltas read the OLD index — before any write
+        val (oldN, oldDl) = statsTotals(store, table, ex)
+        val (outN, outDl) = docTotals(
+          exAffected.join(batchPks, Seq("pk"), "left_semi"))
+        val (inN, inDl) = docTotals(fresh)
+        // materialize severs the plan's dependency on the files the
+        // dynamic overwrite is about to replace (in-place, no swap)
+        val merged = Iteration.materialize(
+          exAffected.join(batchPks, Seq("pk"), "left_anti")
+            .drop(BucketCol)
+            .unionByName(fresh)
+            .withColumn(BucketCol, bucketOf(col("pk"), buckets))
+            .repartition(col(BucketCol))
+            .sortWithinPartitions(col("token")))
+        store.overwritePartitions(indexName(table), merged, Seq(BucketCol))
+        // a bucket whose merged content is empty is absent from the
+        // dynamic overwrite — clear its stale partition explicitly
+        val stillThere = merged.select(col(BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSet
+        affected.filterNot(stillThere).foreach(b =>
+          store.dropPartition(indexName(table), BucketCol, b.toString))
+        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl)
+
+      case _ =>
+        // (re)build wholesale: first index of this table, a layout
+        // switch (bucketed <-> flat), or a pre-positions migration
+        val flat = existing match {
+          case Some(ex) if !ex.columns.contains("positions") =>
+            // pre-positions index layout ((pk, token) or (pk, token,
+            // tf, dl)): a union would fail to resolve the new columns,
+            // so rebuild the postings wholesale from the post-upsert
+            // base table (the text lives there)
+            indexRows(Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
+              .select(col(pkCol), col(textCol)), pkCol, textCol)
+          case Some(ex) =>
+            // drop all index rows of the re-upserted pks, then add fresh
+            ex.drop(BucketCol)
+              .join(batch.select(col(pkCol).as("pk")).distinct(), Seq("pk"), "left_anti")
+              .unionByName(fresh)
+          case None => fresh
+        }
+        if (buckets > 0)
+          store.overwrite(indexName(table),
+            flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
+              .repartition(col(BucketCol))
+              .sortWithinPartitions(col("token")),
+            partitionBy = Seq(BucketCol))
+        else store.overwrite(indexName(table), flat)
+        // corpus stats from the fresh index: one scan at write time —
+        // the price FTS5 pays in its docsize table — so ranked queries
+        // read a broadcast 1-row table instead of re-aggregating
+        val (n, dl) = docTotals(store.read(indexName(table)))
+        writeStats(store, table, n, dl)
     }
-    store.overwrite(indexName(table), merged)
-    // Corpus stats from the FRESH index (one scan at write time — the
-    // price FTS5 pays in its docsize table), so ranked queries read a
-    // broadcast 1-row table instead of re-aggregating the postings.
-    val stats = store.read(indexName(table))
-      .select(col("pk"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    store.overwrite(statsName(table), stats)
     store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** (distinct docs, summed dl) of a postings slice — dl is constant
+    * per pk, so the distinct collapses to one row per doc.
+    */
+  private def docTotals(postings: DataFrame): (Long, Long) = {
+    val r = postings.select(col("pk"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl"))).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Current (n_docs, total_dl); legacy stats rows without total_dl
+    * (or no stats table) recompute once from the index.
+    */
+  private def statsTotals(store: TableStore, table: String, idx: DataFrame): (Long, Long) =
+    store.readIfExists(statsName(table)) match {
+      case Some(st) if st.columns.contains("total_dl") =>
+        val r = st.select(col("n_docs"), col("total_dl")).head
+        (r.getLong(0), r.getLong(1))
+      case _ => docTotals(idx)
+    }
+
+  private def writeStats(store: TableStore, table: String, nDocs: Long, totalDl: Long): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    store.overwrite(statsName(table),
+      Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
+        .withColumn("avgdl",
+          when(col("n_docs") > 0,
+            col("total_dl").cast("double") / col("n_docs").cast("double"))))
   }
 
   // --- query parsing (FTS5 MATCH subset) -------------------------------

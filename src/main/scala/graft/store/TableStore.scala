@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * exactly this class with MERGE INTO; everything above it is
   * format-agnostic.
   */
-class TableStore(spark: SparkSession, root: String) {
+class TableStore(val spark: SparkSession, root: String) {
 
   private def path(name: String) = s"$root/$name"
 
@@ -64,8 +64,37 @@ class TableStore(spark: SparkSession, root: String) {
   def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     writeSwapped(name, df, partitionBy)
 
+  /** Overwrite ONLY the Hive partitions present in `df`, leaving all
+    * other partitions' files untouched (dynamic partition overwrite) —
+    * the O(batch) maintenance path for a large partitioned table where
+    * a batch touches few partitions (e.g. FTS postings bucketed by pk
+    * hash).
+    *
+    * The caller MUST pass a `df` that does not lazily read from this
+    * table's own files (materialize/checkpoint first): unlike the
+    * swap-based writes, this writes in place, and Spark refuses — or
+    * worse, corrupts — reads of a path being overwritten.
+    */
+  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path(name))
+  }
+
   def drop(name: String): Unit = {
     val dst = new Path(path(name))
+    if (fs.exists(dst)) fs.delete(dst, true)
+  }
+
+  /** Delete one Hive partition directory (`name/col=value`) — the
+    * companion of `overwritePartitions` for partitions whose new
+    * content is empty (dynamic overwrite can only rewrite partitions
+    * present in the written frame).
+    */
+  def dropPartition(name: String, partCol: String, value: String): Unit = {
+    val dst = new Path(path(name) + s"/$partCol=$value")
     if (fs.exists(dst)) fs.delete(dst, true)
   }
 

@@ -217,6 +217,103 @@ class FtsSpec extends SparkSpec {
     assert(store.read("tweets").count() === 1)
   }
 
+  private def bucketOf(pk: Long, buckets: Int): Long =
+    Seq(pk).toDF("pk")
+      .select(pmod(xxhash64(col("pk")), lit(buckets.toLong)))
+      .head.getLong(0)
+
+  private def partitionFiles(root: String, table: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(root, Fts.indexName(table))
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.contains("pk_bucket="))
+      .map(p => dir.relativize(p).toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+    finally walk.close()
+  }
+
+  test("bucketed postings: identical search results, O(batch) maintenance") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fts-b").toString
+    val store = new TableStore(spark, root)
+    val docs = Seq(
+      (1L, "spark streams join the window"),
+      (2L, "the quick brown fox"),
+      (3L, "spark window functions")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text", buckets = 8)
+
+    val idx = store.read(Fts.indexName("tweets"))
+    assert(idx.columns.contains("pk_bucket")) // hive-partitioned layout
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+    assert(hits("spark window") === Set(1L, 3L))
+    assert(hits("\"spark window\"") === Set(3L)) // phrase works on bucketed too
+    assert(Fts.searchRanked(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+
+    // re-upsert ONE doc: only its bucket's partition may change
+    val before = partitionFiles(root, "tweets")
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((2L, "completely different text")).toDF("id", "full_text"),
+      "id", "full_text", buckets = 8)
+    val after = partitionFiles(root, "tweets")
+    val touched = s"pk_bucket=${bucketOf(2L, 8)}"
+    val untouchedBefore = before.filterNot(_._1.startsWith(touched))
+    val untouchedAfter = after.filterNot(_._1.startsWith(touched))
+    assert(untouchedBefore === untouchedAfter,
+      "partitions without batch pks must keep their exact files")
+    assert(hits("quick") === Set.empty)
+    assert(hits("different") === Set(2L))
+
+    // incremental stats == from-scratch recomputation
+    val st = store.read(Fts.statsName("tweets")).head
+    assert(st.getAs[Long]("n_docs") === 3L)
+    assert(st.getAs[Long]("total_dl") === (5 + 3 + 3))
+    assert(st.getAs[Double]("avgdl") === (5 + 3 + 3) / 3.0)
+  }
+
+  test("bucketed re-upsert to empty text clears the doc's stale postings") {
+    // buckets=1 forces every doc into partition 0, so replacing the
+    // only doc with a token-free text leaves the merged bucket EMPTY —
+    // dynamic overwrite can't rewrite an absent partition, the path
+    // must drop it explicitly
+    val root = java.nio.file.Files.createTempDirectory("graft-fts-e").toString
+    val store = new TableStore(spark, root)
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((1L, "hello world")).toDF("id", "full_text"), "id", "full_text",
+      buckets = 1)
+    assert(Fts.search(spark, store, "tweets", "hello")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((1L, "...")).toDF("id", "full_text"), "id", "full_text", buckets = 1)
+    assert(partitionFiles(root, "tweets").isEmpty, "stale partition must be dropped")
+    val st = store.read(Fts.statsName("tweets")).head
+    assert(st.getAs[Long]("n_docs") === 0L && st.getAs[Long]("total_dl") === 0L)
+    assert(st.isNullAt(st.fieldIndex("avgdl")))
+    // base table still carries the doc; only the postings are gone
+    assert(store.read("tweets").count() === 1)
+  }
+
+  test("flat -> bucketed layout switch rebuilds the index once") {
+    val store = freshStore()
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((1L, "old spark words")).toDF("id", "full_text"), "id", "full_text")
+    assert(!store.read(Fts.indexName("tweets")).columns.contains("pk_bucket"))
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((2L, "new spark text")).toDF("id", "full_text"), "id", "full_text",
+      buckets = 4)
+    val idx = store.read(Fts.indexName("tweets"))
+    assert(idx.columns.contains("pk_bucket"))
+    assert(Fts.search(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(Fts.search(spark, store, "tweets", "\"old spark\"")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("incremental maintenance == from-scratch index (trigger parity, seeded)") {
     // the FTS5 sync-trigger property: applying ANY sequence of upsert
     // batches leaves exactly the index a from-scratch build of the
@@ -226,6 +323,7 @@ class FtsSpec extends SparkSpec {
     val rnd = new scala.util.Random(4242)
     (1 to 3).foreach { round =>
       val store = freshStore()
+      val bstore = freshStore() // same batches through the bucketed path
       (1 to 4).foreach { _ =>
         val batch = (1 to (1 + rnd.nextInt(5))).map { _ =>
           val id = rnd.nextInt(8).toLong
@@ -238,18 +336,33 @@ class FtsSpec extends SparkSpec {
         val dedup = batch.groupBy(_._1).map(_._2.last).toSeq
         Fts.upsertWithIndex(store, "docs",
           dedup.toDF("id", "full_text"), "id", "full_text")
+        Fts.upsertWithIndex(bstore, "docs",
+          dedup.toDF("id", "full_text"), "id", "full_text", buckets = 4)
       }
-      val incremental = store.read(Fts.indexName("docs"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3), r.getAs[Seq[Int]]("positions"))).toSet
+      def postings(s: TableStore): Set[(Long, String, Long, Long, Seq[Int])] =
+        s.read(Fts.indexName("docs"))
+          .select("pk", "token", "tf", "dl", "positions")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getAs[Seq[Int]]("positions"))).toSet
+      val incremental = postings(store)
       val scratch = Fts.indexRows(store.read("docs"), "id", "full_text")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getAs[Seq[Int]]("positions"))).toSet
       assert(incremental === scratch, s"postings diverged in round $round")
+      assert(postings(bstore) === scratch, s"bucketed postings diverged in round $round")
 
-      val gotStats = store.read(Fts.statsName("docs")).collect()(0)
       val n = store.read("docs").count()
+      val gotStats = store.read(Fts.statsName("docs")).collect()(0)
       assert(gotStats.getAs[Long]("n_docs") === n, s"n_docs diverged in round $round")
+      // the bucketed path's INCREMENTAL stats must equal the flat
+      // path's from-scratch ones exactly (n_docs, total_dl, avgdl)
+      val bStats = bstore.read(Fts.statsName("docs")).collect()(0)
+      assert(bStats.getAs[Long]("n_docs") === gotStats.getAs[Long]("n_docs"),
+        s"bucketed n_docs diverged in round $round")
+      assert(bStats.getAs[Long]("total_dl") === gotStats.getAs[Long]("total_dl"),
+        s"bucketed total_dl diverged in round $round")
+      assert(bStats.getAs[Double]("avgdl") === gotStats.getAs[Double]("avgdl"),
+        s"bucketed avgdl diverged in round $round")
     }
   }
 }
