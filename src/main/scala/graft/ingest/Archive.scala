@@ -264,17 +264,18 @@ object Archive {
         val parsed = spark.read.json(Seq(json).toDS)
         if (parsed.schema.fieldNames.isEmpty) return Seq.empty // e.g. "[]"
         transformer.tables(parsed).flatMap { case (table, rows) =>
+          val tableName = "archive_" + table.replace("-", "_")
+          // one-time rename migration: earlier versions of this repo
+          // wrote ni-devices under the corrected name; the reference
+          // spells it `ne-devices` (archive.py:140's typo, kept for
+          // drop-in parity) — drop the old-name table so a re-import
+          // doesn't leave an orphan beside the new one. BEFORE the
+          // emptiness check: an empty re-import must still migrate.
+          if (tableName == "archive_ne_devices" &&
+              store.exists("archive_ni_devices"))
+            store.drop("archive_ni_devices")
           if (rows.isEmpty) None
           else {
-            val tableName = "archive_" + table.replace("-", "_")
-            // one-time rename migration: earlier versions of this repo
-            // wrote ni-devices under the corrected name; the reference
-            // spells it `ne-devices` (archive.py:140's typo, kept for
-            // drop-in parity) — drop the old-name table so a re-import
-            // doesn't leave an orphan beside the new one
-            if (tableName == "archive_ne_devices" &&
-                store.exists("archive_ni_devices"))
-              store.drop("archive_ni_devices")
             val keyed = pk match {
               case Some(_) => rows
               case None => rows.withColumn("pk",

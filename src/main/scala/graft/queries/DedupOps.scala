@@ -433,9 +433,20 @@ object DedupOps {
     * @param docs  (doc_id, text) corpus to verify against
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      array_distinct(Transforms.tokens(col("text"))).as("toks"))
-    pairs
+    import graft.store.Iteration.materialize
+    // Pin the pair set (its upstream — LSH banding + expansion — is
+    // the expensive part and feeds THREE consumers below: the id set
+    // and both joins; Spark does no cross-branch CSE), then tokenize
+    // ONLY the docs the pairs reference — a semi-join keeps the
+    // corpus-side scan at one pass and the pinned token frame at
+    // O(candidates), not O(corpus).
+    val p = materialize(pairs)
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    val toks = materialize(docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(Transforms.tokens(col("text"))).as("toks")))
+    p
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),

@@ -98,8 +98,14 @@ object Fts {
     val existingBucketed = existing.exists(_.columns.contains(BucketCol))
 
     existing match {
+      // incremental only when the caller's bucket count MATCHES the
+      // one the index was built with (persisted in the stats row):
+      // filtering old partitions by buckets computed mod a different N
+      // would silently leave stale postings behind — a mismatch falls
+      // through to the wholesale rebuild below instead
       case Some(ex) if ex.columns.contains("positions") &&
-          existingBucketed && buckets > 0 =>
+          existingBucketed && buckets > 0 &&
+          statsBucketCount(store, table).contains(buckets) =>
         val batchPks = batch.select(col(pkCol).as("pk")).distinct()
         // affected buckets derive from the BATCH pks (not from fresh
         // postings): a doc re-upserted with empty text has no fresh
@@ -128,7 +134,7 @@ object Fts {
           .collect().map(_.getLong(0)).toSet
         affected.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
-        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl)
+        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl, buckets)
 
       case _ =>
         // (re)build wholesale: first index of this table, a layout
@@ -159,7 +165,7 @@ object Fts {
         // the price FTS5 pays in its docsize table — so ranked queries
         // read a broadcast 1-row table instead of re-aggregating
         val (n, dl) = docTotals(store.read(indexName(table)))
-        writeStats(store, table, n, dl)
+        writeStats(store, table, n, dl, buckets)
     }
     store.upsert(table, batch, Seq(pkCol))
   }
@@ -184,11 +190,22 @@ object Fts {
       case _ => docTotals(idx)
     }
 
-  private def writeStats(store: TableStore, table: String, nDocs: Long, totalDl: Long): Unit = {
+  /** Bucket count the index was built with, from the stats row
+    * (0 = flat layout; None = no/legacy stats).
+    */
+  private def statsBucketCount(store: TableStore, table: String): Option[Int] =
+    store.readIfExists(statsName(table)).flatMap { st =>
+      if (st.columns.contains("n_buckets"))
+        Some(st.select(col("n_buckets")).head.getInt(0))
+      else None
+    }
+
+  private def writeStats(
+      store: TableStore, table: String, nDocs: Long, totalDl: Long, buckets: Int): Unit = {
     val spark = store.spark
     import spark.implicits._
     store.overwrite(statsName(table),
-      Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
+      Seq((nDocs, totalDl, buckets)).toDF("n_docs", "total_dl", "n_buckets")
         .withColumn("avgdl",
           when(col("n_docs") > 0,
             col("total_dl").cast("double") / col("n_docs").cast("double"))))
@@ -278,20 +295,24 @@ object Fts {
     rest.foldLeft(base)((acc, pks) => acc.join(pks, Seq("pk"))).select(col("pk"))
   }
 
-  /** FTS5 `MATCH … ORDER BY rank`: AND-matched pks scored with BM25
-    * (k1=1.2, b=0.75 — FTS5's constants, fts5_aux.c), best first.
-    * Phrase/prefix markers are accepted but scored bag-of-words (each
-    * word an independent BM25 term — FTS5 scores phrase hits as units;
-    * match filtering via `search` composes when exact phrase semantics
-    * are needed).
+  /** FTS5 `MATCH … ORDER BY rank`: matched pks scored with BM25
+    * (k1=1.2, b=0.75 — FTS5's constants, fts5_aux.c), best first, over
+    * the same MATCH subset as `search`: a prefix term matches (and
+    * scores) every token carrying the prefix; a phrase term is
+    * enforced POSITIONALLY (the shift-intersect semi-join — a doc with
+    * the words scattered does not rank) and scored bag-of-words over
+    * its constituent tokens (FTS5 scores phrase hits as units; the
+    * per-token sum is a documented, deterministic approximation). A
+    * posting satisfying several query terms is scored once.
     *
     * Corpus stats (N, avgdl) come from the persisted 1-row
     * `<table>_fts_stats` table (built at index time — no full-postings
     * aggregation in the query path; a legacy store without the stats
     * table falls back to computing them once from the index). Per-term
-    * document frequencies ride a broadcast |terms|-row aggregate, so
-    * scoring adds no extra shuffle over the unranked search: one
-    * groupBy(pk) on the matched postings, everything upstream narrow.
+    * document frequencies ride a broadcast aggregate of the matched
+    * postings, so scoring adds no extra shuffle over the unranked
+    * search: one groupBy(pk) on the matched postings, everything
+    * upstream narrow.
     */
   def searchRanked(
       spark: SparkSession,
@@ -300,8 +321,10 @@ object Fts {
       query: String,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val terms = queryTerms(query)
+    val terms = parseQuery(query)
     val idx = store.read(indexName(table))
+    if (terms.isEmpty)
+      return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
     val stats: DataFrame = store.readIfExists(statsName(table)) match {
       case Some(st) =>
         st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
@@ -309,10 +332,22 @@ object Fts {
         idx.select(col("pk"), col("dl")).distinct()
           .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     }
-    val matched = idx.filter(col("token").isin(terms: _*))
+    // one match condition per query term; a posting tags the term ids
+    // it satisfies so the AND check counts TERMS, not tokens (a doc
+    // with two tokens under one prefix satisfies one term)
+    val conds: Seq[Column] = terms.map {
+      case Plain(t)      => col("token") === t
+      case PrefixTerm(p) => col("token").startsWith(p)
+      case Phrase(ws)    => col("token").isin(ws.distinct: _*)
+    }
+    val termIds = filter(
+      array(conds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*),
+      x => x.isNotNull)
+    val matched = idx.filter(conds.reduce(_ || _))
+      .withColumn("__tids", termIds)
     val docFreq = matched.groupBy(col("token"))
       .agg(countDistinct(col("pk")).cast("double").as("df"))
-    matched
+    val scored = matched
       .join(broadcast(docFreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -321,13 +356,12 @@ object Fts {
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("pk"))
-      .agg(countDistinct(col("token")).as("n_terms"), sum(col("s")).as("score"))
+      .agg(size(array_distinct(flatten(collect_list(col("__tids"))))).as("n_terms"),
+        sum(col("s")).as("score"))
       .filter(col("n_terms") === terms.size)
+    terms.collect { case Phrase(ws) => phrasePks(idx, ws) }
+      .foldLeft(scored)((acc, pks) => acc.join(pks, Seq("pk")))
       .select(col("pk"), col("score"))
       .orderBy(col("score").desc, col("pk"))
   }
-
-  private def queryTerms(query: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT)
-      .split("\\W+").filter(_.nonEmpty).distinct.toSeq
 }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.DataFrame
   * checkpoint dir configured (`spark.sparkContext.setCheckpointDir`),
   * so cluster deployments opt in with one line of session setup and
   * local runs keep the cheap path. See SCALING.md §iterative loops.
+  *
+  * OPERATIONAL NOTE: Spark never deletes reliable-checkpoint files on
+  * its own — a long-lived session iterating many jobs accumulates one
+  * frame copy per round. Deployments enabling the checkpoint dir
+  * should also set `spark.cleaner.referenceTracking.cleanCheckpoints=
+  * true`, which removes a checkpoint's files once the frame is
+  * garbage-collected (eager deletion here would be WRONG: callers keep
+  * earlier rounds' frames — e.g. the CC edge set — live across the
+  * whole loop).
   */
 object Iteration {
 

@@ -84,10 +84,13 @@ class ConnectedComponentsSpec extends SparkSpec {
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()
       assert(wrote > 0, "expected reliable checkpoint files under the dir")
     } finally {
-      // the dir cannot be unset on a live context; point it at a fresh
-      // scratch dir so later suites keep a valid (still-reliable) seam
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt-rest").toString)
+      // restore the shared context's localCheckpoint path for every
+      // later suite: there is no public unset, so clear the private
+      // var reflectively and verify the restoration took
+      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
     }
   }
 

@@ -298,6 +298,58 @@ class FtsSpec extends SparkSpec {
     assert(store.read("tweets").count() === 1)
   }
 
+  test("ranked search covers prefix and positional-phrase terms") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "sparkle and sparks fly high"),
+      (2L, "spark window functions"),
+      (3L, "window spark things"),
+      (4L, "nothing relevant here")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    // a prefix query ranks every doc carrying a matching token — the
+    // bare stub "spar" is no token, so exact-match semantics would
+    // return empty
+    val pre = Fts.searchRanked(spark, store, "tweets", "spar*")
+      .collect().map(_.getLong(0)).toSet
+    assert(pre === Set(1L, 2L, 3L))
+
+    // a quoted phrase is enforced positionally in ranked search too:
+    // doc 3 has both words but not adjacent in this order
+    val ph = Fts.searchRanked(spark, store, "tweets", "\"spark window\"")
+      .collect().map(_.getLong(0)).toSet
+    assert(ph === Set(2L))
+
+    // mixed prefix + plain keeps AND semantics over TERMS, not tokens:
+    // doc 1 has two spar*-tokens but no "window", so it must not rank
+    val mixed = Fts.searchRanked(spark, store, "tweets", "spar* window")
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed === Set(2L, 3L))
+  }
+
+  test("bucket-count mismatch rebuilds instead of corrupting the index") {
+    val store = freshStore()
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((1L, "old words here"), (2L, "spark window")).toDF("id", "full_text"),
+      "id", "full_text", buckets = 8)
+    // re-index ONE doc with a different bucket count: the incremental
+    // path must not run (mod-4 bucket filtering would miss mod-8
+    // partitions and leave doc 1's stale postings), a wholesale
+    // rebuild must
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((1L, "completely new text")).toDF("id", "full_text"),
+      "id", "full_text", buckets = 4)
+    assert(Fts.search(spark, store, "tweets", "old").isEmpty)
+    assert(Fts.search(spark, store, "tweets", "new")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(Fts.search(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // postings relaid out mod 4, stats reflect the new count
+    val st = store.read(Fts.statsName("tweets")).head
+    assert(st.getAs[Int]("n_buckets") === 4)
+    assert(st.getAs[Long]("n_docs") === 2L)
+  }
+
   test("flat -> bucketed layout switch rebuilds the index once") {
     val store = freshStore()
     Fts.upsertWithIndex(store, "tweets",

@@ -47,8 +47,8 @@ def main(old_path, new_path, threshold_pct=25.0):
     if shared:
         so = sum(oq[q] for q in shared)
         sn = sum(nq[q] for q in shared)
-        print(f"shared {len(shared)} queries: {so:.2f}s -> {sn:.2f}s "
-              f"({(sn - so) / so * 100.0:+.1f}%)")
+        delta = f" ({(sn - so) / so * 100.0:+.1f}%)" if so > 0 else ""
+        print(f"shared {len(shared)} queries: {so:.2f}s -> {sn:.2f}s{delta}")
 
     regressions = []
     improvements = []
