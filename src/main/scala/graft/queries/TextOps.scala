@@ -232,6 +232,44 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_near — FTS5 proximity MATCH (`MATCH 'NEAR(spark vector, 3)'`):
+  // docs where the tokens occur within 3 intervening tokens, either
+  // order — |posA - posB| <= 4. Same positional-postings shape as
+  // q_fts_phrase with a span predicate instead of shift-intersect; the
+  // oracle states the identical check with nested list lambdas (its
+  // 1-based positions cancel in the difference).
+  def ftsNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val a = postings.filter(col("token") === "spark")
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postings.filter(col("token") === "vector")
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(exists(col("pa"), x =>
+        exists(col("pb"), y => abs(x - y) <= lit(4))))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ftsNearSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'spark') AS pa,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS pb
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |)
+       |WHERE len(pa) > 0 AND len(pb) > 0
+       |  AND len(list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 4)) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_fts_prefix — FTS5 prefix MATCH (`MATCH 'wind*'`): docs containing
   // any token with the prefix. On the indexed path (store/Fts.search)
   // this is a startsWith range predicate pushed to the postings scan;
@@ -566,6 +604,7 @@ object TextOps {
     Op("q_fts_ranked", ftsRanked, Some(ftsRankedSql)),
     Op("q_fts_phrase", ftsPhrase, Some(ftsPhraseSql)),
     Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
+    Op("q_fts_near", ftsNear, Some(ftsNearSql)),
     Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),

@@ -16,6 +16,8 @@ import graft.ingest.Transforms
   *    per-posting position list, FTS5's poslist analog)
   *  - trailing-`*` prefix terms (`spar*` — a `startsWith` range
   *    predicate on the token column, pushed to the parquet scan)
+  *  - proximity (`NEAR(spark window, 5)` — positional span check over
+  *    the same poslists, either order, FTS5's default n=10)
   *  - relevance order (`searchRanked`, BM25 — FTS5's default `rank`)
   *
   * The reference keeps the index fresh with sync triggers; here the
@@ -217,27 +219,44 @@ object Fts {
   private[store] case class Plain(tok: String) extends Term
   private[store] case class PrefixTerm(pre: String) extends Term
   private[store] case class Phrase(toks: Seq[String]) extends Term
+  private[store] case class Near(a: String, b: String, n: Int) extends Term
 
   private def tokenize(s: String): Seq[String] =
     s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
 
-  /** Parse the FTS5 MATCH subset: `"quoted phrase"`, `prefix*`, bare
-    * terms — all implicitly ANDed (FTS5's default connective). A
-    * one-word quoted phrase degrades to a plain term; a `*` after a
-    * multi-token unit applies to the last token (FTS5 parses `ab-cd*`
-    * as a phrase with a prefix tail — same containment semantics here
-    * since all terms AND).
+  /** Parse the FTS5 MATCH subset: `"quoted phrase"`, `prefix*`,
+    * `NEAR(a b, n)` (two single-token operands — the common form; n
+    * defaults to FTS5's 10), bare terms — all implicitly ANDed (FTS5's
+    * default connective). A one-word quoted phrase degrades to a plain
+    * term; a `*` after a multi-token unit applies to the last token
+    * (FTS5 parses `ab-cd*` as a phrase with a prefix tail — same
+    * containment semantics here since all terms AND). FTS5's boolean
+    * operators (OR, NOT, column filters) are NOT parsed — uppercase OR
+    * degrades to the token `or`, like a tokenizer would see it.
     */
   private[store] def parseQuery(query: String): Seq[Term] = {
-    val quoted = "\"([^\"]*)\"".r
-    val phraseTerms = quoted.findAllMatchIn(query).map(_.group(1)).flatMap { p =>
-      tokenize(p) match {
-        case Seq()  => Seq.empty[Term]
-        case Seq(w) => Seq(Plain(w))
-        case ws     => Seq(Phrase(ws))
+    val near = """NEAR\(([^,)]+)(?:,\s*(\d+))?\)""".r
+    val nearTerms = near.findAllMatchIn(query).flatMap { m =>
+      val n = Option(m.group(2)).map(_.toInt).getOrElse(10)
+      tokenize(m.group(1)) match {
+        case Seq(a, b) => Seq(Near(a, b, n))
+        case Seq(w)    => Seq(Plain(w)) // degenerate: NEAR of one term
+        case ws        =>
+          throw new IllegalArgumentException(
+            s"NEAR supports two single-token operands, got: ${ws.mkString(" ")}")
       }
     }.toSeq
-    val rest = quoted.replaceAllIn(query, " ")
+    val afterNear = near.replaceAllIn(query, " ")
+    val quoted = "\"([^\"]*)\"".r
+    val phraseTerms = nearTerms ++
+      quoted.findAllMatchIn(afterNear).map(_.group(1)).flatMap { p =>
+        tokenize(p) match {
+          case Seq()  => Seq.empty[Term]
+          case Seq(w) => Seq(Plain(w))
+          case ws     => Seq(Phrase(ws))
+        }
+      }.toSeq
+    val rest = quoted.replaceAllIn(afterNear, " ")
     val bareTerms = rest.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { unit =>
       if (unit.endsWith("*"))
         tokenize(unit.dropRight(1)) match {
@@ -266,6 +285,25 @@ object Fts {
     joined.filter(size(ends) > 0).select(col("pk"))
   }
 
+  /** pks where tokens `a` and `b` occur within `n` intervening tokens
+    * (either order) — FTS5 NEAR: a window of the 2 matched tokens plus
+    * ≤ n others, i.e. |posA - posB| ≤ n + 1. Same token-pruned ≤1-row
+    * join shape as a 2-word phrase; a NEAR of a term with itself needs
+    * two distinct occurrences.
+    */
+  private def nearPks(idx: DataFrame, a: String, b: String, n: Int): DataFrame = {
+    val pa = idx.filter(col("token") === a)
+      .select(col("pk"), col("positions").as("__pa"))
+    val pb = idx.filter(col("token") === b)
+      .select(col("pk"), col("positions").as("__pb"))
+    val withinSpan: (Column, Column) => Column = (x, y) =>
+      if (a == b) abs(x - y) <= n + 1 && x =!= y
+      else abs(x - y) <= n + 1
+    pa.join(pb, Seq("pk"))
+      .filter(exists(col("__pa"), x => exists(col("__pb"), y => withinSpan(x, y))))
+      .select(col("pk"))
+  }
+
   /** FTS5 `MATCH` (implicit AND): pks satisfying every query term —
     * plain terms via one groupBy-count intersection over the
     * token-pruned postings (single shuffle), each phrase/prefix term
@@ -281,7 +319,8 @@ object Fts {
         // startsWith pushes to the scan as a StringStartsWith filter;
         // distinct because several tokens of one doc can share a prefix
         idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
-      case Phrase(ws) => phrasePks(idx, ws)
+      case Phrase(ws)    => phrasePks(idx, ws)
+      case Near(a, b, n) => nearPks(idx, a, b, n)
     }
     val base: DataFrame =
       if (plain.nonEmpty)
@@ -339,6 +378,7 @@ object Fts {
       case Plain(t)      => col("token") === t
       case PrefixTerm(p) => col("token").startsWith(p)
       case Phrase(ws)    => col("token").isin(ws.distinct: _*)
+      case Near(a, b, _) => col("token").isin(a, b)
     }
     val termIds = filter(
       array(conds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*),
@@ -359,7 +399,10 @@ object Fts {
       .agg(size(array_distinct(flatten(collect_list(col("__tids"))))).as("n_terms"),
         sum(col("s")).as("score"))
       .filter(col("n_terms") === terms.size)
-    terms.collect { case Phrase(ws) => phrasePks(idx, ws) }
+    terms.collect {
+        case Phrase(ws)    => phrasePks(idx, ws)
+        case Near(a, b, n) => nearPks(idx, a, b, n)
+      }
       .foldLeft(scored)((acc, pks) => acc.join(pks, Seq("pk")))
       .select(col("pk"), col("score"))
       .orderBy(col("score").desc, col("pk"))

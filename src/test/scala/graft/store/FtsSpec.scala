@@ -87,6 +87,31 @@ class FtsSpec extends SparkSpec {
     assert(hits("stre* joi*") === Set.empty) // two prefixes, no doc has both
   }
 
+  test("NEAR MATCH: proximity window over positions, either order") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark is a window"),           // spark..window distance 3 (2 between)
+      (2L, "window nothing nothing nothing nothing spark"), // distance 5, reversed
+      (3L, "spark alone here"),
+      (4L, "spark then lots of other words before any window")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("NEAR(spark window, 2)") === Set(1L))       // ≤2 between
+    assert(hits("NEAR(spark window, 4)") === Set(1L, 2L))   // order-free
+    assert(hits("NEAR(spark window)") === Set(1L, 2L, 4L))  // default 10
+    assert(hits("NEAR(spark window, 2) alone") === Set.empty) // AND with plain
+    // ranked search enforces the same proximity
+    assert(Fts.searchRanked(spark, store, "tweets", "NEAR(spark window, 2)")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // self-NEAR needs two distinct occurrences
+    val rep = Seq((5L, "echo something echo"), (6L, "echo once")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", rep, "id", "full_text")
+    assert(hits("NEAR(echo echo, 3)") === Set(5L))
+  }
+
   test("ranked search: BM25 relevance order (FTS5 ORDER BY rank analog)") {
     val store = freshStore()
     val docs = Seq(
