@@ -202,29 +202,36 @@ object TextOps {
   // q_fts_phrase — FTS5 phrase MATCH (`MATCH '"spark vector"'`,
   // utils.py:330-332 FTS5 tables accept phrase syntax): docs whose
   // token stream contains the words CONSECUTIVELY, not merely both.
-  // Built on the positional inverted index (postings carry sorted
-  // position lists — FTS5's poslist, same layout store/Fts persists):
-  // per-word token-pruned postings equi-join on doc_id (≤1 row per doc
-  // per word), then shift-and-intersect the position lists. The oracle
-  // states the same predicate as a word-boundary regex — equivalent
-  // because tokens are exactly the \W+ splits, so "consecutive tokens"
-  // ⟺ `\bspark\W+vector\b`.
-  def ftsPhrase(spark: SparkSession, sfDir: String): DataFrame = {
-    val postings = Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
-      .filter(col("token").isin("spark", "vector"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-    val a = postings.filter(col("token") === "spark")
-      .select(col("doc_id"), col("positions").as("pa"))
-    val b = postings.filter(col("token") === "vector")
-      .select(col("doc_id"), col("positions").as("pb"))
-    a.join(b, Seq("doc_id"))
+  // Built on positional postings (sorted position lists — FTS5's
+  // poslist, same layout store/Fts persists): one token-pruned
+  // aggregation pass collects both words' position lists per doc, then
+  // shift-and-intersect verifies adjacency. The oracle states the same
+  // predicate as a word-boundary regex — equivalent because tokens are
+  // exactly the \W+ splits, so "consecutive tokens" ⟺
+  // `\bspark\W+vector\b`.
+  def ftsPhrase(spark: SparkSession, sfDir: String): DataFrame =
+    wordPositions(spark, sfDir, "spark", "vector")
       .filter(size(array_intersect(transform(col("pa"), x => x + 1), col("pb"))) > 0)
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Both words' sorted position lists in ONE aggregation pass —
+    * `collect_list` drops the `when`'s nulls, so a single groupBy
+    * replaces the two-branch join (Spark has no cross-branch CSE: the
+    * join formulation scanned and tokenized the corpus twice; verified
+    * against the plan).
+    */
+  private def wordPositions(
+      spark: SparkSession, sfDir: String, wa: String, wb: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin(wa, wb))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(when(col("token") === wa, col("pos")))).as("pa"),
+        sort_array(collect_list(when(col("token") === wb, col("pos")))).as("pb"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
 
   val ftsPhraseSql: String =
     """SELECT doc_id FROM documents
@@ -238,23 +245,12 @@ object TextOps {
   // q_fts_phrase with a span predicate instead of shift-intersect; the
   // oracle states the identical check with nested list lambdas (its
   // 1-based positions cancel in the difference).
-  def ftsNear(spark: SparkSession, sfDir: String): DataFrame = {
-    val postings = Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
-      .filter(col("token").isin("spark", "vector"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-    val a = postings.filter(col("token") === "spark")
-      .select(col("doc_id"), col("positions").as("pa"))
-    val b = postings.filter(col("token") === "vector")
-      .select(col("doc_id"), col("positions").as("pb"))
-    a.join(b, Seq("doc_id"))
+  def ftsNear(spark: SparkSession, sfDir: String): DataFrame =
+    wordPositions(spark, sfDir, "spark", "vector")
       .filter(exists(col("pa"), x =>
         exists(col("pb"), y => abs(x - y) <= lit(4))))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   val ftsNearSql: String = {
     val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""

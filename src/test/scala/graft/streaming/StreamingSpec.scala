@@ -219,4 +219,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(
       (1, "t1", 100L), (1, "t3", 101L), (1, "t5", 99L), (2, "t5", 5L)))
   }
+
+  test("streaming FTS maintenance: index searchable after every micro-batch") {
+    import graft.store.Fts
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("id", "full_text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sfts").toString
+    val q = StreamFts.writeIndexed(docs, store, "docs", "id", "full_text", ckpt)
+
+    def hits(s: String): Set[Long] =
+      Fts.search(spark, store, "docs", s).collect().map(_.getLong(0)).toSet
+
+    mem.addData((1L, "spark streams here"), (2L, "quick brown fox"))
+    q.processAllAvailable()
+    assert(hits("spark") === Set(1L))
+    assert(hits("\"quick brown\"") === Set(2L)) // phrase works mid-stream
+
+    // second micro-batch REPLACES doc 1's postings (trigger analog)
+    mem.addData((1L, "completely different now"), (3L, "spark again"))
+    q.processAllAvailable()
+    assert(hits("spark") === Set(3L))
+    assert(hits("streams") === Set.empty)
+    q.stop()
+
+    // ranked search sees stream-maintained corpus stats
+    val st = store.read(Fts.statsName("docs")).head
+    assert(st.getAs[Long]("n_docs") === 3L)
+
+    // redelivery idempotence: re-running a batch converges to the
+    // same index (exactly-once = offsets + idempotent sink)
+    val replay = Seq((3L, "spark again")).toDF("id", "full_text")
+    StreamFts.indexSink(store, "docs", "id", "full_text")(replay, 99L)
+    assert(hits("spark") === Set(3L))
+    assert(store.read(Fts.statsName("docs")).head.getAs[Long]("n_docs") === 3L)
+  }
+
+  test("streaming FTS maintenance through the bucketed O(batch) layout") {
+    import graft.store.Fts
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("id", "full_text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sftsb").toString
+    val q = StreamFts.writeIndexed(docs, store, "docs", "id", "full_text",
+      ckpt, buckets = 4)
+
+    mem.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha omega"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(store.read(Fts.indexName("docs")).columns.contains("pk_bucket"))
+    assert(Fts.search(spark, store, "docs", "alpha")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val st = store.read(Fts.statsName("docs")).head
+    assert(st.getAs[Long]("n_docs") === 3L && st.getAs[Int]("n_buckets") === 4)
+  }
 }
