@@ -466,7 +466,164 @@ object SimilarityOps {
     cents.select(col("cent_id"), col("cent_e"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_pq_encode — product quantization: the embedding-compression
+  // stage of a 100 TB vector store. The 64-dim vector splits into 8
+  // subvectors of 8 dims; each subvector is replaced by the id of its
+  // nearest codeword in that subspace's 16-entry codebook → a 256-byte
+  // float vector compresses to 8 codes (32× smaller; ADC search then
+  // scans codes against a per-query lookup table instead of raw
+  // floats). Codebooks here are the 16 lowest-vec_id vectors' slices —
+  // the same deterministic seed convention as q_ann_ivf_topk's
+  // centroids (production would train each subspace codebook with
+  // kmeansTrain on the slice columns; the encode plan is identical).
+  //
+  // Shape: broadcast cross join against the 16 codewords, per-slice
+  // squared-L2 as sequential left-folds (bit-exact vs the oracle), and
+  // the per-(vector, slice) argmin as a min_by PARTIAL aggregation —
+  // one row per (vector, slice) crosses the exchange, not the ×16
+  // scored set; codes reassemble via the sorted-struct-collect trick
+  // (same as the k-means mean update).
+  private val pqSlices = 8
+  private val pqSubDim = 8
+  private val pqCodebook = 16
+
+  /** Per-slice squared-L2 between vector columns `a` and `b`:
+    * array of (s, d) structs, one per subspace, each a sequential
+    * left-fold (bit-exact vs the oracle).
+    */
+  private def pqSliceDists(a: Column, b: Column): Column =
+    array((0 until pqSlices).map { s =>
+      struct(lit(s).as("s"),
+        aggregate(
+          zip_with(slice(a, s * pqSubDim + 1, pqSubDim),
+            slice(b, s * pqSubDim + 1, pqSubDim),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+    }: _*)
+
+  private def pqEmb(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+
+  private def pqCents(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < pqCodebook)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+
+  /** One (vec_id, s, code) row per vector and subspace — the exploded
+    * code table ADC search joins against; `pqEncode` reassembles it
+    * into per-vector code arrays.
+    */
+  private def pqCodesExploded(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        explode(pqSliceDists(col("e"), col("ce"))).as("sd"))
+      .select(col("vec_id"), col("cent_id"),
+        col("sd.s").as("s"), col("sd.d").as("d"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
+
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = pqEmb(spark, sfDir)
+    pqCodesExploded(emb, pqCents(emb))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pqEncodeSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < $pqCodebook),
+       |sliced AS (
+       |  SELECT v.vec_id, k.cent_id, s.s AS s,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${pqSubDim + 1}),
+       |      i -> (v.e[s.s*$pqSubDim + i] - k.ce[s.s*$pqSubDim + i]) * (v.e[s.s*$pqSubDim + i] - k.ce[s.s*$pqSubDim + i]))),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM emb v CROSS JOIN cents k CROSS JOIN (SELECT unnest(range(0, $pqSlices)) AS s) s
+       |), best AS (
+       |  SELECT vec_id, s, cent_id FROM (
+       |    SELECT vec_id, s, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rnk
+       |    FROM sliced) WHERE rnk = 1
+       |)
+       |SELECT vec_id, list(cent_id ORDER BY s) AS codes
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ann_pq_topk — ADC (asymmetric distance computation) search over
+  // the PQ codes: each probe precomputes a 16×8 lookup table of
+  // (codeword, slice) → squared-L2 against ITS OWN raw subvectors,
+  // then a candidate's approximate distance is just the sum of 8 table
+  // entries selected by its codes — the scan never touches candidate
+  // floats, which is the whole point at 100 TB (8 bytes/vector read
+  // instead of 256). The per-slice LUT distances are 1e-6-quantized to
+  // longs before summing (same convention as q_kmeans_step): an
+  // 8-value double sum inside a groupBy would be partition-order-
+  // dependent; quantized longs add exactly and commutatively on any
+  // cluster shape. Shape: codes ⋈ broadcast LUT on (s, code) — an
+  // equi-join — then one partial-agg'd sum per (query, candidate) and
+  // the WindowGroupLimit top-k.
+  def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = pqEmb(spark, sfDir)
+    val cents = pqCents(emb)
+    val codes = pqCodesExploded(emb.filter(col("vec_id") >= pqCodebook), cents)
+    val lut = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("code"),
+        explode(pqSliceDists(col("qe"), col("ce"))).as("sd"))
+      .select(col("query_id"), col("code"), col("sd.s").as("s"),
+        floor(col("sd.d") * 1e6).cast("long").as("qd"))
+    val ranked = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("cand_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+    ranked.select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqTopKSql: String = {
+    val sliceDist = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${pqSubDim + 1}),
+         |      i -> ($a[s.s*$pqSubDim + i] - $b[s.s*$pqSubDim + i]) * ($a[s.s*$pqSubDim + i] - $b[s.s*$pqSubDim + i]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < $pqCodebook),
+       |sliced AS (
+       |  SELECT v.vec_id, k.cent_id, s.s AS s, ${sliceDist("v.e", "k.ce")} AS d
+       |  FROM emb v CROSS JOIN cents k CROSS JOIN (SELECT unnest(range(0, $pqSlices)) AS s) s
+       |  WHERE v.vec_id >= $pqCodebook
+       |), best AS (
+       |  SELECT vec_id, s, cent_id AS code FROM (
+       |    SELECT vec_id, s, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rnk
+       |    FROM sliced) WHERE rnk = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, k.cent_id AS code, s.s AS s,
+       |    CAST(floor(${sliceDist("q.e", "k.ce")} * 1e6) AS BIGINT) AS qd
+       |  FROM emb q CROSS JOIN cents k CROSS JOIN (SELECT unnest(range(0, $pqSlices)) AS s) s
+       |  WHERE q.vec_id < 4
+       |), scored AS (
+       |  SELECT l.query_id, b.vec_id AS cand_id, CAST(SUM(l.qd) AS BIGINT) AS adist
+       |  FROM best b JOIN lut l ON b.s = l.s AND b.code = l.code
+       |  GROUP BY l.query_id, b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_pq_encode", pqEncode, Some(pqEncodeSql)),
+    Op("q_ann_pq_topk", annPqTopK, Some(annPqTopKSql)),
     Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
