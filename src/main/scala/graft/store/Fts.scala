@@ -235,9 +235,28 @@ object Fts {
     * degrades to the token `or`, like a tokenizer would see it.
     */
   private[store] def parseQuery(query: String): Seq[Term] = {
+    // quoted phrases FIRST: a NEAR(...) inside quotes is phrase
+    // content (FTS5 tokenizes it), not a proximity operator
+    val quoted = "\"([^\"]*)\"".r
+    val phraseOnly = quoted.findAllMatchIn(query).map(_.group(1)).flatMap { p =>
+      tokenize(p) match {
+        case Seq()  => Seq.empty[Term]
+        case Seq(w) => Seq(Plain(w))
+        case ws     => Seq(Phrase(ws))
+      }
+    }.toSeq
+    val afterQuotes = quoted.replaceAllIn(query, " ")
     val near = """NEAR\(([^,)]+)(?:,\s*(\d+))?\)""".r
-    val nearTerms = near.findAllMatchIn(query).flatMap { m =>
-      val n = Option(m.group(2)).map(_.toInt).getOrElse(10)
+    val nearTerms = near.findAllMatchIn(afterQuotes).flatMap { m =>
+      val n = Option(m.group(2)).map { g =>
+        try g.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"NEAR distance out of range: $g") }
+      }.getOrElse(10)
+      require(n >= 0 && n < Int.MaxValue - 1, s"NEAR distance out of range: $n")
+      if (m.group(1).contains("*"))
+        throw new IllegalArgumentException(
+          s"NEAR operands must be plain tokens (no prefix *): ${m.group(1)}")
       tokenize(m.group(1)) match {
         case Seq(a, b) => Seq(Near(a, b, n))
         case Seq(w)    => Seq(Plain(w)) // degenerate: NEAR of one term
@@ -246,17 +265,8 @@ object Fts {
             s"NEAR supports two single-token operands, got: ${ws.mkString(" ")}")
       }
     }.toSeq
-    val afterNear = near.replaceAllIn(query, " ")
-    val quoted = "\"([^\"]*)\"".r
-    val phraseTerms = nearTerms ++
-      quoted.findAllMatchIn(afterNear).map(_.group(1)).flatMap { p =>
-        tokenize(p) match {
-          case Seq()  => Seq.empty[Term]
-          case Seq(w) => Seq(Plain(w))
-          case ws     => Seq(Phrase(ws))
-        }
-      }.toSeq
-    val rest = quoted.replaceAllIn(afterNear, " ")
+    val phraseTerms = phraseOnly ++ nearTerms
+    val rest = near.replaceAllIn(afterQuotes, " ")
     val bareTerms = rest.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { unit =>
       if (unit.endsWith("*"))
         tokenize(unit.dropRight(1)) match {
