@@ -186,18 +186,23 @@ object DedupOps {
   // keys (source, lang, length bucket): the verify step of the dedup
   // pipeline. Jaccard = |A∩B| / |A∪B| over distinct token sets;
   // single-division doubles → bit-exact across engines.
+  //
+  // Pair generation goes through store/PairExpansion, NOT a raw
+  // self-join on the blocking keys: block sizes are data-dependent (a
+  // popular (source, lang, length) cell at 100 TB holds millions of
+  // docs), and the grid split bounds every task's expansion at
+  // ~cellSize² while emitting the identical pair set — each doc lives
+  // in exactly one block, so no cross-block dedup is needed. `source`
+  // rides as pair payload (constant within a block) so the per-source
+  // rollup needs no join back.
   def jaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         (col("n_chars") / lit(100)).cast("long").as("len_bucket"),
         array_distinct(Transforms.tokens(col("text"))).as("toks"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b,
-        col("a.source") === col("b.source") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.len_bucket") === col("b.len_bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    graft.store.PairExpansion.pairsWithinBuckets(
+        docs, keyCols = Seq("source", "lang", "len_bucket"),
+        idCol = "doc_id", payloadCols = Seq("source", "toks"))
       .select(col("a.source").as("source"),
         (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
           size(array_union(col("a.toks"), col("b.toks"))).cast("double"))

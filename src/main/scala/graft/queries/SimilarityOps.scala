@@ -229,17 +229,21 @@ object SimilarityOps {
 
   // q_embed_near_dup — embedding-cosine near-duplicate detection,
   // bucketed: candidate pairs share an LSH bucket, verified by exact
-  // cosine above threshold. Quadratic only within buckets.
+  // cosine above threshold. Pair generation goes through
+  // store/PairExpansion (payload = embedding + norm): with 256 sign
+  // buckets over N vectors, per-bucket membership grows ~N/256 and a
+  // plain in-bucket self-join is an unbounded quadratic inside one
+  // task — the grid split bounds per-task expansion at ~cellSize²
+  // while emitting the identical pair set (each vector is in exactly
+  // one bucket, so pairs are already unique).
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = withBucketAndNorm(spark, sfDir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
-      col("norm").as("na"), col("bucket"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
-      col("norm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    graft.store.PairExpansion.pairsWithinBuckets(
+        emb, keyCols = Seq("bucket"), idCol = "vec_id",
+        payloadCols = Seq("e", "norm"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.e"), col("b.e")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
       .filter(col("cosine") > 0.25)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -523,12 +527,24 @@ object SimilarityOps {
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
 
-  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = pqEmb(spark, sfDir)
-    pqCodesExploded(emb, pqCents(emb))
+  /** The per-vector code ARRAY — the library surface downstream
+    * consumers (persisted code tables, ADC search) use.
+    */
+  def pqEncodeCodes(emb: DataFrame, cents: DataFrame): DataFrame =
+    pqCodesExploded(emb, cents)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
+
+  // The oracle-checked query serializes the code array to a CSV string:
+  // the driver's pandas-based hash check sorts result columns, and a
+  // numpy array column is unhashable/unsortable there — the string form
+  // carries identical information and is order-stable on both engines.
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = pqEmb(spark, sfDir)
+    pqEncodeCodes(emb, pqCents(emb))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"))
       .orderBy(col("vec_id"))
   }
 
@@ -547,7 +563,7 @@ object SimilarityOps {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rnk
        |    FROM sliced) WHERE rnk = 1
        |)
-       |SELECT vec_id, list(cent_id ORDER BY s) AS codes
+       |SELECT vec_id, array_to_string(list(cent_id ORDER BY s), ',') AS codes
        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,8 +45,11 @@ object PairExpansion {
     * @param members     one row per bucket membership; columns must
     *                    include `keyCols`, `idCol`, `payloadCols`
     * @param keyCols     the bucket key (e.g. band_idx, band)
-    * @param idCol       unique, orderable member id (pair order + grid
-    *                    hash entropy)
+    * @param idCol       orderable member id (pair order + grid hash
+    *                    entropy); duplicate (bucket, id) rows are
+    *                    deduped deterministically (minimal payload
+    *                    struct wins), so each id pairs at most once
+    *                    per bucket
     * @param payloadCols carried per-member columns (e.g. a simhash to
     *                    verify against)
     * @param cellSize    target members per grid cell — the per-task
@@ -95,9 +98,28 @@ object PairExpansion {
     // struct (id leads) makes indexed i < j expansion emit a.id <
     // b.id; the diagonal task owns same-group pairs, mixed tasks own
     // exactly the cross-group pairs (one member from each side).
+    //
+    // The id-uniqueness precondition is ENFORCED here, not assumed:
+    // duplicate (bucket, id) rows — e.g. a caller feeding raw
+    // membership rows with differing payloads — hash to the SAME grid
+    // group (__g keys on the id), so all copies of an id sit adjacent
+    // in every sorted task list that contains it, and keeping only the
+    // first occurrence (the minimal payload struct — deterministic)
+    // dedups globally. Without this, each duplicate would pair with
+    // every other member, double-emitting pairs with divergent
+    // payloads (a Jaccard/Hamming verify downstream would then score
+    // the same pair twice, inconsistently).
+    // (when/otherwise, not `||`: element_at is 1-based — index i IS
+    // the 0-based predecessor — and would throw on i = 0 if the Or
+    // evaluated both sides; CaseWhen short-circuits per row)
+    val dedupById = (xs: Column) => filter(xs, (x, i) =>
+      when(i === 0, lit(true)).otherwise(
+        element_at(xs, i).getField("x").getField(idCol) =!=
+          x.getField("x").getField(idCol)))
     val expanded = tasks
       .groupBy((keys :+ col("__t")): _*)
-      .agg(sort_array(collect_set(col("__xg"))).as("__xs"))
+      .agg(sort_array(collect_set(col("__xg"))).as("__xr"))
+      .select(col("__t"), dedupById(col("__xr")).as("__xs"))
       .select(explode(flatten(transform(col("__xs"), (x, i) =>
         filter(
           transform(slice(col("__xs"), i + 2, size(col("__xs"))), y =>
@@ -106,12 +128,9 @@ object PairExpansion {
               struct(x.getField("x").as("a"), y.getField("x").as("b")))),
           p => p.isNotNull)))).as("__p"))
 
-    // Guard the id-uniqueness precondition: duplicate ids within a
-    // bucket (differing payloads survive collect_set) would sort
-    // adjacent and emit an a.id == b.id "pair" — filter strictly so a
-    // caller violating the precondition gets degraded pairs, never a
-    // self-pair downstream (Jaccard/Hamming verifies would score a
-    // doc against itself as a perfect duplicate).
+    // Belt-and-braces: after the in-task dedup, task-list ids are
+    // strictly increasing, so i < j expansion already implies
+    // a.id < b.id — this filter only guards future refactors.
     expanded.select(col("__p.a").as("a"), col("__p.b").as("b"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
   }

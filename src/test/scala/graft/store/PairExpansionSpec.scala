@@ -103,4 +103,31 @@ class PairExpansionSpec extends SparkSpec {
     // the distinct-id pair is still produced (with either payload)
     assert(got.filter(col("a_id") === 1L && col("b_id") === 2L).count() >= 1)
   }
+
+  test("duplicate ids dedup deterministically: one pair, minimal payload wins") {
+    // raw output (no distinct): each duplicated id must collapse to
+    // its minimal-payload struct BEFORE expansion, so the pair set has
+    // no payload-divergent double emissions — across every cellSize
+    // (duplicates hash to the same grid group, so in-task dedup is
+    // globally correct)
+    val members = Seq(
+      (0L, "x", 1L, "pB"), (0L, "x", 1L, "pA"), (0L, "x", 1L, "pC"),
+      (0L, "x", 2L, "p2"), (0L, "x", 3L, "p3"), (0L, "x", 3L, "p0"))
+      .toDF("k1", "k2", "id", "payload")
+    for (cellSize <- Seq(1, 2, 64)) {
+      val raw = PairExpansion.pairsWithinBuckets(members, Seq("k1", "k2"), "id",
+          payloadCols = Seq("payload"), cellSize = cellSize)
+        .select(col("a.id").as("a_id"), col("a.payload").as("a_p"),
+          col("b.id").as("b_id"), col("b.payload").as("b_p"))
+      // exactly the 3 distinct-id pairs, each emitted once, no self-pairs
+      assert(raw.count() === 3L, s"cellSize=$cellSize")
+      assert(raw.filter(col("a_id") === col("b_id")).isEmpty)
+      // the surviving payload for id 1 is the minimal one everywhere
+      assert(raw.filter(col("a_id") === 1L && col("a_p") =!= "pA").isEmpty,
+        s"cellSize=$cellSize")
+      // and for id 3 (appears on the b side)
+      assert(raw.filter(col("b_id") === 3L && col("b_p") =!= "p0").isEmpty,
+        s"cellSize=$cellSize")
+    }
+  }
 }
