@@ -290,6 +290,34 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_bool — FTS5 boolean MATCH (`MATCH 'spark OR vector NOT window'`,
+  // the OR/NOT operators of utils.py:330-332's FTS5 tables): at FTS5
+  // precedence (NOT > AND > OR, fts5parse.y) the query groups as
+  // spark OR (vector NOT window). On the indexed path (store/Fts.search)
+  // OR is a union of pk sets and NOT a left-anti join; here the same
+  // predicate over the corpus as token-set membership, so the oracle
+  // can state it as boolean list_contains logic.
+  def ftsBool(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
+      .filter(
+        array_contains(col("toks"), "spark") ||
+          (array_contains(col("toks"), "vector") &&
+            !array_contains(col("toks"), "window")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val ftsBoolSql: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |  FROM documents
+      |)
+      |WHERE list_contains(toks, 'spark')
+      |   OR (list_contains(toks, 'vector') AND NOT list_contains(toks, 'window'))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_vocab_df — vocabulary build: document frequency of every token,
   // top 25 (the seed statistics of a tokenizer/stopword pipeline).
   // array_distinct BEFORE explode keeps the shuffle at one row per
@@ -601,6 +629,7 @@ object TextOps {
     Op("q_fts_phrase", ftsPhrase, Some(ftsPhraseSql)),
     Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
     Op("q_fts_near", ftsNear, Some(ftsNearSql)),
+    Op("q_fts_bool", ftsBool, Some(ftsBoolSql)),
     Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),

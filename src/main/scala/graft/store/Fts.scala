@@ -11,9 +11,12 @@ import graft.ingest.Transforms
   * maintained alongside the base table, queried by token equi-join.
   * Covers the FTS5 `MATCH` surface the reference exposes:
   *
-  *  - AND-of-terms (`spark window`)
+  *  - AND-of-terms (`spark window`), explicit `AND`
+  *  - boolean `OR` / binary `NOT` / parentheses at FTS5's precedence
+  *    (NOT > AND > OR, fts5parse.y)
   *  - quoted phrases (`"spark window"` — positional verify against the
-  *    per-posting position list, FTS5's poslist analog)
+  *    per-posting position list, FTS5's poslist analog), including the
+  *    prefix-phrase form (`"spark wind"*`)
   *  - trailing-`*` prefix terms (`spar*` — a `startsWith` range
   *    predicate on the token column, pushed to the parquet scan)
   *  - proximity (`NEAR(spark window, 5)` — positional span check over
@@ -213,80 +216,217 @@ object Fts {
             col("total_dl").cast("double") / col("n_docs").cast("double"))))
   }
 
-  // --- query parsing (FTS5 MATCH subset) -------------------------------
+  // --- query parsing (FTS5 MATCH surface) ------------------------------
 
   private[store] sealed trait Term
   private[store] case class Plain(tok: String) extends Term
   private[store] case class PrefixTerm(pre: String) extends Term
-  private[store] case class Phrase(toks: Seq[String]) extends Term
+  private[store] case class Phrase(toks: Seq[String], lastPrefix: Boolean = false) extends Term
   private[store] case class Near(a: String, b: String, n: Int) extends Term
+
+  /** Boolean MATCH expression (fts5parse.y grammar): leaves are match
+    * terms; AND is n-ary (FTS5's implicit connective between adjacent
+    * units), OR is n-ary, NOT is binary (`a NOT b` = a minus b).
+    * Precedence NOT > AND > OR, parentheses override.
+    */
+  private[store] sealed trait Node
+  private[store] case class TermNode(t: Term) extends Node
+  private[store] case class AndNode(kids: Seq[Node]) extends Node
+  private[store] case class OrNode(kids: Seq[Node]) extends Node
+  private[store] case class NotNode(incl: Node, excl: Node) extends Node
 
   private def tokenize(s: String): Seq[String] =
     s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
 
-  /** Parse the FTS5 MATCH subset: `"quoted phrase"`, `prefix*`,
-    * `NEAR(a b, n)` (two single-token operands — the common form; n
-    * defaults to FTS5's 10), bare terms — all implicitly ANDed (FTS5's
-    * default connective). A one-word quoted phrase degrades to a plain
-    * term; a `*` after a multi-token unit applies to the last token
-    * (FTS5 parses `ab-cd*` as a phrase with a prefix tail — same
-    * containment semantics here since all terms AND). FTS5's boolean
-    * operators (OR, NOT, column filters) are NOT parsed — uppercase OR
-    * degrades to the token `or`, like a tokenizer would see it.
+  private sealed trait Tok
+  private case class TTerm(t: Term) extends Tok
+  private case object TOr extends Tok
+  private case object TAnd extends Tok
+  private case object TNot extends Tok
+  private case object TLp extends Tok
+  private case object TRp extends Tok
+
+  /** Lex a MATCH query into term and operator tokens. Quoted phrases
+    * keep their content verbatim (a `NEAR(` inside quotes is phrase
+    * text, FTS5 tokenizes it); `NEAR(` is recognized only at a token
+    * start, so `UNNEAR(...)` is plain text, not a proximity operator;
+    * the boolean keywords must be standalone and uppercase (FTS5:
+    * lowercase `or` is just a token). A `*` at the tail of a quoted
+    * phrase — inside (`"ab cd*"`) or outside (`"ab cd"*`) the closing
+    * quote — makes the LAST phrase word a prefix, FTS5's prefix-phrase
+    * form. An empty phrase (`""`) contributes nothing.
     */
-  private[store] def parseQuery(query: String): Seq[Term] = {
-    // quoted phrases FIRST: a NEAR(...) inside quotes is phrase
-    // content (FTS5 tokenizes it), not a proximity operator
-    val quoted = "\"([^\"]*)\"".r
-    val phraseOnly = quoted.findAllMatchIn(query).map(_.group(1)).flatMap { p =>
-      tokenize(p) match {
-        case Seq()  => Seq.empty[Term]
-        case Seq(w) => Seq(Plain(w))
-        case ws     => Seq(Phrase(ws))
-      }
-    }.toSeq
-    val afterQuotes = quoted.replaceAllIn(query, " ")
-    val near = """NEAR\(([^,)]+)(?:,\s*(\d+))?\)""".r
-    val nearTerms = near.findAllMatchIn(afterQuotes).flatMap { m =>
-      val n = Option(m.group(2)).map { g =>
-        try g.toInt
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"NEAR distance out of range: $g") }
-      }.getOrElse(10)
-      require(n >= 0 && n < Int.MaxValue - 1, s"NEAR distance out of range: $n")
-      if (m.group(1).contains("*"))
-        throw new IllegalArgumentException(
-          s"NEAR operands must be plain tokens (no prefix *): ${m.group(1)}")
-      tokenize(m.group(1)) match {
-        case Seq(a, b) => Seq(Near(a, b, n))
-        case Seq(w)    => Seq(Plain(w)) // degenerate: NEAR of one term
-        case ws        =>
-          throw new IllegalArgumentException(
-            s"NEAR supports two single-token operands, got: ${ws.mkString(" ")}")
-      }
-    }.toSeq
-    val phraseTerms = phraseOnly ++ nearTerms
-    val rest = near.replaceAllIn(afterQuotes, " ")
-    val bareTerms = rest.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { unit =>
-      if (unit.endsWith("*"))
-        tokenize(unit.dropRight(1)) match {
-          case Seq()           => Seq.empty[Term]
-          case ws :+ last      => ws.map(Plain.apply) :+ PrefixTerm(last)
-        }
-      else tokenize(unit).map(Plain.apply)
+  private def lex(query: String): Seq[Tok] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    def unitChar(c: Char): Boolean =
+      !c.isWhitespace && c != '(' && c != ')' && c != '"'
+    def emitPhrase(ws: Seq[String], pfx: Boolean): Unit = ws match {
+      case Seq()             => ()
+      case Seq(w) if pfx     => out += TTerm(PrefixTerm(w))
+      case Seq(w)            => out += TTerm(Plain(w))
+      case more              => out += TTerm(Phrase(more, pfx))
     }
-    (phraseTerms ++ bareTerms).distinct
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TLp; i += 1 }
+      else if (c == ')') { out += TRp; i += 1 }
+      else if (c == '"') {
+        val end = query.indexOf('"', i + 1)
+        require(end >= 0, s"unterminated quote in MATCH query: $query")
+        val content = query.substring(i + 1, end)
+        i = end + 1
+        var pfx = content.trim.endsWith("*")
+        if (i < query.length && query.charAt(i) == '*') { pfx = true; i += 1 }
+        emitPhrase(tokenize(content), pfx)
+      } else if (query.startsWith("NEAR(", i)) {
+        val close = query.indexOf(')', i + 5)
+        require(close >= 0, s"unterminated NEAR( in MATCH query: $query")
+        out += TTerm(parseNear(query.substring(i + 5, close)))
+        i = close + 1
+      } else {
+        val start = i
+        while (i < query.length && unitChar(query.charAt(i))) i += 1
+        query.substring(start, i) match {
+          case "OR"  => out += TOr
+          case "AND" => out += TAnd
+          case "NOT" => out += TNot
+          case unit  =>
+            val pfx = unit.endsWith("*")
+            emitPhrase(tokenize(if (pfx) unit.dropRight(1) else unit), pfx)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** `a b, n` → Near(a, b, n); n defaults to FTS5's 10. */
+  private def parseNear(inner: String): Term = {
+    val parts = inner.split(",", 2)
+    val n = if (parts.length == 2) {
+      val g = parts(1).trim
+      if (!g.matches("\\d+"))
+        throw new IllegalArgumentException(s"NEAR distance out of range: $g")
+      g.toInt
+    } else 10
+    require(n >= 0 && n < Int.MaxValue - 1, s"NEAR distance out of range: $n")
+    if (parts(0).contains("*"))
+      throw new IllegalArgumentException(
+        s"NEAR operands must be plain tokens (no prefix *): ${parts(0)}")
+    tokenize(parts(0)) match {
+      case Seq(a, b) => Near(a, b, n)
+      case Seq(w)    => Plain(w) // degenerate: NEAR of one term
+      case ws        =>
+        throw new IllegalArgumentException(
+          s"NEAR supports two single-token operands, got: ${ws.mkString(" ")}")
+    }
+  }
+
+  /** Parse a MATCH query to its boolean tree (None = no terms at all).
+    * Grammar at FTS5 precedence (fts5parse.y: OR lowest, then AND,
+    * NOT tightest):
+    *
+    * {{{
+    * or   := and (OR and)*
+    * and  := not ((AND)? not)*        // adjacency = implicit AND
+    * not  := prim (NOT prim)*         // left-assoc: a NOT b NOT c
+    * prim := '(' or ')' | term
+    * }}}
+    *
+    * AND kids are dedup'd (repeating a term doesn't change the match
+    * set). Column filters (`col:term`) are not parsed — the index is
+    * single-column per table, documented in the README.
+    */
+  private[store] def parseQuery(query: String): Option[Node] = {
+    val toks = lex(query)
+    if (toks.isEmpty) return None
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def orExpr(): Node = {
+      var kids = List(andExpr())
+      while (peek.contains(TOr)) { pos += 1; kids ::= andExpr() }
+      kids match {
+        case single :: Nil => single
+        case many          => OrNode(many.reverse.distinct)
+      }
+    }
+    def andExpr(): Node = {
+      var kids = List(notExpr())
+      var more = true
+      while (more) peek match {
+        case Some(TAnd)              => pos += 1; kids ::= notExpr()
+        case Some(TTerm(_)) | Some(TLp) => kids ::= notExpr()
+        case _                       => more = false
+      }
+      kids match {
+        case single :: Nil => single
+        case many          => AndNode(many.reverse.distinct)
+      }
+    }
+    def notExpr(): Node = {
+      var left = primary()
+      while (peek.contains(TNot)) { pos += 1; left = NotNode(left, primary()) }
+      left
+    }
+    def primary(): Node = peek match {
+      case Some(TTerm(t)) => pos += 1; TermNode(t)
+      case Some(TLp) =>
+        pos += 1
+        val e = orExpr()
+        require(peek.contains(TRp), s"expected ) in MATCH query: $query")
+        pos += 1
+        e
+      case other =>
+        throw new IllegalArgumentException(
+          s"MATCH syntax error (operand expected, got $other): $query")
+    }
+    val root = orExpr()
+    require(pos == toks.length, s"MATCH syntax error (trailing tokens): $query")
+    Some(root)
+  }
+
+  /** Terms that contribute to a doc's relevance score: everything
+    * except the EXCLUDED side of a NOT (those terms can't occur in a
+    * matched doc, and FTS5's bm25 scores only the positive phrases).
+    */
+  private def positiveTerms(node: Node): Seq[Term] = node match {
+    case TermNode(t)     => Seq(t)
+    case AndNode(kids)   => kids.flatMap(positiveTerms)
+    case OrNode(kids)    => kids.flatMap(positiveTerms)
+    case NotNode(incl, _) => positiveTerms(incl)
+  }
+
+  /** The flat term list of a pure AND-of-terms tree (no OR/NOT/nesting)
+    * — the common MATCH shape, kept on the one-shuffle fast path.
+    */
+  private def pureAndTerms(node: Node): Option[Seq[Term]] = node match {
+    case TermNode(t) => Some(Seq(t))
+    case AndNode(kids) =>
+      val ts = kids.collect { case TermNode(t) => t }
+      if (ts.size == kids.size) Some(ts) else None
+    case _ => None
   }
 
   /** pks whose token stream contains `ws` consecutively: equi-join the
     * per-word postings (≤1 row per pk each — (pk, token) is unique),
     * then verify positions by shift-and-intersect: positions where the
     * phrase prefix ending at word i matches = (prev matches + 1) ∩
-    * positions(word i). All word scans are token-pruned.
+    * positions(word i). All word scans are token-pruned. With
+    * `lastPrefix` (FTS5's `"ab cd*"` prefix phrase) the LAST word
+    * matches any token carrying the prefix — its position list is the
+    * merged poslists of every such token (one extra groupBy, still
+    * token-pruned by the startsWith range predicate).
     */
-  private def phrasePks(idx: DataFrame, ws: Seq[String]): DataFrame = {
-    val parts = ws.zipWithIndex.map { case (w, i) =>
-      idx.filter(col("token") === w).select(col("pk"), col("positions").as(s"__p$i"))
+  private def phrasePks(idx: DataFrame, ws: Seq[String], lastPrefix: Boolean = false): DataFrame = {
+    val last = ws.size - 1
+    val parts = ws.zipWithIndex.map {
+      case (w, i) if i == last && lastPrefix =>
+        idx.filter(col("token").startsWith(w))
+          .groupBy(col("pk"))
+          .agg(sort_array(flatten(collect_list(col("positions")))).as(s"__p$i"))
+      case (w, i) =>
+        idx.filter(col("token") === w).select(col("pk"), col("positions").as(s"__p$i"))
     }
     val joined = parts.reduce((a, b) => a.join(b, Seq("pk")))
     val ends = (1 until ws.size).foldLeft(col("__p0")) { (acc, i) =>
@@ -314,34 +454,78 @@ object Fts {
       .select(col("pk"))
   }
 
-  /** FTS5 `MATCH` (implicit AND): pks satisfying every query term —
-    * plain terms via one groupBy-count intersection over the
-    * token-pruned postings (single shuffle), each phrase/prefix term
-    * via one additional pk-set semi-join.
+  /** Distinct pk set of one match term, token-pruned. */
+  private def termPks(idx: DataFrame, t: Term): DataFrame = t match {
+    case Plain(w) => // (pk, token) is unique, so already distinct
+      idx.filter(col("token") === w).select(col("pk"))
+    case PrefixTerm(p) =>
+      // startsWith pushes to the scan as a StringStartsWith filter;
+      // distinct because several tokens of one doc can share a prefix
+      idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
+    case Phrase(ws, pfx) => phrasePks(idx, ws, pfx)
+    case Near(a, b, n)   => nearPks(idx, a, b, n)
+  }
+
+  /** Distinct pk set of a boolean MATCH tree. AND of plain terms keeps
+    * the one-shuffle groupBy-count intersection; every other AND kid
+    * adds one pk-set semi-join. OR collapses its plain/prefix kids
+    * into ONE pruned scan + distinct (a single isin/startsWith
+    * disjunction), unions the rest. NOT is a left-anti join — the
+    * excluded side never expands beyond its own pk set.
+    */
+  private def evalPks(idx: DataFrame, node: Node): DataFrame = node match {
+    case TermNode(t) => termPks(idx, t)
+
+    case AndNode(kids) =>
+      val plains = kids.collect { case TermNode(Plain(w)) => w }.distinct
+      val others = kids.filterNot {
+        case TermNode(Plain(_)) => true
+        case _                  => false
+      }
+      val base: DataFrame =
+        if (plains.nonEmpty)
+          idx.filter(col("token").isin(plains: _*))
+            .groupBy(col("pk"))
+            .agg(countDistinct(col("token")).as("n_terms"))
+            .filter(col("n_terms") === plains.size)
+            .select(col("pk"))
+        else evalPks(idx, others.head)
+      val rest = if (plains.nonEmpty) others else others.tail
+      rest.foldLeft(base)((acc, k) => acc.join(evalPks(idx, k), Seq("pk"), "left_semi"))
+
+    case OrNode(kids) =>
+      val scanConds = kids.collect {
+        case TermNode(Plain(w))      => col("token") === w
+        case TermNode(PrefixTerm(p)) => col("token").startsWith(p)
+      }
+      val others = kids.filterNot {
+        case TermNode(Plain(_) | PrefixTerm(_)) => true
+        case _                                  => false
+      }
+      val scanned =
+        if (scanConds.nonEmpty)
+          Seq(idx.filter(scanConds.reduce(_ || _)).select(col("pk")))
+        else Seq.empty
+      (scanned ++ others.map(k => evalPks(idx, k))).reduce(_ unionByName _).distinct()
+
+    case NotNode(incl, excl) =>
+      evalPks(idx, incl).join(evalPks(idx, excl), Seq("pk"), "left_anti")
+  }
+
+  /** FTS5 `MATCH`: pks satisfying the boolean query — implicit AND
+    * between adjacent units, `OR`, binary `NOT`, parentheses, at
+    * FTS5's precedence (NOT > AND > OR). Plain-term ANDs run as one
+    * groupBy-count intersection over the token-pruned postings (single
+    * shuffle); each phrase/prefix/NEAR term adds one pk-set semi-join;
+    * OR unions pk sets (plain/prefix branches in one scan); NOT is a
+    * left-anti join.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
-    val terms = parseQuery(query)
     val idx = store.read(indexName(table))
-    if (terms.isEmpty) return idx.select(col("pk")).limit(0)
-    val plain = terms.collect { case Plain(t) => t }
-    val extra: Seq[DataFrame] = terms.collect {
-      case PrefixTerm(p) =>
-        // startsWith pushes to the scan as a StringStartsWith filter;
-        // distinct because several tokens of one doc can share a prefix
-        idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
-      case Phrase(ws)    => phrasePks(idx, ws)
-      case Near(a, b, n) => nearPks(idx, a, b, n)
+    parseQuery(query) match {
+      case None       => idx.select(col("pk")).limit(0)
+      case Some(node) => evalPks(idx, node).select(col("pk"))
     }
-    val base: DataFrame =
-      if (plain.nonEmpty)
-        idx.filter(col("token").isin(plain: _*))
-          .groupBy(col("pk"))
-          .agg(countDistinct(col("token")).as("n_terms"))
-          .filter(col("n_terms") === plain.size)
-          .select(col("pk"))
-      else extra.head
-    val rest = if (plain.nonEmpty) extra else extra.tail
-    rest.foldLeft(base)((acc, pks) => acc.join(pks, Seq("pk"))).select(col("pk"))
   }
 
   /** FTS5 `MATCH … ORDER BY rank`: matched pks scored with BM25
@@ -370,10 +554,11 @@ object Fts {
       query: String,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val terms = parseQuery(query)
     val idx = store.read(indexName(table))
-    if (terms.isEmpty)
-      return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
+    val node = parseQuery(query) match {
+      case Some(n) => n
+      case None    => return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
+    }
     val stats: DataFrame = store.readIfExists(statsName(table)) match {
       case Some(st) =>
         st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
@@ -381,23 +566,17 @@ object Fts {
         idx.select(col("pk"), col("dl")).distinct()
           .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     }
-    // one match condition per query term; a posting tags the term ids
-    // it satisfies so the AND check counts TERMS, not tokens (a doc
-    // with two tokens under one prefix satisfies one term)
-    val conds: Seq[Column] = terms.map {
-      case Plain(t)      => col("token") === t
+    def termCond(t: Term): Column = t match {
+      case Plain(w)      => col("token") === w
       case PrefixTerm(p) => col("token").startsWith(p)
-      case Phrase(ws)    => col("token").isin(ws.distinct: _*)
+      case Phrase(ws, pfx) =>
+        val base = if (pfx) ws.init else ws
+        val pre = if (pfx) Seq(col("token").startsWith(ws.last)) else Seq.empty
+        (pre ++ (if (base.nonEmpty) Seq(col("token").isin(base.distinct: _*)) else Seq.empty))
+          .reduce(_ || _)
       case Near(a, b, _) => col("token").isin(a, b)
     }
-    val termIds = filter(
-      array(conds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*),
-      x => x.isNotNull)
-    val matched = idx.filter(conds.reduce(_ || _))
-      .withColumn("__tids", termIds)
-    val docFreq = matched.groupBy(col("token"))
-      .agg(countDistinct(col("pk")).cast("double").as("df"))
-    val scored = matched
+    def bm25(matched: DataFrame, docFreq: DataFrame): DataFrame = matched
       .join(broadcast(docFreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -405,16 +584,53 @@ object Fts {
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("pk"))
-      .agg(size(array_distinct(flatten(collect_list(col("__tids"))))).as("n_terms"),
-        sum(col("s")).as("score"))
-      .filter(col("n_terms") === terms.size)
-    terms.collect {
-        case Phrase(ws)    => phrasePks(idx, ws)
-        case Near(a, b, n) => nearPks(idx, a, b, n)
-      }
-      .foldLeft(scored)((acc, pks) => acc.join(pks, Seq("pk")))
-      .select(col("pk"), col("score"))
-      .orderBy(col("score").desc, col("pk"))
+
+    pureAndTerms(node) match {
+      case Some(terms) =>
+        // pure-AND fast path: one pruned scan scores AND enforces —
+        // a posting tags the term ids it satisfies so the AND check
+        // counts TERMS, not tokens (a doc with two tokens under one
+        // prefix satisfies one term)
+        val conds = terms.map(termCond)
+        val termIds = filter(
+          array(conds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*),
+          x => x.isNotNull)
+        val matched = idx.filter(conds.reduce(_ || _))
+          .withColumn("__tids", termIds)
+        val docFreq = matched.groupBy(col("token"))
+          .agg(countDistinct(col("pk")).cast("double").as("df"))
+        val scored = bm25(matched, docFreq)
+          .groupBy(col("pk"))
+          .agg(size(array_distinct(flatten(collect_list(col("__tids"))))).as("n_terms"),
+            sum(col("s")).as("score"))
+          .filter(col("n_terms") === terms.size)
+        terms.collect {
+            case Phrase(ws, pfx) => phrasePks(idx, ws, pfx)
+            case Near(a, b, n)   => nearPks(idx, a, b, n)
+          }
+          .foldLeft(scored)((acc, pks) => acc.join(pks, Seq("pk")))
+          .select(col("pk"), col("score"))
+          .orderBy(col("score").desc, col("pk"))
+
+      case None =>
+        // boolean query: the match set comes from the tree evaluation;
+        // each matched doc is scored over the POSITIVE terms it
+        // contains (FTS5's bm25 scores the query's phrases — terms
+        // under a NOT's excluded side can't occur in a matched doc).
+        // df stays corpus-wide (computed before the match-set
+        // restriction) so a term scores identically here and on the
+        // fast path.
+        val matchedPks = evalPks(idx, node)
+        val terms = positiveTerms(node).distinct
+        val conds = terms.map(termCond)
+        val cand = idx.filter(conds.reduce(_ || _))
+        val docFreq = cand.groupBy(col("token"))
+          .agg(countDistinct(col("pk")).cast("double").as("df"))
+        bm25(cand.join(matchedPks, Seq("pk"), "left_semi"), docFreq)
+          .groupBy(col("pk"))
+          .agg(sum(col("s")).as("score"))
+          .select(col("pk"), col("score"))
+          .orderBy(col("score").desc, col("pk"))
+    }
   }
 }

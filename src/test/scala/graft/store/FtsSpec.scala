@@ -112,6 +112,66 @@ class FtsSpec extends SparkSpec {
     assert(hits("NEAR(echo echo, 3)") === Set(5L))
   }
 
+  test("boolean MATCH: OR / NOT / parens at FTS5 precedence (NOT > AND > OR)") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark streams join the window"),
+      (2L, "the quick brown fox"),
+      (3L, "spark window functions"),
+      (4L, "fox or window")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("spark OR fox") === Set(1L, 2L, 3L, 4L))
+    assert(hits("spark NOT functions") === Set(1L))
+    assert(hits("spark AND window") === Set(1L, 3L)) // explicit AND = implicit
+    // NOT binds tighter than OR: fox OR (spark NOT functions)
+    assert(hits("fox OR spark NOT functions") === Set(1L, 2L, 4L))
+    // NOT binds tighter than implicit AND: quick AND (fox NOT brown) = {}
+    assert(hits("quick fox NOT brown") === Set.empty)
+    assert(hits("(quick NOT absent) fox") === Set(2L)) // parens group
+    assert(hits("(spark OR quick) window") === Set(1L, 3L)) // OR under AND
+    assert(hits("fox or window") === Set(4L)) // lowercase or = a token (FTS5)
+    assert(hits("qui* OR functions") === Set(2L, 3L)) // prefix in OR branch
+    assert(hits("spark NOT \"spark window\"") === Set(1L)) // phrase under NOT
+    // left-assoc NOT chain: (spark NOT functions) NOT streams = {}
+    assert(hits("spark NOT functions NOT streams") === Set.empty)
+    // ranked boolean: same match set, scored over positive terms only
+    val ranked = Fts.searchRanked(spark, store, "tweets", "spark OR fox")
+      .collect()
+    assert(ranked.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    assert(ranked.forall(_.getDouble(1) > 0.0))
+    assert(Fts.searchRanked(spark, store, "tweets", "spark NOT functions")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // dangling operator is a syntax error, not a silent degrade
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "tweets", "spark OR").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "tweets", "(spark").collect()
+    }
+  }
+
+  test("prefix phrase: trailing * inside or after the closing quote") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark streams join the window"),
+      (2L, "spark window functions"),
+      (3L, "window spark here")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("\"spark wind*\"") === Set(2L)) // star inside the quotes
+    assert(hits("\"spark wind\"*") === Set(2L)) // star after the close quote
+    assert(hits("\"spark window\"") === Set(2L)) // exact phrase unchanged
+    // UNNEAR( is not a proximity operator (NEAR only at token start)
+    assert(hits("UNNEAR(spark window, 2)") === Set.empty) // unnear AND ... = {}
+  }
+
   test("ranked search: BM25 relevance order (FTS5 ORDER BY rank analog)") {
     val store = freshStore()
     val docs = Seq(
