@@ -89,9 +89,7 @@ object DedupOps {
     val sig = MinHashSig.minhashSig(spark, col("text"))
     val bandsArr = flatten(transform(
       filter(array(sig), s => s.isNotNull),
-      s => array(
-        struct(lit(0).as("band_idx"), substring(s, 1, 16).as("band")),
-        struct(lit(1).as("band_idx"), substring(s, 17, 16).as("band")))))
+      s => MinHashSig.bandKeys(s, nHashes = 4, bands = 2)))
     docs
       .select(col("doc_id"), explode(bandsArr).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"),
