@@ -260,20 +260,31 @@ object Archive {
         Seq.empty
       case Some((transformer, pk)) =>
         import spark.implicits._
+        // one-time rename migration: earlier versions of this repo
+        // wrote ni-devices under the corrected name; the reference
+        // spells it `ne-devices` (archive.py:140's typo, kept for
+        // drop-in parity). Old-name rows MIGRATE into the new-name
+        // table (insert-ignore keyed by the same pk convention, so
+        // rows already present under the new name win) before the old
+        // table drops — a re-import that doesn't cover them no longer
+        // silently loses device rows. BEFORE parsing: an empty `[]`
+        // re-import must still migrate, not drop-and-lose. When the
+        // import DOES carry ne-devices rows, the overwrite below still
+        // drop-and-recreates the table, per reference semantics.
+        if (stem == "ni-devices" && store.exists("archive_ni_devices")) {
+          val old = store.read("archive_ni_devices")
+          val keyCol = pk.getOrElse("pk")
+          val oldKeyed =
+            if (old.columns.contains(keyCol)) old
+            else old.withColumn("pk", HashId.hashIdOfAllColumns(old.schema))
+          store.insertIgnore("archive_ne_devices", oldKeyed, Seq(keyCol))
+          store.drop("archive_ni_devices")
+        }
         val json = extractJson(content)
         val parsed = spark.read.json(Seq(json).toDS)
         if (parsed.schema.fieldNames.isEmpty) return Seq.empty // e.g. "[]"
         transformer.tables(parsed).flatMap { case (table, rows) =>
           val tableName = "archive_" + table.replace("-", "_")
-          // one-time rename migration: earlier versions of this repo
-          // wrote ni-devices under the corrected name; the reference
-          // spells it `ne-devices` (archive.py:140's typo, kept for
-          // drop-in parity) — drop the old-name table so a re-import
-          // doesn't leave an orphan beside the new one. BEFORE the
-          // emptiness check: an empty re-import must still migrate.
-          if (tableName == "archive_ne_devices" &&
-              store.exists("archive_ni_devices"))
-            store.drop("archive_ni_devices")
           if (rows.isEmpty) None
           else {
             val keyed = pk match {

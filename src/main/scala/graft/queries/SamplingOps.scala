@@ -101,10 +101,18 @@ object SamplingOps {
         col("n_tokens"), col("bin"))
   }
 
-  /** Cluster-sized default: one packing shard per shuffle partition. */
-  def packIntoBins(docs: DataFrame, budget: Int): DataFrame =
-    packIntoBins(docs, budget,
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+  /** Cluster-sized default: one packing shard per shuffle partition.
+    * NOTE: because the conf is read at call time, the (shard, bin)
+    * assignment varies with the session's cluster sizing (and confs
+    * like "auto" don't parse at all — they fall back to 200 here);
+    * reproducible packing across environments requires the explicit
+    * `nShards` overload.
+    */
+  def packIntoBins(docs: DataFrame, budget: Int): DataFrame = {
+    val conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    val nShards = scala.util.Try(conf.toInt).toOption.filter(_ > 0).getOrElse(200)
+    packIntoBins(docs, budget, nShards)
+  }
 
   // The oracle-checked query keeps the original 8 shards so its SQL
   // stays engine-independent; callers sizing for a cluster use the

@@ -47,6 +47,15 @@ object Fts {
     */
   def statsName(table: String): String = s"${table}_fts_stats"
 
+  /** 1-row write-epoch marker. The incremental commit is a non-atomic
+    * multi-step write (partition overwrite → stats); the epoch is
+    * bumped HERE before the postings write and recorded in the stats
+    * row after it, so a crash inside the window leaves the two values
+    * disagreeing and the next upsert falls through to the wholesale
+    * rebuild instead of compounding stale BM25 totals forever.
+    */
+  def epochName(table: String): String = s"${table}_fts_epoch"
+
   /** Build/refresh index rows for a batch of (pk, text): one posting
     * per (pk, token) carrying the term frequency, the document's token
     * count, and the sorted token positions (FTS5's poslist) — the
@@ -110,7 +119,8 @@ object Fts {
       // through to the wholesale rebuild below instead
       case Some(ex) if ex.columns.contains("positions") &&
           existingBucketed && buckets > 0 &&
-          statsBucketCount(store, table).contains(buckets) =>
+          statsBucketCount(store, table).contains(buckets) &&
+          epochsAgree(store, table) =>
         val batchPks = batch.select(col(pkCol).as("pk")).distinct()
         // affected buckets derive from the BATCH pks (not from fresh
         // postings): a doc re-upserted with empty text has no fresh
@@ -132,6 +142,11 @@ object Fts {
             .withColumn(BucketCol, bucketOf(col("pk"), buckets))
             .repartition(col(BucketCol))
             .sortWithinPartitions(col("token")))
+        // bump the epoch BEFORE touching postings: a crash anywhere
+        // between here and writeStats leaves epoch ≠ stats.epoch and
+        // the next upsert rebuilds wholesale instead of trusting
+        // silently-stale BM25 totals
+        val epoch = writeEpoch(store, table)
         store.overwritePartitions(indexName(table), merged, Seq(BucketCol))
         // a bucket whose merged content is empty is absent from the
         // dynamic overwrite — clear its stale partition explicitly
@@ -139,7 +154,7 @@ object Fts {
           .collect().map(_.getLong(0)).toSet
         affected.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
-        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl, buckets)
+        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl, buckets, epoch)
 
       case _ =>
         // (re)build wholesale: first index of this table, a layout
@@ -159,6 +174,10 @@ object Fts {
               .unionByName(fresh)
           case None => fresh
         }
+        // epoch bump FIRST (same crash-window rule as the incremental
+        // path: any tear between here and writeStats forces the next
+        // upsert back through this self-healing wholesale rebuild)
+        val epoch = writeEpoch(store, table)
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
@@ -170,7 +189,7 @@ object Fts {
         // the price FTS5 pays in its docsize table — so ranked queries
         // read a broadcast 1-row table instead of re-aggregating
         val (n, dl) = docTotals(store.read(indexName(table)))
-        writeStats(store, table, n, dl, buckets)
+        writeStats(store, table, n, dl, buckets, epoch)
     }
     store.upsert(table, batch, Seq(pkCol))
   }
@@ -206,14 +225,50 @@ object Fts {
     }
 
   private def writeStats(
-      store: TableStore, table: String, nDocs: Long, totalDl: Long, buckets: Int): Unit = {
+      store: TableStore, table: String, nDocs: Long, totalDl: Long,
+      buckets: Int, epoch: Long): Unit = {
     val spark = store.spark
     import spark.implicits._
     store.overwrite(statsName(table),
-      Seq((nDocs, totalDl, buckets)).toDF("n_docs", "total_dl", "n_buckets")
+      Seq((nDocs, totalDl, buckets, epoch))
+        .toDF("n_docs", "total_dl", "n_buckets", "epoch")
         .withColumn("avgdl",
           when(col("n_docs") > 0,
             col("total_dl").cast("double") / col("n_docs").cast("double"))))
+  }
+
+  /** Bump and persist the 1-row write-epoch marker; returns the new
+    * value. Called BEFORE any postings write so a torn commit is
+    * detectable (epoch marker ahead of stats.epoch).
+    */
+  private def writeEpoch(store: TableStore, table: String): Long = {
+    val spark = store.spark
+    import spark.implicits._
+    val next = store.readIfExists(epochName(table))
+      .map(_.select(col("epoch")).head.getLong(0) + 1L).getOrElse(0L)
+    store.overwrite(epochName(table), Seq(next).toDF("epoch"))
+    next
+  }
+
+  /** True when the epoch marker and the stats row recorded the same
+    * write — the incremental path's integrity precondition. A store
+    * from before this guard (neither value present) counts as
+    * agreeing; any one-sided or mismatched state means a commit tore
+    * partway and the caller must rebuild wholesale.
+    */
+  private def epochsAgree(store: TableStore, table: String): Boolean = {
+    val marker = store.readIfExists(epochName(table))
+      .map(_.select(col("epoch")).head.getLong(0))
+    val recorded = store.readIfExists(statsName(table)).flatMap { st =>
+      if (st.columns.contains("epoch"))
+        Some(st.select(col("epoch")).head.getLong(0))
+      else None
+    }
+    (marker, recorded) match {
+      case (None, None)       => true
+      case (Some(a), Some(b)) => a == b
+      case _                  => false
+    }
   }
 
   // --- query parsing (FTS5 MATCH surface) ------------------------------

@@ -164,6 +164,19 @@ class ArchiveSpec extends SparkSpec {
     assert(store.read("archive_ne_devices").count() === 1)
   }
 
+  test("empty re-import migrates old ni_devices rows instead of losing them") {
+    val store = freshStore()
+    import spark.implicits._
+    store.overwrite("archive_ni_devices",
+      Seq(("old", "row")).toDF("category", "agent"))
+    Archive.importFromFile(spark, store, "ni-devices.js",
+      "window.YTD.ni_devices.part0 = []")
+    assert(!store.exists("archive_ni_devices"))
+    val rows = store.read("archive_ne_devices").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("category") === "old")
+  }
+
   test("personalization multi-output fan-out (archive.py:147-180)") {
     val store = freshStore()
     val content =

@@ -412,6 +412,37 @@ class FtsSpec extends SparkSpec {
     assert(mixed === Set(2L, 3L))
   }
 
+  test("torn commit (epoch mismatch) forces a self-healing wholesale rebuild") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark streams"),
+      (2L, "quick fox")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text", buckets = 4)
+    val oldEpoch = store.read(Fts.statsName("tweets")).head.getAs[Long]("epoch")
+
+    // simulate a crash between the postings write and the stats write:
+    // the epoch marker moved ahead, and the stats row still carries the
+    // old epoch WITH now-bogus totals
+    store.overwrite(Fts.epochName("tweets"), Seq(99L).toDF("epoch"))
+    store.overwrite(Fts.statsName("tweets"),
+      Seq((100L, 1000L, 4, oldEpoch, 10.0))
+        .toDF("n_docs", "total_dl", "n_buckets", "epoch", "avgdl"))
+
+    // next upsert must NOT trust the stale stats incrementally — the
+    // wholesale rebuild recomputes them from the actual postings
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((3L, "more spark text here")).toDF("id", "full_text"),
+      "id", "full_text", buckets = 4)
+    val st = store.read(Fts.statsName("tweets")).head
+    assert(st.getAs[Long]("n_docs") === 3L)
+    assert(st.getAs[Long]("total_dl") === (2 + 2 + 4))
+    // epoch marker and stats agree again → incremental path re-enabled
+    assert(st.getAs[Long]("epoch") ===
+      store.read(Fts.epochName("tweets")).head.getLong(0))
+    assert(Fts.search(spark, store, "tweets", "spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("bucket-count mismatch rebuilds instead of corrupting the index") {
     val store = freshStore()
     Fts.upsertWithIndex(store, "tweets",

@@ -9,7 +9,9 @@ Usage: python3 tools/bench_diff.py <old.json> <new.json> [threshold_pct]
 Exit code is always 0 — the report is informational (local[32] at
 sf0.1 has per-query jitter; the flag threshold, default 25%, is chosen
 to sit above it). Queries present on only one side are listed as
-added/removed, not regressions.
+added/removed, not regressions. See SCALING.md "Benchmark
+interpretation: the per-query job floor" for why sub-0.3 s queries
+are overhead-bound and how to read total-time deltas across rounds.
 """
 import json
 import sys
