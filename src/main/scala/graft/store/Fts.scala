@@ -14,6 +14,9 @@ import graft.ingest.Transforms
   *  - AND-of-terms (`spark window`), explicit `AND`
   *  - boolean `OR` / binary `NOT` / parentheses at FTS5's precedence
   *    (NOT > AND > OR, fts5parse.y)
+  *  - column filters (`name:simon`) against a multi-column index
+  *    (`upsertWithIndexCols` — the reference's users FTS spans
+  *    name/screen_name/description/location, utils.py:352)
   *  - quoted phrases (`"spark window"` — positional verify against the
   *    per-posting position list, FTS5's poslist analog), including the
   *    prefix-phrase form (`"spark wind"*`)
@@ -71,6 +74,26 @@ object Fts {
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("pk"), col("token"), col("tf"), col("dl"), col("positions"))
 
+  /** Multi-column index rows `(pk, fcol, token, tf, dl, positions)`:
+    * one posting per (pk, column, token). dl and positions are PER
+    * COLUMN — FTS5's model (each indexed column is its own position
+    * space and scoring unit; the reference's users index spans
+    * name/screen_name/description/location, `/root/reference/
+    * utils.py:352`). Phrases and NEAR never span columns.
+    */
+  def indexRowsCols(batch: DataFrame, pkCol: String, textCols: Seq[String]): DataFrame =
+    batch
+      .select(col(pkCol).as("pk"),
+        explode(array(textCols.map(tc =>
+          struct(lit(tc).as("fcol"),
+            Transforms.tokens(col(tc)).as("toks"))): _*)).as("c"))
+      .select(col("pk"), col("c.fcol").as("fcol"),
+        size(col("c.toks")).cast("long").as("dl"),
+        posexplode(col("c.toks")).as(Seq("pos", "token")))
+      .groupBy(col("pk"), col("fcol"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("pk"), col("fcol"), col("token"), col("tf"), col("dl"), col("positions"))
+
   /** Partition column of the bucketed postings layout. */
   private val BucketCol = "pk_bucket"
 
@@ -102,12 +125,30 @@ object Fts {
       batch: DataFrame,
       pkCol: String,
       textCol: String,
+      buckets: Int = 0): Unit =
+    upsertWithIndexCols(store, table, batch, pkCol, Seq(textCol), buckets)
+
+  /** Multi-column variant: index `textCols` with per-column postings
+    * (fcol layout) so `col:term` MATCH filters work. A single column
+    * keeps the compact fcol-less layout; switching a table between
+    * the two (or changing the column set) rebuilds wholesale once.
+    */
+  def upsertWithIndexCols(
+      store: TableStore,
+      table: String,
+      batch: DataFrame,
+      pkCol: String,
+      textCols: Seq[String],
       buckets: Int = 0): Unit = {
+    require(textCols.nonEmpty, "at least one indexed column required")
     // Index FIRST, base table second: `batch` may lazily reference the
     // base table's current parquet files (e.g. a reindex of the table
     // itself), and TableStore's write-swap deletes them — any plan
     // still pointing at the old files would fail afterwards.
-    val fresh = indexRows(batch, pkCol, textCol)
+    val multi = textCols.size > 1
+    val fresh =
+      if (multi) indexRowsCols(batch, pkCol, textCols)
+      else indexRows(batch, pkCol, textCols.head)
     val existing = store.readIfExists(indexName(table))
     val existingBucketed = existing.exists(_.columns.contains(BucketCol))
 
@@ -118,6 +159,8 @@ object Fts {
       // would silently leave stale postings behind — a mismatch falls
       // through to the wholesale rebuild below instead
       case Some(ex) if ex.columns.contains("positions") &&
+          ex.columns.contains("fcol") == multi &&
+          statsCols(store, table).forall(_ == textCols) &&
           existingBucketed && buckets > 0 &&
           statsBucketCount(store, table).contains(buckets) &&
           epochsAgree(store, table) =>
@@ -154,19 +197,27 @@ object Fts {
           .collect().map(_.getLong(0)).toSet
         affected.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
-        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl, buckets, epoch)
+        writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl,
+          buckets, epoch, textCols)
 
       case _ =>
         // (re)build wholesale: first index of this table, a layout
-        // switch (bucketed <-> flat), or a pre-positions migration
+        // switch (bucketed <-> flat, single <-> multi column, changed
+        // column set), or a pre-positions migration
+        def rebuildFromBase: DataFrame = {
+          // the old index's schema can't union with the new layout, so
+          // re-derive the postings from the post-upsert base table
+          // (the text lives there)
+          val full = Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
+            .select((pkCol +: textCols).map(col): _*)
+          if (multi) indexRowsCols(full, pkCol, textCols)
+          else indexRows(full, pkCol, textCols.head)
+        }
         val flat = existing match {
-          case Some(ex) if !ex.columns.contains("positions") =>
-            // pre-positions index layout ((pk, token) or (pk, token,
-            // tf, dl)): a union would fail to resolve the new columns,
-            // so rebuild the postings wholesale from the post-upsert
-            // base table (the text lives there)
-            indexRows(Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
-              .select(col(pkCol), col(textCol)), pkCol, textCol)
+          case Some(ex) if !ex.columns.contains("positions") ||
+              ex.columns.contains("fcol") != multi ||
+              !statsCols(store, table).forall(_ == textCols) =>
+            rebuildFromBase
           case Some(ex) =>
             // drop all index rows of the re-upserted pks, then add fresh
             ex.drop(BucketCol)
@@ -189,19 +240,26 @@ object Fts {
         // the price FTS5 pays in its docsize table — so ranked queries
         // read a broadcast 1-row table instead of re-aggregating
         val (n, dl) = docTotals(store.read(indexName(table)))
-        writeStats(store, table, n, dl, buckets, epoch)
+        writeStats(store, table, n, dl, buckets, epoch, textCols)
     }
     store.upsert(table, batch, Seq(pkCol))
   }
 
   /** (distinct docs, summed dl) of a postings slice — dl is constant
-    * per pk, so the distinct collapses to one row per doc.
+    * per pk (per (pk, fcol) on the multi-column layout), so the
+    * distinct collapses to one row per doc/column and n_docs counts
+    * distinct pks.
     */
-  private def docTotals(postings: DataFrame): (Long, Long) = {
-    val r = postings.select(col("pk"), col("dl")).distinct()
-      .agg(count(lit(1)), sum(col("dl"))).head
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def docTotals(postings: DataFrame): (Long, Long) =
+    if (postings.columns.contains("fcol")) {
+      val r = postings.select(col("pk"), col("fcol"), col("dl")).distinct()
+        .agg(countDistinct(col("pk")), sum(col("dl"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    } else {
+      val r = postings.select(col("pk"), col("dl")).distinct()
+        .agg(count(lit(1)), sum(col("dl"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
 
   /** Current (n_docs, total_dl); legacy stats rows without total_dl
     * (or no stats table) recompute once from the index.
@@ -226,16 +284,26 @@ object Fts {
 
   private def writeStats(
       store: TableStore, table: String, nDocs: Long, totalDl: Long,
-      buckets: Int, epoch: Long): Unit = {
+      buckets: Int, epoch: Long, cols: Seq[String]): Unit = {
     val spark = store.spark
     import spark.implicits._
     store.overwrite(statsName(table),
-      Seq((nDocs, totalDl, buckets, epoch))
-        .toDF("n_docs", "total_dl", "n_buckets", "epoch")
+      Seq((nDocs, totalDl, buckets, epoch, cols.mkString(",")))
+        .toDF("n_docs", "total_dl", "n_buckets", "epoch", "cols")
         .withColumn("avgdl",
           when(col("n_docs") > 0,
             col("total_dl").cast("double") / col("n_docs").cast("double"))))
   }
+
+  /** Indexed column names recorded in the stats row (None = legacy
+    * stats from before multi-column support).
+    */
+  private def statsCols(store: TableStore, table: String): Option[Seq[String]] =
+    store.readIfExists(statsName(table)).flatMap { st =>
+      if (st.columns.contains("cols"))
+        Some(st.select(col("cols")).head.getString(0).split(",", -1).toSeq)
+      else None
+    }
 
   /** Bump and persist the 1-row write-epoch marker; returns the new
     * value. Called BEFORE any postings write so a torn commit is
@@ -278,6 +346,10 @@ object Fts {
   private[store] case class PrefixTerm(pre: String) extends Term
   private[store] case class Phrase(toks: Seq[String], lastPrefix: Boolean = false) extends Term
   private[store] case class Near(a: String, b: String, n: Int) extends Term
+  /** FTS5 column filter `col:term` — restricts the inner term to one
+    * indexed column; requires the multi-column (fcol) index layout.
+    */
+  private[store] case class ColFiltered(fcol: String, t: Term) extends Term
 
   /** Boolean MATCH expression (fts5parse.y grammar): leaves are match
     * terms; AND is n-ary (FTS5's implicit connective between adjacent
@@ -295,6 +367,7 @@ object Fts {
 
   private sealed trait Tok
   private case class TTerm(t: Term) extends Tok
+  private case class TCol(name: String) extends Tok
   private case object TOr extends Tok
   private case object TAnd extends Tok
   private case object TNot extends Tok
@@ -342,14 +415,25 @@ object Fts {
         i = close + 1
       } else {
         val start = i
-        while (i < query.length && unitChar(query.charAt(i))) i += 1
-        query.substring(start, i) match {
-          case "OR"  => out += TOr
-          case "AND" => out += TAnd
-          case "NOT" => out += TNot
-          case unit  =>
-            val pfx = unit.endsWith("*")
-            emitPhrase(tokenize(if (pfx) unit.dropRight(1) else unit), pfx)
+        while (i < query.length && unitChar(query.charAt(i)) &&
+          query.charAt(i) != ':') i += 1
+        // `name:` at a token start is an FTS5 column filter; the
+        // filtered operand (word, "phrase", prefix*, NEAR(...)) lexes
+        // on the next loop turn
+        if (i < query.length && query.charAt(i) == ':' && i > start &&
+            query.substring(start, i).matches("\\w+")) {
+          out += TCol(query.substring(start, i))
+          i += 1
+        } else {
+          while (i < query.length && unitChar(query.charAt(i))) i += 1
+          query.substring(start, i) match {
+            case "OR"  => out += TOr
+            case "AND" => out += TAnd
+            case "NOT" => out += TNot
+            case unit  =>
+              val pfx = unit.endsWith("*")
+              emitPhrase(tokenize(if (pfx) unit.dropRight(1) else unit), pfx)
+          }
         }
       }
     }
@@ -390,8 +474,9 @@ object Fts {
     * }}}
     *
     * AND kids are dedup'd (repeating a term doesn't change the match
-    * set). Column filters (`col:term`) are not parsed — the index is
-    * single-column per table, documented in the README.
+    * set). Column filters (`col:term`, `col:"a phrase"`, `col:pre*`,
+    * `col:NEAR(a b)`) parse as ColFiltered leaves and require the
+    * multi-column index layout at evaluation time.
     */
   private[store] def parseQuery(query: String): Option[Node] = {
     val toks = lex(query)
@@ -410,9 +495,9 @@ object Fts {
       var kids = List(notExpr())
       var more = true
       while (more) peek match {
-        case Some(TAnd)              => pos += 1; kids ::= notExpr()
-        case Some(TTerm(_)) | Some(TLp) => kids ::= notExpr()
-        case _                       => more = false
+        case Some(TAnd)                              => pos += 1; kids ::= notExpr()
+        case Some(TTerm(_)) | Some(TCol(_)) | Some(TLp) => kids ::= notExpr()
+        case _                                       => more = false
       }
       kids match {
         case single :: Nil => single
@@ -426,6 +511,14 @@ object Fts {
     }
     def primary(): Node = peek match {
       case Some(TTerm(t)) => pos += 1; TermNode(t)
+      case Some(TCol(name)) =>
+        pos += 1
+        peek match {
+          case Some(TTerm(t)) => pos += 1; TermNode(ColFiltered(name, t))
+          case other =>
+            throw new IllegalArgumentException(
+              s"MATCH syntax error (term expected after $name:, got $other): $query")
+        }
       case Some(TLp) =>
         pos += 1
         val e = orExpr()
@@ -473,21 +566,30 @@ object Fts {
     * merged poslists of every such token (one extra groupBy, still
     * token-pruned by the startsWith range predicate).
     */
-  private def phrasePks(idx: DataFrame, ws: Seq[String], lastPrefix: Boolean = false): DataFrame = {
+  private def phrasePks(
+      idx: DataFrame, ws: Seq[String], lastPrefix: Boolean = false,
+      multi: Boolean = false): DataFrame = {
+    // on the multi-column layout a phrase must stay inside ONE column
+    // (each column is its own position space — FTS5), so the per-word
+    // joins key on (pk, fcol) and the final pk set dedups
+    val keys = if (multi) Seq("pk", "fcol") else Seq("pk")
+    val keyCols = keys.map(col)
     val last = ws.size - 1
     val parts = ws.zipWithIndex.map {
       case (w, i) if i == last && lastPrefix =>
         idx.filter(col("token").startsWith(w))
-          .groupBy(col("pk"))
+          .groupBy(keyCols: _*)
           .agg(sort_array(flatten(collect_list(col("positions")))).as(s"__p$i"))
       case (w, i) =>
-        idx.filter(col("token") === w).select(col("pk"), col("positions").as(s"__p$i"))
+        idx.filter(col("token") === w)
+          .select(keyCols :+ col("positions").as(s"__p$i"): _*)
     }
-    val joined = parts.reduce((a, b) => a.join(b, Seq("pk")))
+    val joined = parts.reduce((a, b) => a.join(b, keys))
     val ends = (1 until ws.size).foldLeft(col("__p0")) { (acc, i) =>
       array_intersect(transform(acc, x => x + 1), col(s"__p$i"))
     }
-    joined.filter(size(ends) > 0).select(col("pk"))
+    val out = joined.filter(size(ends) > 0).select(col("pk"))
+    if (multi) out.distinct() else out
   }
 
   /** pks where tokens `a` and `b` occur within `n` intervening tokens
@@ -496,29 +598,44 @@ object Fts {
     * join shape as a 2-word phrase; a NEAR of a term with itself needs
     * two distinct occurrences.
     */
-  private def nearPks(idx: DataFrame, a: String, b: String, n: Int): DataFrame = {
+  private def nearPks(
+      idx: DataFrame, a: String, b: String, n: Int,
+      multi: Boolean = false): DataFrame = {
+    val keys = if (multi) Seq("pk", "fcol") else Seq("pk")
+    val keyCols = keys.map(col)
     val pa = idx.filter(col("token") === a)
-      .select(col("pk"), col("positions").as("__pa"))
+      .select(keyCols :+ col("positions").as("__pa"): _*)
     val pb = idx.filter(col("token") === b)
-      .select(col("pk"), col("positions").as("__pb"))
+      .select(keyCols :+ col("positions").as("__pb"): _*)
     val withinSpan: (Column, Column) => Column = (x, y) =>
       if (a == b) abs(x - y) <= n + 1 && x =!= y
       else abs(x - y) <= n + 1
-    pa.join(pb, Seq("pk"))
+    val out = pa.join(pb, keys)
       .filter(exists(col("__pa"), x => exists(col("__pb"), y => withinSpan(x, y))))
       .select(col("pk"))
+    if (multi) out.distinct() else out
   }
 
   /** Distinct pk set of one match term, token-pruned. */
-  private def termPks(idx: DataFrame, t: Term): DataFrame = t match {
-    case Plain(w) => // (pk, token) is unique, so already distinct
-      idx.filter(col("token") === w).select(col("pk"))
+  private def termPks(idx: DataFrame, t: Term, multi: Boolean): DataFrame = t match {
+    case Plain(w) =>
+      // (pk, token) is unique on the single-column layout; on the
+      // multi-column one a token can post under several columns
+      val pks = idx.filter(col("token") === w).select(col("pk"))
+      if (multi) pks.distinct() else pks
     case PrefixTerm(p) =>
       // startsWith pushes to the scan as a StringStartsWith filter;
       // distinct because several tokens of one doc can share a prefix
       idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
-    case Phrase(ws, pfx) => phrasePks(idx, ws, pfx)
-    case Near(a, b, n)   => nearPks(idx, a, b, n)
+    case Phrase(ws, pfx) => phrasePks(idx, ws, pfx, multi)
+    case Near(a, b, n)   => nearPks(idx, a, b, n, multi)
+    case ColFiltered(c, inner) =>
+      // restrict to one column FIRST; the filtered slice has
+      // single-column uniqueness, so the inner term evaluates with
+      // multi = false (phrase joins key on pk alone again)
+      require(multi,
+        s"column filter '$c:' requires a multi-column index (upsertWithIndexCols)")
+      termPks(idx.filter(col("fcol") === c), inner, multi = false)
   }
 
   /** Distinct pk set of a boolean MATCH tree. AND of plain terms keeps
@@ -528,8 +645,8 @@ object Fts {
     * disjunction), unions the rest. NOT is a left-anti join — the
     * excluded side never expands beyond its own pk set.
     */
-  private def evalPks(idx: DataFrame, node: Node): DataFrame = node match {
-    case TermNode(t) => termPks(idx, t)
+  private def evalPks(idx: DataFrame, node: Node, multi: Boolean): DataFrame = node match {
+    case TermNode(t) => termPks(idx, t, multi)
 
     case AndNode(kids) =>
       val plains = kids.collect { case TermNode(Plain(w)) => w }.distinct
@@ -539,14 +656,17 @@ object Fts {
       }
       val base: DataFrame =
         if (plains.nonEmpty)
+          // countDistinct(token) collapses multi-column duplicates, so
+          // this intersection is layout-independent
           idx.filter(col("token").isin(plains: _*))
             .groupBy(col("pk"))
             .agg(countDistinct(col("token")).as("n_terms"))
             .filter(col("n_terms") === plains.size)
             .select(col("pk"))
-        else evalPks(idx, others.head)
+        else evalPks(idx, others.head, multi)
       val rest = if (plains.nonEmpty) others else others.tail
-      rest.foldLeft(base)((acc, k) => acc.join(evalPks(idx, k), Seq("pk"), "left_semi"))
+      rest.foldLeft(base)((acc, k) =>
+        acc.join(evalPks(idx, k, multi), Seq("pk"), "left_semi"))
 
     case OrNode(kids) =>
       val scanConds = kids.collect {
@@ -561,10 +681,11 @@ object Fts {
         if (scanConds.nonEmpty)
           Seq(idx.filter(scanConds.reduce(_ || _)).select(col("pk")))
         else Seq.empty
-      (scanned ++ others.map(k => evalPks(idx, k))).reduce(_ unionByName _).distinct()
+      (scanned ++ others.map(k => evalPks(idx, k, multi)))
+        .reduce(_ unionByName _).distinct()
 
     case NotNode(incl, excl) =>
-      evalPks(idx, incl).join(evalPks(idx, excl), Seq("pk"), "left_anti")
+      evalPks(idx, incl, multi).join(evalPks(idx, excl, multi), Seq("pk"), "left_anti")
   }
 
   /** FTS5 `MATCH`: pks satisfying the boolean query — implicit AND
@@ -577,9 +698,38 @@ object Fts {
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
     val idx = store.read(indexName(table))
+    val multi = idx.columns.contains("fcol")
     parseQuery(query) match {
-      case None       => idx.select(col("pk")).limit(0)
-      case Some(node) => evalPks(idx, node).select(col("pk"))
+      case None => idx.select(col("pk")).limit(0)
+      case Some(node) =>
+        validateColFilters(store, table, node, multi)
+        evalPks(idx, node, multi).select(col("pk"))
+    }
+  }
+
+  /** Column filters referenced by the query tree. */
+  private def colFilterNames(node: Node): Seq[String] = node match {
+    case TermNode(ColFiltered(c, _)) => Seq(c)
+    case TermNode(_)                 => Nil
+    case AndNode(ks)                 => ks.flatMap(colFilterNames)
+    case OrNode(ks)                  => ks.flatMap(colFilterNames)
+    case NotNode(a, b)               => colFilterNames(a) ++ colFilterNames(b)
+  }
+
+  /** FTS5 errors on a column filter naming an unindexed column; so do
+    * we, against the column list recorded in the stats row (a legacy
+    * multi-column store without it skips the name check).
+    */
+  private def validateColFilters(
+      store: TableStore, table: String, node: Node, multi: Boolean): Unit = {
+    val names = colFilterNames(node).distinct
+    if (names.isEmpty) return
+    require(multi,
+      s"column filters (${names.mkString(", ")}) require a multi-column index " +
+        "(upsertWithIndexCols)")
+    statsCols(store, table).foreach { known =>
+      names.foreach(n => require(known.contains(n),
+        s"no such fts column: $n (indexed: ${known.mkString(", ")})"))
     }
   }
 
@@ -610,10 +760,12 @@ object Fts {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val idx = store.read(indexName(table))
+    val multi = idx.columns.contains("fcol")
     val node = parseQuery(query) match {
       case Some(n) => n
       case None    => return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
     }
+    validateColFilters(store, table, node, multi)
     val stats: DataFrame = store.readIfExists(statsName(table)) match {
       case Some(st) =>
         st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
@@ -629,7 +781,22 @@ object Fts {
         val pre = if (pfx) Seq(col("token").startsWith(ws.last)) else Seq.empty
         (pre ++ (if (base.nonEmpty) Seq(col("token").isin(base.distinct: _*)) else Seq.empty))
           .reduce(_ || _)
-      case Near(a, b, _) => col("token").isin(a, b)
+      case Near(a, b, _)         => col("token").isin(a, b)
+      case ColFiltered(c, inner) => col("fcol") === c && termCond(inner)
+    }
+    // positional (phrase/NEAR) enforcement of one term, column-scoped
+    // when the term carries a col: filter
+    def positionalPks(t: Term): Option[DataFrame] = t match {
+      case Phrase(ws, pfx) => Some(phrasePks(idx, ws, pfx, multi))
+      case Near(a, b, n)   => Some(nearPks(idx, a, b, n, multi))
+      case ColFiltered(c, inner) =>
+        val scoped = idx.filter(col("fcol") === c)
+        inner match {
+          case Phrase(ws, pfx) => Some(phrasePks(scoped, ws, pfx))
+          case Near(a, b, n)   => Some(nearPks(scoped, a, b, n))
+          case _               => None
+        }
+      case _ => None
     }
     def bm25(matched: DataFrame, docFreq: DataFrame): DataFrame = matched
       .join(broadcast(docFreq), Seq("token"))
@@ -659,10 +826,7 @@ object Fts {
           .agg(size(array_distinct(flatten(collect_list(col("__tids"))))).as("n_terms"),
             sum(col("s")).as("score"))
           .filter(col("n_terms") === terms.size)
-        terms.collect {
-            case Phrase(ws, pfx) => phrasePks(idx, ws, pfx)
-            case Near(a, b, n)   => nearPks(idx, a, b, n)
-          }
+        terms.flatMap(positionalPks)
           .foldLeft(scored)((acc, pks) => acc.join(pks, Seq("pk")))
           .select(col("pk"), col("score"))
           .orderBy(col("score").desc, col("pk"))
@@ -675,7 +839,7 @@ object Fts {
         // df stays corpus-wide (computed before the match-set
         // restriction) so a term scores identically here and on the
         // fast path.
-        val matchedPks = evalPks(idx, node)
+        val matchedPks = evalPks(idx, node, multi)
         val terms = positiveTerms(node).distinct
         val conds = terms.map(termCond)
         val cand = idx.filter(conds.reduce(_ || _))
