@@ -190,20 +190,37 @@ object DedupOps {
   // popular (source, lang, length) cell at 100 TB holds millions of
   // docs), and the grid split bounds every task's expansion at
   // ~cellSize² while emitting the identical pair set — each doc lives
-  // in exactly one block, so no cross-block dedup is needed. `source`
-  // rides as pair payload (constant within a block) so the per-source
-  // rollup needs no join back.
+  // in exactly one block, so no cross-block dedup is needed. The
+  // expansion carries IDS ONLY (plus the constant-per-block source for
+  // the rollup): shipping token sets through the grid's two shuffles
+  // and its sorted task lists roughly tripled this query's cost
+  // (measured 0.27 s → 0.75 s at sf0.1) and would dominate at scale;
+  // instead the token sets join back onto the (small) pair set from
+  // the pinned docs frame — the same O(candidates) shape as
+  // jaccardVerify.
   def jaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Catalog.table(spark, sfDir, "documents")
+    import graft.store.Iteration.materialize
+    // materialize: the pair branch and the two token join-backs all
+    // read `docs`; without pinning, Spark would re-tokenize the corpus
+    // once per branch (no cross-branch CSE)
+    val docs = materialize(Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         (col("n_chars") / lit(100)).cast("long").as("len_bucket"),
-        array_distinct(Transforms.tokens(col("text"))).as("toks"))
-    graft.store.PairExpansion.pairsWithinBuckets(
-        docs, keyCols = Seq("source", "lang", "len_bucket"),
-        idCol = "doc_id", payloadCols = Seq("source", "toks"))
-      .select(col("a.source").as("source"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+        array_distinct(Transforms.tokens(col("text"))).as("toks")))
+    val pairs = graft.store.PairExpansion.pairsWithinBuckets(
+        docs.select(col("doc_id"), col("source"), col("lang"), col("len_bucket")),
+        keyCols = Seq("source", "lang", "len_bucket"),
+        idCol = "doc_id", payloadCols = Seq("source"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.source").as("source"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .select(col("source"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
           .as("jaccard"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -230,20 +230,30 @@ object SimilarityOps {
   // q_embed_near_dup — embedding-cosine near-duplicate detection,
   // bucketed: candidate pairs share an LSH bucket, verified by exact
   // cosine above threshold. Pair generation goes through
-  // store/PairExpansion (payload = embedding + norm): with 256 sign
-  // buckets over N vectors, per-bucket membership grows ~N/256 and a
-  // plain in-bucket self-join is an unbounded quadratic inside one
-  // task — the grid split bounds per-task expansion at ~cellSize²
-  // while emitting the identical pair set (each vector is in exactly
-  // one bucket, so pairs are already unique).
+  // store/PairExpansion: with 256 sign buckets over N vectors,
+  // per-bucket membership grows ~N/256 and a plain in-bucket self-join
+  // is an unbounded quadratic inside one task — the grid split bounds
+  // per-task expansion at ~cellSize² while emitting the identical pair
+  // set (each vector is in exactly one bucket, so pairs are already
+  // unique). The expansion carries IDS ONLY: 64-dim embeddings through
+  // the grid's two shuffles and sorted task lists cost ~1.6× at sf0.1
+  // and would dominate at scale; the vectors join back onto the small
+  // verified-candidate pair set from the pinned frame instead.
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = withBucketAndNorm(spark, sfDir)
+    import graft.store.Iteration.materialize
+    // materialize: pair branch + two vector join-backs all read `emb`;
+    // unpinned, the hyperplane bucketing would recompute per branch
+    val emb = materialize(withBucketAndNorm(spark, sfDir))
     graft.store.PairExpansion.pairsWithinBuckets(
-        emb, keyCols = Seq("bucket"), idCol = "vec_id",
-        payloadCols = Seq("e", "norm"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.e"), col("b.e")) / (col("a.norm") * col("b.norm")))
-          .as("cosine"))
+        emb.select(col("vec_id"), col("bucket")),
+        keyCols = Seq("bucket"), idCol = "vec_id")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .join(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("norm").as("na")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("norm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") > 0.25)
       .orderBy(col("vec_a"), col("vec_b"))
   }

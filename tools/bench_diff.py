@@ -33,6 +33,15 @@ def load(path):
     if start >= 0:
         end = tail.find("\n", start)
         return json.loads(tail[start:end if end > 0 else len(tail)])
+    # head-truncated tail (the driver keeps only the LAST N chars, so
+    # the bench line may have lost its '{"metric"' prefix): reattach it
+    start = tail.find(':"total"')
+    if start >= 0:
+        line = ('{"metric"' + tail[start:]).splitlines()[0]
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            pass
     raise SystemExit(f"{path}: neither a driver wrapper nor a bench line")
 
 
