@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.store.{Ivf, Pq, TableStore}
+
+/** Streaming maintenance of the persisted vector indexes — the
+  * embedding-side analog of [[StreamFts]]: as vectors stream in, the
+  * PQ code table and/or the IVF cell partitions stay queryable
+  * without ever re-encoding or re-assigning the corpus.
+  *
+  * Each micro-batch runs the SAME store maintenance the batch path
+  * uses (`Pq.upsertWithCodes` / `Ivf.upsertWithCells`): encode or
+  * assign the batch against the PERSISTED books/centroids (O(batch)),
+  * replace by pk. Training stays a batch-time concern — a stream
+  * never retrains codebooks or centroids mid-flight (that would
+  * silently re-interpret every previously stored code); production
+  * retrains offline and rebuilds via `buildIndex`.
+  *
+  * Exactly-once composition: checkpointed source offsets + idempotent
+  * by-pk replacement, the same contract as StreamNormalize/StreamFts.
+  */
+object StreamVectors {
+
+  /** foreachBatch handler maintaining the PQ code table. Requires
+    * `Pq.buildIndex` to have trained and written the books.
+    */
+  def pqSink(
+      store: TableStore, table: String, pkCol: String, embCol: String,
+      slices: Int = 8, subDim: Int = 8): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        Pq.upsertWithCodes(store, table, batch, pkCol, embCol, slices, subDim)
+
+  /** foreachBatch handler maintaining the IVF cell partitions.
+    * Requires `Ivf.buildIndex` to have trained and written centroids.
+    */
+  def ivfSink(
+      store: TableStore, table: String, pkCol: String, embCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        Ivf.upsertWithCells(store, table, batch, pkCol, embCol)
+
+  /** Wire a streaming (pk, embedding, …) frame into the PQ sink. */
+  def writePqIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String,
+      slices: Int = 8, subDim: Int = 8): StreamingQuery =
+    start(vectors, checkpointDir,
+      pqSink(store, table, pkCol, embCol, slices, subDim))
+
+  /** Wire a streaming (pk, embedding, …) frame into the IVF sink. */
+  def writeIvfIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
+    start(vectors, checkpointDir, ivfSink(store, table, pkCol, embCol))
+
+  private def start(
+      vectors: DataFrame, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer: DataStreamWriter[Row] = vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+    writer.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(batch, id)
+    }.start()
+  }
+}
