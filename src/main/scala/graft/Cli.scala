@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.ingest.Archive
-import graft.store.{Fts, SqliteCompat, TableStore}
+import graft.store.{Fts, Ivf, Pq, SqliteCompat, TableStore}
 
 /** Thin command surface mirroring the reference CLI's offline
   * commands (the network-bound commands — user-timeline, search,
@@ -14,9 +14,15 @@ import graft.store.{Fts, SqliteCompat, TableStore}
   *   save-tweets <store> <tweets.json>     batch save_tweets (K1)
   *   fts-index <store> <table> <pk> <text> [buckets]  build FTS index
   *                                         (buckets>0: pk-hash
-  *                                         partitioned postings)
-  *   fts-search <store> <table> <query>    MATCH-style AND search
+  *                                         partitioned postings;
+  *                                         text may be col1,col2,...
+  *                                         for a multi-column index)
+  *   fts-search <store> <table> <query>    boolean MATCH search
   *   fts-ranked <store> <table> <query>    BM25-ranked search
+  *   pq-index <store> <table> <pk> <emb> [k] [iters]   train + encode
+  *   pq-search <store> <table> <pk> <emb> <qid> [topk] ADC top-k
+  *   ivf-index <store> <table> <pk> <emb> [k] [iters]  train + assign
+  *   ivf-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
@@ -55,8 +61,34 @@ object Cli {
         println(s"[save-tweets] ${store.read("tweets").count()} tweets total")
       case "fts-index" =>
         val buckets = if (args.length > 5) args(5).toInt else 0
-        Fts.upsertWithIndex(store, args(2), store.read(args(2)), args(3), args(4), buckets)
+        Fts.upsertWithIndexCols(store, args(2), store.read(args(2)), args(3),
+          args(4).split(",").toSeq, buckets)
         println(s"[fts-index] ${store.read(Fts.indexName(args(2))).count()} postings")
+      case "pq-index" | "ivf-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val k = if (args.length > 5) args(5).toInt else 16
+        val iters = if (args.length > 6) args(6).toInt else 3
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        if (cmd == "pq-index") {
+          Pq.buildIndex(store, table, vecs, pk, emb, k = k, iters = iters)
+          println(s"[pq-index] ${store.read(Pq.codesName(table)).count()} code rows")
+        } else {
+          Ivf.buildIndex(store, table, vecs, pk, emb, k = k, iters = iters)
+          println(s"[ivf-index] ${store.read(Ivf.mapName(table)).count()} assigned")
+        }
+      case "pq-search" | "ivf-search" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        val res =
+          if (cmd == "pq-search") Pq.annTopK(store, table, queries, pk, emb, topk)
+          else Ivf.annTopK(store, table, queries, pk, emb, topk,
+            nprobe = if (args.length > 7) args(7).toInt else 2)
+        res.show(topk, truncate = false)
       case "fts-search" =>
         Fts.search(spark, store, args(2), args.drop(3).mkString(" "))
           .orderBy("pk").show(50, truncate = false)
