@@ -318,6 +318,40 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_col — FTS5 column-filtered MATCH (`MATCH 'small p_type:economy'`
+  // against an index over (p_name, p_type) — the multi-column FTS shape
+  // of the reference's users index over name/screen_name/description/
+  // location, utils.py:352). An unscoped term matches ANY indexed
+  // column; a `col:term` filter restricts the term to that column
+  // (store/Fts.scala ColFiltered, evaluated as an `fcol = c` predicate
+  // on the postings scan). `part` is the multi-column analog in the
+  // testdata: 'small' occurs in both p_name ("small gizmo") and p_type
+  // ("SMALL"), so the unscoped term genuinely exercises the any-column
+  // union, while p_type:economy prunes to one column's postings.
+  def ftsCol(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        Transforms.tokens(col("p_name")).as("name_toks"),
+        Transforms.tokens(col("p_type")).as("type_toks"))
+      .filter(
+        (array_contains(col("name_toks"), "small") ||
+          array_contains(col("type_toks"), "small")) &&
+          array_contains(col("type_toks"), "economy"))
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+
+  val ftsColSql: String =
+    """SELECT p_partkey FROM (
+      |  SELECT p_partkey,
+      |    list_filter(string_split_regex(lower(p_name), '\W+'), t -> t <> '') AS name_toks,
+      |    list_filter(string_split_regex(lower(p_type), '\W+'), t -> t <> '') AS type_toks
+      |  FROM part
+      |)
+      |WHERE (list_contains(name_toks, 'small') OR list_contains(type_toks, 'small'))
+      |  AND list_contains(type_toks, 'economy')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_vocab_df — vocabulary build: document frequency of every token,
   // top 25 (the seed statistics of a tokenizer/stopword pipeline).
   // array_distinct BEFORE explode keeps the shuffle at one row per
@@ -630,6 +664,7 @@ object TextOps {
     Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
     Op("q_fts_near", ftsNear, Some(ftsNearSql)),
     Op("q_fts_bool", ftsBool, Some(ftsBoolSql)),
+    Op("q_fts_col", ftsCol, Some(ftsColSql)),
     Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),
