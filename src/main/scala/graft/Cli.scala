@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.ingest.Archive
-import graft.store.{Fts, Ivf, Pq, SqliteCompat, TableStore}
+import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
 
 /** Thin command surface mirroring the reference CLI's offline
   * commands (the network-bound commands — user-timeline, search,
@@ -23,6 +23,12 @@ import graft.store.{Fts, Ivf, Pq, SqliteCompat, TableStore}
   *   pq-search <store> <table> <pk> <emb> <qid> [topk] ADC top-k
   *   ivf-index <store> <table> <pk> <emb> [k] [iters]  train + assign
   *   ivf-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   lsh-index <store> <table> <pk> <text> [nHashes] [bands] [buckets]
+  *                                         build the MinHash band index
+  *   lsh-pairs <store> <table> [pk...]     near-dup candidate pairs —
+  *                                         all pairs, or only those
+  *                                         touching the given pks
+  *                                         (bucket-pruned probe)
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
@@ -89,6 +95,23 @@ object Cli {
           else Ivf.annTopK(store, table, queries, pk, emb, topk,
             nprobe = if (args.length > 7) args(7).toInt else 2)
         res.show(topk, truncate = false)
+      case "lsh-index" =>
+        val (table, pk, text) = (args(2), args(3), args(4))
+        val nHashes = if (args.length > 5) args(5).toInt else 4
+        val bands = if (args.length > 6) args(6).toInt else 2
+        val buckets = if (args.length > 7) args(7).toInt else 16
+        Lsh.buildIndex(store, table, store.read(table), pk, text,
+          nHashes = nHashes, bands = bands, buckets = buckets)
+        println(s"[lsh-index] ${store.read(Lsh.indexName(table)).count()} band rows")
+      case "lsh-pairs" =>
+        import spark.implicits._
+        val table = args(2)
+        val res =
+          if (args.length > 3)
+            Lsh.candidatesFor(store, table,
+              args.drop(3).map(_.toLong).toSeq.toDF("pk"))
+          else Lsh.candidates(store, table)
+        res.orderBy("doc_a", "doc_b").show(50, truncate = false)
       case "fts-search" =>
         Fts.search(spark, store, args(2), args.drop(3).mkString(" "))
           .orderBy("pk").show(50, truncate = false)
