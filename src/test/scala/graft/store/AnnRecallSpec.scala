@@ -1,0 +1,112 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Catalog
+
+/** Approximate-NN QUALITY measurement — the acceptance test a
+  * production ANN rollout runs before trusting an index: recall@k of
+  * the IVF probe search and the PQ/ADC search against the exact
+  * brute-force ranking (matched metric: cosine for IVF, L2 for PQ),
+  * on the driver-generated embeddings testdata.
+  *
+  * The assertions pin the recall/efficiency tradeoff:
+  *  - IVF recall rises monotonically with nprobe and hits 1.0 when
+  *    every cell is probed (nprobe = k ⇒ the scan is exhaustive and
+  *    the ranking identical to brute force);
+  *  - ADC recall clears a floor at top-k, and the production
+  *    shortlist-then-rerank shape (ADC top-4k → exact rerank) clears
+  *    a higher one — the measured numbers are printed so BENCH-side
+  *    regressions in quality (not just speed) surface in CI.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val K = 10
+  private val nQueries = 20
+
+  private lazy val emb: DataFrame =
+    Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private lazy val queries: DataFrame = emb.filter(col("vec_id") < nQueries)
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact top-K ids per query under the given metric. */
+  private def exactTopK(metric: String): Map[Long, Set[Long]] = {
+    val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (metric match {
+          case "cosine" => -dot(col("qe"), col("e")) /
+            (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e"))))
+          case "l2" => aggregate(zip_with(col("qe"), col("e"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+        }).as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d"), col("cand_id"))))
+      .filter(col("rnk") <= K)
+    scored.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q2, xs) => q2 -> xs.map(_._2).toSet }
+  }
+
+  private def recall(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+    exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+
+  private def resultSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  test("IVF recall@10 rises with nprobe and is exact at nprobe = k") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annr").toString)
+    Ivf.buildIndex(store, "vectors", emb, "vec_id", "e", k = 16, iters = 3)
+    val exact = exactTopK("cosine")
+
+    val r = Seq(1, 4, 16).map { np =>
+      np -> recall(resultSets(
+        Ivf.annTopK(store, "vectors", queries, "vec_id", "e", K, nprobe = np)),
+        exact)
+    }.toMap
+    info(s"IVF recall@$K by nprobe: $r")
+    assert(r(1) <= r(4) + 1e-9 && r(4) <= r(16) + 1e-9,
+      s"recall must not fall as nprobe grows: $r")
+    assert(r(16) === 1.0, s"probing every cell must be exact: $r")
+    assert(r(4) >= 0.5, s"nprobe=4/16 recall floor: $r")
+  }
+
+  test("PQ/ADC recall@10 clears the floor; shortlist+exact-rerank clears a higher one") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annr2").toString)
+    // 64 codewords/subspace (6 bits) — still 4× coarser than the
+    // production-standard 256 (8 bits), but enough for a meaningful
+    // floor on 500 training vectors (16 codewords measured 0.27@10)
+    Pq.buildIndex(store, "vectors", emb, "vec_id", "e",
+      slices = 8, subDim = 8, k = 64, iters = 3)
+    val exact = exactTopK("l2")
+
+    val adc = recall(resultSets(
+      Pq.annTopK(store, "vectors", queries, "vec_id", "e", K)), exact)
+    // production shape: ADC shortlist of 4K, then the exact metric
+    // re-ranks the shortlist (only |shortlist| embeddings are read)
+    val short = recall(resultSets(
+      Pq.annTopK(store, "vectors", queries, "vec_id", "e", 4 * K)), exact)
+    info(s"ADC recall@$K: $adc; exact top-$K inside ADC top-${4 * K}: $short")
+    // measured 0.37 / 0.74 on this corpus — the driver's embeddings
+    // are near-isotropic synthetic vectors, the hardest case for PQ
+    // (no low-dimensional structure for the codebooks to exploit);
+    // real text/image embeddings sit far above these floors
+    assert(adc >= 0.3, s"ADC recall@$K floor: $adc")
+    assert(short >= adc - 1e-9, "a 4x shortlist can only help")
+    assert(short >= 0.65, s"shortlist recall floor: $short")
+  }
+}
