@@ -19,6 +19,11 @@ import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
   *                                         for a multi-column index)
   *   fts-search <store> <table> <query>    boolean MATCH search
   *   fts-ranked <store> <table> <query>    BM25-ranked search
+  *   fts-highlight <store> <table> <pk> <column|-> <query...>
+  *                                         highlight() matches ('-' =
+  *                                         the single indexed column)
+  *   fts-snippet <store> <table> <pk> <column|-> <ntok> <query...>
+  *                                         snippet() best window
   *   pq-index <store> <table> <pk> <emb> [k] [iters]   train + encode
   *   pq-search <store> <table> <pk> <emb> <qid> [topk] ADC top-k
   *   ivf-index <store> <table> <pk> <emb> [k] [iters]  train + assign
@@ -118,6 +123,17 @@ object Cli {
       case "fts-ranked" =>
         Fts.searchRanked(spark, store, args(2), args.drop(3).mkString(" "))
           .show(50, truncate = false)
+      case "fts-highlight" =>
+        val colOpt = if (args(4) == "-") None else Some(args(4))
+        Fts.searchHighlighted(spark, store, args(2),
+            args.drop(5).mkString(" "), args(3), colOpt)
+          .orderBy("pk").show(50, truncate = false)
+      case "fts-snippet" =>
+        val colOpt = if (args(4) == "-") None else Some(args(4))
+        Fts.searchSnippet(spark, store, args(2),
+            args.drop(6).mkString(" "), args(3), colOpt,
+            nTok = args(5).toInt)
+          .orderBy("pk").show(50, truncate = false)
       case "dedup-stream" =>
         import org.apache.spark.sql.functions.{col, min_by, struct}
         val (table, pk, text) = (args(2), args(3), args(4))

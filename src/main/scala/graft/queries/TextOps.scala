@@ -352,6 +352,35 @@ object TextOps {
       |ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_highlight — FTS5 highlight() auxiliary function
+  // (fts5_aux.c; the reference's FTS5 tables expose it to Datasette's
+  // search UI): matched docs with every query-term instance wrapped in
+  // [ ] markers, case preserved, token-boundary matched. The Spark
+  // side runs the native fts_highlight expression
+  // (functions/FtsMark.scala — the same one Fts.searchHighlighted
+  // applies on the indexed path); the oracle states identical
+  // semantics as a word-boundary regexp_replace with backreference,
+  // equivalent because tokens are exactly the \w+ runs on both
+  // engines.
+  def ftsHighlight(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .filter(
+        lower(col("text")).rlike("\\bspark\\b") &&
+          lower(col("text")).rlike("\\bvector\\b"))
+      .select(col("doc_id"),
+        graft.functions.FtsMark.ftsHighlight(
+          spark, col("text"), Seq("spark", "vector")).as("highlighted"))
+      .orderBy(col("doc_id"))
+
+  val ftsHighlightSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(spark|vector)\b', '[\1]', 'gi') AS highlighted
+      |FROM documents
+      |WHERE regexp_matches(lower(text), '\bspark\b')
+      |  AND regexp_matches(lower(text), '\bvector\b')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_vocab_df — vocabulary build: document frequency of every token,
   // top 25 (the seed statistics of a tokenizer/stopword pipeline).
   // array_distinct BEFORE explode keeps the shuffle at one row per
@@ -665,6 +694,7 @@ object TextOps {
     Op("q_fts_near", ftsNear, Some(ftsNearSql)),
     Op("q_fts_bool", ftsBool, Some(ftsBoolSql)),
     Op("q_fts_col", ftsCol, Some(ftsColSql)),
+    Op("q_fts_highlight", ftsHighlight, Some(ftsHighlightSql)),
     Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),

@@ -852,4 +852,72 @@ object Fts {
           .orderBy(col("score").desc, col("pk"))
     }
   }
+
+  /** The query's positive leaf terms as highlight phrase strings
+    * (space-joined, trailing `*` = prefix word), restricted to terms
+    * that apply to `target` (unscoped terms plus `target:`-scoped
+    * ones). NOT-excluded subtrees contribute nothing — their phrases
+    * cannot occur in a matched doc.
+    */
+  private def highlightTerms(node: Node, target: String): Seq[String] = {
+    def ofTerm(t: Term): Seq[String] = t match {
+      case Plain(w)        => Seq(w)
+      case PrefixTerm(p)   => Seq(p + "*")
+      case Phrase(ws, pfx) =>
+        Seq(if (pfx) (ws.init :+ (ws.last + "*")).mkString(" ")
+            else ws.mkString(" "))
+      case Near(a, b, _)   => Seq(a, b)
+      case ColFiltered(c, inner) => if (c == target) ofTerm(inner) else Nil
+    }
+    (positiveTerms(node).flatMap(ofTerm)).distinct
+  }
+
+  private def renderTarget(
+      store: TableStore, table: String, column: Option[String]): String =
+    column.orElse(statsCols(store, table) match {
+      case Some(Seq(one)) => Some(one)
+      case _              => None
+    }).getOrElse(throw new IllegalArgumentException(
+      "pass the column to render (multi-column or legacy index)"))
+
+  private def marked(
+      spark: SparkSession, store: TableStore, table: String, query: String,
+      pkCol: String, column: Option[String],
+      mark: (Column, Seq[String]) => Column): DataFrame = {
+    val target = renderTarget(store, table, column)
+    val base = store.read(table)
+    require(base.columns.contains(target), s"no such column: $target")
+    val terms = parseQuery(query).map(highlightTerms(_, target)).getOrElse(Nil)
+    base.join(search(spark, store, table, query)
+        .withColumnRenamed("pk", "__hit_pk"),
+        base(pkCol) === col("__hit_pk"), "left_semi")
+      .select(col(pkCol).as("pk"), mark(col(target), terms))
+  }
+
+  /** FTS5 `highlight(fts, col, open, close)`: the matched rows with
+    * every query-phrase instance in `column` (default: the single
+    * indexed column) wrapped in open/close — fts5_aux.c's highlight,
+    * under [[graft.functions.FtsMarkCore]]'s documented semantics.
+    * Returns (pk, highlight).
+    */
+  def searchHighlighted(
+      spark: SparkSession, store: TableStore, table: String, query: String,
+      pkCol: String, column: Option[String] = None,
+      open: String = "[", close: String = "]"): DataFrame =
+    marked(spark, store, table, query, pkCol, column, (c, ts) =>
+      graft.functions.FtsMark.ftsHighlight(spark, c, ts, open, close)
+        .as("highlight"))
+
+  /** FTS5 `snippet(fts, col, open, close, ellipsis, ntok)`: like
+    * [[searchHighlighted]] but trimmed to the best ≤ nTok-token
+    * window. Returns (pk, snippet).
+    */
+  def searchSnippet(
+      spark: SparkSession, store: TableStore, table: String, query: String,
+      pkCol: String, column: Option[String] = None,
+      open: String = "[", close: String = "]",
+      ellipsis: String = "…", nTok: Int = 10): DataFrame =
+    marked(spark, store, table, query, pkCol, column, (c, ts) =>
+      graft.functions.FtsMark.ftsSnippet(spark, c, ts, open, close,
+        ellipsis, nTok).as("snippet"))
 }
