@@ -345,7 +345,11 @@ object Fts {
   private[store] case class Plain(tok: String) extends Term
   private[store] case class PrefixTerm(pre: String) extends Term
   private[store] case class Phrase(toks: Seq[String], lastPrefix: Boolean = false) extends Term
-  private[store] case class Near(a: String, b: String, n: Int) extends Term
+  /** FTS5 NEAR group: 2+ phrases (each 1+ tokens — quoted operands
+    * keep multi-token phrases) clustered within a window of ≤ n + Σ
+    * phrase-lengths tokens.
+    */
+  private[store] case class Near(phrases: Seq[Seq[String]], n: Int) extends Term
   /** FTS5 column filter `col:term` — restricts the inner term to one
     * indexed column; requires the multi-column (fcol) index layout.
     */
@@ -440,7 +444,12 @@ object Fts {
     out.toSeq
   }
 
-  /** `a b, n` → Near(a, b, n); n defaults to FTS5's 10. */
+  /** `p1 p2 ... pk, n` → Near(phrases, n); n defaults to FTS5's 10.
+    * Operands are phrases: a quoted span is ONE multi-token phrase,
+    * bare words are single-token phrases each (fts5parse.y's NEAR
+    * argument list). Prefix tokens stay unsupported inside NEAR
+    * (documented restriction).
+    */
   private def parseNear(inner: String): Term = {
     val parts = inner.split(",", 2)
     val n = if (parts.length == 2) {
@@ -453,12 +462,21 @@ object Fts {
     if (parts(0).contains("*"))
       throw new IllegalArgumentException(
         s"NEAR operands must be plain tokens (no prefix *): ${parts(0)}")
-    tokenize(parts(0)) match {
-      case Seq(a, b) => Near(a, b, n)
-      case Seq(w)    => Plain(w) // degenerate: NEAR of one term
-      case ws        =>
-        throw new IllegalArgumentException(
-          s"NEAR supports two single-token operands, got: ${ws.mkString(" ")}")
+    // alternate unquoted/quoted segments; quoted = one phrase
+    val segs = parts(0).split("\"", -1)
+    require(segs.length % 2 == 1, s"unterminated quote in NEAR: ${parts(0)}")
+    val phrases = segs.zipWithIndex.flatMap { case (seg, i) =>
+      val toks = tokenize(seg)
+      if (i % 2 == 1) { // quoted span
+        if (toks.isEmpty) Seq.empty else Seq(toks)
+      } else toks.map(Seq(_))
+    }.toSeq
+    phrases match {
+      case Seq()                  =>
+        throw new IllegalArgumentException(s"empty NEAR(): ${parts(0)}")
+      case Seq(p) if p.size == 1  => Plain(p.head) // degenerate single term
+      case Seq(p)                 => Phrase(p)     // degenerate single phrase
+      case ps                     => Near(ps, n)
     }
   }
 
@@ -592,27 +610,55 @@ object Fts {
     if (multi) out.distinct() else out
   }
 
-  /** pks where tokens `a` and `b` occur within `n` intervening tokens
-    * (either order) — FTS5 NEAR: a window of the 2 matched tokens plus
-    * ≤ n others, i.e. |posA - posB| ≤ n + 1. Same token-pruned ≤1-row
-    * join shape as a 2-word phrase; a NEAR of a term with itself needs
-    * two distinct occurrences.
+  /** pks where all NEAR phrases cluster inside a window of ≤ n + Σ
+    * phrase-lengths tokens (FTS5's rule: for some choice of one
+    * instance per phrase, lastTokenOf(rightmost) − firstTokenOf(
+    * leftmost) + 1 ≤ n + Σ Lᵢ; for the classic two-single-token form
+    * this is |posA − posB| ≤ n + 1). Identical phrases must use
+    * DISTINCT instances (`NEAR(echo echo, 3)` needs two echoes).
+    *
+    * Shape: one token-pruned ≤1-row-per-key frame per phrase (a
+    * multi-token phrase pre-filters its instance STARTS with the same
+    * shift-intersect as phrasePks), k−1 equi-joins on the key, then a
+    * k-deep nested EXISTS over the (short, per-doc) instance lists —
+    * work is Π|instances| per doc, bounded by tf, never corpus-sized.
     */
   private def nearPks(
-      idx: DataFrame, a: String, b: String, n: Int,
+      idx: DataFrame, phrases: Seq[Seq[String]], n: Int,
       multi: Boolean = false): DataFrame = {
+    require(phrases.size >= 2, "NEAR needs at least two phrases")
     val keys = if (multi) Seq("pk", "fcol") else Seq("pk")
     val keyCols = keys.map(col)
-    val pa = idx.filter(col("token") === a)
-      .select(keyCols :+ col("positions").as("__pa"): _*)
-    val pb = idx.filter(col("token") === b)
-      .select(keyCols :+ col("positions").as("__pb"): _*)
-    val withinSpan: (Column, Column) => Column = (x, y) =>
-      if (a == b) abs(x - y) <= n + 1 && x =!= y
-      else abs(x - y) <= n + 1
-    val out = pa.join(pb, keys)
-      .filter(exists(col("__pa"), x => exists(col("__pb"), y => withinSpan(x, y))))
-      .select(col("pk"))
+    // per-phrase instance START lists, one row per key
+    val parts = phrases.zipWithIndex.map { case (ws, i) =>
+      val wordParts = ws.zipWithIndex.map { case (w, j) =>
+        idx.filter(col("token") === w)
+          .select(keyCols :+ col("positions").as(s"__q$j"): _*)
+      }
+      val joined = wordParts.reduce((a, b) => a.join(b, keys))
+      val starts =
+        if (ws.size == 1) col("__q0")
+        else filter(col("__q0"), x =>
+          (1 until ws.size).map(j =>
+            exists(col(s"__q$j"), y => y === x + lit(j)))
+            .reduce(_ && _))
+      joined.select(keyCols :+ starts.as(s"__p$i"): _*)
+        .filter(size(col(s"__p$i")) > 0)
+    }
+    val joined = parts.reduce((a, b) => a.join(b, keys))
+    val bound = lit(n + phrases.map(_.size).sum)
+    def nest(i: Int, chosen: Seq[Column]): Column =
+      if (i == phrases.size) {
+        val ends = chosen.zip(phrases).map { case (s, ws) => s + lit(ws.size - 1) }
+        val window = greatest(ends: _*) - least(chosen: _*) + 1
+        val distinctInst = (for {
+          a <- phrases.indices; b <- phrases.indices
+          if a < b && phrases(a) == phrases(b)
+        } yield chosen(a) =!= chosen(b))
+          .foldLeft(window <= bound)(_ && _)
+        distinctInst
+      } else exists(col(s"__p$i"), x => nest(i + 1, chosen :+ x))
+    val out = joined.filter(nest(0, Nil)).select(col("pk"))
     if (multi) out.distinct() else out
   }
 
@@ -628,7 +674,7 @@ object Fts {
       // distinct because several tokens of one doc can share a prefix
       idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
     case Phrase(ws, pfx) => phrasePks(idx, ws, pfx, multi)
-    case Near(a, b, n)   => nearPks(idx, a, b, n, multi)
+    case Near(ps, n)     => nearPks(idx, ps, n, multi)
     case ColFiltered(c, inner) =>
       // restrict to one column FIRST; the filtered slice has
       // single-column uniqueness, so the inner term evaluates with
@@ -758,7 +804,8 @@ object Fts {
       table: String,
       query: String,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      colWeights: Map[String, Double] = Map.empty): DataFrame = {
     val idx = store.read(indexName(table))
     val multi = idx.columns.contains("fcol")
     val node = parseQuery(query) match {
@@ -766,6 +813,21 @@ object Fts {
       case None    => return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
     }
     validateColFilters(store, table, node, multi)
+    // FTS5 `bm25(fts, w1, w2, …)` per-column weights: each posting's
+    // contribution scales by its column's weight (default 1.0;
+    // weighting needs the fcol layout — FTS5 likewise only weights
+    // multi-column tables meaningfully)
+    require(colWeights.isEmpty || multi,
+      "column weights require a multi-column index (upsertWithIndexCols)")
+    statsCols(store, table).foreach { known =>
+      colWeights.keys.foreach(c => require(known.contains(c),
+        s"no such fts column: $c (indexed: ${known.mkString(", ")})"))
+    }
+    val colWeight: Column =
+      if (colWeights.isEmpty) lit(1.0)
+      else coalesce(element_at(
+        map(colWeights.toSeq.flatMap { case (c, w) =>
+          Seq(lit(c), lit(w)) }: _*), col("fcol")), lit(1.0))
     val stats: DataFrame = store.readIfExists(statsName(table)) match {
       case Some(st) =>
         st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
@@ -781,19 +843,19 @@ object Fts {
         val pre = if (pfx) Seq(col("token").startsWith(ws.last)) else Seq.empty
         (pre ++ (if (base.nonEmpty) Seq(col("token").isin(base.distinct: _*)) else Seq.empty))
           .reduce(_ || _)
-      case Near(a, b, _)         => col("token").isin(a, b)
+      case Near(ps, _)           => col("token").isin(ps.flatten.distinct: _*)
       case ColFiltered(c, inner) => col("fcol") === c && termCond(inner)
     }
     // positional (phrase/NEAR) enforcement of one term, column-scoped
     // when the term carries a col: filter
     def positionalPks(t: Term): Option[DataFrame] = t match {
       case Phrase(ws, pfx) => Some(phrasePks(idx, ws, pfx, multi))
-      case Near(a, b, n)   => Some(nearPks(idx, a, b, n, multi))
+      case Near(ps, n)     => Some(nearPks(idx, ps, n, multi))
       case ColFiltered(c, inner) =>
         val scoped = idx.filter(col("fcol") === c)
         inner match {
           case Phrase(ws, pfx) => Some(phrasePks(scoped, ws, pfx))
-          case Near(a, b, n)   => Some(nearPks(scoped, a, b, n))
+          case Near(ps, n)     => Some(nearPks(scoped, ps, n))
           case _               => None
         }
       case _ => None
@@ -804,7 +866,7 @@ object Fts {
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("s",
-        col("idf") * (col("tf") * lit(k1 + 1)) /
+        colWeight * col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
 
     pureAndTerms(node) match {
@@ -866,7 +928,7 @@ object Fts {
       case Phrase(ws, pfx) =>
         Seq(if (pfx) (ws.init :+ (ws.last + "*")).mkString(" ")
             else ws.mkString(" "))
-      case Near(a, b, _)   => Seq(a, b)
+      case Near(ps, _)     => ps.map(_.mkString(" "))
       case ColFiltered(c, inner) => if (c == target) ofTerm(inner) else Nil
     }
     (positiveTerms(node).flatMap(ofTerm)).distinct

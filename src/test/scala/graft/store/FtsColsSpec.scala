@@ -55,6 +55,40 @@ class FtsColsSpec extends SparkSpec {
     }
   }
 
+  test("per-column BM25 weights re-rank (FTS5 bm25(fts, w1, w2))") {
+    val store = freshStore()
+    val users = Seq(
+      (1L, "python tools", "writes about other things entirely"),
+      (2L, "someone else", "python python python enthusiast page")
+    ).toDF("id", "name", "description")
+    Fts.upsertWithIndexCols(store, "users", users, "id",
+      Seq("name", "description"))
+
+    def order(weights: Map[String, Double]): Seq[Long] =
+      Fts.searchRanked(spark, store, "users", "python",
+        colWeights = weights).collect().map(_.getLong(0)).toSeq
+
+    // unweighted: doc 2's tf=3 in a short-ish description outranks
+    val base = order(Map.empty)
+    assert(base === Seq(2L, 1L))
+    // heavy name weight flips the ranking; heavy description keeps it
+    assert(order(Map("name" -> 10.0)) === Seq(1L, 2L))
+    assert(order(Map("description" -> 10.0)) === Seq(2L, 1L))
+    // weights never change the MATCH set
+    assert(order(Map("name" -> 10.0)).toSet === base.toSet)
+    // unknown column / single-column layout are errors
+    intercept[IllegalArgumentException] {
+      order(Map("nosuch" -> 2.0))
+    }
+    val store2 = freshStore()
+    Fts.upsertWithIndex(store2, "tweets",
+      Seq((1L, "python")).toDF("id", "full_text"), "id", "full_text")
+    intercept[IllegalArgumentException] {
+      Fts.searchRanked(spark, store2, "tweets", "python",
+        colWeights = Map("full_text" -> 2.0)).collect()
+    }
+  }
+
   test("col filter on a single-column index is rejected") {
     val store = freshStore()
     val docs = Seq((1L, "spark streams")).toDF("id", "full_text")

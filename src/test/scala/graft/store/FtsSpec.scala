@@ -112,6 +112,36 @@ class FtsSpec extends SparkSpec {
     assert(hits("NEAR(echo echo, 3)") === Set(5L))
   }
 
+  test("NEAR with 3+ phrases and quoted multi-token operands (FTS5 window rule)") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // three adjacent singles: window 3
+      (2L, "alpha x beta y gamma"),     // spread: window 5
+      (3L, "alpha beta end"),           // gamma missing
+      (4L, "the data stream runs fast") // "data stream"(1-2) + fast(4): window 4
+    ).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    // window ≤ n + Σ phrase lengths (FTS5's clustering rule)
+    assert(hits("NEAR(alpha beta gamma, 0)") === Set(1L))
+    assert(hits("NEAR(alpha beta gamma, 2)") === Set(1L, 2L))
+    assert(hits("NEAR(gamma alpha beta, 2)") === Set(1L, 2L)) // order-free
+    // quoted operand = one multi-token phrase (2 + 1 tokens: B = n + 3)
+    assert(hits("NEAR(\"data stream\" fast, 1)") === Set(4L))
+    assert(hits("NEAR(\"data stream\" fast, 0)") === Set.empty)
+    // the phrase must be CONSECUTIVE: scattered words never near-match
+    assert(hits("NEAR(\"stream data\" fast, 5)") === Set.empty)
+    // ranked search enforces the same multi-phrase window
+    assert(Fts.searchRanked(spark, store, "tweets",
+        "NEAR(alpha beta gamma, 0)")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // boolean composition keeps working around the n-ary group
+    assert(hits("NEAR(alpha beta gamma, 2) NOT delta") === Set(2L))
+  }
+
   test("boolean MATCH: OR / NOT / parens at FTS5 precedence (NOT > AND > OR)") {
     val store = freshStore()
     val docs = Seq(
