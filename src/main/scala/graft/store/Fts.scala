@@ -350,10 +350,16 @@ object Fts {
     * phrase-lengths tokens.
     */
   private[store] case class Near(phrases: Seq[Seq[String]], n: Int) extends Term
-  /** FTS5 column filter `col:term` — restricts the inner term to one
-    * indexed column; requires the multi-column (fcol) index layout.
+  /** FTS5 column filter `col:term` / `{col1 col2}:term` — restricts
+    * the inner term to the named indexed column(s); requires the
+    * multi-column (fcol) index layout.
     */
-  private[store] case class ColFiltered(fcol: String, t: Term) extends Term
+  private[store] case class ColFiltered(fcols: Seq[String], t: Term) extends Term
+
+  /** FTS5 initial-token anchor `^term` / `^"a phrase"` — the (first
+    * token of the) inner term must sit at position 0 of its column.
+    */
+  private[store] case class Anchored(t: Term) extends Term
 
   /** Boolean MATCH expression (fts5parse.y grammar): leaves are match
     * terms; AND is n-ary (FTS5's implicit connective between adjacent
@@ -371,7 +377,7 @@ object Fts {
 
   private sealed trait Tok
   private case class TTerm(t: Term) extends Tok
-  private case class TCol(name: String) extends Tok
+  private case class TCol(names: Seq[String]) extends Tok
   private case object TOr extends Tok
   private case object TAnd extends Tok
   private case object TNot extends Tok
@@ -391,20 +397,47 @@ object Fts {
   private def lex(query: String): Seq[Tok] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var i = 0
+    // `^` (FTS5 initial-token anchor) applies to the NEXT emitted
+    // phrase; a dangling anchor is a syntax error, matching FTS5
+    var anchorNext = false
     def unitChar(c: Char): Boolean =
       !c.isWhitespace && c != '(' && c != ')' && c != '"'
-    def emitPhrase(ws: Seq[String], pfx: Boolean): Unit = ws match {
-      case Seq()             => ()
-      case Seq(w) if pfx     => out += TTerm(PrefixTerm(w))
-      case Seq(w)            => out += TTerm(Plain(w))
-      case more              => out += TTerm(Phrase(more, pfx))
+    def emitPhrase(ws: Seq[String], pfx: Boolean): Unit = {
+      val t: Option[Term] = ws match {
+        case Seq()             => None
+        case Seq(w) if pfx     => Some(PrefixTerm(w))
+        case Seq(w)            => Some(Plain(w))
+        case more              => Some(Phrase(more, pfx))
+      }
+      t.foreach { term =>
+        out += TTerm(if (anchorNext) Anchored(term) else term)
+        anchorNext = false
+      }
     }
     while (i < query.length) {
       val c = query.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '(') { out += TLp; i += 1 }
+      else if (c == '^') {
+        require(!anchorNext, s"doubled ^ in MATCH query: $query")
+        anchorNext = true; i += 1
+        require(i < query.length &&
+          (unitChar(query.charAt(i)) || query.charAt(i) == '"'),
+          s"dangling ^ in MATCH query: $query")
+      } else if (c == '(') { out += TLp; i += 1 }
       else if (c == ')') { out += TRp; i += 1 }
-      else if (c == '"') {
+      else if (c == '{') {
+        // `{col1 col2}:` — FTS5 multi-column filter
+        val end = query.indexOf('}', i + 1)
+        require(end >= 0 && end + 1 < query.length &&
+          query.charAt(end + 1) == ':',
+          s"expected {col ...}: in MATCH query: $query")
+        val names = query.substring(i + 1, end).trim
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        require(names.nonEmpty && names.forall(_.matches("\\w+")),
+          s"bad column list in MATCH query: $query")
+        out += TCol(names)
+        i = end + 2
+      } else if (c == '"') {
         val end = query.indexOf('"', i + 1)
         require(end >= 0, s"unterminated quote in MATCH query: $query")
         val content = query.substring(i + 1, end)
@@ -415,18 +448,19 @@ object Fts {
       } else if (query.startsWith("NEAR(", i)) {
         val close = query.indexOf(')', i + 5)
         require(close >= 0, s"unterminated NEAR( in MATCH query: $query")
+        require(!anchorNext, s"^ is not supported on NEAR(): $query")
         out += TTerm(parseNear(query.substring(i + 5, close)))
         i = close + 1
       } else {
         val start = i
         while (i < query.length && unitChar(query.charAt(i)) &&
-          query.charAt(i) != ':') i += 1
+          query.charAt(i) != ':' && query.charAt(i) != '^') i += 1
         // `name:` at a token start is an FTS5 column filter; the
-        // filtered operand (word, "phrase", prefix*, NEAR(...)) lexes
-        // on the next loop turn
+        // filtered operand (word, "phrase", prefix*, ^anchored,
+        // NEAR(...)) lexes on the next loop turn
         if (i < query.length && query.charAt(i) == ':' && i > start &&
             query.substring(start, i).matches("\\w+")) {
-          out += TCol(query.substring(start, i))
+          out += TCol(Seq(query.substring(start, i)))
           i += 1
         } else {
           while (i < query.length && unitChar(query.charAt(i))) i += 1
@@ -441,6 +475,7 @@ object Fts {
         }
       }
     }
+    require(!anchorNext, s"dangling ^ in MATCH query: $query")
     out.toSeq
   }
 
@@ -459,9 +494,9 @@ object Fts {
       g.toInt
     } else 10
     require(n >= 0 && n < Int.MaxValue - 1, s"NEAR distance out of range: $n")
-    if (parts(0).contains("*"))
+    if (parts(0).contains("*") || parts(0).contains("^"))
       throw new IllegalArgumentException(
-        s"NEAR operands must be plain tokens (no prefix *): ${parts(0)}")
+        s"NEAR operands must be plain phrases (no * or ^): ${parts(0)}")
     // alternate unquoted/quoted segments; quoted = one phrase
     val segs = parts(0).split("\"", -1)
     require(segs.length % 2 == 1, s"unterminated quote in NEAR: ${parts(0)}")
@@ -529,13 +564,14 @@ object Fts {
     }
     def primary(): Node = peek match {
       case Some(TTerm(t)) => pos += 1; TermNode(t)
-      case Some(TCol(name)) =>
+      case Some(TCol(names)) =>
         pos += 1
         peek match {
-          case Some(TTerm(t)) => pos += 1; TermNode(ColFiltered(name, t))
+          case Some(TTerm(t)) => pos += 1; TermNode(ColFiltered(names, t))
           case other =>
             throw new IllegalArgumentException(
-              s"MATCH syntax error (term expected after $name:, got $other): $query")
+              s"MATCH syntax error (term expected after ${names.mkString(" ")}:, " +
+                s"got $other): $query")
         }
       case Some(TLp) =>
         pos += 1
@@ -584,9 +620,28 @@ object Fts {
     * merged poslists of every such token (one extra groupBy, still
     * token-pruned by the startsWith range predicate).
     */
+  /** pks where the inner term occurs at position 0 of its column —
+    * FTS5's `^` initial-token anchor. Position lists are sorted, so
+    * "anchored single token" is a first-element check on the pruned
+    * postings; an anchored phrase requires a phrase INSTANCE starting
+    * at 0 (its last word's valid position equals len−1).
+    */
+  private def anchoredPks(idx: DataFrame, t: Term, multi: Boolean): DataFrame = t match {
+    case Plain(w) =>
+      val pks = idx.filter(col("token") === w &&
+        element_at(col("positions"), 1) === 0).select(col("pk"))
+      if (multi) pks.distinct() else pks
+    case PrefixTerm(p) =>
+      idx.filter(col("token").startsWith(p) &&
+        element_at(col("positions"), 1) === 0).select(col("pk")).distinct()
+    case Phrase(ws, pfx) => phrasePks(idx, ws, pfx, multi, anchored = true)
+    case other =>
+      throw new IllegalArgumentException(s"^ is not supported on: $other")
+  }
+
   private def phrasePks(
       idx: DataFrame, ws: Seq[String], lastPrefix: Boolean = false,
-      multi: Boolean = false): DataFrame = {
+      multi: Boolean = false, anchored: Boolean = false): DataFrame = {
     // on the multi-column layout a phrase must stay inside ONE column
     // (each column is its own position space — FTS5), so the per-word
     // joins key on (pk, fcol) and the final pk set dedups
@@ -606,7 +661,12 @@ object Fts {
     val ends = (1 until ws.size).foldLeft(col("__p0")) { (acc, i) =>
       array_intersect(transform(acc, x => x + 1), col(s"__p$i"))
     }
-    val out = joined.filter(size(ends) > 0).select(col("pk"))
+    // an instance ending at e started at e − (len − 1); anchored
+    // phrases need an instance starting at 0
+    val cond =
+      if (anchored) exists(ends, e => e === lit(ws.size - 1))
+      else size(ends) > 0
+    val out = joined.filter(cond).select(col("pk"))
     if (multi) out.distinct() else out
   }
 
@@ -675,13 +735,17 @@ object Fts {
       idx.filter(col("token").startsWith(p)).select(col("pk")).distinct()
     case Phrase(ws, pfx) => phrasePks(idx, ws, pfx, multi)
     case Near(ps, n)     => nearPks(idx, ps, n, multi)
-    case ColFiltered(c, inner) =>
-      // restrict to one column FIRST; the filtered slice has
-      // single-column uniqueness, so the inner term evaluates with
-      // multi = false (phrase joins key on pk alone again)
+    case Anchored(inner) => anchoredPks(idx, inner, multi)
+    case ColFiltered(cs, inner) =>
+      // restrict to the named column(s) FIRST; a single-column slice
+      // regains (pk, token) uniqueness, so the inner term evaluates
+      // with multi = false (phrase joins key on pk alone again); a
+      // multi-column list keeps per-column position spaces
       require(multi,
-        s"column filter '$c:' requires a multi-column index (upsertWithIndexCols)")
-      termPks(idx.filter(col("fcol") === c), inner, multi = false)
+        s"column filter '${cs.mkString(" ")}:' requires a multi-column index " +
+          "(upsertWithIndexCols)")
+      termPks(idx.filter(col("fcol").isin(cs: _*)), inner,
+        multi = cs.size > 1)
   }
 
   /** Distinct pk set of a boolean MATCH tree. AND of plain terms keeps
@@ -755,7 +819,7 @@ object Fts {
 
   /** Column filters referenced by the query tree. */
   private def colFilterNames(node: Node): Seq[String] = node match {
-    case TermNode(ColFiltered(c, _)) => Seq(c)
+    case TermNode(ColFiltered(cs, _)) => cs
     case TermNode(_)                 => Nil
     case AndNode(ks)                 => ks.flatMap(colFilterNames)
     case OrNode(ks)                  => ks.flatMap(colFilterNames)
@@ -844,18 +908,23 @@ object Fts {
         (pre ++ (if (base.nonEmpty) Seq(col("token").isin(base.distinct: _*)) else Seq.empty))
           .reduce(_ || _)
       case Near(ps, _)           => col("token").isin(ps.flatten.distinct: _*)
-      case ColFiltered(c, inner) => col("fcol") === c && termCond(inner)
+      case Anchored(inner)       => termCond(inner)
+      case ColFiltered(cs, inner) =>
+        col("fcol").isin(cs: _*) && termCond(inner)
     }
     // positional (phrase/NEAR) enforcement of one term, column-scoped
     // when the term carries a col: filter
     def positionalPks(t: Term): Option[DataFrame] = t match {
       case Phrase(ws, pfx) => Some(phrasePks(idx, ws, pfx, multi))
       case Near(ps, n)     => Some(nearPks(idx, ps, n, multi))
-      case ColFiltered(c, inner) =>
-        val scoped = idx.filter(col("fcol") === c)
+      case Anchored(inner) => Some(anchoredPks(idx, inner, multi))
+      case ColFiltered(cs, inner) =>
+        val scoped = idx.filter(col("fcol").isin(cs: _*))
+        val m = cs.size > 1
         inner match {
-          case Phrase(ws, pfx) => Some(phrasePks(scoped, ws, pfx))
-          case Near(ps, n)     => Some(nearPks(scoped, ps, n))
+          case Phrase(ws, pfx) => Some(phrasePks(scoped, ws, pfx, m))
+          case Near(ps, n)     => Some(nearPks(scoped, ps, n, m))
+          case Anchored(in2)   => Some(anchoredPks(scoped, in2, m))
           case _               => None
         }
       case _ => None
@@ -929,7 +998,9 @@ object Fts {
         Seq(if (pfx) (ws.init :+ (ws.last + "*")).mkString(" ")
             else ws.mkString(" "))
       case Near(ps, _)     => ps.map(_.mkString(" "))
-      case ColFiltered(c, inner) => if (c == target) ofTerm(inner) else Nil
+      case Anchored(inner)       => ofTerm(inner)
+      case ColFiltered(cs, inner) =>
+        if (cs.contains(target)) ofTerm(inner) else Nil
     }
     (positiveTerms(node).flatMap(ofTerm)).distinct
   }

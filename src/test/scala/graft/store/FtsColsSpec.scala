@@ -55,6 +55,35 @@ class FtsColsSpec extends SparkSpec {
     }
   }
 
+  test("{col1 col2}: multi-column filters and per-column ^ anchors") {
+    val store = freshStore()
+    val users = Seq(
+      (1L, "python tools", "great site"),
+      (2L, "other", "python heavy"),
+      (3L, "misc", "about python tools")).toDF("id", "name", "description")
+    Fts.upsertWithIndexCols(store, "users", users, "id",
+      Seq("name", "description"))
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "users", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("{name description}:python") === Set(1L, 2L, 3L))
+    assert(hits("{name}:python") === Set(1L))
+    assert(hits("{description name}:\"python tools\"") === Set(1L, 3L))
+    // anchors are per-column position spaces
+    assert(hits("^python") === Set(1L, 2L)) // position 0 of ANY column
+    assert(hits("name:^python") === Set(1L))
+    assert(hits("description:^python") === Set(2L))
+    assert(hits("{name description}:^python") === Set(1L, 2L))
+    // unknown column inside braces errors like the single form
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "users", "{name nosuch}:python").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "users", "{name").collect()
+    }
+  }
+
   test("per-column BM25 weights re-rank (FTS5 bm25(fts, w1, w2))") {
     val store = freshStore()
     val users = Seq(

@@ -142,6 +142,39 @@ class FtsSpec extends SparkSpec {
     assert(hits("NEAR(alpha beta gamma, 2) NOT delta") === Set(2L))
   }
 
+  test("^ initial-token anchor (FTS5): term, phrase, prefix forms") {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "spark streams data"),
+      (2L, "big spark data"),
+      (3L, "spark")).toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text")
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+
+    assert(hits("^spark") === Set(1L, 3L))
+    assert(hits("^big spark") === Set(2L)) // anchored term AND plain term
+    assert(hits("^\"spark streams\"") === Set(1L)) // anchored phrase
+    assert(hits("^\"streams data\"") === Set.empty) // phrase not at start
+    assert(hits("^sp*") === Set(1L, 3L)) // anchored prefix
+    assert(hits("^str*") === Set.empty)
+    assert(hits("spark NOT ^spark") === Set(2L)) // boolean composition
+    // ranked search enforces the anchor too
+    assert(Fts.searchRanked(spark, store, "tweets", "^spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // dangling/unsupported anchors are syntax errors
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "tweets", "spark ^").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "tweets", "^NEAR(spark data, 5)").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, store, "tweets", "NEAR(^spark data, 5)").collect()
+    }
+  }
+
   test("boolean MATCH: OR / NOT / parens at FTS5 precedence (NOT > AND > OR)") {
     val store = freshStore()
     val docs = Seq(
