@@ -352,6 +352,24 @@ object TextOps {
       |ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_fts_anchor — FTS5 initial-token anchor (`MATCH '^spark'`): docs
+  // whose FIRST token is the term. On the indexed path
+  // (store/Fts.search) this is a first-position check on the pruned
+  // postings (positions[0] = 0); here the same predicate over the
+  // corpus as a leading-token regex — equivalent because the first
+  // token is exactly the first \w+ run.
+  def ftsAnchor(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .filter(lower(col("text")).rlike("^\\W*spark\\b"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val ftsAnchorSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE regexp_matches(lower(text), '^\W*spark\b')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_fts_highlight — FTS5 highlight() auxiliary function
   // (fts5_aux.c; the reference's FTS5 tables expose it to Datasette's
   // search UI): matched docs with every query-term instance wrapped in
@@ -694,6 +712,7 @@ object TextOps {
     Op("q_fts_near", ftsNear, Some(ftsNearSql)),
     Op("q_fts_bool", ftsBool, Some(ftsBoolSql)),
     Op("q_fts_col", ftsCol, Some(ftsColSql)),
+    Op("q_fts_anchor", ftsAnchor, Some(ftsAnchorSql)),
     Op("q_fts_highlight", ftsHighlight, Some(ftsHighlightSql)),
     Op("q_vocab_df", vocabDf, Some(vocabDfSql)),
     Op("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
