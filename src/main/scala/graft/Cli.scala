@@ -35,6 +35,7 @@ import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
   *                                         touching the given pks
   *                                         (bucket-pruned probe)
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
+  *   doctor <store>                        index integrity checks
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   */
@@ -156,6 +157,11 @@ object Cli {
         val nAfter = store.read(table).count()
         println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
           s" ($nAfter rows remain, key=$pk)")
+      case "doctor" =>
+        val issues = graft.store.Doctor.check(store)
+        if (issues.isEmpty) println("[doctor] ok — no integrity issues")
+        else issues.foreach(i =>
+          println(s"[doctor] ${i.component}/${i.table}: ${i.problem}"))
       case "tables" =>
         store.tableNames.foreach(t =>
           println(f"$t%-28s ${store.read(t).count()}%8d rows"))

@@ -137,8 +137,35 @@ object SamplingOps {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_shuffle_order — deterministic global corpus shuffle: the final
+  // stage before training-data emission orders documents by a seeded
+  // hash of their id, so (a) the order is reproducible on any cluster
+  // shape / engine, (b) re-running with a new seed reshuffles, and
+  // (c) a grown corpus inserts new docs WITHOUT permuting the
+  // relative order of old ones (their keys are unchanged — an
+  // epoch-stable shuffle). At scale this is one total-order sort —
+  // Spark's range-partitioned exchange — which is the unavoidable
+  // cost of a global shuffle; per-shard local shuffles compose with
+  // packIntoBins when approximate shuffling suffices. Top 25 keeps
+  // the oracle row set small while pinning the full ordering logic.
+  def shuffleOrder(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("seed42|"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .limit(25)
+
+  val shuffleOrderSql: String =
+    """SELECT doc_id, md5('seed42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents
+      |ORDER BY shuffle_key, doc_id
+      |LIMIT 25""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_hash_split", hashSplit, Some(hashSplitSql)),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Op("q_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),
     Op("q_seq_pack", seqPack, Some(seqPackSql)))
 }

@@ -1,0 +1,166 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+/** Store integrity checks — the `PRAGMA integrity_check` /
+  * `fts5('integrity-check')` analog for every maintained index
+  * family. Each derived artifact (FTS postings, LSH bands, IVF
+  * cells, PQ codes) carries invariants its incremental maintenance
+  * relies on; a torn multi-step commit (crash between partition
+  * overwrite and stats write) or an out-of-band table edit breaks
+  * them SILENTLY — queries keep answering, just wrongly. `check`
+  * verifies the invariants and names what is broken; maintenance
+  * self-heals most of them on the next upsert (the FTS epoch guard
+  * forces a wholesale rebuild), so the findings are actionable, not
+  * fatal.
+  */
+object Doctor {
+
+  /** One finding: which index family, which table, what is wrong. */
+  final case class Issue(component: String, table: String, problem: String)
+
+  /** Check every index family of every base table in the store. */
+  def check(store: TableStore): Seq[Issue] = {
+    val names = store.tableNames.toSet
+    val issues = Seq.newBuilder[Issue]
+
+    def baseOf(idx: String, suffix: String): String =
+      idx.stripSuffix(suffix)
+
+    names.filter(_.endsWith("_fts")).foreach { idx =>
+      issues ++= fts(store, baseOf(idx, "_fts"), names)
+    }
+    names.filter(_.endsWith("_lsh")).foreach { idx =>
+      issues ++= lsh(store, baseOf(idx, "_lsh"), names)
+    }
+    names.filter(_.endsWith("_ivf")).foreach { idx =>
+      issues ++= ivf(store, baseOf(idx, "_ivf"), names)
+    }
+    names.filter(_.endsWith("_pq")).foreach { idx =>
+      issues ++= pq(store, baseOf(idx, "_pq"), names)
+    }
+    issues.result()
+  }
+
+  private def fts(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val idx = store.read(Fts.indexName(table))
+    val statsOpt = store.readIfExists(Fts.statsName(table))
+
+    // torn commit: the epoch marker is bumped BEFORE postings write,
+    // the stats row records it after — a mismatch means a crash tore
+    // the maintenance partway (next upsert rebuilds wholesale)
+    val marker = store.readIfExists(Fts.epochName(table))
+      .map(_.select(col("epoch")).head.getLong(0))
+    val recorded = statsOpt.flatMap { st =>
+      if (st.columns.contains("epoch"))
+        Some(st.select(col("epoch")).head.getLong(0))
+      else None
+    }
+    (marker, recorded) match {
+      case (Some(a), Some(b)) if a != b =>
+        out += Issue("fts", table,
+          s"torn commit: epoch marker $a != stats epoch $b " +
+            "(next upsert rebuilds wholesale)")
+      case (Some(_), None) | (None, Some(_)) =>
+        out += Issue("fts", table, "torn commit: one-sided epoch state")
+      case _ => ()
+    }
+
+    statsOpt.foreach { st =>
+      if (st.columns.contains("total_dl")) {
+        val r = st.select(col("n_docs"), col("total_dl")).head
+        val (n, dl) = (r.getLong(0), r.getLong(1))
+        // recompute from the postings: dl is constant per doc (per
+        // (pk, fcol) on the multi-column layout)
+        val docs =
+          if (idx.columns.contains("fcol"))
+            idx.select(col("pk"), col("fcol"), col("dl")).distinct()
+          else idx.select(col("pk"), col("dl")).distinct()
+        val a = docs.agg(countDistinct(col("pk")), sum(col("dl"))).head
+        val (gotN, gotDl) =
+          (a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
+        if (gotN != n || gotDl != dl)
+          out += Issue("fts", table,
+            s"stale stats: recorded (n_docs=$n, total_dl=$dl), " +
+              s"postings say ($gotN, $gotDl) — BM25 is scoring wrong")
+      }
+      if (st.columns.contains("n_buckets")) {
+        val declared = st.select(col("n_buckets")).head.getInt(0)
+        val bucketed = idx.columns.contains("pk_bucket")
+        if ((declared > 0) != bucketed)
+          out += Issue("fts", table,
+            s"layout mismatch: stats say $declared buckets, index is " +
+              (if (bucketed) "bucketed" else "flat"))
+      }
+    }
+    out.result()
+  }
+
+  private def lsh(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(Lsh.paramsName(table)))
+      out += Issue("lsh", table,
+        "params table missing: incremental maintenance cannot verify " +
+          "the banding family (next upsert rebuilds)")
+    val idx = store.read(Lsh.indexName(table))
+      .select(col("pk"), col("bucket").cast("long")).distinct()
+    store.readIfExists(Lsh.mapName(table)) match {
+      case None =>
+        out += Issue("lsh", table,
+          "map table missing: stale-row cleanup would scan the index")
+      case Some(m) =>
+        val map = m.select(col("pk"), col("bucket").cast("long"))
+        val onlyIdx = idx.join(map, Seq("pk", "bucket"), "left_anti").count()
+        val onlyMap = map.join(idx, Seq("pk", "bucket"), "left_anti").count()
+        if (onlyIdx > 0 || onlyMap > 0)
+          out += Issue("lsh", table,
+            s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
+              "(pk, bucket) rows — re-upserts would leave stale bands")
+    }
+    out.result()
+  }
+
+  private def ivf(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(Ivf.centsName(table)))
+      out += Issue("ivf", table,
+        "centroids missing: assignment and probing are impossible")
+    val idx = store.read(Ivf.indexName(table))
+      .select(col("pk"), col("cell").cast("long"))
+    store.readIfExists(Ivf.mapName(table)) match {
+      case None =>
+        out += Issue("ivf", table, "map table missing")
+      case Some(m) =>
+        val map = m.select(col("pk"), col("cell").cast("long"))
+        val onlyIdx = idx.join(map, Seq("pk", "cell"), "left_anti").count()
+        val onlyMap = map.join(idx, Seq("pk", "cell"), "left_anti").count()
+        if (onlyIdx > 0 || onlyMap > 0)
+          out += Issue("ivf", table,
+            s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
+              "(pk, cell) rows — moved vectors would leave stale cells")
+    }
+    out.result()
+  }
+
+  private def pq(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(Pq.booksName(table))) {
+      out += Issue("pq", table,
+        "codebooks missing: stored codes are uninterpretable")
+      return out.result()
+    }
+    // every stored code vector must span exactly the trained subspace
+    // count — a torn encode (or books retrained to a different shape
+    // without re-encoding) breaks ADC silently
+    val slices = store.read(Pq.booksName(table))
+      .agg(max(col("s"))).head.getInt(0) + 1
+    val bad = store.read(Pq.codesName(table))
+      .filter(size(col("codes")) =!= slices).count()
+    if (bad > 0)
+      out += Issue("pq", table,
+        s"$bad code rows don't span the trained $slices subspaces — " +
+          "books and codes disagree (rebuild the code table)")
+    out.result()
+  }
+}

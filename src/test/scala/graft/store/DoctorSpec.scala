@@ -1,0 +1,78 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Doctor integrity checks: a healthy store reports nothing; each
+  * seeded corruption (torn FTS commit, desynced LSH/IVF maps,
+  * mis-shaped PQ codes) is named specifically.
+  */
+class DoctorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  private def freshStore(): TableStore =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-doc").toString)
+
+  private def builtStore(): TableStore = {
+    val store = freshStore()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    Fts.upsertWithIndex(store, "documents",
+      docs.toDF("id", "full_text"), "id", "full_text", buckets = 4)
+    Lsh.buildIndex(store, "documents", docs, "doc_id", "text")
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until dims).map(d => ((i * 7 + d) % 11).toDouble)))
+      .toDF("vec_id", "e")
+    Ivf.buildIndex(store, "vectors", vecs, "vec_id", "e", k = 2, iters = 1)
+    Pq.buildIndex(store, "vectors", vecs, "vec_id", "e",
+      slices = 4, subDim = 4, k = 4, iters = 1)
+    store
+  }
+
+  test("a freshly built store is clean") {
+    assert(Doctor.check(builtStore()) === Seq.empty)
+  }
+
+  test("each seeded corruption is detected and named") {
+    val store = builtStore()
+
+    // FTS torn commit: bump the epoch marker without updating stats
+    val e = store.read(Fts.epochName("documents")).head.getLong(0)
+    store.overwrite(Fts.epochName("documents"), Seq(e + 1).toDF("epoch"))
+    // LSH map desync: drop a map row behind the index's back
+    store.overwrite(Lsh.mapName("documents"),
+      store.read(Lsh.mapName("documents")).limit(0)
+        .unionByName(store.read(Lsh.mapName("documents"))
+          .orderBy(col("pk")).limit(1)))
+    // IVF map desync: point a pk at a wrong cell
+    store.overwrite(Ivf.mapName("vectors"),
+      store.read(Ivf.mapName("vectors"))
+        .withColumn("cell", col("cell") + 1000))
+    // PQ shape break: truncate every code vector
+    store.overwrite(Pq.codesName("vectors"),
+      store.read(Pq.codesName("vectors"))
+        .withColumn("codes", slice(col("codes"), 1, 2)))
+
+    val issues = Doctor.check(store)
+    val byComponent = issues.groupBy(_.component)
+    assert(byComponent.keySet === Set("fts", "lsh", "ivf", "pq"))
+    assert(byComponent("fts").exists(_.problem.contains("torn commit")))
+    assert(byComponent("lsh").exists(_.problem.contains("map out of sync")))
+    assert(byComponent("ivf").exists(_.problem.contains("map out of sync")))
+    assert(byComponent("pq").exists(_.problem.contains("subspaces")))
+  }
+
+  test("stale FTS stats are flagged (BM25 would score wrong)") {
+    val store = builtStore()
+    val st = store.read(Fts.statsName("documents"))
+    store.overwrite(Fts.statsName("documents"),
+      st.withColumn("n_docs", col("n_docs") + 5))
+    val issues = Doctor.check(store).filter(_.component == "fts")
+    assert(issues.exists(_.problem.contains("stale stats")))
+  }
+}
