@@ -266,6 +266,54 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_fts_near_multi — FTS5 NEAR with 3+ phrases (`MATCH 'NEAR(spark
+  // vector join, 4)'`): all phrases cluster inside a window of ≤ n +
+  // Σ phrase-lengths tokens — FTS5's clustering rule, which the
+  // 2-token q_fts_near is the special case of. Same one-pass
+  // positional-postings shape; the window check is a nested EXISTS
+  // over the three (short) position lists. The oracle states the
+  // identical rule with nested list lambdas (its 1-based positions
+  // cancel in the max−min span).
+  def ftsNearMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Seq("spark", "vector", "join")
+    val posCols = words.indices.map(i => col(s"p$i"))
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(Transforms.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin(words: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(when(col("token") === words(0), col("pos"))))
+          .as("p0"),
+        sort_array(collect_list(when(col("token") === words(1), col("pos"))))
+          .as("p1"),
+        sort_array(collect_list(when(col("token") === words(2), col("pos"))))
+          .as("p2"))
+      .filter(posCols.map(size(_) > 0).reduce(_ && _))
+      .filter(exists(col("p0"), x => exists(col("p1"), y =>
+        exists(col("p2"), z =>
+          greatest(x, y, z) - least(x, y, z) + 1 <= lit(4 + 3)))))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ftsNearMultiSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'spark') AS pa,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS pb,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pc
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |)
+       |WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0
+       |  AND len(list_filter(pa, x -> len(list_filter(pb, y ->
+       |    len(list_filter(pc, z ->
+       |      greatest(x, y, z) - least(x, y, z) + 1 <= 4 + 3)) > 0)) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_fts_prefix — FTS5 prefix MATCH (`MATCH 'wind*'`): docs containing
   // any token with the prefix. On the indexed path (store/Fts.search)
   // this is a startsWith range predicate pushed to the postings scan;
@@ -710,6 +758,7 @@ object TextOps {
     Op("q_fts_phrase", ftsPhrase, Some(ftsPhraseSql)),
     Op("q_fts_prefix", ftsPrefix, Some(ftsPrefixSql)),
     Op("q_fts_near", ftsNear, Some(ftsNearSql)),
+    Op("q_fts_near_multi", ftsNearMulti, Some(ftsNearMultiSql)),
     Op("q_fts_bool", ftsBool, Some(ftsBoolSql)),
     Op("q_fts_col", ftsCol, Some(ftsColSql)),
     Op("q_fts_anchor", ftsAnchor, Some(ftsAnchorSql)),

@@ -117,7 +117,13 @@ object Lsh {
       buckets: Int = 16): Unit = {
     val want = Params(shingleSize, nHashes, bands, buckets)
     params(store, table) match {
-      case Some(p) if p == want && store.exists(indexName(table)) =>
+      // the empty-index check (a cheap limit-1 probe) routes an index
+      // with no band rows back through the wholesale path: an empty
+      // index is stored UNPARTITIONED (a zero-row partitioned write
+      // leaves no readable files), so the incremental partition
+      // overwrite must not run against it
+      case Some(p) if p == want && store.exists(indexName(table)) &&
+          !store.read(indexName(table)).isEmpty =>
         incremental(store, table, batch, pkCol, textCol, p)
       case _ =>
         rebuild(store, table,
@@ -139,9 +145,17 @@ object Lsh {
       bandRows(corpus, pkCol, textCol, p)
         .withColumn(BucketCol, bucketOf(col("band_idx"), col("band"), p.buckets)))
     writeParams(store, table, p)
-    store.overwrite(indexName(table),
-      rows.repartition(col(BucketCol)).sortWithinPartitions(col("band")),
-      partitionBy = Seq(BucketCol))
+    // zero band rows (every doc too short to shingle): a PARTITIONED
+    // zero-row write leaves no files at all — unreadable — so the
+    // empty index persists unpartitioned (schema-bearing empty file);
+    // upsertWithBands routes the next batch back through this
+    // wholesale path rather than partition-overwriting a flat layout
+    if (rows.isEmpty)
+      store.overwrite(indexName(table), rows)
+    else
+      store.overwrite(indexName(table),
+        rows.repartition(col(BucketCol)).sortWithinPartitions(col("band")),
+        partitionBy = Seq(BucketCol))
     store.overwrite(mapName(table),
       rows.select(col("pk"), col(BucketCol)).distinct())
   }
@@ -177,6 +191,18 @@ object Lsh {
           .unionByName(fresh)
           .repartition(col(BucketCol))
           .sortWithinPartitions(col("band")))
+      if (merged.isEmpty) {
+        // the batch blanked every doc in the affected buckets; if those
+        // were the index's ONLY buckets, dropping them all would leave
+        // an unreadable empty directory — rebuild wholesale instead
+        // (rare by construction, and the rebuild lands on the
+        // unpartitioned-empty representation when nothing survives)
+        rebuild(store, table,
+          Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
+            .select(col(pkCol), col(textCol)),
+          pkCol, textCol, p)
+        return
+      }
       store.overwritePartitions(indexName(table), merged, Seq(BucketCol))
       val stillThere = merged.select(col(BucketCol)).distinct()
         .collect().map(_.getLong(0)).toSet

@@ -195,6 +195,40 @@ class LshSpec extends SparkSpec {
     assert(oneScan.selectedPartitions.partitionCount === probeBucketVals.size)
   }
 
+  test("incremental maintenance == from-scratch index (any batch sequence, seeded)") {
+    // the Lsh analog of FtsSpec's trigger-parity property: ANY
+    // sequence of upsert batches leaves exactly the index (and map) a
+    // from-scratch build of the final base table would produce
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(1717)
+    (1 to 3).foreach { round =>
+      val (store, _) = freshStore()
+      (1 to 4).foreach { _ =>
+        val batch = (1 to (1 + rnd.nextInt(5))).map { _ =>
+          val id = rnd.nextInt(8).toLong
+          // 0-2 tokens sometimes: exercises the no-bands path
+          val text = Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+            .mkString(" ")
+          (id, text)
+        }
+        val dedup = batch.groupBy(_._1).map(_._2.last).toSeq
+        Lsh.upsertWithBands(store, "docs",
+          dedup.toDF("doc_id", "text"), "doc_id", "text", buckets = 4)
+      }
+      val (scratch, _) = freshStore()
+      Lsh.buildIndex(scratch, "docs", store.read("docs"),
+        "doc_id", "text", buckets = 4)
+      assert(indexContent(store, "docs") === indexContent(scratch, "docs"),
+        s"index diverged in round $round")
+      def mapRows(s: TableStore) = s.read(Lsh.mapName("docs"))
+        .select(col("pk"), col("bucket").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mapRows(store) === mapRows(scratch), s"map diverged in round $round")
+      assert(Doctor.check(store).filter(_.component == "lsh") === Seq.empty)
+    }
+  }
+
   test("parameter change rebuilds wholesale under the new banding") {
     val (store, _) = freshStore()
     Lsh.buildIndex(store, "documents", corpus, "doc_id", "text")
