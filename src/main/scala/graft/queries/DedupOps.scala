@@ -125,6 +125,69 @@ object DedupOps {
       |  SELECT doc_id, 1 AS band_idx, h2 || h3 AS band FROM mh
       |)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_minhash_wide — the parameterized MinHash family at a wider
+  // configuration (8 hashes × 4 bands, r=2), verified against an
+  // independent engine: hashes 0-3 are the four 8-hex slices of
+  // md5(shingle), hashes 4-7 the slices of the salted re-digest
+  // md5("1|" + shingle) (functions/MinHashSig.scala:19-26 — '|' can't
+  // occur in a \W+-split shingle, so salted inputs never collide with
+  // unsalted ones). The oracle spells the identical family out in SQL,
+  // which pins the salt convention — the S-curve spec (MinHashSigSpec)
+  // checks banding MATH, this checks the HASH FAMILY cross-engine.
+  // Production tunes (r, b) further (e.g. 128 hashes, r=8×b=16); the
+  // plan shape is width-independent: one native-expression pass, band
+  // explode, two partial-agg'd groupBys.
+  def minhashWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    val sig = MinHashSig.minhashSig(spark, col("text"), shingleSize = 3, nHashes = 8)
+    val bandsArr = flatten(transform(
+      filter(array(sig), s => s.isNotNull),
+      s => MinHashSig.bandKeys(s, nHashes = 8, bands = 4)))
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(bandsArr).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.band").as("band"))
+      .groupBy(col("band_idx"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"),
+        max(col("n")).as("max_bucket"))
+      .orderBy(col("band_idx"))
+  }
+
+  val minhashWideSql: String = {
+    // h0-h3: slices of md5(s); h4-h7: slices of md5('1|' || s).
+    val slices = (0 until 8).map { h =>
+      val digest = if (h < 4) "md5(s)" else "md5('1|' || s)"
+      s"    list_aggregate(list_transform(sh, s -> substr($digest, ${(h % 4) * 8 + 1}, 8)), 'min') AS h$h"
+    }.mkString(",\n")
+    val bandRows = (0 until 4).map { b =>
+      s"  SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS band FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+       |      j -> array_to_string(toks[j+1:j+3], ' '))) AS sh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+       |    FROM documents)
+       |), mh AS (
+       |  SELECT doc_id,
+       |$slices
+       |  FROM docs WHERE len(sh) > 0
+       |), bands AS (
+       |$bandRows
+       |), buckets AS (
+       |  SELECT band_idx, band, COUNT(*) AS n FROM bands GROUP BY band_idx, band
+       |)
+       |SELECT band_idx, COUNT(*) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_bucket
+       |FROM buckets GROUP BY band_idx
+       |ORDER BY band_idx""".stripMargin
+  }
+
   // q_minhash_bands — LSH bucket statistics per band (always non-empty;
   // the candidate-pair set itself may legitimately be empty on
   // synthetic data).
@@ -247,6 +310,77 @@ object DedupOps {
       |  MAX(jaccard) AS max_jaccard
       |FROM pairs GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_passage_dedup — passage-level duplication census: for each doc,
+  // how many of its distinct word-8-gram passages also occur in some
+  // OTHER document (the exact-substring-dedup signal of Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better" — the
+  // Spark-shaped equivalent of their suffix-array scan: sliding
+  // 8-grams are the passages, an equi-join on the gram key finds the
+  // cross-document repeats, never a doc×doc product). Docs shorter
+  // than 8 tokens have no passages and drop out, mirroring
+  // q_decontaminate's gram rule.
+  //
+  // Scale shape: one tokenize+explode pass (pinned via materialize —
+  // the gram frame feeds both the shared-gram aggregation and the
+  // per-doc rollup; without pinning Spark re-tokenizes per branch),
+  // a partial-agg'd groupBy(gram) to find grams in >1 doc, a left
+  // join back on the gram key, one groupBy(doc_id). A boilerplate
+  // 8-gram shared by millions of docs is a hot join key — AQE skew
+  // split handles it, and the build side carries only the gram
+  // string. Per-doc distinct grams (array_distinct before explode)
+  // bound a pathological "same sentence 1000×" doc at its distinct
+  // passage count.
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedupOf(Catalog.table(spark, sfDir, "documents"))
+
+  /** Passage census of an arbitrary (doc_id, text) corpus slice. */
+  private[queries] def passageDedupOf(docs: DataFrame): DataFrame = {
+    import graft.store.Iteration.materialize
+    val grams = materialize(docs
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 8),
+          j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram")))
+    // Grams are distinct per doc, so count(*) per gram = #docs holding it.
+    val shared = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("gram"), lit(1).as("__dup"))
+    grams.join(shared, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__dup")).as("n_dup"))
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(0, len(toks) - 7),
+      |      j -> array_to_string(toks[j+1:j+8], ' ')))) AS gram
+      |  FROM toks WHERE len(toks) >= 8
+      |), shared AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+      |), per_doc AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    COUNT(CASE WHEN s.gram IS NOT NULL THEN 1 END) AS n_dup
+      |  FROM grams g LEFT JOIN shared s USING (gram)
+      |  GROUP BY g.doc_id
+      |)
+      |SELECT doc_id, n_grams, n_dup,
+      |  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+      |FROM per_doc WHERE n_dup > 0
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_simhash — SimHash-16 document fingerprints: per token, 16 bits
@@ -594,6 +728,8 @@ object DedupOps {
     Op("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("q_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     Op("q_minhash_bands", minhashBands, Some(minhashBandsSql)),
+    Op("q_minhash_wide", minhashWide, Some(minhashWideSql)),
     Op("q_near_dup_pairs", nearDupPairs, Some(nearDupPairsSql)),
-    Op("q_jaccard_blocked", jaccardBlocked, Some(jaccardBlockedSql)))
+    Op("q_jaccard_blocked", jaccardBlocked, Some(jaccardBlockedSql)),
+    Op("q_passage_dedup", passageDedup, Some(passageDedupSql)))
 }
