@@ -35,6 +35,8 @@ import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
   *                                         touching the given pks
   *                                         (bucket-pruned probe)
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
+  *   compact <store> <table> [sortCol,...] bin-pack fragmented files
+  *                                         (optionally sort-clustered)
   *   doctor <store>                        index integrity checks
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
@@ -157,6 +159,14 @@ object Cli {
         val nAfter = store.read(table).count()
         println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
           s" ($nAfter rows remain, key=$pk)")
+      case "compact" =>
+        // compact <store> <table> [sortCol,...] — bin-pack a
+        // fragmented table's files, optionally sort-clustering rows
+        // for row-group pruning
+        val sortBy = if (args.length > 3) args(3).split(",").toSeq else Nil
+        val (before, after) = store.compact(args(2), sortBy)
+        println(s"[compact] ${args(2)}: $before -> $after files" +
+          (if (sortBy.nonEmpty) s", clustered by ${sortBy.mkString(",")}" else ""))
       case "doctor" =>
         val issues = graft.store.Doctor.check(store)
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")

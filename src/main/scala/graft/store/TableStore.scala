@@ -103,4 +103,85 @@ class TableStore(val spark: SparkSession, root: String) {
 
   def insertIgnore(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
     writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
+
+  /** Data-file count and total bytes of a table directory (recursive,
+    * skipping `_SUCCESS`/hidden bookkeeping files) — the fragmentation
+    * signal `compact` acts on.
+    */
+  def fileStats(name: String): (Long, Long) = {
+    def walk(p: Path): (Long, Long) =
+      fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
+        val base = st.getPath.getName
+        if (base.startsWith("_") || base.startsWith(".")) (n, b)
+        else if (st.isDirectory) {
+          val (dn, db) = walk(st.getPath); (n + dn, b + db)
+        } else (n + 1, b + st.getLen)
+      }
+    walk(new Path(path(name)))
+  }
+
+  /** The Hive partition column chain of a table's directory layout
+    * (`day=…/`, `pk_bucket=…/`), detected from the first
+    * `col=value` directory path — empty for flat tables. Lets
+    * `compact` preserve the layout without the caller restating it.
+    */
+  def partitionColumnsOf(name: String): Seq[String] = {
+    @annotation.tailrec
+    def loop(p: Path, acc: Vector[String]): Vector[String] = {
+      val sub = fs.listStatus(p).find(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.contains("="))
+      sub match {
+        case Some(st) =>
+          loop(st.getPath, acc :+ st.getPath.getName.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    loop(new Path(path(name)), Vector.empty)
+  }
+
+  /** Compact a fragmented table in place (swap-safe): the incremental
+    * maintenance paths (dynamic-partition FTS postings, IVF cells,
+    * upsert-rewritten base tables) accrete one file per batch per
+    * partition, and at 100 TB the resulting small-files listing +
+    * open-per-file overhead dominates scan time long before data
+    * volume does. This is the OPTIMIZE/bin-packing half of a lakehouse
+    * maintenance story (the other half, MERGE, is the documented
+    * Upsert seam).
+    *
+    *  - Partitioned tables rewrite through an AQE REBALANCE on the
+    *    partition columns: small partitions coalesce into shared
+    *    tasks, a skewed hot partition splits across several — neither
+    *    a million tiny files nor one unwritable giant.
+    *  - Flat tables repartition to ceil(bytes / targetBytes) output
+    *    files.
+    *  - `sortBy` additionally sort-clusters rows WITHIN each output
+    *    file (after the partition columns), so parquet row-group
+    *    min/max stats become selective for predicates on those
+    *    columns — the poor man's Z-order, and the right call for a
+    *    pk-ranged read pattern.
+    *
+    * Returns (filesBefore, filesAfter). The rewrite reads the live
+    * files and writes `<name>.__tmp`, then swaps — a concurrent crash
+    * leaves the original table intact.
+    */
+  def compact(
+      name: String,
+      sortBy: Seq[String] = Nil,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(exists(name), s"no such table: $name")
+    val (nBefore, bytes) = fileStats(name)
+    val partCols = partitionColumnsOf(name)
+    val df = read(name)
+    import org.apache.spark.sql.functions.col
+    val shaped =
+      if (partCols.nonEmpty) df.hint("rebalance", partCols.map(col): _*)
+      else df.repartition(
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+    val sorted =
+      if (sortBy.isEmpty) shaped
+      else shaped.sortWithinPartitions((partCols ++ sortBy).map(col): _*)
+    writeSwapped(name, sorted, partCols)
+    (nBefore, fileStats(name)._1)
+  }
 }
