@@ -659,6 +659,86 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_lm_bigram_score — CCNet-style language-model quality scoring
+  // (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  // Datasets from Web Crawl Data"): train a bigram model ON the corpus
+  // (two partial-agg'd count groupBys — the model artifacts, persisted
+  // tables at 100 TB), then score every document by its mean smoothed
+  // transition probability p(w_i | w_{i-1}) = (c(w_{i-1}w_i) + 1) /
+  // (c(w_{i-1}) + V), add-one smoothing, V = corpus vocab.
+  //
+  // CCNet ranks by log-perplexity; the scoring kernel here sums LINEAR
+  // probabilities quantized to 1e-6 longs instead, because ln() is not
+  // IEEE-pinned (JVM StrictMath vs DuckDB libm can differ in the last
+  // ulp, flipping a floor at a quantization boundary), while
+  // floor(1e6 · (a/b)) over exact-integer-valued doubles is a single
+  // IEEE division + multiply — bit-stable on both engines. The
+  // induced ordering is the same "how expected is this text under the
+  // corpus model" signal the quality filter consumes; swapping ln()
+  // in is a one-expression change where a cross-engine bit-match
+  // isn't demanded. Output stays integer-exact (n_trans, score_q);
+  // the mean is the caller's single division.
+  //
+  // Scale shape: scoring is per-position equi-joins on (prev, cur)
+  // and prev — a hot bigram ("of the") is a hot JOIN key (AQE skew
+  // split), never a row explosion beyond |tokens|; the broadcast
+  // vocab scalar is one row.
+  def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    // pinned: the token frame feeds transitions AND the vocab count
+    val toks = materialize(Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks")))
+    val trans = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        j => struct(element_at(col("toks"), j + 1).as("prev"),
+          element_at(col("toks"), j + 2).as("cur")))).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"), col("t.cur").as("cur"))
+    val big = trans.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = trans.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    trans.join(big, Seq("prev", "cur")).join(uni, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double") * lit(1e6)).as("pq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("pq")).as("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), trans AS (
+      |  SELECT doc_id, t.prev AS prev, t.cur AS cur FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+      |      j -> struct_pack(prev := toks[j+1], cur := toks[j+2]))) AS t
+      |    FROM toks WHERE len(toks) >= 2)
+      |), big AS (
+      |  SELECT prev, cur, COUNT(*) AS c2 FROM trans GROUP BY prev, cur
+      |), uni AS (
+      |  SELECT prev, COUNT(*) AS c1 FROM trans GROUP BY prev
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(toks) AS tok FROM toks)
+      |), scored AS (
+      |  SELECT tr.doc_id,
+      |    CAST(floor(CAST(b.c2 + 1 AS DOUBLE) / CAST(u.c1 + v.v AS DOUBLE) * 1e6) AS BIGINT) AS pq
+      |  FROM trans tr
+      |  JOIN big b ON tr.prev = b.prev AND tr.cur = b.cur
+      |  JOIN uni u ON tr.prev = u.prev
+      |  CROSS JOIN vocab v
+      |)
+      |SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(pq) AS BIGINT) AS score_q
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_langid — marker-token language scoring (n-gram-heuristic
   // language ID): count language-marker occurrences via the padded
   // replace-length trick, argmax with fixed precedence. The engine
@@ -768,5 +848,6 @@ object TextOps {
     Op("q_repetition", repetition, Some(repetitionSql)),
     Op("q_pii_scan", piiScan, Some(piiScanSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
-    Op("q_text_stats", textStats, Some(textStatsSql)))
+    Op("q_text_stats", textStats, Some(textStatsSql)),
+    Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)))
 }
