@@ -659,6 +659,47 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_bpe_step — the first iteration of BPE vocabulary training
+  // (store/Bpe), oracle-checked: word counts (one corpus groupBy),
+  // initial character symbols, adjacent-pair counts weighted by word
+  // frequency, top-10 pairs. The same relationship q_kmeans_step has
+  // to the k-means loop: the ITERATED step verified bit-exact against
+  // an independent engine, while BpeSpec checks the full training
+  // loop against a reference implementation (an iterative algorithm
+  // is not reasonably expressible as one DuckDB query). Order fully
+  // pinned (cnt DESC, a, b) so LIMIT is deterministic on both sides.
+  def bpeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Catalog.table(spark, sfDir, "documents")
+      .select(explode(Transforms.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(0), length(col("word")) - 2),
+        j => struct(col("word").substr(j + 1, lit(1)).as("a"),
+          col("word").substr(j + 2, lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(10)
+  }
+
+  val bpeStepSql: String =
+    """WITH words AS (
+      |  SELECT word, COUNT(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |      t -> t <> '')) AS word
+      |    FROM documents) GROUP BY word
+      |), pairs AS (
+      |  SELECT n, unnest(list_transform(range(0, len(word) - 1),
+      |    j -> struct_pack(a := word[j+1:j+1], b := word[j+2:j+2]))) AS p
+      |  FROM words WHERE len(word) >= 2
+      |)
+      |SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY p.a, p.b
+      |ORDER BY cnt DESC, a, b
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_lm_bigram_score — CCNet-style language-model quality scoring
   // (Wenzek et al., "CCNet: Extracting High Quality Monolingual
   // Datasets from Web Crawl Data"): train a bigram model ON the corpus
@@ -849,5 +890,6 @@ object TextOps {
     Op("q_pii_scan", piiScan, Some(piiScanSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)),
-    Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)))
+    Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
+    Op("q_bpe_step", bpeStep, Some(bpeStepSql)))
 }
