@@ -615,8 +615,170 @@ object SimilarityOps {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_ann_ivfpq_topk — the COMPOSED production ANN shape (the FAISS
+  // IVFPQ layout, re-expressed as Spark joins): IVF cells cut WHICH
+  // candidates are read (probes visit nprobe=2 of 16 cells — at scale,
+  // directory-level partition pruning via store/Ivf), and residual PQ
+  // codes cut the BYTES read per candidate (8 codes instead of 64
+  // floats — store/Pq). Candidates encode their RESIDUAL r = e −
+  // centroid[cell] (residual encoding is what makes IVFPQ accurate:
+  // residuals are centered near 0, so one shared codebook covers every
+  // cell), and each probe builds one LUT PER PROBED CELL against its
+  // own residual in that cell — ADC then scores a candidate as the sum
+  // of 8 quantized table entries selected by (cell, s, code), never
+  // touching candidate floats.
+  //
+  // Determinism for the oracle: cells = the 16 lowest-vec_id vectors
+  // (the q_ann_ivf_topk convention), codebooks = the residuals of the
+  // 16 lowest CANDIDATE vec_ids (16..31), one codeword per slice each
+  // (production trains both with Kmeans/Pq.trainBooks and plugs them
+  // into this same plan); argmin/argmax tie-break on the lower id; LUT
+  // entries 1e-6-quantize to longs so candidate sums are exact and
+  // commutative on any partitioning.
+  def annIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    val emb = materialize(Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e")))))
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
+        col("norm").as("cent_norm"))
+
+    // candidate → nearest cell (max_by partial agg; cent_e rides along
+    // for the residual) → residual r = e − centroid[cell]
+    val resid = materialize(emb.filter(col("vec_id") >= nCentroids)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cent_id"), col("cent_e"),
+        (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+          .as("_cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("cent_id").as("cell"), col("cent_e")),
+        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("vec_id"), col("_best.cell").as("cell"),
+        zip_with(col("_best.e"), col("_best.cent_e"), (x, y) => x - y)
+          .as("r")))
+
+    // shared codebook: the residuals of candidates 16..31, codeword j =
+    // vec_id − 16 (slice s of seed j is subspace s's j-th codeword)
+    val books = resid
+      .filter(col("vec_id") < nCentroids + pqCodebook)
+      .select((col("vec_id") - nCentroids).as("code"), col("r").as("br"))
+
+    // encode: per (candidate, slice) argmin over the 16 codewords —
+    // min_by partial agg, one row per (vec_id, s) crosses the exchange
+    val codes = resid.crossJoin(broadcast(books))
+      .select(col("vec_id"), col("cell"), col("code"),
+        explode(pqSliceDists(col("r"), col("br"))).as("sd"))
+      .groupBy(col("vec_id"), col("cell"), col("sd.s").as("s"))
+      .agg(min_by(col("code"), struct(col("sd.d"), col("code"))).as("code"))
+
+    // probes (vec_id < 4) pick their nprobe=2 closest cells — bounded
+    // sorted-list agg, same shape as q_ann_ivf_topk — and carry the
+    // probed cell's centroid for the per-cell query residual
+    val probeCells = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        struct(
+          (-(dot(col("qe"), col("cent_e")) / (col("qnorm") * col("cent_norm"))))
+            .as("_ns"),
+          col("cent_id").as("cell"),
+          zip_with(col("qe"), col("cent_e"), (x, y) => x - y).as("qr"))
+          .as("_sk"))
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(col("_sk"))), 1, nProbeCells)
+        .as("_cells"))
+      .select(col("query_id"), explode(col("_cells")).as("_c"))
+      .select(col("query_id"), col("_c.cell").as("cell"), col("_c.qr").as("qr"))
+
+    // per-(query, cell) residual LUT: 2 cells × 8 slices × 16 codes per
+    // probe, quantized to longs — tiny, broadcast
+    val lut = probeCells.crossJoin(broadcast(books))
+      .select(col("query_id"), col("cell"), col("code"),
+        explode(pqSliceDists(col("qr"), col("br"))).as("sd"))
+      .select(col("query_id"), col("cell"), col("sd.s").as("s"), col("code"),
+        floor(col("sd.d") * 1e6).cast("long").as("qd"))
+
+    // ADC: equi-join on (cell, s, code) routes candidates to the
+    // queries probing their cell AND selects their 8 LUT entries in
+    // one go; partial-agg'd sum, WindowGroupLimit top-k
+    val ranked = codes.join(broadcast(lut), Seq("cell", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("cand_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+    ranked.select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfPqTopKSql: String = {
+    val cos = (e: String, n: String) =>
+      s"${dotSql(e, "k.cent_e")} / ($n * k.cent_norm)"
+    val sliceDist = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${pqSubDim + 1}),
+         |      i -> ($a[s.s*$pqSubDim + i] - $b[s.s*$pqSubDim + i]) * ($a[s.s*$pqSubDim + i] - $b[s.s*$pqSubDim + i]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, e AS cent_e, norm AS cent_norm
+       |  FROM emb WHERE vec_id < $nCentroids
+       |), resid AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> e[i] - cent_e[i]) AS r
+       |  FROM (
+       |    SELECT c.vec_id, c.e, k.cent_id AS cell, k.cent_e,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cos("c.e", "c.norm")} DESC, k.cent_id) AS crnk
+       |    FROM emb c CROSS JOIN cents k WHERE c.vec_id >= $nCentroids
+       |  ) WHERE crnk = 1
+       |), books AS (
+       |  SELECT vec_id - $nCentroids AS code, r AS br FROM resid
+       |  WHERE vec_id < ${nCentroids + pqCodebook}
+       |), codes AS (
+       |  SELECT vec_id, cell, s, code FROM (
+       |    SELECT v.vec_id, v.cell, s.s AS s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, s.s
+       |        ORDER BY ${sliceDist("v.r", "b.br")}, b.code) AS rnk
+       |    FROM resid v CROSS JOIN books b
+       |      CROSS JOIN (SELECT unnest(range(0, $pqSlices)) AS s) s
+       |  ) WHERE rnk = 1
+       |), probe_cells AS (
+       |  SELECT query_id, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> qe[i] - cent_e[i]) AS qr
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, k.cent_id AS cell, k.cent_e,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.e", "q.norm")} DESC, k.cent_id) AS crnk
+       |    FROM emb q CROSS JOIN cents k WHERE q.vec_id < 4
+       |  ) WHERE crnk <= $nProbeCells
+       |), lut AS (
+       |  SELECT p.query_id, p.cell, s.s AS s, b.code,
+       |    CAST(floor(${sliceDist("p.qr", "b.br")} * 1e6) AS BIGINT) AS qd
+       |  FROM probe_cells p CROSS JOIN books b
+       |    CROSS JOIN (SELECT unnest(range(0, $pqSlices)) AS s) s
+       |), scored AS (
+       |  SELECT l.query_id, c.vec_id AS cand_id, CAST(SUM(l.qd) AS BIGINT) AS adist
+       |  FROM codes c JOIN lut l ON c.cell = l.cell AND c.s = l.s AND c.code = l.code
+       |  GROUP BY l.query_id, c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_pq_encode", pqEncode, Some(pqEncodeSql)),
+    Op("q_ann_ivfpq_topk", annIvfPqTopK, Some(annIvfPqTopKSql)),
     Op("q_ann_pq_topk", annPqTopK, Some(annPqTopKSql)),
     Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
