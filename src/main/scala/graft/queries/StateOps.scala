@@ -226,7 +226,74 @@ object StateOps {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cardinality_kmv — A3 (`/root/reference/cli.py:151-157`): the
+  // reference estimates a table's distinct-value cardinality to size
+  // its progress bar. SQLite can afford COUNT(DISTINCT); at 100 TB
+  // that is a full shuffle of every distinct value, so the engine form
+  // is a k-minimum-values sketch: hash every value with k independent
+  // salted hashes onto [0,1); per group keep only the k per-hash
+  // MINIMA (k plain min() aggregates — bounded state, partial-agg'd
+  // map-side, mergeable across partitions, k doubles cross the
+  // exchange per group); estimate n̂ = k/Σminᵢ − 1 (E[min of n uniform
+  // draws] = 1/(n+1)). Duplicates hash identically so they never move
+  // a minimum — the estimator sees distinct values only, no distinct
+  // shuffle needed.
+  //
+  // Determinism: hash i of v = first 12 hex chars of md5("i|v") read
+  // as a 48-bit integer over 16^12 (exact in a double); the k-term sum
+  // is one fixed left-assoc chain and the estimate one division, so
+  // both engines floor the same double. The exact COUNT(DISTINCT)
+  // rides along as the accuracy ground truth for the demo (it is NOT
+  // part of the production sketch path).
+  private val kmvK = 16
+  private val kmvDenom = math.pow(16.0, 12) // 2^48, exact
+
+  /** Per-hash [0,1) fraction columns for value column `v`. */
+  private def kmvFracs(v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until kmvK).map { i =>
+      conv(substring(md5(concat(lit(s"$i|"), v)), 1, 12), 16, 10)
+        .cast("long").cast("double") / lit(kmvDenom)
+    }
+
+  def cardinalityKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val mins = kmvFracs(col("text")).zipWithIndex.map {
+      case (f, i) => min(f).as(s"_m$i")
+    }
+    val sumMins = (0 until kmvK).map(i => col(s"_m$i")).reduce(_ + _)
+    Catalog.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("exact_distinct"),
+        mins: _*)
+      .select(col("source"), col("exact_distinct"),
+        floor(lit(kmvK.toDouble) / sumMins - lit(1.0)).cast("long")
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val cardinalityKmvSql: String = {
+    // hex → 48-bit int: left fold acc*16 + digit over the 12 chars
+    def frac(i: Int): String =
+      s"""(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 13), j ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substr(md5('$i|' || text), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+         |    (acc, d) -> acc * 16 + d) AS DOUBLE) / $kmvDenom)""".stripMargin
+    val mins = (0 until kmvK).map(i => s"MIN(${frac(i)}) AS _m$i").mkString(",\n  ")
+    val sum = (0 until kmvK).map(i => s"_m$i").mkString(" + ")
+    s"""WITH sk AS (
+       |  SELECT source, COUNT(DISTINCT text) AS exact_distinct,
+       |  $mins
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT source, exact_distinct,
+       |  CAST(floor($kmvK.0 / ($sum) - 1.0) AS BIGINT) AS est_distinct
+       |FROM sk
+       |ORDER BY source""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
     Op("q_funnel", funnel, Some(funnelSql)),
     Op("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("q_watermark_max", watermarkMax, Some(watermarkMaxSql)),
