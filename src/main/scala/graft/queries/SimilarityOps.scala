@@ -776,9 +776,100 @@ object SimilarityOps {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  // embedding-level semantic deduplication for pretraining corpora.
+  // Where MinHash/SimHash catch LEXICAL near-dups, this catches
+  // re-phrasings: cluster the embedding space (k-means cells — here
+  // the deterministic 16-seed convention; production plugs
+  // kmeansTrain output into the same plan), compare vectors ONLY
+  // within their cell, and keep one representative per
+  // cosine-connected component. The cell partitioning is what makes
+  // it tractable at 100 TB: candidate pairs are in-cell only (equi-
+  // join on the cell id, skew-bounded through PairExpansion's grid
+  // tasks, ids-only payload), never a corpus×corpus product — the
+  // same shape as q_embed_near_dup but with the clustering endgame of
+  // q_dedup_clusters: pointer-jumping connected components over the
+  // verified edge set, representative = min vec_id, keep = (vec_id ==
+  // cluster). The oracle recomputes the fixpoint as a recursive
+  // transitive closure.
+  private val semThreshold = 0.3
+
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    val emb = materialize(Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e")))))
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
+        col("norm").as("cent_norm"))
+    // every vector (seeds included — they are corpus members) to its
+    // nearest cell: broadcast cents, max_by partial agg
+    val assigned = materialize(emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("norm"), col("cent_id"),
+        (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+          .as("_cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("norm"), col("cent_id").as("cell")),
+        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("vec_id"), col("_best.e").as("e"),
+        col("_best.norm").as("norm"), col("_best.cell").as("cell")))
+    // in-cell pairs, ids only through the grid; vectors join back onto
+    // the (small) pair set for the exact-cosine edge filter
+    val edges = graft.store.PairExpansion.pairsWithinBuckets(
+        assigned.select(col("vec_id"), col("cell")),
+        keyCols = Seq("cell"), idCol = "vec_id")
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .join(assigned.select(col("vec_id").as("doc_a"), col("e").as("ea"),
+        col("norm").as("na")), Seq("doc_a"))
+      .join(assigned.select(col("vec_id").as("doc_b"), col("e").as("eb"),
+        col("norm").as("nb")), Seq("doc_b"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        >= semThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    DedupOps.connectedComponents(edges)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, e AS cent_e, norm AS cent_norm
+       |  FROM emb WHERE vec_id < $nCentroids
+       |), assigned AS (
+       |  SELECT vec_id, e, norm, cell FROM (
+       |    SELECT c.vec_id, c.e, c.norm, k.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${dotSql("c.e", "k.cent_e")} / (c.norm * k.cent_norm) DESC, k.cent_id) AS crnk
+       |    FROM emb c CROSS JOIN cents k
+       |  ) WHERE crnk = 1
+       |), vpairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.e", "b.e")} / (a.norm * b.norm) >= $semThreshold
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM vpairs
+       |), reach AS (
+       |  SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+       |)
+       |SELECT src AS vec_id, MIN(dst) AS cluster,
+       |  (src = MIN(dst)) AS keep
+       |FROM reach GROUP BY src
+       |ORDER BY vec_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_pq_encode", pqEncode, Some(pqEncodeSql)),
     Op("q_ann_ivfpq_topk", annIvfPqTopK, Some(annIvfPqTopKSql)),
+    Op("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Op("q_ann_pq_topk", annPqTopK, Some(annPqTopKSql)),
     Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
