@@ -225,8 +225,82 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_importance_weights — DSIR-style data selection (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"):
+  // score every raw document by how much it resembles a TARGET domain
+  // (here: source 'src0'; production passes any target predicate),
+  // using hashed-unigram bag-of-words models — each token hashes to
+  // one of 256 buckets (first md5 byte, the q_hash_split convention),
+  // the target and raw distributions are 256-row count tables (one
+  // partial-agg'd pass, both counts in the same groupBy), and a doc's
+  // weight sums its tokens' smoothed probability ratios
+  // p_target(b)/p_raw(b). High-weight docs are the ones importance
+  // resampling keeps (selection itself = the q_topk / q_hash_split
+  // plan family over this output).
+  //
+  // DSIR sums log-ratios; like q_lm_bigram_score this kernel sums
+  // LINEAR ratios quantized to 1e-6 longs — ln() is not IEEE-pinned
+  // across engines, while the ratio is two exact-int-valued divisions,
+  // one multiply, one floor: bit-stable everywhere, same resemblance
+  // ordering. Scale shape: the stats table is 256 rows (broadcast);
+  // scoring is a narrow map + one broadcast join + one per-doc partial
+  // agg — no shuffle ever carries the token stream.
+  private val dsirTarget = "src0"
+  private val dsirB = 256
+
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    // pinned narrow (doc_id, bucket) token frame: feeds the stats pass
+    // and the scoring join (tokenize once, ints only downstream)
+    val tb = materialize(Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Transforms.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        SamplingOps.hashBucket(col("tok")).as("b")))
+    val stats = tb.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_r"),
+        count(when(col("source") === dsirTarget, 1)).as("c_t"))
+    val totals = stats.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val ratioQ = floor(
+      (col("c_t") + lit(1)).cast("double") / (col("c_r") + lit(1)).cast("double") *
+        ((col("n_r") + lit(dsirB)).cast("double") /
+          (col("n_t") + lit(dsirB)).cast("double")) * lit(1e6)).cast("long")
+    tb.join(broadcast(stats), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), ratioQ.as("rq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("rq")).as("weight_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val importanceWeightsSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val bucket = "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+      "strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1"
+    s"""WITH tb AS (
+       |  SELECT doc_id, source, $bucket AS b
+       |  FROM (SELECT doc_id, source, unnest($toks) AS tok FROM documents)
+       |), stats AS (
+       |  SELECT b, COUNT(*) AS c_r,
+       |    COUNT(CASE WHEN source = '$dsirTarget' THEN 1 END) AS c_t
+       |  FROM tb GROUP BY b
+       |), tot AS (
+       |  SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM stats
+       |)
+       |SELECT tb.doc_id, COUNT(*) AS n_toks,
+       |  CAST(SUM(CAST(floor(
+       |    CAST(s.c_t + 1 AS DOUBLE) / CAST(s.c_r + 1 AS DOUBLE) *
+       |    (CAST(t.n_r + $dsirB AS DOUBLE) / CAST(t.n_t + $dsirB AS DOUBLE)) * 1e6)
+       |    AS BIGINT)) AS BIGINT) AS weight_q
+       |FROM tb JOIN stats s ON tb.b = s.b CROSS JOIN tot t
+       |GROUP BY tb.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_pipeline_census", pipelineCensus, Some(pipelineCensusSql)),
     Op("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Op("q_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     Op("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)))
 }
