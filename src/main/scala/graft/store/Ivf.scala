@@ -81,37 +81,7 @@ object Ivf {
       pkCol: String, embCol: String): Unit = {
     val cents = store.read(centsName(table))
     val fresh = Iteration.materialize(assign(batch, cents, pkCol, embCol))
-    val batchPks = fresh.select(col("pk")).distinct()
-
-    val newCells = fresh.select(col(CellCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val oldCells = store.readIfExists(mapName(table)) match {
-      case Some(m) => m.join(batchPks, Seq("pk"), "left_semi")
-        .select(col(CellCol)).distinct().collect().map(_.getLong(0)).toSet
-      case None => Set.empty[Long]
-    }
-    val affected = (newCells ++ oldCells).toSeq
-
-    store.readIfExists(indexName(table)) match {
-      case Some(idx0) =>
-        // partition-column type inference reads `cell=N` dirs as int;
-        // normalize to long so unions and collects stay type-stable
-        val idx = idx0.withColumn(CellCol, col(CellCol).cast("long"))
-        val merged = Iteration.materialize(
-          idx.filter(col(CellCol).isin(affected: _*))
-            .join(batchPks, Seq("pk"), "left_anti")
-            .unionByName(fresh)
-            .repartition(col(CellCol)))
-        store.overwritePartitions(indexName(table), merged, Seq(CellCol))
-        val stillThere = merged.select(col(CellCol)).distinct()
-          .collect().map(_.getLong(0)).toSet
-        affected.filterNot(stillThere).foreach(c =>
-          store.dropPartition(indexName(table), CellCol, c.toString))
-      case None =>
-        store.overwrite(indexName(table),
-          fresh.repartition(col(CellCol)), partitionBy = Seq(CellCol))
-    }
-    store.upsert(mapName(table), fresh.select(col("pk"), col(CellCol)), Seq("pk"))
+    CellIndex.maintain(store, indexName(table), mapName(table), fresh)
     store.upsert(table, batch, Seq(pkCol))
   }
 

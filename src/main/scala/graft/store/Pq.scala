@@ -39,7 +39,7 @@ object Pq {
   /** Squared L2 between two equal-length vector columns, as a
     * sequential left-fold (bit-exact regardless of partitioning).
     */
-  private def l2sq(a: Column, b: Column): Column =
+  private[store] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
