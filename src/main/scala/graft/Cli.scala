@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.ingest.Archive
-import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
+import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
 
 /** Thin command surface mirroring the reference CLI's offline
   * commands (the network-bound commands — user-timeline, search,
@@ -28,6 +28,8 @@ import graft.store.{Fts, Ivf, Lsh, Pq, SqliteCompat, TableStore}
   *   pq-search <store> <table> <pk> <emb> <qid> [topk] ADC top-k
   *   ivf-index <store> <table> <pk> <emb> [k] [iters]  train + assign
   *   ivf-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   ivfpq-index <store> <table> <pk> <emb> [k] [iters] cells + residual codes
+  *   ivfpq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   lsh-index <store> <table> <pk> <text> [nHashes] [bands] [buckets]
   *                                         build the MinHash band index
   *   lsh-pairs <store> <table> [pk...]     near-dup candidate pairs —
@@ -92,16 +94,30 @@ object Cli {
           Ivf.buildIndex(store, table, vecs, pk, emb, k = k, iters = iters)
           println(s"[ivf-index] ${store.read(Ivf.mapName(table)).count()} assigned")
         }
-      case "pq-search" | "ivf-search" =>
+      case "ivfpq-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val k = if (args.length > 5) args(5).toInt else 16
+        val iters = if (args.length > 6) args(6).toInt else 3
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        IvfPq.buildIndex(store, table, vecs, pk, emb,
+          kCells = k, iters = iters)
+        println(s"[ivfpq-index] ${store.read(IvfPq.codesName(table)).count()} code rows")
+      case "pq-search" | "ivf-search" | "ivfpq-search" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
         val topk = if (args.length > 6) args(6).toInt else 10
+        val nprobe = if (args.length > 7) args(7).toInt else 2
         val queries = store.read(table).filter(col(pk) === qid)
           .select(col(pk), col(emb).cast("array<double>").as(emb))
-        val res =
-          if (cmd == "pq-search") Pq.annTopK(store, table, queries, pk, emb, topk)
-          else Ivf.annTopK(store, table, queries, pk, emb, topk,
-            nprobe = if (args.length > 7) args(7).toInt else 2)
+        val res = cmd match {
+          case "pq-search" => Pq.annTopK(store, table, queries, pk, emb, topk)
+          case "ivf-search" =>
+            Ivf.annTopK(store, table, queries, pk, emb, topk, nprobe = nprobe)
+          case _ =>
+            IvfPq.annTopK(store, table, queries, pk, emb, topk, nprobe = nprobe)
+        }
         res.show(topk, truncate = false)
       case "lsh-index" =>
         val (table, pk, text) = (args(2), args(3), args(4))

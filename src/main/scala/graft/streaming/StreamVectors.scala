@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.store.{Ivf, Pq, TableStore}
+import graft.store.{Ivf, IvfPq, Pq, TableStore}
 
 /** Streaming maintenance of the persisted vector indexes — the
   * embedding-side analog of [[StreamFts]]: as vectors stream in, the
@@ -44,6 +44,18 @@ object StreamVectors {
       if (!batch.isEmpty)
         Ivf.upsertWithCells(store, table, batch, pkCol, embCol)
 
+  /** foreachBatch handler maintaining the combined IVF+PQ index
+    * (cell-partitioned residual codes). Requires `IvfPq.buildIndex`
+    * to have trained and written centroids + books.
+    */
+  def ivfPqSink(
+      store: TableStore, table: String, pkCol: String, embCol: String,
+      slices: Int = 8, subDim: Int = 8): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        IvfPq.upsertWithCodes(store, table, batch, pkCol, embCol,
+          slices, subDim)
+
   /** Wire a streaming (pk, embedding, …) frame into the PQ sink. */
   def writePqIndexed(
       vectors: DataFrame, store: TableStore, table: String,
@@ -57,6 +69,14 @@ object StreamVectors {
       vectors: DataFrame, store: TableStore, table: String,
       pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
     start(vectors, checkpointDir, ivfSink(store, table, pkCol, embCol))
+
+  /** Wire a streaming (pk, embedding, …) frame into the IVF+PQ sink. */
+  def writeIvfPqIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String,
+      slices: Int = 8, subDim: Int = 8): StreamingQuery =
+    start(vectors, checkpointDir,
+      ivfPqSink(store, table, pkCol, embCol, slices, subDim))
 
   private def start(
       vectors: DataFrame, checkpointDir: String,

@@ -109,4 +109,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(short >= adc - 1e-9, "a 4x shortlist can only help")
     assert(short >= 0.65, s"shortlist recall floor: $short")
   }
+
+  test("IVF+PQ recall@10 rises with nprobe; residual coding clears the ADC floor") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annr3").toString)
+    // same 64-codeword budget as the flat-PQ test so the floors are
+    // comparable; 16 coarse cells on top
+    IvfPq.buildIndex(store, "vectors", emb, "vec_id", "e",
+      kCells = 16, slices = 8, subDim = 8, kCodes = 64, iters = 3)
+    val exact = exactTopK("l2")
+
+    val r = Seq(1, 4, 16).map { np =>
+      np -> recall(resultSets(
+        IvfPq.annTopK(store, "vectors", queries, "vec_id", "e", K,
+          nprobe = np)), exact)
+    }.toMap
+    info(s"IVF+PQ recall@$K by nprobe: $r")
+    assert(r(1) <= r(4) + 1e-9 && r(4) <= r(16) + 1e-9,
+      s"recall must not fall as nprobe grows: $r")
+    // probing every cell leaves only PQ quantization error — residual
+    // coding must clear the flat-ADC floor on the same budget
+    assert(r(16) >= 0.3, s"all-cells IVF+PQ recall floor: $r")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.store.{Ivf, Pq, TableStore}
+import graft.store.{Ivf, IvfPq, Pq, TableStore}
 
 /** Streaming vector-index maintenance: micro-batches encode/assign
   * against the PERSISTED books/centroids and replace by pk, so the
@@ -82,6 +82,43 @@ class StreamVectorsSpec extends SparkSpec {
         .collect()
       assert(res.head.getLong(2) === 100L) // exact twin tops the ranking
       assert(math.abs(res.head.getDouble(3) - 1.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("streamed vectors land in their IVF+PQ cell with fresh residual codes") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    IvfPq.buildIndex(store, "vectors", corpus, "vec_id", "e",
+      kCells = 4, kCodes = 8, iters = 2)
+    assert(store.read(IvfPq.codesName("vectors")).count() === 24L)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck3").toString
+    val q = StreamVectors.writeIvfPqIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e", ckpt)
+    try {
+      // stream a new vector placed exactly on vector 7's position
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      val rows = store.read(IvfPq.codesName("vectors"))
+        .select(col("pk"), concat_ws(",", col("codes")).as("cs"),
+          col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(rows.size === 25)
+      assert(rows(100L) === rows(7L)) // same position → same cell + codes
+
+      // ADC search from vec 7's position surfaces the streamed twin
+      val res = IvfPq.annTopK(store, "vectors",
+        corpus.filter(col("vec_id") === 7), "vec_id", "e",
+        k = 1, nprobe = 1)
+        .collect()
+      assert(res.head.getLong(2) === 100L)
+
+      // redelivery converges (same data, same state)
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      assert(store.read(IvfPq.codesName("vectors")).count() === 25L)
     } finally q.stop()
   }
 }
