@@ -163,7 +163,46 @@ object SamplingOps {
       |ORDER BY shuffle_key, doc_id
       |LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_domain_cap — the per-domain document cap every web-scale corpus
+  // build applies (C4 / RefinedWeb style: no single host may dominate
+  // the mixture): within each source, keep the top `domainCap` docs by
+  // a quality key (here length desc, doc_id tiebreak — production
+  // plugs any scored column into the same plan) and report the
+  // per-source census. The window partitions BY SOURCE, so state is
+  // bounded per key and Spark's InferWindowGroupLimit ships only each
+  // partition's local top-N through the exchange — the q_topk shape
+  // applied per group, no global sort anywhere.
+  private val domainCap = 20
+
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Catalog.table(spark, sfDir, "documents")
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rnk") <= domainCap, 1)).as("n_kept"),
+        sum(when(col("rnk") <= domainCap, col("n_chars"))).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val domainCapSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN rnk <= $domainCap THEN 1 END) AS n_kept,
+       |  CAST(SUM(CASE WHEN rnk <= $domainCap THEN n_chars END) AS BIGINT) AS kept_chars
+       |FROM (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents
+       |)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_domain_cap", domainCap, Some(domainCapSql)),
     Op("q_hash_split", hashSplit, Some(hashSplitSql)),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Op("q_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),
