@@ -143,6 +143,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 11:00:00.0", "buy", 1L, 5.0)))
   }
 
+  test("event-time session windows merge on gap, close at the watermark, drop late") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+
+    val q = EventWindows.sessionCounts(events,
+        gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two events 10 min apart → ONE session ending 30 min after the
+    // last event
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    // next event far past the gap: watermark (11:50) passes the open
+    // session's end (10:40) → it finalizes; a new session opens
+    mem.addData((ts("2024-01-01 12:00:00"), 1L))
+    q.processAllAvailable()
+    // LATE event inside the closed session's span — must be dropped,
+    // not re-open or extend anything
+    mem.addData((ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    // another user far ahead closes user 1's second session
+    mem.addData((ts("2024-01-01 14:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    // merged session: both early events, end = last ts + gap
+    assert(rows.contains(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 1L, 2L)))
+    // second session: the 12:00 event alone (late 10:05 never joined)
+    assert(rows.contains(
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L, 1L)))
+    // nothing else emitted for user 1
+    assert(rows.count(_._3 == 1L) === 2)
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, state bounded by watermark") {
     import java.sql.Timestamp
 
