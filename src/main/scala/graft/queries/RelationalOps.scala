@@ -273,7 +273,74 @@ object RelationalOps {
       |HAVING COUNT(*) >= 10
       |ORDER BY event_type ASC NULLS FIRST, day_quarter ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_bloom_skip_existing — J1's skip-existing anti-join, re-shaped for
+  // the 100 TB incremental-ingest case: when "seen" is billions of
+  // fingerprints, a plain left_anti shuffles the ENTIRE incoming batch
+  // against it. Instead, build a bloom filter over the seen keys
+  // (mergeable bounded sketch — numBits/8 bytes cross the exchange,
+  // not the keys), broadcast it, and route each incoming row by a
+  // per-row bit test: definitely-new rows (filter says no) skip the
+  // join entirely; only maybe-seen rows (true dups + the ~1% false
+  // positives) reach the exact anti-join verification. No false
+  // negatives → the result set is EXACTLY the plain anti-join's, which
+  // is what the oracle checks; the bloom only changes how much data
+  // the join stage sees.
+  def skipExistingBloom(
+      batch: DataFrame, seen: DataFrame, keyCol: String,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    import graft.functions.BloomFns
+    val spark = batch.sparkSession
+    val h = xxhash64(col(keyCol))
+    // the filter build is an EAGER distributed aggregation (partitions
+    // fill bits locally, merge is bitwise OR); the numBits/8-byte blob
+    // lands on the driver — Spark's might_contain requires a constant
+    // filter, and the blob is exactly what a broadcast would ship
+    val blob = seen
+      .agg(BloomFns.bloomAgg(spark, xxhash64(col(keyCol)),
+        expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // zero seen rows aggregate to a NULL blob (and might_contain(NULL)
+    // is NULL, which would silently drop every batch row) — with
+    // nothing seen, everything is new
+    if (blob == null) return batch
+    val flagged = batch
+      .withColumn("_maybe", BloomFns.mightContain(spark, lit(blob), h))
+    val definitelyNew = flagged.filter(!col("_maybe")).drop("_maybe")
+    val verified = flagged.filter(col("_maybe")).drop("_maybe")
+      .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  // The oracle-checked demo: docs with doc_id >= 250 are "the incoming
+  // batch", the first 250 are "already ingested"; new = no seen doc
+  // shares the exact-dedup fingerprint. The oracle can't see the bloom
+  // (engine-specific bits) — it checks the SEMANTICS: result ==
+  // fingerprint anti-join.
+  def bloomSkipExisting(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.ingest.Transforms.exactFingerprint(col("text")).as("fp"))
+    skipExistingBloom(
+      fps.filter(col("doc_id") >= 250),
+      fps.filter(col("doc_id") < 250).select(col("fp")),
+      "fp", expectedItems = 1000L, numBits = 10000L)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomSkipExistingSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS f
+      |  FROM documents
+      |)
+      |SELECT n.doc_id FROM fp n
+      |WHERE n.doc_id >= 250
+      |  AND NOT EXISTS (SELECT 1 FROM fp s WHERE s.doc_id < 250 AND s.f = n.f)
+      |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_bloom_skip_existing", bloomSkipExisting, Some(bloomSkipExistingSql)),
     Op("q_cube_having", cubeHaving, Some(cubeHavingSql)),
     Op("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     Op("q_semi_facet", semiFacet, Some(semiFacetSql)),
