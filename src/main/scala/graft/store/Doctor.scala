@@ -36,8 +36,13 @@ object Doctor {
     names.filter(_.endsWith("_ivf")).foreach { idx =>
       issues ++= ivf(store, baseOf(idx, "_ivf"), names)
     }
-    names.filter(_.endsWith("_pq")).foreach { idx =>
+    // "_ivfpq" also ends with "_pq" — route it to its own check, not
+    // the flat-PQ one (whose table names wouldn't resolve)
+    names.filter(n => n.endsWith("_pq") && !n.endsWith("_ivfpq")).foreach { idx =>
       issues ++= pq(store, baseOf(idx, "_pq"), names)
+    }
+    names.filter(_.endsWith("_ivfpq")).foreach { idx =>
+      issues ++= ivfpq(store, baseOf(idx, "_ivfpq"), names)
     }
     issues.result()
   }
@@ -137,6 +142,43 @@ object Doctor {
         val onlyMap = map.join(idx, Seq("pk", "cell"), "left_anti").count()
         if (onlyIdx > 0 || onlyMap > 0)
           out += Issue("ivf", table,
+            s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
+              "(pk, cell) rows — moved vectors would leave stale cells")
+    }
+    out.result()
+  }
+
+  private def ivfpq(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(IvfPq.centsName(table)))
+      out += Issue("ivfpq", table,
+        "centroids missing: assignment, probing, and residuals are impossible")
+    if (!names.contains(IvfPq.booksName(table))) {
+      out += Issue("ivfpq", table,
+        "residual codebooks missing: stored codes are uninterpretable")
+      return out.result()
+    }
+    val codes = store.read(IvfPq.codesName(table))
+    // every stored code vector must span the trained subspace count
+    val slices = store.read(IvfPq.booksName(table))
+      .agg(max(col("s"))).head.getInt(0) + 1
+    val bad = codes.filter(size(col("codes")) =!= slices).count()
+    if (bad > 0)
+      out += Issue("ivfpq", table,
+        s"$bad code rows don't span the trained $slices subspaces — " +
+          "books and codes disagree (rebuild the code table)")
+    // pk → cell map must mirror the cell partitions exactly, same
+    // invariant as the flat IVF index
+    val idx = codes.select(col("pk"), col("cell").cast("long"))
+    store.readIfExists(IvfPq.mapName(table)) match {
+      case None =>
+        out += Issue("ivfpq", table, "map table missing")
+      case Some(m) =>
+        val map = m.select(col("pk"), col("cell").cast("long"))
+        val onlyIdx = idx.join(map, Seq("pk", "cell"), "left_anti").count()
+        val onlyMap = map.join(idx, Seq("pk", "cell"), "left_anti").count()
+        if (onlyIdx > 0 || onlyMap > 0)
+          out += Issue("ivfpq", table,
             s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
               "(pk, cell) rows — moved vectors would leave stale cells")
     }

@@ -31,6 +31,8 @@ class DoctorSpec extends SparkSpec {
     Ivf.buildIndex(store, "vectors", vecs, "vec_id", "e", k = 2, iters = 1)
     Pq.buildIndex(store, "vectors", vecs, "vec_id", "e",
       slices = 4, subDim = 4, k = 4, iters = 1)
+    IvfPq.buildIndex(store, "vectors", vecs, "vec_id", "e",
+      kCells = 2, slices = 4, subDim = 4, kCodes = 4, iters = 1)
     store
   }
 
@@ -57,14 +59,19 @@ class DoctorSpec extends SparkSpec {
     store.overwrite(Pq.codesName("vectors"),
       store.read(Pq.codesName("vectors"))
         .withColumn("codes", slice(col("codes"), 1, 2)))
+    // IVF+PQ map desync: point every pk at a wrong cell
+    store.overwrite(IvfPq.mapName("vectors"),
+      store.read(IvfPq.mapName("vectors"))
+        .withColumn("cell", col("cell") + 1000))
 
     val issues = Doctor.check(store)
     val byComponent = issues.groupBy(_.component)
-    assert(byComponent.keySet === Set("fts", "lsh", "ivf", "pq"))
+    assert(byComponent.keySet === Set("fts", "lsh", "ivf", "pq", "ivfpq"))
     assert(byComponent("fts").exists(_.problem.contains("torn commit")))
     assert(byComponent("lsh").exists(_.problem.contains("map out of sync")))
     assert(byComponent("ivf").exists(_.problem.contains("map out of sync")))
     assert(byComponent("pq").exists(_.problem.contains("subspaces")))
+    assert(byComponent("ivfpq").exists(_.problem.contains("map out of sync")))
   }
 
   test("stale FTS stats are flagged (BM25 would score wrong)") {
