@@ -865,7 +865,58 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_quantile_hist — distributed quantiles for threshold selection
+  // ("keep the top 10% by score", "median length per language"): the
+  // exact-sort answer is a global sort and the sketch answer
+  // (GK/t-digest) is merge-order-dependent, so the 100 TB-correct
+  // DETERMINISTIC shape is a fixed-width histogram: one partial-agg'd
+  // groupBy((key, value div W)) over the corpus, then a cumulative
+  // count over the per-key BUCKET rows (thousands per key, not the
+  // corpus) finds the bucket holding each target quantile. The
+  // reported threshold is the bucket's lower bound — resolution W,
+  // exact rank semantics, identical on any partitioning (quantile
+  // membership tests are pure integer arithmetic: cum·2 ≥ total is
+  // p50, cum·10 ≥ 9·total is p90).
+  private val histW = 64
+
+  def quantileHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Catalog.table(spark, sfDir, "documents")
+      .groupBy(col("lang"), floor(col("n_chars") / histW).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("b"))))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang"))
+      .agg(max(col("total")).as("n_docs"),
+        (min(when(col("cum") * 2 >= col("total"), col("b"))) * histW)
+          .as("p50_lo"),
+        (min(when(col("cum") * 10 >= col("total") * 9, col("b"))) * histW)
+          .as("p90_lo"))
+      .orderBy(col("lang"))
+  }
+
+  val quantileHistSql: String =
+    s"""WITH hist AS (
+       |  SELECT lang, CAST(floor(n_chars / $histW) AS BIGINT) AS b, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT lang, b, n,
+       |    SUM(n) OVER (PARTITION BY lang ORDER BY b) AS cum,
+       |    SUM(n) OVER (PARTITION BY lang) AS total
+       |  FROM hist
+       |)
+       |SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+       |  CAST(MIN(CASE WHEN cum * 2 >= total THEN b END) * $histW AS BIGINT) AS p50_lo,
+       |  CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN b END) * $histW AS BIGINT) AS p90_lo
+       |FROM cum
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_quantile_hist", quantileHist, Some(quantileHistSql)),
     Op("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Op("q_langid", langId, Some(langIdSql)),
     Op("q_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
