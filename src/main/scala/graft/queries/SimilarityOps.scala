@@ -227,6 +227,106 @@ object SimilarityOps {
        |SELECT query_id, rnk, cand_id, cosine FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  // q_ann_lsh_multiprobe — multi-probe LSH (Lv et al. 2007, "Multi-
+  // probe LSH: Efficient Indexing for High-Dimensional Similarity
+  // Search"): single-probe LSH misses neighbors that fall JUST across
+  // a hyperplane, and the planes most likely to be wrong for a query
+  // are exactly the ones with the smallest |projection| margin. So
+  // each probe searches its own bucket PLUS the buckets reached by
+  // flipping its 2 lowest-margin sign bits — 3 of 256 buckets per
+  // query instead of 1, trading ~3× candidates for the recall a
+  // second hash table would buy WITHOUT storing a second index. Shape
+  // is unchanged: the probe set (3 rows per query, broadcast) joins
+  // candidates on the bucket key; margins sort in a bounded 8-element
+  // array slice, never a corpus-side window.
+  def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    val projCols = (0 until nPlanes).map { p =>
+      val weights = typedLit((0 until dims).map(d => planeWeight(p, d)))
+      dot(weights, col("e"))
+    }
+    val emb = materialize(Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e"), array(projCols: _*).as("projs"),
+        sqrt(dot(col("e"), col("e"))).as("norm"))
+      .withColumn("bucket", concat((0 until nPlanes).map { p =>
+        when(element_at(col("projs"), p + 1) > 0, lit("1")).otherwise(lit("0"))
+      }: _*)))
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"), col("bucket"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("bucket"), col("projs"))
+    // the 2 planes with the smallest |projection| per probe: bounded
+    // 8-element sort inside the row, ties to the lower plane index
+    val flips = probes.select(col("query_id"), col("qe"), col("qnorm"),
+        col("bucket"),
+        explode(slice(sort_array(transform(col("projs"),
+          (x, i) => struct(abs(x).as("m"), i.as("p")))), 1, 2)).as("f"))
+      .select(col("query_id"), col("qe"), col("qnorm"), col("bucket"),
+        col("f.p").as("p"))
+    def flipBit(b: Column, p: Column): Column = concat(
+      b.substr(lit(1), p),
+      when(b.substr(p + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      b.substr(p + 2, lit(nPlanes)))
+    val probeBuckets = probes.drop("projs")
+      .unionByName(flips.select(col("query_id"), col("qe"), col("qnorm"),
+        flipBit(col("bucket"), col("p")).as("bucket")))
+    val scored = cands.join(broadcast(probeBuckets), Seq("bucket"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
+    topKPerQuery(scored, 3)
+  }
+
+  val annLshMultiprobeSql: String = {
+    val w = "(CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1) " +
+      "IN ('0','1','2','3','4','5','6','7') THEN -1.0 ELSE 1.0 END)"
+    s"""WITH emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm,
+       |    list_transform(range(0, $nPlanes), p ->
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+       |        i -> $w * e[i])), (acc, x) -> acc + x)) AS projs
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), emb2 AS (
+       |  SELECT vec_id, e, norm, projs,
+       |    list_reduce(list_transform(projs,
+       |      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), (a, b) -> a || b) AS bucket
+       |  FROM emb
+       |), cands AS (
+       |  SELECT vec_id AS cand_id, e AS ce, norm AS cnorm, bucket
+       |  FROM emb2 WHERE vec_id >= 8
+       |), probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, norm AS qnorm, bucket, projs
+       |  FROM emb2 WHERE vec_id < 8
+       |), flips AS (
+       |  SELECT query_id, p FROM (
+       |    SELECT query_id, pp.p AS p,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY abs(projs[pp.p + 1]), pp.p) AS r
+       |    FROM probes, (SELECT unnest(range(0, $nPlanes)) AS p) pp
+       |  ) WHERE r <= 2
+       |), probe_buckets AS (
+       |  SELECT query_id, qe, qnorm, bucket FROM probes
+       |  UNION ALL
+       |  SELECT pr.query_id, pr.qe, pr.qnorm,
+       |    substr(pr.bucket, 1, CAST(f.p AS INT)) ||
+       |    (CASE WHEN substr(pr.bucket, CAST(f.p + 1 AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+       |    substr(pr.bucket, CAST(f.p + 2 AS INT), $nPlanes) AS bucket
+       |  FROM probes pr JOIN flips f ON pr.query_id = f.query_id
+       |), scored AS (
+       |  SELECT p.query_id, c.cand_id,
+       |    ${dotSql("p.qe", "c.ce")} / (p.qnorm * c.cnorm) AS cosine
+       |  FROM cands c JOIN probe_buckets p ON c.bucket = p.bucket
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // q_embed_near_dup — embedding-cosine near-duplicate detection,
   // bucketed: candidate pairs share an LSH bucket, verified by exact
   // cosine above threshold. Pair generation goes through
@@ -875,6 +975,7 @@ object SimilarityOps {
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
     Op("q_ann_lsh_topk", annLshTopK, Some(annLshTopKSql)),
+    Op("q_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),
     Op("q_ann_ivf_topk", annIvfTopK, Some(annIvfTopKSql)),
     Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)))
