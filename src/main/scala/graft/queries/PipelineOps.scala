@@ -249,11 +249,15 @@ object PipelineOps {
   private val dsirTarget = "src0"
   private val dsirB = 256
 
-  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The DSIR weight computation over any (doc_id, source, text)
+    * frame: (doc_id, n_toks, weight_q). Shared by the standalone
+    * q_importance_weights and the composed curation census.
+    */
+  private[queries] def dsirWeights(docs: DataFrame): DataFrame = {
     import graft.store.Iteration.materialize
     // pinned narrow (doc_id, bucket) token frame: feeds the stats pass
     // and the scoring join (tokenize once, ints only downstream)
-    val tb = materialize(Catalog.table(spark, sfDir, "documents")
+    val tb = materialize(docs
       .select(col("doc_id"), col("source"),
         explode(Transforms.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"),
@@ -271,8 +275,11 @@ object PipelineOps {
       .select(col("doc_id"), ratioQ.as("rq"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("rq")).as("weight_q"))
-      .orderBy(col("doc_id"))
   }
+
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeights(Catalog.table(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
 
   val importanceWeightsSql: String = {
     val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
@@ -298,8 +305,117 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_curation_census — a second composed pipeline over the curation
+  // stages this round added, in the order a web-corpus build applies
+  // them: per-domain cap (no host dominates) → DSIR top-half per
+  // source (keep the docs most resembling the target domain; weights
+  // computed on the CAPPED survivors, as a real pipeline would) →
+  // exact dedup keep-first. Per-stage (n_docs, n_tokens) survivor
+  // counts, every stage consuming the previous stage's output; stage
+  // frames pin through Iteration so the census branches never
+  // recompute the chain (same discipline as q_pipeline_census).
+  def curationCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.store.Iteration.materialize
+    val docs = materialize(Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_toks")))
+    val capped = materialize(docs
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("source"), col("text"), col("n_toks")))
+    val wts = dsirWeights(capped)
+    val sel = materialize(capped
+      .join(wts.select(col("doc_id"), col("weight_q")), Seq("doc_id"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("weight_q").desc, col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rnk") * 2 <= col("cnt"))
+      .select(col("doc_id"), col("text"), col("n_toks")))
+    val deduped = sel
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(Transforms.exactFingerprint(col("text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("n_toks"))
+
+    def census(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+
+    census(0, "raw", docs)
+      .unionByName(census(1, "domain_cap", capped))
+      .unionByName(census(2, "dsir_top_half", sel))
+      .unionByName(census(3, "exact_dedup", deduped))
+      .orderBy(col("stage_idx"))
+  }
+
+  val curationCensusSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val bucket = "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+      "strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1"
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    CAST(len($toks) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), capped AS (
+       |  SELECT doc_id, source, text, n_toks FROM (
+       |    SELECT doc_id, source, text, n_toks,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY n_chars DESC, doc_id) AS rnk
+       |    FROM docs) WHERE rnk <= 20
+       |), tb AS (
+       |  SELECT doc_id, source, $bucket AS b
+       |  FROM (SELECT doc_id, source, unnest($toks) AS tok FROM capped)
+       |), stats AS (
+       |  SELECT b, COUNT(*) AS c_r,
+       |    COUNT(CASE WHEN source = '$dsirTarget' THEN 1 END) AS c_t
+       |  FROM tb GROUP BY b
+       |), tot AS (
+       |  SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM stats
+       |), wts AS (
+       |  SELECT tb.doc_id,
+       |    CAST(SUM(CAST(floor(
+       |      CAST(s.c_t + 1 AS DOUBLE) / CAST(s.c_r + 1 AS DOUBLE) *
+       |      (CAST(t.n_r + $dsirB AS DOUBLE) / CAST(t.n_t + $dsirB AS DOUBLE)) * 1e6)
+       |      AS BIGINT)) AS BIGINT) AS weight_q
+       |  FROM tb JOIN stats s ON tb.b = s.b CROSS JOIN tot t
+       |  GROUP BY tb.doc_id
+       |), sel AS (
+       |  SELECT doc_id, text, n_toks FROM (
+       |    SELECT c.doc_id, c.text, c.n_toks,
+       |      ROW_NUMBER() OVER (PARTITION BY c.source
+       |        ORDER BY w.weight_q DESC, c.doc_id) AS rnk,
+       |      COUNT(*) OVER (PARTITION BY c.source) AS cnt
+       |    FROM capped c JOIN wts w ON c.doc_id = w.doc_id)
+       |  WHERE rnk * 2 <= cnt
+       |), dedup AS (
+       |  SELECT doc_id, n_toks FROM (
+       |    SELECT doc_id, n_toks,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
+       |        ORDER BY doc_id) AS rnk
+       |    FROM sel) WHERE rnk = 1
+       |)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM docs
+       |  UNION ALL SELECT 1, 'domain_cap', COUNT(*),
+       |    CAST(SUM(n_toks) AS BIGINT) FROM capped
+       |  UNION ALL SELECT 2, 'dsir_top_half', COUNT(*),
+       |    CAST(SUM(n_toks) AS BIGINT) FROM sel
+       |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+       |    CAST(SUM(n_toks) AS BIGINT) FROM dedup
+       |)
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_pipeline_census", pipelineCensus, Some(pipelineCensusSql)),
+    Op("q_curation_census", curationCensus, Some(curationCensusSql)),
     Op("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Op("q_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     Op("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)))
