@@ -915,7 +915,71 @@ object TextOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_substring_search — arbitrary-substring search, the FTS5
+  // `trigram` tokenizer's job (fts5.c trigram tokenizer: LIKE/GLOB
+  // acceleration; the reference's FTS tables use unicode61, but
+  // trigram is the same MATCH machinery one tokenizer over): a raw
+  // LIKE '%needle%' scan reads every byte of every document. The
+  // trigram shape prunes first: a document can contain the needle
+  // only if it contains ALL of the needle's character trigrams, so
+  // explode each doc's distinct trigrams ONCE (at scale: the
+  // persisted trigram postings table, maintained exactly like the
+  // word postings in store/Fts), semi-join on the needle's trigrams,
+  // keep docs matching all |needle|-2 of them (count equality — the
+  // same AND-of-terms shape as Fts.search), and run the exact
+  // `contains` verification only on those candidates. Lowercased
+  // match mirrors FTS5 trigram's default case folding.
+  private val needle = "sort table window"
+
+  def substringSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nGrams = needle.toLowerCase.sliding(3).toSeq.distinct
+    val docs = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    // length guard: Spark's sequence(1, len-2) runs DESCENDING when
+    // len < 3 (it would fabricate junk grams); DuckDB's range is just
+    // empty there — and a short doc can't hold the needle anyway
+    val grams = docs.filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3))))).as("g"))
+    val cands = grams
+      .join(broadcast(nGrams.toDF("g")), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === nGrams.length)
+    docs.join(cands, Seq("doc_id"), "left_semi")
+      .filter(col("t").contains(needle.toLowerCase))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringSearchSql: String = {
+    val n = needle.toLowerCase
+    val k = n.sliding(3).toSeq.distinct.length
+    val gramList = n.sliding(3).toSeq.distinct
+      .map(g => "'" + g.replace("'", "''") + "'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3)))) AS g
+       |    FROM docs)
+       |), cands AS (
+       |  SELECT doc_id FROM grams
+       |  WHERE g IN ($gramList)
+       |  GROUP BY doc_id HAVING COUNT(*) = $k
+       |)
+       |SELECT d.doc_id FROM docs d
+       |JOIN cands c ON d.doc_id = c.doc_id
+       |WHERE contains(d.t, '${n.replace("'", "''")}')
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_substring_search", substringSearch, Some(substringSearchSql)),
     Op("q_quantile_hist", quantileHist, Some(quantileHistSql)),
     Op("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Op("q_langid", langId, Some(langIdSql)),
