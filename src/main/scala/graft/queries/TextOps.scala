@@ -923,13 +923,18 @@ object TextOps {
   // LIKE '%needle%' scan reads every byte of every document. The
   // trigram shape prunes first: a document can contain the needle
   // only if it contains ALL of the needle's character trigrams, so
-  // explode each doc's distinct trigrams ONCE (at scale: the
-  // persisted trigram postings table, maintained exactly like the
-  // word postings in store/Fts), semi-join on the needle's trigrams,
-  // keep docs matching all |needle|-2 of them (count equality — the
-  // same AND-of-terms shape as Fts.search), and run the exact
-  // `contains` verification only on those candidates. Lowercased
-  // match mirrors FTS5 trigram's default case folding.
+  // explode each doc's distinct trigrams (at scale: the persisted
+  // trigram postings table, maintained exactly like the word postings
+  // in store/Fts), hash-join against the needle's trigram set, keep
+  // docs matching all |needle|-2 of them (count equality — the same
+  // AND-of-terms shape as Fts.search), and run the exact `contains`
+  // verification only on those candidates. An in-row alternative
+  // (array_intersect against the needle-gram literal, no explode, no
+  // shuffle) MEASURED 1.6× SLOWER at sf0.1: three materialized array
+  // passes per row lose to the codegen'd generator + broadcast hash
+  // join, whose probe rejects non-needle grams without materializing
+  // anything. Lowercased match mirrors FTS5 trigram's default case
+  // folding.
   private val needle = "sort table window"
 
   def substringSearch(spark: SparkSession, sfDir: String): DataFrame = {
@@ -966,7 +971,7 @@ object TextOps {
        |  SELECT doc_id, g FROM (
        |    SELECT doc_id, unnest(list_distinct(list_transform(
        |      range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3)))) AS g
-       |    FROM docs)
+       |    FROM docs WHERE len(t) >= 3)
        |), cands AS (
        |  SELECT doc_id FROM grams
        |  WHERE g IN ($gramList)
