@@ -121,4 +121,36 @@ class StreamVectorsSpec extends SparkSpec {
       assert(store.read(IvfPq.codesName("vectors")).count() === 25L)
     } finally q.stop()
   }
+
+  test("streaming embedding near-dup: twin detected via its cell, redelivery converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    Ivf.buildIndex(store, "vectors", corpus, "vec_id", "e", k = 4, iters = 2)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck4").toString
+    // threshold near 1: the all-positive pseudo-random corpus has
+    // high pairwise cosines (~0.75+), only an exact twin clears 0.999
+    val q = StreamEmbedDup.writeEmbedDupIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e",
+      ckpt, threshold = 0.999)
+    try {
+      // an exact twin of vector 7 lands in vector 7's cell
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      val dups = store.read(StreamEmbedDup.dupsName("vectors"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups === Set((7L, 100L)))
+
+      // redelivery: insert-ignore keeps the ledger converged
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      assert(store.read(StreamEmbedDup.dupsName("vectors")).count() === 1L)
+
+      // a lone far-away vector adds no pairs
+      mem.addData((200L, (0 until dims).map(d => if (d == 0) 1.0 else 0.0)))
+      q.processAllAvailable()
+      assert(store.read(StreamEmbedDup.dupsName("vectors")).count() === 1L)
+    } finally q.stop()
+  }
 }
