@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions.{call_function, lit}
 object BloomFns {
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "scala_udf")
+    // idempotent and cheap on the hot path: skip the registry
+    // mutation once the session already has both functions
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_bloom_agg",
+        exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "graft_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), exprs(1)),
+        "scala_udf")
+    }
   }
 
   /** Aggregate a bloom filter over `hashed` (must be an xxhash64-style

@@ -324,7 +324,7 @@ object PipelineOps {
     val capped = materialize(docs
       .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("n_chars").desc, col("doc_id"))))
-      .filter(col("rnk") <= 20)
+      .filter(col("rnk") <= SamplingOps.domainCapN)
       .select(col("doc_id"), col("source"), col("text"), col("n_toks")))
     val wts = dsirWeights(capped)
     val sel = materialize(capped
@@ -366,7 +366,7 @@ object PipelineOps {
        |    SELECT doc_id, source, text, n_toks,
        |      ROW_NUMBER() OVER (PARTITION BY source
        |        ORDER BY n_chars DESC, doc_id) AS rnk
-       |    FROM docs) WHERE rnk <= 20
+       |    FROM docs) WHERE rnk <= ${SamplingOps.domainCapN}
        |), tb AS (
        |  SELECT doc_id, source, $bucket AS b
        |  FROM (SELECT doc_id, source, unnest($toks) AS tok FROM capped)

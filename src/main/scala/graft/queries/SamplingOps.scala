@@ -166,14 +166,17 @@ object SamplingOps {
   // ---------------------------------------------------------------------
   // q_domain_cap — the per-domain document cap every web-scale corpus
   // build applies (C4 / RefinedWeb style: no single host may dominate
-  // the mixture): within each source, keep the top `domainCap` docs by
-  // a quality key (here length desc, doc_id tiebreak — production
+  // the mixture): within each source, keep the top `domainCapN` docs
+  // by a quality key (here length desc, doc_id tiebreak — production
   // plugs any scored column into the same plan) and report the
-  // per-source census. The window partitions BY SOURCE, so state is
-  // bounded per key and Spark's InferWindowGroupLimit ships only each
-  // partition's local top-N through the exchange — the q_topk shape
-  // applied per group, no global sort anywhere.
-  private val domainCap = 20
+  // per-source census. This CENSUS form ranks every row (n_docs
+  // counts the whole group), so the plan is one per-source window —
+  // state bounded per key, one hash shuffle, sort within partitions,
+  // no global sort. The SELECTION form — `filter(rnk <= cap)`, as the
+  // capped stage of q_curation_census runs — additionally triggers
+  // InferWindowGroupLimit, shipping only each partition's local top-N
+  // through the exchange.
+  private[queries] val domainCapN = 20
 
   def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -183,15 +186,15 @@ object SamplingOps {
       .withColumn("rnk", row_number().over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        count(when(col("rnk") <= domainCap, 1)).as("n_kept"),
-        sum(when(col("rnk") <= domainCap, col("n_chars"))).as("kept_chars"))
+        count(when(col("rnk") <= domainCapN, 1)).as("n_kept"),
+        sum(when(col("rnk") <= domainCapN, col("n_chars"))).as("kept_chars"))
       .orderBy(col("source"))
   }
 
   val domainCapSql: String =
     s"""SELECT source, COUNT(*) AS n_docs,
-       |  COUNT(CASE WHEN rnk <= $domainCap THEN 1 END) AS n_kept,
-       |  CAST(SUM(CASE WHEN rnk <= $domainCap THEN n_chars END) AS BIGINT) AS kept_chars
+       |  COUNT(CASE WHEN rnk <= $domainCapN THEN 1 END) AS n_kept,
+       |  CAST(SUM(CASE WHEN rnk <= $domainCapN THEN n_chars END) AS BIGINT) AS kept_chars
        |FROM (
        |  SELECT source, n_chars,
        |    ROW_NUMBER() OVER (PARTITION BY source

@@ -22,7 +22,11 @@ private[store] object CellIndex {
 
   def maintain(
       store: TableStore, idxTable: String, mapTable: String,
-      fresh: DataFrame): Unit = {
+      fresh0: DataFrame): Unit = {
+    // cells inherit the pk column's type (cent_ids are seeded from
+    // pks) — normalize to long up front so the driver-side collects
+    // below never ClassCastException on an int-pk table
+    val fresh = fresh0.withColumn(CellCol, col(CellCol).cast("long"))
     val batchPks = fresh.select(col("pk")).distinct()
 
     val newCells = fresh.select(col(CellCol)).distinct()

@@ -159,9 +159,17 @@ object Doctor {
       return out.result()
     }
     val codes = store.read(IvfPq.codesName(table))
-    // every stored code vector must span the trained subspace count
-    val slices = store.read(IvfPq.booksName(table))
-      .agg(max(col("s"))).head.getInt(0) + 1
+    // every stored code vector must span the trained subspace count;
+    // max(s) over an EMPTY books table aggregates to null — a torn
+    // buildIndex — which must be reported, not NPE the whole check
+    val maxS = store.read(IvfPq.booksName(table)).agg(max(col("s"))).head
+    if (maxS.isNullAt(0)) {
+      out += Issue("ivfpq", table,
+        "residual codebooks table is empty: torn buildIndex — stored " +
+          "codes are uninterpretable (rebuild)")
+      return out.result()
+    }
+    val slices = maxS.getInt(0) + 1
     val bad = codes.filter(size(col("codes")) =!= slices).count()
     if (bad > 0)
       out += Issue("ivfpq", table,
@@ -194,9 +202,16 @@ object Doctor {
     }
     // every stored code vector must span exactly the trained subspace
     // count — a torn encode (or books retrained to a different shape
-    // without re-encoding) breaks ADC silently
-    val slices = store.read(Pq.booksName(table))
-      .agg(max(col("s"))).head.getInt(0) + 1
+    // without re-encoding) breaks ADC silently; an EMPTY books table
+    // (max(s) = null) is itself a torn-build finding, not an NPE
+    val maxS = store.read(Pq.booksName(table)).agg(max(col("s"))).head
+    if (maxS.isNullAt(0)) {
+      out += Issue("pq", table,
+        "codebooks table is empty: torn buildIndex — stored codes are " +
+          "uninterpretable (rebuild)")
+      return out.result()
+    }
+    val slices = maxS.getInt(0) + 1
     val bad = store.read(Pq.codesName(table))
       .filter(size(col("codes")) =!= slices).count()
     if (bad > 0)

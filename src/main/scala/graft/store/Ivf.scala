@@ -108,7 +108,8 @@ object Ivf {
         Window.partitionBy(col("query_id"))
           .orderBy(col("_cs").desc, col(CellCol))))
       .filter(col("_rnk") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qnorm"), col(CellCol))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        col(CellCol).cast("long").as(CellCol))
     // literal cell list → directory-level partition pruning on the scan
     val cells = probeCells.select(col(CellCol)).distinct()
       .collect().map(_.getLong(0)).toSeq

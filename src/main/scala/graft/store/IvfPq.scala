@@ -86,7 +86,22 @@ object IvfPq {
       assignResiduals(emb, cents, pkCol, embCol))
     val books = Pq.trainBooks(resid, "pk", "r", slices, subDim, kCodes, iters)
     store.overwrite(booksName(table), books)
-    upsertWithCodes(store, table, emb, pkCol, embCol, slices, subDim)
+    // encode the residuals already materialized for training — calling
+    // upsertWithCodes here would redo the full-corpus assignment pass
+    indexResiduals(store, table, resid, books, slices, subDim)
+    store.upsert(table, emb, Seq(pkCol))
+  }
+
+  /** Encode a (pk, cell, r) residual frame against `books` and merge
+    * the codes into the cell-partitioned index + map.
+    */
+  private def indexResiduals(
+      store: TableStore, table: String, resid: DataFrame, books: DataFrame,
+      slices: Int, subDim: Int): Unit = {
+    val fresh = Iteration.materialize(
+      Pq.encode(resid, books, "pk", "r", slices, subDim)
+        .join(resid.select(col("pk"), col("cell")), Seq("pk")))
+    CellIndex.maintain(store, codesName(table), mapName(table), fresh)
   }
 
   /** Upsert embedding rows AND their cell-partitioned residual codes:
@@ -103,10 +118,7 @@ object IvfPq {
     val books = store.read(booksName(table))
     val resid = Iteration.materialize(
       assignResiduals(batch, cents, pkCol, embCol))
-    val fresh = Iteration.materialize(
-      Pq.encode(resid, books, "pk", "r", slices, subDim)
-        .join(resid.select(col("pk"), col("cell")), Seq("pk")))
-    CellIndex.maintain(store, codesName(table), mapName(table), fresh)
+    indexResiduals(store, table, resid, books, slices, subDim)
     store.upsert(table, batch, Seq(pkCol))
   }
 
@@ -135,7 +147,7 @@ object IvfPq {
         Window.partitionBy(col("query_id"))
           .orderBy(col("_cs").desc, col("cell"))))
       .filter(col("_rnk") <= nprobe)
-      .select(col("query_id"), col("cell"), col("qr"))
+      .select(col("query_id"), col("cell").cast("long").as("cell"), col("qr"))
     // literal cell list → directory-level partition pruning on the scan
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
