@@ -413,8 +413,52 @@ object PipelineOps {
        |ORDER BY stage_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_mixture_temperature — temperature-scaled mixture weights (the
+  // T5/mT5 multilingual sampling rule: raw token-count shares starve
+  // small sources, so sample ∝ share^(1/T), here T=2 i.e. sqrt —
+  // boosting the tail, damping the head). sqrt is the one fractional
+  // power that is IEEE-exact everywhere, and the scaled weights
+  // quantize to 1e-6 longs before the normalizing sum so the result
+  // is partitioning- and engine-independent. One partial-agg'd
+  // groupBy; the normalization window runs over the per-source rows
+  // (20), never the corpus — same shape as q_mixture_weights.
+  def mixtureTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("source"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+        .cast("long"))
+      .withColumn("weight",
+        col("sq").cast("double") /
+          sum(col("sq")).over(Window.partitionBy()).cast("double"))
+      .select(col("source"), col("n_tokens"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureTemperatureSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH src AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), scaled AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+       |  FROM src
+       |)
+       |SELECT source, n_tokens,
+       |  CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE) AS weight
+       |FROM scaled
+       |ORDER BY source""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_pipeline_census", pipelineCensus, Some(pipelineCensusSql)),
+    Op("q_mixture_temperature", mixtureTemperature, Some(mixtureTemperatureSql)),
     Op("q_curation_census", curationCensus, Some(curationCensusSql)),
     Op("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Op("q_importance_weights", importanceWeights, Some(importanceWeightsSql)),
