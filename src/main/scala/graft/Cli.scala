@@ -30,6 +30,8 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   ivf-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   ivfpq-index <store> <table> <pk> <emb> [k] [iters] cells + residual codes
   *   ivfpq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
+  *   tri-search <store> <table> <pk> <text> <needle...>
   *   lsh-index <store> <table> <pk> <text> [nHashes] [bands] [buckets]
   *                                         build the MinHash band index
   *   lsh-pairs <store> <table> [pk...]     near-dup candidate pairs —
@@ -119,6 +121,16 @@ object Cli {
             IvfPq.annTopK(store, table, queries, pk, emb, topk, nprobe = nprobe)
         }
         res.show(topk, truncate = false)
+      case "tri-index" =>
+        val (table, pk, text) = (args(2), args(3), args(4))
+        graft.store.Trigram.upsertWithIndex(
+          store, table, store.read(table), pk, text)
+        println(s"[tri-index] ${store.read(graft.store.Trigram.indexName(table)).count()} gram rows")
+      case "tri-search" =>
+        val (table, pk, text) = (args(2), args(3), args(4))
+        val needle = args.drop(5).mkString(" ")
+        graft.store.Trigram.substringSearch(store, table, pk, text, needle)
+          .show(50, truncate = false)
       case "lsh-index" =>
         val (table, pk, text) = (args(2), args(3), args(4))
         val nHashes = if (args.length > 5) args(5).toInt else 4

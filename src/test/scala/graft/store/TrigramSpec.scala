@@ -1,0 +1,78 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted trigram postings: search equals the direct contains()
+  * scan, re-upserts drop stale grams (and only rewrite touched
+  * buckets), and sub-trigram needles fall back to the direct scan.
+  */
+class TrigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-tri").toString)
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "The Quick Onyx Goblin jumps over the lazy dwarf"),
+    (4L, "sphinx of black quartz judge my vow"),
+    (5L, "ab")).toDF("doc_id", "text")
+
+  private def directScan(store: TableStore, needle: String): Seq[Long] =
+    store.read("docs")
+      .filter(lower(col("text")).contains(needle.toLowerCase))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("search matches the direct scan; case-folded; short needle falls back") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+
+    for (needle <- Seq("jumps over the lazy", "Quick", "zzz-not-there", "my")) {
+      val got = Trigram.substringSearch(store, "docs", "doc_id", "text", needle)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === directScan(store, needle), s"needle: $needle")
+    }
+    // the 2-char doc contributed no gram rows
+    assert(store.read(Trigram.indexName("docs"))
+      .filter(col("pk") === 5L).count() === 0L)
+  }
+
+  test("re-upsert drops stale grams and search reflects the new text") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "liquor")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // doc 2 loses "liquor", gains "cider"
+    Trigram.upsertWithIndex(store, "docs",
+      Seq((2L, "pack my box with five dozen cider jugs")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "liquor")
+      .collect().isEmpty)
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "cider jugs")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // no stale "liq" gram rows for doc 2 anywhere
+    assert(store.read(Trigram.indexName("docs"))
+      .filter(col("pk") === 2L && col("g") === "liq").count() === 0L)
+  }
+
+  test("maintenance equals a from-scratch rebuild of the merged corpus") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+    Trigram.upsertWithIndex(store, "docs",
+      Seq((2L, "entirely new words here"), (6L, "a brand new document"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    val rebuilt = freshStore()
+    Trigram.upsertWithIndex(rebuilt, "docs",
+      store.read("docs"), "doc_id", "text")
+    def rows(s: TableStore) = s.read(Trigram.indexName("docs"))
+      .select(col("pk"), col("g"), col("pk_bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(store) === rows(rebuilt))
+  }
+}
