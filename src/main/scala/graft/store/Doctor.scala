@@ -44,7 +44,34 @@ object Doctor {
     names.filter(_.endsWith("_ivfpq")).foreach { idx =>
       issues ++= ivfpq(store, baseOf(idx, "_ivfpq"), names)
     }
+    names.filter(_.endsWith("_tri")).foreach { idx =>
+      issues ++= trigram(store, baseOf(idx, "_tri"))
+    }
     issues.result()
+  }
+
+  private def trigram(store: TableStore, table: String): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val idx = store.read(Trigram.indexName(table))
+    // malformed grams (anything but exactly 3 chars) can never match a
+    // needle trigram — those docs silently vanish from search results
+    val badG = idx.filter(length(col("g")) =!= 3).count()
+    if (badG > 0)
+      out += Issue("trigram", table,
+        s"$badG postings rows are not 3-char grams — docs with them " +
+          "are invisible to substring search (rebuild)")
+    // bucket integrity: a row filed under the wrong pk bucket survives
+    // queries (search doesn't prune by bucket) but breaks O(batch)
+    // maintenance — the next upsert of its pk won't rewrite its dir
+    val badB = idx.filter(
+      col("pk_bucket").cast("long") =!=
+        pmod(xxhash64(col("pk")), lit(Trigram.nBuckets.toLong)))
+      .count()
+    if (badB > 0)
+      out += Issue("trigram", table,
+        s"$badB postings rows sit in the wrong pk bucket — incremental " +
+          "maintenance would leave them stale (rebuild)")
+    out.result()
   }
 
   private def fts(store: TableStore, table: String, names: Set[String]): Seq[Issue] = {

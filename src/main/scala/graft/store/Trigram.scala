@@ -24,7 +24,7 @@ object Trigram {
   def indexName(table: String): String = s"${table}_tri"
 
   private val BucketCol = "pk_bucket"
-  private val nBuckets = 16
+  private[store] val nBuckets = 16
 
   private def grams(textCol: String): org.apache.spark.sql.Column =
     array_distinct(transform(

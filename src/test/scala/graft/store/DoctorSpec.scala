@@ -33,6 +33,8 @@ class DoctorSpec extends SparkSpec {
       slices = 4, subDim = 4, k = 4, iters = 1)
     IvfPq.buildIndex(store, "vectors", vecs, "vec_id", "e",
       kCells = 2, slices = 4, subDim = 4, kCodes = 4, iters = 1)
+    Trigram.upsertWithIndex(store, "tdocs",
+      docs.toDF("doc_id", "text"), "doc_id", "text")
     store
   }
 
@@ -63,10 +65,16 @@ class DoctorSpec extends SparkSpec {
     store.overwrite(IvfPq.mapName("vectors"),
       store.read(IvfPq.mapName("vectors"))
         .withColumn("cell", col("cell") + 1000))
+    // trigram gram-shape break: truncate every gram to 2 chars
+    store.overwrite(Trigram.indexName("tdocs"),
+      store.read(Trigram.indexName("tdocs"))
+        .withColumn("g", substring(col("g"), 1, 2)))
 
     val issues = Doctor.check(store)
     val byComponent = issues.groupBy(_.component)
-    assert(byComponent.keySet === Set("fts", "lsh", "ivf", "pq", "ivfpq"))
+    assert(byComponent.keySet ===
+      Set("fts", "lsh", "ivf", "pq", "ivfpq", "trigram"))
+    assert(byComponent("trigram").exists(_.problem.contains("3-char")))
     assert(byComponent("fts").exists(_.problem.contains("torn commit")))
     assert(byComponent("lsh").exists(_.problem.contains("map out of sync")))
     assert(byComponent("ivf").exists(_.problem.contains("map out of sync")))
