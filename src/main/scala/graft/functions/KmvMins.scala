@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native bounded-state aggregate: the k smallest DISTINCT values of
+  * a long column — the exact k-minimum-values sketch (Bar-Yossef et
+  * al. 2002). State is a ≤ k-element sorted set per group; partial
+  * aggregation runs map-side, merge is a bounded set union, and only
+  * ≤ k longs per group cross the exchange — COUNT(DISTINCT)
+  * cardinality information at min()-aggregate cost. Returns the
+  * ascending value array (size < k ⇔ the group has exactly that many
+  * distinct hashes — the estimator's exact-small-set regime).
+  *
+  * This is the aggregate-side sibling of the repo's native scalar
+  * expressions (MinHashSig & co.): a TypedImperativeAggregate rather
+  * than a Declarative one because the state is a bounded ORDERED SET,
+  * which no fixed tuple of AttributeReferences expresses.
+  */
+case class KmvMins(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_mins"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(
+      buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      if (buf.add(v)) { buf.remove(buf.last); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMins =
+    copy(child = newChild)
+}
+
+object KmvMins {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_mins", exprs => {
+        val k =
+          if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+          else 16
+        KmvMins(exprs.head, k)
+      }, "scala_udf")
+
+  /** k smallest distinct values of a LongType column. */
+  def kmvMins(spark: SparkSession, c: Column, k: Int): Column = {
+    register(spark)
+    call_function("kmv_mins", c, lit(k))
+  }
+}

@@ -292,8 +292,66 @@ object StateOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_cardinality_kmv_exact — the EXACT k-minimum-values sketch (the
+  // estimator literature's canonical form, sharper than the k-mins-of-
+  // k-hashes variant above): keep the k smallest DISTINCT hash values
+  // per group via the native bounded-state aggregate
+  // functions/KmvMins (a TypedImperativeAggregate — ≤ k longs of
+  // state, partial-agg'd map-side, bounded set-union merge), then
+  // n̂ = (k−1)·2^48 / h_k with h_k the kth smallest 48-bit hash.
+  // Groups with fewer than k distinct hashes are counted EXACTLY
+  // (the sketch degenerates to the true distinct set — size < k is
+  // the tell). One IEEE division + floor on identical operands keeps
+  // both engines bit-agreed; exact COUNT(DISTINCT) rides along as
+  // ground truth.
+  private val kmvExactC = 15.0 * 281474976710656.0 // (k−1)·2^48
+
+  def cardinalityKmvExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    Catalog.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("exact_distinct"),
+        graft.functions.KmvMins.kmvMins(spark, h, kmvK).as("mins"))
+      .select(col("source"), col("exact_distinct"),
+        when(size(col("mins")) < kmvK, size(col("mins")).cast("long"))
+          .otherwise(floor(lit(kmvExactC) /
+            element_at(col("mins"), size(col("mins"))).cast("double"))
+            .cast("long"))
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val cardinalityKmvExactSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 13), j ->
+       |        CAST(strpos('0123456789abcdef',
+       |          substr(md5(text), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+       |      (acc, d) -> acc * 16 + d) AS h
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM h
+       |), sk AS (
+       |  SELECT source, COUNT(*) AS n_mins, MAX(h) AS hk
+       |  FROM ranked WHERE r <= $kmvK GROUP BY source
+       |), ex AS (
+       |  SELECT source, COUNT(DISTINCT text) AS exact_distinct
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT ex.source, ex.exact_distinct,
+       |  CASE WHEN sk.n_mins < $kmvK THEN sk.n_mins
+       |       ELSE CAST(floor($kmvExactC / CAST(sk.hk AS DOUBLE)) AS BIGINT)
+       |  END AS est_distinct
+       |FROM ex JOIN sk ON ex.source = sk.source
+       |ORDER BY ex.source""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
+    Op("q_cardinality_kmv_exact", cardinalityKmvExact, Some(cardinalityKmvExactSql)),
     Op("q_funnel", funnel, Some(funnelSql)),
     Op("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("q_watermark_max", watermarkMax, Some(watermarkMaxSql)),
