@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard for the ANN / sketch query family:
+  * their scale story depends on every join being a broadcast hash
+  * join (tiny probe/model side against the streamed corpus) — a
+  * silent fallback to SortMergeJoin or a CartesianProduct would still
+  * return correct rows while destroying the 100 TB cost model, which
+  * the row-level oracle can never catch. Executed (post-AQE) plans
+  * are asserted, the same surface the runtime uses.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val broadcastOnly = Seq(
+    "q_ann_lsh_topk", "q_ann_lsh_multiprobe", "q_ann_ivf_topk",
+    "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_cosine_topk",
+    "q_importance_weights", "q_cardinality_kmv", "q_cardinality_kmv_exact",
+    "q_quantile_hist", "q_domain_cap", "q_mixture_temperature")
+
+  test("ANN/sketch queries plan broadcast joins only — no SMJ, no cartesian") {
+    broadcastOnly.foreach { name =>
+      val df = Inventory.byName(name).fn(spark, sfDir)
+      // force planning + adaptive finalization
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name fell back to SortMergeJoin:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a CartesianProduct:\n${plan.take(1500)}")
+    }
+  }
+}
