@@ -204,7 +204,65 @@ object SamplingOps {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_chunk_windows — overlapping fixed-token chunking, the stage that
+  // turns variable-length documents into model-sized training windows
+  // (stride < size ⇒ consecutive chunks overlap, so no token sits
+  // only at a hard boundary — the standard pretraining/RAG window
+  // rule). Pure per-row work: chunk count is integer arithmetic on
+  // the token count, windows materialize with an in-row
+  // sequence→slice transform and explode — a narrow codegen'd map, no
+  // shuffle anywhere (the output's natural key (doc_id, chunk_idx)
+  // partitions downstream work). Chunks emit a content fingerprint
+  // rather than text so the result stays narrow; the final short
+  // chunk keeps whatever tokens remain (slice clamps identically in
+  // both engines).
+  private val chunkSize = 64
+  private val chunkStride = 48
+
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+    val nChunks = when(col("n") <= chunkSize, lit(1L))
+      .otherwise(floor((col("n") - chunkSize + chunkStride - 1).cast("double")
+        / chunkStride) + 1L)
+    docs.withColumn("nc", nChunks)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), col("nc") - 1),
+        j => struct(j.as("chunk_idx"),
+          slice(col("toks"), (j * chunkStride + 1).cast("int"), lit(chunkSize))
+            .as("ctoks")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.ctoks")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", col("c.ctoks"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkWindowsSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val lo = s"CAST(j * $chunkStride AS INT) + 1"
+    val hi = s"CAST(j * $chunkStride AS INT) + $chunkSize"
+    s"""WITH d AS (
+       |  SELECT doc_id, toks, n,
+       |    CASE WHEN n <= $chunkSize THEN 1
+       |         ELSE CAST(floor(CAST(n - $chunkSize + $chunkStride - 1 AS DOUBLE)
+       |           / $chunkStride.0) AS BIGINT) + 1 END AS nc
+       |  FROM (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents)
+       |  WHERE n >= 1
+       |), ex AS (
+       |  SELECT doc_id, toks, unnest(range(0, nc)) AS j FROM d
+       |)
+       |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+       |  CAST(len(toks[$lo:$hi]) AS BIGINT) AS n_chunk_toks,
+       |  md5(array_to_string(toks[$lo:$hi], ' ')) AS chunk_fp
+       |FROM ex
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     Op("q_domain_cap", domainCap, Some(domainCapSql)),
     Op("q_hash_split", hashSplit, Some(hashSplitSql)),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
