@@ -164,8 +164,29 @@ object PipelineOps {
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - 8),
           j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram"))
-    val evalGrams = grams(docs.filter(bucket >= 230)).select(col("gram")).distinct()
-    grams(docs.filter(bucket < 205))
+    import graft.store.Iteration.materialize
+    // the eval gram set feeds the bloom build AND the exact join
+    val evalGrams = materialize(
+      grams(docs.filter(bucket >= 230)).select(col("gram")).distinct())
+    // bloom pre-filter on the TRAIN gram stream before it shuffles:
+    // the eval side is small (held-out split), its bloom blob is tiny,
+    // and a broadcast bit-test drops the overwhelmingly-clean train
+    // grams map-side, so the exact equi-join below sees every real
+    // contamination and the result set is
+    // IDENTICAL to the unpruned plan (the join absorbs the ~1% false
+    // positives — no false negatives means no contamination is ever
+    // missed). At 100 TB this is the difference between shuffling
+    // every train 8-gram and shuffling only suspects.
+    val blob = evalGrams
+      .agg(graft.functions.BloomFns.bloomAgg(spark, xxhash64(col("gram")),
+        expectedItems = 100000L, numBits = 1000000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val train = grams(docs.filter(bucket < 205))
+    val suspect =
+      if (blob == null) train
+      else train.filter(graft.functions.BloomFns.mightContain(
+        spark, lit(blob), xxhash64(col("gram"))))
+    suspect
       .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
