@@ -109,6 +109,28 @@ class IvfPqSpec extends SparkSpec {
     assert(rows.toSet === inline.collect().toSet)
   }
 
+  test("an int-pk table indexes and searches (cells normalize to long)") {
+    // cent_ids — and so cells — inherit the pk column's type; the
+    // maintenance/probe paths collect cells driver-side and must not
+    // ClassCastException when the pk is IntegerType
+    val store = freshStore()
+    val intCorpus = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i, (0 until dims).map(d => sign * (10.0 + ((i * 7 + d) % 5) * 0.1)))
+    }.toDF("vec_id", "e")
+    IvfPq.buildIndex(store, "vectors", intCorpus, "vec_id", "e",
+      kCells = 2, slices = slices, subDim = subDim, kCodes = 4, iters = 1)
+    val res = IvfPq.annTopK(store, "vectors",
+      intCorpus.filter(col("vec_id") === 0), "vec_id", "e",
+      k = 2, nprobe = 1, slices = slices, subDim = subDim).collect()
+    assert(res.length === 2)
+    // incremental upsert over the int-pk table also survives
+    IvfPq.upsertWithCodes(store, "vectors",
+      intCorpus.filter(col("vec_id") === 3), "vec_id", "e",
+      slices = slices, subDim = subDim)
+    assert(store.read(IvfPq.codesName("vectors")).count() === 40L)
+  }
+
   test("cross-cell move rewrites only its cells; incremental equals rebuild") {
     val store = freshStore()
     IvfPq.buildIndex(store, "vectors", corpus, "vec_id", "e",
