@@ -983,8 +983,61 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_vocab_coverage — out-of-vocabulary rate per source against a
+  // fixed top-k vocabulary: the tokenizer-eval readout that decides
+  // whether a vocab is big enough for a corpus slice (and the
+  // mirror-image of q_vocab_df's document-frequency view). Vocab =
+  // top-100 tokens by corpus frequency (ties alphabetical —
+  // deterministic on both engines), planned as TakeOrderedAndProject
+  // (per-partition heap, driver merge of 100 rows, no global sort);
+  // coverage is then one broadcast left-join of the token stream
+  // against the 100-row vocab and a per-source conditional count —
+  // the token stream itself never shuffles. Coverage ratio is a
+  // single division of exact longs → bit-identical.
+  private val vocabTopK = 100
+
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    // pinned: the token stream feeds the vocab build AND the coverage
+    // count (tokenize once)
+    val toks = materialize(Catalog.table(spark, sfDir, "documents")
+      .select(col("source"), explode(Transforms.tokens(col("text"))).as("tok")))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(vocabTopK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("in_vocab")).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val vocabCoverageSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH t AS (
+       |  SELECT source, unnest($toks) AS tok FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+       |    ORDER BY c DESC, tok LIMIT $vocabTopK)
+       |)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  COUNT(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 END) AS n_covered,
+       |  CAST(COUNT(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+       |FROM t
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_substring_search", substringSearch, Some(substringSearchSql)),
+    Op("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("q_quantile_hist", quantileHist, Some(quantileHistSql)),
     Op("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Op("q_langid", langId, Some(langIdSql)),
