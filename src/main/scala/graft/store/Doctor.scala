@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 /** Store integrity checks — the `PRAGMA integrity_check` /
   * `fts5('integrity-check')` analog for every maintained index
   * family. Each derived artifact (FTS postings, LSH bands, IVF
-  * cells, PQ codes) carries invariants its incremental maintenance
-  * relies on; a torn multi-step commit (crash between partition
+  * cells, PQ codes, IVF+PQ residual codes, trigram postings) carries
+  * invariants its incremental maintenance relies on; a torn multi-step commit (crash between partition
   * overwrite and stats write) or an out-of-band table edit breaks
   * them SILENTLY — queries keep answering, just wrongly. `check`
   * verifies the invariants and names what is broken; maintenance
