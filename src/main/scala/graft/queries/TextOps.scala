@@ -1035,9 +1035,52 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_ngram_diversity — corpus-level lexical diversity per source:
+  // distinct word-bigrams over total bigram occurrences (the
+  // type/token ratio at n=2). Low ratios flag template/boilerplate
+  // sources the way q_repetition flags repetitive DOCUMENTS — this is
+  // the between-document complement. Shape: one bigram explode,
+  // count + countDistinct per source (Spark plans the distinct as a
+  // two-phase partial aggregate on (source, bigram) — group
+  // cardinality crosses the exchange, not the token stream); ratio is
+  // one exact-long division.
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("source"), Transforms.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        j => concat_ws(" ", element_at(col("toks"), j + 1),
+          element_at(col("toks"), j + 2)))).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("source"))
+
+  val ngramDiversitySql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH bg AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(0, len(toks) - 1),
+       |      j -> toks[j+1] || ' ' || toks[j+2])) AS bg
+       |  FROM (SELECT source, $toks AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |)
+       |SELECT source, COUNT(*) AS n_bigrams,
+       |  COUNT(DISTINCT bg) AS n_distinct,
+       |  CAST(COUNT(DISTINCT bg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+       |FROM bg
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_substring_search", substringSearch, Some(substringSearchSql)),
     Op("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
+    Op("q_ngram_diversity", ngramDiversity, Some(ngramDiversitySql)),
     Op("q_quantile_hist", quantileHist, Some(quantileHistSql)),
     Op("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Op("q_langid", langId, Some(langIdSql)),
