@@ -719,7 +719,61 @@ object DedupOps {
        |FROM reach GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_containment — ASYMMETRIC near-dup verification (Broder's
+  // containment |A∩B| / |A|): symmetric Jaccard misses the
+  // quote/aggregator case where a small document sits INSIDE a much
+  // larger one (the union term drowns the intersection), but
+  // containment of the smaller side stays high. Same LSH candidate
+  // generation and O(candidates) semi-join tokenization as
+  // jaccardVerify; a pair survives when EITHER side is ≥ 60%
+  // contained in the other. Single-division doubles → bit-identical.
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.Iteration.materialize
+    val p = materialize(candidatePairs(spark, sfDir))
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    val toks = materialize(
+      Catalog.table(spark, sfDir, "documents")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(Transforms.tokens(col("text"))).as("toks")))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    p
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / size(col("toks_a")).cast("double")).as("cont_a"),
+        (inter / size(col("toks_b")).cast("double")).as("cont_b"))
+      .filter(col("cont_a") >= 0.6 || col("cont_b") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $bandsCte, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |), toksets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS toks
+       |  FROM documents
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) AS DOUBLE) AS cont_a,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE) AS cont_b
+       |FROM pairs p
+       |JOIN toksets a ON p.doc_a = a.doc_id
+       |JOIN toksets b ON p.doc_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) AS DOUBLE) >= 0.6
+       |   OR CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_containment", containmentPairs, Some(containmentPairsSql)),
     Op("q_simhash_near_dup", simhashNearDup, Some(simhashNearDupSql)),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Op("q_simhash_blocks", simhashBlocks, Some(simhashBlocksSql)),
