@@ -176,7 +176,12 @@ object PipelineOps {
     // IDENTICAL to the unpruned plan (the join absorbs the ~1% false
     // positives — no false negatives means no contamination is ever
     // missed). At 100 TB this is the difference between shuffling
-    // every train 8-gram and shuffling only suspects.
+    // every train 8-gram and shuffling only suspects. NOTE: building
+    // the blob is an EAGER action at plan-construction time (Spark's
+    // might_contain demands a constant filter), so merely constructing
+    // this frame — e.g. for a plan audit — runs the eval-side jobs;
+    // the same trade as skipExistingBloom, accepted for the shuffle
+    // reduction.
     val blob = evalGrams
       .agg(graft.functions.BloomFns.bloomAgg(spark, xxhash64(col("gram")),
         expectedItems = 100000L, numBits = 1000000L).as("bf"))

@@ -305,7 +305,7 @@ object StateOps {
   // the tell). One IEEE division + floor on identical operands keeps
   // both engines bit-agreed; exact COUNT(DISTINCT) rides along as
   // ground truth.
-  private val kmvExactC = 15.0 * 281474976710656.0 // (k−1)·2^48
+  private val kmvExactC = (kmvK - 1).toDouble * 281474976710656.0 // (k−1)·2^48
 
   def cardinalityKmvExact(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")

@@ -26,33 +26,38 @@ object Trigram {
   private val BucketCol = "pk_bucket"
   private[store] val nBuckets = 16
 
-  private def grams(textCol: String): org.apache.spark.sql.Column =
-    array_distinct(transform(
-      sequence(lit(1), length(lower(col(textCol))) - 2),
-      i => lower(col(textCol)).substr(i, lit(3))))
-
   private def gramRows(
       batch: DataFrame, pkCol: String, textCol: String): DataFrame =
     batch
       // docs shorter than 3 chars produce a DESCENDING sequence (junk
       // grams) — and cannot match any trigram-prunable needle
       .filter(length(col(textCol)) >= 3)
+      // bind the lowered text ONCE — lowering inside the transform
+      // lambda would redo O(len) work per gram position (O(len²)/doc)
       .select(col(pkCol).as("pk"),
         pmod(xxhash64(col(pkCol)), lit(nBuckets.toLong)).as(BucketCol),
-        explode(grams(textCol)).as("g"))
+        lower(col(textCol)).as("_t"))
+      .select(col("pk"), col(BucketCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("_t")) - 2),
+          i => col("_t").substr(i, lit(3))))).as("g"))
 
   /** Upsert rows into the base table AND their trigram postings: only
     * the batch pks' bucket directories rewrite; stale grams of
     * re-upserted docs drop via the anti-join; a bucket left empty
     * (every doc in it re-upserted to sub-trigram text) drops
-    * explicitly.
+    * explicitly. Index maintenance runs FIRST and the base table
+    * swaps LAST (the [[Fts.upsertWithIndexCols]] ordering): the swap
+    * deletes the old base files, so a batch derived from
+    * `store.read(table)` — the reindex case — must be fully
+    * materialized before the base rewrite.
     */
   def upsertWithIndex(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, textCol: String): Unit = {
-    store.upsert(table, batch, Seq(pkCol))
     val fresh = Iteration.materialize(gramRows(batch, pkCol, textCol))
-    val batchPks = batch.select(col(pkCol).as("pk")).distinct()
+    val batchPks = Iteration.materialize(
+      batch.select(col(pkCol).as("pk")).distinct())
     // buckets the BATCH pks hash into — includes pks whose new text
     // has no grams (their stale rows must still drop)
     val touched = batchPks
@@ -72,24 +77,38 @@ object Trigram {
         touched.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
       case None =>
-        store.overwrite(indexName(table),
-          fresh.repartition(col(BucketCol)), partitionBy = Seq(BucketCol))
+        // an all-short-text first batch has no gram rows; writing a
+        // zero-file partitioned dir would leave an unreadable index —
+        // leave the index absent (search falls back to a direct scan)
+        if (!fresh.isEmpty)
+          store.overwrite(indexName(table),
+            fresh.repartition(col(BucketCol)), partitionBy = Seq(BucketCol))
     }
+    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** All pks whose text contains `needle` (case-folded, like FTS5
     * trigram's default): trigram-pruned candidates, then exact
-    * verification reading only those docs.
+    * verification reading only those docs. Falls back to the direct
+    * scan when the needle is sub-trigram or the index was never built
+    * (all-short-text corpus).
     */
   def substringSearch(
       store: TableStore, table: String, pkCol: String, textCol: String,
       needle: String): DataFrame = {
-    val n = needle.toLowerCase
+    // Locale.ROOT + code-point windows: the JVM's default-locale
+    // toLowerCase (Turkish dotless-i) and UTF-16 String#sliding
+    // (surrogate-pair halves) would produce needle grams Spark's
+    // locale-agnostic lower()/code-point substr never indexes — a
+    // silent pruned-away match
+    val n = needle.toLowerCase(java.util.Locale.ROOT)
     val base = store.read(table)
-    if (n.length < 3)
+    if (n.codePointCount(0, n.length) < 3 || !store.exists(indexName(table)))
       return base.filter(lower(col(textCol)).contains(n))
         .select(col(pkCol)).orderBy(col(pkCol))
-    val nGrams = n.sliding(3).toSeq.distinct
+    val cps = n.codePoints.toArray
+    val nGrams = (0 to cps.length - 3)
+      .map(i => new String(cps, i, 3)).distinct
     val cands = store.read(indexName(table))
       .filter(col("g").isin(nGrams: _*))
       .groupBy(col("pk"))

@@ -60,6 +60,29 @@ class TrigramSpec extends SparkSpec {
       .filter(col("pk") === 2L && col("g") === "liq").count() === 0L)
   }
 
+  test("self-reindex: batch = store.read(table) survives the base swap-write") {
+    // the base upsert swap-deletes the old parquet files; a batch
+    // frame read FROM that table must be fully materialized first or
+    // its plan dangles (the Fts index-first ordering)
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+    Trigram.upsertWithIndex(store, "docs",
+      store.read("docs"), "doc_id", "text")
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "liquor")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("all-short-text corpus leaves no index; search falls back to direct scan") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs",
+      Seq((1L, "ab"), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(!store.exists(Trigram.indexName("docs")))
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "longneedle")
+      .collect().isEmpty)
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "ab")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("maintenance equals a from-scratch rebuild of the merged corpus") {
     val store = freshStore()
     Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
