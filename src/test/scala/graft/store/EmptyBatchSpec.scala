@@ -1,0 +1,66 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Empty-batch upserts must be harmless no-ops on every maintained
+  * index: no partition rewrites that lose rows, no crashes on empty
+  * driver-side cell/bucket collects, indexes still searchable. The
+  * streaming sinks guard `batch.isEmpty` themselves, but batch-path
+  * callers can legitimately pass an empty filter result.
+  */
+class EmptyBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+
+  private def vecs: DataFrame =
+    (0 until 20).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, (0 until dims).map(d => sign * (10.0 + ((i * 3 + d) % 5) * 0.1)))
+    }.toDF("vec_id", "e")
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox"), (2L, "pack my box with jugs"))
+    .toDF("doc_id", "text")
+
+  private def freshStore(): TableStore =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-empty").toString)
+
+  test("empty batches leave IVF, IVF+PQ, and trigram indexes untouched") {
+    val store = freshStore()
+    Ivf.buildIndex(store, "vectors", vecs, "vec_id", "e", k = 2, iters = 1)
+    IvfPq.buildIndex(store, "pvectors", vecs, "vec_id", "e",
+      kCells = 2, slices = 4, subDim = 2, kCodes = 4, iters = 1)
+    Trigram.upsertWithIndex(store, "docs", docs, "doc_id", "text")
+
+    def snapshot(name: String): Set[String] =
+      store.read(name).collect().map(_.toString).toSet
+    val ivfBefore = snapshot(Ivf.indexName("vectors"))
+    val pqBefore = snapshot(IvfPq.codesName("pvectors"))
+    val triBefore = snapshot(Trigram.indexName("docs"))
+
+    val noVecs = vecs.filter(col("vec_id") < 0)
+    val noDocs = docs.filter(col("doc_id") < 0)
+    Ivf.upsertWithCells(store, "vectors", noVecs, "vec_id", "e")
+    IvfPq.upsertWithCodes(store, "pvectors", noVecs, "vec_id", "e",
+      slices = 4, subDim = 2)
+    Trigram.upsertWithIndex(store, "docs", noDocs, "doc_id", "text")
+
+    assert(snapshot(Ivf.indexName("vectors")) === ivfBefore)
+    assert(snapshot(IvfPq.codesName("pvectors")) === pqBefore)
+    assert(snapshot(Trigram.indexName("docs")) === triBefore)
+
+    // and everything still answers
+    assert(Ivf.annTopK(store, "vectors", vecs.limit(1), "vec_id", "e",
+      k = 1, nprobe = 1).count() === 1)
+    assert(IvfPq.annTopK(store, "pvectors", vecs.limit(1), "vec_id", "e",
+      k = 1, nprobe = 1, slices = 4, subDim = 2).count() === 1)
+    assert(Trigram.substringSearch(store, "docs", "doc_id", "text", "quick")
+      .count() === 1)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+}
