@@ -745,6 +745,11 @@ object DedupOps {
         Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         Seq("doc_b"))
+      // zero-token docs diverge across engines at the division (Spark
+      // x/0 → NULL drops the pair, DuckDB IEEE float → +inf keeps it);
+      // unreachable today (band generation needs ≥3 tokens) but the
+      // guard belongs HERE, not inherited from candidate generation
+      .filter(size(col("toks_a")) > 0 && size(col("toks_b")) > 0)
       .select(col("doc_a"), col("doc_b"),
         (inter / size(col("toks_a")).cast("double")).as("cont_a"),
         (inter / size(col("toks_b")).cast("double")).as("cont_b"))
@@ -768,8 +773,9 @@ object DedupOps {
        |FROM pairs p
        |JOIN toksets a ON p.doc_a = a.doc_id
        |JOIN toksets b ON p.doc_b = b.doc_id
-       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) AS DOUBLE) >= 0.6
-       |   OR CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE) >= 0.6
+       |WHERE len(a.toks) > 0 AND len(b.toks) > 0
+       |  AND (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) AS DOUBLE) >= 0.6
+       |   OR CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE) >= 0.6)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   def ops: Seq[Op] = Seq(

@@ -164,10 +164,8 @@ object PipelineOps {
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - 8),
           j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram"))
-    import graft.store.Iteration.materialize
-    // the eval gram set feeds the bloom build AND the exact join
-    val evalGrams = materialize(
-      grams(docs.filter(bucket >= 230)).select(col("gram")).distinct())
+    val evalGrams = grams(docs.filter(bucket >= 230))
+      .select(col("gram")).distinct()
     // bloom pre-filter on the TRAIN gram stream before it shuffles:
     // the eval side is small (held-out split), its bloom blob is tiny,
     // and a broadcast bit-test drops the overwhelmingly-clean train
@@ -176,21 +174,24 @@ object PipelineOps {
     // IDENTICAL to the unpruned plan (the join absorbs the ~1% false
     // positives — no false negatives means no contamination is ever
     // missed). At 100 TB this is the difference between shuffling
-    // every train 8-gram and shuffling only suspects. NOTE: building
-    // the blob is an EAGER action at plan-construction time (Spark's
-    // might_contain demands a constant filter), so merely constructing
-    // this frame — e.g. for a plan audit — runs the eval-side jobs;
-    // the same trade as skipExistingBloom, accepted for the shuffle
-    // reduction.
-    val blob = evalGrams
-      .agg(graft.functions.BloomFns.bloomAgg(spark, xxhash64(col("gram")),
-        expectedItems = 100000L, numBits = 1000000L).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    val train = grams(docs.filter(bucket < 205))
-    val suspect =
-      if (blob == null) train
-      else train.filter(graft.functions.BloomFns.mightContain(
-        spark, lit(blob), xxhash64(col("gram"))))
+    // every train 8-gram and shuffling only suspects. might_contain
+    // demands a constant filter OR a scalar subquery — the blob is
+    // built as a SCALAR SUBQUERY (Spark's own runtime-filter shape),
+    // so it runs lazily at action time and merely CONSTRUCTING this
+    // frame (plan audits, Inventory iteration) stays job-free. An
+    // empty eval side yields a NULL blob, might_contain → NULL drops
+    // every train gram — correct, since the exact join below would be
+    // empty anyway.
+    graft.functions.BloomFns.register(spark)
+    evalGrams.createOrReplaceTempView("graft_decon_eval_grams")
+    grams(docs.filter(bucket < 205))
+      .createOrReplaceTempView("graft_decon_train_grams")
+    val suspect = spark.sql(
+      """SELECT doc_id, gram FROM graft_decon_train_grams
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(gram), 100000L, 1000000L)
+        |   FROM graft_decon_eval_grams),
+        |  xxhash64(gram))""".stripMargin)
     suspect
       .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))

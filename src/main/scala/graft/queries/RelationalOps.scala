@@ -286,6 +286,13 @@ object RelationalOps {
   // negatives → the result set is EXACTLY the plain anti-join's, which
   // is what the oracle checks; the bloom only changes how much data
   // the join stage sees.
+  //
+  // CAPS: Spark's BloomFilterAggregate enforces
+  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default 4M)
+  // and .maxNumBits (default 64M bits = 8 MB) — ONE filter cannot hold
+  // billions of keys without raising both confs, and a multi-GB blob
+  // embedded as a plan literal would not broadcast anyway. Past the
+  // caps, use skipExistingBloomSharded below.
   def skipExistingBloom(
       batch: DataFrame, seen: DataFrame, keyCol: String,
       expectedItems: Long, numBits: Long): DataFrame = {
@@ -306,6 +313,47 @@ object RelationalOps {
     if (blob == null) return batch
     val flagged = batch
       .withColumn("_maybe", BloomFns.mightContain(spark, lit(blob), h))
+    val definitelyNew = flagged.filter(!col("_maybe")).drop("_maybe")
+    val verified = flagged.filter(col("_maybe")).drop("_maybe")
+      .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  // skipExistingBloom for seen-key spaces PAST the single-filter caps:
+  // shard the seen keys by pmod(hash, shards), build one in-cap filter
+  // per shard (a single groupBy-aggregate — each blob stays ≤ 8 MB
+  // under default confs), and route each batch row to ITS shard's
+  // filter through a CASE chain, so every might_contain call keeps the
+  // constant blob the expression requires. 256 shards at 10 bits/key
+  // hold ~1.6G keys in 256 × 8 MB blobs without touching any conf; the
+  // driver holds shards × numBitsPerShard/8 bytes, the same total a
+  // single oversized filter would need, but broadcast in probe-sized
+  // pieces. A shard with no seen keys builds no blob; its batch rows
+  // are definitely new. Result remains EXACTLY the plain anti-join's.
+  def skipExistingBloomSharded(
+      batch: DataFrame, seen: DataFrame, keyCol: String,
+      expectedItemsPerShard: Long, numBitsPerShard: Long,
+      shards: Int): DataFrame = {
+    import graft.functions.BloomFns
+    val spark = batch.sparkSession
+    val h = xxhash64(col(keyCol))
+    val blobs = seen
+      .groupBy(pmod(xxhash64(col(keyCol)), lit(shards.toLong)).as("_shard"))
+      .agg(BloomFns.bloomAgg(spark, xxhash64(col(keyCol)),
+        expectedItemsPerShard, numBitsPerShard).as("bf"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf"))
+      .filter(_._2 != null)
+    if (blobs.isEmpty) return batch
+    val shardOf = pmod(h, lit(shards.toLong))
+    val maybe = blobs.tail
+      .foldLeft(when(shardOf === lit(blobs.head._1),
+        BloomFns.mightContain(spark, lit(blobs.head._2), h))) {
+        case (acc, (s, bf)) =>
+          acc.when(shardOf === lit(s), BloomFns.mightContain(spark, lit(bf), h))
+      }
+      .otherwise(lit(false))
+    val flagged = batch.withColumn("_maybe", maybe)
     val definitelyNew = flagged.filter(!col("_maybe")).drop("_maybe")
     val verified = flagged.filter(col("_maybe")).drop("_maybe")
       .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -683,6 +683,65 @@ object TextOps {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // q_bpe_apply — the BPE ENCODER (store/Bpe.applyMerges) verified
+  // end-to-end against an independent engine. The merge list is a
+  // FIXED constant (no training at plan-construction time — the frame
+  // stays lazy, unlike a train()-at-construction design), rank-ordered
+  // and deliberately CASCADING: merge 1 ("th"+"e") consumes merge 0's
+  // output symbol, so rank order is load-bearing. Encoding runs over
+  // the DISTINCT word vocabulary (the production shape: encode |V|
+  // words once, broadcast the result), not the corpus stream. DuckDB
+  // replicates the greedy left-to-right fold exactly: each merge is a
+  // list_reduce over single-element lists with the same
+  // merge-last-or-append step Bpe.mergePair folds with.
+  private val bpeFixedMerges: Seq[graft.store.Bpe.Merge] = Seq(
+    graft.store.Bpe.Merge(0, "t", "h", 0L),
+    graft.store.Bpe.Merge(1, "th", "e", 0L),
+    graft.store.Bpe.Merge(2, "i", "n", 0L),
+    graft.store.Bpe.Merge(3, "a", "n", 0L),
+    graft.store.Bpe.Merge(4, "e", "r", 0L))
+
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = graft.store.Bpe.wordCounts(
+      Catalog.table(spark, sfDir, "documents"), "text")
+    words
+      .select(col("word"), col("n"),
+        graft.store.Bpe.applyMerges(col("word"), bpeFixedMerges).as("s"))
+      .select(col("word"), col("n"),
+        array_join(col("s"), "|").as("syms"),
+        size(col("s")).cast("long").as("n_syms"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(500)
+  }
+
+  val bpeApplySql: String = {
+    // one greedy merge pass: wrap each symbol in a singleton list so
+    // the reduce accumulator is list<string>, then merge-last-or-append
+    def merge(s: String, a: String, b: String): String =
+      s"""list_reduce(list_transform($s, x -> [x]),
+         |    (acc, x) -> CASE WHEN acc[len(acc)] = '$a' AND x[1] = '$b'
+         |      THEN acc[1:len(acc)-1] || ['$a$b'] ELSE acc || x END)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS n FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |      t -> t <> '')) AS word
+       |    FROM documents) GROUP BY word
+       |), s0 AS (
+       |  SELECT word, n,
+       |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS s
+       |  FROM words
+       |), s1 AS (SELECT word, n, ${merge("s", "t", "h")} AS s FROM s0
+       |), s2 AS (SELECT word, n, ${merge("s", "th", "e")} AS s FROM s1
+       |), s3 AS (SELECT word, n, ${merge("s", "i", "n")} AS s FROM s2
+       |), s4 AS (SELECT word, n, ${merge("s", "a", "n")} AS s FROM s3
+       |), s5 AS (SELECT word, n, ${merge("s", "e", "r")} AS s FROM s4)
+       |SELECT word, n, array_to_string(s, '|') AS syms, len(s) AS n_syms
+       |FROM s5
+       |ORDER BY n DESC, word
+       |LIMIT 500""".stripMargin
+  }
+
   val bpeStepSql: String =
     """WITH words AS (
       |  SELECT word, COUNT(*) AS n FROM (
@@ -698,6 +757,51 @@ object TextOps {
       |FROM pairs GROUP BY p.a, p.b
       |ORDER BY cnt DESC, a, b
       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_substring_match — the BOOLEAN substring-MATCH surface (FTS5
+  // `tokenize='trigram'` + MATCH: store/Trigram.matchSearch): each
+  // needle is independently trigram-pruned and exactly verified (the
+  // q_substring_search kernel), then the boolean algebra runs on
+  // verified pk sets — OR = union, NOT = anti-join — so composition
+  // adds no approximation. The oracle sees only the semantics:
+  // (contains a OR contains b) AND NOT contains c.
+  private val matchNeedleA = "sort table"
+  private val matchNeedleB = "filter rows"
+  private val matchNeedleC = "partition"
+
+  def substringMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val grams = docs.filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3))))).as("g"))
+    def pks(needle: String): DataFrame = {
+      val n = needle.toLowerCase(java.util.Locale.ROOT)
+      val nGrams = n.sliding(3).toSeq.distinct
+      val cands = grams
+        .join(broadcast(nGrams.toDF("g")), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === nGrams.length)
+      docs.join(cands, Seq("doc_id"), "left_semi")
+        .filter(col("t").contains(n))
+        .select(col("doc_id"))
+    }
+    pks(matchNeedleA).unionByName(pks(matchNeedleB)).distinct()
+      .join(pks(matchNeedleC), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val substringMatchSql: String = {
+    def c(n: String) = s"contains(lower(text), '${n.toLowerCase}')"
+    s"""SELECT doc_id FROM documents
+       |WHERE (${c(matchNeedleA)} OR ${c(matchNeedleB)})
+       |  AND NOT ${c(matchNeedleC)}
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q_lm_bigram_score — CCNet-style language-model quality scoring
@@ -1079,6 +1183,7 @@ object TextOps {
 
   def ops: Seq[Op] = Seq(
     Op("q_substring_search", substringSearch, Some(substringSearchSql)),
+    Op("q_substring_match", substringMatch, Some(substringMatchSql)),
     Op("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("q_ngram_diversity", ngramDiversity, Some(ngramDiversitySql)),
     Op("q_quantile_hist", quantileHist, Some(quantileHistSql)),
@@ -1107,5 +1212,6 @@ object TextOps {
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)),
     Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
-    Op("q_bpe_step", bpeStep, Some(bpeStepSql)))
+    Op("q_bpe_step", bpeStep, Some(bpeStepSql)),
+    Op("q_bpe_apply", bpeApply, Some(bpeApplySql)))
 }

@@ -54,8 +54,14 @@ private[store] object CellIndex {
         affected.filterNot(stillThere).foreach(c =>
           store.dropPartition(idxTable, CellCol, c.toString))
       case None =>
-        store.overwrite(idxTable,
-          fresh.repartition(col(CellCol)), partitionBy = Seq(CellCol))
+        // never create the index as a ZERO-ROW partitioned dir — a
+        // partitioned parquet layout with no part files fails schema
+        // inference on the next read (same guard as
+        // Trigram.upsertWithIndex); reachable when the index table was
+        // dropped and the next upsert batch is empty
+        if (!fresh.isEmpty)
+          store.overwrite(idxTable,
+            fresh.repartition(col(CellCol)), partitionBy = Seq(CellCol))
     }
     store.upsert(mapTable, fresh.select(col("pk"), col(CellCol)), Seq("pk"))
   }

@@ -95,6 +95,15 @@ object Trigram {
     */
   def substringSearch(
       store: TableStore, table: String, pkCol: String, textCol: String,
+      needle: String): DataFrame =
+    containsPks(store, table, pkCol, textCol, needle)
+      .orderBy(col(pkCol))
+
+  /** Exact, verified "pks whose text contains `needle`" (one column,
+    * unordered) — the unit the MATCH evaluator composes booleanly.
+    */
+  private def containsPks(
+      store: TableStore, table: String, pkCol: String, textCol: String,
       needle: String): DataFrame = {
     // Locale.ROOT + code-point windows: the JVM's default-locale
     // toLowerCase (Turkish dotless-i) and UTF-16 String#sliding
@@ -105,7 +114,7 @@ object Trigram {
     val base = store.read(table)
     if (n.codePointCount(0, n.length) < 3 || !store.exists(indexName(table)))
       return base.filter(lower(col(textCol)).contains(n))
-        .select(col(pkCol)).orderBy(col(pkCol))
+        .select(col(pkCol))
     val cps = n.codePoints.toArray
     val nGrams = (0 to cps.length - 3)
       .map(i => new String(cps, i, 3)).distinct
@@ -118,6 +127,141 @@ object Trigram {
     base.join(cands, Seq(pkCol), "left_semi")
       .filter(lower(col(textCol)).contains(n))
       .select(col(pkCol))
-      .orderBy(col(pkCol))
+  }
+
+  // -------------------------------------------------------------------
+  // FTS5 `tokenize='trigram'` MATCH surface: with the trigram
+  // tokenizer, every MATCH unit is a SUBSTRING needle (fts5.c trigram
+  // tokenizer — LIKE acceleration through the same query grammar), so
+  // the boolean skeleton of [[Fts]]'s MATCH (implicit AND, OR, binary
+  // NOT, parentheses, at FTS5's NOT > AND > OR precedence) composes
+  // substring-containment sets instead of token-postings sets. A
+  // quoted unit keeps its spaces/punctuation verbatim ("ab, cd" is
+  // one needle); a trailing `*` is meaningless under substring
+  // semantics (FTS5 trigram treats prefix as plain substring) and is
+  // stripped; NEAR/column filters/anchors are word-positional
+  // concepts the trigram layout has no positions for — rejected, as
+  // FTS5 rejects what a tokenizer cannot express.
+
+  private[store] sealed trait MNode
+  private[store] case class MNeedle(s: String) extends MNode
+  private[store] case class MAnd(kids: Seq[MNode]) extends MNode
+  private[store] case class MOr(kids: Seq[MNode]) extends MNode
+  private[store] case class MNot(incl: MNode, excl: MNode) extends MNode
+
+  private sealed trait MTok
+  private case class MTerm(s: String) extends MTok
+  private case object MTOr extends MTok
+  private case object MTAnd extends MTok
+  private case object MTNot extends MTok
+  private case object MTLp extends MTok
+  private case object MTRp extends MTok
+
+  private def lexMatch(query: String): Seq[MTok] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[MTok]
+    var i = 0
+    def unitChar(c: Char): Boolean =
+      !c.isWhitespace && c != '(' && c != ')' && c != '"'
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += MTLp; i += 1 }
+      else if (c == ')') { out += MTRp; i += 1 }
+      else if (c == '"') {
+        val end = query.indexOf('"', i + 1)
+        require(end >= 0, s"unterminated quote in MATCH query: $query")
+        val content = query.substring(i + 1, end)
+        i = end + 1
+        if (i < query.length && query.charAt(i) == '*') i += 1 // prefix = substring
+        if (content.nonEmpty) out += MTerm(content)
+      } else {
+        require(!query.startsWith("NEAR(", i) && c != '^' && c != '{',
+          s"NEAR()/anchors need word positions — " +
+            s"not expressible on a trigram index: $query")
+        val start = i
+        // `name:` at a token start is FTS5 column-filter syntax (same
+        // rule as the word index's lexer); this index has exactly one
+        // text column, so reject rather than silently treating the
+        // filter as needle text. A ':' elsewhere is needle content.
+        while (i < query.length && unitChar(query.charAt(i)) &&
+          query.charAt(i) != ':') i += 1
+        require(!(i < query.length && query.charAt(i) == ':' && i > start &&
+            query.substring(start, i).matches("\\w+")),
+          s"column filters are not supported on a trigram index: $query")
+        while (i < query.length && unitChar(query.charAt(i))) i += 1
+        query.substring(start, i) match {
+          case "OR"  => out += MTOr
+          case "AND" => out += MTAnd
+          case "NOT" => out += MTNot
+          case w     =>
+            out += MTerm(if (w.endsWith("*")) w.dropRight(1) else w)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private[store] def parseMatch(query: String): Option[MNode] = {
+    val toks = lexMatch(query)
+    if (toks.isEmpty) return None
+    var pos = 0
+    def peek: Option[MTok] = if (pos < toks.length) Some(toks(pos)) else None
+    def orExpr(): MNode = {
+      var kids = List(andExpr())
+      while (peek.contains(MTOr)) { pos += 1; kids ::= andExpr() }
+      if (kids.sizeIs == 1) kids.head else MOr(kids.reverse.distinct)
+    }
+    def andExpr(): MNode = {
+      var kids = List(notExpr())
+      var more = true
+      while (more) peek match {
+        case Some(MTAnd)                 => pos += 1; kids ::= notExpr()
+        case Some(MTerm(_)) | Some(MTLp) => kids ::= notExpr()
+        case _                           => more = false
+      }
+      if (kids.sizeIs == 1) kids.head else MAnd(kids.reverse.distinct)
+    }
+    def notExpr(): MNode = {
+      var left = primary()
+      while (peek.contains(MTNot)) { pos += 1; left = MNot(left, primary()) }
+      left
+    }
+    def primary(): MNode = peek match {
+      case Some(MTerm(s)) => pos += 1; MNeedle(s)
+      case Some(MTLp) =>
+        pos += 1
+        val e = orExpr()
+        require(peek.contains(MTRp), s"expected ) in MATCH query: $query")
+        pos += 1
+        e
+      case other =>
+        throw new IllegalArgumentException(
+          s"MATCH syntax error (operand expected, got $other): $query")
+    }
+    val root = orExpr()
+    require(pos == toks.length, s"MATCH syntax error (trailing tokens): $query")
+    Some(root)
+  }
+
+  /** Substring-MATCH over the trigram index: pks whose text satisfies
+    * the boolean query, each needle independently trigram-pruned and
+    * exactly verified, the boolean algebra then running on verified
+    * pk sets (AND = semi-join, OR = distinct union, NOT = anti-join)
+    * — so composition introduces no approximation anywhere.
+    */
+  def matchSearch(
+      store: TableStore, table: String, pkCol: String, textCol: String,
+      query: String): DataFrame = {
+    def eval(n: MNode): DataFrame = n match {
+      case MNeedle(s)   => containsPks(store, table, pkCol, textCol, s)
+      case MAnd(kids)   => kids.map(eval)
+        .reduce((a, b) => a.join(b, Seq(pkCol), "left_semi"))
+      case MOr(kids)    => kids.map(eval).reduce(_.unionByName(_)).distinct()
+      case MNot(in, ex) => eval(in).join(eval(ex), Seq(pkCol), "left_anti")
+    }
+    parseMatch(query) match {
+      case None       => store.read(table).select(col(pkCol)).limit(0)
+      case Some(node) => eval(node).orderBy(col(pkCol))
+    }
   }
 }

@@ -51,4 +51,30 @@ class BloomSkipSpec extends SparkSpec {
       .count()
     assert(got === 50L)
   }
+
+  test("sharded variant equals the plain anti-join across shard counts") {
+    val batch = frame(0 until 200)
+    val seen = frame(1000 until 1030).select(col("k"))
+    val plain = batch.join(seen.distinct(), Seq("k"), "left_anti")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+
+    for (shards <- Seq(1, 4, 16)) {
+      val got = RelationalOps.skipExistingBloomSharded(
+          batch, seen, "k",
+          expectedItemsPerShard = 64L, numBitsPerShard = 640L,
+          shards = shards)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === plain.toSeq, s"shards=$shards")
+    }
+  }
+
+  test("sharded variant with empty seen set keeps every batch row") {
+    val batch = frame(0 until 50)
+    val seen = frame(0 until 0).select(col("k"))
+    val got = RelationalOps.skipExistingBloomSharded(
+        batch, seen, "k",
+        expectedItemsPerShard = 16L, numBitsPerShard = 160L, shards = 8)
+      .count()
+    assert(got === 50L)
+  }
 }

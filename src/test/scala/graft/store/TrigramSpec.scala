@@ -83,6 +83,44 @@ class TrigramSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("trigram MATCH: boolean substring queries equal brute-force evaluation") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+    def direct(needle: String): Set[Long] = directScan(store, needle).toSet
+    def got(q: String): Set[Long] =
+      Trigram.matchSearch(store, "docs", "doc_id", "text", q)
+        .collect().map(_.getLong(0)).toSet
+
+    assert(got("quick OR sphinx") === (direct("quick") ++ direct("sphinx")))
+    assert(got("jumps NOT goblin") === (direct("jumps") -- direct("goblin")))
+    // implicit AND between adjacent units
+    assert(got("jumps lazy") === (direct("jumps") & direct("lazy")))
+    // quoted needle keeps spaces verbatim — one substring, not an AND
+    assert(got("\"over the lazy\"") === direct("over the lazy"))
+    // precedence: NOT > AND > OR → (quick AND (jumps NOT goblin)) OR sphinx
+    assert(got("quick jumps NOT goblin OR sphinx") ===
+      ((direct("quick") & (direct("jumps") -- direct("goblin"))) ++
+        direct("sphinx")))
+    // parens override precedence
+    assert(got("(quick OR sphinx) NOT jumps") ===
+      ((direct("quick") ++ direct("sphinx")) -- direct("jumps")))
+    // prefix star is plain substring under trigram semantics
+    assert(got("qui*") === direct("qui"))
+    // case-folded like the unary search
+    assert(got("QUICK onyx") === (direct("quick") & direct("onyx")))
+  }
+
+  test("trigram MATCH rejects positional operators; empty query is empty") {
+    val store = freshStore()
+    Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
+    for (bad <- Seq("NEAR(a b)", "text:quick", "^quick"))
+      intercept[IllegalArgumentException] {
+        Trigram.matchSearch(store, "docs", "doc_id", "text", bad)
+      }
+    assert(Trigram.matchSearch(store, "docs", "doc_id", "text", "  ")
+      .collect().isEmpty)
+  }
+
   test("maintenance equals a from-scratch rebuild of the merged corpus") {
     val store = freshStore()
     Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")

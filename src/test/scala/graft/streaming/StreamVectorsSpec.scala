@@ -122,6 +122,38 @@ class StreamVectorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup over IVF+PQ: ADC screen finds the twin, verify is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    IvfPq.buildIndex(store, "vectors", corpus, "vec_id", "e",
+      kCells = 4, kCodes = 8, iters = 2)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck5").toString
+    val q = StreamSemanticDedup.writeSemanticDupIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e",
+      ckpt, threshold = 0.999)
+    try {
+      // an exact twin of vector 7: same cell, identical codes, ADC
+      // distance 0 → tops the screen; exact cosine 1.0 passes verify
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      val dups = store.read(StreamSemanticDedup.dupsName("vectors"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups === Set((7L, 100L)))
+
+      // redelivery: insert-ignore keeps the ledger converged
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      assert(store.read(StreamSemanticDedup.dupsName("vectors")).count() === 1L)
+
+      // a lone far-away vector screens candidates but none verify
+      mem.addData((200L, (0 until dims).map(d => if (d == 0) 1.0 else 0.0)))
+      q.processAllAvailable()
+      assert(store.read(StreamSemanticDedup.dupsName("vectors")).count() === 1L)
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup: twin detected via its cell, redelivery converges") {
     implicit val sqlCtx = spark.sqlContext
     val store = freshStore()
