@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct character n-grams: one tight code-point loop per
+  * row replacing the `array_distinct(transform(sequence(...),
+  * i => substr(i, n)))` chain, whose higher-order lambdas evaluate
+  * INTERPRETED per element (measured: the trigram explode of
+  * q_substring_search spent 1.9 s of its 2.7 s at sf0.1 inside that
+  * chain — ~10 k grams/s/core).
+  *
+  * Semantics are IDENTICAL to the declarative chain (and to DuckDB's
+  * `list_distinct(list_transform(range(...), substr))` oracle form):
+  * code-point windows (matching SQL substr), first-occurrence order
+  * (matching array_distinct), empty array below n code points (the
+  * chain's descending-sequence junk never leaves the upstream
+  * `length >= n` filter; this loop simply has no windows to emit).
+  * Case folding stays OUTSIDE (callers pass `lower(text)`), mirroring
+  * store/Trigram's bind-the-lowered-text-once discipline.
+  */
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"gram size must be positive: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints.toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](cps.length * 2)
+    var i = 0
+    while (i <= cps.length - n) {
+      seen.add(UTF8String.fromString(new String(cps, i, n)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+object CharGrams {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_grams",
+      exprs => CharGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+
+  /** Distinct character n-grams of `c` (pass an already-lowered
+    * column for case-folded matching).
+    */
+  def charGrams(spark: SparkSession, c: Column, n: Int): Column = {
+    register(spark)
+    call_function("char_grams", c, org.apache.spark.sql.functions.lit(n))
+  }
+}

@@ -338,12 +338,12 @@ object DedupOps {
   /** Passage census of an arbitrary (doc_id, text) corpus slice. */
   private[queries] def passageDedupOf(docs: DataFrame): DataFrame = {
     import graft.store.Iteration.materialize
+    // native one-pass gram loop (functions/WordGrams; < 8 tokens →
+    // empty array, same drop the size guard enforced) — the
+    // transform-of-slices HOF chain it replaces ran interpreted
     val grams = materialize(docs
-      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 8),
-          j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram")))
+      .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
+        docs.sparkSession, col("text"), 8, distinct = true)).as("gram")))
     // Grams are distinct per doc, so count(*) per gram = #docs holding it.
     val shared = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
@@ -644,6 +644,14 @@ object DedupOps {
     * pair set → (doc_id, cluster). Public for reuse and direct spec
     * coverage (a path-shaped component exercises the pointer-jumping
     * round bound).
+    *
+    * Each round MUST checkpoint before the next composes on it:
+    * a round references its predecessor 4× (neighbor-min, the two
+    * jump sides, the final join), and Spark does no cross-branch
+    * common-subexpression elimination — unrolling k lazy rounds
+    * re-executes round 1 up to 4^k times (measured: a 4-round unroll
+    * took q_semantic_dedup from 5.4 s to 215 s at sf0.1). The
+    * per-round eager pin is the cheap side of that trade.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import graft.store.Iteration.materialize
@@ -667,6 +675,10 @@ object DedupOps {
         if (rounds == 0) labels.join(neighborMin, Seq("id"), "left")
           .withColumn("jmin", col("label"))
         else {
+          // single pointer jump: a DOUBLE jump (label-of-label-of-
+          // label) measured ~15-20% SLOWER at sf0.1 — min propagation
+          // is bounded by edge-hops per round here, so the extra
+          // label join buys no round reduction
           val jump = labels
             .join(labels.select(col("id").as("label"), col("label").as("jmin")),
               Seq("label"))

@@ -158,12 +158,11 @@ object PipelineOps {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Catalog.table(spark, sfDir, "documents")
     val bucket = SamplingOps.hashBucket(col("doc_id"))
+    // native one-pass gram loop (functions/WordGrams; < 8 tokens →
+    // empty array ≡ the oracle's empty gram lists dropping in unnest)
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 8),
-          j => array_join(slice(col("toks"), j + 1, lit(8)), " ")))).as("gram"))
+      .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
+        spark, col("text"), 8, distinct = true)).as("gram"))
     val evalGrams = grams(docs.filter(bucket >= 230))
       .select(col("gram")).distinct()
     // bloom pre-filter on the TRAIN gram stream before it shuffles:

@@ -387,7 +387,130 @@ object RelationalOps {
       |  AND NOT EXISTS (SELECT 1 FROM fp s WHERE s.doc_id < 250 AND s.f = n.f)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_asof_join — the AS-OF (temporal point-in-time) join: for each
+  // purchase event, the user's most recent view at or before it (the
+  // attribution/feature-lookup primitive every event pipeline needs;
+  // DuckDB runs it natively as ASOF LEFT JOIN, which is the oracle).
+  // Spark has no asof operator; the scale-right expression is the
+  // UNION-WINDOW trick, not a range join: tag both streams, union,
+  // and carry the last view timestamp forward per user with one
+  // ordered window — ONE shuffle on user_id, state bounded per user,
+  // no (purchase × candidate-view) intermediate at all. A range-join
+  // formulation (join on user, filter v.ts <= p.ts, argmax) would
+  // build every historical candidate pair before discarding all but
+  // one — quadratic per user; the window form is linear. Equal
+  // timestamps order views FIRST (is_q tiebreak), matching ASOF's
+  // inclusive >= bound. Purchases with no prior view keep NULL
+  // (left-join semantics); the lag is exact integer micros on both
+  // engines.
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Catalog.table(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("ts"), lit(0).as("is_q"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_q"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_ts",
+        last(when(col("is_q") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_interval_join — interval-containment (range) join: census every
+  // event falling inside an "incident window" (error bursts padded by
+  // a minute). Spark has no native interval join; a raw theta-join
+  // (`ev.ts BETWEEN w.start AND w.end`) plans as BroadcastNestedLoop
+  // — O(events × windows). The scale-right expression is BANDING:
+  // slice time into fixed-width buckets, explode each window into the
+  // buckets it overlaps (a window touches span/width + 1 of them),
+  // key each event by its single bucket, equi-join on the bucket id,
+  // and keep the exact BETWEEN as a residual filter. A pair can meet
+  // in only one bucket (the event's), so no post-join dedup — one
+  // hash shuffle on bucket, never a cross product. The oracle runs
+  // the same query as DuckDB's native IEJoin.
+  //
+  // Window derivation (lag-gap sessionization of the ERROR stream)
+  // uses a global ordered window: deliberate and safe — the interval
+  // SET is the sparse filtered stream (~2% of events), the same
+  // driver-scale reasoning as the model-artifact tables; the JOIN
+  // side stays fully distributed.
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = 600L * 1000000L // 10-minute bands
+    val ev = Catalog.table(spark, sfDir, "events")
+    val w = Window.orderBy(col("ts"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("ts"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > 300L * 1000000L, 1).otherwise(0))
+      .withColumn("wid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("wid"))
+      .agg((min(unix_micros(col("ts"))) - 60L * 1000000L).as("w_start_us"),
+        (max(unix_micros(col("ts"))) + 60L * 1000000L).as("w_end_us"))
+    val banded = windows.select(col("wid"), col("w_start_us"), col("w_end_us"),
+      explode(sequence(floor(col("w_start_us") / bucketUs),
+        floor(col("w_end_us") / bucketUs))).as("bkt"))
+    val pts = ev.select(col("ts"), col("user_id"),
+      floor(unix_micros(col("ts")) / bucketUs).as("bkt"))
+    pts.join(banded, Seq("bkt"))
+      .filter(unix_micros(col("ts")).between(col("w_start_us"), col("w_end_us")))
+      .groupBy(col("wid"))
+      .agg(timestamp_micros(first(col("w_start_us"))).as("w_start"),
+        timestamp_micros(first(col("w_end_us"))).as("w_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("wid"))
+  }
+
+  val intervalJoinSql: String =
+    """WITH e AS (
+      |  SELECT ts FROM events WHERE event_type = 'error'
+      |), g AS (
+      |  SELECT ts, CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts)) > 300000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), s AS (
+      |  SELECT ts, CAST(SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS wid
+      |  FROM g
+      |), win AS (
+      |  SELECT wid, min(ts) - INTERVAL 1 MINUTE AS w_start,
+      |    max(ts) + INTERVAL 1 MINUTE AS w_end
+      |  FROM s GROUP BY wid
+      |)
+      |SELECT w.wid, w.w_start, w.w_end, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM win w JOIN events ev ON ev.ts BETWEEN w.w_start AND w.w_end
+      |GROUP BY w.wid, w.w_start, w.w_end
+      |ORDER BY w.wid""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_asof_join", asofJoin, Some(asofJoinSql)),
+    Op("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Op("q_bloom_skip_existing", bloomSkipExisting, Some(bloomSkipExistingSql)),
     Op("q_cube_having", cubeHaving, Some(cubeHavingSql)),
     Op("q_agg_pricing", aggPricing, Some(aggPricingSql)),

@@ -897,9 +897,12 @@ object SimilarityOps {
 
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.store.Iteration.materialize
-    val emb = materialize(Catalog.table(spark, sfDir, "embeddings")
+    // emb feeds only the (broadcast-sized) cents filter and the one
+    // assignment pass that `assigned` pins — recomputing the narrow
+    // projection twice is cheaper than an extra eager checkpoint job
+    val emb = Catalog.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("norm", sqrt(dot(col("e"), col("e")))))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
         col("norm").as("cent_norm"))

@@ -772,26 +772,43 @@ object TextOps {
 
   def substringMatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val needles = Seq(matchNeedleA, matchNeedleB, matchNeedleC)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
     val docs = Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t"))
+    // ONE corpus gram pass amortized across every needle in the
+    // boolean query (the batched-lookup production shape — a per-
+    // needle pass would re-explode the corpus once per term): the
+    // broadcast side tags each gram with its needle id, per-(doc,
+    // needle) hit counts check all-grams-present, contains() verifies
+    // each surviving candidate against ITS needle, and the boolean
+    // combination collapses to predicates over each doc's verified
+    // needle-id set — no per-needle joins at all.
+    val gramTable = needles.zipWithIndex.flatMap { case (n, i) =>
+      n.sliding(3).toSeq.distinct.map(g => (g, i))
+    }.toDF("g", "nid")
+    val kOf = element_at(
+      array(needles.map(n => lit(n.sliding(3).toSeq.distinct.length)): _*),
+      col("nid") + 1)
+    val needleOf = element_at(
+      array(needles.map(lit): _*), col("nid") + 1)
     val grams = docs.filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("t")) - 2),
-          i => col("t").substr(i, lit(3))))).as("g"))
-    def pks(needle: String): DataFrame = {
-      val n = needle.toLowerCase(java.util.Locale.ROOT)
-      val nGrams = n.sliding(3).toSeq.distinct
-      val cands = grams
-        .join(broadcast(nGrams.toDF("g")), Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("hits"))
-        .filter(col("hits") === nGrams.length)
-      docs.join(cands, Seq("doc_id"), "left_semi")
-        .filter(col("t").contains(n))
-        .select(col("doc_id"))
-    }
-    pks(matchNeedleA).unionByName(pks(matchNeedleB)).distinct()
-      .join(pks(matchNeedleC), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), explode(
+        graft.functions.CharGrams.charGrams(spark, col("t"), 3)).as("g"))
+    val verified = grams
+      .join(broadcast(gramTable), Seq("g"))
+      .groupBy(col("doc_id"), col("nid"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kOf)
+      .join(docs, Seq("doc_id"))
+      .filter(col("t").contains(needleOf))
+    verified
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("nid")).as("nids"))
+      .filter((array_contains(col("nids"), 0) ||
+        array_contains(col("nids"), 1)) &&
+        !array_contains(col("nids"), 2))
+      .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -829,21 +846,31 @@ object TextOps {
   // split), never a row explosion beyond |tokens|; the broadcast
   // vocab scalar is one row.
   def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.store.Iteration.materialize
-    // pinned: the token frame feeds transitions AND the vocab count
-    val toks = materialize(Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), Transforms.tokens(col("text")).as("toks")))
-    val trans = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        j => struct(element_at(col("toks"), j + 1).as("prev"),
-          element_at(col("toks"), j + 2).as("cur")))).as("t"))
-      .select(col("doc_id"), col("t.prev").as("prev"), col("t.cur").as("cur"))
+    // transitions as native word-bigrams (functions/WordGrams) split
+    // back into (prev, cur) by codegen'd substring_index — tokens
+    // contain no spaces, so the round-trip is lossless. The frame
+    // stays LAZY across its three consumers: each recompute is one
+    // cheap native corpus pass, where pinning the per-token
+    // transition stream would checkpoint a corpus-sized frame (the
+    // old interpreted HOF chain was worth pinning; this is not)
+    val docs = Catalog.table(spark, sfDir, "documents")
+    val trans = docs
+      .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
+        spark, col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("prev"),
+        substring_index(col("bg"), " ", -1).as("cur"))
     val big = trans.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c2"))
     val uni = trans.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
-    val vocab = toks.select(explode(col("toks")).as("tok"))
+    val vocab = docs
+      .select(explode(graft.functions.WordGrams.wordGrams(
+        spark, col("text"), 1, distinct = false)).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
+    // occurrence-stream join (trans ⋈ big ⋈ uni): a pre-collapse to
+    // per-doc (prev, cur) multiplicities before the probability join
+    // MEASURED 45% slower at sf0.1 — the extra shuffle outweighs the
+    // join-width saving when docs are short (distinct ≈ occurrences)
     trans.join(big, Seq("prev", "cur")).join(uni, Seq("prev"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
@@ -882,6 +909,67 @@ object TextOps {
       |SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(pq) AS BIGINT) AS score_q
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_tfidf — per-document salient terms: top-3 by tf·idf, the
+  // keyword-extraction primitive (and the bag-of-words feature
+  // builder a retrieval/labeling pipeline runs next to BM25, which
+  // q_fts_ranked already covers corpus-side). Scoring uses the
+  // LINEAR-idf variant tf·(N/df) with the ratio as EXACT integer
+  // division, score_q = tf · (1000000·N div df): ln() is not
+  // IEEE-pinned across engines (the q_lm_bigram_score lesson), while
+  // bigint division is bit-exact everywhere and induces the same
+  // rare-term-weighted ranking family. Shape: one tokenize+explode
+  // pass → (doc, term, tf) partial agg; df is a groupBy on the SAME
+  // pass's distinct (doc, term) rows; the scalar N broadcasts; top-3
+  // per doc is a per-doc window (InferWindowGroupLimit ships only
+  // local top-3 through the exchange). Ties pin on term ASC.
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.store.Iteration.materialize
+    val docs = Catalog.table(spark, sfDir, "documents")
+    // (doc, term, tf) — pinned: feeds df AND the scoring join
+    val tf = materialize(docs
+      .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * expr("(1000000L * n) div df")).as("score_q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_q").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score_q"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT COUNT(*) AS n FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    tf.tf * ((1000000 * n.n) // df.df) AS score_q
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |SELECT doc_id, rnk, term, tf, df, score_q FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_q DESC, term) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q_langid — marker-token language scoring (n-gram-heuristic
@@ -1049,10 +1137,15 @@ object TextOps {
     // length guard: Spark's sequence(1, len-2) runs DESCENDING when
     // len < 3 (it would fabricate junk grams); DuckDB's range is just
     // empty there — and a short doc can't hold the needle anyway
+    // per-row distinct-grams + join + count(*) MEASURED faster than
+    // deduping after the probe (countDistinct's two-phase agg over
+    // the multiplicity-inflated join output lost ~45% at sf0.1);
+    // gram generation is the native CharGrams loop (the HOF chain it
+    // replaces ran interpreted per element — 1.9 s of this query's
+    // 2.7 s at sf0.1)
     val grams = docs.filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("t")) - 2),
-          i => col("t").substr(i, lit(3))))).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.CharGrams.charGrams(spark, col("t"), 3)).as("g"))
     val cands = grams
       .join(broadcast(nGrams.toDF("g")), Seq("g"))
       .groupBy(col("doc_id"))
@@ -1151,12 +1244,8 @@ object TextOps {
   // one exact-long division.
   def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame =
     Catalog.table(spark, sfDir, "documents")
-      .select(col("source"), Transforms.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("source"), explode(transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        j => concat_ws(" ", element_at(col("toks"), j + 1),
-          element_at(col("toks"), j + 2)))).as("bg"))
+      .select(col("source"), explode(graft.functions.WordGrams.wordGrams(
+        spark, col("text"), 2, distinct = false)).as("bg"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
         countDistinct(col("bg")).as("n_distinct"))
@@ -1213,5 +1302,6 @@ object TextOps {
     Op("q_text_stats", textStats, Some(textStatsSql)),
     Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
     Op("q_bpe_step", bpeStep, Some(bpeStepSql)),
-    Op("q_bpe_apply", bpeApply, Some(bpeApplySql)))
+    Op("q_bpe_apply", bpeApply, Some(bpeApplySql)),
+    Op("q_tfidf", tfidf, Some(tfidfSql)))
 }

@@ -29,18 +29,18 @@ object Trigram {
   private def gramRows(
       batch: DataFrame, pkCol: String, textCol: String): DataFrame =
     batch
-      // docs shorter than 3 chars produce a DESCENDING sequence (junk
-      // grams) — and cannot match any trigram-prunable needle
+      // docs shorter than 3 chars have no grams — and cannot match
+      // any trigram-prunable needle
       .filter(length(col(textCol)) >= 3)
-      // bind the lowered text ONCE — lowering inside the transform
-      // lambda would redo O(len) work per gram position (O(len²)/doc)
+      // native one-pass gram loop (functions/CharGrams) — the
+      // transform-of-substr HOF chain it replaces ran interpreted
+      // per element, dominating index-build time
       .select(col(pkCol).as("pk"),
         pmod(xxhash64(col(pkCol)), lit(nBuckets.toLong)).as(BucketCol),
         lower(col(textCol)).as("_t"))
       .select(col("pk"), col(BucketCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("_t")) - 2),
-          i => col("_t").substr(i, lit(3))))).as("g"))
+        explode(graft.functions.CharGrams.charGrams(
+          batch.sparkSession, col("_t"), 3)).as("g"))
 
   /** Upsert rows into the base table AND their trigram postings: only
     * the batch pks' bucket directories rewrite; stale grams of

@@ -32,4 +32,29 @@ class PlanShapeSpec extends SparkSpec {
         s"$name planned a CartesianProduct:\n${plan.take(1500)}")
     }
   }
+
+  test("interval join runs as a banded equi-join — never a nested loop") {
+    // the whole point of the banding rewrite: a BETWEEN theta-join
+    // would plan BroadcastNestedLoopJoin (O(events × windows)); the
+    // bucket key must make it a hash join with the BETWEEN as residual
+    val df = Inventory.byName("q_interval_join").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q_interval_join lost its band key:\n${plan.take(1500)}")
+  }
+
+  test("as-of join plans ONE exchange — no join operator at all") {
+    // the union-window form: no per-pair intermediate exists, so the
+    // executed plan must contain a window over user_id and ZERO join
+    // nodes (a range-join formulation would show up here)
+    val df = Inventory.byName("q_asof_join").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"q_asof_join planned a join — union-window form lost:\n${plan.take(1500)}")
+    assert(plan.contains("Window"),
+      s"q_asof_join lost its window:\n${plan.take(1500)}")
+  }
 }
