@@ -144,6 +144,55 @@ object SimilarityOps {
   // ---------------------------------------------------------------------
   // q_embed_norms — embedding hygiene scan (norm distribution by
   // label): one narrow pass, partial-agg before the single shuffle.
+  // ---------------------------------------------------------------------
+  // q_random_projection — Johnson-Lindenstrauss sign projection, the
+  // dimensionality-reduction primitive ahead of high-dim ANN (Achlioptas
+  // 2003: ±1 entries preserve pairwise distances in expectation; the
+  // hyperplane-LSH buckets above are the 1-bit special case). The
+  // 8×64 sign matrix is generated ONCE in Scala from a fixed integer
+  // recurrence and emitted as LITERALS into both engines — no
+  // cross-engine RNG to agree on — and each output coordinate is the
+  // same left-to-right chain of fused multiply-adds on both sides, so
+  // doubles match bit-for-bit (the sequential-fold parity rule). One
+  // codegen'd projection, no shuffle: the 100 TB shape is a map-only
+  // column rewrite.
+  private val rpOutDims = 8
+  private val rpInDims = 64
+  // deterministic ±1: xorshift-ish integer hash of (j, d), sign from
+  // the low bit — fixed forever, shared by both engines as literals
+  private[queries] val rpSigns: Array[Array[Int]] =
+    Array.tabulate(rpOutDims, rpInDims) { (j, d) =>
+      var x = j * 1000003 + d * 8191 + 12345
+      x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+      if ((x & 1) == 0) 1 else -1
+    }
+
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val projections = (0 until rpOutDims).map { j =>
+      (0 until rpInDims).map { d =>
+        element_at(col("e"), d + 1) * lit(rpSigns(j)(d).toDouble)
+      }.reduceLeft(_ + _).as(s"p$j")
+    }
+    emb.select(col("vec_id") +: projections: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val randomProjectionSql: String = {
+    val cols = (0 until rpOutDims).map { j =>
+      (0 until rpInDims).map { d =>
+        s"e[${d + 1}] * CAST(${rpSigns(j)(d)} AS DOUBLE)"
+      }.mkString("(", " + ", s") AS p$j")
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |      WHERE vec_id < 100)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Catalog.table(spark, sfDir, "embeddings")
       .select(col("label"), asDouble(col("embedding")).as("e"))
@@ -981,5 +1030,6 @@ object SimilarityOps {
     Op("q_ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql)),
     Op("q_ann_ivf_topk", annIvfTopK, Some(annIvfTopKSql)),
     Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
-    Op("q_embed_norms", embedNorms, Some(embedNormsSql)))
+    Op("q_embed_norms", embedNorms, Some(embedNormsSql)),
+    Op("q_random_projection", randomProjection, Some(randomProjectionSql)))
 }

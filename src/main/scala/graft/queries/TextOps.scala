@@ -972,6 +972,51 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_heavy_hitters — frequent terms via the Misra-Gries sketch
+  // (functions/MgCounters, the mergeable-summaries combine): pass 1
+  // reduces the token stream to ≤ k bounded counters per partition
+  // (map-side partials; k pairs cross the exchange, never the
+  // stream), pass 2 re-counts ONLY the ≤ k candidates exactly and
+  // keeps those above the guarantee threshold N/(k+1). The sketch's
+  // internal counters are partition-order-dependent, but its
+  // guarantee — every item with true count > N/(k+1) survives — makes
+  // the thresholded, exactly-verified output IDENTICAL to a full
+  // exact groupBy on any cluster shape, which is precisely what the
+  // oracle computes (and MgSpec asserts on a skewed corpus under
+  // adversarial repartitioning). Threshold uses bigint division —
+  // exact on both engines.
+  private val mgK = 64
+
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Catalog.table(spark, sfDir, "documents")
+      .select(explode(Transforms.tokens(col("text"))).as("term"))
+    val sketch = toks.agg(count(lit(1)).as("n"),
+      graft.functions.MgCounters.mgCounters(spark, col("term"), mgK)
+        .as("cands"))
+    val cands = sketch.select(col("n"), explode(col("cands")).as("term"))
+    toks.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
+      .filter(col("cnt") > expr(s"n div ${mgK + 1}"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val heavyHittersSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    s"""WITH t AS (
+       |  SELECT unnest($toks) AS term FROM documents
+       |), n AS (
+       |  SELECT COUNT(*) AS n FROM t
+       |)
+       |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM t CROSS JOIN n
+       |GROUP BY term, n.n
+       |HAVING COUNT(*) > n.n // ${mgK + 1}
+       |ORDER BY cnt DESC, term""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_langid — marker-token language scoring (n-gram-heuristic
   // language ID): count language-marker occurrences via the padded
   // replace-length trick, argmax with fixed precedence. The engine
@@ -1303,5 +1348,6 @@ object TextOps {
     Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
     Op("q_bpe_step", bpeStep, Some(bpeStepSql)),
     Op("q_bpe_apply", bpeApply, Some(bpeApplySql)),
-    Op("q_tfidf", tfidf, Some(tfidfSql)))
+    Op("q_tfidf", tfidf, Some(tfidfSql)),
+    Op("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }
