@@ -32,6 +32,8 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   ivfpq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
   *   tri-search <store> <table> <pk> <text> <needle...>
+  *   tri-match <store> <table> <pk> <text> <query...>  boolean substring
+  *                                         MATCH (AND/OR/NOT/parens)
   *   lsh-index <store> <table> <pk> <text> [nHashes] [bands] [buckets]
   *                                         build the MinHash band index
   *   lsh-pairs <store> <table> [pk...]     near-dup candidate pairs —
@@ -130,6 +132,11 @@ object Cli {
         val (table, pk, text) = (args(2), args(3), args(4))
         val needle = args.drop(5).mkString(" ")
         graft.store.Trigram.substringSearch(store, table, pk, text, needle)
+          .show(50, truncate = false)
+      case "tri-match" =>
+        val (table, pk, text) = (args(2), args(3), args(4))
+        val query = args.drop(5).mkString(" ")
+        graft.store.Trigram.matchSearch(store, table, pk, text, query)
           .show(50, truncate = false)
       case "lsh-index" =>
         val (table, pk, text) = (args(2), args(3), args(4))
