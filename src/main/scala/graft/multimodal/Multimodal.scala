@@ -153,6 +153,101 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resized image output row. */
+  case class ResizedImage(
+      docId: Long, content: Array[Byte], width: Int, height: Int)
+
+  /** REAL image resize (the resolution-normalization step ahead of
+    * feature extraction): PNG/JPEG payloads decode through ImageIO,
+    * scale to `(w, h)` with nearest-neighbor interpolation (chosen
+    * because it is bit-DETERMINISTIC across JVMs — bilinear goes
+    * through platform-variant float paths), and re-encode as PNG.
+    * Non-image payloads drop (the caller filters kinds upstream, the
+    * same contract as sampleFrames). Same mapPartitions shape as
+    * decodeMeta: narrow map, bytes never shuffle, per-partition init
+    * seam for a real codec context.
+    */
+  def resizeImages(binaries: DataFrame, w: Int, h: Int): Dataset[ResizedImage] = {
+    val enc = Encoders.product[ResizedImage]
+    binaries
+      .select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val img = try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: java.io.IOException => None }
+            img.map { src =>
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                g.drawImage(src, 0, 0, w, h, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              ResizedImage(id, out.toByteArray, w, h)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Image feature row: a per-channel color histogram, the classic
+    * pre-neural visual feature (and the pipeline seam where a real
+    * deployment plugs a vision encoder — same shape: binary in,
+    * fixed-width vector out).
+    */
+  case class ImageFeatures(docId: Long, features: Array[Double])
+
+  /** REAL feature extraction for PNG/JPEG payloads: 3 × `bins`
+    * normalized RGB histograms via ImageIO (integer bin counts, one
+    * final division per bin — deterministic across JVMs). Non-image
+    * payloads drop. The output vector column feeds the similarity
+    * stack directly (cosine top-k, LSH, IVF/PQ indexes — an
+    * embedding is an embedding).
+    */
+  def imageFeatures(binaries: DataFrame, bins: Int = 8): Dataset[ImageFeatures] = {
+    val enc = Encoders.product[ImageFeatures]
+    binaries
+      .select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val img = try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: java.io.IOException => None }
+            img.map { src =>
+              val counts = new Array[Long](3 * bins)
+              var y = 0
+              while (y < src.getHeight) {
+                var x = 0
+                while (x < src.getWidth) {
+                  val rgb = src.getRGB(x, y)
+                  counts(((rgb >> 16) & 0xff) * bins / 256) += 1L
+                  counts(bins + ((rgb >> 8) & 0xff) * bins / 256) += 1L
+                  counts(2 * bins + (rgb & 0xff) * bins / 256) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (src.getWidth.toLong * src.getHeight).toDouble
+              ImageFeatures(id, counts.map(_ / n))
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video rows: explode n sampled frame indices
     * per video (stride sampling), keeping the lineage (docId, frame).
     * A real pipeline would then decode each (docId, frameIdx) pair.

@@ -49,6 +49,49 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.width === 16 + 'E'.toInt)
   }
 
+  test("real image resize: quadrant colors survive nearest-neighbor downscale") {
+    // 4×4 PNG with four solid 2×2 quadrants → resize to 2×2 must keep
+    // one representative pixel per quadrant (nearest-neighbor), and
+    // the output must itself re-decode as a 2×2 PNG
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    for (x <- 0 until 4; y <- 0 until 4)
+      img.setRGB(x, y, colors((y / 2) * 2 + (x / 2)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val df = Seq((1L, out.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+
+    val resized = Multimodal.resizeImages(df, 2, 2).collect()
+    assert(resized.length === 1) // the non-image row dropped
+    val r = resized.head
+    assert((r.docId, r.width, r.height) === (1L, 2, 2))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert((back.getWidth, back.getHeight) === (2, 2))
+    val got = for (y <- 0 until 2; x <- 0 until 2)
+      yield back.getRGB(x, y) & 0xffffff
+    assert(got.toSet === colors.toSet)
+  }
+
+  test("real image features: RGB histograms normalize and localize") {
+    // 2×2 solid red → all red mass in the TOP bin of the R channel,
+    // all green/blue mass in bin 0 of their channels
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 2; y <- 0 until 2) img.setRGB(x, y, 0xff0000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val df = Seq((1L, out.toByteArray)).toDF("doc_id", "content")
+
+    val f = Multimodal.imageFeatures(df, bins = 4).collect().head.features
+    assert(f.length === 12)
+    assert(f(3) === 1.0)                 // R channel, top bin
+    assert(f(4) === 1.0 && f(8) === 1.0) // G and B channels, bin 0
+    assert(f.sum === 3.0)                // each channel normalizes to 1
+  }
+
   test("real WAV and AIFF payloads decode through AudioSystem to true format") {
     def encode(fileType: javax.sound.sampled.AudioFileFormat.Type,
         sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
