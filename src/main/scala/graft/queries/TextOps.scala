@@ -1153,6 +1153,75 @@ object TextOps {
        |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_winsorize — robust scaling for quality features: clamp a value
+  // column to its per-group [p10, p90] band (the outlier treatment a
+  // score pipeline applies before normalizing), with thresholds from
+  // the SAME deterministic histogram-quantile machinery as
+  // q_quantile_hist (fixed-width buckets + integer rank tests — no
+  // global sort, no merge-order-dependent sketch, identical on any
+  // partitioning). Two corpus passes: bucket-histogram partial agg →
+  // per-group thresholds (a handful of rows, broadcast back), then a
+  // row-local clamp. Clamped values quantize to 1e-6 longs BEFORE the
+  // sum so the aggregate is exact integer arithmetic on both engines.
+  private val winsorW = 8
+
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Catalog.table(spark, sfDir, "events")
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value") / winsorW).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+    val thresholds = cum.groupBy(col("event_type"))
+      .agg((min(when(col("cum") * 10 >= col("total"), col("b"))) * winsorW)
+          .cast("double").as("lo"),
+        (min(when(col("cum") * 10 >= col("total") * 9, col("b"))) * winsorW)
+          .cast("double").as("hi"))
+    ev.join(broadcast(thresholds), Seq("event_type"))
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(floor(col("w") * 1e6).cast("long")).as("sum_q"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeSql: String =
+    s"""WITH hist AS (
+       |  SELECT event_type, CAST(floor(value / $winsorW) AS BIGINT) AS b,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, b, n,
+       |    SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+       |    SUM(n) OVER (PARTITION BY event_type) AS total
+       |  FROM hist
+       |), thresholds AS (
+       |  SELECT event_type,
+       |    CAST(MIN(CASE WHEN cum * 10 >= total THEN b END) * $winsorW
+       |      AS DOUBLE) AS lo,
+       |    CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN b END) * $winsorW
+       |      AS DOUBLE) AS hi
+       |  FROM cum GROUP BY event_type
+       |)
+       |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |  CAST(SUM(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |  MIN(t.lo) AS lo, MIN(t.hi) AS hi,
+       |  CAST(SUM(CAST(floor(greatest(t.lo, least(t.hi, e.value)) * 1e6)
+       |    AS BIGINT)) AS BIGINT) AS sum_q
+       |FROM events e JOIN thresholds t USING (event_type)
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_substring_search — arbitrary-substring search, the FTS5
   // `trigram` tokenizer's job (fts5.c trigram tokenizer: LIKE/GLOB
   // acceleration; the reference's FTS tables use unicode61, but
@@ -1349,5 +1418,6 @@ object TextOps {
     Op("q_bpe_step", bpeStep, Some(bpeStepSql)),
     Op("q_bpe_apply", bpeApply, Some(bpeApplySql)),
     Op("q_tfidf", tfidf, Some(tfidfSql)),
-    Op("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
+    Op("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Op("q_winsorize", winsorize, Some(winsorizeSql)))
 }
