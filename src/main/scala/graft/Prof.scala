@@ -29,23 +29,15 @@ object Prof {
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
     }
 
-    val docs = queries.Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), lower(col("text")).as("t"))
-    val needle = "sort table window"
-    val nGrams = needle.sliding(3).toSeq.distinct
-    import spark.implicits._
-    val grams = docs.filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("t")) - 2),
-          i => col("t").substr(i, lit(3))))).as("g"))
-    time("docs scan")(docs)
-    time("grams explode")(grams)
-    time("grams join+agg") {
-      grams.join(broadcast(nGrams.toDF("g")), Seq("g"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-        .filter(col("hits") === nGrams.length)
-    }
-    time("full query")(queries.TextOps.substringSearch(spark, sfDir))
+    // default subjects: the CC loop on the real semantic edge set
+    // (the engine's slowest query family) and the full query around
+    // it — edit locally when attributing a different query's stages
+    val edges = queries.SimilarityOps.semanticEdges(spark, sfDir)
+      .localCheckpoint(true)
+    time("cc rounds on semantic edges")(
+      queries.DedupOps.connectedComponents(edges))
+    time("full q_semantic_dedup")(
+      queries.SimilarityOps.semanticDedup(spark, sfDir))
     spark.stop()
   }
 }

@@ -650,8 +650,12 @@ object DedupOps {
     * jump sides, the final join), and Spark does no cross-branch
     * common-subexpression elimination — unrolling k lazy rounds
     * re-executes round 1 up to 4^k times (measured: a 4-round unroll
-    * took q_semantic_dedup from 5.4 s to 215 s at sf0.1). The
-    * per-round eager pin is the cheap side of that trade.
+    * took q_semantic_dedup from 5.4 s to 215 s at sf0.1). Persisting
+    * each unrolled round (InMemoryRelation dedup within the block's
+    * one job) was also measured on the real semantic edge set: k=2
+    * within noise of per-round, k=4 ~2× WORSE — cache write/read
+    * traffic eats the saved job scheduling. The per-round eager pin
+    * is the cheap side of every variant tried.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import graft.store.Iteration.materialize

@@ -944,7 +944,17 @@ object SimilarityOps {
   // transitive closure.
   private val semThreshold = 0.3
 
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.connectedComponents(semanticEdges(spark, sfDir))
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy(col("vec_id"))
+
+  /** The verified in-cell cosine edge set semanticDedup clusters —
+    * graft-visible so profiling harnesses can time CC variants on
+    * the real edge distribution.
+    */
+  private[graft] def semanticEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.store.Iteration.materialize
     // emb feeds only the (broadcast-sized) cents filter and the one
     // assignment pass that `assigned` pins — recomputing the narrow
@@ -979,10 +989,7 @@ object SimilarityOps {
       .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= semThreshold)
       .select(col("doc_a"), col("doc_b"))
-    DedupOps.connectedComponents(edges)
-      .select(col("doc_id").as("vec_id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("keep"))
-      .orderBy(col("vec_id"))
+    edges
   }
 
   val semanticDedupSql: String =
