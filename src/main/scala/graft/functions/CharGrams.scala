@@ -49,12 +49,18 @@ case class CharGrams(child: Expression, n: Int)
 }
 
 object CharGrams {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_grams",
-      exprs => CharGrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
-      "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    // idempotent on the hot path (the BloomFns guard pattern): skip
+    // the registry mutation once the session has the function
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("char_grams")))
+      reg.createOrReplaceTempFunction(
+        "char_grams",
+        exprs => CharGrams(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]),
+        "scala_udf")
+  }
 
   /** Distinct character n-grams of `c` (pass an already-lowered
     * column for case-folded matching).

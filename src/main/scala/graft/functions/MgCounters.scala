@@ -107,6 +107,11 @@ case class MgCounters(
     new GenericArrayData(items.map(UTF8String.fromString): Array[Any])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on items
+  // past 65535 modified-UTF-8 bytes, and a >64 KB unbroken token
+  // (base64 blob, minified identifier) is ordinary input for the
+  // corpora this pipeline targets — the sketch must survive anything
+  // the exact groupBy it replaces would have
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
@@ -114,7 +119,9 @@ case class MgCounters(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -126,7 +133,13 @@ case class MgCounters(
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 
@@ -139,14 +152,19 @@ case class MgCounters(
 }
 
 object MgCounters {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_counters", exprs => {
-        val k =
-          if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
-          else 64
-        MgCounters(exprs.head, k)
-      }, "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    // idempotent on the hot path (the BloomFns guard pattern)
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("mg_counters")))
+      reg.createOrReplaceTempFunction(
+        "mg_counters", exprs => {
+          val k =
+            if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+            else 64
+          MgCounters(exprs.head, k)
+        }, "scala_udf")
+  }
 
   /** Misra-Gries candidate heavy hitters of a string column. */
   def mgCounters(spark: SparkSession, c: Column, k: Int): Column = {

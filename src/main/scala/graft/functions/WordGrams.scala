@@ -80,13 +80,18 @@ case class WordGrams(child: Expression, n: Int, distinct: Boolean)
 }
 
 object WordGrams {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_grams",
-      exprs => WordGrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Boolean]),
-      "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    // idempotent on the hot path (the BloomFns guard pattern)
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_grams")))
+      reg.createOrReplaceTempFunction(
+        "word_grams",
+        exprs => WordGrams(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Boolean]),
+        "scala_udf")
+  }
 
   /** Word n-grams of raw text `c` (tokenization included). */
   def wordGrams(

@@ -176,10 +176,12 @@ object Multimodal {
         rows.flatMap { case (id, bytes) =>
           if (bytes == null) None
           else {
+            // NonFatal, not just IOException — the same crafted-header
+            // rule as decodeMeta: one bad payload drops, not the job
             val img = try {
               Option(javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes)))
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
             img.map { src =>
               val dst = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -222,10 +224,12 @@ object Multimodal {
         rows.flatMap { case (id, bytes) =>
           if (bytes == null) None
           else {
+            // NonFatal, not just IOException — the same crafted-header
+            // rule as decodeMeta: one bad payload drops, not the job
             val img = try {
               Option(javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes)))
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
             img.map { src =>
               val counts = new Array[Long](3 * bins)
               var y = 0

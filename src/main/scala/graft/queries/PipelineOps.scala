@@ -182,15 +182,23 @@ object PipelineOps {
     // every train gram — correct, since the exact join below would be
     // empty anyway.
     graft.functions.BloomFns.register(spark)
-    evalGrams.createOrReplaceTempView("graft_decon_eval_grams")
-    grams(docs.filter(bucket < 205))
-      .createOrReplaceTempView("graft_decon_train_grams")
+    // view names carry the sfDir hash: concurrent constructions over
+    // DIFFERENT data dirs cannot cross-resolve; same-dir re-
+    // registration is idempotent (identical definition). The eval
+    // side is computed twice per action (subquery + exact join) —
+    // accepted: it is the small held-out split, and the alternative
+    // (an eager checkpoint) would run jobs at construction time.
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val evalView = s"graft_decon_eval_grams_$tag"
+    val trainView = s"graft_decon_train_grams_$tag"
+    evalGrams.createOrReplaceTempView(evalView)
+    grams(docs.filter(bucket < 205)).createOrReplaceTempView(trainView)
     val suspect = spark.sql(
-      """SELECT doc_id, gram FROM graft_decon_train_grams
-        |WHERE graft_might_contain(
-        |  (SELECT graft_bloom_agg(xxhash64(gram), 100000L, 1000000L)
-        |   FROM graft_decon_eval_grams),
-        |  xxhash64(gram))""".stripMargin)
+      s"""SELECT doc_id, gram FROM $trainView
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(gram), 100000L, 1000000L)
+         |   FROM $evalView),
+         |  xxhash64(gram))""".stripMargin)
     suspect
       .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))

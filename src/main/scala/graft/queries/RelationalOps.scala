@@ -324,12 +324,18 @@ object RelationalOps {
   // per shard (a single groupBy-aggregate — each blob stays ≤ 8 MB
   // under default confs), and route each batch row to ITS shard's
   // filter through a CASE chain, so every might_contain call keeps the
-  // constant blob the expression requires. 256 shards at 10 bits/key
-  // hold ~1.6G keys in 256 × 8 MB blobs without touching any conf; the
-  // driver holds shards × numBitsPerShard/8 bytes, the same total a
-  // single oversized filter would need, but broadcast in probe-sized
-  // pieces. A shard with no seen keys builds no blob; its batch rows
-  // are definitely new. Result remains EXACTLY the plain anti-join's.
+  // constant blob the expression requires. HONEST ENVELOPE: the CASE
+  // chain embeds EVERY shard's blob in the one plan, so total blob
+  // bytes (shards × numBits/8) ride plan serialization to each task —
+  // this buys roughly an order of magnitude past the 4M-item default
+  // cap (e.g. 16 shards × 2 MB ≈ 100M keys with a ~32 MB plan), not
+  // unbounded scale. Past that, either raise
+  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+  // for one big filter, or run one job per shard (filter the batch to
+  // the shard, probe that shard's blob alone, union the pinned
+  // results) so each plan carries a single blob. A shard with no seen
+  // keys builds no blob; its batch rows are definitely new. Result
+  // remains EXACTLY the plain anti-join's.
   def skipExistingBloomSharded(
       batch: DataFrame, seen: DataFrame, keyCol: String,
       expectedItemsPerShard: Long, numBitsPerShard: Long,

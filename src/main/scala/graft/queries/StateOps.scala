@@ -349,7 +349,91 @@ object StateOps {
        |FROM ex JOIN sk ON ex.source = sk.source
        |ORDER BY ex.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_pivot — wide-format reshaping via Spark's NATIVE pivot operator
+  // (RelationalGroupedDataset.pivot with explicit values — the
+  // explicit list keeps the plan static; the values-discovering
+  // overload runs an eager distinct scan at plan time, the
+  // construction-laziness contract every Op keeps). Daily event
+  // counts per type, one row per day, one column per type. The
+  // oracle spells the same reshape as conditional aggregation —
+  // which is exactly the physical form Catalyst lowers pivot to
+  // (PivotFirst/conditional agg), so this pins Spark's pivot
+  // semantics against an independent engine. One partial-agg'd
+  // shuffle on the day key at any scale.
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Catalog.table(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      // pivot leaves NULL for absent (day, type) cells; the count
+      // semantics ("no events") is 0 on both engines
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }
+
+  val pivotCountsSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_profile — the ANALYZE/data-profiling surface every lake runs
+  // before trusting a new drop: per-column null count, distinct
+  // count, min/max, all in ONE partial-agg'd pass over the table (no
+  // per-column scans — the profile of a 100 TB table costs one read).
+  // Stringly-typed output (one row per column) so heterogeneous
+  // column types share a schema, numeric renderings pinned to
+  // integer-exact forms.
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.table(spark, sfDir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = orders.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // one output row per profiled column
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str,
+         |  CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_pivot", pivotCounts, Some(pivotCountsSql)),
+    Op("q_profile", profile, Some(profileSql)),
     Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
     Op("q_cardinality_kmv_exact", cardinalityKmvExact, Some(cardinalityKmvExactSql)),
     Op("q_funnel", funnel, Some(funnelSql)),

@@ -926,13 +926,16 @@ object TextOps {
   // local top-3 through the exchange). Ties pin on term ASC.
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.store.Iteration.materialize
     val docs = Catalog.table(spark, sfDir, "documents")
-    // (doc, term, tf) — pinned: feeds df AND the scoring join
-    val tf = materialize(docs
+    // (doc, term, tf) feeds df AND the scoring join; kept LAZY — the
+    // recompute is one cheap tokenize+partial-agg pass, and an eager
+    // pin here would run corpus jobs at CONSTRUCTION time (the
+    // contract every other Op keeps for plan audits / Inventory
+    // iteration)
+    val tf = docs
       .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(df, Seq("term"))

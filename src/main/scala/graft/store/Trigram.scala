@@ -141,7 +141,12 @@ object Trigram {
   // semantics (FTS5 trigram treats prefix as plain substring) and is
   // stripped; NEAR/column filters/anchors are word-positional
   // concepts the trigram layout has no positions for — rejected, as
-  // FTS5 rejects what a tokenizer cannot express.
+  // FTS5 rejects what a tokenizer cannot express. The lexer/parser
+  // DELIBERATELY does not share [[Fts]]'s: the boolean skeleton
+  // coincides, but the leaf alphabets (analyzer-tokenized terms,
+  // NEAR(), {col}: filters, ^ anchors vs raw verbatim needles) and
+  // the error surfaces differ enough that a parameterized shared
+  // grammar would couple the two surfaces for ~60 saved lines.
 
   private[store] sealed trait MNode
   private[store] case class MNeedle(s: String) extends MNode
@@ -194,7 +199,12 @@ object Trigram {
           case "AND" => out += MTAnd
           case "NOT" => out += MTNot
           case w     =>
-            out += MTerm(if (w.endsWith("*")) w.dropRight(1) else w)
+            val t = if (w.endsWith("*")) w.dropRight(1) else w
+            // a bare `*` strips to the EMPTY needle, and contains("")
+            // is true for every row — FTS5 errors on it, so do we
+            require(t.nonEmpty,
+              s"MATCH syntax error (bare * is not a term): $query")
+            out += MTerm(t)
         }
       }
     }

@@ -49,6 +49,17 @@ class MgSpec extends SparkSpec {
     }
   }
 
+  test("a >64KB token survives the partial-aggregate serialization") {
+    // writeUTF would throw UTFDataFormatException past 65535 bytes;
+    // the length-prefixed raw-UTF-8 state format must not care
+    val big = "x" * 70000
+    val df = (Seq.fill(5)(big) ++ Seq("small")).toDF("term")
+      .repartition(3) // force serialize/merge across partials
+    val cands = df.agg(MgCounters.mgCounters(spark, col("term"), 4))
+      .head.getSeq[String](0)
+    assert(cands.contains(big))
+  }
+
   test("fewer than k distinct items: sketch is exact") {
     val df = Seq("a", "a", "b", "c", "c", "c").toDF("term")
     val cands = df.agg(MgCounters.mgCounters(spark, col("term"), 8))

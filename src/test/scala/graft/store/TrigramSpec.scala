@@ -113,7 +113,9 @@ class TrigramSpec extends SparkSpec {
   test("trigram MATCH rejects positional operators; empty query is empty") {
     val store = freshStore()
     Trigram.upsertWithIndex(store, "docs", corpus, "doc_id", "text")
-    for (bad <- Seq("NEAR(a b)", "text:quick", "^quick"))
+    // bare * would strip to the EMPTY needle (contains("") matches
+    // every row) — rejected like FTS5, not silently match-all
+    for (bad <- Seq("NEAR(a b)", "text:quick", "^quick", "*", "quick OR *"))
       intercept[IllegalArgumentException] {
         Trigram.matchSearch(store, "docs", "doc_id", "text", bad)
       }
