@@ -43,6 +43,8 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
   *   compact <store> <table> [sortCol,...] bin-pack fragmented files
   *                                         (optionally sort-clustered)
+  *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
+  *                                         (multi-dim file skipping)
   *   doctor <store>                        index integrity checks
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
@@ -202,6 +204,13 @@ object Cli {
         val (before, after) = store.compact(args(2), sortBy)
         println(s"[compact] ${args(2)}: $before -> $after files" +
           (if (sortBy.nonEmpty) s", clustered by ${sortBy.mkString(",")}" else ""))
+      case "compact-z" =>
+        // compact-z <store> <table> <bits> <col,...> — Z-ORDER
+        // rewrite: files cover narrow ranges of EVERY listed column
+        val (before, after) = store.compactZorder(
+          args(2), args(4).split(",").toSeq, args(3).toInt)
+        println(s"[compact-z] ${args(2)}: $before -> $after files, " +
+          s"z-ordered by ${args(4)}")
       case "doctor" =>
         val issues = graft.store.Doctor.check(store)
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")

@@ -108,6 +108,19 @@ class TableStore(val spark: SparkSession, root: String) {
     * skipping `_SUCCESS`/hidden bookkeeping files) — the fragmentation
     * signal `compact` acts on.
     */
+  /** Absolute paths of the table's parquet part files (layout
+    * inspection: compaction specs, per-file min/max locality checks).
+    */
+  def dataFiles(name: String): Seq[String] = {
+    def walk(p: Path): Seq[String] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => walk(s.getPath))
+      else if (p.getName.endsWith(".parquet")) Seq(p.toString)
+      else Nil
+    }
+    walk(new Path(path(name)))
+  }
+
   def fileStats(name: String): (Long, Long) = {
     def walk(p: Path): (Long, Long) =
       fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
@@ -182,6 +195,38 @@ class TableStore(val spark: SparkSession, root: String) {
       if (sortBy.isEmpty) shaped
       else shaped.sortWithinPartitions((partCols ++ sortBy).map(col): _*)
     writeSwapped(name, sorted, partCols)
+    (nBefore, fileStats(name)._1)
+  }
+
+  /** Z-ORDER compaction (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * analog): rewrite a FLAT table range-partitioned + sorted on the
+    * interleaved-bit Morton key of `zCols`, so every output file
+    * covers a narrow range of EVERY clustered dimension and parquet
+    * min/max stats prune files for predicates on any of them —
+    * where plain `compact(sortBy = x)` leaves each file spanning the
+    * full range of every other column. `zCols` must hold
+    * non-negative ints below 2^bits (pre-bucket with rank, hash, or
+    * min/max scaling). Returns (filesBefore, filesAfter).
+    */
+  def compactZorder(
+      name: String,
+      zCols: Seq[String],
+      bits: Int = 16,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(exists(name), s"no such table: $name")
+    require(partitionColumnsOf(name).isEmpty,
+      s"compactZorder clusters flat tables; $name is Hive-partitioned " +
+        "(z-order within partitions = compact + a zorderKey sort column)")
+    val (nBefore, bytes) = fileStats(name)
+    import org.apache.spark.sql.functions.col
+    val zkey = graft.functions.ZOrder.zorderKey(zCols.map(col), bits)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val shaped = read(name)
+      .withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+    writeSwapped(name, shaped, Nil)
     (nBefore, fileStats(name)._1)
   }
 }

@@ -18,7 +18,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_lsh_topk", "q_ann_lsh_multiprobe", "q_ann_ivf_topk",
     "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_cosine_topk",
     "q_importance_weights", "q_cardinality_kmv", "q_cardinality_kmv_exact",
-    "q_quantile_hist", "q_domain_cap", "q_mixture_temperature")
+    "q_quantile_hist", "q_domain_cap", "q_mixture_temperature",
+    "q_heavy_hitters")
 
   test("ANN/sketch queries plan broadcast joins only — no SMJ, no cartesian") {
     broadcastOnly.foreach { name =>

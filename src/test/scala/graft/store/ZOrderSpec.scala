@@ -1,0 +1,75 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order compaction: the Morton key interleaves correctly, the
+  * rewrite preserves rows exactly, and — the point of the layout —
+  * per-file min/max ranges are narrow in BOTH clustered dimensions,
+  * where a single-column sort leaves the other dimension's per-file
+  * range at full width (so its predicates prune nothing).
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey interleaves bits (known Morton values)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (7L, 5L))
+      .toDF("x", "y")
+    val got = df.select(
+        graft.functions.ZOrder.zorderKey(Seq(col("x"), col("y")), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z = interleave(x→even bits, y→odd bits):
+    // (2,3)=0b10,0b11 → y1x1 y0x0... bit layout: x bit b → 2b, y bit b → 2b+1
+    // (2,3): x=10 → bits 2; y=11 → bits 1,3 → 0b1110 = 14
+    // (7,5): x=111 → bits 0,2,4; y=101 → bits 1,5 → 0b110111 = 55
+    assert(got === Seq(0L, 1L, 2L, 3L, 14L, 55L))
+  }
+
+  test("z-order clusters both dimensions; plain sort only one") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zorder").toString)
+    // two independent uniform dimensions, 0..63, deterministic
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    val df = rows.toDF("id", "x", "y")
+    store.overwrite("pts", df)
+
+    def perFileSpan(column: String): Double = {
+      val files = store.dataFiles("pts")
+      assert(files.size > 1, "need multiple files to measure locality")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(column)), max(col(column))).head
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.size
+    }
+
+    // plain compact + sortBy clusters ROW GROUPS within a file (the
+    // flat path round-robins rows across files first), so at the FILE
+    // level both dimensions stay full-width — file-level pruning gets
+    // nothing from it
+    store.compact("pts", sortBy = Seq("x"), targetBytes = 2L << 10)
+    val sortedXSpanY = perFileSpan("y")
+    assert(perFileSpan("x") > 50.0)
+    assert(sortedXSpanY > 50.0) // ~full 0..63 range per file
+
+    // z-order by (x, y): BOTH dimensions localize
+    store.compactZorder("pts", Seq("x", "y"), bits = 6,
+      targetBytes = 2L << 10)
+    assert(store.read("pts").count() === 4096L)
+    val zSpanX = perFileSpan("x")
+    val zSpanY = perFileSpan("y")
+    assert(zSpanX < 30.0, s"x span $zSpanX")
+    assert(zSpanY < 30.0, s"y span $zSpanY")
+    assert(zSpanY < sortedXSpanY / 1.5,
+      s"z-order y span $zSpanY should beat sorted-by-x $sortedXSpanY")
+
+    // rows survive exactly
+    val back = store.read("pts").select(col("id"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back === rows.toSet)
+  }
+}
