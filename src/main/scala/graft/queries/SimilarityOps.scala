@@ -160,12 +160,13 @@ object SimilarityOps {
   private val rpInDims = 64
   // deterministic ±1: xorshift-ish integer hash of (j, d), sign from
   // the low bit — fixed forever, shared by both engines as literals
-  private[queries] val rpSigns: Array[Array[Int]] =
-    Array.tabulate(rpOutDims, rpInDims) { (j, d) =>
+  private[graft] def signMatrix(outDims: Int, inDims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, inDims) { (j, d) =>
       var x = j * 1000003 + d * 8191 + 12345
       x ^= x << 13; x ^= x >>> 17; x ^= x << 5
       if ((x & 1) == 0) 1 else -1
     }
+  private[queries] val rpSigns: Array[Array[Int]] = signMatrix(rpOutDims, rpInDims)
 
   def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Catalog.table(spark, sfDir, "embeddings")
