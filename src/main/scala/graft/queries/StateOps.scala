@@ -388,6 +388,34 @@ object StateOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_unpivot — the inverse reshape via Spark's NATIVE Dataset.unpivot
+  // (melt): the wide day × per-type matrix back to long
+  // (day, metric, n) rows. Round-tripping q_pivot's output pins both
+  // reshape operators against the oracle, INCLUDING the zero-filled
+  // cells pivot materializes for absent (day, type) combinations —
+  // which a naive groupBy re-derivation would drop. The oracle spells
+  // unpivot as the UNION ALL it desugars to.
+  def unpivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotCounts(spark, sfDir)
+      .unpivot(Array(col("day")),
+        types.map(t => col(s"n_$t")).toArray, "metric", "n")
+      .orderBy(col("day"), col("metric"))
+  }
+
+  val unpivotCountsSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val branches = types.map(t =>
+      s"SELECT day, 'n_$t' AS metric, n_$t AS n FROM w").mkString(
+      "\nUNION ALL\n")
+    s"""WITH w AS (
+       |${pivotCountsSql.stripSuffix("ORDER BY day")}
+       |)
+       |$branches
+       |ORDER BY day, metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_profile — the ANALYZE/data-profiling surface every lake runs
   // before trusting a new drop: per-column null count, distinct
   // count, min/max, all in ONE partial-agg'd pass over the table (no
@@ -433,6 +461,7 @@ object StateOps {
 
   def ops: Seq[Op] = Seq(
     Op("q_pivot", pivotCounts, Some(pivotCountsSql)),
+    Op("q_unpivot", unpivotCounts, Some(unpivotCountsSql)),
     Op("q_profile", profile, Some(profileSql)),
     Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
     Op("q_cardinality_kmv_exact", cardinalityKmvExact, Some(cardinalityKmvExactSql)),

@@ -47,6 +47,12 @@ object Doctor {
     names.filter(_.endsWith("_tri")).foreach { idx =>
       issues ++= trigram(store, baseOf(idx, "_tri"))
     }
+    names.filter(_.endsWith("_hh")).foreach { idx =>
+      issues ++= heavyHitters(store, baseOf(idx, "_hh"), names)
+    }
+    names.filter(_.endsWith("_decon_grams")).foreach { idx =>
+      issues ++= decontaminate(store, baseOf(idx, "_decon_grams"), names)
+    }
     issues.result()
   }
 
@@ -71,6 +77,61 @@ object Doctor {
       out += Issue("trigram", table,
         s"$badB postings rows sit in the wrong pk bucket — incremental " +
           "maintenance would leave them stale (rebuild)")
+    out.result()
+  }
+
+  private def heavyHitters(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val sk = store.read(s"${table}_hh")
+    // non-positive counters can never be emitted by the MG combine
+    // (it drops them) — their presence means an out-of-band edit
+    val bad = sk.filter(col("cnt") <= 0L).count()
+    if (bad > 0)
+      out += Issue("heavy-hitters", table,
+        s"$bad sketch counters are non-positive — the mergeable " +
+          "combine never writes those (out-of-band edit; rebuild)")
+    // the ledger must exist alongside the sketch, or redelivery
+    // protection is gone and a recovered stream double-counts
+    if (!names.contains(s"${table}_hh_batch"))
+      out += Issue("heavy-hitters", table,
+        "sketch present but the batch-id ledger is missing — a " +
+          "redelivered micro-batch would merge twice")
+    out.result()
+  }
+
+  private def decontaminate(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    // the bloom blob must exist next to the gram table: the sink
+    // prefilters with the blob and verifies against the grams — a
+    // missing blob fails every batch at read time
+    if (!names.contains(s"${table}_decon_bloom"))
+      out += Issue("decontaminate", table,
+        "eval gram table present but the bloom blob is missing — " +
+          "the streaming gate cannot prefilter (re-run install)")
+    else {
+      // the blob must COVER the gram table (no false negatives): any
+      // gram whose bit-test misses proves the artifacts diverged
+      // (e.g. grams rewritten without re-running install)
+      val blob = store.read(s"${table}_decon_bloom")
+        .head.getAs[Array[Byte]]("bf")
+      val grams = store.read(s"${table}_decon_grams")
+      if (blob == null) {
+        val n = grams.count()
+        if (n > 0)
+          out += Issue("decontaminate", table,
+            s"NULL bloom blob but $n eval grams — every batch would " +
+              "pass unchecked (re-run install)")
+      } else {
+        val missed = grams.filter(!graft.functions.BloomFns.mightContain(
+          store.spark, lit(blob), xxhash64(col("gram")))).count()
+        if (missed > 0)
+          out += Issue("decontaminate", table,
+            s"$missed eval grams are NOT covered by the bloom blob — " +
+              "contaminated docs can slip the prefilter (re-run install)")
+      }
+    }
     out.result()
   }
 

@@ -82,6 +82,34 @@ class DoctorSpec extends SparkSpec {
     assert(byComponent("ivfpq").exists(_.problem.contains("map out of sync")))
   }
 
+  test("sketch and decontamination artifacts are checked") {
+    import graft.streaming.{StreamDecontaminate, StreamHeavyHitters}
+    val store = freshStore()
+    // healthy installs report nothing
+    StreamDecontaminate.install(store, "docs",
+      Seq("the quick brown fox jumps over the lazy dog").toDF("text"),
+      "text", expectedItems = 64L, numBits = 640L)
+    StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 8)(
+      Seq("a", "a", "b").toDF("term"), 0L)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // drop the hh ledger: redelivery protection gone
+    store.drop(StreamHeavyHitters.ledgerName("terms"))
+    // seed a non-positive counter: the combine never writes those
+    store.overwrite(StreamHeavyHitters.sketchName("terms"),
+      Seq(("a", 0L)).toDF("item", "cnt"))
+    // desync the decon artifacts: rewrite grams without re-installing
+    store.overwrite(StreamDecontaminate.gramsName("docs"),
+      Seq("grams the bloom has never seen at all x y z").toDF("gram"))
+
+    val issues = Doctor.check(store)
+    val byComponent = issues.groupBy(_.component)
+    assert(byComponent.keySet === Set("heavy-hitters", "decontaminate"))
+    assert(byComponent("heavy-hitters").exists(_.problem.contains("ledger")))
+    assert(byComponent("heavy-hitters").exists(_.problem.contains("non-positive")))
+    assert(byComponent("decontaminate").exists(_.problem.contains("NOT covered")))
+  }
+
   test("stale FTS stats are flagged (BM25 would score wrong)") {
     val store = builtStore()
     val st = store.read(Fts.statsName("documents"))
