@@ -416,6 +416,58 @@ object StateOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_feature_corr — Pearson correlation per group (feature-QA: does
+  // the value column drift with time of day?). Spark's corr() and
+  // DuckDB's corr() both stream double sums in partition order — NOT
+  // bit-reproducible — so the engine form follows the repo's exact-
+  // sums discipline: the five moments accumulate as EXACT decimals
+  // (value carries 2 fractional digits → decimal sums are lossless
+  // and partitioning-independent), and r is derived from those exact
+  // scalars by one fixed double formula — identical inputs, identical
+  // expression, identical bits on both engines.
+  def featureCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Catalog.table(spark, sfDir, "events")
+      .select(col("event_type"),
+        col("value").cast("decimal(12,2)").as("x"),
+        hour(col("ts")).cast("decimal(4,0)").as("y"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,2)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,2)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,4)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("r"))
+      .orderBy(col("event_type"))
+  }
+
+  val featureCorrSql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy,
+      |    CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+      |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+      |  FROM (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+      |          CAST(hour(ts) AS DECIMAL(4,0)) AS y FROM events)
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_profile — the ANALYZE/data-profiling surface every lake runs
   // before trusting a new drop: per-column null count, distinct
   // count, min/max, all in ONE partial-agg'd pass over the table (no
@@ -462,6 +514,7 @@ object StateOps {
   def ops: Seq[Op] = Seq(
     Op("q_pivot", pivotCounts, Some(pivotCountsSql)),
     Op("q_unpivot", unpivotCounts, Some(unpivotCountsSql)),
+    Op("q_feature_corr", featureCorr, Some(featureCorrSql)),
     Op("q_profile", profile, Some(profileSql)),
     Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
     Op("q_cardinality_kmv_exact", cardinalityKmvExact, Some(cardinalityKmvExactSql)),
