@@ -438,12 +438,22 @@ object StateOps {
         sum(col("x") * col("x")).cast("decimal(38,4)").as("sxx"),
         sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
       .select(col("event_type"), col("n"),
-        ((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("n") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
+        col("sx").cast("double").as("dx_"),
+        col("sy").cast("double").as("dy_"),
+        col("sxy").cast("double").as("dxy_"),
+        col("sxx").cast("double").as("dxx_"),
+        col("syy").cast("double").as("dyy_"))
+      // zero-variance guard: Spark's 0/0 is NULL, DuckDB's IEEE
+      // division is NaN — r is mathematically undefined there, so
+      // BOTH engines must say NULL explicitly
+      .select(col("event_type"), col("n"),
+        when(col("n") * col("dxx_") === col("dx_") * col("dx_") ||
+          col("n") * col("dyy_") === col("dy_") * col("dy_"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n") * col("dxy_") - col("dx_") * col("dy_")) /
+              (sqrt(col("n") * col("dxx_") - col("dx_") * col("dx_")) *
+                sqrt(col("n") * col("dyy_") - col("dy_") * col("dy_"))))
           .as("r"))
       .orderBy(col("event_type"))
   }
@@ -461,9 +471,13 @@ object StateOps {
       |  GROUP BY event_type
       |)
       |SELECT event_type, n,
+      |  CASE WHEN n * CAST(sxx AS DOUBLE) = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |         OR n * CAST(syy AS DOUBLE) = CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |  THEN NULL ELSE
       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS r
       |FROM m
       |ORDER BY event_type""".stripMargin
 

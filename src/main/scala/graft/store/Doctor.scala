@@ -86,17 +86,18 @@ object Doctor {
     val sk = store.read(s"${table}_hh")
     // non-positive counters can never be emitted by the MG combine
     // (it drops them) — their presence means an out-of-band edit
-    val bad = sk.filter(col("cnt") <= 0L).count()
+    val bad = sk.filter(col("item").isNotNull && col("cnt") <= 0L).count()
     if (bad > 0)
       out += Issue("heavy-hitters", table,
         s"$bad sketch counters are non-positive — the mergeable " +
           "combine never writes those (out-of-band edit; rebuild)")
-    // the ledger must exist alongside the sketch, or redelivery
-    // protection is gone and a recovered stream double-counts
-    if (!names.contains(s"${table}_hh_batch"))
+    // the batch-id watermark rides the sketch swap itself; a sketch
+    // without it predates (or lost) redelivery protection — a
+    // recovered stream would merge a redelivered batch twice
+    if (!sk.columns.contains("batch_id"))
       out += Issue("heavy-hitters", table,
-        "sketch present but the batch-id ledger is missing — a " +
-          "redelivered micro-batch would merge twice")
+        "sketch has no batch_id column — a redelivered micro-batch " +
+          "would merge twice (rebuild via the sink)")
     out.result()
   }
 
@@ -113,9 +114,17 @@ object Doctor {
     else {
       // the blob must COVER the gram table (no false negatives): any
       // gram whose bit-test misses proves the artifacts diverged
-      // (e.g. grams rewritten without re-running install)
-      val blob = store.read(s"${table}_decon_bloom")
-        .head.getAs[Array[Byte]]("bf")
+      // (e.g. grams rewritten without re-running install). A 0-row
+      // blob table is itself a finding, not a crash — the integrity
+      // checker must survive exactly the torn writes it reports.
+      val blobRow = store.read(s"${table}_decon_bloom").collect().headOption
+      if (blobRow.isEmpty) {
+        out += Issue("decontaminate", table,
+          "bloom blob table exists but holds no rows — torn install; " +
+            "re-run install")
+        return out.result()
+      }
+      val blob = blobRow.get.getAs[Array[Byte]]("bf")
       val grams = store.read(s"${table}_decon_grams")
       if (blob == null) {
         val n = grams.count()

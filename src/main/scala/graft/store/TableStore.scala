@@ -104,23 +104,26 @@ class TableStore(val spark: SparkSession, root: String) {
   def insertIgnore(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
     writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
 
+  /** Absolute paths of the table's parquet part files (layout
+    * inspection: compaction specs, per-file min/max locality checks).
+    * Shares fileStats' skip rules via the same bookkeeping filter.
+    */
+  def dataFiles(name: String): Seq[String] = {
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val base = st.getPath.getName
+        if (base.startsWith("_") || base.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (base.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Nil
+      }
+    walk(new Path(path(name)))
+  }
+
   /** Data-file count and total bytes of a table directory (recursive,
     * skipping `_SUCCESS`/hidden bookkeeping files) — the fragmentation
     * signal `compact` acts on.
     */
-  /** Absolute paths of the table's parquet part files (layout
-    * inspection: compaction specs, per-file min/max locality checks).
-    */
-  def dataFiles(name: String): Seq[String] = {
-    def walk(p: Path): Seq[String] = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => walk(s.getPath))
-      else if (p.getName.endsWith(".parquet")) Seq(p.toString)
-      else Nil
-    }
-    walk(new Path(path(name)))
-  }
-
   def fileStats(name: String): (Long, Long) = {
     def walk(p: Path): (Long, Long) =
       fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
@@ -218,7 +221,22 @@ class TableStore(val spark: SparkSession, root: String) {
       s"compactZorder clusters flat tables; $name is Hive-partitioned " +
         "(z-order within partitions = compact + a zorderKey sort column)")
     val (nBefore, bytes) = fileStats(name)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max, min}
+    // out-of-range values would silently interleave only their low
+    // bits — rows far apart colliding on the z-key destroys the
+    // clustering while the command reports success; fail loudly
+    // cast to long up front — int-typed z columns would CCE the
+    // driver-side getLong (the int-pk indexing gotcha)
+    val bounds = read(name).agg(
+      min(org.apache.spark.sql.functions.least(
+        zCols.map(c => col(c).cast("long")): _*)),
+      max(org.apache.spark.sql.functions.greatest(
+        zCols.map(c => col(c).cast("long")): _*))).head
+    require(bounds.isNullAt(0) ||
+      (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << bits)),
+      s"z-order columns ${zCols.mkString(",")} must lie in [0, 2^$bits): " +
+        s"found [${bounds.get(0)}, ${bounds.get(1)}] — pre-bucket them " +
+        "(rank, hash, or min/max scale)")
     val zkey = graft.functions.ZOrder.zorderKey(zCols.map(col), bits)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val shaped = read(name)

@@ -73,14 +73,20 @@ object StreamDecontaminate {
           if (blob == null) grams.limit(0) // empty eval split: all clean
           else grams.filter(BloomFns.mightContain(
             spark, lit(blob), xxhash64(col("gram"))))
-        val contaminatedPks = suspects
-          .join(store.read(gramsName(table)), Seq("gram"), "left_semi")
-          .select(col("pk")).distinct()
+        // pinned ONCE: the gram-explode + bloom + exact-verify plan
+        // would otherwise re-execute for every consumer below (the
+        // two splits and their emptiness probes — 4× the gating cost)
+        val contaminatedPks = graft.store.Iteration.materialize(
+          suspects
+            .join(store.read(gramsName(table)), Seq("gram"), "left_semi")
+            .select(col("pk")).distinct())
         val contaminated = batch.join(
           contaminatedPks.select(col("pk").as(pkCol)), Seq(pkCol), "left_semi")
         val clean = batch.join(
           contaminatedPks.select(col("pk").as(pkCol)), Seq(pkCol), "left_anti")
-        if (!contaminated.isEmpty)
+        // pks empty ⇒ nothing quarantines and clean = batch (which is
+        // non-empty here) — the cheap probe is on the PINNED pk set
+        if (!contaminatedPks.isEmpty)
           store.upsert(quarantineName(table), contaminated, Seq(pkCol))
         if (!clean.isEmpty)
           store.upsert(table, clean, Seq(pkCol))

@@ -24,19 +24,29 @@ import graft.store.{Iteration, TableStore}
   *     rule every maintained store path follows).
   *
   * COUNT MERGES ARE NOT IDEMPOTENT (unlike the insert-ignore dup
-  * ledgers), so redelivered batches must not merge twice: a 1-row
-  * `<table>_hh_batch` ledger records the last merged batchId and the
-  * sink skips any batch at or below it — the transactional
-  * foreachBatch recipe, exactly-once by batchId.
+  * ledgers), so redelivered batches must not merge twice. The merged
+  * batchId rides the sketch table itself as a constant column, so
+  * counters and watermark commit in ONE atomic swap — a separate
+  * ledger table would leave a crash window between the two writes in
+  * which a redelivered batch double-counts (ledger-after-sketch) or
+  * is silently lost (ledger-before-sketch). A batch whose combine
+  * drops every counter (all-tied overflow) writes a NULL-item
+  * sentinel row so the watermark still advances; readers filter
+  * `item IS NOT NULL`.
   */
 object StreamHeavyHitters {
 
   def sketchName(table: String): String = s"${table}_hh"
-  def ledgerName(table: String): String = s"${table}_hh_batch"
 
   private def lastMerged(store: TableStore, table: String): Long =
-    store.readIfExists(ledgerName(table))
-      .map(_.select(col("batch_id")).head.getLong(0)).getOrElse(-1L)
+    store.readIfExists(sketchName(table))
+      .map(_.agg(max(col("batch_id"))).head.getLong(0)).getOrElse(-1L)
+
+  /** The current (item, cnt) counters (sentinel rows filtered). */
+  def counters(store: TableStore, table: String): DataFrame =
+    store.read(sketchName(table))
+      .filter(col("item").isNotNull)
+      .select(col("item"), col("cnt"))
 
   /** foreachBatch handler: merge the batch's `termCol` values into
     * the persisted k-counter sketch.
@@ -51,10 +61,15 @@ object StreamHeavyHitters {
           .filter(col("item").isNotNull)
           .groupBy(col("item"))
           .agg(count(lit(1)).as("cnt"))
-        val summed = store.readIfExists(sketchName(table))
-          .map(_.unionByName(counts)).getOrElse(counts)
-          .groupBy(col("item"))
-          .agg(sum(col("cnt")).as("cnt"))
+        // pinned ONCE: the frame feeds the top-(k+1) read AND the
+        // bounded rewrite, and it reads the table the swap replaces
+        val summed = Iteration.materialize(
+          store.readIfExists(sketchName(table))
+            .map(_.filter(col("item").isNotNull)
+              .select(col("item"), col("cnt")).unionByName(counts))
+            .getOrElse(counts)
+            .groupBy(col("item"))
+            .agg(sum(col("cnt")).as("cnt")))
         // (k+1)-th largest count, if the merge overflows k: a k+1-row
         // driver read — the sketch is k-bounded by construction
         val topK1: Array[Row] = summed
@@ -67,12 +82,14 @@ object StreamHeavyHitters {
             summed.filter(col("cnt") > cStar)
               .select(col("item"), (col("cnt") - cStar).as("cnt"))
           }
-        // materialize BEFORE the swap: `summed` reads the table the
-        // overwrite replaces
-        store.overwrite(sketchName(table), Iteration.materialize(bounded))
         val spark = store.spark
         import spark.implicits._
-        store.overwrite(ledgerName(table), Seq(batchId).toDF("batch_id"))
+        val sentinel = Seq((null: String, null.asInstanceOf[java.lang.Long]))
+          .toDF("item", "cnt")
+          .select(col("item"), col("cnt").cast("long"))
+        val stamped = bounded.withColumn("batch_id", lit(batchId))
+          .unionByName(sentinel.withColumn("batch_id", lit(batchId)))
+        store.overwrite(sketchName(table), stamped)
       }
 
   /** Wire a streaming frame into the sink. */

@@ -93,9 +93,9 @@ class DoctorSpec extends SparkSpec {
       Seq("a", "a", "b").toDF("term"), 0L)
     assert(Doctor.check(store) === Seq.empty)
 
-    // drop the hh ledger: redelivery protection gone
-    store.drop(StreamHeavyHitters.ledgerName("terms"))
-    // seed a non-positive counter: the combine never writes those
+    // one rewrite seeds BOTH hh corruptions: a non-positive counter
+    // (the combine never writes those) and a missing batch_id column
+    // (redelivery protection gone)
     store.overwrite(StreamHeavyHitters.sketchName("terms"),
       Seq(("a", 0L)).toDF("item", "cnt"))
     // desync the decon artifacts: rewrite grams without re-installing
@@ -105,7 +105,7 @@ class DoctorSpec extends SparkSpec {
     val issues = Doctor.check(store)
     val byComponent = issues.groupBy(_.component)
     assert(byComponent.keySet === Set("heavy-hitters", "decontaminate"))
-    assert(byComponent("heavy-hitters").exists(_.problem.contains("ledger")))
+    assert(byComponent("heavy-hitters").exists(_.problem.contains("batch_id")))
     assert(byComponent("heavy-hitters").exists(_.problem.contains("non-positive")))
     assert(byComponent("decontaminate").exists(_.problem.contains("NOT covered")))
   }

@@ -38,7 +38,7 @@ class StreamHeavyHittersSpec extends SparkSpec {
         all ++= data
         mem.addData(data: _*)
         q.processAllAvailable()
-        val sketch = store.read(StreamHeavyHitters.sketchName("terms"))
+        val sketch = StreamHeavyHitters.counters(store, "terms")
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         assert(sketch.size <= k, s"batch $b: ${sketch.size} > $k")
         val n = all.size.toLong
@@ -55,15 +55,33 @@ class StreamHeavyHittersSpec extends SparkSpec {
     val sink = StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 8)
     val batch = Seq.fill(10)("hot").toDF("term")
     sink(batch, 0L)
-    val once = store.read(StreamHeavyHitters.sketchName("terms"))
+    def counters() = StreamHeavyHitters.counters(store, "terms")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(once === Map("hot" -> 10L))
+    assert(counters() === Map("hot" -> 10L))
     sink(batch, 0L) // redelivery of the same epoch
-    val twice = store.read(StreamHeavyHitters.sketchName("terms"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(twice === once)
+    assert(counters() === Map("hot" -> 10L))
     sink(batch, 1L) // a genuinely new batch does merge
+    assert(counters() === Map("hot" -> 20L))
+    // the watermark rides the SAME swap as the counters — one table,
+    // no crash window between data and batch-id
     assert(store.read(StreamHeavyHitters.sketchName("terms"))
-      .head.getLong(1) === 20L)
+      .select(col("batch_id")).distinct().head.getLong(0) === 1L)
+  }
+
+  test("an all-tied overflow still advances the watermark via the sentinel") {
+    val store = freshStore()
+    val sink = StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 2)
+    // 3 distinct items, one occurrence each, k=2: the combine
+    // subtracts the 3rd-largest (1) and drops EVERYTHING
+    sink(Seq("a", "b", "c").toDF("term"), 0L)
+    assert(StreamHeavyHitters.counters(store, "terms").count() === 0L)
+    // redelivery of batch 0 must still skip — the sentinel row holds
+    // the batch id even with zero counters
+    sink(Seq("a", "b", "c").toDF("term"), 0L)
+    assert(StreamHeavyHitters.counters(store, "terms").count() === 0L)
+    sink(Seq.fill(5)("d").toDF("term"), 1L)
+    assert(StreamHeavyHitters.counters(store, "terms")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("d", 5L)))
   }
 }
