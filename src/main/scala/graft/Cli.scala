@@ -45,6 +45,7 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         (optionally sort-clustered)
   *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
   *                                         (multi-dim file skipping)
+  *   hh-top <store> <table> [n]            streaming heavy-hitter counters
   *   doctor <store>                        index integrity checks
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
@@ -211,6 +212,14 @@ object Cli {
           args(2), args(4).split(",").toSeq, args(3).toInt)
         println(s"[compact-z] ${args(2)}: $before -> $after files, " +
           s"z-ordered by ${args(4)}")
+      case "hh-top" =>
+        // hh-top <store> <table> [n] — current heavy-hitter counters
+        // from the streaming sketch, largest first
+        val n = if (args.length > 3) args(3).toInt else 20
+        graft.streaming.StreamHeavyHitters.counters(store, args(2))
+          .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+            org.apache.spark.sql.functions.col("item"))
+          .show(n, truncate = false)
       case "doctor" =>
         val issues = graft.store.Doctor.check(store)
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")
