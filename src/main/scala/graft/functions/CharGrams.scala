@@ -57,8 +57,13 @@ object CharGrams {
         org.apache.spark.sql.catalyst.FunctionIdentifier("char_grams")))
       reg.createOrReplaceTempFunction(
         "char_grams",
-        exprs => CharGrams(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]),
+        exprs => {
+          // tolerate any foldable integral literal (BIGINT casts
+          // included) — the MgCounters Number.intValue pattern
+          val n = exprs(1).eval()
+          require(n != null, "char_grams: n must be a non-null literal")
+          CharGrams(exprs.head, n.asInstanceOf[Number].intValue)
+        },
         "scala_udf")
   }
 

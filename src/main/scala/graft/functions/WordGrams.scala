@@ -87,9 +87,14 @@ object WordGrams {
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_grams")))
       reg.createOrReplaceTempFunction(
         "word_grams",
-        exprs => WordGrams(exprs.head,
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Boolean]),
+        exprs => {
+          // tolerate any foldable integral literal (BIGINT casts
+          // included) — the MgCounters Number.intValue pattern
+          val n = exprs(1).eval()
+          require(n != null, "word_grams: n must be a non-null literal")
+          WordGrams(exprs.head, n.asInstanceOf[Number].intValue,
+            exprs(2).eval().asInstanceOf[Boolean])
+        },
         "scala_udf")
   }
 

@@ -84,6 +84,17 @@ object Doctor {
       store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]
     val sk = store.read(s"${table}_hh")
+    val cols = sk.columns.toSet
+    // schema first: a *_hh table that is not sketch-shaped must be an
+    // Issue, not an AnalysisException that aborts the whole check —
+    // the integrity checker survives exactly the states it reports
+    val missing = Seq("item", "cnt").filterNot(cols.contains)
+    if (missing.nonEmpty) {
+      out += Issue("heavy-hitters", table,
+        s"sketch is missing column(s) ${missing.mkString(", ")} — not " +
+          "MG-counter-shaped (out-of-band rewrite; rebuild via the sink)")
+      return out.result()
+    }
     // non-positive counters can never be emitted by the MG combine
     // (it drops them) — their presence means an out-of-band edit
     val bad = sk.filter(col("item").isNotNull && col("cnt") <= 0L).count()
@@ -91,13 +102,20 @@ object Doctor {
       out += Issue("heavy-hitters", table,
         s"$bad sketch counters are non-positive — the mergeable " +
           "combine never writes those (out-of-band edit; rebuild)")
-    // the batch-id watermark rides the sketch swap itself; a sketch
-    // without it predates (or lost) redelivery protection — a
-    // recovered stream would merge a redelivered batch twice
+    // the (run_id, batch_id) watermark rides the sketch swap itself;
+    // a sketch without it predates (or lost) redelivery protection —
+    // a recovered stream would merge a redelivered batch twice, and
+    // without run_id a fresh-checkpoint restart would silently skip
+    // batches until its ids caught up
     if (!sk.columns.contains("batch_id"))
       out += Issue("heavy-hitters", table,
         "sketch has no batch_id column — a redelivered micro-batch " +
           "would merge twice (rebuild via the sink)")
+    else if (!sk.columns.contains("run_id"))
+      out += Issue("heavy-hitters", table,
+        "sketch has no run_id column — a restart with a fresh " +
+          "checkpoint would skip batches until its ids caught up " +
+          "(rebuild via the sink)")
     out.result()
   }
 

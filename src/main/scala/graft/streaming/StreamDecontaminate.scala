@@ -57,15 +57,25 @@ object StreamDecontaminate {
   }
 
   /** foreachBatch handler: gate the batch, quarantine contaminated
-    * rows, land clean rows.
+    * rows, land clean rows. The bloom blob is immutable for the life
+    * of an install, so it is read ONCE per sink (query start), not
+    * per micro-batch — a re-`install` requires restarting the query.
+    * A 0-row blob table (torn install, exactly what Doctor reports)
+    * fails with an actionable message instead of a bare
+    * NoSuchElementException.
     */
   def decontaminateSink(
       store: TableStore, table: String, pkCol: String, textCol: String)
-      : (DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Unit = {
+    lazy val blob: Array[Byte] =
+      store.read(bloomName(table)).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"decontaminate: ${bloomName(table)} holds no rows — torn " +
+            "install; re-run StreamDecontaminate.install before streaming"))
+        .getAs[Array[Byte]]("bf")
     (batch, _) =>
       if (!batch.isEmpty) {
         val spark = store.spark
-        val blob = store.read(bloomName(table)).head.getAs[Array[Byte]]("bf")
         val grams = batch
           .select(col(pkCol).as("pk"), explode(WordGrams.wordGrams(
             spark, col(textCol), 8, distinct = true)).as("gram"))
@@ -91,6 +101,7 @@ object StreamDecontaminate {
         if (!clean.isEmpty)
           store.upsert(table, clean, Seq(pkCol))
       }
+  }
 
   /** Wire a streaming (pk, text, …) frame into the sink. Requires
     * `install` to have written the eval artifacts.

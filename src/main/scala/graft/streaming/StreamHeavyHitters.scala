@@ -33,14 +33,38 @@ import graft.store.{Iteration, TableStore}
   * drops every counter (all-tied overflow) writes a NULL-item
   * sentinel row so the watermark still advances; readers filter
   * `item IS NOT NULL`.
+  *
+  * Spark batchIds are scoped to a CHECKPOINT, not to the sketch: a
+  * restart with a fresh checkpoint dir (or a second query feeding
+  * the same sketch) restarts batchIds at 0, and a batch_id-only
+  * watermark would silently skip every batch until the new query's
+  * ids caught up. The watermark therefore also carries `run_id`
+  * (the checkpoint path for managed queries); the redelivery skip
+  * applies only when the stored run matches the current one. A new
+  * run's batch 0 merges on top of the carried-over counters — at
+  * worst the boundary batch of the OLD run double-counts if the old
+  * query crashed post-commit pre-checkpoint, which is the correct
+  * bias for a sketch whose guarantee is one-sided (never misses a
+  * heavy hitter). A legacy sketch with no run_id column is treated
+  * as a foreign run (merge; Doctor flags the missing column).
   */
 object StreamHeavyHitters {
 
   def sketchName(table: String): String = s"${table}_hh"
 
-  private def lastMerged(store: TableStore, table: String): Long =
-    store.readIfExists(sketchName(table))
-      .map(_.agg(max(col("batch_id"))).head.getLong(0)).getOrElse(-1L)
+  /** Stored (run_id, max batch_id) watermark, if the sketch exists.
+    * run_id is None on pre-run_id legacy sketches.
+    */
+  private def watermark(
+      store: TableStore, table: String): Option[(Option[String], Long)] =
+    store.readIfExists(sketchName(table)).map { sk =>
+      val b = sk.agg(max(col("batch_id"))).head.getLong(0)
+      val r =
+        if (sk.columns.contains("run_id"))
+          Option(sk.select(col("run_id")).head.getString(0))
+        else None
+      (r, b)
+    }
 
   /** The current (item, cnt) counters (sentinel rows filtered). */
   def counters(store: TableStore, table: String): DataFrame =
@@ -49,13 +73,19 @@ object StreamHeavyHitters {
       .select(col("item"), col("cnt"))
 
   /** foreachBatch handler: merge the batch's `termCol` values into
-    * the persisted k-counter sketch.
+    * the persisted k-counter sketch. `runId` scopes the redelivery
+    * watermark to one checkpoint lineage (see the class doc).
     */
   def heavyHittersSink(
-      store: TableStore, table: String, termCol: String, k: Int)
+      store: TableStore, table: String, termCol: String, k: Int,
+      runId: String = "adhoc")
       : (DataFrame, Long) => Unit =
-    (batch, batchId) =>
-      if (!batch.isEmpty && batchId > lastMerged(store, table)) {
+    (batch, batchId) => {
+      val alreadyMerged = watermark(store, table).exists {
+        case (storedRun, storedBatch) =>
+          storedRun.contains(runId) && batchId <= storedBatch
+      }
+      if (!batch.isEmpty && !alreadyMerged) {
         val counts = batch
           .select(col(termCol).cast("string").as("item"))
           .filter(col("item").isNotNull)
@@ -87,12 +117,20 @@ object StreamHeavyHitters {
         val sentinel = Seq((null: String, null.asInstanceOf[java.lang.Long]))
           .toDF("item", "cnt")
           .select(col("item"), col("cnt").cast("long"))
-        val stamped = bounded.withColumn("batch_id", lit(batchId))
-          .unionByName(sentinel.withColumn("batch_id", lit(batchId)))
+        val stamped = bounded
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("run_id", lit(runId))
+          .unionByName(sentinel
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("run_id", lit(runId)))
         store.overwrite(sketchName(table), stamped)
       }
+    }
 
-  /** Wire a streaming frame into the sink. */
+  /** Wire a streaming frame into the sink. The checkpoint path IS
+    * the run identity — batchIds are only comparable within one
+    * checkpoint lineage.
+    */
   def writeHeavyHitters(
       terms: DataFrame, store: TableStore, table: String, termCol: String,
       checkpointDir: String, k: Int = 64): StreamingQuery = {
@@ -100,7 +138,7 @@ object StreamHeavyHitters {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
     writer.foreachBatch { (batch: DataFrame, id: Long) =>
-      heavyHittersSink(store, table, termCol, k)(batch, id)
+      heavyHittersSink(store, table, termCol, k, runId = checkpointDir)(batch, id)
     }.start()
   }
 }

@@ -58,6 +58,21 @@ class GramsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registry tolerates non-INT integral literals (BIGINT cast)") {
+    CharGrams.register(spark)
+    WordGrams.register(spark)
+    // eval() of CAST(3 AS BIGINT) is a java.lang.Long — the registry
+    // lambda must go through Number.intValue, not asInstanceOf[Int]
+    val c = spark.sql(
+      "SELECT char_grams('abcd', CAST(3 AS BIGINT)) AS g")
+      .head.getSeq[String](0).toList
+    assert(c === List("abc", "bcd"))
+    val w = spark.sql(
+      "SELECT word_grams('a b c', CAST(2 AS BIGINT), true) AS g")
+      .head.getSeq[String](0).toList
+    assert(w === List("a b", "b c"))
+  }
+
   test("word_grams keeps every occurrence when distinct=false") {
     val df = Seq((0, "a b a b a")).toDF("id", "t")
     val got = df.select(

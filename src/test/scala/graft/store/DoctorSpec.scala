@@ -110,6 +110,24 @@ class DoctorSpec extends SparkSpec {
     assert(byComponent("decontaminate").exists(_.problem.contains("NOT covered")))
   }
 
+  test("a non-sketch-shaped *_hh table is an Issue, not a crash") {
+    val store = freshStore()
+    // out-of-band rewrite with neither item nor cnt: the check must
+    // report it rather than die on an unresolved-column error
+    store.overwrite("terms_hh", Seq((0L, "x")).toDF("batch_id", "whatever"))
+    val issues = Doctor.check(store)
+    assert(issues.exists(i => i.component == "heavy-hitters"
+      && i.problem.contains("MG-counter-shaped")))
+  }
+
+  test("an hh sketch without run_id is flagged (checkpoint-reset skip)") {
+    val store = freshStore()
+    store.overwrite("terms_hh", Seq(("a", 2L, 0L)).toDF("item", "cnt", "batch_id"))
+    val issues = Doctor.check(store)
+    assert(issues.exists(i => i.component == "heavy-hitters"
+      && i.problem.contains("run_id")))
+  }
+
   test("stale FTS stats are flagged (BM25 would score wrong)") {
     val store = builtStore()
     val st = store.read(Fts.statsName("documents"))

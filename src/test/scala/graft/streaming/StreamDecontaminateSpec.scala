@@ -53,6 +53,45 @@ class StreamDecontaminateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the bloom blob is read once per sink, not per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdc3").toString
+    var bloomReads = 0
+    val store = new TableStore(spark, dir) {
+      override def read(name: String) = {
+        if (name == StreamDecontaminate.bloomName("docs")) bloomReads += 1
+        super.read(name)
+      }
+    }
+    StreamDecontaminate.install(store, "docs",
+      Seq(evalText).toDF("text"), "text",
+      expectedItems = 64L, numBits = 640L)
+    bloomReads = 0
+    val sink = StreamDecontaminate.decontaminateSink(
+      store, "docs", "doc_id", "text")
+    for (b <- 0 until 3)
+      sink(Seq((10L + b, s"clean words for batch number $b with nothing shared"))
+        .toDF("doc_id", "text"), b.toLong)
+    assert(store.read("docs").count() === 3L)
+    assert(bloomReads === 1,
+      s"blob fetched $bloomReads times across 3 batches; want 1 per query")
+  }
+
+  test("a torn install (0-row blob table) fails with an actionable message") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sdc4").toString)
+    StreamDecontaminate.install(store, "docs",
+      Seq(evalText).toDF("text"), "text",
+      expectedItems = 64L, numBits = 640L)
+    store.overwrite(StreamDecontaminate.bloomName("docs"),
+      store.read(StreamDecontaminate.bloomName("docs")).limit(0))
+    val sink = StreamDecontaminate.decontaminateSink(
+      store, "docs", "doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      sink(Seq((1L, evalText)).toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("re-run"))
+  }
+
   test("empty eval split installs a NULL blob and everything lands clean") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-sdc2").toString)

@@ -68,6 +68,24 @@ class StreamHeavyHittersSpec extends SparkSpec {
       .select(col("batch_id")).distinct().head.getLong(0) === 1L)
   }
 
+  test("a fresh checkpoint (new run_id) merges from batch 0 instead of skipping") {
+    val store = freshStore()
+    def sink(run: String) =
+      StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 8, runId = run)
+    def counters() = StreamHeavyHitters.counters(store, "terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sink("ckpt-A")(Seq.fill(10)("hot").toDF("term"), 5L)
+    assert(counters() === Map("hot" -> 10L))
+    // same run, stale batchId: redelivery, skip
+    sink("ckpt-A")(Seq.fill(10)("hot").toDF("term"), 3L)
+    assert(counters() === Map("hot" -> 10L))
+    // NEW checkpoint lineage restarts batchIds at 0 — with a
+    // batch_id-only watermark this batch (and the next 5) would be
+    // silently dropped; the run-scoped watermark merges it
+    sink("ckpt-B")(Seq.fill(7)("hot").toDF("term"), 0L)
+    assert(counters() === Map("hot" -> 17L))
+  }
+
   test("an all-tied overflow still advances the watermark via the sentinel") {
     val store = freshStore()
     val sink = StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 2)
