@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom membership probe against a NON-CONSTANT blob column —
+  * the expression Spark's own `BloomFilterMightContain` refuses to
+  * be (it requires a foldable blob or a scalar subquery, i.e. ONE
+  * filter embedded in the plan). This is the piece that lets
+  * sharded skip-existing scale: the per-shard blobs stay a tiny
+  * `(shard, blob)` TABLE, each batch row equi-joins to its shard's
+  * row, and this probe tests the joined blob — blobs travel as
+  * shuffle/broadcast DATA (each task sees only its shards' blobs),
+  * never as plan literals serialized with every task.
+  *
+  * Deserialization discipline: `BloomFilter.readFrom` per ROW would
+  * dominate the probe, and the per-row blob bytes are fresh copies
+  * (unsafe-row reads), so identity caching can't work. The JOIN
+  * OUTPUT carries the answer: `key` (the shard id) functionally
+  * determines the blob within a build, so the filter is cached per
+  * key — each task deserializes each shard blob it sees ONCE, then
+  * probes at in-memory BitArray speed. CALLER CONTRACT: within one
+  * plan, equal keys must map to byte-identical blobs (true by
+  * construction for a `groupBy(shard).agg(bloomAgg)` build; the
+  * cache cannot detect a violated contract).
+  *
+  * CodegenFallback costs one virtual call per row (the MinHashSig
+  * trade): the hash mixing + word probes per row dwarf it, and the
+  * stage around the probe stays whole-stage-codegen'd.
+  *
+  * Reference analog: twitter-to-sqlite's `--skip-existing` ingest
+  * (cli.py:483-487) at key spaces past one filter's caps.
+  */
+case class KeyedBloomMightContain(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "keyed_might_contain"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == LongType &&
+      second.dataType == BinaryType && third.dataType == LongType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (key: bigint, blob: binary, hash: bigint), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  // per-task instance (tasks deserialize their own expression copy):
+  // bounded by the distinct shard keys a task sees
+  @transient private lazy val cache =
+    new java.util.HashMap[java.lang.Long, BloomFilter]()
+
+  override protected def nullSafeEval(key: Any, blob: Any, hash: Any): Any = {
+    val k = key.asInstanceOf[java.lang.Long]
+    var bf = cache.get(k)
+    if (bf == null) {
+      bf = BloomFilter.readFrom(
+        new ByteArrayInputStream(blob.asInstanceOf[Array[Byte]]))
+      cache.put(k, bf)
+    }
+    bf.mightContainLong(hash.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : KeyedBloomMightContain =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object KeyedBloom {
+  def register(spark: SparkSession): Unit = {
+    // idempotent on the hot path (the BloomFns guard pattern)
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("keyed_might_contain")))
+      reg.createOrReplaceTempFunction(
+        "keyed_might_contain",
+        exprs => KeyedBloomMightContain(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+  }
+
+  /** Probe `hashed` (an xxhash64-style long) against the bloom blob
+    * in `blob`, caching deserialization per distinct `key`.
+    */
+  def keyedMightContain(
+      spark: SparkSession, key: Column, blob: Column, hashed: Column): Column = {
+    register(spark)
+    call_function("keyed_might_contain", key, blob, hashed)
+  }
+}

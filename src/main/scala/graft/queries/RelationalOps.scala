@@ -322,44 +322,46 @@ object RelationalOps {
   // skipExistingBloom for seen-key spaces PAST the single-filter caps:
   // shard the seen keys by pmod(hash, shards), build one in-cap filter
   // per shard (a single groupBy-aggregate — each blob stays ≤ 8 MB
-  // under default confs), and route each batch row to ITS shard's
-  // filter through a CASE chain, so every might_contain call keeps the
-  // constant blob the expression requires. HONEST ENVELOPE: the CASE
-  // chain embeds EVERY shard's blob in the one plan, so total blob
-  // bytes (shards × numBits/8) ride plan serialization to each task —
-  // this buys roughly an order of magnitude past the 4M-item default
-  // cap (e.g. 16 shards × 2 MB ≈ 100M keys with a ~32 MB plan), not
-  // unbounded scale. Past that, either raise
-  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
-  // for one big filter, or run one job per shard (filter the batch to
-  // the shard, probe that shard's blob alone, union the pinned
-  // results) so each plan carries a single blob. A shard with no seen
-  // keys builds no blob; its batch rows are definitely new. Result
-  // remains EXACTLY the plain anti-join's.
+  // under default confs), keep the blobs as a tiny (shard, blob)
+  // TABLE, and equi-join each batch row to its shard's row; the
+  // native [[graft.functions.KeyedBloomMightContain]] probe tests the
+  // JOINED blob column (Spark's own might_contain refuses non-constant
+  // blobs). Blobs therefore travel as join DATA — broadcast once per
+  // executor when the planner picks BHJ, or one shard's blob per
+  // reducer under SMJ — never as plan literals serialized with every
+  // task, so shards (and with them total seen-key capacity) scale to
+  // billions of keys with no driver/plan-size ceiling. The probe
+  // deserializes each shard's blob once per task (cached by shard id).
+  //
+  // Parallelism note for the shuffle path: a join on _shard hashes the
+  // batch into ≤ `shards` streams, so pick shards ≥ the parallelism
+  // you want at the probe stage (at 100 TB that's thousands — which is
+  // exactly where the per-shard caps need the headroom anyway).
+  //
+  // A shard with no seen keys has no blob row; the left join leaves
+  // its batch rows' blob NULL → definitely new. Result remains EXACTLY
+  // the plain anti-join's.
   def skipExistingBloomSharded(
       batch: DataFrame, seen: DataFrame, keyCol: String,
       expectedItemsPerShard: Long, numBitsPerShard: Long,
       shards: Int): DataFrame = {
-    import graft.functions.BloomFns
+    import graft.functions.{BloomFns, KeyedBloom}
     val spark = batch.sparkSession
     val h = xxhash64(col(keyCol))
-    val blobs = seen
+    // pinned: the probe plan forks into the definitely-new and verify
+    // branches below, and each shard's filter should be built once,
+    // not once per branch
+    val blobs = graft.store.Iteration.materialize(seen
       .groupBy(pmod(xxhash64(col(keyCol)), lit(shards.toLong)).as("_shard"))
       .agg(BloomFns.bloomAgg(spark, xxhash64(col(keyCol)),
-        expectedItemsPerShard, numBitsPerShard).as("bf"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf"))
-      .filter(_._2 != null)
-    if (blobs.isEmpty) return batch
-    val shardOf = pmod(h, lit(shards.toLong))
-    val maybe = blobs.tail
-      .foldLeft(when(shardOf === lit(blobs.head._1),
-        BloomFns.mightContain(spark, lit(blobs.head._2), h))) {
-        case (acc, (s, bf)) =>
-          acc.when(shardOf === lit(s), BloomFns.mightContain(spark, lit(bf), h))
-      }
-      .otherwise(lit(false))
-    val flagged = batch.withColumn("_maybe", maybe)
+        expectedItemsPerShard, numBitsPerShard).as("_bf")))
+    val flagged = batch
+      .withColumn("_shard", pmod(h, lit(shards.toLong)))
+      .join(blobs, Seq("_shard"), "left")
+      .withColumn("_maybe", coalesce(
+        KeyedBloom.keyedMightContain(spark, col("_shard"), col("_bf"), h),
+        lit(false)))
+      .drop("_shard", "_bf")
     val definitelyNew = flagged.filter(!col("_maybe")).drop("_maybe")
     val verified = flagged.filter(col("_maybe")).drop("_maybe")
       .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -392,6 +394,25 @@ object RelationalOps {
       |WHERE n.doc_id >= 250
       |  AND NOT EXISTS (SELECT 1 FROM fp s WHERE s.doc_id < 250 AND s.f = n.f)
       |ORDER BY doc_id""".stripMargin
+
+  // q_bloom_skip_sharded — the same skip-existing SEMANTICS routed
+  // through the billions-of-keys path: per-shard filters kept as a
+  // (shard, blob) table, batch rows equi-joined to their shard's blob,
+  // probed by the native keyed_might_contain (no plan-embedded blob —
+  // BloomSkipSpec pins the plan shape). Same oracle: the bloom is
+  // invisible to the result.
+  def bloomSkipSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.ingest.Transforms.exactFingerprint(col("text")).as("fp"))
+    skipExistingBloomSharded(
+      fps.filter(col("doc_id") >= 250),
+      fps.filter(col("doc_id") < 250).select(col("fp")),
+      "fp", expectedItemsPerShard = 200L, numBitsPerShard = 2000L,
+      shards = 8)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------------
   // q_asof_join — the AS-OF (temporal point-in-time) join: for each
@@ -518,6 +539,7 @@ object RelationalOps {
     Op("q_asof_join", asofJoin, Some(asofJoinSql)),
     Op("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Op("q_bloom_skip_existing", bloomSkipExisting, Some(bloomSkipExistingSql)),
+    Op("q_bloom_skip_sharded", bloomSkipSharded, Some(bloomSkipExistingSql)),
     Op("q_cube_having", cubeHaving, Some(cubeHavingSql)),
     Op("q_agg_pricing", aggPricing, Some(aggPricingSql)),
     Op("q_semi_facet", semiFacet, Some(semiFacetSql)),

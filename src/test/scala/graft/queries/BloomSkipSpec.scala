@@ -58,7 +58,9 @@ class BloomSkipSpec extends SparkSpec {
     val plain = batch.join(seen.distinct(), Seq("k"), "left_anti")
       .select(col("id")).collect().map(_.getLong(0)).sorted
 
-    for (shards <- Seq(1, 4, 16)) {
+    // 256 shards on 30 seen keys: far past where a plan-embedded
+    // CASE chain was viable, and most shards hold no blob row at all
+    for (shards <- Seq(1, 4, 16, 256)) {
       val got = RelationalOps.skipExistingBloomSharded(
           batch, seen, "k",
           expectedItemsPerShard = 64L, numBitsPerShard = 640L,
@@ -66,6 +68,48 @@ class BloomSkipSpec extends SparkSpec {
         .select(col("id")).collect().map(_.getLong(0)).sorted
       assert(got.toSeq === plain.toSeq, s"shards=$shards")
     }
+  }
+
+  test("sharded plan carries NO blob literal — blobs are join data") {
+    val batch = frame(0 until 200)
+    val seen = frame(1000 until 1030).select(col("k"))
+    val df = RelationalOps.skipExistingBloomSharded(
+      batch, seen, "k",
+      expectedItemsPerShard = 64L, numBitsPerShard = 640L, shards = 16)
+    // the whole point of the (shard, blob)-table design: at billions
+    // of seen keys, plan-embedded blobs are a driver/task-serialization
+    // killer — every filter must reach the probe as a COLUMN
+    val binaryLits = df.queryExecution.optimizedPlan.collect {
+      case plan => plan.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.BinaryType && l.value != null => l
+      })
+    }.flatten
+    assert(binaryLits.isEmpty,
+      s"found ${binaryLits.length} binary literal(s) embedded in the plan")
+  }
+
+  test("keyed probe agrees with Spark's constant-blob might_contain") {
+    import graft.functions.{BloomFns, KeyedBloom}
+    val keys = (0 until 300).map(i => s"item_$i")
+    val seen = keys.filter(_.hashCode % 3 == 0).toDF("k")
+    val blob = seen
+      .agg(BloomFns.bloomAgg(spark, xxhash64(col("k")), 128L, 1280L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probes = keys.toDF("k")
+      .withColumn("h", xxhash64(col("k")))
+      .withColumn("blob", lit(blob))
+      .withColumn("shard", lit(0L))
+    val got = probes.select(col("k"),
+        KeyedBloom.keyedMightContain(
+          spark, col("shard"), col("blob"), col("h")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val want = probes.select(col("k"),
+        BloomFns.mightContain(spark, lit(blob), col("h")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === want)
+    // and the filter genuinely discriminates on this fixture
+    assert(got.values.exists(identity) && got.values.exists(!_))
   }
 
   test("sharded variant with empty seen set keeps every batch row") {
