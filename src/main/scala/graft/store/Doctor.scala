@@ -53,7 +53,39 @@ object Doctor {
     names.filter(_.endsWith("_decon_grams")).foreach { idx =>
       issues ++= decontaminate(store, baseOf(idx, "_decon_grams"), names)
     }
+    names.foreach { t =>
+      store.bucketLayoutOf(t).foreach { case (n, pk) =>
+        issues ++= bucketedBase(store, t, n, pk)
+      }
+    }
     issues.result()
+  }
+
+  private def bucketedBase(
+      store: TableStore, table: String, buckets: Int, pk: Seq[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val df = store.read(table)
+    val cols = df.columns.toSet
+    val missing = (pk :+ store.BucketCol).filterNot(cols.contains)
+    if (missing.nonEmpty) {
+      out += Issue("bucketed-base", table,
+        s"declared layout names column(s) ${missing.mkString(", ")} the " +
+          "table no longer has — the bucket-scoped upsert cannot route " +
+          "(re-declare or rebuild)")
+      return out.result()
+    }
+    // a row filed under the wrong bucket still reads fine (scans don't
+    // prune by bucket unless asked) but breaks O(batch) maintenance:
+    // the next upsert of its pk rewrites a bucket that doesn't hold it,
+    // leaving the stale row behind — the Trigram misfiled-row invariant
+    val bad = df.filter(
+      col(store.BucketCol).cast("long") =!=
+        pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong))).count()
+    if (bad > 0)
+      out += Issue("bucketed-base", table,
+        s"$bad rows sit in the wrong pk bucket — an upsert of their pks " +
+          "would leave them stale (recompact via upsertBucketed rebuild)")
+    out.result()
   }
 
   private def trigram(store: TableStore, table: String): Seq[Issue] = {

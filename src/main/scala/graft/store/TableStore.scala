@@ -99,10 +99,141 @@ class TableStore(val spark: SparkSession, root: String) {
   }
 
   def upsert(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
-    writeSwapped(name, Upsert.upsert(readIfExists(name), incoming, pk))
+    bucketLayoutOf(name) match {
+      case Some((n, declaredPk)) =>
+        require(declaredPk == pk,
+          s"$name is bucketed on pk=${declaredPk.mkString(",")}; upsert " +
+            s"passed pk=${pk.mkString(",")} — refusing a mixed-key merge")
+        mergeBucketed(name, incoming, pk, n, ignore = false)
+      case None =>
+        writeSwapped(name, Upsert.upsert(readIfExists(name), incoming, pk))
+    }
 
   def insertIgnore(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
-    writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
+    bucketLayoutOf(name) match {
+      case Some((n, declaredPk)) =>
+        require(declaredPk == pk,
+          s"$name is bucketed on pk=${declaredPk.mkString(",")}; insertIgnore " +
+            s"passed pk=${pk.mkString(",")} — refusing a mixed-key merge")
+        mergeBucketed(name, incoming, pk, n, ignore = true)
+      case None =>
+        writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
+    }
+
+  // -------------------------------------------------------------------
+  // Bucketed base-table layout — the O(batch) upsert path. The plain
+  // upsert above rewrites the WHOLE table per batch (the documented
+  // lakehouse-MERGE seam); that is the last O(table) write in the
+  // engine, and at 100 TB it is untenable for the K1-K9 sinks. The
+  // same partition-scoped machinery the maintained indexes already
+  // use (FTS postings, IVF cells) applies to the base table itself:
+  // lay the table out as Hive partitions on pk_bucket =
+  // pmod(xxhash64(pk…), buckets), and a batch upsert then merges and
+  // dynamically overwrites ONLY the buckets its pks hash into —
+  // O(batch + touched buckets' data), not O(table). Size `buckets` so
+  // one bucket ≈ 100-500 MB at the target scale (task-sized), and at
+  // least the cluster parallelism you want for a full-table scan.
+  //
+  // The layout is DECLARED in a `_graft_layout` marker inside the
+  // table directory (underscore-prefixed: invisible to parquet scans
+  // and the file-stats walkers). Readers need no change — Hive
+  // partition discovery surfaces pk_bucket as a normal column, and
+  // plain `upsert`/`insertIgnore` auto-route through the bucket-scoped
+  // merge when the marker is present, so every existing sink gets the
+  // O(batch) path the moment its table is converted. A crash between
+  // the partitioned write and the marker write leaves a table that
+  // merely re-converts wholesale on the next upsert — never wrong,
+  // only once-slow.
+
+  /** Partition column carrying the pk-hash bucket of each row. */
+  val BucketCol = "pk_bucket"
+
+  private def layoutPath(name: String) = new Path(path(name), "_graft_layout")
+
+  /** The declared (buckets, pk columns) of a bucketed table, if any. */
+  def bucketLayoutOf(name: String): Option[(Int, Seq[String])] = {
+    val p = layoutPath(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val kv = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .linesIterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        Some((kv("buckets").toInt, kv("pk").split(",").toSeq))
+      } finally in.close()
+    }
+  }
+
+  private def writeBucketLayout(name: String, buckets: Int, pk: Seq[String]): Unit = {
+    val out = fs.create(layoutPath(name), true)
+    try out.write(s"buckets=$buckets\npk=${pk.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The bucket a pk tuple hashes into (the Fts/Trigram convention:
+    * xxhash64 then pmod, so the layout survives any pk type).
+    */
+  def bucketOfPk(pk: Seq[String], buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong))
+  }
+
+  /** Upsert into a pk-bucketed layout, converting the table on first
+    * use: a flat (or absent) table is rewritten once partitioned by
+    * [[BucketCol]] and the layout declared; thereafter every merge —
+    * including plain `upsert`/`insertIgnore` calls, which auto-route —
+    * rewrites only the buckets the batch touches.
+    */
+  def upsertBucketed(
+      name: String, incoming: DataFrame, pk: Seq[String], buckets: Int): Unit =
+    mergeBucketed(name, incoming, pk, buckets, ignore = false)
+
+  /** insertIgnore counterpart of [[upsertBucketed]]. */
+  def insertIgnoreBucketed(
+      name: String, incoming: DataFrame, pk: Seq[String], buckets: Int): Unit =
+    mergeBucketed(name, incoming, pk, buckets, ignore = true)
+
+  private def mergeBucketed(
+      name: String, incoming: DataFrame, pk: Seq[String], buckets: Int,
+      ignore: Boolean): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(pk.nonEmpty, "bucketed layout needs pk columns")
+    import org.apache.spark.sql.functions.col
+    def merge(ex: Option[DataFrame], inc: DataFrame) =
+      if (ignore) Upsert.insertIgnore(ex, inc, pk)
+      else Upsert.upsert(ex, inc, pk)
+    bucketLayoutOf(name) match {
+      case None =>
+        // first bucketed write — or one-time conversion of an existing
+        // flat table: full merge, full partitioned rewrite, declare
+        val merged = merge(readIfExists(name).map(df =>
+            if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df),
+          incoming)
+          .withColumn(BucketCol, bucketOfPk(pk, buckets))
+          .repartition(col(BucketCol))
+        writeSwapped(name, merged, Seq(BucketCol))
+        writeBucketLayout(name, buckets, pk)
+      case Some((n, declaredPk)) =>
+        require(n == buckets && declaredPk == pk,
+          s"$name declares (buckets=$n, pk=${declaredPk.mkString(",")}); " +
+            s"caller passed (buckets=$buckets, pk=${pk.mkString(",")})")
+        // touched buckets derive from the BATCH pks — a ≤`buckets`-row
+        // driver set, the same bounded pattern as the FTS affected set
+        val inc = incoming.withColumn(BucketCol, bucketOfPk(pk, buckets))
+        val touched = inc.select(col(BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // partition pruning keeps this scan to the touched dirs only
+        val ex = read(name).filter(col(BucketCol).isin(touched: _*))
+        // materialize severs the plan from the files the dynamic
+        // overwrite replaces in place (the overwritePartitions contract)
+        val merged = Iteration.materialize(
+          merge(Some(ex.drop(BucketCol)), incoming)
+            .withColumn(BucketCol, bucketOfPk(pk, buckets))
+            .repartition(col(BucketCol)))
+        overwritePartitions(name, merged, Seq(BucketCol))
+    }
+  }
 
   /** Absolute paths of the table's parquet part files (layout
     * inspection: compaction specs, per-file min/max locality checks).
@@ -188,6 +319,10 @@ class TableStore(val spark: SparkSession, root: String) {
     require(exists(name), s"no such table: $name")
     val (nBefore, bytes) = fileStats(name)
     val partCols = partitionColumnsOf(name)
+    // the swap replaces the whole directory, marker included — carry
+    // the bucket layout across or the next upsert silently falls back
+    // to the O(table) rewrite
+    val layout = bucketLayoutOf(name)
     val df = read(name)
     import org.apache.spark.sql.functions.col
     val shaped =
@@ -198,6 +333,9 @@ class TableStore(val spark: SparkSession, root: String) {
       if (sortBy.isEmpty) shaped
       else shaped.sortWithinPartitions((partCols ++ sortBy).map(col): _*)
     writeSwapped(name, sorted, partCols)
+    layout.foreach { case (n, pk) =>
+      if (partCols.contains(BucketCol)) writeBucketLayout(name, n, pk)
+    }
     (nBefore, fileStats(name)._1)
   }
 
