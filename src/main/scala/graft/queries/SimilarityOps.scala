@@ -289,23 +289,35 @@ object SimilarityOps {
   // is unchanged: the probe set (3 rows per query, broadcast) joins
   // candidates on the bucket key; margins sort in a bounded 8-element
   // array slice, never a corpus-side window.
-  def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    lshMultiprobeSearch(
+      Catalog.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("e")),
+      probeMax = 8L, k = 3)
+
+  /** The multiprobe search itself, over any (vec_id, e: array<double>)
+    * corpus: rows with vec_id < `probeMax` probe, the rest are
+    * candidates. Parameterized so quality suites can run the SAME plan
+    * on planted-neighborhood corpora (AnnRecallSpec), not just the
+    * testdata the oracle query pins.
+    */
+  private[graft] def lshMultiprobeSearch(
+      embIdE: DataFrame, probeMax: Long, k: Int): DataFrame = {
     import graft.store.Iteration.materialize
     val projCols = (0 until nPlanes).map { p =>
       val weights = typedLit((0 until dims).map(d => planeWeight(p, d)))
       dot(weights, col("e"))
     }
-    val emb = materialize(Catalog.table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val emb = materialize(embIdE
       .select(col("vec_id"), col("e"), array(projCols: _*).as("projs"),
         sqrt(dot(col("e"), col("e"))).as("norm"))
       .withColumn("bucket", concat((0 until nPlanes).map { p =>
         when(element_at(col("projs"), p + 1) > 0, lit("1")).otherwise(lit("0"))
       }: _*)))
-    val cands = emb.filter(col("vec_id") >= 8)
+    val cands = emb.filter(col("vec_id") >= probeMax)
       .select(col("vec_id").as("cand_id"), col("e").as("ce"),
         col("norm").as("cnorm"), col("bucket"))
-    val probes = emb.filter(col("vec_id") < 8)
+    val probes = emb.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("bucket"), col("projs"))
     // the 2 planes with the smallest |projection| per probe: bounded
@@ -326,7 +338,7 @@ object SimilarityOps {
     val scored = cands.join(broadcast(probeBuckets), Seq("bucket"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cosine"))
-    topKPerQuery(scored, 3)
+    topKPerQuery(scored, k)
   }
 
   val annLshMultiprobeSql: String = {

@@ -40,9 +40,14 @@ class AnnRecallSpec extends SparkSpec {
 
   /** Exact top-K ids per query under the given metric. */
   private def exactTopK(
-      metric: String, qSet: DataFrame = queries, k: Int = K): Map[Long, Set[Long]] = {
+      metric: String, qSet: DataFrame = queries, k: Int = K): Map[Long, Set[Long]] =
+    exactTopKOn(emb, metric, qSet, k)
+
+  private def exactTopKOn(
+      corpus: DataFrame, metric: String, qSet: DataFrame,
+      k: Int = K): Map[Long, Set[Long]] = {
     val q = qSet.select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+    val scored = corpus.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (metric match {
           case "cosine" => -dot(col("qe"), col("e")) /
@@ -170,6 +175,74 @@ class AnnRecallSpec extends SparkSpec {
     // probing every cell leaves only PQ quantization error — residual
     // coding must clear the flat-ADC floor on the same budget
     assert(r(16) >= 0.3, s"all-cells IVF+PQ recall floor: $r")
+  }
+
+  /** Planted-neighborhood corpus: `nClusters` deterministic seed
+    * vectors, each with `perCluster` small-noise perturbations, so
+    * every vector HAS genuine near neighbors (its cluster siblings).
+    * The driver's uniform-random embeddings have no neighborhood
+    * structure — every method's recall floors there sit near 0 and a
+    * real recall regression is invisible. Queries get the lowest ids
+    * (one member per cluster) to satisfy the probeMax convention.
+    */
+  private def plantedCorpus(
+      nClusters: Int, perCluster: Int, dims: Int): DataFrame = {
+    val rnd = new scala.util.Random(42) // fixed-seed LCG: deterministic
+    val seeds = Array.fill(nClusters, dims)(rnd.nextDouble() - 0.5)
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val v = seeds(c).map(x => x + (rnd.nextDouble() - 0.5) * 0.08)
+      val id =
+        if (m == 0) c.toLong // queries: ids 0..nClusters-1
+        else (nClusters + c * (perCluster - 1) + (m - 1)).toLong
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "e")
+  }
+
+  test("planted neighborhoods: TRAINED indexes clear real recall floors") {
+    // the production path end-to-end: persisted indexes built from
+    // kmeans-trained centroids (Ivf), trained codebooks (Pq inside
+    // IvfPq) — NOT the vec_id<16 seed convention the inline oracle
+    // queries pin — searched with the same plans as the tests above,
+    // on a corpus where neighbors exist to find
+    val nClusters = 16
+    val corpus = plantedCorpus(nClusters, 25, 64)
+    val qs = corpus.filter(col("vec_id") < nClusters)
+    val exactCos = exactTopKOn(corpus, "cosine", qs)
+    val exactL2 = exactTopKOn(corpus, "l2", qs)
+
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annp").toString)
+    Ivf.buildIndex(store, "pl", corpus, "vec_id", "e", k = nClusters, iters = 3)
+    val ivf = recall(resultSets(
+      Ivf.annTopK(store, "pl", qs, "vec_id", "e", K, nprobe = 2)), exactCos)
+    info(s"planted IVF (trained cells) recall@$K at nprobe=2: $ivf")
+    assert(ivf >= 0.5, s"planted IVF nprobe=2 recall floor: $ivf")
+
+    IvfPq.buildIndex(store, "plq", corpus, "vec_id", "e",
+      kCells = nClusters, slices = 8, subDim = 8, kCodes = 64, iters = 3)
+    val ivfpq = recall(resultSets(
+      IvfPq.annTopK(store, "plq", qs, "vec_id", "e", K, nprobe = 2)), exactL2)
+    info(s"planted IVF+PQ (trained cells+books) recall@$K at nprobe=2: $ivfpq")
+    assert(ivfpq >= 0.5, s"planted IVF+PQ nprobe=2 recall floor: $ivfpq")
+  }
+
+  test("planted neighborhoods: LSH multiprobe clears a real recall floor") {
+    val nClusters = 16
+    val corpus = plantedCorpus(nClusters, 25, 64)
+    // exact ranking restricted to the candidate side of the probeMax
+    // split (the search never returns other probes)
+    val exact = exactTopKOn(
+      corpus.filter(col("vec_id") >= nClusters), "cosine",
+      corpus.filter(col("vec_id") < nClusters))
+    val got = recall(resultSets(
+      graft.queries.SimilarityOps.lshMultiprobeSearch(
+        corpus, probeMax = nClusters.toLong, k = K)), exact)
+    info(s"planted LSH multiprobe recall@$K: $got")
+    assert(got >= 0.5, s"planted LSH multiprobe recall floor: $got")
   }
 
   test("JL sign projection: recall@10 rises with output dims and clears a floor") {
