@@ -57,8 +57,37 @@ object Doctor {
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
         issues ++= bucketedBase(store, t, n, pk)
       }
+      store.zorderLayoutOf(t).foreach { case (zCols, bits) =>
+        issues ++= zordered(store, t, zCols, bits)
+      }
     }
     issues.result()
+  }
+
+  private def zordered(
+      store: TableStore, table: String, zCols: Seq[String], bits: Int): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val df = store.read(table)
+    val cols = df.columns.toSet
+    val missing = zCols.filterNot(cols.contains)
+    if (missing.nonEmpty) {
+      out += Issue("zorder", table,
+        s"declared z-order column(s) ${missing.mkString(", ")} no longer " +
+          "exist — the clustering claim is stale (recompact or drop the marker)")
+      return out.result()
+    }
+    // values past [0, 2^bits) interleave only their low bits — rows
+    // far apart collide on the z-key and the clustering (and with it
+    // every pruneFiles answer's selectivity) silently degrades; the
+    // same invariant compactZorder enforces loudly at write time
+    val bad = df.filter(zCols.map(c =>
+        col(c).cast("long") < 0L || col(c).cast("long") >= (1L << bits))
+      .reduce(_ || _)).count()
+    if (bad > 0)
+      out += Issue("zorder", table,
+        s"$bad rows carry z-column values outside [0, 2^$bits) — " +
+          "out-of-band edit after compaction; re-run compactZorder")
+    out.result()
   }
 
   private def bucketedBase(

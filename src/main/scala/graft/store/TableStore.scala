@@ -383,6 +383,89 @@ class TableStore(val spark: SparkSession, root: String) {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
     writeSwapped(name, shaped, Nil)
+    // declare the clustering (the _graft_layout convention) so the
+    // prune path and Doctor know which columns the files localize on;
+    // any later whole-table rewrite deletes the marker with the dir —
+    // correct, since it also destroys the clustering
+    val out = fs.create(new Path(path(name), "_graft_zorder"), true)
+    try out.write(s"zcols=${zCols.mkString(",")}\nbits=$bits\n".getBytes("UTF-8"))
+    finally out.close()
     (nBefore, fileStats(name)._1)
+  }
+
+  /** The declared (zCols, bits) of a z-order-compacted table, if any. */
+  def zorderLayoutOf(name: String): Option[(Seq[String], Int)] = {
+    val p = new Path(path(name), "_graft_zorder")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val kv = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .linesIterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        Some((kv("zcols").split(",").toSeq, kv("bits").toInt))
+      } finally in.close()
+    }
+  }
+
+  /** Per-file [min, max] envelopes of integral columns, read from the
+    * parquet FOOTERS (no data pages touched) — the metadata half of
+    * file skipping. A column absent from a file's stats is absent from
+    * its map.
+    */
+  def fileEnvelopes(
+      name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(name).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val env = cols.flatMap { c =>
+          val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c).map(_.getStatistics))
+          if (stats.isEmpty || stats.exists(s =>
+              s == null || !s.hasNonNullValue)) None
+          else Some(c -> (
+            stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+        }.toMap
+        (f, env)
+      } finally r.close()
+    }
+  }
+
+  /** The files a stats-aware scan must open for a conjunction of
+    * closed-range predicates `col BETWEEN lo AND hi` — every file
+    * whose footer envelope overlaps ALL ranges (a file without stats
+    * for a predicate column is kept: can't prune what can't be
+    * proven). This is the READ-PATH dividend of `compactZorder`: after
+    * z-ordering on (x, y), a 2-dim box predicate keeps a small
+    * fraction of files, where plain `compact(sortBy = x)` keeps them
+    * all (ZOrderSpec measures both). At 100 TB this listing-level skip
+    * is what Delta/Iceberg data-skipping indexes do with the same
+    * stats; the engine-level analog (parquet row-group skipping via
+    * pushed filters) additionally prunes WITHIN the files kept here.
+    */
+  def pruneFiles(
+      name: String, preds: Seq[(String, Long, Long)]): Seq[String] =
+    fileEnvelopes(name, preds.map(_._1)).collect {
+      case (f, env) if preds.forall { case (c, lo, hi) =>
+        env.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => f
+    }
+
+  /** Read only the files [[pruneFiles]] keeps for `preds` — result
+    * equals the full scan filtered to the same ranges (pruned files
+    * provably hold no matching rows). The caller still applies the
+    * row-level filter; this trims the FILE list.
+    */
+  def readPruned(
+      name: String, preds: Seq[(String, Long, Long)]): DataFrame = {
+    val keep = pruneFiles(name, preds)
+    if (keep.isEmpty)
+      read(name).limit(0)
+    else spark.read.parquet(keep: _*)
   }
 }

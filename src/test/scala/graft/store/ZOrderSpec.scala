@@ -72,4 +72,75 @@ class ZOrderSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(back === rows.toSet)
   }
+
+  test("footer-stats pruning reads fewer files after z-order than plain compact") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zread").toString)
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    store.overwrite("pts", rows.toDF("id", "x", "y"))
+    // the 2-dim box predicate a feature-lookup pipeline runs
+    val box = Seq(("x", 8L, 15L), ("y", 40L, 47L))
+    val want = rows.filter(r =>
+      r._2 >= 8 && r._2 <= 15 && r._3 >= 40 && r._3 <= 47).toSet
+
+    store.compact("pts", sortBy = Seq("x"), targetBytes = 2L << 10)
+    val plainTotal = store.dataFiles("pts").size
+    val plainKept = store.pruneFiles("pts", box).size
+    assert(plainTotal > 4, "need real fragmentation to measure pruning")
+
+    store.compactZorder("pts", Seq("x", "y"), bits = 6, targetBytes = 2L << 10)
+    val zTotal = store.dataFiles("pts").size
+    val zKept = store.pruneFiles("pts", box).size
+    info(s"box scan opens $plainKept/$plainTotal files plain-sorted, " +
+      s"$zKept/$zTotal z-ordered")
+    assert(zKept < plainKept,
+      s"z-order must prune MORE files: plain $plainKept/$plainTotal vs " +
+        s"z $zKept/$zTotal")
+    assert(zKept < zTotal, "the box predicate must not open every z file")
+
+    // pruning is sound: the pruned read filtered to the box equals the
+    // full scan filtered to the box
+    val got = store.readPruned("pts", box)
+      .filter(col("x").between(8, 15) && col("y").between(40, 47))
+      .select(col("id"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+
+    // an empty box prunes everything and reads nothing
+    assert(store.pruneFiles("pts", Seq(("x", 1000L, 2000L))).isEmpty)
+    assert(store.readPruned("pts", Seq(("x", 1000L, 2000L))).count() === 0L)
+  }
+
+  test("Doctor verifies the declared z-order artifact") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zdoc").toString)
+    val rows = (0 until 512).map(i => (i.toLong, i.toLong % 32L, i.toLong / 32L))
+    store.overwrite("pts", rows.toDF("id", "x", "y"))
+    store.compactZorder("pts", Seq("x", "y"), bits = 5, targetBytes = 2L << 10)
+    assert(store.zorderLayoutOf("pts") === Some((Seq("x", "y"), 5)))
+    assert(Doctor.check(store).filter(_.component == "zorder").isEmpty)
+
+    // out-of-band edit shoves values past 2^bits: clustering silently
+    // broken, Doctor must say so. overwrite would drop the marker (and
+    // legitimately so), so corrupt the rows via an in-place partition
+    // trick: rewrite the files directly through a fresh store dir swap
+    val corrupted = Iteration.materialize(
+      store.read("pts").withColumn("x", col("x") + lit(100L)))
+    store.overwrite("pts", corrupted)
+    assert(store.zorderLayoutOf("pts") === None,
+      "a whole-table rewrite legitimately clears the marker")
+    // re-declare by hand (simulating the marker surviving a partial
+    // out-of-band edit)
+    val tdir = new org.apache.hadoop.fs.Path(
+      store.dataFiles("pts").head).getParent
+    val fs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tdir, "_graft_zorder"), true)
+    out.write("zcols=x,y\nbits=5\n".getBytes("UTF-8"))
+    out.close()
+    val issues = Doctor.check(store).filter(_.component == "zorder")
+    assert(issues.exists(_.problem.contains("outside")))
+  }
 }
