@@ -41,6 +41,11 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         touching the given pks
   *                                         (bucket-pruned probe)
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
+  *   bucketize <store> <table> <pk,...> <buckets>  convert to the
+  *                                         pk-bucket layout (O(batch)
+  *                                         upserts thereafter)
+  *   prune-files <store> <table> <col:lo:hi,...>  files a stats-aware
+  *                                         scan opens for the ranges
   *   compact <store> <table> [sortCol,...] bin-pack fragmented files
   *                                         (optionally sort-clustered)
   *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
@@ -197,6 +202,25 @@ object Cli {
         val nAfter = store.read(table).count()
         println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
           s" ($nAfter rows remain, key=$pk)")
+      case "bucketize" =>
+        // bucketize <store> <table> <pk,...> <buckets> — one-time
+        // conversion to the pk-bucket layout; every later upsert
+        // rewrites only touched buckets
+        store.bucketize(args(2), args(3).split(",").toSeq, args(4).toInt)
+        println(s"[bucketize] ${args(2)}: ${args(4)} buckets on pk " +
+          s"(${args(3)}) — upserts now rewrite touched buckets only")
+      case "prune-files" =>
+        // prune-files <store> <table> <col:lo:hi,...> — how many files
+        // a stats-aware scan opens for the range conjunction (the
+        // compact-z read-path dividend)
+        val preds = args(3).split(",").toSeq.map { s =>
+          val Array(c, lo, hi) = s.split(":", 3)
+          (c, lo.toLong, hi.toLong)
+        }
+        val total = store.dataFiles(args(2)).size
+        val kept = store.pruneFiles(args(2), preds).size
+        println(s"[prune-files] ${args(2)}: $kept of $total files " +
+          s"overlap ${args(3)}")
       case "compact" =>
         // compact <store> <table> [sortCol,...] — bin-pack a
         // fragmented table's files, optionally sort-clustering rows

@@ -194,6 +194,18 @@ class TableStore(val spark: SparkSession, root: String) {
       name: String, incoming: DataFrame, pk: Seq[String], buckets: Int): Unit =
     mergeBucketed(name, incoming, pk, buckets, ignore = true)
 
+  /** One-time conversion of an existing table to the bucketed layout
+    * (one full rewrite, the last this table ever pays): every later
+    * plain `upsert`/`insertIgnore` — the K1-K9 sinks' call shape —
+    * auto-routes through the O(batch) bucket-scoped merge.
+    */
+  def bucketize(name: String, pk: Seq[String], buckets: Int): Unit = {
+    require(exists(name), s"no such table: $name")
+    require(bucketLayoutOf(name).isEmpty,
+      s"$name already declares a bucket layout")
+    mergeBucketed(name, read(name).limit(0), pk, buckets, ignore = false)
+  }
+
   private def mergeBucketed(
       name: String, incoming: DataFrame, pk: Seq[String], buckets: Int,
       ignore: Boolean): Unit = {

@@ -114,6 +114,26 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(store.read("t").count() === 101L)
   }
 
+  test("bucketize converts in place; the ingest-sink call shape goes O(batch)") {
+    val store = freshStore()
+    // the K1 shape: tweets land flat first, then ops converts once
+    store.upsert("tweets", rows(0 until 400), Seq("id"))
+    store.bucketize("tweets", Seq("id"), buckets = 64)
+    assert(store.bucketLayoutOf("tweets") === Some((64, Seq("id"))))
+    assert(store.read("tweets").count() === 400L)
+    val before = store.dataFiles("tweets").toSet
+    store.upsert("tweets", Seq((9L, "edited")).toDF("id", "v"), Seq("id"))
+    val after = store.dataFiles("tweets").toSet
+    val changedBuckets = ((before diff after) ++ (after diff before))
+      .map(p => p.split("/").find(_.startsWith("pk_bucket=")).getOrElse(p))
+    assert(changedBuckets.size === 1,
+      s"post-bucketize upsert rewrote ${changedBuckets.size} buckets")
+    assert(store.read("tweets").count() === 400L)
+    intercept[IllegalArgumentException] {
+      store.bucketize("tweets", Seq("id"), buckets = 32) // already declared
+    }
+  }
+
   test("layout mismatches are refused loudly") {
     val store = freshStore()
     store.upsertBucketed("t", rows(0 until 20), Seq("id"), buckets = 10)
