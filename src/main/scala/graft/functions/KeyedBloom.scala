@@ -55,10 +55,21 @@ case class KeyedBloomMightContain(
         s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
   }
 
-  // per-task instance (tasks deserialize their own expression copy):
-  // bounded by the distinct shard keys a task sees
+  // Per-task instance (tasks deserialize their own expression copy),
+  // LRU-bounded as a memory safety valve. The bound never bites in a
+  // sane plan: under a shuffle join each task sees only its own
+  // shards' rows (cache ≈ shards / tasks entries), and the planner
+  // only picks a broadcast join when the total blob table is small
+  // (within the broadcast threshold), so even caching every shard it
+  // streams stays bounded by that same small total. Only a
+  // pathological plan (huge blobs side force-broadcast) would evict —
+  // degrading to re-deserialization, never to OOM.
   @transient private lazy val cache =
-    new java.util.HashMap[java.lang.Long, BloomFilter]()
+    new java.util.LinkedHashMap[java.lang.Long, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long, BloomFilter]): Boolean =
+        size() > 64
+    }
 
   override protected def nullSafeEval(key: Any, blob: Any, hash: Any): Any = {
     val k = key.asInstanceOf[java.lang.Long]

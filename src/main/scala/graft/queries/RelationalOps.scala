@@ -355,6 +355,10 @@ object RelationalOps {
       .groupBy(pmod(xxhash64(col(keyCol)), lit(shards.toLong)).as("_shard"))
       .agg(BloomFns.bloomAgg(spark, xxhash64(col(keyCol)),
         expectedItemsPerShard, numBitsPerShard).as("_bf")))
+    // zero seen rows ⇒ zero shard blobs ⇒ everything is new — skip
+    // the join pipeline entirely (the common cold-start batch); the
+    // probe on the pinned frame is one cheap partition peek
+    if (blobs.isEmpty) return batch
     val flagged = batch
       .withColumn("_shard", pmod(h, lit(shards.toLong)))
       .join(blobs, Seq("_shard"), "left")

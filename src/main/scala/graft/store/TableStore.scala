@@ -230,20 +230,47 @@ class TableStore(val spark: SparkSession, root: String) {
         require(n == buckets && declaredPk == pk,
           s"$name declares (buckets=$n, pk=${declaredPk.mkString(",")}); " +
             s"caller passed (buckets=$buckets, pk=${pk.mkString(",")})")
-        // touched buckets derive from the BATCH pks — a ≤`buckets`-row
-        // driver set, the same bounded pattern as the FTS affected set
-        val inc = incoming.withColumn(BucketCol, bucketOfPk(pk, buckets))
-        val touched = inc.select(col(BucketCol)).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        // partition pruning keeps this scan to the touched dirs only
-        val ex = read(name).filter(col(BucketCol).isin(touched: _*))
-        // materialize severs the plan from the files the dynamic
-        // overwrite replaces in place (the overwritePartitions contract)
-        val merged = Iteration.materialize(
-          merge(Some(ex.drop(BucketCol)), incoming)
+        // pinned ONCE: the batch plan feeds the touched-bucket set,
+        // the schema probe, and the merge — an expensive incoming
+        // frame (a streaming sink's join output) must not re-execute
+        // per consumer
+        val inc = Iteration.materialize(
+          incoming.withColumn(BucketCol, bucketOfPk(pk, buckets)))
+        val existing = read(name)
+        // Upsert's schema-evolution contract (alter=True: unionByName
+        // allowMissingColumns) is all-or-nothing per table — evolving
+        // only the touched buckets would leave mixed file schemas, and
+        // a later read would surface whichever subset parquet sampled.
+        // A batch carrying NEW columns therefore pays one full
+        // partitioned rewrite (rare: schema changes, not data growth,
+        // trigger it). A batch with FEWER columns (null-fill) merges
+        // to the existing schema and stays on the O(touched) path, as
+        // does the transient __ord column (dropped by the merge).
+        val widens = (inc.columns.toSet - Upsert.OrdCol)
+          .exists(!existing.columns.contains(_))
+        if (widens) {
+          val merged = merge(Some(existing.drop(BucketCol)), inc.drop(BucketCol))
             .withColumn(BucketCol, bucketOfPk(pk, buckets))
-            .repartition(col(BucketCol)))
-        overwritePartitions(name, merged, Seq(BucketCol))
+            .repartition(col(BucketCol))
+          writeSwapped(name, merged, Seq(BucketCol))
+          writeBucketLayout(name, buckets, pk)
+        } else {
+          // touched buckets derive from the BATCH pks — a ≤`buckets`-
+          // row driver set, the same bounded pattern as the FTS
+          // affected set
+          val touched = inc.select(col(BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          // partition pruning keeps this scan to the touched dirs only
+          val ex = existing.filter(col(BucketCol).isin(touched: _*))
+          // materialize severs the plan from the files the dynamic
+          // overwrite replaces in place (the overwritePartitions
+          // contract)
+          val merged = Iteration.materialize(
+            merge(Some(ex.drop(BucketCol)), inc.drop(BucketCol))
+              .withColumn(BucketCol, bucketOfPk(pk, buckets))
+              .repartition(col(BucketCol)))
+          overwritePartitions(name, merged, Seq(BucketCol))
+        }
     }
   }
 
@@ -478,6 +505,10 @@ class TableStore(val spark: SparkSession, root: String) {
     val keep = pruneFiles(name, preds)
     if (keep.isEmpty)
       read(name).limit(0)
-    else spark.read.parquet(keep: _*)
+    else
+      // basePath keeps Hive partition discovery working on leaf-file
+      // reads, so a partitioned table's partition columns survive and
+      // both branches return the same schema as read(name)
+      spark.read.option("basePath", path(name)).parquet(keep: _*)
   }
 }

@@ -112,8 +112,12 @@ object StreamDecontaminate {
     val writer: DataStreamWriter[Row] = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
+    // ONE sink closure for the query's lifetime — constructing it
+    // inside the lambda would re-read the bloom blob every batch,
+    // which is exactly what the sink's read-once design avoids
+    val sink = decontaminateSink(store, table, pkCol, textCol)
     writer.foreachBatch { (batch: DataFrame, id: Long) =>
-      decontaminateSink(store, table, pkCol, textCol)(batch, id)
+      sink(batch, id)
     }.start()
   }
 }

@@ -52,18 +52,27 @@ object StreamHeavyHitters {
 
   def sketchName(table: String): String = s"${table}_hh"
 
-  /** Stored (run_id, max batch_id) watermark, if the sketch exists.
-    * run_id is None on pre-run_id legacy sketches.
+  /** Stored (run_id, max batch_id) watermark, if the sketch exists
+    * and is watermark-shaped. Degenerate states — no batch_id column,
+    * zero rows, NULL batch_id — are exactly what Doctor reports on
+    * out-of-band rewrites; the sink must treat them as "no watermark"
+    * (merge, overwriting the broken sketch) rather than crash the
+    * query on every batch. run_id is None on pre-run_id legacy
+    * sketches.
     */
   private def watermark(
       store: TableStore, table: String): Option[(Option[String], Long)] =
-    store.readIfExists(sketchName(table)).map { sk =>
-      val b = sk.agg(max(col("batch_id"))).head.getLong(0)
-      val r =
-        if (sk.columns.contains("run_id"))
-          Option(sk.select(col("run_id")).head.getString(0))
-        else None
-      (r, b)
+    store.readIfExists(sketchName(table)).flatMap { sk =>
+      if (!sk.columns.contains("batch_id")) None
+      else sk.agg(max(col("batch_id"))).collect().headOption
+        .filter(!_.isNullAt(0)).map { r =>
+          val runId =
+            if (sk.columns.contains("run_id"))
+              sk.select(col("run_id")).limit(1).collect()
+                .headOption.flatMap(row => Option(row.getString(0)))
+            else None
+          (runId, r.getLong(0))
+        }
     }
 
   /** The current (item, cnt) counters (sentinel rows filtered). */
@@ -92,9 +101,14 @@ object StreamHeavyHitters {
           .groupBy(col("item"))
           .agg(count(lit(1)).as("cnt"))
         // pinned ONCE: the frame feeds the top-(k+1) read AND the
-        // bounded rewrite, and it reads the table the swap replaces
+        // bounded rewrite, and it reads the table the swap replaces.
+        // A non-sketch-shaped table (the out-of-band state Doctor
+        // reports) contributes nothing and gets overwritten by the
+        // swap below — same no-crash contract as the watermark read.
         val summed = Iteration.materialize(
           store.readIfExists(sketchName(table))
+            .filter(sk => sk.columns.contains("item") &&
+              sk.columns.contains("cnt"))
             .map(_.filter(col("item").isNotNull)
               .select(col("item"), col("cnt")).unionByName(counts))
             .getOrElse(counts)

@@ -134,6 +134,43 @@ class BucketedUpsertSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution rewrites all buckets; narrow batches stay O(batch)") {
+    val store = freshStore()
+    store.upsertBucketed("t", rows(0 until 120), Seq("id"), buckets = 24)
+
+    // a batch with a NEW column must evolve the WHOLE table — mixed
+    // per-bucket schemas would make read() surface whichever subset
+    // parquet sampled
+    store.upsert("t",
+      Seq((5L, "x", 3.5)).toDF("id", "v", "score"), Seq("id"))
+    val evolved = store.read("t")
+    assert(evolved.columns.toSet === Set("id", "v", "score", "pk_bucket"))
+    assert(evolved.filter(col("id") === 5L)
+      .select(col("score")).head.getDouble(0) === 3.5)
+    assert(evolved.filter(col("score").isNotNull).count() === 1L)
+    assert(store.bucketLayoutOf("t") === Some((24, Seq("id"))))
+
+    // a batch with FEWER columns than the table null-fills and stays
+    // on the touched-buckets path
+    val before = store.dataFiles("t").toSet
+    store.upsert("t", Seq(Tuple1(200L)).toDF("id"), Seq("id"))
+    val after = store.dataFiles("t").toSet
+    assert((before intersect after).nonEmpty,
+      "narrow batch should not trigger a full rewrite")
+    assert(store.read("t").count() === 121L)
+  }
+
+  test("readPruned keeps partition columns on a bucketed table") {
+    val store = freshStore()
+    store.upsertBucketed("t", rows(0 until 200), Seq("id"), buckets = 20)
+    val preds = Seq(("id", 0L, 50L))
+    val pruned = store.readPruned("t", preds)
+    assert(pruned.columns.toSet === store.read("t").columns.toSet)
+    val got = pruned.filter(col("id").between(0, 50))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === (0L to 50L).toSet)
+  }
+
   test("layout mismatches are refused loudly") {
     val store = freshStore()
     store.upsertBucketed("t", rows(0 until 20), Seq("id"), buckets = 10)

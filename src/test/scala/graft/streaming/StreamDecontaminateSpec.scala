@@ -19,8 +19,17 @@ class StreamDecontaminateSpec extends SparkSpec {
 
   test("contaminated docs quarantine; clean and short docs land") {
     implicit val sqlCtx = spark.sqlContext
+    // counting store: the WIRE path (writeDecontaminated) must hold
+    // the read-once blob contract across micro-batches, not just a
+    // hand-held sink closure
+    var bloomReads = 0
     val store = new TableStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-sdc").toString)
+      java.nio.file.Files.createTempDirectory("graft-sdc").toString) {
+      override def read(name: String) = {
+        if (name == StreamDecontaminate.bloomName("docs")) bloomReads += 1
+        super.read(name)
+      }
+    }
     StreamDecontaminate.install(store, "docs",
       Seq(evalText).toDF("text"), "text",
       expectedItems = 64L, numBits = 640L)
@@ -50,6 +59,8 @@ class StreamDecontaminateSpec extends SparkSpec {
       q.processAllAvailable()
       assert(store.read(StreamDecontaminate.quarantineName("docs")).count() === 1L)
       assert(store.read("docs").count() === 2L)
+      assert(bloomReads === 1,
+        s"wire path fetched the blob $bloomReads times across 2 batches")
     } finally q.stop()
   }
 

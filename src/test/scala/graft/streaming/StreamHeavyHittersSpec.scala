@@ -86,6 +86,27 @@ class StreamHeavyHittersSpec extends SparkSpec {
     assert(counters() === Map("hot" -> 17L))
   }
 
+  test("a degenerate sketch (out-of-band rewrite) is overwritten, not a crash loop") {
+    val store = freshStore()
+    val sink = StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 8)
+    // the exact state Doctor reports: a *_hh table that is not
+    // sketch-shaped — the sink must treat it as no-watermark and
+    // replace it, not AnalysisException on every batch
+    store.overwrite(StreamHeavyHitters.sketchName("terms"),
+      Seq((0L, "junk")).toDF("batch_id", "whatever"))
+    sink(Seq.fill(4)("hot").toDF("term"), 0L)
+    assert(StreamHeavyHitters.counters(store, "terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("hot" -> 4L))
+    // a 0-row sketch likewise
+    store.overwrite(StreamHeavyHitters.sketchName("terms"),
+      store.read(StreamHeavyHitters.sketchName("terms")).limit(0))
+    sink(Seq.fill(3)("hot").toDF("term"), 1L)
+    assert(StreamHeavyHitters.counters(store, "terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("hot" -> 3L))
+  }
+
   test("an all-tied overflow still advances the watermark via the sentinel") {
     val store = freshStore()
     val sink = StreamHeavyHitters.heavyHittersSink(store, "terms", "term", 2)
