@@ -41,6 +41,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         touching the given pks
   *                                         (bucket-pruned probe)
   *   dedup-stream <store> <table> <pk> <text>  exact-dedup a table
+  *   fetch <url> <auth.json>               authenticated GET, pretty-
+  *                                         printed (S16, cli.py:39-52)
+  *   auth <auth.json>                      prompt + save credentials
+  *                                         (S17, cli.py:55-83)
   *   bucketize <store> <table> <pk,...> <buckets>  convert to the
   *                                         pk-bucket layout (O(batch)
   *                                         upserts thereafter)
@@ -202,6 +206,34 @@ object Cli {
         val nAfter = store.read(table).count()
         println(s"[dedup] ${nBefore - nAfter} duplicates removed" +
           s" ($nAfter rows remain, key=$pk)")
+      case "fetch" =>
+        // fetch <url> <auth.json> — authenticated GET, pretty-printed
+        // (cli.py:39-52). Signing and rendering are the spec-covered
+        // pure parts; the transport below is the one un-sandboxable
+        // line (a plain JDK GET with the signed header).
+        val creds = graft.sources.AuthFile.load(args(2))
+        graft.sources.Fetch.run(args(1), creds,
+          http = (url, headers) => {
+            val conn = java.net.URI.create(url).toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+            val in = conn.getInputStream
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          },
+          out = println)
+      case "auth" =>
+        // auth <auth.json> — prompt credentials, write the token file
+        // (cli.py:55-83)
+        graft.sources.AuthPrompt.run(
+          prompt = p => { print(p); scala.io.StdIn.readLine() },
+          echo = println,
+          write = s => {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(args(1)),
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ()
+          })
       case "bucketize" =>
         // bucketize <store> <table> <pk,...> <buckets> — one-time
         // conversion to the pk-bucket layout; every later upsert

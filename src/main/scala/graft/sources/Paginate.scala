@@ -127,6 +127,14 @@ object Paginate {
   def batched[T](ids: Iterable[T], batchSize: Int): Iterator[Seq[T]] =
     ids.grouped(batchSize).map(_.toSeq)
 
+  /** A3: tick a [[Progress]] by each chunk's size as it streams
+    * through — `update(len(users_chunk))` in the reference's
+    * follower-import loop (cli.py:143-149).
+    */
+  def withProgress[T](
+      pages: Iterator[Seq[T]], progress: Progress): Iterator[Seq[T]] =
+    pages.map { page => progress.update(page.size.toLong); page }
+
   /** Stop requesting pages once `cap` total items have been served —
     * the home-timeline shape, where the API caps the scan at 800
     * (cli.py:395): the page that crosses the cap is kept (the server
