@@ -99,6 +99,35 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("sources").count() === 1)
   }
 
+  test("K8 sink auto-routes through a bucketized tweets table") {
+    val store = freshStore()
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-chkb").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamNormalize.start(mem.toDF(), store, checkpoint)
+    mem.addData(streamingTweet)
+    q.processAllAvailable()
+
+    // ops bucketizes the hot table once; the sink's plain upsert then
+    // auto-routes through the O(touched-buckets) merge
+    store.bucketize("tweets", Seq("id"), buckets = 16)
+    val before = store.dataFiles("tweets").toSet
+    mem.addData(restTweet)
+    q.processAllAvailable()
+    val after = store.dataFiles("tweets").toSet
+    assert((before intersect after).nonEmpty,
+      "bucketed stream upsert fell back to a full rewrite")
+    assert(store.read("tweets").count() === 3)
+
+    // redelivery converges through the bucketed path too
+    mem.addData(restTweet)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("tweets").count() === 3)
+    assert(store.bucketLayoutOf("tweets") === Some((16, Seq("id"))))
+  }
+
   test("event-time tumbling window with watermark drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
