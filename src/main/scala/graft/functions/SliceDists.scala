@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native per-subspace squared-L2 — the product-quantization inner
+  * loop (encode argmin and ADC LUT build both start from it). One
+  * row-level pass replaces a `slices`-wide array of interpreted
+  * higher-order chains (`aggregate(zip_with(slice…, slice…))` per
+  * subspace): per (vector, centroid) row the HOF form allocates 3
+  * intermediate arrays per subspace and evaluates every lambda
+  * through the interpreter, which dominates the PQ queries' profile
+  * exactly as the gram chains dominated the text queries' before
+  * round 5's CharGrams/WordGrams (same displacement, same reasoning
+  * — SURVEY.md §4.3 expression-over-UDF order).
+  *
+  * BIT-EXACT by construction: each subspace distance is the same
+  * sequential left-fold `((0+d0)+d1)+…` over the same index order the
+  * HOF chain (and the DuckDB oracle's list_reduce) evaluates, so the
+  * oracle rows cannot move. GramsSpec-style parity is pinned in
+  * SliceDistsSpec.
+  *
+  * CodegenFallback: one virtual call per row vs slices×subDim fused
+  * multiplies — the loop dwarfs it (the MinHashSig trade).
+  */
+case class SliceL2Dists(
+    left: Expression, right: Expression, slices: Int, subDim: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(slices >= 1 && subDim >= 1,
+    s"slices/subDim must be positive: $slices/$subDim")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", IntegerType, nullable = false),
+      StructField("d", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "slice_l2_dists"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val need = slices * subDim
+    require(av.numElements() >= need && bv.numElements() >= need,
+      s"$prettyName: vectors must hold at least $need elements " +
+        s"(got ${av.numElements()}, ${bv.numElements()})")
+    val out = new Array[Any](slices)
+    var s = 0
+    while (s < slices) {
+      var acc = 0.0
+      var i = s * subDim
+      val end = i + subDim
+      while (i < end) {
+        val d = av.getDouble(i) - bv.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      out(s) = InternalRow(s, acc)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SliceL2Dists =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native sequential left-fold dot product — the cosine family's
+  * inner loop (brute-force top-k, IVF assignment, semantic dedup,
+  * embedding near-dup, k-means, LSH projections all start from it).
+  * Same displacement as [[SliceL2Dists]]: the HOF chain
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates an
+  * intermediate product array and interprets two lambdas per element.
+  *
+  * BIT-EXACT: `((0+p0)+p1)+…` in index order, matching both the HOF
+  * form and the DuckDB oracle's list_reduce. NULL-faithful to the HOF
+  * chain: any null element — including zip_with's padding when the
+  * arrays' lengths differ — nulls the whole sum.
+  */
+case class DotFold(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_fold"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    if (bv.numElements() != n) return null // zip_with pads with null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (av.isNullAt(i) || bv.isNullAt(i)) return null
+      acc += av.getDouble(i) * bv.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFold =
+    copy(left = newLeft, right = newRight)
+}
+
+object SliceDists {
+  def register(spark: SparkSession): Unit = {
+    // idempotent on the hot path (the BloomFns guard pattern)
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("slice_l2_dists")))
+      reg.createOrReplaceTempFunction(
+        "slice_l2_dists",
+        exprs => {
+          val n = exprs(2).eval()
+          val m = exprs(3).eval()
+          require(n != null && m != null,
+            "slice_l2_dists: slices/subDim must be non-null literals")
+          SliceL2Dists(exprs(0), exprs(1),
+            n.asInstanceOf[Number].intValue, m.asInstanceOf[Number].intValue)
+        },
+        "scala_udf")
+  }
+
+  /** Array of (s, d) structs: per-subspace squared L2 of `a` vs `b`. */
+  def sliceL2(
+      spark: SparkSession, a: Column, b: Column,
+      slices: Int, subDim: Int): Column = {
+    register(spark)
+    call_function("slice_l2_dists", a, b, lit(slices), lit(subDim))
+  }
+
+  def registerDot(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_fold")))
+      reg.createOrReplaceTempFunction(
+        "dot_fold", exprs => DotFold(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Sequential left-fold dot product of two array<double> columns. */
+  def dotFold(spark: SparkSession, a: Column, b: Column): Column = {
+    registerDot(spark)
+    call_function("dot_fold", a, b)
+  }
+}

@@ -23,7 +23,8 @@ object SimilarityOps {
 
   /** Sequential left-fold dot product (codegen'd higher-order fns). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -634,17 +635,15 @@ object SimilarityOps {
 
   /** Per-slice squared-L2 between vector columns `a` and `b`:
     * array of (s, d) structs, one per subspace, each a sequential
-    * left-fold (bit-exact vs the oracle).
+    * left-fold (bit-exact vs the oracle). Native one-pass loop
+    * ([[graft.functions.SliceL2Dists]]) — the interpreted
+    * aggregate(zip_with(slice…)) chain it replaced dominated the PQ
+    * queries' profile (SliceDistsSpec pins bit-for-bit parity with
+    * that chain).
     */
   private def pqSliceDists(a: Column, b: Column): Column =
-    array((0 until pqSlices).map { s =>
-      struct(lit(s).as("s"),
-        aggregate(
-          zip_with(slice(a, s * pqSubDim + 1, pqSubDim),
-            slice(b, s * pqSubDim + 1, pqSubDim),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d"))
-    }: _*)
+    graft.functions.SliceDists.sliceL2(
+      org.apache.spark.sql.SparkSession.active, a, b, pqSlices, pqSubDim)
 
   private def pqEmb(spark: SparkSession, sfDir: String): DataFrame =
     Catalog.table(spark, sfDir, "embeddings")

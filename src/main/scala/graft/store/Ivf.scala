@@ -36,7 +36,8 @@ object Ivf {
   private val CellCol = "cell"
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Assign each (pk, e) row its nearest centroid by cosine:
     * (pk, e, norm, cell). Broadcast centroids, max_by partial agg —

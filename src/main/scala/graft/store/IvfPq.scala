@@ -47,7 +47,8 @@ object IvfPq {
   def mapName(table: String): String = s"${table}_ivfpq_map"
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Nearest-cell assignment + residual: (pk, cell, r). Broadcast
     * centroids, max_by partial agg — one row per vector crosses the

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object Kmeans {
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Train `k` centroids for `iters` rounds. Seeds with the k
     * lowest-id vectors (deterministic); empty cells keep their

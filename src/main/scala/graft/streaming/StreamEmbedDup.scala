@@ -36,7 +36,8 @@ object StreamEmbedDup {
   def dupsName(table: String): String = s"${table}_emb_dups"
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** foreachBatch handler: maintain cells, probe, verify, record. */
   def embedDupSink(

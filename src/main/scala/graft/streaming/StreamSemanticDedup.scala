@@ -44,7 +44,8 @@ object StreamSemanticDedup {
   def dupsName(table: String): String = s"${table}_sem_dups"
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.dotFold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** foreachBatch handler: maintain the index, ADC-screen, verify
     * exactly, record.

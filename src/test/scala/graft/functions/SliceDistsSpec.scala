@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native per-subspace L2 loop must be a DROP-IN replacement for
+  * the declarative aggregate(zip_with(slice…)) chain it displaced —
+  * same structs, same order, bit-identical doubles — because the PQ
+  * oracle queries' every distance flows through it.
+  */
+class SliceDistsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val slices = 8
+  private val subDim = 8
+
+  private def hofChain(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    array((0 until slices).map { s =>
+      struct(lit(s).as("s"),
+        aggregate(
+          zip_with(slice(a, s * subDim + 1, subDim),
+            slice(b, s * subDim + 1, subDim),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+    }: _*)
+
+  test("native slice distances equal the HOF chain bit-for-bit") {
+    // deterministic pseudo-random doubles incl. negatives/irrationals
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        (0 until 64).map(d => math.sin(i * 64 + d) * 10.0),
+        (0 until 64).map(d => math.cos(i * 64 + d) * 10.0))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        SliceDists.sliceL2(spark, col("a"), col("b"), slices, subDim).as("sd"))
+      .select(col("id"), explode(col("sd")).as("x"))
+      .select(col("id"), col("x.s"), col("x.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val want = df.select(col("id"), explode(hofChain(col("a"), col("b"))).as("x"))
+      .select(col("id"), col("x.s"), col("x.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 50 * slices)
+    // exact double equality — the fold order must match, not just the sum
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, want(k)) === 0, s"$k: $v != ${want(k)}")
+    }
+  }
+
+  test("native dot fold equals the HOF chain bit-for-bit, nulls included") {
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        (0 until 64).map(d => math.sin(i * 64 + d) * 10.0),
+        (0 until 64).map(d => math.cos(i * 64 + d) * 10.0))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val both = df.select(col("id"),
+        SliceDists.dotFold(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) === 0,
+        s"id ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+    // zip_with pads mismatched lengths with null → null sum; the
+    // native fold must agree
+    val mism = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(SliceDists.dotFold(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
+  test("SQL registry + undersized vectors fail loudly") {
+    SliceDists.register(spark)
+    val r = spark.sql(
+      "SELECT slice_l2_dists(array(1.0d, 2.0d), array(3.0d, 5.0d), 2, 1) AS sd")
+      .select(explode(col("sd")).as("x")).select(col("x.d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(r === Seq(4.0, 9.0))
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0), Seq(1.0))).toDF("a", "b")
+        .select(SliceDists.sliceL2(spark, col("a"), col("b"), 2, 4))
+        .collect()
+    }
+    assert(ex.getMessage.contains("at least"))
+  }
+}
