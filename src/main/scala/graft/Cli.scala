@@ -217,7 +217,13 @@ object Cli {
             val conn = java.net.URI.create(url).toURL
               .openConnection().asInstanceOf[java.net.HttpURLConnection]
             headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-            val in = conn.getInputStream
+            // the reference prints the API's JSON body whatever the
+            // status (cli.py:52 json.dumps(r.json())) — a debug fetch
+            // exists to SHOW 401/429 payloads, not to die on them
+            val in =
+              if (conn.getResponseCode >= 400 && conn.getErrorStream != null)
+                conn.getErrorStream
+              else conn.getInputStream
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           },

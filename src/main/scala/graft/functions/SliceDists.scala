@@ -37,7 +37,10 @@ case class SliceL2Dists(
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("s", IntegerType, nullable = false),
-      StructField("d", DoubleType, nullable = false))),
+      // d IS nullable: a null element anywhere in a subspace nulls
+      // that subspace's distance, exactly as the HOF chain's
+      // zip_with → aggregate propagated it
+      StructField("d", DoubleType, nullable = true))),
     containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "slice_l2_dists"
@@ -66,14 +69,20 @@ case class SliceL2Dists(
     var s = 0
     while (s < slices) {
       var acc = 0.0
+      var sawNull = false
       var i = s * subDim
       val end = i + subDim
       while (i < end) {
-        val d = av.getDouble(i) - bv.getDouble(i)
-        acc += d * d
+        if (av.isNullAt(i) || bv.isNullAt(i)) sawNull = true
+        else {
+          val d = av.getDouble(i) - bv.getDouble(i)
+          acc += d * d
+        }
         i += 1
       }
-      out(s) = InternalRow(s, acc)
+      out(s) =
+        if (sawNull) InternalRow(s, null) // HOF parity: null poisons the slice
+        else InternalRow(s, acc)
       s += 1
     }
     new GenericArrayData(out)
@@ -136,6 +145,53 @@ case class DotFold(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native whole-array squared-L2 fold — [[DotFold]]'s sibling for the
+  * store-side PQ paths (subvector encode argmin, codebook training,
+  * ADC LUT build), whose arrays arrive already sliced. Same order,
+  * same null semantics as `aggregate(zip_with(a, b, (x,y) =>
+  * (x-y)*(x-y)), 0.0, _+_)`.
+  */
+case class L2Fold(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_fold"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    if (bv.numElements() != n) return null // zip_with pads with null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (av.isNullAt(i) || bv.isNullAt(i)) return null
+      val d = av.getDouble(i) - bv.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Fold =
+    copy(left = newLeft, right = newRight)
+}
+
 object SliceDists {
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
@@ -175,5 +231,19 @@ object SliceDists {
   def dotFold(spark: SparkSession, a: Column, b: Column): Column = {
     registerDot(spark)
     call_function("dot_fold", a, b)
+  }
+
+  def registerL2(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("l2_fold")))
+      reg.createOrReplaceTempFunction(
+        "l2_fold", exprs => L2Fold(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Sequential left-fold squared L2 of two array<double> columns. */
+  def l2Fold(spark: SparkSession, a: Column, b: Column): Column = {
+    registerL2(spark)
+    call_function("l2_fold", a, b)
   }
 }

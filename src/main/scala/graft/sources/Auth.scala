@@ -160,13 +160,19 @@ object Json {
 
   def quote(s: String): String = {
     val sb = new StringBuilder("\"")
+    // python json.dumps defaults: ensure_ascii=True — every char past
+    // 0x7E escapes as \uXXXX (astral chars as surrogate PAIRS, which
+    // UTF-16 code units give for free), \b and \f use their short
+    // forms
     s.foreach {
       case '"' => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.append('"').toString

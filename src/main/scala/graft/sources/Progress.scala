@@ -33,11 +33,14 @@ object Progress {
   def importLabel(count: Long, noun: String, screenName: String): String =
     s"Importing ${grouped(count)} $noun for @$screenName"
 
-  /** Python's `{:,}` thousands grouping. */
+  /** Python's `{:,}` thousands grouping. Sign handled by string
+    * split, not math.abs — abs(Long.MinValue) is still negative.
+    */
   def grouped(n: Long): String = {
-    val s = math.abs(n).toString
-    val g = s.reverse.grouped(3).mkString(",").reverse
-    if (n < 0) s"-$g" else g
+    val raw = n.toString
+    val (sign, digits) =
+      if (raw.startsWith("-")) ("-", raw.tail) else ("", raw)
+    sign + digits.reverse.grouped(3).mkString(",").reverse
   }
 
   /** Expected-total lookup from a stored profile row — the engine

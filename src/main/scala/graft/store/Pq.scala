@@ -40,8 +40,8 @@ object Pq {
     * sequential left-fold (bit-exact regardless of partitioning).
     */
   private[store] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SliceDists.l2Fold(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Exploded subvector rows (pk, s, sv): one row per vector and
     * subspace, `sv` = dims [s*subDim, (s+1)*subDim).

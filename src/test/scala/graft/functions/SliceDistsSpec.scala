@@ -49,6 +49,49 @@ class SliceDistsSpec extends SparkSpec {
     }
   }
 
+  test("null elements poison exactly their slice, as the HOF chain did") {
+    val df = Seq((
+      Seq[java.lang.Double](1.0, null, 2.0, 2.0),
+      Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    def chain2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      array((0 until 2).map { s =>
+        struct(lit(s).as("s"),
+          aggregate(zip_with(slice(a, s * 2 + 1, 2), slice(b, s * 2 + 1, 2),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("d"))
+      }: _*)
+    val got = df.select(explode(
+        SliceDists.sliceL2(spark, col("a"), col("b"), 2, 2)).as("x"))
+      .select(col("x.s"), col("x.d")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val want = df.select(explode(chain2(col("a"), col("b"))).as("x"))
+      .select(col("x.s"), col("x.d")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === want)
+    assert(got(0) === None)       // slice with the null element
+    assert(got(1) === Some(8.0))  // clean slice unaffected
+  }
+
+  test("native l2 fold equals the HOF chain (store-side subvector path)") {
+    val rows = (0 until 30).map { i =>
+      ((0 until 8).map(d => math.sin(i * 8 + d) * 5.0),
+        (0 until 8).map(d => math.cos(i * 8 + d) * 5.0))
+    }
+    val df = rows.toDF("a", "b")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    df.select(SliceDists.l2Fold(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0)
+      }
+  }
+
   test("native dot fold equals the HOF chain bit-for-bit, nulls included") {
     val rows = (0 until 50).map { i =>
       (i.toLong,

@@ -84,6 +84,13 @@ class AuthSpec extends SparkSpec {
         |}""".stripMargin)
   }
 
+  test("json rendering matches python's ensure_ascii default") {
+    assert(Json.quote("café ☃") === "\"caf\\u00e9 \\u2603\"")
+    assert(Json.quote("a\bb\fc") === "\"a\\bb\\fc\"")
+    // astral char → surrogate pair, as python emits
+    assert(Json.quote("\ud83d\ude00") === "\"\\ud83d\\ude00\"")
+  }
+
   test("auth prompt writes the reference's exact auth.json shape") {
     val answers = scala.collection.mutable.Queue(
       "my-key", "my-secret", "my-token", "my-token-secret")
@@ -122,6 +129,8 @@ class AuthSpec extends SparkSpec {
       "Importing 1,234,567 followers for @simonw")
     assert(Progress.grouped(999L) === "999")
     assert(Progress.grouped(1000L) === "1,000")
+    assert(Progress.grouped(-1234L) === "-1,234")
+    assert(Progress.grouped(Long.MinValue) === "-9,223,372,036,854,775,808")
     val lines = Seq.newBuilder[String]
     val p = new Progress("x", expected = 450L, out = lines += _)
     p.update(200); assert(p.percent === 44)
