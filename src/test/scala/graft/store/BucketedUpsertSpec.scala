@@ -160,6 +160,23 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(store.read("t").count() === 121L)
   }
 
+  test("the touched-bucket scan prunes partitions at PLANNING time") {
+    val store = freshStore()
+    store.upsertBucketed("t", rows(0 until 300), Seq("id"), buckets = 30)
+    // the exact scan shape mergeBucketed issues for a touched set —
+    // PartitionFilters (not a post-scan filter) is what makes the
+    // merge read O(touched buckets' data), the heart of the O(batch)
+    // claim
+    val touched = Seq(3L, 7L)
+    val scanned = store.read("t")
+      .filter(col(store.BucketCol).isin(touched: _*))
+    val scan = scanned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("pk_bucket"))
+    assert(scan.selectedPartitions.partitionCount <= touched.size)
+  }
+
   test("readPruned keeps partition columns on a bucketed table") {
     val store = freshStore()
     store.upsertBucketed("t", rows(0 until 200), Seq("id"), buckets = 20)
