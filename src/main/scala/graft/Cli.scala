@@ -213,21 +213,7 @@ object Cli {
         // line (a plain JDK GET with the signed header).
         val creds = graft.sources.AuthFile.load(args(2))
         graft.sources.Fetch.run(args(1), creds,
-          http = (url, headers) => {
-            val conn = java.net.URI.create(url).toURL
-              .openConnection().asInstanceOf[java.net.HttpURLConnection]
-            headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-            // the reference prints the API's JSON body whatever the
-            // status (cli.py:52 json.dumps(r.json())) — a debug fetch
-            // exists to SHOW 401/429 payloads, not to die on them
-            val in =
-              if (conn.getResponseCode >= 400 && conn.getErrorStream != null)
-                conn.getErrorStream
-              else conn.getInputStream
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          },
-          out = println)
+          http = graft.sources.Fetch.jdkHttp, out = println)
       case "auth" =>
         // auth <auth.json> — prompt credentials, write the token file
         // (cli.py:55-83)

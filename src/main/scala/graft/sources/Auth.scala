@@ -223,6 +223,25 @@ object Fetch {
     val body = http(url, Map("Authorization" -> header))
     out(Json.pretty(Json.parse(body)))
   }
+
+  /** The production transport (plain JDK GET): returns the response
+    * body whatever the status — the reference prints the API's JSON
+    * error payload on 401/429 (cli.py:52 json.dumps(r.json())), and a
+    * debug fetch exists precisely to SHOW those. Tested against an
+    * in-JDK loopback HTTP server (AuthSpec), so the whole command is
+    * exercised offline.
+    */
+  def jdkHttp(url: String, headers: Map[String, String]): String = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val in =
+      if (conn.getResponseCode >= 400 && conn.getErrorStream != null)
+        conn.getErrorStream
+      else conn.getInputStream
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 }
 
 /** S17 `auth` (cli.py:55-83): prompt the four credentials, write

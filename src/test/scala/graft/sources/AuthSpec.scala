@@ -91,6 +91,48 @@ class AuthSpec extends SparkSpec {
     assert(Json.quote("\ud83d\ude00") === "\"\\ud83d\\ude00\"")
   }
 
+  test("jdk transport returns bodies for 200 AND error statuses (loopback)") {
+    // in-JDK loopback server — the whole fetch command runs offline,
+    // including the 429 error-body branch the reference also prints
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(status: Int, body: String) =
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val bytes = body.getBytes("UTF-8")
+          // echo the auth header back so the test can assert it arrived
+          val auth = ex.getRequestHeaders.getFirst("Authorization")
+          ex.getResponseHeaders.add("X-Seen-Auth",
+            if (auth == null) "none" else auth.take(5))
+          ex.sendResponseHeaders(status, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      }
+    server.createContext("/ok.json", handler(200, """{"ok": true}"""))
+    server.createContext("/limited.json",
+      handler(429, """{"errors": [{"code": 88, "message": "Rate limit exceeded"}]}"""))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val okOut = new StringBuilder
+      Fetch.run(s"http://127.0.0.1:$port/ok.json", creds,
+        Fetch.jdkHttp, s => okOut.append(s),
+        nonce = () => "n", now = () => 1L)
+      assert(okOut.toString ===
+        """{
+          |    "ok": true
+          |}""".stripMargin)
+      val errOut = new StringBuilder
+      Fetch.run(s"http://127.0.0.1:$port/limited.json", creds,
+        Fetch.jdkHttp, s => errOut.append(s),
+        nonce = () => "n", now = () => 1L)
+      // the 429 payload is printed, not thrown — the reference shape
+      assert(errOut.toString.contains("\"code\": 88"))
+      assert(errOut.toString.contains("Rate limit exceeded"))
+    } finally server.stop(0)
+  }
+
   test("auth prompt writes the reference's exact auth.json shape") {
     val answers = scala.collection.mutable.Queue(
       "my-key", "my-secret", "my-token", "my-token-secret")
