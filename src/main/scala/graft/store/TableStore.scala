@@ -230,24 +230,57 @@ class TableStore(val spark: SparkSession, root: String) {
         require(n == buckets && declaredPk == pk,
           s"$name declares (buckets=$n, pk=${declaredPk.mkString(",")}); " +
             s"caller passed (buckets=$buckets, pk=${pk.mkString(",")})")
+        val existing = read(name)
+        // xxhash64 is TYPE-sensitive: an INT-id batch against a
+        // LONG-id table would hash the same key to different buckets
+        // before vs after union widening, steering the dynamic
+        // overwrite at a bucket whose existing rows were never read —
+        // silent data loss. Cast the batch's pk columns to the stored
+        // types up front (safe upcasts only), so one bucket function
+        // applies to batch, touched-set, and merge alike. A batch
+        // whose pk is WIDER than the stored type re-buckets every
+        // existing row, so it falls through to the full-rewrite path
+        // below; a pk that casts neither way is refused loudly.
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        val incTyped = pk.foldLeft(incoming) { (df, c) =>
+          val cur = df.schema(c).dataType
+          val stored = existing.schema(c).dataType
+          if (cur == stored) df
+          else if (Cast.canUpCast(cur, stored)) df.withColumn(c, col(c).cast(stored))
+          else {
+            // canUpCast(anything → string) is true, but union-coercing
+            // a NUMERIC stored pk to the batch's string would blow up
+            // (or silently re-key the table) — only a genuinely wider
+            // non-string batch pk may fall through to the full rewrite
+            require(Cast.canUpCast(stored, cur) &&
+                cur != org.apache.spark.sql.types.StringType,
+              s"$name pk column $c is $stored but the batch carries $cur — " +
+                "refusing a lossy pk cast")
+            df // batch pk wider: handled by the full-rewrite path
+          }
+        }
         // pinned ONCE: the batch plan feeds the touched-bucket set,
         // the schema probe, and the merge — an expensive incoming
         // frame (a streaming sink's join output) must not re-execute
         // per consumer
         val inc = Iteration.materialize(
-          incoming.withColumn(BucketCol, bucketOfPk(pk, buckets)))
-        val existing = read(name)
+          incTyped.withColumn(BucketCol, bucketOfPk(pk, buckets)))
         // Upsert's schema-evolution contract (alter=True: unionByName
         // allowMissingColumns) is all-or-nothing per table — evolving
         // only the touched buckets would leave mixed file schemas, and
         // a later read would surface whichever subset parquet sampled.
         // A batch carrying NEW columns therefore pays one full
         // partitioned rewrite (rare: schema changes, not data growth,
-        // trigger it). A batch with FEWER columns (null-fill) merges
-        // to the existing schema and stays on the O(touched) path, as
-        // does the transient __ord column (dropped by the merge).
-        val widens = (inc.columns.toSet - Upsert.OrdCol)
-          .exists(!existing.columns.contains(_))
+        // trigger it), as does one whose shared columns CHANGE TYPE
+        // (union widening would otherwise leave the touched buckets'
+        // files typed differently from the rest). A batch with FEWER
+        // columns (null-fill) merges to the existing schema and stays
+        // on the O(touched) path, as does the transient __ord column
+        // (dropped by the merge).
+        val exTypes = existing.schema
+          .map(f => f.name -> f.dataType).toMap
+        val widens = (inc.columns.toSet - Upsert.OrdCol - BucketCol)
+          .exists(c => !exTypes.get(c).contains(inc.schema(c).dataType))
         if (widens) {
           val merged = merge(Some(existing.drop(BucketCol)), inc.drop(BucketCol))
             .withColumn(BucketCol, bucketOfPk(pk, buckets))
@@ -269,6 +302,18 @@ class TableStore(val spark: SparkSession, root: String) {
             merge(Some(ex.drop(BucketCol)), inc.drop(BucketCol))
               .withColumn(BucketCol, bucketOfPk(pk, buckets))
               .repartition(col(BucketCol)))
+          // invariant gate for the overwrite below: every output row
+          // must land in a bucket whose existing rows were read. The
+          // pk cast above makes this hold by construction; if a future
+          // type path breaks it, failing here turns silent data loss
+          // into an error. Bounded: ≤ `buckets` rows, over a
+          // materialized frame.
+          val outBuckets = merged.select(col(BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSet
+          require(outBuckets.subsetOf(touched.toSet),
+            s"$name merge produced buckets outside the touched set " +
+              s"(${(outBuckets -- touched).mkString(",")}) — pk hashing " +
+              "diverged between batch and merge; refusing to overwrite")
           overwritePartitions(name, merged, Seq(BucketCol))
         }
     }

@@ -213,6 +213,52 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(store.read("t").count() === 300L)
   }
 
+  test("an INT-id batch against a LONG-id table loses no rows (type-sensitive xxhash64)") {
+    val store = freshStore()
+    store.upsertBucketed("t", rows(0 until 500), Seq("id"), buckets = 100)
+    // the ADVICE r6 scenario: xxhash64(int 7) != xxhash64(long 7), so
+    // without the upfront pk cast the recomputed bucket diverges from
+    // the touched set and the dynamic overwrite replaces a bucket
+    // whose rows were never read
+    val intBatch = Seq((7, "updated")).toDF("id", "v") // IntegerType pk
+    store.upsert("t", intBatch, Seq("id"))
+    assert(store.read("t").count() === 500L,
+      "INT batch against LONG table dropped rows")
+    assert(store.read("t").filter(col("id") === 7L)
+      .select(col("v")).head.getString(0) === "updated")
+    // and it stayed on the O(touched) path: pk upcast, no rewrite
+    val before = store.dataFiles("t").toSet
+    store.upsert("t", Seq((8, "x")).toDF("id", "v"), Seq("id"))
+    val after = store.dataFiles("t").toSet
+    val changedBuckets = ((before diff after) ++ (after diff before))
+      .map(p => p.split("/").find(_.startsWith("pk_bucket=")).getOrElse(p))
+    assert(changedBuckets.size === 1,
+      s"upcast batch rewrote ${changedBuckets.size} buckets")
+  }
+
+  test("a pk-WIDENING batch re-buckets via full rewrite; incompatible pk is refused") {
+    val store = freshStore()
+    store.upsertBucketed("t",
+      (0 until 60).map(i => (i, s"v$i")).toDF("id", "v"), // IntegerType pk
+      Seq("id"), buckets = 12)
+    // LONG batch against INT table: every row's bucket changes, so the
+    // merge must pay one full re-bucketed rewrite — and stay correct
+    store.upsert("t", Seq((5L, "wide"), (100L, "new")).toDF("id", "v"), Seq("id"))
+    assert(store.read("t").count() === 61L)
+    assert(store.read("t").filter(col("id") === 5L)
+      .select(col("v")).head.getString(0) === "wide")
+    assert(store.bucketLayoutOf("t") === Some((12, Seq("id"))))
+    // every row sits in the bucket its (widened) pk hashes to
+    val misfiled = store.read("t").filter(
+      col("pk_bucket").cast("long") =!=
+        pmod(xxhash64(col("id")), lit(12L))).count()
+    assert(misfiled === 0L, s"$misfiled rows misfiled after pk widening")
+    // a pk that casts neither way is refused loudly
+    intercept[IllegalArgumentException] {
+      store.upsert("t", Seq(("abc", "bad")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
   test("Doctor flags a misfiled bucket row") {
     val store = freshStore()
     store.upsertBucketed("t", rows(0 until 50), Seq("id"), buckets = 10)
