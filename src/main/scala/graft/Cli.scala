@@ -233,6 +233,13 @@ object Cli {
         store.bucketize(args(2), args(3).split(",").toSeq, args(4).toInt)
         println(s"[bucketize] ${args(2)}: ${args(4)} buckets on pk " +
           s"(${args(3)}) — upserts now rewrite touched buckets only")
+      case "refresh-stats" =>
+        // refresh-stats <store> <table> — build/refresh the per-file
+        // min/max manifest (distributed footer read); prune-files and
+        // readPruned then answer with zero footer I/O
+        store.refreshFileStats(args(2))
+        println(s"[refresh-stats] ${args(2)}: manifest covers " +
+          s"${store.dataFiles(args(2)).size} files")
       case "prune-files" =>
         // prune-files <store> <table> <col:lo:hi,...> — how many files
         // a stats-aware scan opens for the range conjunction (the

@@ -60,8 +60,30 @@ object Doctor {
       store.zorderLayoutOf(t).foreach { case (zCols, bits) =>
         issues ++= zordered(store, t, zCols, bits)
       }
+      if (store.hasFileStats(t)) issues ++= fileStatsFresh(store, t)
     }
     issues.result()
+  }
+
+  /** The stats manifest must track exactly the table's current data
+    * files — an out-of-band write leaves untracked files that every
+    * pruneFiles call footer-walks on the driver (slow, never wrong),
+    * and tracked-but-gone files that waste manifest rows.
+    */
+  private def fileStatsFresh(store: TableStore, table: String): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val listed = store.dataFiles(table).toSet
+    val known = store.fileStatsTable(table).get
+      .filter(col("col") === "").select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val untracked = listed -- known
+    val gone = known -- listed
+    if (untracked.nonEmpty || gone.nonEmpty)
+      out += Issue("file-stats", table,
+        s"manifest out of date: ${untracked.size} data files untracked " +
+          s"(footer-walked per prune call), ${gone.size} tracked files " +
+          "gone — out-of-band write; run refresh-stats")
+    out.result()
   }
 
   private def zordered(

@@ -43,6 +43,11 @@ class TableStore(val spark: SparkSession, root: String) {
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // the stats manifest lives INSIDE the table dir, so the swap
+    // destroys it with the old files — remember and rebuild after, so
+    // a table that opted into file skipping stays skippable across
+    // every whole-table rewrite (overwrite, compact, schema evolution)
+    val hadStats = hasFileStats(name)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
@@ -50,6 +55,7 @@ class TableStore(val spark: SparkSession, root: String) {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"rename $tmp -> $dst failed; data is preserved at $tmp")
+    if (hadStats) refreshFileStats(name)
   }
 
   /** Replace a table wholesale. `partitionBy` lays the table out as a
@@ -206,6 +212,21 @@ class TableStore(val spark: SparkSession, root: String) {
     mergeBucketed(name, read(name).limit(0), pk, buckets, ignore = false)
   }
 
+  /** Keep a declared z-order clustering alive across bucket rewrites:
+    * the merged bucket is re-sorted on (bucket, zkey) before the
+    * write, so row-group min/max stats stay selective. File-level
+    * z-ranges within a merged bucket re-tighten at the next
+    * compactZorder (the merge writes one file per bucket).
+    */
+  private def zsortIfDeclared(name: String, df: DataFrame): DataFrame =
+    zorderLayoutOf(name) match {
+      case Some((zCols, bits)) if zCols.forall(df.columns.contains) =>
+        import org.apache.spark.sql.functions.col
+        df.sortWithinPartitions(col(BucketCol),
+          graft.functions.ZOrder.zorderKey(zCols.map(col), bits))
+      case _ => df
+    }
+
   private def mergeBucketed(
       name: String, incoming: DataFrame, pk: Seq[String], buckets: Int,
       ignore: Boolean): Unit = {
@@ -282,11 +303,17 @@ class TableStore(val spark: SparkSession, root: String) {
         val widens = (inc.columns.toSet - Upsert.OrdCol - BucketCol)
           .exists(c => !exTypes.get(c).contains(inc.schema(c).dataType))
         if (widens) {
-          val merged = merge(Some(existing.drop(BucketCol)), inc.drop(BucketCol))
-            .withColumn(BucketCol, bucketOfPk(pk, buckets))
-            .repartition(col(BucketCol))
+          // the swap deletes the in-dir markers; the merged data IS
+          // still bucket-partitioned and z-sorted, so both claims are
+          // re-declared after
+          val zl = zorderLayoutOf(name)
+          val merged = zsortIfDeclared(name,
+            merge(Some(existing.drop(BucketCol)), inc.drop(BucketCol))
+              .withColumn(BucketCol, bucketOfPk(pk, buckets))
+              .repartition(col(BucketCol)))
           writeSwapped(name, merged, Seq(BucketCol))
           writeBucketLayout(name, buckets, pk)
+          zl.foreach { case (zc, b) => writeZorderMarker(name, zc, b) }
         } else {
           // touched buckets derive from the BATCH pks — a ≤`buckets`-
           // row driver set, the same bounded pattern as the FTS
@@ -298,10 +325,10 @@ class TableStore(val spark: SparkSession, root: String) {
           // materialize severs the plan from the files the dynamic
           // overwrite replaces in place (the overwritePartitions
           // contract)
-          val merged = Iteration.materialize(
+          val merged = Iteration.materialize(zsortIfDeclared(name,
             merge(Some(ex.drop(BucketCol)), inc.drop(BucketCol))
               .withColumn(BucketCol, bucketOfPk(pk, buckets))
-              .repartition(col(BucketCol)))
+              .repartition(col(BucketCol))))
           // invariant gate for the overwrite below: every output row
           // must land in a bucket whose existing rows were read. The
           // pk cast above makes this hold by construction; if a future
@@ -315,6 +342,20 @@ class TableStore(val spark: SparkSession, root: String) {
               s"(${(outBuckets -- touched).mkString(",")}) — pk hashing " +
               "diverged between batch and merge; refusing to overwrite")
           overwritePartitions(name, merged, Seq(BucketCol))
+          if (hasFileStats(name)) {
+            // O(touched) manifest maintenance to match the O(touched)
+            // data write: keep the untouched buckets' rows as-is,
+            // footer-read only the files the overwrite just replaced
+            import org.apache.spark.sql.functions.split
+            val segs = touched.map(b => s"$BucketCol=$b")
+            val keepOld = spark.read.parquet(statsPath(name).toString)
+              .filter(!split(col("file"), "/").getItem(0).isin(segs: _*))
+            val base = qualifiedDir(name)
+            val newFiles = dataFiles(name).filter(f =>
+              segs.exists(s => f.stripPrefix(base + "/").startsWith(s + "/")))
+            writeStatsManifest(name, keepOld.unionByName(
+              footerStatsDf(newFiles, statCols(name), base)))
+          }
         }
     }
   }
@@ -424,7 +465,7 @@ class TableStore(val spark: SparkSession, root: String) {
   }
 
   /** Z-ORDER compaction (the Delta/Iceberg `OPTIMIZE ZORDER BY`
-    * analog): rewrite a FLAT table range-partitioned + sorted on the
+    * analog): rewrite a table range-partitioned + sorted on the
     * interleaved-bit Morton key of `zCols`, so every output file
     * covers a narrow range of EVERY clustered dimension and parquet
     * min/max stats prune files for predicates on any of them —
@@ -432,6 +473,15 @@ class TableStore(val spark: SparkSession, root: String) {
     * full range of every other column. `zCols` must hold
     * non-negative ints below 2^bits (pre-bucket with rank, hash, or
     * min/max scaling). Returns (filesBefore, filesAfter).
+    *
+    * Hive-partitioned tables — notably the pk-bucketed base layout —
+    * z-cluster WITHIN each partition directory: the range shuffle
+    * leads with the partition columns, so every output task holds a
+    * contiguous (partition, zkey) slice and each partition dir gets
+    * files covering narrow z-ranges. Both markers coexist
+    * (`_graft_layout` + `_graft_zorder`), the O(touched-buckets)
+    * upsert property is preserved, and [[mergeBucketed]] keeps the
+    * clustering alive by z-sorting the buckets it rewrites.
     */
   def compactZorder(
       name: String,
@@ -439,9 +489,11 @@ class TableStore(val spark: SparkSession, root: String) {
       bits: Int = 16,
       targetBytes: Long = 128L << 20): (Long, Long) = {
     require(exists(name), s"no such table: $name")
-    require(partitionColumnsOf(name).isEmpty,
-      s"compactZorder clusters flat tables; $name is Hive-partitioned " +
-        "(z-order within partitions = compact + a zorderKey sort column)")
+    val partCols = partitionColumnsOf(name)
+    require(!zCols.exists(partCols.contains),
+      s"z-order columns must be data columns; ${zCols.mkString(",")} " +
+        s"overlap the partition chain ${partCols.mkString(",")} (directory " +
+        "layout already localizes those)")
     val (nBefore, bytes) = fileStats(name)
     import org.apache.spark.sql.functions.{col, max, min}
     // out-of-range values would silently interleave only their low
@@ -449,32 +501,50 @@ class TableStore(val spark: SparkSession, root: String) {
     // clustering while the command reports success; fail loudly
     // cast to long up front — int-typed z columns would CCE the
     // driver-side getLong (the int-pk indexing gotcha)
-    val bounds = read(name).agg(
-      min(org.apache.spark.sql.functions.least(
-        zCols.map(c => col(c).cast("long")): _*)),
-      max(org.apache.spark.sql.functions.greatest(
-        zCols.map(c => col(c).cast("long")): _*))).head
+    val longs = zCols.map(c => col(c).cast("long"))
+    // least/greatest demand ≥2 args — a single z column is legal
+    // (degenerate Morton = the value itself) and must not crash
+    val (joint: org.apache.spark.sql.Column, disjoint: org.apache.spark.sql.Column) =
+      if (zCols.size == 1) (longs.head, longs.head)
+      else (org.apache.spark.sql.functions.least(longs: _*),
+        org.apache.spark.sql.functions.greatest(longs: _*))
+    val bounds = read(name).agg(min(joint), max(disjoint)).head
     require(bounds.isNullAt(0) ||
       (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << bits)),
       s"z-order columns ${zCols.mkString(",")} must lie in [0, 2^$bits): " +
         s"found [${bounds.get(0)}, ${bounds.get(1)}] — pre-bucket them " +
         "(rank, hash, or min/max scale)")
+    // writeSwapped destroys the in-dir markers; carry the bucket
+    // layout across like compact does
+    val layout = bucketLayoutOf(name)
     val zkey = graft.functions.ZOrder.zorderKey(zCols.map(col), bits)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val shaped = read(name)
       .withColumn("__zkey", zkey)
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
+      .repartitionByRange(nFiles, partCols.map(col) :+ col("__zkey"): _*)
+      .sortWithinPartitions(partCols.map(col) :+ col("__zkey"): _*)
       .drop("__zkey")
-    writeSwapped(name, shaped, Nil)
+    writeSwapped(name, shaped, partCols)
+    layout.foreach { case (n, pk) =>
+      if (partCols.contains(BucketCol)) writeBucketLayout(name, n, pk)
+    }
     // declare the clustering (the _graft_layout convention) so the
     // prune path and Doctor know which columns the files localize on;
     // any later whole-table rewrite deletes the marker with the dir —
-    // correct, since it also destroys the clustering
+    // correct, since it also destroys the clustering (the bucketed
+    // merge paths re-sort and re-declare)
+    writeZorderMarker(name, zCols, bits)
+    // z-order's read dividend is file skipping, and footer-free
+    // skipping needs the manifest — create it here (writeSwapped
+    // already refreshed it if the table had one before the rewrite)
+    if (!hasFileStats(name)) refreshFileStats(name)
+    (nBefore, fileStats(name)._1)
+  }
+
+  private def writeZorderMarker(name: String, zCols: Seq[String], bits: Int): Unit = {
     val out = fs.create(new Path(path(name), "_graft_zorder"), true)
     try out.write(s"zcols=${zCols.mkString(",")}\nbits=$bits\n".getBytes("UTF-8"))
     finally out.close()
-    (nBefore, fileStats(name)._1)
   }
 
   /** The declared (zCols, bits) of a z-order-compacted table, if any. */
@@ -492,32 +562,130 @@ class TableStore(val spark: SparkSession, root: String) {
     }
   }
 
-  /** Per-file [min, max] envelopes of integral columns, read from the
-    * parquet FOOTERS (no data pages touched) — the metadata half of
-    * file skipping. A column absent from a file's stats is absent from
-    * its map.
+  // -------------------------------------------------------------------
+  // Persisted file-stats manifest — the Delta/Iceberg data-skipping
+  // analog. Walking every parquet footer on the driver per pruneFiles
+  // call is fine at sf0.1 (dozens of files) and fatal at 100 TB
+  // (10^5-10^6 files × an open+read each = minutes of single-threaded
+  // I/O per query). Instead, per-file (col, min, max) rows are
+  // PERSISTED in a `_graft_stats` parquet dir inside the table
+  // directory (underscore-prefixed: invisible to data scans, same
+  // convention as `_graft_layout`), built by a DISTRIBUTED footer read
+  // and maintained AT WRITE TIME: every whole-table rewrite rebuilds
+  // it (writeSwapped), a bucketed merge replaces only the touched
+  // buckets' rows (mergeBucketed), and compactZorder creates it — the
+  // reference analog is the FTS index discipline (maintained at write,
+  // utils.py:330-352), never rebuilt at read. Readers fall back to a
+  // driver footer walk only for files the manifest doesn't know
+  // (out-of-band additions), so stale is slower, never wrong.
+
+  /** Relative file paths keep the manifest valid across a table (or
+    * store) move; presence rows (col = "") let readers tell "file has
+    * no stats" from "file unknown to the manifest".
+    */
+  private def statsPath(name: String) = new Path(path(name), "_graft_stats")
+
+  /** Whether `name` maintains a persisted file-stats manifest. */
+  def hasFileStats(name: String): Boolean = fs.exists(statsPath(name))
+
+  private def qualifiedDir(name: String): String =
+    fs.makeQualified(new Path(path(name))).toString
+
+  /** Top-level integral columns — the types whose footer min/max the
+    * envelope model (and DuckDB-parity pruning semantics) covers.
+    */
+  private def statCols(name: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    read(name).schema.fields.collect {
+      case f if Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType) => f.name
+    }.toSeq
+  }
+
+  /** Footer min/max rows for `files`, read DISTRIBUTED — one Spark
+    * task per slice of the file list, so a 10^6-file manifest build is
+    * a cluster job, not a driver loop. Emits one presence row plus one
+    * row per column with stats, file paths relativized to `base`.
+    */
+  private def footerStatsDf(
+      files: Seq[String], cols: Seq[String], base: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration))
+    val par = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    val prefix = base + "/"
+    spark.createDataset(files).repartition(par)
+      .mapPartitions { it =>
+        val conf = bc.value.value
+        it.flatMap { f =>
+          val rel = f.stripPrefix(prefix)
+          (rel, "", 0L, 0L) +: TableStore.footerEnvelope(f, conf, cols)
+            .map { case (c, mn, mx) => (rel, c, mn, mx) }
+        }
+      }.toDF("file", "col", "mn", "mx")
+  }
+
+  private def writeStatsManifest(name: String, stats: DataFrame): Unit = {
+    val tmp = new Path(path(name), "_graft_stats.__tmp")
+    val dst = statsPath(name)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // tmp is written BEFORE dst is deleted, so an incremental update
+    // that lazily reads the old manifest executes against live files
+    stats.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** (Re)build the persisted manifest for `name` from its current
+    * files — a distributed footer read. Call once (or via
+    * `compactZorder` / the refresh-stats CLI) to opt a table into
+    * footer-free pruning; every write path keeps it fresh thereafter.
+    */
+  def refreshFileStats(name: String): Unit =
+    writeStatsManifest(name,
+      footerStatsDf(dataFiles(name), statCols(name), qualifiedDir(name)))
+
+  /** The maintained manifest as a DataFrame of (file, col, mn, mx)
+    * with ABSOLUTE file paths (presence rows carry col = ""), or None
+    * for a table that never opted in.
+    */
+  def fileStatsTable(name: String): Option[DataFrame] =
+    if (!hasFileStats(name)) None
+    else {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      Some(spark.read.parquet(statsPath(name).toString)
+        .withColumn("file", concat(lit(qualifiedDir(name) + "/"), col("file"))))
+    }
+
+  /** Per-file [min, max] envelopes of integral columns — served from
+    * the persisted manifest when the table maintains one (zero footer
+    * opens), with a driver footer walk ONLY for files the manifest
+    * doesn't cover (out-of-band additions). A column absent from a
+    * file's stats is absent from its map.
     */
   def fileEnvelopes(
       name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles(name).map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
-      try {
-        val blocks = r.getFooter.getBlocks.asScala.toSeq
-        val env = cols.flatMap { c =>
-          val stats = blocks.flatMap(_.getColumns.asScala
-            .find(_.getPath.toDotString == c).map(_.getStatistics))
-          if (stats.isEmpty || stats.exists(s =>
-              s == null || !s.hasNonNullValue)) None
-          else Some(c -> (
-            stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
-        }.toMap
-        (f, env)
-      } finally r.close()
+    val files = dataFiles(name)
+    val (fromManifest, missing) = fileStatsTable(name) match {
+      case None => (Map.empty[String, Map[String, (Long, Long)]], files)
+      case Some(st) =>
+        import org.apache.spark.sql.functions.col
+        val rows = st.filter(col("col").isin("" +: cols: _*)).collect()
+        val known = rows.map(_.getString(0)).toSet
+        val env = rows.filter(_.getString(1).nonEmpty)
+          .groupBy(_.getString(0))
+          .map { case (f, rs) => f ->
+            rs.map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap }
+        (env, files.filterNot(known.contains))
     }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val walked = missing.map(f => f ->
+      TableStore.footerEnvelope(f, conf, cols)
+        .map { case (c, mn, mx) => c -> (mn, mx) }.toMap).toMap
+    files.map(f => (f,
+      fromManifest.getOrElse(f, walked.getOrElse(f, Map.empty))))
   }
 
   /** The files a stats-aware scan must open for a conjunction of
@@ -555,5 +723,35 @@ class TableStore(val spark: SparkSession, root: String) {
       // reads, so a partitioned table's partition columns survive and
       // both branches return the same schema as read(name)
       spark.read.option("basePath", path(name)).parquet(keep: _*)
+  }
+}
+
+object TableStore {
+
+  /** Footer [min, max] of integral `cols` for one parquet file — the
+    * shared core of the manifest build (executor-side, inside
+    * mapPartitions) and the legacy driver walk. Only the footer is
+    * read; data pages are never touched.
+    */
+  private[store] def footerEnvelope(
+      file: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String]): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        val stats = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == c).map(_.getStatistics))
+        if (stats.isEmpty || stats.exists(s =>
+            s == null || !s.hasNonNullValue)) None
+        else Some((c,
+          stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+      }
+    } finally r.close()
   }
 }

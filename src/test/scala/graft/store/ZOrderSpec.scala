@@ -113,6 +113,176 @@ class ZOrderSpec extends SparkSpec {
     assert(store.readPruned("pts", Seq(("x", 1000L, 2000L))).count() === 0L)
   }
 
+  test("pruneFiles answers from the persisted manifest, not footers") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zman").toString)
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    store.overwrite("pts", rows.toDF("id", "x", "y"))
+    assert(!store.hasFileStats("pts"))
+    store.compactZorder("pts", Seq("x", "y"), bits = 6, targetBytes = 2L << 10)
+    assert(store.hasFileStats("pts"),
+      "compactZorder must create the stats manifest")
+
+    val box = Seq(("x", 8L, 15L), ("y", 40L, 47L))
+    val keptBefore = store.pruneFiles("pts", box)
+    assert(keptBefore.nonEmpty && keptBefore.size < store.dataFiles("pts").size)
+
+    // POISON the manifest out-of-band: claim one kept file's x-range
+    // is disjoint from the box. If pruneFiles consulted the real
+    // footers it would still keep the file; following the manifest
+    // proves zero footer reads decide the answer.
+    val statsDir = s"${store.dataFiles("pts").head.split("/pts/")(0)}/pts/_graft_stats"
+    val victim = keptBefore.head.split("/pts/")(1)
+    val poisoned = spark.read.parquet(statsDir).collect().toSeq.map { r =>
+      if (r.getString(0) == victim && r.getString(1) == "x")
+        (r.getString(0), r.getString(1), 900L, 999L)
+      else (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    poisoned.toDF("file", "col", "mn", "mx")
+      .write.mode("overwrite").parquet(statsDir)
+    val keptPoisoned = store.pruneFiles("pts", box)
+    assert(!keptPoisoned.contains(keptBefore.head),
+      "pruneFiles ignored the manifest (read footers instead?)")
+    assert(keptPoisoned.toSet === keptBefore.toSet - keptBefore.head)
+
+    // deleting the manifest falls back to the footer walk — correct
+    // again, just slower
+    val fs = new org.apache.hadoop.fs.Path(statsDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir), true)
+    assert(store.pruneFiles("pts", box).toSet === keptBefore.toSet)
+  }
+
+  test("write paths keep the manifest fresh; bucketed merges update it incrementally") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zinc").toString)
+    store.upsertBucketed("t",
+      (0 until 500).map(i => (i.toLong, i.toLong % 64L)).toDF("id", "x"),
+      Seq("id"), buckets = 50)
+    store.refreshFileStats("t")
+    assert(Doctor.check(store).filter(_.component == "file-stats").isEmpty)
+
+    // poison a manifest row belonging to some bucket, then upsert a
+    // row into a DIFFERENT bucket: incremental maintenance must leave
+    // the poisoned row untouched (a full rebuild would heal it)
+    val statsDir = s"${store.dataFiles("t").head.split("/t/")(0)}/t/_graft_stats"
+    val all = spark.read.parquet(statsDir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val victim = all.find(t => t._2 == "id").get
+    val victimBucket = victim._1.split("/").head // "pk_bucket=N"
+    val poisoned = all.map(t =>
+      if (t == victim) (t._1, t._2, -777L, -777L) else t)
+    poisoned.toDF("file", "col", "mn", "mx")
+      .write.mode("overwrite").parquet(statsDir)
+
+    // pick a pk hashing into a different bucket than the victim's
+    val probe = (500 until 600).map(_.toLong).find { id =>
+      val b = Seq(Tuple1(id)).toDF("id")
+        .select(store.bucketOfPk(Seq("id"), 50)).head.getLong(0)
+      s"pk_bucket=$b" != victimBucket
+    }.get
+    store.upsert("t", Seq((probe, 1L)).toDF("id", "x"), Seq("id"))
+
+    // fresh: the manifest tracks exactly the current files
+    assert(Doctor.check(store).filter(_.component == "file-stats").isEmpty)
+    val after = spark.read.parquet(statsDir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(after.contains((victim._1, "id", -777L, -777L)),
+      "untouched bucket's manifest rows were rebuilt — not incremental")
+
+    // a whole-table rewrite (compact) rebuilds the manifest and heals
+    // the poison
+    store.compact("t")
+    assert(store.hasFileStats("t"))
+    assert(Doctor.check(store).filter(_.component == "file-stats").isEmpty)
+    assert(store.fileStatsTable("t").get
+      .filter(col("mn") === -777L).count() === 0L)
+
+    // an out-of-band write goes stale and Doctor says so
+    val fs = new org.apache.hadoop.fs.Path(statsDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val extra = new org.apache.hadoop.fs.Path(
+      statsDir.stripSuffix("/_graft_stats") + "/pk_bucket=0/zz-oob.parquet")
+    Seq((9999L, 0L)).toDF("id", "x").coalesce(1).write
+      .mode("overwrite").parquet(statsDir.stripSuffix("/_graft_stats") + "/__oob_tmp")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(
+        statsDir.stripSuffix("/_graft_stats") + "/__oob_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, extra)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      statsDir.stripSuffix("/_graft_stats") + "/__oob_tmp"), true)
+    val issues = Doctor.check(store).filter(_.component == "file-stats")
+    assert(issues.exists(_.problem.contains("untracked")),
+      s"Doctor missed the stale manifest: $issues")
+    // untracked file is footer-walked, not lost: its rows are readable
+    // and pruning still sees them
+    assert(store.read("t").filter(col("id") === 9999L).count() === 1L)
+  }
+
+  test("z-order within a bucketed table: 1-bucket upserts AND in-bucket file pruning") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zbuck").toString)
+    val rows = (0 until 8192).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    store.upsertBucketed("t", rows.toDF("id", "x", "y"), Seq("id"), buckets = 4)
+
+    // z-cluster WITHIN each pk_bucket partition; both markers coexist
+    store.compactZorder("t", Seq("x", "y"), bits = 6, targetBytes = 2L << 10)
+    assert(store.bucketLayoutOf("t") === Some((4, Seq("id"))))
+    assert(store.zorderLayoutOf("t") === Some((Seq("x", "y"), 6)))
+    assert(store.partitionColumnsOf("t") === Seq("pk_bucket"))
+    assert(store.read("t").count() === 8192L)
+
+    // the read dividend: a 2-dim box prunes files WITHIN buckets
+    val box = Seq(("x", 8L, 15L), ("y", 40L, 47L))
+    val total = store.dataFiles("t").size
+    val kept = store.pruneFiles("t", box)
+    assert(total > 8, s"need real per-bucket fragmentation, got $total files")
+    assert(kept.size < total / 2,
+      s"box kept ${kept.size}/$total files — no in-bucket z locality")
+    val want = rows.filter(r =>
+      r._2 >= 8 && r._2 <= 15 && r._3 >= 40 && r._3 <= 47).toSet
+    val got = store.readPruned("t", box)
+      .filter(col("x").between(8, 15) && col("y").between(40, 47))
+      .select(col("id"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+
+    // the O(touched-buckets) upsert property survives the z rewrite
+    val before = store.dataFiles("t").toSet
+    store.upsert("t", Seq((7L, 1L, 2L)).toDF("id", "x", "y"), Seq("id"))
+    val after = store.dataFiles("t").toSet
+    val changedBuckets = ((before diff after) ++ (after diff before))
+      .map(p => p.split("/").find(_.startsWith("pk_bucket=")).getOrElse(p))
+    assert(changedBuckets.size === 1,
+      s"z-ordered bucketed upsert rewrote ${changedBuckets.size} buckets")
+    assert(store.read("t").count() === 8192L)
+    // the merge re-declared nothing away: both markers and a fresh
+    // manifest survive, and Doctor is clean on all three components
+    assert(store.bucketLayoutOf("t") === Some((4, Seq("id"))))
+    assert(store.zorderLayoutOf("t") === Some((Seq("x", "y"), 6)))
+    val issues = Doctor.check(store).filter(i =>
+      Set("bucketed-base", "zorder", "file-stats").contains(i.component))
+    assert(issues.isEmpty, s"post-merge integrity issues: $issues")
+
+    // the rewritten bucket's single file is z-SORTED (row-group
+    // locality): its rows must be nondecreasing in the Morton key
+    val touchedDir = changedBuckets.head
+    val newFile = after.diff(before).find(_.contains(touchedDir)).get
+    val zs = spark.read.parquet(newFile)
+      .select(graft.functions.ZOrder.zorderKey(Seq(col("x"), col("y")), 6))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs === zs.sorted, "merged bucket lost its z-sort")
+
+    // z columns overlapping the partition chain are refused
+    intercept[IllegalArgumentException] {
+      store.compactZorder("t", Seq("pk_bucket", "x"), bits = 6)
+    }
+  }
+
   test("Doctor verifies the declared z-order artifact") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-zdoc").toString)
