@@ -794,7 +794,82 @@ object DedupOps {
        |   OR CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE) >= 0.6)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cdc_chunks — content-defined chunking dedup (Rabin-style, per the
+  // LBFS family, Muthitacharoen et al. SOSP'01): chunk boundaries come
+  // from a rolling content hash, not byte offsets, so a prepended or
+  // deleted prefix shifts positions without desynchronizing downstream
+  // chunks — the shift-resistance fixed windows (q_chunk_windows) and
+  // whole-doc winnowing digests lack. Chunks are md5-fingerprinted and
+  // deduplicated through a chunk-hash equi-join (group by fingerprint,
+  // never doc×doc); output is the per-doc dedup ledger: chunk count,
+  // chunk chars, how many chunks another doc also has, and an
+  // order-insensitive digest of the chunk set. Native O(n) rolling
+  // expression on the Spark side (functions/CdcChunks); the oracle
+  // folds each window outright — same polynomial mod M.
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks.cdcChunks(spark, col("text"))).as("c"))
+      .select(col("doc_id"), col("c.clen").as("chunk_len"),
+        col("c.fp").as("chunk_fp"))
+    // fingerprint-keyed frequency join: |freq| = distinct chunks, the
+    // shuffle key is the chunk hash — skew-free by construction
+    val freq = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq, "chunk_fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunk_chars"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        md5(concat_ws(",", sort_array(collect_list(col("chunk_fp")))))
+          .as("chunks_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcChunksSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS norm
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, norm, length(norm) AS n,
+      |    list_transform(range(1, length(norm) + 1),
+      |      i -> ord(substr(norm, CAST(i AS INT), 1))) AS codes
+      |  FROM d
+      |  WHERE length(norm) >= 1
+      |), cut AS (
+      |  SELECT doc_id, norm, n,
+      |    list_filter(range(16, n + 1), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-15:i]),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) % 64 = 0) AS cuts
+      |  FROM c
+      |), sp AS (
+      |  SELECT doc_id, norm,
+      |    list_prepend(CAST(1 AS BIGINT), list_transform(cuts, x -> x + 1)) AS starts,
+      |    list_append(cuts, CAST(n AS BIGINT)) AS ends
+      |  FROM cut
+      |), ch AS (
+      |  SELECT doc_id,
+      |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_len,
+      |    md5(substr(norm, CAST(starts[k] AS INT),
+      |      CAST(ends[k] - starts[k] + 1 AS INT))) AS chunk_fp
+      |  FROM (SELECT doc_id, norm, starts, ends,
+      |          unnest(range(1, len(starts) + 1)) AS k
+      |        FROM sp)
+      |  WHERE ends[k] >= starts[k]
+      |), freq AS (
+      |  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_fp
+      |)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_chars,
+      |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  md5(string_agg(chunk_fp, ',' ORDER BY chunk_fp)) AS chunks_fp
+      |FROM ch JOIN freq USING (chunk_fp)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     Op("q_containment", containmentPairs, Some(containmentPairsSql)),
     Op("q_simhash_near_dup", simhashNearDup, Some(simhashNearDupSql)),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
