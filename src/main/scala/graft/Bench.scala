@@ -42,14 +42,14 @@ object Bench {
     // truncation self-defense: the round tails have been clipped from
     // the HEAD (driver keeps the last N chars), so (a) 3-decimal
     // seconds halve the per-query payload so the whole line fits the
-    // cap, and (b) the total/count summary rides BOTH ends of the line
-    // (duplicate keys are legal JSON; parsers keep the last) — it
-    // survives whichever end a cap clips
+    // cap, and (b) the total/count summary sits at the TAIL of the
+    // object — each key appears exactly once (RFC 8259 strict parsers
+    // stay happy) but the summary still survives a head clip
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"queries":$qs,"sf":"$sfDir","value":${r3(total)},"count":${results.size}}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${r3(total)},"count":${results.size}}""")
     spark.stop()
   }
 }

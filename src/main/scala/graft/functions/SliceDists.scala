@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   * sequential left-fold `((0+d0)+d1)+…` over the same index order the
   * HOF chain (and the DuckDB oracle's list_reduce) evaluates, so the
   * oracle rows cannot move. GramsSpec-style parity is pinned in
-  * SliceDistsSpec.
+  * SliceDistsSpec. Scope: the drop-in claim holds for fixed-dim
+  * corpora (>= slices*subDim elements). For undersized vectors the
+  * HOF chain silently yielded d=0.0 (empty slice → empty zip_with →
+  * fold identity); this expression instead fails loudly by design —
+  * an intentional divergence, pinned by SliceDistsSpec's
+  * "fail loudly" case.
   *
   * CodegenFallback: one virtual call per row vs slices×subDim fused
   * multiplies — the loop dwarfs it (the MinHashSig trade).
@@ -192,6 +197,61 @@ case class L2Fold(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native element-wise vector subtraction — the residual step of the
+  * IVF/IVF+PQ paths (`r = e − centroid[cell]`), displacing the last
+  * interpreted `zip_with(a, b, (x, y) => x - y)` in the ANN family.
+  * Array-producing sibling of [[DotFold]]/[[L2Fold]]: one row-level
+  * pass, no lambda interpretation, no closure allocation per element.
+  *
+  * BIT-EXACT drop-in for the zip_with form, padding included: the
+  * output has max(|a|, |b|) elements, an element is null wherever
+  * either input is null OR past its array's end (zip_with pads the
+  * shorter array with nulls, and x − null = null), and each non-null
+  * element is the same single IEEE-754 subtraction — element-wise, so
+  * there is no fold order to preserve.
+  */
+case class SubVec(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sub_vec"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val an = av.numElements()
+    val bn = bv.numElements()
+    val n = math.max(an, bn)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= an || i >= bn || av.isNullAt(i) || bv.isNullAt(i)) null
+        else java.lang.Double.valueOf(av.getDouble(i) - bv.getDouble(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubVec =
+    copy(left = newLeft, right = newRight)
+}
+
 object SliceDists {
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
@@ -245,5 +305,19 @@ object SliceDists {
   def l2Fold(spark: SparkSession, a: Column, b: Column): Column = {
     registerL2(spark)
     call_function("l2_fold", a, b)
+  }
+
+  def registerSub(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sub_vec")))
+      reg.createOrReplaceTempFunction(
+        "sub_vec", exprs => SubVec(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Element-wise a − b of two array<double> columns (zip_with parity). */
+  def subVec(spark: SparkSession, a: Column, b: Column): Column = {
+    registerSub(spark)
+    call_function("sub_vec", a, b)
   }
 }

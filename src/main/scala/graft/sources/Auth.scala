@@ -234,6 +234,9 @@ object Fetch {
   def jdkHttp(url: String, headers: Map[String, String]): String = {
     val conn = java.net.URI.create(url).toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    // a hung endpoint must not hang the CLI forever
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(30000)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val in =
       if (conn.getResponseCode >= 400 && conn.getErrorStream != null)

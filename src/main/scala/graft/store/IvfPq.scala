@@ -50,6 +50,10 @@ object IvfPq {
     graft.functions.SliceDists.dotFold(
       org.apache.spark.sql.SparkSession.active, a, b)
 
+  private def sub(a: Column, b: Column): Column =
+    graft.functions.SliceDists.subVec(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
   /** Nearest-cell assignment + residual: (pk, cell, r). Broadcast
     * centroids, max_by partial agg — one row per vector crosses the
     * exchange, the assigned centroid rides along only to form the
@@ -68,8 +72,7 @@ object IvfPq {
       .agg(max_by(struct(col("e"), col("cent_id").as("cell"), col("cent_e")),
         struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
       .select(col("pk"), col("_best.cell").as("cell"),
-        zip_with(col("_best.e"), col("_best.cent_e"), (x, y) => x - y)
-          .as("r"))
+        sub(col("_best.e"), col("_best.cent_e")).as("r"))
 
   /** Train coarse centroids on the corpus, train residual codebooks
     * against them, persist both, and index the batch.
@@ -143,7 +146,7 @@ object IvfPq {
       .select(col("query_id"), col("cent_id").as("cell"),
         (dot(col("qe"), col("cent_e")) / (col("qnorm") * col("cent_norm")))
           .as("_cs"),
-        zip_with(col("qe"), col("cent_e"), (x, y) => x - y).as("qr"))
+        sub(col("qe"), col("cent_e")).as("qr"))
       .withColumn("_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("_cs").desc, col("cell"))))

@@ -119,6 +119,53 @@ class SliceDistsSpec extends SparkSpec {
     assert(mism.isNullAt(0) && mism.isNullAt(1))
   }
 
+  test("native vector subtraction equals zip_with bit-for-bit, padding included") {
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        (0 until 64).map(d => math.sin(i * 64 + d) * 10.0),
+        (0 until 64).map(d => math.cos(i * 64 + d) * 10.0))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      zip_with(a, b, (x, y) => x - y)
+    df.select(col("id"),
+        SliceDists.subVec(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .collect().foreach { r =>
+        val got = r.getSeq[Double](1)
+        val want = r.getSeq[Double](2)
+        assert(got.length === want.length, s"id ${r.getLong(0)}: length")
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.lang.Double.compare(g, w) === 0,
+            s"id ${r.getLong(0)}: $g != $w")
+        }
+      }
+    // zip_with pads the shorter array with nulls → null elements at
+    // the tail, output length = max; the native form must agree
+    val mism = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0)))
+      .toDF("a", "b")
+      .select(SliceDists.subVec(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .head
+    val g = mism.getSeq[java.lang.Double](0)
+    val w = mism.getSeq[java.lang.Double](1)
+    assert(g === w)
+    assert(g === Seq[java.lang.Double](-9.0, null, null))
+    // null elements propagate positionally
+    val nulls = Seq((
+      Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](1.0, 1.0, null)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+      .select(SliceDists.subVec(spark, col("a"), col("b")).as("got"),
+        hof(col("a"), col("b")).as("want"))
+      .head
+    assert(nulls.getSeq[java.lang.Double](0) === nulls.getSeq[java.lang.Double](1))
+    assert(nulls.getSeq[java.lang.Double](0) ===
+      Seq[java.lang.Double](0.0, null, null))
+  }
+
   test("SQL registry + undersized vectors fail loudly") {
     SliceDists.register(spark)
     val r = spark.sql(
