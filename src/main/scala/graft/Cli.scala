@@ -11,7 +11,15 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   * graft.sources.TimelineIngest / graft.streaming.StreamNormalize):
   *
   *   import <store> <zip|dir|file.js>...   archive ETL (K4)
-  *   save-tweets <store> <tweets.json>     batch save_tweets (K1)
+  *   ensure-tables <store> [buckets]       seed type tables (K3) and,
+  *                                         with buckets, declare the
+  *                                         pk-bucket layout for the
+  *                                         grow-forever tweets/users
+  *                                         tables BEFORE first write
+  *   save-tweets <store> <tweets.json> [buckets]  batch save_tweets
+  *                                         (K1); buckets declares the
+  *                                         bucketed layout on a fresh
+  *                                         store first
   *   fts-index <store> <table> <pk> <text> [buckets]  build FTS index
   *                                         (buckets>0: pk-hash
   *                                         partitioned postings;
@@ -79,7 +87,20 @@ object Cli {
           val tables = Archive.importPath(spark, store, path)
           println(s"[import] $path -> ${tables.mkString(", ")}")
         }
+      case "ensure-tables" =>
+        graft.state.Watermarks.ensureTypeTables(spark, store)
+        args.lift(2).map(_.toInt).foreach { b =>
+          store.ensureBucketed("tweets", Seq("id"), b)
+          store.ensureBucketed("users", Seq("id"), b)
+        }
+        println(s"[ensure-tables] type tables seeded" +
+          args.lift(2).map(b =>
+            s"; tweets/users declared bucketed ($b)").getOrElse(""))
       case "save-tweets" =>
+        args.lift(3).map(_.toInt).foreach { b =>
+          store.ensureBucketed("tweets", Seq("id"), b)
+          store.ensureBucketed("users", Seq("id"), b)
+        }
         val raw = spark.read.option("multiLine", true)
           .schema(graft.schema.TwitterSchemas.tweet(2)).json(args(2))
         val tables = graft.ingest.Normalize.saveTweets(raw)

@@ -212,6 +212,27 @@ class TableStore(val spark: SparkSession, root: String) {
     mergeBucketed(name, read(name).limit(0), pk, buckets, ignore = false)
   }
 
+  /** Declare the bucket layout BEFORE the first write — the
+    * ensure-tables analog (utils.py:313-408 creates schemas up front)
+    * for the grow-forever sinks: a fresh store's very first
+    * `save-tweets` batch then lands partitioned and every later batch
+    * is O(touched buckets), with no full-rewrite conversion ever paid.
+    * Idempotent on a matching declaration; an existing flat table
+    * converts via [[bucketize]]; a conflicting declaration is refused.
+    */
+  def ensureBucketed(name: String, pk: Seq[String], buckets: Int): Unit =
+    bucketLayoutOf(name) match {
+      case Some((n, declaredPk)) =>
+        require(n == buckets && declaredPk == pk,
+          s"$name already declares (buckets=$n, pk=${declaredPk.mkString(",")}); " +
+            s"ensureBucketed passed (buckets=$buckets, pk=${pk.mkString(",")})")
+      case None if exists(name) && dataFiles(name).nonEmpty =>
+        bucketize(name, pk, buckets)
+      case None =>
+        fs.mkdirs(new Path(path(name)))
+        writeBucketLayout(name, buckets, pk)
+    }
+
   /** Keep a declared z-order clustering alive across bucket rewrites:
     * the merged bucket is re-sorted on (bucket, zkey) before the
     * write, so row-group min/max stats stay selective. File-level
@@ -251,6 +272,17 @@ class TableStore(val spark: SparkSession, root: String) {
         require(n == buckets && declaredPk == pk,
           s"$name declares (buckets=$n, pk=${declaredPk.mkString(",")}); " +
             s"caller passed (buckets=$buckets, pk=${pk.mkString(",")})")
+        if (dataFiles(name).isEmpty) {
+          // declared-before-first-write (ensureBucketed): nothing to
+          // merge with — first partitioned write, re-declare after the
+          // swap (writeSwapped replaces the dir, marker included)
+          val merged = merge(None, incoming)
+            .withColumn(BucketCol, bucketOfPk(pk, buckets))
+            .repartition(col(BucketCol))
+          writeSwapped(name, merged, Seq(BucketCol))
+          writeBucketLayout(name, buckets, pk)
+          return
+        }
         val existing = read(name)
         // xxhash64 is TYPE-sensitive: an INT-id batch against a
         // LONG-id table would hash the same key to different buckets

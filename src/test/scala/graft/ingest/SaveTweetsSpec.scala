@@ -227,6 +227,76 @@ class SaveTweetsSpec extends SparkSpec {
     assert(simonw.getAs[String]("url") === "https://simonwillison.net/")
   }
 
+  test("a fresh bucketed store: first batch lands partitioned, second rewrites only touched buckets") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-st-bucketed").toString)
+    // declare BEFORE first write — the ensure-tables shape: no flat
+    // phase, no one-time conversion rewrite ever paid
+    store.ensureBucketed("tweets", Seq("id"), 32)
+    store.ensureBucketed("users", Seq("id"), 32)
+
+    val raw = spark.read
+      .option("multiLine", true)
+      .schema(TwitterSchemas.tweet(2))
+      .json(resource("tweets.json"))
+    val first = Normalize.saveTweets(raw)
+    store.upsert("tweets", first("tweets"), Seq("id"))
+    store.upsert("users", first("users"), Seq("id"))
+
+    assert(store.bucketLayoutOf("tweets") === Some((32, Seq("id"))))
+    assert(store.bucketLayoutOf("users") === Some((32, Seq("id"))))
+    assert(store.partitionColumnsOf("tweets") === Seq("pk_bucket"))
+    // golden rows unchanged through the bucketed write path
+    assert(store.read("tweets").count() === 5L)
+    assert(store.read("users").count() === 3L)
+    val rt = store.read("tweets")
+      .filter(col("id") === 1169246717864136700L).collect()(0)
+    assert(rt.getAs[Long]("retweeted_status") === 1169242008432644000L)
+    assert(rt.getAs[String]("source") === "95f3aaaddaa45937ac94765e0ddb68ba2be92d20")
+
+    // second batch: one NEW tweet by an EXISTING user — the steady-
+    // state sink shape
+    val batch2Json =
+      s"""{"id": 9999999999, "created_at": "Wed Sep 04 13:51:55 +0000 2019",
+         | "full_text": "a later batch",
+         | "user": {"id": 12497, "created_at": "Wed Nov 15 13:18:50 +0000 2006",
+         |   "name": "Simon Willison", "screen_name": "simonw",
+         |   "followers_count": 17754, "friends_count": 3460, "listed_count": 1230}}"""
+        .stripMargin.replace("\n", "")
+    val raw2 = spark.read.schema(TwitterSchemas.tweet(2)).json(Seq(batch2Json).toDS)
+    val second = Normalize.saveTweets(raw2)
+    val beforeT = store.dataFiles("tweets").toSet
+    val beforeU = store.dataFiles("users").toSet
+    store.upsert("tweets", second("tweets"), Seq("id"))
+    store.upsert("users", second("users"), Seq("id"))
+    val afterT = store.dataFiles("tweets").toSet
+    val afterU = store.dataFiles("users").toSet
+
+    def changedBuckets(b: Set[String], a: Set[String]) =
+      ((b diff a) ++ (a diff b)).map(p =>
+        p.split("/").find(_.startsWith("pk_bucket=")).getOrElse(p))
+    assert(changedBuckets(beforeT, afterT).size === 1,
+      s"tweets batch rewrote ${changedBuckets(beforeT, afterT)}")
+    assert(changedBuckets(beforeU, afterU).size === 1,
+      s"users batch rewrote ${changedBuckets(beforeU, afterU)}")
+
+    // counts and goldens still intact after the incremental merge
+    assert(store.read("tweets").count() === 6L)
+    assert(store.read("users").count() === 3L)
+    assert(store.read("tweets").filter(col("id") === 9999999999L)
+      .select(col("full_text")).head.getString(0) === "a later batch")
+    val rt2 = store.read("tweets")
+      .filter(col("id") === 1169246717864136700L).collect()(0)
+    assert(rt2.getAs[Long]("retweeted_status") === 1169242008432644000L)
+    // ensureBucketed is idempotent on a matching declaration and loud
+    // on a conflict
+    store.ensureBucketed("tweets", Seq("id"), 32)
+    intercept[IllegalArgumentException] {
+      store.ensureBucketed("tweets", Seq("id"), 64)
+    }
+  }
+
   test("favorited_by variant (utils.py:435-441)") {
     val raw = spark.read
       .option("multiLine", true)
