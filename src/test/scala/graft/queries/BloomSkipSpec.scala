@@ -112,6 +112,55 @@ class BloomSkipSpec extends SparkSpec {
     assert(got.values.exists(identity) && got.values.exists(!_))
   }
 
+  test("at 256 shards the probe stage is keyed to scale with the shard count") {
+    // realistic shard count on a bigger fixture, on the SHUFFLE path
+    // (at 100 TB the blobs table is shards × 8 MB — no broadcast):
+    // exactness must hold, the probe join must be exchanged on _shard
+    // (so reducer concurrency is bounded by `shards`, not by any plan
+    // constant — the SCALING.md claim), and the batch must actually
+    // occupy every shard so that bound is attainable.
+    val batch = (0 until 5000).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    val seen = (0 until 2000).map(i => s"key_${i * 2}").toDF("k")
+    val plain = batch.join(seen.distinct(), Seq("k"), "left_anti")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = RelationalOps.skipExistingBloomSharded(
+        batch, seen, "k",
+        expectedItemsPerShard = 64L, numBitsPerShard = 640L, shards = 256)
+      val got = df.select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === plain.toSeq)
+
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shardExchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case hp: HashPartitioning
+              if hp.expressions.exists(
+                _.references.exists(_.name == "_shard")) => Some(e)
+          case _ => None
+        }
+      }.flatten
+      assert(shardExchanges.nonEmpty,
+        "probe join carries no _shard-hashed exchange — parallelism " +
+          "would not follow the shard count")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+
+    // 5000 keys over 256 shards: every shard occupied (deterministic
+    // for this fixture) — ≤-shards concurrency is also =-shards here
+    val occupied = batch
+      .select(pmod(xxhash64(col("k")), lit(256L)).as("s"))
+      .distinct().count()
+    assert(occupied === 256L, s"only $occupied of 256 shards occupied")
+  }
+
   test("sharded variant with empty seen set keeps every batch row") {
     val batch = frame(0 until 50)
     val seen = frame(0 until 0).select(col("k"))
