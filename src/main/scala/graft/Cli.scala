@@ -63,7 +63,11 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
   *                                         (multi-dim file skipping)
   *   hh-top <store> <table> [n]            streaming heavy-hitter counters
-  *   doctor <store>                        index integrity checks
+  *   doctor <store> [--suggest]            index integrity checks;
+  *                                         --suggest adds maintenance
+  *                                         advice (fragmented tables
+  *                                         + the compact command that
+  *                                         clears them)
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   */
@@ -301,6 +305,12 @@ object Cli {
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")
         else issues.foreach(i =>
           println(s"[doctor] ${i.component}/${i.table}: ${i.problem}"))
+        if (args.contains("--suggest")) {
+          val sug = graft.store.Doctor.suggest(store)
+          if (sug.isEmpty) println("[doctor] no maintenance suggested")
+          else sug.foreach(s =>
+            println(s"[doctor] suggest/${s.table}: ${s.problem}"))
+        }
       case "tables" =>
         store.tableNames.foreach(t =>
           println(f"$t%-28s ${store.read(t).count()}%8d rows"))

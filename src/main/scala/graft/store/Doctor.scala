@@ -65,6 +65,42 @@ object Doctor {
     issues.result()
   }
 
+  /** Advisory maintenance suggestions — the self-driving half of the
+    * compaction story: integrity `check` reports what is WRONG, this
+    * reports what is SLOW. The one signal that matters at 100 TB is
+    * small-file fragmentation — the incremental paths (bucket-scoped
+    * upserts, dynamic-partition index maintenance) accrete one file
+    * per batch per partition, and listing + per-file open overhead
+    * comes to dominate scan time long before data volume does.
+    *
+    * The threshold derives from the table's own fileStats: the
+    * bin-packed ideal is ceil(bytes / targetBytes), floored at one
+    * file per live partition directory (a bucketed table can never
+    * pack below one file per occupied bucket, and that is not
+    * fragmentation). A table is flagged when it carries more than
+    * 2× that floor (and at least a handful of files), i.e. exactly
+    * when the suggested compact would actually reduce the file count.
+    */
+  def suggest(
+      store: TableStore, targetBytes: Long = 128L << 20): Seq[Issue] =
+    store.tableNames.flatMap { t =>
+      val (files, bytes) = store.fileStats(t)
+      val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      val partDirs = store.dataFiles(t)
+        .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.size
+      val floor = math.max(ideal, partDirs.toLong)
+      if (files > math.max(8L, 2L * floor)) {
+        val verb = store.zorderLayoutOf(t) match {
+          case Some((zCols, bits)) =>
+            s"compact-z <store> $t $bits ${zCols.mkString(",")}"
+          case None => s"compact <store> $t"
+        }
+        Some(Issue("compact", t,
+          s"$files files for $bytes bytes (packed floor ≈ $floor): " +
+            s"small-file fragmentation — run `$verb`"))
+      } else None
+    }
+
   /** The stats manifest must track exactly the table's current data
     * files — an out-of-band write leaves untracked files that every
     * pruneFiles call footer-walks on the driver (slow, never wrong),

@@ -136,4 +136,73 @@ class DoctorSpec extends SparkSpec {
     val issues = Doctor.check(store).filter(_.component == "fts")
     assert(issues.exists(_.problem.contains("stale stats")))
   }
+
+  test("suggest flags a fragmented table and the suggested compact clears it") {
+    val store = freshStore()
+    // deliberately fragmented: 40 files for a few KB of rows — the
+    // shape repeated small upserts leave behind
+    store.overwrite("frag",
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(40))
+    assert(store.fileStats("frag")._1 >= 40L)
+    val sug = Doctor.suggest(store)
+    assert(sug.exists(s => s.table == "frag" &&
+      s.problem.contains("fragmentation") && s.problem.contains("compact")),
+      s"fragmented table not flagged: $sug")
+    // suggestions are advice, not integrity findings
+    assert(!Doctor.check(store).exists(_.component == "compact"))
+
+    // the suggested maintenance clears the flag
+    store.compact("frag")
+    assert(!Doctor.suggest(store).exists(_.table == "frag"),
+      s"still flagged after compact: ${Doctor.suggest(store)}")
+  }
+
+  test("suggest respects the one-file-per-bucket floor and names compact-z") {
+    val store = freshStore()
+    // a freshly compacted BUCKETED table holds ~one file per occupied
+    // bucket — far more than ceil(bytes/target) but NOT fragmentation
+    store.upsertBucketed("b",
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"), buckets = 24)
+    store.compact("b")
+    assert(!Doctor.suggest(store).exists(_.table == "b"),
+      s"packed bucketed table wrongly flagged: ${Doctor.suggest(store)}")
+
+    // fragment it out-of-band: many tiny files PER bucket dir is what
+    // the threshold must catch even with the per-partition floor up
+    val bdata = Iteration.materialize(store.read("b").drop("pk_bucket")
+      .withColumn("pk_bucket", pmod(xxhash64(col("id")), lit(24L))))
+    store.overwrite("b", bdata.repartition(96), Seq("pk_bucket"))
+    val (bFiles, _) = store.fileStats("b")
+    assert(bFiles > 48L, s"fixture did not fragment: $bFiles files")
+    val frag = Doctor.suggest(store)
+    assert(frag.exists(_.table == "b"),
+      s"fragmented bucketed table not flagged: $frag")
+    // and the suggested compact clears it back to the bucket floor
+    store.compact("b")
+    assert(!Doctor.suggest(store).exists(_.table == "b"),
+      s"still flagged after compact: ${Doctor.suggest(store)}")
+
+    // a z-ordered table's suggestion names the z-aware verb, so the
+    // clustering isn't silently lost by a plain compact
+    store.overwrite("z",
+      (0 until 300).map(i => (i.toLong, (i * 7 % 100).toLong, s"v$i"))
+        .toDF("id", "x", "v"))
+    store.compactZorder("z", Seq("x"), bits = 8)
+    // fragment out-of-band (the overwrite swap drops the marker), then
+    // re-declare the clustering the fragmenting writer claimed to keep
+    store.overwrite("z",
+      Iteration.materialize(store.read("z")).repartition(30))
+    val tdir = new org.apache.hadoop.fs.Path(
+      store.dataFiles("z").head).getParent
+    val fs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tdir, "_graft_zorder"), true)
+    out.write("zcols=x\nbits=8\n".getBytes("UTF-8"))
+    out.close()
+    val zSug = Doctor.suggest(store).filter(_.table == "z")
+    assert(zSug.exists(_.problem.contains("compact-z")),
+      s"z-ordered table's suggestion should name compact-z: $zSug")
+  }
 }
