@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, library handles
   * amortized per batch, arbitrary Scala inside).
   *
-  * PNG/JPEG payloads decode for REAL through the JDK's ImageIO, and
-  * WAV/AIFF audio headers through `javax.sound.sampled.AudioSystem`
-  * (magic byte dispatch in `Decoder`); only compressed audio and video
-  * containers fall back to the deterministic `DecodeStub` — this
-  * container ships no mp3/video codec libraries. Everything around the
-  * seam is real and load-bearing: schema, null handling, partition
-  * batching, output shape. Swapping the stub fallback for
-  * javacv/ffmpeg is the only change needed on a real cluster.
+  * PNG/JPEG payloads decode for REAL through the JDK's ImageIO,
+  * WAV/AIFF audio headers through `javax.sound.sampled.AudioSystem`,
+  * and compressed-media METADATA through pure-JDK byte parsing of the
+  * published container layouts — mp3 sync-frame headers (sample rate,
+  * channels, PCM duration; ISO 11172-3) and mp4 ftyp/moov/mvhd/tkhd
+  * boxes (duration, pixel dims; ISO 14496-12) — magic-byte dispatch in
+  * `Decoder`. Only payload DECODE of compressed media falls back to
+  * the deterministic `DecodeStub` — this container ships no codec
+  * libraries. Everything around the seam is real and load-bearing:
+  * schema, null handling, partition batching, output shape. Swapping
+  * the stub fallback for javacv/ffmpeg is the only change needed on a
+  * real cluster.
   *
   * Scale notes: binary payloads stay columnar (parquet binary) and are
   * never collected; decode is a narrow map (no shuffle); downstream
@@ -71,8 +75,153 @@ object Multimodal {
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
 
+    private def isMp3(b: Array[Byte]): Boolean =
+      (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    /** MPEG audio (mp3) frame-header walk — pure byte parsing, no
+      * codec: sample rate / channel mode / samples-per-frame come from
+      * each 4-byte sync header, frame lengths chain one header to the
+      * next (ISO 11172-3 public layout). METADATA only; the payload is
+      * never decoded. Returns (sampleRate, channels, totalSampleFrames)
+      * or None when fewer than 2 chained valid frames exist — a text
+      * payload that happens to start with "ID3" must fall to the stub,
+      * not masquerade as audio.
+      */
+    private[multimodal] def mp3Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      // skip an ID3v2 tag: 10-byte header, syncsafe 28-bit size
+      var off =
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+          10 + ((b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 |
+            (b(8) & 0x7f) << 7 | (b(9) & 0x7f))
+        else 0
+      if (off < 0 || off >= b.length) return None
+      val BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, 0)
+      val BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+        96, 112, 128, 144, 160, 0)
+      val SampleRateV1 = Array(44100, 48000, 32000, 0)
+      var frames = 0
+      var sampleFrames = 0L
+      var rate = 0
+      var channels = 0
+      var ok = true
+      while (ok && off + 4 <= b.length) {
+        val h = (b(off) & 0xff) << 24 | (b(off + 1) & 0xff) << 16 |
+          (b(off + 2) & 0xff) << 8 | (b(off + 3) & 0xff)
+        val sync = (h >>> 21) == 0x7ff
+        val verBits = (h >>> 19) & 3      // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (h >>> 17) & 3    // 1=Layer III
+        val brIdx = (h >>> 12) & 0xf
+        val srIdx = (h >>> 10) & 3
+        val padding = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3          // 3=mono
+        if (!sync || verBits == 1 || layerBits != 1 || brIdx == 0 ||
+            brIdx == 15 || srIdx == 3) ok = false
+        else {
+          val mpeg1 = verBits == 3
+          val kbps = (if (mpeg1) BitrateV1L3 else BitrateV2L3)(brIdx)
+          val sr = verBits match {
+            case 3 => SampleRateV1(srIdx)       // MPEG1
+            case 2 => SampleRateV1(srIdx) / 2   // MPEG2
+            case _ => SampleRateV1(srIdx) / 4   // MPEG2.5
+          }
+          val spf = if (mpeg1) 1152 else 576    // Layer III samples/frame
+          val len = spf / 8 * (kbps * 1000) / sr + padding
+          if (len <= 4) ok = false
+          else {
+            frames += 1
+            sampleFrames += spf
+            rate = sr
+            channels = if (mode == 3) 1 else 2
+            off += len
+          }
+        }
+      }
+      // ≥2 chained frames, and the walk must have consumed the buffer
+      // (a truncated/garbage tail means this was never an mp3 stream)
+      if (frames >= 2 && off >= b.length)
+        Some((rate, channels, sampleFrames.min(Int.MaxValue).toInt))
+      else None
+    }
+
+    /** ISO-BMFF (mp4) box walk — ftyp/moov/mvhd (+ the first video
+      * trak's tkhd for pixel dims), pure byte parsing of the published
+      * box layout (ISO 14496-12). METADATA only. Returns
+      * (width, height, durationMs) or None on any malformed box.
+      */
+    private[multimodal] def mp4Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      def u32(o: Int): Long =
+        (b(o) & 0xffL) << 24 | (b(o + 1) & 0xffL) << 16 |
+          (b(o + 2) & 0xffL) << 8 | (b(o + 3) & 0xffL)
+      def u64(o: Int): Long =
+        u32(o) << 32 | u32(o + 4)
+      def boxType(o: Int): String =
+        new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // walk the sibling boxes of [from, until), returning the body
+      // range of the first box of the wanted type
+      def find(from: Int, until: Int, want: String): Option[(Int, Int)] = {
+        var o = from
+        while (o + 8 <= until) {
+          val size0 = u32(o)
+          val (size, hdr) =
+            if (size0 == 1 && o + 16 <= until) (u64(o + 8), 16)
+            else (size0, 8)
+          if (size < hdr || o + size > until) return None
+          if (boxType(o) == want) return Some((o + hdr, o + size.toInt))
+          o += size.toInt
+        }
+        None
+      }
+      try {
+        val moov = find(0, b.length, "moov").getOrElse(return None)
+        val (mo, mu) = moov
+        val (vo, vu) = find(mo, mu, "mvhd").getOrElse(return None)
+        val version = b(vo) & 0xff
+        val (timescale, duration) =
+          if (version == 1) (u32(vo + 20), u64(vo + 24))
+          else (u32(vo + 12), u32(vo + 16))
+        if (timescale == 0) return None
+        val durMs = duration * 1000L / timescale
+        // first trak's tkhd carries 16.16 fixed-point pixel dims
+        val dims = find(mo, mu, "trak").flatMap { case (to, tu) =>
+          find(to, tu, "tkhd").map { case (ko, _) =>
+            val v = b(ko) & 0xff
+            val base = if (v == 1) ko + 4 + 8 + 8 + 4 + 4 + 8 else ko + 4 + 4 + 4 + 4 + 4 + 4
+            val w = (u32(base + 8 + 2 + 2 + 2 + 2 + 36) >> 16).toInt
+            val h = (u32(base + 8 + 2 + 2 + 2 + 2 + 36 + 4) >> 16).toInt
+            (w, h)
+          }
+        }.getOrElse((0, 0))
+        Some((dims._1, dims._2, durMs.min(Int.MaxValue).toInt))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
-      if (isWav(bytes) || isAiff(bytes)) {
+      if (isMp3(bytes)) {
+        // header-real compressed audio: width = sample rate, height =
+        // channels, nFrames = PCM sample frames (the WAV mapping)
+        mp3Header(bytes) match {
+          case Some((sr, ch, sf)) => MediaMeta(docId, kind = "audio",
+            width = sr, height = ch, nFrames = sf,
+            nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
+          case None => DecodeStub.decode(docId, bytes)
+        }
+      } else if (isMp4(bytes)) {
+        // header-real video container: width/height = tkhd pixel dims
+        // (0 when absent), nFrames carries mvhd duration in MILLIS —
+        // without a codec there is no frame count, and duration is
+        // the quantity a pipeline filters on
+        mp4Header(bytes) match {
+          case Some((w, h, durMs)) => MediaMeta(docId, kind = "video",
+            width = w, height = h, nFrames = durMs,
+            nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
+          case None => DecodeStub.decode(docId, bytes)
+        }
+      } else if (isWav(bytes) || isAiff(bytes)) {
         // real audio header decode via the JDK's sampled-audio stack;
         // MediaMeta's pixel fields carry the audio analogs (documented
         // mapping): width = sample rate in Hz, height = channel count,

@@ -120,6 +120,90 @@ class MultimodalSpec extends SparkSpec {
     assert(corrupt.width === 16 + 'I'.toInt) // stub dims, not a throw
   }
 
+  test("mp3 sync-frame headers decode to real rate/channels/duration") {
+    // build a minimal MPEG1 Layer III stream: 128 kbps @ 44100 Hz,
+    // joint stereo, no padding → frame length = 144*128000/44100 = 417
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      f(2) = 0x90.toByte // bitrate idx 9 (128k), sr idx 0 (44100), no pad
+      f(3) = 0x44.toByte // joint stereo
+      f
+    }
+    val bare = Array.concat(frame(), frame(), frame())
+    val m1 = Multimodal.Decoder.decode(1L, bare)
+    // audio mapping: width = sample rate, height = channels,
+    // nFrames = PCM sample frames (3 mp3 frames × 1152)
+    assert(m1.kind === "audio")
+    assert((m1.width, m1.height, m1.nFrames) === (44100, 2, 3 * 1152))
+    assert(m1.nBytes === bare.length.toLong)
+
+    // same stream behind an ID3v2 tag (10-byte header, 20-byte body)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++ bare
+    val m2 = Multimodal.Decoder.decode(2L, id3)
+    assert((m2.kind, m2.width, m2.nFrames) === ("audio", 44100, 3 * 1152))
+
+    // a MONO MPEG2 stream: 64 kbps @ 22050 Hz → 72*64000/22050 = 208
+    def frame2(): Array[Byte] = {
+      val f = new Array[Byte](208)
+      f(0) = 0xff.toByte
+      f(1) = 0xf3.toByte // MPEG2, Layer III
+      f(2) = 0x80.toByte // bitrate idx 8 (64k), sr idx 0 (22050)
+      f(3) = 0xc4.toByte // mono
+      f
+    }
+    val v2 = Array.concat(frame2(), frame2())
+    val m3 = Multimodal.Decoder.decode(3L, v2)
+    assert((m3.width, m3.height, m3.nFrames) === (22050, 1, 2 * 576))
+
+    // a text payload starting with "ID3" is NOT audio — no chained
+    // sync frames, so it must fall to the stub, and the oracle's
+    // code-point parity must keep agreeing
+    val impostor = "ID3 is a tag format".getBytes("UTF-8")
+    val m4 = Multimodal.Decoder.decode(4L, impostor)
+    assert(m4.kind === ('I'.toInt % 3 match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }))
+    assert(m4.width === 16 + 'D'.toInt) // stub dims
+  }
+
+  test("mp4 ftyp/mvhd/tkhd boxes decode to real duration and pixel dims") {
+    def u32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    // mvhd v0: flags, ctime, mtime, timescale=600, duration=9000 (15 s)
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(9000))
+    // tkhd v0: dims 640×360 in 16.16 fixed point at the matrix tail
+    val tkhdBody =
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(0) ++   // hdr
+        new Array[Byte](8) ++ new Array[Byte](2 + 2 + 2 + 2) ++      // resv…
+        new Array[Byte](36) ++                                       // matrix
+        u32(640L << 16) ++ u32(360L << 16)
+    val moov = box("moov", mvhd ++ box("trak", box("tkhd", tkhdBody)))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512))
+    val mp4 = ftyp ++ moov
+
+    val m = Multimodal.Decoder.decode(1L, mp4)
+    // video mapping: width/height = tkhd pixel dims, nFrames = mvhd
+    // duration in milliseconds
+    assert(m.kind === "video")
+    assert((m.width, m.height, m.nFrames) === (640, 360, 15000))
+    assert(m.nBytes === mp4.length.toLong)
+
+    // no trak: duration still real, dims 0
+    val noTrak = ftyp ++ box("moov", mvhd)
+    val m2 = Multimodal.Decoder.decode(2L, noTrak)
+    assert((m2.kind, m2.width, m2.height, m2.nFrames) === ("video", 0, 0, 15000))
+
+    // ftyp magic but garbage boxes → stub, not a throw
+    val corrupt = "xxxxftypgarbage-not-boxes".getBytes("US-ASCII")
+    val m3 = Multimodal.Decoder.decode(3L, corrupt)
+    assert(m3.width === 16 + 'x'.toInt) // stub dims
+  }
+
   test("kind parity uses the first code point, not the first byte") {
     // 'é' = U+00E9 (233): 233 % 3 = 2 → video. Its UTF-8 lead byte is
     // 0xC3 (195): 195 % 3 = 0 would have said image — the SQL oracle
