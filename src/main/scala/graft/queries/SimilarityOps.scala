@@ -22,6 +22,10 @@ object SimilarityOps {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Sequential left-fold dot product (codegen'd higher-order fns). */
+  private def sub(a: Column, b: Column): Column =
+    graft.functions.SliceDists.subVec(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
   private def dot(a: Column, b: Column): Column =
     graft.functions.SliceDists.dotFold(
       org.apache.spark.sql.SparkSession.active, a, b)
@@ -817,8 +821,7 @@ object SimilarityOps {
       .agg(max_by(struct(col("e"), col("cent_id").as("cell"), col("cent_e")),
         struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
       .select(col("vec_id"), col("_best.cell").as("cell"),
-        zip_with(col("_best.e"), col("_best.cent_e"), (x, y) => x - y)
-          .as("r")))
+        sub(col("_best.e"), col("_best.cent_e")).as("r")))
 
     // shared codebook: the residuals of candidates 16..31, codeword j =
     // vec_id − 16 (slice s of seed j is subspace s's j-th codeword)
@@ -846,7 +849,7 @@ object SimilarityOps {
           (-(dot(col("qe"), col("cent_e")) / (col("qnorm") * col("cent_norm"))))
             .as("_ns"),
           col("cent_id").as("cell"),
-          zip_with(col("qe"), col("cent_e"), (x, y) => x - y).as("qr"))
+          sub(col("qe"), col("cent_e")).as("qr"))
           .as("_sk"))
       .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(col("_sk"))), 1, nProbeCells)
