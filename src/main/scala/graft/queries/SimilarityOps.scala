@@ -222,6 +222,64 @@ object SimilarityOps {
   }
 
   // ---------------------------------------------------------------------
+  // q_int8_quant — per-dimension affine int8 scalar quantization of the
+  // embedding column (the FAISS-ScalarQuantizer/SQ8 public recipe): the
+  // serving-storage pass that cuts vector bytes 4× ahead of ANN, and the
+  // scalar sibling of the PQ family above. Per-dim min/max is a
+  // 64-group partial aggregation (one tiny shuffle regardless of corpus
+  // size); the quantize + reconstruction-error pass is map-only after a
+  // broadcast join of the 64-row stats — the 100 TB shape is one narrow
+  // column rewrite. Exactness discipline: round-half-up spelled as
+  // floor(v + 0.5) in BOTH engines (no banker's-rounding divergence),
+  // identical left-assoc arithmetic order, errors 1e-9-quantized to
+  // longs before the max (the established quantized-comparison rule).
+  def int8Quant(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("pos"), col("x"))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = ex.join(broadcast(stats), Seq("pos"))
+      .withColumn("q", when(col("mx") === col("mn"), lit(0))
+        .otherwise(floor(
+          (col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))
+            + lit(0.5)).cast("int")))
+      .withColumn("err", abs(
+        col("mn") + col("q").cast("double") * (col("mx") - col("mn"))
+          / lit(255.0) - col("x")))
+    q.groupBy(col("vec_id"))
+      .agg(sum(col("q")).as("q_sum"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"),
+        max(floor(col("err") * lit(1e9)).cast("long")).as("max_err_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  val int8QuantSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, pos, e[pos] AS x
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |       (SELECT unnest(range(1, ${dims + 1})) AS pos)
+       |), stats AS (
+       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+       |), qq AS (
+       |  SELECT vec_id, x, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT)
+       |    END AS q
+       |  FROM ex JOIN stats USING (pos)
+       |), e2 AS (
+       |  SELECT vec_id, q,
+       |    abs(mn + CAST(q AS DOUBLE) * (mx - mn) / 255.0 - x) AS err
+       |  FROM qq
+       |)
+       |SELECT vec_id, CAST(SUM(q) AS BIGINT) AS q_sum,
+       |  MIN(q) AS q_min, MAX(q) AS q_max,
+       |  MAX(CAST(floor(err * 1000000000.0) AS BIGINT)) AS max_err_q
+       |FROM e2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Shared LSH machinery for the bucketed search path: per vector, the
   // 8-bit hyperplane bucket + the norm, computed once.
   private def withBucketAndNorm(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1053,5 +1111,6 @@ object SimilarityOps {
     Op("q_ann_ivf_topk", annIvfTopK, Some(annIvfTopKSql)),
     Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)),
+    Op("q_int8_quant", int8Quant, Some(int8QuantSql)),
     Op("q_random_projection", randomProjection, Some(randomProjectionSql)))
 }
