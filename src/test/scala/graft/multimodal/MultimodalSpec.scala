@@ -204,6 +204,33 @@ class MultimodalSpec extends SparkSpec {
     assert(m3.width === 16 + 'x'.toInt) // stub dims
   }
 
+  test("decode never throws on arbitrary bytes (one bad doc must not fail the job)") {
+    // seeded fuzz across the dispatch surface: random payloads, random
+    // payloads wearing each magic prefix, and truncations thereof —
+    // every one must produce a MediaMeta, never an exception
+    val rnd = new scala.util.Random(20260813L)
+    val magics = Seq(
+      Array[Byte](),                                         // plain noise
+      Array[Byte]('I', 'D', '3'),                            // mp3 tag
+      Array[Byte](0xff.toByte, 0xfb.toByte),                 // mp3 sync
+      Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),          // mp4
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),    // jpeg
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      "FORMxxxxAIFF".getBytes("US-ASCII"))
+    var n = 0
+    for (magic <- magics; len <- Seq(0, 1, 3, 9, 64, 1024); _ <- 0 until 4) {
+      val noise = new Array[Byte](len)
+      rnd.nextBytes(noise)
+      val payload = magic ++ noise
+      val m = Multimodal.Decoder.decode(n.toLong, payload)
+      assert(m.nBytes === payload.length.toLong)
+      assert(Set("image", "audio", "video").contains(m.kind))
+      n += 1
+    }
+    assert(n === magics.size * 6 * 4)
+  }
+
   test("kind parity uses the first code point, not the first byte") {
     // 'é' = U+00E9 (233): 233 % 3 = 2 → video. Its UTF-8 lead byte is
     // 0xC3 (195): 195 % 3 = 0 would have said image — the SQL oracle
