@@ -24,8 +24,10 @@ class TableStore(val spark: SparkSession, root: String) {
 
   def read(name: String): DataFrame = spark.read.parquet(path(name))
 
+  // a dir holding only markers (ensureBucketed before first write) has
+  // no schema to read — treat it as absent
   def readIfExists(name: String): Option[DataFrame] =
-    if (exists(name)) Some(read(name)) else None
+    if (exists(name) && dataFiles(name).nonEmpty) Some(read(name)) else None
 
   def tableNames: Seq[String] =
     if (!fs.exists(new Path(root))) Seq.empty
