@@ -53,6 +53,9 @@ object Doctor {
     names.filter(_.endsWith("_decon_grams")).foreach { idx =>
       issues ++= decontaminate(store, baseOf(idx, "_decon_grams"), names)
     }
+    names.filter(_.endsWith("_cdc_ledger")).foreach { idx =>
+      issues ++= cdcLedger(store, baseOf(idx, "_cdc_ledger"), names)
+    }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
         issues ++= bucketedBase(store, t, n, pk)
@@ -277,6 +280,34 @@ object Doctor {
             s"$missed eval grams are NOT covered by the bloom blob — " +
               "contaminated docs can slip the prefilter (re-run install)")
       }
+    }
+    out.result()
+  }
+
+  private def cdcLedger(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val ledger = store.read(s"${table}_cdc_ledger")
+    // insert-ignore on fp can never write two rows per fingerprint —
+    // duplicates mean an out-of-band write, and the seen-count
+    // semi-join would still answer right but the ledger's first-wins
+    // ownership is ambiguous
+    val dup = ledger.groupBy(col("fp")).count().filter(col("count") > 1).count()
+    if (dup > 0)
+      out += Issue("cdc-dedup", table,
+        s"$dup chunk fingerprints have multiple ledger rows — " +
+          "first-wins ownership is ambiguous (out-of-band write; rebuild)")
+    // the stats sink writes n_seen from a semi-join of the doc's own
+    // chunks, so n_seen > n_chunks (or negatives) cannot come from the
+    // sink
+    names.find(_ == s"${table}_cdc_stats").foreach { st =>
+      val bad = store.read(st).filter(
+        col("n_seen") > col("n_chunks") || col("n_seen") < 0L ||
+          col("n_chunks") <= 0L || col("n_chars") <= 0L).count()
+      if (bad > 0)
+        out += Issue("cdc-dedup", table,
+          s"$bad stats rows violate 0 <= n_seen <= n_chunks (with " +
+            "positive chunk counts) — out-of-band edit; rebuild via the sink")
     }
     out.result()
   }

@@ -137,6 +137,26 @@ class DoctorSpec extends SparkSpec {
     assert(issues.exists(_.problem.contains("stale stats")))
   }
 
+  test("seeded CDC ledger corruption is named (dup fp, impossible stats)") {
+    val store = freshStore()
+    store.overwrite("docs_cdc_ledger",
+      Seq(("aa", 1L, 10L), ("aa", 2L, 10L), ("bb", 1L, 5L))
+        .toDF("fp", "doc_id", "clen"))
+    store.overwrite("docs_cdc_stats",
+      Seq((1L, 4L, 100L, 5L), (2L, 3L, 80L, 1L))
+        .toDF("doc_id", "n_chunks", "n_chars", "n_seen"))
+    val issues = Doctor.check(store).filter(_.component == "cdc-dedup")
+    assert(issues.exists(_.problem.contains("multiple ledger rows")))
+    assert(issues.exists(_.problem.contains("n_seen")))
+    // a healthy pair reports nothing
+    val ok = freshStore()
+    ok.overwrite("docs_cdc_ledger",
+      Seq(("aa", 1L, 10L), ("bb", 1L, 5L)).toDF("fp", "doc_id", "clen"))
+    ok.overwrite("docs_cdc_stats",
+      Seq((1L, 4L, 100L, 2L)).toDF("doc_id", "n_chunks", "n_chars", "n_seen"))
+    assert(Doctor.check(ok).filter(_.component == "cdc-dedup").isEmpty)
+  }
+
   test("suggest flags a fragmented table and the suggested compact clears it") {
     val store = freshStore()
     // deliberately fragmented: 40 files for a few KB of rows — the
