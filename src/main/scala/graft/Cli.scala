@@ -38,6 +38,9 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   ivf-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   ivfpq-index <store> <table> <pk> <emb> [k] [iters] cells + residual codes
   *   ivfpq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   sq-index <store> <table> <pk> <emb>   per-dim int8 scales + codes
+  *   sq-search <store> <table> <pk> <emb> <qid> [topk]  asymmetric
+  *                                         cosine over the code table
   *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
   *   tri-search <store> <table> <pk> <text> <needle...>
   *   tri-match <store> <table> <pk> <text> <query...>  boolean substring
@@ -145,6 +148,21 @@ object Cli {
         IvfPq.buildIndex(store, table, vecs, pk, emb,
           kCells = k, iters = iters)
         println(s"[ivfpq-index] ${store.read(IvfPq.codesName(table)).count()} code rows")
+      case "sq-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.Sq.buildIndex(store, table, vecs, pk, emb)
+        println(s"[sq-index] ${store.read(graft.store.Sq.codesName(table)).count()} code rows")
+      case "sq-search" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.Sq.annTopK(store, table, queries, pk, emb, topk)
+          .show(topk, truncate = false)
       case "pq-search" | "ivf-search" | "ivfpq-search" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)

@@ -280,6 +280,119 @@ object SimilarityOps {
        |FROM e2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_ann_sq_topk — asymmetric cosine top-k over int8 scalar-quantized
+  // candidates (the persisted form lives in store/Sq): full-precision
+  // queries score candidates through their SQ8 codes alone, using
+  //   q · dequant(c) = Σ q_d·mn_d + Σ (q_d·sc_d)·code_d
+  // so the candidate side reads 4× fewer bytes than raw floats — the
+  // serving-memory trade between brute-force floats (q_cosine_topk)
+  // and PQ's 32× (q_ann_pq_topk). Exactness discipline: codes via the
+  // q_int8_quant floor(v + 0.5) convention, per-dim products and the
+  // dequantized-norm squares 1e-6-quantized to longs before their sums
+  // (exact, commutative on any partitioning), one final division per
+  // cosine.
+  def annSqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("pos"), col("x"))
+    val scales = ex.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val enc = ex.filter(col("vec_id") >= 4)
+      .join(broadcast(scales), Seq("pos"))
+      .select(col("vec_id").as("cand_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(floor(
+            (col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))
+              + lit(0.5)).cast("int")).as("code"),
+        col("mn"), col("mx"))
+      .withColumn("dq",
+        col("mn") + col("code").cast("double") * (col("mx") - col("mn"))
+          / lit(255.0))
+    val dnorms = enc.groupBy(col("cand_id"))
+      .agg(sqrt(sum(floor(col("dq") * col("dq") * lit(1e6)).cast("long"))
+        .cast("double") / lit(1e6)).as("dnorm"))
+    val qdims = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        sqrt(dot(col("e"), col("e"))).as("qnorm"),
+        posexplode(col("e")).as(Seq("p", "qx")))
+      .select(col("query_id"), col("qnorm"), (col("p") + 1).as("pos"), col("qx"))
+      .join(broadcast(scales), Seq("pos"))
+      .select(col("query_id"), col("qnorm"), col("pos"),
+        (col("qx") * (col("mx") - col("mn")) / lit(255.0)).as("w"),
+        (col("qx") * col("mn")).as("qmn"))
+    val qconst = qdims.groupBy(col("query_id"), col("qnorm"))
+      .agg(sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
+    val scored = enc.select(col("cand_id"), col("pos"), col("code"))
+      .join(broadcast(qdims.select(col("query_id"), col("pos"), col("w"))),
+        Seq("pos"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(floor(col("w") * col("code").cast("double") * lit(1e6))
+        .cast("long")).as("dotq"))
+      .join(broadcast(qconst), Seq("query_id"))
+      .join(dnorms, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (((col("dotq") + col("qmnq")).cast("double") / lit(1e6))
+          / (col("qnorm") * col("dnorm"))).as("cosine"))
+    topKPerQuery(scored, 5)
+  }
+
+  val annSqTopKSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, pos, e[pos] AS x
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |       (SELECT unnest(range(1, ${dims + 1})) AS pos)
+       |), scales AS (
+       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+       |), enc AS (
+       |  SELECT vec_id AS cand_id, pos, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT)
+       |    END AS code
+       |  FROM ex JOIN scales USING (pos) WHERE vec_id >= 4
+       |), dq AS (
+       |  SELECT cand_id, pos, code,
+       |    mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0 AS dq
+       |  FROM enc
+       |), dnorms AS (
+       |  SELECT cand_id,
+       |    sqrt(CAST(CAST(SUM(CAST(floor(dq * dq * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS DOUBLE) / 1000000.0) AS dnorm
+       |  FROM dq GROUP BY cand_id
+       |), q AS (
+       |  SELECT vec_id AS query_id, e AS qe,
+       |    sqrt(${dotSql("e", "e")}) AS qnorm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE vec_id < 4
+       |), qdims AS (
+       |  SELECT query_id, qnorm, pos,
+       |    qe[pos] * (mx - mn) / 255.0 AS w,
+       |    qe[pos] * mn AS qmn
+       |  FROM q, scales
+       |), qconst AS (
+       |  SELECT query_id, qnorm,
+       |    CAST(SUM(CAST(floor(qmn * 1000000.0) AS BIGINT)) AS BIGINT) AS qmnq
+       |  FROM qdims GROUP BY query_id, qnorm
+       |), scored AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(SUM(CAST(floor(w * CAST(code AS DOUBLE) * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS dotq
+       |  FROM dq JOIN qdims USING (pos)
+       |  GROUP BY query_id, cand_id
+       |), cosines AS (
+       |  SELECT query_id, cand_id,
+       |    (CAST(dotq + qmnq AS DOUBLE) / 1000000.0) / (qnorm * dnorm) AS cosine
+       |  FROM scored JOIN qconst USING (query_id) JOIN dnorms USING (cand_id)
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM cosines)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Shared LSH machinery for the bucketed search path: per vector, the
   // 8-bit hyperplane bucket + the norm, computed once.
   private def withBucketAndNorm(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1112,5 +1225,6 @@ object SimilarityOps {
     Op("q_embed_near_dup", embedNearDup, Some(embedNearDupSql)),
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)),
     Op("q_int8_quant", int8Quant, Some(int8QuantSql)),
+    Op("q_ann_sq_topk", annSqTopK, Some(annSqTopKSql)),
     Op("q_random_projection", randomProjection, Some(randomProjectionSql)))
 }

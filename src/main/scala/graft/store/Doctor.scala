@@ -56,6 +56,9 @@ object Doctor {
     names.filter(_.endsWith("_cdc_ledger")).foreach { idx =>
       issues ++= cdcLedger(store, baseOf(idx, "_cdc_ledger"), names)
     }
+    names.filter(_.endsWith("_sq")).foreach { idx =>
+      issues ++= sq(store, baseOf(idx, "_sq"), names)
+    }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
         issues ++= bucketedBase(store, t, n, pk)
@@ -281,6 +284,36 @@ object Doctor {
               "contaminated docs can slip the prefilter (re-run install)")
       }
     }
+    out.result()
+  }
+
+  private def sq(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(Sq.scalesName(table))) {
+      out += Issue("sq", table,
+        "per-dim scales missing: stored int8 codes are uninterpretable")
+      return out.result()
+    }
+    val dims = store.read(Sq.scalesName(table)).count()
+    if (dims == 0L) {
+      out += Issue("sq", table,
+        "scales table is empty: torn buildIndex — stored codes are " +
+          "uninterpretable (rebuild)")
+      return out.result()
+    }
+    val codes = store.read(Sq.codesName(table))
+    // every code row must span the trained dimension count with codes
+    // in [0, 255] and a non-negative dequantized norm — anything else
+    // is a torn encode or an out-of-band edit, and search would score
+    // it silently wrong
+    val bad = codes.filter(size(col("codes")) =!= dims.toInt ||
+      exists(col("codes"), c => c < 0 || c > 255) ||
+      col("dnorm") < 0.0).count()
+    if (bad > 0)
+      out += Issue("sq", table,
+        s"$bad code rows don't fit the trained $dims-dim [0,255] " +
+          "layout — scales and codes disagree (rebuild the code table)")
     out.result()
   }
 

@@ -137,6 +137,27 @@ class DoctorSpec extends SparkSpec {
     assert(issues.exists(_.problem.contains("stale stats")))
   }
 
+  test("seeded SQ corruption is named (mis-shaped codes, missing scales)") {
+    val store = freshStore()
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until dims).map(d => ((i * 7 + d) % 11).toDouble)))
+      .toDF("vec_id", "e")
+    Sq.buildIndex(store, "vectors", vecs, "vec_id", "e")
+    assert(Doctor.check(store).filter(_.component == "sq").isEmpty)
+    // a code row that doesn't span the trained dims
+    val codes = store.read(Sq.codesName("vectors"))
+    store.overwrite(Sq.codesName("vectors"), Iteration.materialize(
+      codes.withColumn("codes",
+        when(col("pk") === 3L, slice(col("codes"), 1, 4))
+          .otherwise(col("codes")))))
+    assert(Doctor.check(store).filter(_.component == "sq")
+      .exists(_.problem.contains("don't fit")))
+    // missing scales: codes uninterpretable
+    store.drop(Sq.scalesName("vectors"))
+    assert(Doctor.check(store).filter(_.component == "sq")
+      .exists(_.problem.contains("scales missing")))
+  }
+
   test("seeded CDC ledger corruption is named (dup fp, impossible stats)") {
     val store = freshStore()
     store.overwrite("docs_cdc_ledger",
