@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.store.{Ivf, IvfPq, Pq, TableStore}
+import graft.store.{Ivf, IvfPq, Pq, Sq, TableStore}
 
 /** Streaming maintenance of the persisted vector indexes — the
   * embedding-side analog of [[StreamFts]]: as vectors stream in, the
@@ -55,6 +55,25 @@ object StreamVectors {
       if (!batch.isEmpty)
         IvfPq.upsertWithCodes(store, table, batch, pkCol, embCol,
           slices, subDim)
+
+  /** foreachBatch handler maintaining the SQ8 code table. Requires
+    * `Sq.buildIndex` to have trained and written the per-dim scales
+    * (a stream never retrains scales mid-flight — that would silently
+    * re-interpret every previously stored code, the same contract as
+    * PQ books).
+    */
+  def sqSink(
+      store: TableStore, table: String, pkCol: String, embCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        Sq.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** Wire a streaming (pk, embedding, …) frame into the SQ sink. */
+  def writeSqIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
+    start(vectors, checkpointDir, sqSink(store, table, pkCol, embCol))
 
   /** Wire a streaming (pk, embedding, …) frame into the PQ sink. */
   def writePqIndexed(

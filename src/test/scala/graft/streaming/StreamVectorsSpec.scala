@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.store.{Ivf, IvfPq, Pq, TableStore}
+import graft.store.{Ivf, IvfPq, Pq, Sq, TableStore}
 
 /** Streaming vector-index maintenance: micro-batches encode/assign
   * against the PERSISTED books/centroids and replace by pk, so the
@@ -56,6 +56,41 @@ class StreamVectorsSpec extends SparkSpec {
       mem.addData((100L, vec(5)))
       q.processAllAvailable()
       assert(store.read(Pq.codesName("vectors")).count() === 25L)
+      assert(store.read("vectors").count() === 25L)
+    } finally q.stop()
+  }
+
+  test("streamed vectors join the SQ8 code table and search mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    Sq.buildIndex(store, "vectors", corpus, "vec_id", "e")
+    assert(store.read(Sq.codesName("vectors")).count() === 24L)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck6").toString
+    val q = StreamVectors.writeSqIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e", ckpt)
+    try {
+      // stream a new vector placed exactly on vector 5's position:
+      // identical codes against the frozen scales
+      mem.addData((100L, vec(5)))
+      q.processAllAvailable()
+      val codes = store.read(Sq.codesName("vectors"))
+        .select(col("pk"), concat_ws(",", col("codes")).as("cs"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(codes.size === 25)
+      assert(codes(100L) === codes(5L))
+
+      // asymmetric search from vec 5's position surfaces the twin
+      val res = Sq.annTopK(store, "vectors",
+        corpus.filter(col("vec_id") === 5), "vec_id", "e", k = 2)
+        .collect()
+      assert(res.map(_.getLong(2)).toSet === Set(5L, 100L))
+
+      // redelivery converges
+      mem.addData((100L, vec(5)))
+      q.processAllAvailable()
+      assert(store.read(Sq.codesName("vectors")).count() === 25L)
       assert(store.read("vectors").count() === 25L)
     } finally q.stop()
   }
