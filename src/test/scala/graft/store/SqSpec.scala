@@ -62,6 +62,30 @@ class SqSpec extends SparkSpec {
     assert(math.abs(dn - math.sqrt(149.0)) < 1e-3, s"dnorm $dn")
   }
 
+  test("dequantization error is bounded by half a step per dimension") {
+    // the property that makes SQ8 predictable where PQ is not: with
+    // round-half-up codes, |dequant(x) − x| ≤ (mx − mn)/255/2 + ulp
+    // noise in every dimension
+    val emb = planted
+    val scales = Sq.trainScales(emb, "e")
+    val worst = emb
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("pos"), col("x"))
+      .join(broadcast(scales), Seq("pos"))
+      .select(col("pos"), col("x"), col("mn"), col("mx"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(floor(
+            (col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))
+              + lit(0.5)).cast("int")).as("code"))
+      .select(col("pos"),
+        abs(col("mn") + col("code").cast("double") * (col("mx") - col("mn"))
+          / lit(255.0) - col("x")).as("err"),
+        ((col("mx") - col("mn")) / lit(255.0) / lit(2.0) + lit(1e-9)).as("bound"))
+      .filter(col("err") > col("bound"))
+      .count()
+    assert(worst === 0L, s"$worst dims exceed the half-step error bound")
+  }
+
   test("buildIndex + search: every planted query's top-1 is itself, recall@10 >= 0.9") {
     val store = freshStore()
     Sq.buildIndex(store, "vectors", planted, "vec_id", "e")
