@@ -19,7 +19,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_cosine_topk",
     "q_importance_weights", "q_cardinality_kmv", "q_cardinality_kmv_exact",
     "q_quantile_hist", "q_domain_cap", "q_mixture_temperature",
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // round 7: the int8 family — per-dim scales and per-query weights
+    // are the tiny sides, the exploded corpus streams past them
+    "q_int8_quant", "q_ann_sq_topk")
 
   test("ANN/sketch queries plan broadcast joins only — no SMJ, no cartesian") {
     broadcastOnly.foreach { name =>
