@@ -41,6 +41,9 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   sq-index <store> <table> <pk> <emb>   per-dim int8 scales + codes
   *   sq-search <store> <table> <pk> <emb> <qid> [topk]  asymmetric
   *                                         cosine over the code table
+  *   ivfsq-index <store> <table> <pk> <emb> [k] [iters]  cells +
+  *                                         residual int8 codes
+  *   ivfsq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
   *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
   *   tri-search <store> <table> <pk> <text> <needle...>
   *   tri-match <store> <table> <pk> <text> <query...>  boolean substring
@@ -148,6 +151,26 @@ object Cli {
         IvfPq.buildIndex(store, table, vecs, pk, emb,
           kCells = k, iters = iters)
         println(s"[ivfpq-index] ${store.read(IvfPq.codesName(table)).count()} code rows")
+      case "ivfsq-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val k = if (args.length > 5) args(5).toInt else 16
+        val iters = if (args.length > 6) args(6).toInt else 3
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.IvfSq.buildIndex(store, table, vecs, pk, emb,
+          kCells = k, iters = iters)
+        println(s"[ivfsq-index] ${store.read(graft.store.IvfSq.codesName(table)).count()} code rows")
+      case "ivfsq-search" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val nprobe = if (args.length > 7) args(7).toInt else 2
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.IvfSq.annTopK(store, table, queries, pk, emb, topk,
+          nprobe = nprobe)
+          .show(topk, truncate = false)
       case "sq-index" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb) = (args(2), args(3), args(4))

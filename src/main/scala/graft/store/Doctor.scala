@@ -56,8 +56,12 @@ object Doctor {
     names.filter(_.endsWith("_cdc_ledger")).foreach { idx =>
       issues ++= cdcLedger(store, baseOf(idx, "_cdc_ledger"), names)
     }
-    names.filter(_.endsWith("_sq")).foreach { idx =>
+    // "_ivfsq" also ends with "_sq" — route it to its own check
+    names.filter(n => n.endsWith("_sq") && !n.endsWith("_ivfsq")).foreach { idx =>
       issues ++= sq(store, baseOf(idx, "_sq"), names)
+    }
+    names.filter(_.endsWith("_ivfsq")).foreach { idx =>
+      issues ++= ivfsq(store, baseOf(idx, "_ivfsq"), names)
     }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
@@ -314,6 +318,49 @@ object Doctor {
       out += Issue("sq", table,
         s"$bad code rows don't fit the trained $dims-dim [0,255] " +
           "layout — scales and codes disagree (rebuild the code table)")
+    out.result()
+  }
+
+  private def ivfsq(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(IvfSq.centsName(table)))
+      out += Issue("ivfsq", table,
+        "centroids missing: assignment, probing, and residuals are impossible")
+    if (!names.contains(IvfSq.scalesName(table))) {
+      out += Issue("ivfsq", table,
+        "residual scales missing: stored int8 codes are uninterpretable")
+      return out.result()
+    }
+    val dims = store.read(IvfSq.scalesName(table)).count()
+    if (dims == 0L) {
+      out += Issue("ivfsq", table,
+        "residual scales table is empty: torn buildIndex (rebuild)")
+      return out.result()
+    }
+    val codes = store.read(IvfSq.codesName(table))
+    val bad = codes.filter(size(col("codes")) =!= dims.toInt ||
+      exists(col("codes"), c => c < 0 || c > 255) ||
+      col("rnorm") < 0.0).count()
+    if (bad > 0)
+      out += Issue("ivfsq", table,
+        s"$bad code rows don't fit the trained $dims-dim [0,255] " +
+          "layout — scales and codes disagree (rebuild the code table)")
+    // pk → cell map must mirror the cell partitions exactly (the
+    // CellIndex invariant shared with ivf/ivfpq)
+    val idx = codes.select(col("pk"), col("cell").cast("long"))
+    store.readIfExists(IvfSq.mapName(table)) match {
+      case None =>
+        out += Issue("ivfsq", table, "map table missing")
+      case Some(m) =>
+        val map = m.select(col("pk"), col("cell").cast("long"))
+        val onlyIdx = idx.join(map, Seq("pk", "cell"), "left_anti").count()
+        val onlyMap = map.join(idx, Seq("pk", "cell"), "left_anti").count()
+        if (onlyIdx > 0 || onlyMap > 0)
+          out += Issue("ivfsq", table,
+            s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
+              "(pk, cell) rows — moved vectors would leave stale cells")
+    }
     out.result()
   }
 

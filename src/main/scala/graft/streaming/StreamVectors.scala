@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.store.{Ivf, IvfPq, Pq, Sq, TableStore}
+import graft.store.{Ivf, IvfPq, IvfSq, Pq, Sq, TableStore}
 
 /** Streaming maintenance of the persisted vector indexes — the
   * embedding-side analog of [[StreamFts]]: as vectors stream in, the
@@ -68,6 +68,23 @@ object StreamVectors {
     (batch, _) =>
       if (!batch.isEmpty)
         Sq.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** foreachBatch handler maintaining the IVF+SQ index
+    * (cell-partitioned residual int8 codes). Requires
+    * `IvfSq.buildIndex` to have trained centroids + scales.
+    */
+  def ivfSqSink(
+      store: TableStore, table: String, pkCol: String, embCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        IvfSq.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** Wire a streaming (pk, embedding, …) frame into the IVF+SQ sink. */
+  def writeIvfSqIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
+    start(vectors, checkpointDir, ivfSqSink(store, table, pkCol, embCol))
 
   /** Wire a streaming (pk, embedding, …) frame into the SQ sink. */
   def writeSqIndexed(
