@@ -291,7 +291,14 @@ object SimilarityOps {
   // dequantized-norm squares 1e-6-quantized to longs before their sums
   // (exact, commutative on any partitioning), one final division per
   // cosine.
-  def annSqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def annSqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    topKPerQuery(sqScored(spark, sfDir), 5)
+
+  /** The SQ8 asymmetric-scored (query_id, cand_id, cosine) set —
+    * shared by [[annSqTopK]] (direct top-k) and [[annRerank]] (coarse
+    * shortlist stage).
+    */
+  private def sqScored(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Catalog.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
@@ -323,7 +330,7 @@ object SimilarityOps {
         (col("qx") * col("mn")).as("qmn"))
     val qconst = qdims.groupBy(col("query_id"), col("qnorm"))
       .agg(sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
-    val scored = enc.select(col("cand_id"), col("pos"), col("code"))
+    enc.select(col("cand_id"), col("pos"), col("code"))
       .join(broadcast(qdims.select(col("query_id"), col("pos"), col("w"))),
         Seq("pos"))
       .groupBy(col("query_id"), col("cand_id"))
@@ -334,10 +341,12 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"),
         (((col("dotq") + col("qmnq")).cast("double") / lit(1e6))
           / (col("qnorm") * col("dnorm"))).as("cosine"))
-    topKPerQuery(scored, 5)
   }
 
-  val annSqTopKSql: String =
+  /** Shared CTE prefix: the SQ8 asymmetric cosine set (`cosines`),
+    * used by both the direct top-k and the rerank oracle.
+    */
+  private val sqCosinesSql: String =
     s"""WITH ex AS (
        |  SELECT vec_id, pos, e[pos] AS x
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -383,12 +392,81 @@ object SimilarityOps {
        |  SELECT query_id, cand_id,
        |    (CAST(dotq + qmnq AS DOUBLE) / 1000000.0) / (qnorm * dnorm) AS cosine
        |  FROM scored JOIN qconst USING (query_id) JOIN dnorms USING (cand_id)
-       |)
+       |)""".stripMargin
+
+  val annSqTopKSql: String =
+    s"""$sqCosinesSql
        |SELECT query_id, rnk, cand_id, cosine FROM (
        |  SELECT query_id, cand_id, cosine,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, cand_id) AS rnk
        |  FROM cosines)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ann_rerank — the standard two-stage serving pattern (coarse
+  // quantized scan → exact re-rank): the SQ8 code-only scorer above
+  // produces a per-query shortlist of `rerankWidth` candidates, and
+  // only THOSE rows' full-precision vectors are read for the exact
+  // cosine that decides the final top-5. At 100 TB the corpus-wide
+  // pass touches 1-byte codes (4× less I/O than floats; 32× with PQ
+  // codes), while the float read is |queries|·width rows fetched
+  // through a BROADCAST semi-join — never a second full scan shuffled.
+  // Exactness: stage 1 is q_ann_sq_topk's pinned integer kernel;
+  // stage 2 is q_cosine_topk's left-fold double kernel; both already
+  // bit-identical across engines, so their composition is too.
+  private val rerankWidth = 16
+
+  def annRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val shortlist = sqScored(spark, sfDir)
+      .withColumn("crnk", row_number().over(cw))
+      .filter(col("crnk") <= rerankWidth)
+      .select(col("query_id"), col("cand_id"))
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val qside = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+    val cside = emb.filter(col("vec_id") >= 4)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"))
+    // broadcast the tiny shortlist INTO the candidate scan: the big
+    // side is filtered map-side, no shuffle of full vectors
+    val exact = cside.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    topKPerQuery(exact, 5)
+  }
+
+  val annRerankSql: String =
+    s"""$sqCosinesSql, shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS crnk
+       |    FROM cosines)
+       |  WHERE crnk <= $rerankWidth
+       |), embx AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), exact AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    ${dotSql("q.e", "c.e")} / (q.norm * c.norm) AS cosine
+       |  FROM shortlist s
+       |  JOIN embx q ON q.vec_id = s.query_id
+       |  JOIN embx c ON c.vec_id = s.cand_id
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM exact)
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
@@ -1226,5 +1304,6 @@ object SimilarityOps {
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)),
     Op("q_int8_quant", int8Quant, Some(int8QuantSql)),
     Op("q_ann_sq_topk", annSqTopK, Some(annSqTopKSql)),
+    Op("q_ann_rerank", annRerank, Some(annRerankSql)),
     Op("q_random_projection", randomProjection, Some(randomProjectionSql)))
 }
