@@ -18,12 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must be LOUD: stderr alone vanishes from the
+    // driver's kept output and the query silently drops from
+    // CORRECTNESS (the round-7 failure mode — 105 rows, 108 queries,
+    // nobody noticed). Failures are collected, echoed to stdout, and
+    // written as an artifact next to the results so any later reader
+    // of outDir sees them.
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val fj = failed.map { case (k, m) => s"${q(k)}: ${q(m)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failed.json"), fj)
+      println(s"[verify] ${failed.size} QUERIES FAILED: " +
+        failed.map(_._1).mkString(", "))
+    }
     spark.stop()
   }
 }

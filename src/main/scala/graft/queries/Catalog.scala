@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Registry of the driver-generated parquet testdata tables
   * (TESTDATA.md). Mirrors the reference's lazy table catalog
@@ -17,10 +17,15 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Timestamp columns the driver's datagen wrote as parquet
-    * TIMESTAMP(NANOS), which Spark has no native type for. We read them
-    * via `nanosAsLong` and convert long-nanos → TimestampType (micros)
-    * here, so every operator sees real timestamps.
+  /** Timestamp columns the driver's datagen has written, across
+    * rounds, as either parquet TIMESTAMP(NANOS) (no native Spark type —
+    * read via `nanosAsLong` and converted long-nanos → TimestampType)
+    * or plain `timestamp[us]` WITHOUT isAdjustedToUTC (surfaces as
+    * TIMESTAMP_NTZ). Both forms normalize to TimestampType here so
+    * every operator sees real, `unix_micros`-able timestamps whichever
+    * physical annotation a given testdata generation carries. The
+    * NTZ→TZ cast is exact: the session timezone is pinned UTC by every
+    * entrypoint, so wall-clock micros and instant micros coincide.
     */
   private val nanoTsColumns = Set("ts", "o_orderdate", "l_shipdate")
 
@@ -58,6 +63,11 @@ object Catalog {
           // `div` = exact integer division: a double `/` would lose
           // precision on ~1.7e18 nano values (past 2^53).
           acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000L")))
+        else if (f.dataType == TimestampNTZType)
+          // timestamp[us] sans UTC flag → NTZ, on which Spark 4 rejects
+          // unix_micros/cast-to-long at analysis time. Exact under the
+          // pinned-UTC session (same micros payload, reinterpreted).
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
         else acc
       }
     })

@@ -108,9 +108,14 @@ object StateOps {
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // gap math goes through an explicit TimestampType cast (a no-op on
+    // already-normalized ts, an exact reinterpretation on NTZ under the
+    // pinned-UTC session) so the query analyzes whatever timestamp
+    // annotation the testdata generation carries
+    val tzTs = col("ts").cast("timestamp")
     val newSession = when(
-      col("ts").cast("long") -
-        lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+      tzTs.cast("long") -
+        lag(tzTs, 1).over(byUser).cast("long") > 1800, 1)
       .otherwise(0)
     Catalog.table(spark, sfDir, "events")
       .withColumn("new_s", coalesce(newSession, lit(0)))
