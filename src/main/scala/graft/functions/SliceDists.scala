@@ -252,6 +252,70 @@ case class SubVec(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native quantized weighted-dot over SQ8 code arrays — the scoring
+  * kernel of the [[graft.store.Sq]]/[[graft.store.IvfSq]] search paths:
+  *
+  *   Σ_d floor(w_d · code_d · 1e6)  as long
+  *
+  * Replaces the posexplode → equi-join-on-pos → groupBy(query, cand)
+  * formulation: that shape is correct and partial-agg-bounded, but it
+  * materializes d× intermediate rows per (query, candidate) and pays
+  * an aggregate exchange keyed on the pair. As one row-level fold the
+  * scan side stays map-only — codes stream past a broadcast of
+  * per-query weight arrays, and the only remaining exchange is the
+  * top-k window's.
+  *
+  * BIT-EXACT vs the aggregate form: each per-dim term is the same
+  * `floor(w·code·1e6)` long, and long addition is associative and
+  * commutative, so the fold equals the partial-agg sum for any
+  * partitioning — oracle rows cannot move. Null semantics mirror
+  * SQL SUM over the joined per-dim rows: null elements are SKIPPED,
+  * and a fold with zero contributing terms yields NULL (SUM of an
+  * empty group). Positions beyond the shorter array contribute
+  * nothing, exactly as the pos equi-join dropped them.
+  */
+case class CodeDotQ(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "code_dot_q"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int> codes, array<double> weights), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val ws = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), ws.numElements())
+    var acc = 0L
+    var saw = false
+    var i = 0
+    while (i < n) {
+      if (!codes.isNullAt(i) && !ws.isNullAt(i)) {
+        acc += math.floor(ws.getDouble(i) * codes.getInt(i) * 1e6).toLong
+        saw = true
+      }
+      i += 1
+    }
+    if (saw) java.lang.Long.valueOf(acc) else null
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodeDotQ =
+    copy(left = newLeft, right = newRight)
+}
+
 object SliceDists {
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
@@ -319,5 +383,19 @@ object SliceDists {
   def subVec(spark: SparkSession, a: Column, b: Column): Column = {
     registerSub(spark)
     call_function("sub_vec", a, b)
+  }
+
+  def registerCodeDot(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("code_dot_q")))
+      reg.createOrReplaceTempFunction(
+        "code_dot_q", exprs => CodeDotQ(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Σ floor(w_d·code_d·1e6) as long over (array<int>, array<double>). */
+  def codeDotQ(spark: SparkSession, codes: Column, weights: Column): Column = {
+    registerCodeDot(spark)
+    call_function("code_dot_q", codes, weights)
   }
 }

@@ -108,6 +108,15 @@ object Multimodal {
       var sampleFrames = 0L
       var rate = 0
       var channels = 0
+      // Xing/Info VBR header (public layout, shipped by LAME/Xing
+      // encoders): the FIRST frame's payload may carry a 'Xing' (VBR)
+      // or 'Info' (CBR) tag at the fixed post-side-info offset, with a
+      // flags word whose bit 0 announces a 4-byte total-frame count.
+      // When present it is authoritative: the count covers the AUDIO
+      // frames that follow, so the metadata frame itself no longer
+      // inflates the duration the way a raw frame walk does.
+      var xingFrames = -1L
+      var xingSpf = 0
       var ok = true
       while (ok && off + 4 <= b.length) {
         val h = (b(off) & 0xff) << 24 | (b(off + 1) & 0xff) << 16 |
@@ -133,6 +142,28 @@ object Multimodal {
           val len = spf / 8 * (kbps * 1000) / sr + padding
           if (len <= 4) ok = false
           else {
+            if (frames == 0) {
+              // side-info size (ISO 11172-3): MPEG1 mono 17 / else 32;
+              // MPEG2(.5) mono 9 / else 17 — the tag sits right after
+              val side =
+                if (mpeg1) { if (mode == 3) 17 else 32 }
+                else { if (mode == 3) 9 else 17 }
+              val t = off + 4 + side
+              if (t + 12 <= b.length &&
+                  ((b(t) == 'X' && b(t + 1) == 'i' && b(t + 2) == 'n' &&
+                    b(t + 3) == 'g') ||
+                   (b(t) == 'I' && b(t + 1) == 'n' && b(t + 2) == 'f' &&
+                    b(t + 3) == 'o'))) {
+                val flags = (b(t + 4) & 0xffL) << 24 | (b(t + 5) & 0xffL) << 16 |
+                  (b(t + 6) & 0xffL) << 8 | (b(t + 7) & 0xffL)
+                if ((flags & 1L) != 0) {
+                  xingFrames = (b(t + 8) & 0xffL) << 24 |
+                    (b(t + 9) & 0xffL) << 16 |
+                    (b(t + 10) & 0xffL) << 8 | (b(t + 11) & 0xffL)
+                  xingSpf = spf
+                }
+              }
+            }
             frames += 1
             sampleFrames += spf
             rate = sr
@@ -142,10 +173,14 @@ object Multimodal {
         }
       }
       // ≥2 chained frames, and the walk must have consumed the buffer
-      // (a truncated/garbage tail means this was never an mp3 stream)
-      if (frames >= 2 && off >= b.length)
-        Some((rate, channels, sampleFrames.min(Int.MaxValue).toInt))
-      else None
+      // (a truncated/garbage tail means this was never an mp3 stream).
+      // With a Xing/Info frame count the duration is exact-by-spec:
+      // count × samples-per-frame, the metadata frame excluded.
+      if (frames >= 2 && off >= b.length) {
+        val total =
+          if (xingFrames >= 0) xingFrames * xingSpf else sampleFrames
+        Some((rate, channels, total.min(Int.MaxValue).toInt))
+      } else None
     }
 
     /** ISO-BMFF (mp4) box walk — ftyp/moov/mvhd (+ the first video

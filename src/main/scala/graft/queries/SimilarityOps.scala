@@ -316,10 +316,13 @@ object SimilarityOps {
       .withColumn("dq",
         col("mn") + col("code").cast("double") * (col("mx") - col("mn"))
           / lit(255.0))
-    val dnorms = enc.groupBy(col("cand_id"))
-      .agg(sqrt(sum(floor(col("dq") * col("dq") * lit(1e6)).cast("long"))
-        .cast("double") / lit(1e6)).as("dnorm"))
-    val qdims = emb.filter(col("vec_id") < 4)
+    // per-query broadcast row (pos-ordered weight array + constants)
+    // and per-candidate code ARRAYS: scoring is then one native
+    // CodeDotQ fold per (candidate, query) on a map-only scan — no
+    // per-dim row blowup, no aggregate exchange keyed on the pair
+    // (bit-identical to the former posexplode/groupBy form: same
+    // floor(w·code·1e6) longs, long addition commutes)
+    val qarr = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"),
         sqrt(dot(col("e"), col("e"))).as("qnorm"),
         posexplode(col("e")).as(Seq("p", "qx")))
@@ -328,18 +331,22 @@ object SimilarityOps {
       .select(col("query_id"), col("qnorm"), col("pos"),
         (col("qx") * (col("mx") - col("mn")) / lit(255.0)).as("w"),
         (col("qx") * col("mn")).as("qmn"))
-    val qconst = qdims.groupBy(col("query_id"), col("qnorm"))
-      .agg(sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
-    enc.select(col("cand_id"), col("pos"), col("code"))
-      .join(broadcast(qdims.select(col("query_id"), col("pos"), col("w"))),
-        Seq("pos"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(floor(col("w") * col("code").cast("double") * lit(1e6))
-        .cast("long")).as("dotq"))
-      .join(broadcast(qconst), Seq("query_id"))
-      .join(dnorms, Seq("cand_id"))
+      .groupBy(col("query_id"), col("qnorm"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")).as("warr"),
+        sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
+    val candCodes = enc.groupBy(col("cand_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        sqrt(sum(floor(col("dq") * col("dq") * lit(1e6)).cast("long"))
+          .cast("double") / lit(1e6)).as("dnorm"))
+    candCodes
+      .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("cand_id"),
-        (((col("dotq") + col("qmnq")).cast("double") / lit(1e6))
+        (((graft.functions.SliceDists.codeDotQ(spark, col("codes"), col("warr"))
+          + col("qmnq")).cast("double") / lit(1e6))
           / (col("qnorm") * col("dnorm"))).as("cosine"))
   }
 

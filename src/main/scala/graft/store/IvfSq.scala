@@ -163,39 +163,39 @@ object IvfSq {
       .filter(col("_rnk") <= nprobe)
       .select(col("query_id"), col("qe"), col("qnorm"),
         col(CellCol).cast("long").as(CellCol), col("qcentq"))
-    // per-(query, dim) weights + per-query constant Σ q_d·mn_d
-    val qdims = probes
+    // per-query broadcast row: pos-ordered weight array + Σ q_d·mn_d —
+    // one native CodeDotQ fold scores a candidate from its code row
+    // alone (map-only; no per-dim blowup, no (query, cand) aggregate
+    // exchange — same floor(w·code·1e6) longs as the former groupBy
+    // form, so scores are bit-identical)
+    val qarr = probes
       .select(col("query_id"), posexplode(col("qe")).as(Seq("p", "qx")))
       .select(col("query_id"), (col("p") + 1).as("pos"), col("qx"))
       .join(broadcast(scales), Seq("pos"))
       .select(col("query_id"), col("pos"),
         (col("qx") * (col("mx") - col("mn")) / lit(255.0)).as("w"),
         (col("qx") * col("mn")).as("qmn"))
-    val qconst = qdims.groupBy(col("query_id"))
-      .agg(sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
+      .groupBy(col("query_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")).as("warr"),
+        sum(floor(col("qmn") * lit(1e6)).cast("long")).as("qmnq"))
     // literal cell list → directory-level partition pruning on the scan
     val cells = probeCells.select(col(CellCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cands = store.read(codesName(table))
+    val spark = org.apache.spark.sql.SparkSession.active
+    store.read(codesName(table))
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
-      .select(col("pk").as("cand_id"), col(CellCol), col("rnorm"),
-        posexplode(col("codes")).as(Seq("p", "code")))
-      .select(col("cand_id"), col(CellCol), col("rnorm"),
-        (col("p") + 1).as("pos"), col("code"))
-    cands
+      .select(col("pk").as("cand_id"), col(CellCol), col("rnorm"), col("codes"))
       .join(broadcast(probeCells
         .select(col("query_id"), col(CellCol), col("qcentq"), col("qnorm"))),
         Seq(CellCol))
       .filter(col("cand_id") =!= col("query_id"))
-      .join(broadcast(qdims), Seq("query_id", "pos"))
-      .groupBy(col("query_id"), col("cand_id"), col("rnorm"),
-        col("qcentq"), col("qnorm"))
-      .agg(sum(floor(col("w") * col("code").cast("double") * lit(1e6))
-        .cast("long")).as("dotq"))
-      .join(broadcast(qconst), Seq("query_id"))
+      .join(broadcast(qarr), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
-        (((col("dotq") + col("qmnq") + col("qcentq")).cast("double") / lit(1e6))
+        (((graft.functions.SliceDists.codeDotQ(spark, col("codes"), col("warr"))
+          + col("qmnq") + col("qcentq")).cast("double") / lit(1e6))
           / (col("qnorm") * col("rnorm"))).as("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))

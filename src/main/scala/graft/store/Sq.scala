@@ -106,19 +106,24 @@ object Sq {
   }
 
   /** Asymmetric cosine top-k over the PERSISTED code table: per query,
-    * the constant term Σ q_d·mn_d, the per-dim weights q_d·sc_d, and
-    * the query norm come from one broadcast of (query × dims) rows;
-    * the scan side explodes ONLY stored codes (4× fewer bytes than the
-    * raw vectors), equi-joins on dimension, and partial-agg sums
-    * 1e-6-quantized per-dim products — exact scores, then a
-    * WindowGroupLimit top-k. Ties break on the lower candidate pk.
+    * one broadcast row carries the position-ordered weight array
+    * (q_d·sc_d), the constant term Σ q_d·mn_d, and the query norm; the
+    * scan side reads ONLY stored code rows (4× fewer bytes than the
+    * raw vectors) and scores each candidate with ONE native
+    * [[graft.functions.CodeDotQ]] fold — a map-only pass, no per-dim
+    * row blowup, no aggregate exchange on (query, cand); the only
+    * shuffle left is the WindowGroupLimit top-k's. Scores are
+    * bit-identical to the former posexplode/groupBy form (same
+    * floor(w·code·1e6) longs, long addition commutes). Ties break on
+    * the lower candidate pk.
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val scales = store.read(scalesName(table))
-    // per-(query, dim) weights + per-query constants (qmn, qnorm)
-    val qdims = queries
+    // per-query broadcast row: pos-ordered weight array + constants
+    val qarr = queries
       .select(col(pkCol).as("query_id"), col(embCol).as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
       .select(col("query_id"), col("qnorm"),
@@ -128,21 +133,17 @@ object Sq {
       .select(col("query_id"), col("qnorm"), col("pos"),
         (col("qx") * (col("mx") - col("mn")) / lit(255.0)).as("w"),
         (col("qx") * col("mn")).as("qmnTerm"))
-    val qconst = qdims.groupBy(col("query_id"), col("qnorm"))
-      .agg(sum(floor(col("qmnTerm") * lit(1e6)).cast("long")).as("qmnQ"))
-    val codes = store.read(codesName(table))
-      .select(col("pk").as("cand_id"), col("dnorm"),
-        posexplode(col("codes")).as(Seq("p", "code")))
-      .select(col("cand_id"), col("dnorm"), (col("p") + 1).as("pos"), col("code"))
-    codes
-      .join(broadcast(qdims.select(col("query_id"), col("pos"), col("w"))),
-        Seq("pos"))
-      .groupBy(col("query_id"), col("cand_id"), col("dnorm"))
-      .agg(sum(floor(col("w") * col("code").cast("double") * lit(1e6))
-        .cast("long")).as("dotQ"))
-      .join(broadcast(qconst), Seq("query_id"))
+      .groupBy(col("query_id"), col("qnorm"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")).as("warr"),
+        sum(floor(col("qmnTerm") * lit(1e6)).cast("long")).as("qmnQ"))
+    store.read(codesName(table))
+      .select(col("pk").as("cand_id"), col("dnorm"), col("codes"))
+      .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("cand_id"),
-        (((col("dotQ") + col("qmnQ")).cast("double") / lit(1e6))
+        (((graft.functions.SliceDists.codeDotQ(spark, col("codes"), col("warr"))
+          + col("qmnQ")).cast("double") / lit(1e6))
           / (col("qnorm") * col("dnorm"))).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -399,6 +399,7 @@ class TableStore(val spark: SparkSession, root: String) {
     * Shares fileStats' skip rules via the same bookkeeping filter.
     */
   def dataFiles(name: String): Seq[String] = {
+    TableStore.driverListings.incrementAndGet()
     def walk(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val base = st.getPath.getName
@@ -693,34 +694,39 @@ class TableStore(val spark: SparkSession, root: String) {
         .withColumn("file", concat(lit(qualifiedDir(name) + "/"), col("file"))))
     }
 
-  /** Per-file [min, max] envelopes of integral columns — served from
-    * the persisted manifest when the table maintains one (zero footer
-    * opens), with a driver footer walk ONLY for files the manifest
-    * doesn't cover (out-of-band additions). A column absent from a
-    * file's stats is absent from its map.
+  /** Per-file [min, max] envelopes of integral columns. For a table
+    * that maintains a `_graft_stats` manifest the ENTIRE answer —
+    * including the file list itself, from the presence rows — comes
+    * from the manifest: zero footer opens AND zero driver directory
+    * listings on the prune path (the last O(files) driver walk the
+    * round-6 audit flagged). Every write path maintains the manifest
+    * transactionally, so its presence rows ARE the live file set; an
+    * out-of-band write that bypasses the store is exactly what
+    * [[Doctor]]'s file-stats invariant detects ("run refresh-stats"),
+    * the same staleness contract Delta/Iceberg logs carry. Tables
+    * without a manifest keep the listing + driver footer walk. A
+    * column absent from a file's stats is absent from its map.
     */
   def fileEnvelopes(
-      name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
-    val files = dataFiles(name)
-    val (fromManifest, missing) = fileStatsTable(name) match {
-      case None => (Map.empty[String, Map[String, (Long, Long)]], files)
+      name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] =
+    fileStatsTable(name) match {
       case Some(st) =>
         import org.apache.spark.sql.functions.col
         val rows = st.filter(col("col").isin("" +: cols: _*)).collect()
-        val known = rows.map(_.getString(0)).toSet
         val env = rows.filter(_.getString(1).nonEmpty)
           .groupBy(_.getString(0))
           .map { case (f, rs) => f ->
             rs.map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap }
-        (env, files.filterNot(known.contains))
+        // presence rows carry col = "" — one per file, stats or not
+        rows.filter(_.getString(1).isEmpty).map(_.getString(0)).toSeq.sorted
+          .map(f => (f, env.getOrElse(f, Map.empty[String, (Long, Long)])))
+      case None =>
+        val files = dataFiles(name)
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map(f => (f,
+          TableStore.footerEnvelope(f, conf, cols)
+            .map { case (c, mn, mx) => c -> (mn, mx) }.toMap))
     }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val walked = missing.map(f => f ->
-      TableStore.footerEnvelope(f, conf, cols)
-        .map { case (c, mn, mx) => c -> (mn, mx) }.toMap).toMap
-    files.map(f => (f,
-      fromManifest.getOrElse(f, walked.getOrElse(f, Map.empty))))
-  }
 
   /** The files a stats-aware scan must open for a conjunction of
     * closed-range predicates `col BETWEEN lo AND hi` — every file
@@ -761,6 +767,13 @@ class TableStore(val spark: SparkSession, root: String) {
 }
 
 object TableStore {
+
+  /** Driver-side recursive directory listings performed (dataFiles
+    * calls) — a test-visible shim counter so specs can PROVE a
+    * manifest-backed prune never lists the filesystem, instead of
+    * inferring it from the plan.
+    */
+  private[graft] val driverListings = new java.util.concurrent.atomic.AtomicLong
 
   /** Footer [min, max] of integral `cols` for one parquet file — the
     * shared core of the manifest build (executor-side, inside

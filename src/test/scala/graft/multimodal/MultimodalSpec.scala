@@ -169,6 +169,41 @@ class MultimodalSpec extends SparkSpec {
     assert(m4.width === 16 + 'D'.toInt) // stub dims
   }
 
+  test("Xing/Info VBR header yields the exact frame count — metadata frame excluded") {
+    // MPEG1 L3 128k @ 44100, joint stereo → 417-byte frames; the tag
+    // sits after the 4-byte header + 32-byte side info (offset 36)
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+      f(2) = 0x90.toByte; f(3) = 0x44.toByte
+      f
+    }
+    def tagged(tag: String, flags: Int, nFrames: Int): Array[Byte] = {
+      val f = frame()
+      tag.getBytes("US-ASCII").copyToArray(f, 36)
+      f(40) = (flags >> 24).toByte; f(41) = (flags >> 16).toByte
+      f(42) = (flags >> 8).toByte; f(43) = flags.toByte
+      f(44) = (nFrames >> 24).toByte; f(45) = (nFrames >> 16).toByte
+      f(46) = (nFrames >> 8).toByte; f(47) = nFrames.toByte
+      f
+    }
+    // Xing frame + 2 audio frames: the raw walk counts 3 frames
+    // (3456 sample frames); the Xing count (2) is authoritative and
+    // excludes the metadata frame itself
+    val vbr = Array.concat(tagged("Xing", 1, 2), frame(), frame())
+    val m = Multimodal.Decoder.decode(1L, vbr)
+    assert((m.kind, m.width, m.height) === ("audio", 44100, 2))
+    assert(m.nFrames === 2 * 1152, s"got ${m.nFrames}, want Xing-exact 2304")
+
+    // 'Info' (CBR-marked) tag: same layout, same handling
+    val cbr = Array.concat(tagged("Info", 1, 2), frame(), frame())
+    assert(Multimodal.Decoder.decode(2L, cbr).nFrames === 2 * 1152)
+
+    // flags bit 0 unset → no frame-count field → fall back to the walk
+    val noCount = Array.concat(tagged("Xing", 0, 999), frame(), frame())
+    assert(Multimodal.Decoder.decode(3L, noCount).nFrames === 3 * 1152)
+  }
+
   test("mp4 ftyp/mvhd/tkhd boxes decode to real duration and pixel dims") {
     def u32(v: Long): Array[Byte] = Array(
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)

@@ -37,6 +37,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 scoring is map-only — no aggregate exchange keyed on (query, cand)") {
+    // round-8 rewrite: candidates score through one native code_dot_q
+    // fold against a broadcast per-query weight array. The former
+    // posexplode → join-on-pos → groupBy(query_id, cand_id) shape paid
+    // a d×-row aggregate exchange keyed on the PAIR; if it creeps
+    // back, this catches it even though the rows stay correct.
+    val pairKeyed = """keys=\[[^\]]*(query_id[^\]]*cand_id|cand_id[^\]]*query_id)""".r
+    Seq("q_ann_sq_topk", "q_ann_rerank").foreach { name =>
+      val df = Inventory.byName(name).fn(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(pairKeyed.findFirstIn(plan).isEmpty,
+        s"$name re-grew a (query, cand)-keyed aggregate:\n${plan.take(1500)}")
+    }
+  }
+
   test("interval join runs as a banded equi-join — never a nested loop") {
     // the whole point of the banding rewrite: a BETWEEN theta-join
     // would plan BroadcastNestedLoopJoin (O(events × windows)); the

@@ -116,6 +116,48 @@ class AnnRecallSpec extends SparkSpec {
     assert(short >= 0.65, s"shortlist recall floor: $short")
   }
 
+  test("SQ8 two-stage rerank: recall@10 rises with stage-1 depth (the serving knob)") {
+    // the knob a 100-TB serving path actually tunes: stage 1 reads
+    // int8 codes corpus-wide and shortlists `depth` candidates; stage
+    // 2 reads ONLY those full-precision rows for the exact cosine.
+    // Deeper stage-1 monotonically improves recall at fixed stage-2
+    // cost growth — pinned here through the PERSISTED index, the same
+    // path a production rollout would measure.
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annr-sqr").toString)
+    Sq.buildIndex(store, "vectors", emb, "vec_id", "e")
+    val exact = exactTopK("cosine")
+
+    def rerankRecall(depth: Int): Double = {
+      val shortlist =
+        Sq.annTopK(store, "vectors", queries, "vec_id", "e", depth)
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"))
+      val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val reranked = emb
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        .join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          (dot(col("qe"), col("ce")) /
+            (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+            .as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rnk") <= K)
+      recall(resultSets(reranked), exact)
+    }
+
+    val shallow = rerankRecall(K + 2)
+    val deep = rerankRecall(4 * K)
+    info(f"SQ8 rerank recall@$K: depth ${K + 2} = $shallow%.3f, " +
+      f"depth ${4 * K} = $deep%.3f")
+    assert(deep >= shallow - 1e-9,
+      s"deeper stage-1 must not lose recall: $shallow -> $deep")
+    assert(deep >= 0.9, s"SQ8 rerank recall floor at depth ${4 * K}: $deep")
+  }
+
   test("multi-probe LSH recall dominates single-probe on the same index") {
     // the inline oracle queries fix probes (vec_id < 8), k = 3, and a
     // 256-bucket space sized for the sf0.01 corpus (500 vectors ≈ 2

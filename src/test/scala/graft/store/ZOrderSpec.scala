@@ -155,6 +155,45 @@ class ZOrderSpec extends SparkSpec {
     assert(store.pruneFiles("pts", box).toSet === keptBefore.toSet)
   }
 
+  test("a manifest-backed prune performs ZERO driver directory listings") {
+    // round-7 audit: fileEnvelopes still driver-listed dataFiles even
+    // when the manifest was fresh. The file list must now come from
+    // the manifest's presence rows — the counted-listing shim proves
+    // the prune path never touches FileSystem.listStatus, the part
+    // that is minutes of single-threaded I/O at 10^6 files.
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-zlist").toString)
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    store.overwrite("pts", rows.toDF("id", "x", "y"))
+    store.compactZorder("pts", Seq("x", "y"), bits = 6, targetBytes = 2L << 10)
+
+    val box = Seq(("x", 8L, 15L), ("y", 40L, 47L))
+    val withManifest = {
+      val before = TableStore.driverListings.get()
+      val kept = store.pruneFiles("pts", box)
+      (kept, TableStore.driverListings.get() - before)
+    }
+    assert(withManifest._1.nonEmpty)
+    assert(withManifest._2 === 0L,
+      s"manifest-fresh prune drove ${withManifest._2} directory listings")
+
+    // result parity: the listing-free answer equals the walked one
+    val statsDir =
+      s"${store.dataFiles("pts").head.split("/pts/")(0)}/pts/_graft_stats"
+    val fs = new org.apache.hadoop.fs.Path(statsDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir), true)
+    val walked = {
+      val before = TableStore.driverListings.get()
+      val kept = store.pruneFiles("pts", box)
+      (kept, TableStore.driverListings.get() - before)
+    }
+    assert(walked._1.toSet === withManifest._1.toSet)
+    assert(walked._2 > 0L, "manifest-less prune should list (sanity)")
+  }
+
   test("write paths keep the manifest fresh; bucketed merges update it incrementally") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-zinc").toString)
