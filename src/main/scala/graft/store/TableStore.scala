@@ -712,6 +712,12 @@ class TableStore(val spark: SparkSession, root: String) {
     fileStatsTable(name) match {
       case Some(st) =>
         import org.apache.spark.sql.functions.col
+        // deliberate driver-side collect: (files × (1 + |cols|)) tiny
+        // rows — the same driver-resident skipping state Delta keeps
+        // when it evaluates its stats log. ~10^6 files × a few query
+        // columns is tens of MB; if tables ever outgrow that, the
+        // prune itself becomes a distributed anti-join against the
+        // manifest, not a bigger collect.
         val rows = st.filter(col("col").isin("" +: cols: _*)).collect()
         val env = rows.filter(_.getString(1).nonEmpty)
           .groupBy(_.getString(0))
