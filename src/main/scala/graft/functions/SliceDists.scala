@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -252,10 +252,58 @@ case class SubVec(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Native quantized weighted-dot over SQ8 code arrays — the scoring
+/** Pack SQ8 codes (array<int>, each in [0, 255]) into a BinaryType
+  * blob, one unsigned byte per dimension — the FAISS uint8 layout.
+  * An int array spends 4 bytes per element in Tungsten rows and
+  * columnar batches; the blob is the real 4×-vs-float32 density the
+  * SQ8 story claims, in memory and on the wire, not just after
+  * parquet bit-packing. Null elements (impossible from the encode
+  * aggregate, possible after out-of-band edits) poison the blob to
+  * NULL rather than fabricating a code.
+  */
+case class PackCodes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pack_codes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<int>, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      out(i) = (arr.getInt(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PackCodes = copy(child = newChild)
+}
+
+/** Native quantized weighted-dot over SQ8 codes — the scoring
   * kernel of the [[graft.store.Sq]]/[[graft.store.IvfSq]] search paths:
   *
   *   Σ_d floor(w_d · code_d · 1e6)  as long
+  *
+  * The code side is either the persisted BinaryType blob (one
+  * unsigned byte per dimension, the [[PackCodes]] layout) or an
+  * array<int> (the inline oracle queries, whose codes never leave the
+  * plan) — same math either way.
   *
   * Replaces the posexplode → equi-join-on-pos → groupBy(query, cand)
   * formulation: that shape is correct and partial-agg-bounded, but it
@@ -285,30 +333,46 @@ case class CodeDotQ(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => true
+      case (BinaryType, ArrayType(DoubleType, _)) => true
       case _ => false
     }
     if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<int> codes, array<double> weights), got " +
-        s"(${left.dataType}, ${right.dataType})")
+      s"$prettyName expects (array<int> | binary codes, array<double> " +
+        s"weights), got (${left.dataType}, ${right.dataType})")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
     val ws = b.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), ws.numElements())
-    var acc = 0L
-    var saw = false
-    var i = 0
-    while (i < n) {
-      if (!codes.isNullAt(i) && !ws.isNullAt(i)) {
-        acc += math.floor(ws.getDouble(i) * codes.getInt(i) * 1e6).toLong
-        saw = true
-      }
-      i += 1
+    a match {
+      case blob: Array[Byte] =>
+        val n = math.min(blob.length, ws.numElements())
+        var acc = 0L
+        var saw = false
+        var i = 0
+        while (i < n) {
+          if (!ws.isNullAt(i)) {
+            acc += math.floor(ws.getDouble(i) * (blob(i) & 0xff) * 1e6).toLong
+            saw = true
+          }
+          i += 1
+        }
+        if (saw) java.lang.Long.valueOf(acc) else null
+      case codes: ArrayData =>
+        val n = math.min(codes.numElements(), ws.numElements())
+        var acc = 0L
+        var saw = false
+        var i = 0
+        while (i < n) {
+          if (!codes.isNullAt(i) && !ws.isNullAt(i)) {
+            acc += math.floor(ws.getDouble(i) * codes.getInt(i) * 1e6).toLong
+            saw = true
+          }
+          i += 1
+        }
+        if (saw) java.lang.Long.valueOf(acc) else null
     }
-    if (saw) java.lang.Long.valueOf(acc) else null
   }
 
   override protected def withNewChildrenInternal(
@@ -393,9 +457,25 @@ object SliceDists {
         "code_dot_q", exprs => CodeDotQ(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** Σ floor(w_d·code_d·1e6) as long over (array<int>, array<double>). */
+  /** Σ floor(w_d·code_d·1e6) as long over (array<int> | binary codes,
+    * array<double> weights).
+    */
   def codeDotQ(spark: SparkSession, codes: Column, weights: Column): Column = {
     registerCodeDot(spark)
     call_function("code_dot_q", codes, weights)
+  }
+
+  def registerPack(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("pack_codes")))
+      reg.createOrReplaceTempFunction(
+        "pack_codes", exprs => PackCodes(exprs(0)), "scala_udf")
+  }
+
+  /** array<int> codes in [0, 255] → one-unsigned-byte-per-dim binary. */
+  def packCodes(spark: SparkSession, codes: Column): Column = {
+    registerPack(spark)
+    call_function("pack_codes", codes)
   }
 }

@@ -307,16 +307,16 @@ object Doctor {
       return out.result()
     }
     val codes = store.read(Sq.codesName(table))
-    // every code row must span the trained dimension count with codes
-    // in [0, 255] and a non-negative dequantized norm — anything else
-    // is a torn encode or an out-of-band edit, and search would score
-    // it silently wrong
-    val bad = codes.filter(size(col("codes")) =!= dims.toInt ||
-      exists(col("codes"), c => c < 0 || c > 255) ||
+    // every code blob must span the trained dimension count (one
+    // unsigned byte per dim — the byte domain IS [0, 255], so only
+    // the length can tear) with a non-negative dequantized norm —
+    // anything else is a torn encode or an out-of-band edit, and
+    // search would score it silently wrong
+    val bad = codes.filter(length(col("codes")) =!= dims.toInt ||
       col("dnorm") < 0.0).count()
     if (bad > 0)
       out += Issue("sq", table,
-        s"$bad code rows don't fit the trained $dims-dim [0,255] " +
+        s"$bad code rows don't fit the trained $dims-byte " +
           "layout — scales and codes disagree (rebuild the code table)")
     out.result()
   }
@@ -339,12 +339,11 @@ object Doctor {
       return out.result()
     }
     val codes = store.read(IvfSq.codesName(table))
-    val bad = codes.filter(size(col("codes")) =!= dims.toInt ||
-      exists(col("codes"), c => c < 0 || c > 255) ||
+    val bad = codes.filter(length(col("codes")) =!= dims.toInt ||
       col("rnorm") < 0.0).count()
     if (bad > 0)
       out += Issue("ivfsq", table,
-        s"$bad code rows don't fit the trained $dims-dim [0,255] " +
+        s"$bad code rows don't fit the trained $dims-byte " +
           "layout — scales and codes disagree (rebuild the code table)")
     // pk → cell map must mirror the cell partitions exactly (the
     // CellIndex invariant shared with ivf/ivfpq)

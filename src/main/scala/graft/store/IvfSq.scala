@@ -51,6 +51,10 @@ object IvfSq {
     graft.functions.SliceDists.subVec(
       org.apache.spark.sql.SparkSession.active, a, b)
 
+  private def pack(c: Column): Column =
+    graft.functions.SliceDists.packCodes(
+      org.apache.spark.sql.SparkSession.active, c)
+
   /** Nearest-cell assignment + residual: (pk, cell, r). Broadcast
     * centroids, max_by partial agg, ties to the lower cent_id — the
     * [[IvfPq]] discipline.
@@ -98,6 +102,9 @@ object IvfSq {
           x => x.getField("code")).as("codes"),
         sqrt(sum(floor(col("recon") * col("recon") * lit(1e6)).cast("long"))
           .cast("double") / lit(1e6)).as("rnorm"))
+      // persisted layout is the FAISS uint8 blob (see Sq.encode)
+      .select(col("pk"), col(CellCol),
+        pack(col("codes")).as("codes"), col("rnorm"))
 
   /** Train coarse centroids and residual scales on the corpus,
     * persist both, and index the batch.

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * Two tables ride the [[TableStore]]:
   *  - `<table>_sq_scales` (pos, mn, mx): the per-dimension affine
   *    scales, written once at training time (dims rows);
-  *  - `<table>_sq` (pk, codes, dnorm): one row per vector — codes
-  *    sorted by dimension, plus the norm of the DEQUANTIZED vector,
-  *    stored at encode time so search never recomputes it. Maintained
-  *    with the same upsert-batch pattern as the PQ codes: re-upserted
-  *    vectors re-encode O(batch), never O(corpus).
+  *  - `<table>_sq` (pk, codes, dnorm): one row per vector — codes as
+  *    a BinaryType blob, one unsigned byte per dimension in position
+  *    order (the FAISS uint8 layout: 1 B/dim in Tungsten rows and on
+  *    disk, the genuine 4× vs float32), plus the norm of the
+  *    DEQUANTIZED vector, stored at encode time so search never
+  *    recomputes it. Maintained with the same upsert-batch pattern as
+  *    the PQ codes: re-upserted vectors re-encode O(batch), never
+  *    O(corpus).
   *
   * Search is ASYMMETRIC (full-precision query vs dequantized
   * candidate), the standard SQ trade: with sc_d = (mx_d − mn_d)/255,
@@ -44,6 +47,10 @@ object Sq {
   private def dot(a: Column, b: Column): Column =
     graft.functions.SliceDists.dotFold(
       org.apache.spark.sql.SparkSession.active, a, b)
+
+  private def pack(c: Column): Column =
+    graft.functions.SliceDists.packCodes(
+      org.apache.spark.sql.SparkSession.active, c)
 
   /** Per-dimension (pos, mn, mx) scales over the corpus — a dims-group
     * partial aggregation (one tiny shuffle regardless of corpus size).
@@ -80,6 +87,9 @@ object Sq {
           x => x.getField("code")).as("codes"),
         sqrt(sum(floor(col("dq") * col("dq") * lit(1e6)).cast("long"))
           .cast("double") / lit(1e6)).as("dnorm"))
+      // persisted layout is the FAISS uint8 blob: 1 byte per dim in
+      // Tungsten rows and on disk, the real 4×-vs-float32 density
+      .select(col("pk"), pack(col("codes")).as("codes"), col("dnorm"))
 
   /** Train-and-persist: write `<table>_sq_scales` from the batch
     * corpus and seed `<table>_sq` with the batch's codes.

@@ -166,6 +166,42 @@ class SliceDistsSpec extends SparkSpec {
       Seq[java.lang.Double](0.0, null, null))
   }
 
+  test("code_dot_q equals the floor-sum aggregate on both code layouts") {
+    // the SQ8 scoring kernel: Σ floor(w_d·code_d·1e6) as long — the
+    // array<int> form (inline oracle queries) and the packed binary
+    // form (persisted index tables) must agree with each other and
+    // with the per-dim aggregate they displaced
+    val codes = Seq(0, 128, 255, 7)
+    val ws = Seq(0.25, -1.5, 1.0 / 3.0, 2.0)
+    val want = codes.zip(ws)
+      .map { case (c, w) => math.floor(w * c * 1e6).toLong }.sum
+    val row = Seq((codes, ws)).toDF("codes", "ws")
+      .select(
+        SliceDists.codeDotQ(spark, col("codes"), col("ws")).as("arr"),
+        SliceDists.codeDotQ(spark,
+          SliceDists.packCodes(spark, col("codes")), col("ws")).as("bin"))
+      .head
+    assert(row.getLong(0) === want)
+    assert(row.getLong(1) === want)
+
+    // pack round-trip: bytes are the unsigned code values in order
+    val blob = Seq(Tuple1(codes)).toDF("codes")
+      .select(SliceDists.packCodes(spark, col("codes")))
+      .head.getAs[Array[Byte]](0)
+    assert(blob.toSeq.map(_ & 0xff) === codes)
+
+    // SUM-over-empty parity: zero contributing terms → NULL, and the
+    // shorter side bounds the fold (the pos equi-join semantics)
+    val edge = Seq((Seq.empty[Int], Seq(1.0), Seq(1, 2), Seq(0.5)))
+      .toDF("c0", "w0", "c2", "w1")
+      .select(
+        SliceDists.codeDotQ(spark, col("c0"), col("w0")).as("empty"),
+        SliceDists.codeDotQ(spark, col("c2"), col("w1")).as("short"))
+      .head
+    assert(edge.isNullAt(0))
+    assert(edge.getLong(1) === math.floor(0.5 * 1 * 1e6).toLong)
+  }
+
   test("SQL registry + undersized vectors fail loudly") {
     SliceDists.register(spark)
     val r = spark.sql(

@@ -148,7 +148,7 @@ class DoctorSpec extends SparkSpec {
     val codes = store.read(Sq.codesName("vectors"))
     store.overwrite(Sq.codesName("vectors"), Iteration.materialize(
       codes.withColumn("codes",
-        when(col("pk") === 3L, slice(col("codes"), 1, 4))
+        when(col("pk") === 3L, expr("substring(codes, 1, 4)"))
           .otherwise(col("codes")))))
     assert(Doctor.check(store).filter(_.component == "sq")
       .exists(_.problem.contains("don't fit")))

@@ -77,7 +77,7 @@ class IvfSqSpec extends SparkSpec {
       .toDF("vec_id", "e")
     IvfSq.upsertWithCodes(store, "vectors", twin, "vec_id", "e")
     val rows = store.read(IvfSq.codesName("vectors"))
-      .select(col("pk"), concat_ws(",", col("codes")).as("cs"),
+      .select(col("pk"), hex(col("codes")).as("cs"),
         col("cell").cast("long"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
@@ -108,7 +108,7 @@ class IvfSqSpec extends SparkSpec {
     val codes = store.read(IvfSq.codesName("vectors"))
     store.overwrite(IvfSq.codesName("vectors"), Iteration.materialize(
       codes.withColumn("codes",
-        when(col("pk") === 3L, slice(col("codes"), 1, 4))
+        when(col("pk") === 3L, expr("substring(codes, 1, 4)"))
           .otherwise(col("codes")))), Seq("cell"))
     assert(Doctor.check(store).filter(_.component == "ivfsq")
       .exists(_.problem.contains("don't fit")))

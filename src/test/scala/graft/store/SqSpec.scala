@@ -46,8 +46,11 @@ class SqSpec extends SparkSpec {
       (2L, Seq(4.0, 10.0, 3.0)),
       (3L, Seq(8.0, 10.0, 5.0))).toDF("vec_id", "e")
     val scales = Sq.trainScales(emb, "e")
+    // codes persist as one unsigned byte per dim (BinaryType blob)
     val got = Sq.encode(emb, scales, "vec_id", "e")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).toSeq.map(_ & 0xff)).toMap
     // dim 1: [0, 8] → 0, 128 (4.0 → floor(127.5+0.5)), 255
     // dim 2: constant → 0 everywhere
     // dim 3: [3, 7] → 255, 0, 128 (5.0 → floor(127.5+0.5))
@@ -129,10 +132,12 @@ class SqSpec extends SparkSpec {
     val moved = Seq((7L, (0 until dims).map(d => math.sin(d) * 10.0 + jitter(0, d))))
       .toDF("vec_id", "e")
     val oldCodes = store.read(Sq.codesName("vectors"))
-      .filter(col("pk") === 7L).select(col("codes")).head.getSeq[Int](0)
+      .filter(col("pk") === 7L).select(col("codes"))
+      .head.getAs[Array[Byte]](0).toSeq
     Sq.upsertWithCodes(store, "vectors", moved, "vec_id", "e")
     val newCodes = store.read(Sq.codesName("vectors"))
-      .filter(col("pk") === 7L).select(col("codes")).head.getSeq[Int](0)
+      .filter(col("pk") === 7L).select(col("codes"))
+      .head.getAs[Array[Byte]](0).toSeq
     assert(oldCodes !== newCodes)
     assert(store.read(Sq.codesName("vectors")).count() === 100L)
     val after = Sq.annTopK(store, "vectors",

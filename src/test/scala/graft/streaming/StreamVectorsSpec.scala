@@ -76,7 +76,7 @@ class StreamVectorsSpec extends SparkSpec {
       mem.addData((100L, vec(5)))
       q.processAllAvailable()
       val codes = store.read(Sq.codesName("vectors"))
-        .select(col("pk"), concat_ws(",", col("codes")).as("cs"))
+        .select(col("pk"), hex(col("codes")).as("cs"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(codes.size === 25)
       assert(codes(100L) === codes(5L))
