@@ -380,6 +380,72 @@ case class CodeDotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native ADC distance over packed PQ codes — the product-quantization
+  * scoring kernel: with the per-query LUT flattened row-major by
+  * (subspace, codeword) into an array<long> of `slices × k` quantized
+  * distances,
+  *
+  *   adist = Σ_s lut[s·k + code_s]
+  *
+  * as one row-level fold of the candidate's code blob. Replaces the
+  * explode → equi-join-on-(s, code) → groupBy(query, cand) shape: same
+  * longs, long addition commutes, so distances are bit-identical to
+  * the aggregate form — but the scan side is map-only, no per-slice
+  * row blowup, no aggregate exchange keyed on the pair.
+  *
+  * The codeword count k is inferred as `lut.length / codes.length`
+  * (the blob length IS the subspace count); a LUT that doesn't divide
+  * evenly, or a code beyond k, fails loudly — that is Doctor's
+  * books-and-codes-disagree corruption, not a scoring input. A NULL
+  * result (empty blob or a null LUT slot) marks a row the aggregate
+  * form would simply not have produced; callers filter it, preserving
+  * "corrupt candidates are absent, not ranked".
+  */
+case class AdcDist(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_dist"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (binary codes, array<bigint> lut), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    val slices = codes.length
+    if (slices == 0) return null
+    val m = lut.numElements()
+    require(m % slices == 0,
+      s"$prettyName: LUT length $m is not a multiple of the $slices-byte blob")
+    val k = m / slices
+    var acc = 0L
+    var s = 0
+    while (s < slices) {
+      val code = codes(s) & 0xff
+      require(code < k,
+        s"$prettyName: code $code at subspace $s exceeds the $k-entry book")
+      val i = s * k + code
+      if (lut.isNullAt(i)) return null
+      acc += lut.getLong(i)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object SliceDists {
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
@@ -477,5 +543,21 @@ object SliceDists {
   def packCodes(spark: SparkSession, codes: Column): Column = {
     registerPack(spark)
     call_function("pack_codes", codes)
+  }
+
+  def registerAdc(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("adc_dist")))
+      reg.createOrReplaceTempFunction(
+        "adc_dist", exprs => AdcDist(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Σ_s lut[s·k + code_s] over (binary codes, flattened array<long>
+    * LUT); k inferred as lut.length / codes.length.
+    */
+  def adcDist(spark: SparkSession, codes: Column, lut: Column): Column = {
+    registerAdc(spark)
+    call_function("adc_dist", codes, lut)
   }
 }

@@ -514,10 +514,10 @@ object Doctor {
       return out.result()
     }
     val slices = maxS.getInt(0) + 1
-    val bad = codes.filter(size(col("codes")) =!= slices).count()
+    val bad = codes.filter(length(col("codes")) =!= slices).count()
     if (bad > 0)
       out += Issue("ivfpq", table,
-        s"$bad code rows don't span the trained $slices subspaces — " +
+        s"$bad code blobs don't span the trained $slices subspaces — " +
           "books and codes disagree (rebuild the code table)")
     // pk → cell map must mirror the cell partitions exactly, same
     // invariant as the flat IVF index
@@ -557,10 +557,10 @@ object Doctor {
     }
     val slices = maxS.getInt(0) + 1
     val bad = store.read(Pq.codesName(table))
-      .filter(size(col("codes")) =!= slices).count()
+      .filter(length(col("codes")) =!= slices).count()
     if (bad > 0)
       out += Issue("pq", table,
-        s"$bad code rows don't span the trained $slices subspaces — " +
+        s"$bad code blobs don't span the trained $slices subspaces — " +
           "books and codes disagree (rebuild the code table)")
     out.result()
   }

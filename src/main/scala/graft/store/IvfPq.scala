@@ -165,15 +165,27 @@ object IvfPq {
       .select(col("pk.query_id").as("query_id"), col("pk.cell").as("cell"),
         col("s"), col("cent_id").as("code"),
         floor(Pq.l2sq(col("sv"), col("ce")) * 1e6).cast("long").as("qd"))
-    val codes = store.read(codesName(table))
+    // one (query_id, cell, lut_arr) row per probe: qd sorted by
+    // (s, code) is the s·k + code row-major order AdcDist indexes —
+    // each candidate then scores as ONE native fold of its code blob
+    // (map-only; no per-slice blowup, no (query, cand) aggregate
+    // exchange; same quantized longs, so distances are bit-identical
+    // to the former join/groupBy form)
+    val lutArr = lut.groupBy(col("query_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("code"), col("qd")))),
+        x => x.getField("qd")).as("lut_arr"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    store.read(codesName(table))
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
-      .select(col("pk").as("cand_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-    codes.join(broadcast(lut), Seq("cell", "s", "code"))
+      .select(col("pk").as("cand_id"), col("cell"), col("codes"))
+      .join(broadcast(lutArr), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("qd")).as("adist"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.SliceDists.adcDist(spark, col("codes"), col("lut_arr"))
+          .as("adist"))
+      .filter(col("adist").isNotNull)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adist"), col("cand_id"))).cast("long"))

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * Two tables ride the [[TableStore]]:
   *  - `<table>_pq_books` (s, cent_id, ce): the per-subspace codebooks,
   *    written once at training time (small — slices × k rows);
-  *  - `<table>_pq` (pk, codes): one row per vector, maintained with
-  *    the same upsert-batch pattern as the FTS postings — re-upserted
-  *    vectors get their codes re-encoded O(batch), never O(corpus).
+  *  - `<table>_pq` (pk, codes): one row per vector — codes as a
+  *    BinaryType blob, one unsigned byte per subspace (1 B/slice in
+  *    Tungsten rows and on disk, the genuine 32× at 8×8/16) —
+  *    maintained with the same upsert-batch pattern as the FTS
+  *    postings: re-upserted vectors get their codes re-encoded
+  *    O(batch), never O(corpus).
   *
   * Determinism: codeword means update on 1e-6-quantized integers
   * (exact, commutative sums on any partitioning — same convention as
@@ -130,8 +133,10 @@ object Pq {
       .groupBy(col("pk"), col("s"))
       .agg(min_by(col("cent_id"), struct(col("_d"), col("cent_id"))).as("code"))
 
-  /** One (pk, codes) row per vector — the persisted code-table layout
-    * (codes sorted by subspace, `codes[s]` = subspace s's codeword).
+  /** One (pk, codes) row per vector — the persisted code-table layout:
+    * a BinaryType blob, one unsigned byte per subspace in subspace
+    * order (`codes[s]` = subspace s's codeword; the FAISS uint8
+    * layout, 1 B/slice in Tungsten rows and on disk).
     */
   def encode(
       emb: DataFrame, books: DataFrame, pkCol: String, embCol: String,
@@ -140,6 +145,9 @@ object Pq {
       .groupBy(col("pk"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
+      .select(col("pk"),
+        graft.functions.SliceDists.packCodes(
+          org.apache.spark.sql.SparkSession.active, col("codes")).as("codes"))
 
   /** Total squared quantization error of encoding `emb` with `books`
     * — the objective Lloyd minimizes; a trained book must score lower
@@ -199,23 +207,39 @@ object Pq {
     store.upsert(table, batch, Seq(pkCol))
   }
 
-  /** ADC top-k over the PERSISTED code table: build the per-query LUT
-    * from the stored books (slices × k rows per query, broadcast),
-    * explode the stored codes to (pk, s, code), equi-join, partial-agg
-    * sum, WindowGroupLimit top-k. The corpus embeddings are never
-    * read — the scan side is 1 code row per vector.
+  /** ADC top-k over the PERSISTED code table: the per-query LUT from
+    * the stored books flattens to one row-major array<long> (slices ×
+    * k entries, broadcast), and each candidate's distance is ONE
+    * native [[graft.functions.AdcDist]] fold of its code blob — a
+    * map-only scan, no per-slice row blowup, no aggregate exchange on
+    * (query, cand); the only shuffle left is the WindowGroupLimit
+    * top-k's. Distances are bit-identical to the former explode/join/
+    * groupBy form (same quantized longs, long addition commutes). The
+    * corpus embeddings are never read — the scan side is 1 code blob
+    * per vector.
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int,
       slices: Int = 8, subDim: Int = 8): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val books = store.read(booksName(table))
-    val codes = store.read(codesName(table))
-      .select(col("pk").as("cand_id"), posexplode(col("codes")).as(Seq("s", "code")))
-    val l = lut(queries, books, pkCol, embCol, slices, subDim)
-    codes.join(broadcast(l), Seq("s", "code"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("qd")).as("adist"))
+    // one (query_id, lut_arr) row per query: qd sorted by (s, code) is
+    // exactly the s·k + code row-major order AdcDist indexes
+    val ql = lut(queries, books, pkCol, embCol, slices, subDim)
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("code"), col("qd")))),
+        x => x.getField("qd")).as("lut_arr"))
+    store.read(codesName(table))
+      .select(col("pk").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(ql))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.SliceDists.adcDist(spark, col("codes"), col("lut_arr"))
+          .as("adist"))
+      // a NULL adist is a degenerate blob the aggregate form would
+      // never have produced a row for — absent, not ranked
+      .filter(col("adist").isNotNull)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adist"), col("cand_id"))).cast("long"))

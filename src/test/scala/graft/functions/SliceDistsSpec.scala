@@ -202,6 +202,30 @@ class SliceDistsSpec extends SparkSpec {
     assert(edge.getLong(1) === math.floor(0.5 * 1 * 1e6).toLong)
   }
 
+  test("adc_dist equals the LUT-join aggregate; corrupt codes fail loudly") {
+    // codes (s=0..3) against a 4×4 row-major LUT: the fold must pick
+    // exactly lut[s*k + code_s], matching the (s, code) equi-join sum
+    val codes = Seq(2, 0, 3, 1)
+    val lutFlat = (0L until 16L).map(i => i * i - 7L)
+    val want = codes.zipWithIndex
+      .map { case (c, s) => lutFlat(s * 4 + c) }.sum
+    val got = Seq((codes, lutFlat)).toDF("codes", "lut")
+      .select(SliceDists.adcDist(spark,
+        SliceDists.packCodes(spark, col("codes")), col("lut")))
+      .head.getLong(0)
+    assert(got === want)
+
+    // a code beyond the book (Doctor's books-and-codes-disagree
+    // corruption) must fail loudly, not score silently wrong
+    val ex = intercept[Exception] {
+      Seq((Seq(5), (0L until 4L).toSeq)).toDF("codes", "lut")
+        .select(SliceDists.adcDist(spark,
+          SliceDists.packCodes(spark, col("codes")), col("lut")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
   test("SQL registry + undersized vectors fail loudly") {
     SliceDists.register(spark)
     val r = spark.sql(

@@ -57,10 +57,10 @@ class DoctorSpec extends SparkSpec {
     store.overwrite(Ivf.mapName("vectors"),
       store.read(Ivf.mapName("vectors"))
         .withColumn("cell", col("cell") + 1000))
-    // PQ shape break: truncate every code vector
+    // PQ shape break: truncate every code blob
     store.overwrite(Pq.codesName("vectors"),
       store.read(Pq.codesName("vectors"))
-        .withColumn("codes", slice(col("codes"), 1, 2)))
+        .withColumn("codes", expr("substring(codes, 1, 2)")))
     // IVF+PQ map desync: point every pk at a wrong cell
     store.overwrite(IvfPq.mapName("vectors"),
       store.read(IvfPq.mapName("vectors"))

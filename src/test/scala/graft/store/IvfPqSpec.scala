@@ -175,14 +175,13 @@ class IvfPqSpec extends SparkSpec {
     val resid = inlineResiduals(merged, cents)
     val expect = Pq.encode(resid, books, "pk", "r", slices, subDim)
       .join(resid.select(col("pk"), col("cell")), Seq("pk"))
-      .select(col("pk"), col("codes").cast("array<long>").as("codes"),
-        col("cell"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .select(col("pk"), hex(col("codes")).as("codes"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
     val gotRows = store.read(IvfPq.codesName("vectors"))
-      .select(col("pk"), col("codes").cast("array<long>").as("codes"),
+      .select(col("pk"), hex(col("codes")).as("codes"),
         col("cell").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(gotRows === expect)
   }

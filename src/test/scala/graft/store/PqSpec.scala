@@ -102,7 +102,7 @@ class PqSpec extends SparkSpec {
     Pq.upsertWithCodes(store, "vectors", moved, "vec_id", "e", slices, subDim)
 
     val codes = store.read(Pq.codesName("vectors"))
-      .select(col("pk"), concat_ws(",", col("codes")).as("cs"))
+      .select(col("pk"), hex(col("codes")).as("cs"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(codes.size === 48) // still one row per vector
     assert(codes(47L) === codes(20L))

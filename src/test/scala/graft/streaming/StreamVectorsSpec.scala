@@ -41,7 +41,7 @@ class StreamVectorsSpec extends SparkSpec {
       mem.addData((100L, vec(5)))
       q.processAllAvailable()
       val codes = store.read(Pq.codesName("vectors"))
-        .select(col("pk"), concat_ws(",", col("codes")).as("cs"))
+        .select(col("pk"), hex(col("codes")).as("cs"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(codes.size === 25)
       assert(codes(100L) === codes(5L)) // identical position → identical codes
@@ -136,7 +136,7 @@ class StreamVectorsSpec extends SparkSpec {
       mem.addData((100L, vec(7)))
       q.processAllAvailable()
       val rows = store.read(IvfPq.codesName("vectors"))
-        .select(col("pk"), concat_ws(",", col("codes")).as("cs"),
+        .select(col("pk"), hex(col("codes")).as("cs"),
           col("cell").cast("long"))
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
         .toMap
