@@ -291,6 +291,23 @@ object Doctor {
     out.result()
   }
 
+  /** Guard for the round-8 code-layout migration: a code table whose
+    * `codes` column is still the legacy array<int> form (written by a
+    * pre-blob build) must be NAMED as out of contract — running the
+    * blob-shaped length/score checks against it would crash the whole
+    * doctor pass at analysis time instead of diagnosing the table.
+    */
+  private def legacyCodes(
+      store: TableStore, component: String, table: String,
+      codesTable: String): Option[Issue] = {
+    import org.apache.spark.sql.types.BinaryType
+    val t = store.read(codesTable).schema("codes").dataType
+    if (t == BinaryType) None
+    else Some(Issue(component, table,
+      s"codes column is $t, not the binary blob layout — legacy index; " +
+        "rebuild with buildIndex"))
+  }
+
   private def sq(
       store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]
@@ -304,6 +321,11 @@ object Doctor {
       out += Issue("sq", table,
         "scales table is empty: torn buildIndex — stored codes are " +
           "uninterpretable (rebuild)")
+      return out.result()
+    }
+    val legacySq = legacyCodes(store, "sq", table, Sq.codesName(table))
+    if (legacySq.nonEmpty) {
+      out ++= legacySq
       return out.result()
     }
     val codes = store.read(Sq.codesName(table))
@@ -336,6 +358,11 @@ object Doctor {
     if (dims == 0L) {
       out += Issue("ivfsq", table,
         "residual scales table is empty: torn buildIndex (rebuild)")
+      return out.result()
+    }
+    val legacyIvfSq = legacyCodes(store, "ivfsq", table, IvfSq.codesName(table))
+    if (legacyIvfSq.nonEmpty) {
+      out ++= legacyIvfSq
       return out.result()
     }
     val codes = store.read(IvfSq.codesName(table))
@@ -502,6 +529,11 @@ object Doctor {
         "residual codebooks missing: stored codes are uninterpretable")
       return out.result()
     }
+    val legacyIvfPq = legacyCodes(store, "ivfpq", table, IvfPq.codesName(table))
+    if (legacyIvfPq.nonEmpty) {
+      out ++= legacyIvfPq
+      return out.result()
+    }
     val codes = store.read(IvfPq.codesName(table))
     // every stored code vector must span the trained subspace count;
     // max(s) over an EMPTY books table aggregates to null — a torn
@@ -556,6 +588,11 @@ object Doctor {
       return out.result()
     }
     val slices = maxS.getInt(0) + 1
+    val legacyPq = legacyCodes(store, "pq", table, Pq.codesName(table))
+    if (legacyPq.nonEmpty) {
+      out ++= legacyPq
+      return out.result()
+    }
     val bad = store.read(Pq.codesName(table))
       .filter(length(col("codes")) =!= slices).count()
     if (bad > 0)

@@ -158,6 +158,23 @@ class DoctorSpec extends SparkSpec {
       .exists(_.problem.contains("scales missing")))
   }
 
+  test("a legacy array<int> code table is named, not crashed on") {
+    // pre-round-8 indexes stored codes as array<int>; the blob-shaped
+    // length check would reject that type at ANALYSIS time and kill
+    // the whole doctor pass — the layout mismatch must surface as a
+    // finding instead
+    val store = freshStore()
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until dims).map(d => ((i * 7 + d) % 11).toDouble)))
+      .toDF("vec_id", "e")
+    Sq.buildIndex(store, "vectors", vecs, "vec_id", "e")
+    store.overwrite(Sq.codesName("vectors"),
+      (0 until 20).map(i => (i.toLong, Seq(1, 2, 3), 1.0))
+        .toDF("pk", "codes", "dnorm"))
+    val issues = Doctor.check(store).filter(_.component == "sq")
+    assert(issues.exists(_.problem.contains("legacy index")), issues)
+  }
+
   test("seeded CDC ledger corruption is named (dup fp, impossible stats)") {
     val store = freshStore()
     store.overwrite("docs_cdc_ledger",
