@@ -44,6 +44,12 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   ivfsq-index <store> <table> <pk> <emb> [k] [iters]  cells +
   *                                         residual int8 codes
   *   ivfsq-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   bin-index <store> <table> <pk> <emb>  sign-bit blobs (1 bit/dim,
+  *                                         no training)
+  *   bin-search <store> <table> <pk> <emb> <qid> [topk]  Hamming top-k
+  *   bin-rerank <store> <table> <pk> <emb> <qid> [topk] [depth]
+  *                                         Hamming shortlist → exact
+  *                                         cosine re-rank
   *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
   *   tri-search <store> <table> <pk> <text> <needle...>
   *   tri-match <store> <table> <pk> <text> <query...>  boolean substring
@@ -170,6 +176,30 @@ object Cli {
           .select(col(pk), col(emb).cast("array<double>").as(emb))
         graft.store.IvfSq.annTopK(store, table, queries, pk, emb, topk,
           nprobe = nprobe)
+          .show(topk, truncate = false)
+      case "bin-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.Bin.buildIndex(store, table, vecs, pk, emb)
+        println(s"[bin-index] ${store.read(graft.store.Bin.codesName(table)).count()} blob rows")
+      case "bin-search" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.Bin.annTopK(store, table, queries, pk, emb, topk)
+          .show(topk, truncate = false)
+      case "bin-rerank" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val depth = if (args.length > 7) args(7).toInt else 4 * topk
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.Bin.rerank(store, table, queries, pk, emb, topk, depth)
           .show(topk, truncate = false)
       case "sq-index" =>
         import org.apache.spark.sql.functions.col

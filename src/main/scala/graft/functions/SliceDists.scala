@@ -446,6 +446,103 @@ case class AdcDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native sign-bit binarization — the 1-bit/dim rung of the
+  * quantization ladder (float32 32× → SQ8 4× → PQ → THIS), the FAISS
+  * binary-index recipe (`IndexBinaryFlat`'s storage side): bit d is
+  * set iff x_d > 0. For zero-centered embedding dims the sign bits
+  * preserve angular locality (Charikar's hyperplane-LSH argument with
+  * the standard basis as the hyperplanes), which is why
+  * hamming-then-rerank works as a serving shortlist.
+  *
+  * Layout: byte i carries dims 8i..8i+7, dim 8i at the LEAST
+  * significant bit; ceil(n/8) bytes, trailing pad bits zero. The
+  * convention is pinned by SliceDistsSpec and assumed by
+  * [[HammingFold]] (pad bits equal on both sides → never contribute).
+  * Null elements poison the blob to NULL, the [[PackCodes]] rule —
+  * a fabricated 0-bit would silently rank the row.
+  */
+case class SignPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_pack"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      if (arr.getDouble(i) > 0.0)
+        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignPack = copy(child = newChild)
+}
+
+/** Native Hamming distance between two [[SignPack]] blobs: popcount
+  * of the bytewise XOR — the binary-index scoring kernel. One integer
+  * per (candidate, query) from a map-only scan; candidates stream
+  * past a broadcast of packed query rows and the only exchange left
+  * is the top-k window's (the [[CodeDotQ]] shape at 1 bit/dim).
+  *
+  * Length mismatch fails loudly: two blobs of different widths mean
+  * the code table and the query were packed from different-dim
+  * vectors — that is Doctor's corruption class, not a distance.
+  */
+case class HammingFold(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_fold"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (binary, binary), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    require(x.length == y.length,
+      s"$prettyName: blob widths differ (${x.length} vs ${y.length} bytes) " +
+        "— code table and query packed from different-dim vectors")
+    var acc = 0
+    var i = 0
+    while (i < x.length) {
+      acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingFold =
+    copy(left = newLeft, right = newRight)
+}
+
 object SliceDists {
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
@@ -559,5 +656,37 @@ object SliceDists {
   def adcDist(spark: SparkSession, codes: Column, lut: Column): Column = {
     registerAdc(spark)
     call_function("adc_dist", codes, lut)
+  }
+
+  def registerSignPack(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sign_pack")))
+      reg.createOrReplaceTempFunction(
+        "sign_pack", exprs => SignPack(exprs(0)), "scala_udf")
+  }
+
+  /** array<double> → sign-bit blob (bit d set iff x_d > 0, LSB-first,
+    * ceil(n/8) bytes).
+    */
+  def signPack(spark: SparkSession, vec: Column): Column = {
+    registerSignPack(spark)
+    call_function("sign_pack", vec)
+  }
+
+  def registerHamming(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_fold")))
+      reg.createOrReplaceTempFunction(
+        "hamming_fold", exprs => HammingFold(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Popcount of the bytewise XOR of two equal-width [[SignPack]]
+    * blobs.
+    */
+  def hammingFold(spark: SparkSession, a: Column, b: Column): Column = {
+    registerHamming(spark)
+    call_function("hamming_fold", a, b)
   }
 }

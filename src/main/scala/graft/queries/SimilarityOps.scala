@@ -478,6 +478,134 @@ object SimilarityOps {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_ann_hamming_topk — the 1-bit/dim rung of the quantization ladder
+  // (float32 → SQ8 4× → PQ 32× → THIS: 32× with INTEGER-only scoring),
+  // the FAISS IndexBinaryFlat recipe: each vector collapses to its
+  // sign bits (native SignPack, bit d set iff x_d > 0 — Charikar's
+  // hyperplane LSH with the standard basis as planes, so Hamming
+  // tracks angle on zero-centered dims) and candidates rank by
+  // popcount(xor) against a BROADCAST of the packed query rows — one
+  // native HammingFold per (candidate, query) on a map-only scan, the
+  // only exchange the top-k window's. Hamming is an INTEGER, so
+  // cross-engine parity is by construction: the oracle counts
+  // sign-bit disagreements from the unpacked dims; ties break on the
+  // lower cand_id. The persisted form lives in store/Bin.
+  private def hammingScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cands = emb.filter(col("vec_id") >= 4)
+      .select(col("vec_id").as("cand_id"),
+        graft.functions.SliceDists.signPack(spark, col("e")).as("bits"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.SliceDists.signPack(spark, col("e")).as("qbits"))
+    cands.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.SliceDists
+          .hammingFold(spark, col("bits"), col("qbits"))
+          .cast("long").as("hamming"))
+  }
+
+  def annHammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    hammingScored(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Shared CTE: per-(query, candidate) sign-bit Hamming distances,
+    * used by the direct top-k and the rerank oracle. The oracle works
+    * on UNPACKED bits — the packed blob is a storage layout, not a
+    * semantic; equality of the integer distances is the parity claim.
+    */
+  private val hammingCte: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, pos,
+       |    CASE WHEN e[pos] > 0 THEN 1 ELSE 0 END AS s
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |       (SELECT unnest(range(1, ${dims + 1})) AS pos)
+       |), hx AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(SUM(CASE WHEN q.s <> c.s THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM ex q JOIN ex c USING (pos)
+       |  WHERE q.vec_id < 4 AND c.vec_id >= 4
+       |  GROUP BY q.vec_id, c.vec_id
+       |)""".stripMargin
+
+  val annHammingTopKSql: String =
+    s"""$hammingCte
+       |SELECT query_id, rnk, cand_id, hamming FROM (
+       |  SELECT query_id, cand_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, cand_id) AS rnk
+       |  FROM hx)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // q_ann_hamming_rerank — binary shortlist → exact re-rank, the
+  // serving composition binary codes exist for: the corpus-wide pass
+  // touches ONLY 8-byte sign blobs (32× less I/O than floats, and the
+  // scoring is integer popcount — no FP at all), then the
+  // |queries|·width shortlist reads full vectors through a broadcast
+  // semi-join for the exact cosine that decides the final top-5.
+  // Same two-stage skeleton as q_ann_rerank (SQ8 stage 1); both
+  // stages bit-exact cross-engine, so the composition is too.
+  private val binRerankWidth = 16
+
+  def annHammingRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val shortlist = hammingScored(spark, sfDir)
+      .withColumn("hrnk", row_number().over(hw))
+      .filter(col("hrnk") <= binRerankWidth)
+      .select(col("query_id"), col("cand_id"))
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val qside = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+    val cside = emb.filter(col("vec_id") >= 4)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("norm").as("cnorm"))
+    val exact = cside.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    topKPerQuery(exact, 5)
+  }
+
+  val annHammingRerankSql: String =
+    s"""$hammingCte, shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, cand_id) AS hrnk
+       |    FROM hx)
+       |  WHERE hrnk <= $binRerankWidth
+       |), embx AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), exact AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    ${dotSql("q.e", "c.e")} / (q.norm * c.norm) AS cosine
+       |  FROM shortlist s
+       |  JOIN embx q ON q.vec_id = s.query_id
+       |  JOIN embx c ON c.vec_id = s.cand_id
+       |)
+       |SELECT query_id, rnk, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM exact)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Shared LSH machinery for the bucketed search path: per vector, the
   // 8-bit hyperplane bucket + the norm, computed once.
   private def withBucketAndNorm(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1312,5 +1440,7 @@ object SimilarityOps {
     Op("q_int8_quant", int8Quant, Some(int8QuantSql)),
     Op("q_ann_sq_topk", annSqTopK, Some(annSqTopKSql)),
     Op("q_ann_rerank", annRerank, Some(annRerankSql)),
+    Op("q_ann_hamming_topk", annHammingTopK, Some(annHammingTopKSql)),
+    Op("q_ann_hamming_rerank", annHammingRerank, Some(annHammingRerankSql)),
     Op("q_random_projection", randomProjection, Some(randomProjectionSql)))
 }

@@ -1,0 +1,135 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary sign-bit quantization as a maintained store component — the
+  * 1-bit/dim rung under [[Sq]] (8 bits/dim) and [[Pq]] (sub-byte via
+  * codebooks), the FAISS `IndexBinaryFlat` recipe: a vector collapses
+  * to its per-dim sign bits (bit d set iff x_d > 0, the
+  * [[graft.functions.SignPack]] layout) and candidates rank by
+  * popcount-of-XOR Hamming distance — 32× smaller than float32 and
+  * the scoring is INTEGER-only, the cheapest possible corpus-wide
+  * scan for a serving shortlist. Unlike [[Sq]]/[[Pq]] there is no
+  * training step at all: encode is stateless per-row, so the index
+  * never goes stale against a drifted corpus and a cold build is one
+  * map-only pass.
+  *
+  * One table rides the [[TableStore]]: `<table>_bin` (pk, bits) — one
+  * row per vector, bits a ceil(dims/8)-byte blob. Maintained with the
+  * same upsert-batch pattern as the SQ/PQ code tables: re-upserted
+  * vectors re-encode O(batch), never O(corpus).
+  *
+  * Search is SYMMETRIC (query packs through the same SignPack) and
+  * exact over the codes: Hamming distances are small integers, so
+  * scores are trivially identical on any partitioning — no
+  * quantized-long discipline needed. Sign bits preserve angular
+  * locality on zero-centered dims (Charikar's hyperplane LSH with the
+  * standard basis as planes), so the production composition is
+  * [[rerank]]: Hamming shortlist over the blobs (map-only integer
+  * scan), exact cosine over |queries|·depth full-precision rows
+  * fetched through a broadcast semi-join — never a second full scan.
+  *
+  * The inline oracle forms live in
+  * graft.queries.SimilarityOps (q_ann_hamming_topk /
+  * q_ann_hamming_rerank); reference scope: the reference engine
+  * (twitter-to-sqlite) has no vector surface — this extends the
+  * BASELINE.json similarity-search north star.
+  */
+object Bin {
+
+  def codesName(table: String): String = s"${table}_bin"
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.SliceDists.dotFold(spark, a, b)
+
+  private def packed(c: Column): Column =
+    graft.functions.SliceDists.signPack(spark, c.cast("array<double>"))
+
+  private def ham(a: Column, b: Column): Column =
+    graft.functions.SliceDists.hammingFold(spark, a, b)
+
+  /** (pk, bits) rows — stateless map-only encode, no scales/codebook
+    * to train or broadcast.
+    */
+  def encode(emb: DataFrame, pkCol: String, embCol: String): DataFrame =
+    emb.select(col(pkCol).as("pk"), packed(col(embCol)).as("bits"))
+
+  /** Cold build: seed `<table>_bin` with the batch's sign blobs and
+    * land the base rows.
+    */
+  def buildIndex(
+      store: TableStore, table: String, emb: DataFrame,
+      pkCol: String, embCol: String): Unit =
+    upsertWithCodes(store, table, emb, pkCol, embCol)
+
+  /** Upsert embedding rows AND their sign blobs: O(batch) — with no
+    * trained state there is nothing else to touch.
+    */
+  def upsertWithCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
+    store.upsert(codesName(table), encode(batch, pkCol, embCol), Seq("pk"))
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** Hamming top-k over the PERSISTED blob table: queries pack
+    * map-side and broadcast; the scan side reads ONLY `<table>_bin`
+    * (32× fewer bytes than the raw vectors) and scores each candidate
+    * with one native [[graft.functions.HammingFold]] popcount — the
+    * only shuffle is the WindowGroupLimit top-k's. Ties break on the
+    * lower candidate pk. A query pk that also lives in the corpus is
+    * NOT excluded (its distance is 0) — callers filter if they mean
+    * "neighbors other than me", same contract as the Sq/Pq paths.
+    */
+  def annTopK(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(pkCol).as("query_id"), packed(col(embCol)).as("qbits"))
+    store.read(codesName(table))
+      .select(col("pk").as("cand_id"), col("bits"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        ham(col("bits"), col("qbits")).cast("long").as("hamming"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("cand_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Two-stage serving search: Hamming shortlist of `depth` over the
+    * blobs, exact cosine re-rank of the shortlist's full-precision
+    * rows (read from the base table through a BROADCAST of the tiny
+    * shortlist — the float vectors are never shuffled corpus-wide).
+    * Returns (query_id, rnk, cand_id, cos), top-`k` by exact cosine.
+    */
+  def rerank(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, depth: Int): DataFrame = {
+    val shortlist = annTopK(store, table, queries, pkCol, embCol, depth)
+      .select(col("query_id"), col("cand_id"))
+    val qside = queries.select(
+      col(pkCol).as("query_id"), col(embCol).cast("array<double>").as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val cside = store.read(table)
+      .select(col(pkCol).as("cand_id"),
+        col(embCol).cast("array<double>").as("ce"))
+      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+    cside.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

@@ -63,6 +63,9 @@ object Doctor {
     names.filter(_.endsWith("_ivfsq")).foreach { idx =>
       issues ++= ivfsq(store, baseOf(idx, "_ivfsq"), names)
     }
+    names.filter(_.endsWith("_bin")).foreach { idx =>
+      issues ++= bin(store, baseOf(idx, "_bin"))
+    }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
         issues ++= bucketedBase(store, t, n, pk)
@@ -340,6 +343,34 @@ object Doctor {
       out += Issue("sq", table,
         s"$bad code rows don't fit the trained $dims-byte " +
           "layout — scales and codes disagree (rebuild the code table)")
+    out.result()
+  }
+
+  private def bin(store: TableStore, table: String): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val codes = store.read(Bin.codesName(table))
+    // the binary index has no trained state, so the only torn-write
+    // invariant is the blob width itself: every sign blob in one
+    // index must pack the same dimension count — a NULL or odd-width
+    // blob means a torn encode or an out-of-band edit, and HammingFold
+    // would (rightly) fail loudly mid-search on it
+    val widths = codes
+      .select(length(col("bits")).as("w"))
+      .groupBy(col("w")).count()
+      .orderBy(desc("count"), col("w"))
+      .collect() // ≤ distinct-widths rows — 1 on a healthy index
+    if (widths.exists(_.isNullAt(0)))
+      out += Issue("bin", table,
+        "NULL sign blobs present — torn encode or out-of-band edit " +
+          "(re-upsert the affected pks)")
+    val real = widths.filter(!_.isNullAt(0))
+    if (real.length > 1) {
+      val dominant = real.head.getInt(0)
+      val stray = real.tail.map(r => s"${r.getInt(0)}B×${r.getLong(1)}").mkString(", ")
+      out += Issue("bin", table,
+        s"mixed blob widths (dominant ${dominant}B; stray $stray) — " +
+          "the index mixes vectors of different dims; rebuild")
+    }
     out.result()
   }
 

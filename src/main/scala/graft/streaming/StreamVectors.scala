@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.store.{Ivf, IvfPq, IvfSq, Pq, Sq, TableStore}
+import graft.store.{Bin, Ivf, IvfPq, IvfSq, Pq, Sq, TableStore}
 
 /** Streaming maintenance of the persisted vector indexes — the
   * embedding-side analog of [[StreamFts]]: as vectors stream in, the
@@ -68,6 +68,24 @@ object StreamVectors {
     (batch, _) =>
       if (!batch.isEmpty)
         Sq.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** foreachBatch handler maintaining the binary sign-bit blob table.
+    * No trained state at all (encode is stateless per-row), so this
+    * is the one vector sink with no buildIndex precondition — a
+    * stream can cold-start the index.
+    */
+  def binSink(
+      store: TableStore, table: String, pkCol: String, embCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        Bin.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** Wire a streaming (pk, embedding, …) frame into the binary sink. */
+  def writeBinIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
+    start(vectors, checkpointDir, binSink(store, table, pkCol, embCol))
 
   /** foreachBatch handler maintaining the IVF+SQ index
     * (cell-partitioned residual int8 codes). Requires

@@ -240,4 +240,69 @@ class SliceDistsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("at least"))
   }
+
+  test("sign_pack: LSB-first layout, strict x > 0, pad bits zero, null poisons") {
+    // 10 dims → 2 bytes; dims 0,2,9 positive → byte0 = 0b00000101,
+    // byte1 = 0b00000010; a 0.0 dim is NOT set (strict >)
+    val v = Seq(1.0, -3.0, 2.5, 0.0, -0.1, -9.0, 0.0, -1.0, -2.0, 7.0)
+    val got = Seq(Tuple1(v)).toDF("e")
+      .select(SliceDists.signPack(spark, col("e")).as("b"))
+      .head.getAs[Array[Byte]](0)
+    assert(got.toSeq === Seq(0x05.toByte, 0x02.toByte))
+    // multi-byte parity vs a bit-by-bit reference on pseudo-random data
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 67).map(d => math.sin(i * 67 + d) * 3.0))
+    }
+    val packed = rows.toDF("id", "e")
+      .select(col("id"), SliceDists.signPack(spark, col("e")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { case (id, e) =>
+      val want = new Array[Byte]((e.length + 7) / 8)
+      e.zipWithIndex.foreach { case (x, d) =>
+        if (x > 0.0) want(d >> 3) = (want(d >> 3) | (1 << (d & 7))).toByte
+      }
+      assert(packed(id).toSeq === want.toSeq, s"id $id")
+    }
+    // null element → whole blob NULL (the PackCodes poison rule)
+    val n = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0)))
+      .toDF("e")
+      .select(SliceDists.signPack(spark, col("e").cast("array<double>")))
+      .head
+    assert(n.isNullAt(0))
+  }
+
+  test("hamming_fold equals the unpacked sign-disagreement count; width mismatch is loud") {
+    val rows = (0 until 30).map { i =>
+      (i.toLong,
+        (0 until 67).map(d => math.sin(i * 67 + d) * 3.0),
+        (0 until 67).map(d => math.cos(i * 67 + d) * 3.0))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        SliceDists.hammingFold(spark,
+          SliceDists.signPack(spark, col("a")),
+          SliceDists.signPack(spark, col("b"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).count { case (x, y) => (x > 0.0) != (y > 0.0) }
+      assert(got(id) === want, s"id $id")
+    }
+    // identical vectors → distance 0 (the exact-twin anchor)
+    val self = rows.toDF("id", "a", "b")
+      .select(SliceDists.hammingFold(spark,
+        SliceDists.signPack(spark, col("a")),
+        SliceDists.signPack(spark, col("a"))).as("h"))
+      .collect().map(_.getInt(0))
+    assert(self.forall(_ === 0))
+    // different-dim blobs mean a corrupt index, not a distance
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0, -1.0, 1.0), Seq(1.0, -1.0, 1.0, 1.0, 1.0, 1.0,
+        1.0, 1.0, 1.0))).toDF("a", "b")
+        .select(SliceDists.hammingFold(spark,
+          SliceDists.signPack(spark, col("a")),
+          SliceDists.signPack(spark, col("b"))))
+        .collect()
+    }
+    assert(ex.getMessage.contains("widths differ"))
+  }
 }

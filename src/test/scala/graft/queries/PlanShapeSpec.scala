@@ -22,7 +22,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_heavy_hitters",
     // round 7: the int8 family — per-dim scales and per-query weights
     // are the tiny sides, the exploded corpus streams past them
-    "q_int8_quant", "q_ann_sq_topk")
+    "q_int8_quant", "q_ann_sq_topk",
+    // round 8: the 1-bit family — packed query blobs broadcast, the
+    // candidate blob scan is map-only integer popcount
+    "q_ann_hamming_topk", "q_ann_hamming_rerank")
 
   test("ANN/sketch queries plan broadcast joins only — no SMJ, no cartesian") {
     broadcastOnly.foreach { name =>
@@ -44,7 +47,8 @@ class PlanShapeSpec extends SparkSpec {
     // a d×-row aggregate exchange keyed on the PAIR; if it creeps
     // back, this catches it even though the rows stay correct.
     val pairKeyed = """keys=\[[^\]]*(query_id[^\]]*cand_id|cand_id[^\]]*query_id)""".r
-    Seq("q_ann_sq_topk", "q_ann_rerank").foreach { name =>
+    Seq("q_ann_sq_topk", "q_ann_rerank",
+        "q_ann_hamming_topk", "q_ann_hamming_rerank").foreach { name =>
       val df = Inventory.byName(name).fn(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

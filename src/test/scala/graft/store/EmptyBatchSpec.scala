@@ -37,8 +37,18 @@ class EmptyBatchSpec extends SparkSpec {
       kCells = 2, slices = 4, subDim = 2, kCodes = 4, iters = 1)
     Trigram.upsertWithIndex(store, "docs", docs, "doc_id", "text")
 
+    // binary blob columns (the packed PQ codes) render as identity
+    // [B@… in Row.toString — canonicalize them to hex for a VALUE
+    // comparison, or "unchanged" could never hold across two reads
     def snapshot(name: String): Set[String] =
-      store.read(name).collect().map(_.toString).toSet
+      store.read(name).collect().map { r =>
+        (0 until r.length).map { i =>
+          r.get(i) match {
+            case b: Array[Byte] => b.map("%02x".format(_)).mkString
+            case v => String.valueOf(v)
+          }
+        }.mkString("[", ",", "]")
+      }.toSet
     val ivfBefore = snapshot(Ivf.indexName("vectors"))
     val pqBefore = snapshot(IvfPq.codesName("pvectors"))
     val triBefore = snapshot(Trigram.indexName("docs"))
