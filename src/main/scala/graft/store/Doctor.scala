@@ -34,15 +34,21 @@ object Doctor {
       issues ++= lsh(store, baseOf(idx, "_lsh"), names)
     }
     names.filter(_.endsWith("_ivf")).foreach { idx =>
-      issues ++= ivf(store, baseOf(idx, "_ivf"), names)
+      val t = baseOf(idx, "_ivf")
+      issues ++= ivf(store, t, names)
+      issues ++= coverage(store, "ivf", t, Ivf.mapName(t))
     }
     // "_ivfpq" also ends with "_pq" — route it to its own check, not
     // the flat-PQ one (whose table names wouldn't resolve)
     names.filter(n => n.endsWith("_pq") && !n.endsWith("_ivfpq")).foreach { idx =>
-      issues ++= pq(store, baseOf(idx, "_pq"), names)
+      val t = baseOf(idx, "_pq")
+      issues ++= pq(store, t, names)
+      issues ++= coverage(store, "pq", t, Pq.codesName(t))
     }
     names.filter(_.endsWith("_ivfpq")).foreach { idx =>
-      issues ++= ivfpq(store, baseOf(idx, "_ivfpq"), names)
+      val t = baseOf(idx, "_ivfpq")
+      issues ++= ivfpq(store, t, names)
+      issues ++= coverage(store, "ivfpq", t, IvfPq.codesName(t))
     }
     names.filter(_.endsWith("_tri")).foreach { idx =>
       issues ++= trigram(store, baseOf(idx, "_tri"))
@@ -58,13 +64,19 @@ object Doctor {
     }
     // "_ivfsq" also ends with "_sq" — route it to its own check
     names.filter(n => n.endsWith("_sq") && !n.endsWith("_ivfsq")).foreach { idx =>
-      issues ++= sq(store, baseOf(idx, "_sq"), names)
+      val t = baseOf(idx, "_sq")
+      issues ++= sq(store, t, names)
+      issues ++= coverage(store, "sq", t, Sq.codesName(t))
     }
     names.filter(_.endsWith("_ivfsq")).foreach { idx =>
-      issues ++= ivfsq(store, baseOf(idx, "_ivfsq"), names)
+      val t = baseOf(idx, "_ivfsq")
+      issues ++= ivfsq(store, t, names)
+      issues ++= coverage(store, "ivfsq", t, IvfSq.codesName(t))
     }
     names.filter(_.endsWith("_bin")).foreach { idx =>
-      issues ++= bin(store, baseOf(idx, "_bin"))
+      val t = baseOf(idx, "_bin")
+      issues ++= bin(store, t)
+      issues ++= coverage(store, "bin", t, Bin.codesName(t))
     }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
@@ -345,6 +357,32 @@ object Doctor {
           "layout — scales and codes disagree (rebuild the code table)")
     out.result()
   }
+
+  /** Count-parity of a one-row-per-vector artifact against its base
+    * table — the COVERAGE invariant every upsertWithCodes/-Cells path
+    * maintains (base row and artifact row land in the same call): an
+    * artifact missing rows makes searches silently SKIP those vectors
+    * (absent, not ranked — the worst failure mode, invisible to any
+    * per-row check of the artifact itself), and extra rows rank
+    * ghosts deleted from the base. Skipped when the base table
+    * doesn't exist in this store (an index built standalone over an
+    * external corpus has no in-store base to cover).
+    */
+  private def coverage(
+      store: TableStore, component: String, table: String,
+      artifact: String): Seq[Issue] =
+    (store.readIfExists(table), store.readIfExists(artifact)) match {
+      case (Some(base), Some(art)) =>
+        val nb = base.count()
+        val na = art.count()
+        if (na != nb)
+          Seq(Issue(component, table,
+            s"$artifact covers $na of $nb base rows — searches " +
+              "silently skip missing vectors and rank deleted ones " +
+              "(re-upsert the divergent pks or rebuild)"))
+        else Nil
+      case _ => Nil
+    }
 
   private def bin(store: TableStore, table: String): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]

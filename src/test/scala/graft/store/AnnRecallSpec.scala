@@ -158,6 +158,57 @@ class AnnRecallSpec extends SparkSpec {
     assert(deep >= 0.9, s"SQ8 rerank recall floor at depth ${4 * K}: $deep")
   }
 
+  test("binary rerank: recall@10 rises with depth; 8-byte codes buy a real floor") {
+    // the 1-bit/dim rung measured through the PERSISTED path: stage 1
+    // reads 8-byte sign blobs (vs SQ8's 64 B, floats' 256 B at these
+    // dims) and ranks by integer Hamming; stage 2 exact-reranks the
+    // shortlist. Same serving knob as the SQ8 test above — the point
+    // of pinning both is the byte-budget/recall tradeoff ACROSS rungs
+    // stays visible in CI.
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annr-bin").toString)
+    Bin.buildIndex(store, "vectors", emb, "vec_id", "e")
+    val exact = exactTopK("cosine")
+
+    def rerankRecall(depth: Int): Double = {
+      val shortlist =
+        Bin.annTopK(store, "vectors", queries, "vec_id", "e", depth)
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"))
+      val q = queries.select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val reranked = emb
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        .join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          (dot(col("qe"), col("ce")) /
+            (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+            .as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rnk") <= K)
+      recall(resultSets(reranked), exact)
+    }
+
+    val shallow = rerankRecall(K + 2)
+    val mid = rerankRecall(4 * K)
+    val deep = rerankRecall(8 * K)
+    info(f"binary rerank recall@$K: depth ${K + 2} = $shallow%.3f, " +
+      f"depth ${4 * K} = $mid%.3f, depth ${8 * K} = $deep%.3f")
+    assert(mid >= shallow - 1e-9 && deep >= mid - 1e-9,
+      s"deeper stage-1 must not lose recall: $shallow -> $mid -> $deep")
+    // the near-isotropic testdata is the 1-bit code's WORST case (the
+    // 64 sign bits are random hyperplane projections with no cluster
+    // structure to exploit) — measured 0.54 at depth 40 / 0.6+ at 80,
+    // which still beats IVF+PQ's 0.49 on the same corpus at 1/4 the
+    // candidate bytes; floors pinned under the measured values. On
+    // clustered corpora (BinSpec's planted neighborhoods) the same
+    // path clears 0.8 at depth 40.
+    assert(mid >= 0.45, s"binary rerank recall floor at depth ${4 * K}: $mid")
+    assert(deep >= 0.55, s"binary rerank recall floor at depth ${8 * K}: $deep")
+  }
+
   test("multi-probe LSH recall dominates single-probe on the same index") {
     // the inline oracle queries fix probes (vec_id < 8), k = 3, and a
     // 256-bucket space sized for the sf0.01 corpus (500 vectors ≈ 2

@@ -158,6 +158,30 @@ class DoctorSpec extends SparkSpec {
       .exists(_.problem.contains("scales missing")))
   }
 
+  test("a code table that doesn't cover the base table is named") {
+    // the one corruption no per-row artifact check can see: a MISSING
+    // code row makes search silently skip that vector — only count
+    // parity against the base table catches it
+    val store = freshStore()
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until dims).map(d => ((i * 7 + d) % 11).toDouble)))
+      .toDF("vec_id", "e")
+    Sq.buildIndex(store, "vectors", vecs, "vec_id", "e")
+    Bin.buildIndex(store, "bvectors", vecs, "vec_id", "e")
+    assert(Doctor.check(store) === Seq.empty)
+    // out-of-band: drop one SQ code row, add one ghost bin blob
+    store.overwrite(Sq.codesName("vectors"), Iteration.materialize(
+      store.read(Sq.codesName("vectors")).filter(col("pk") =!= 3L)))
+    store.upsert(Bin.codesName("bvectors"),
+      Bin.encode(Seq((99L, (0 until dims).map(_.toDouble)))
+        .toDF("vec_id", "e"), "vec_id", "e"), Seq("pk"))
+    val issues = Doctor.check(store)
+    assert(issues.exists(i => i.component == "sq" &&
+      i.problem.contains("covers 19 of 20")), issues.toString)
+    assert(issues.exists(i => i.component == "bin" &&
+      i.problem.contains("covers 21 of 20")), issues.toString)
+  }
+
   test("a legacy array<int> code table is named, not crashed on") {
     // pre-round-8 indexes stored codes as array<int>; the blob-shaped
     // length check would reject that type at ANALYSIS time and kill
