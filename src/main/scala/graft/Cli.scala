@@ -50,6 +50,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   bin-rerank <store> <table> <pk> <emb> <qid> [topk] [depth]
   *                                         Hamming shortlist → exact
   *                                         cosine re-rank
+  *   ivfbin-index <store> <table> <pk> <emb> [k] [iters]  cells +
+  *                                         sign blobs
+  *   ivfbin-search <store> <table> <pk> <emb> <qid> [topk] [nprobe]
+  *   ivfbin-rerank <store> <table> <pk> <emb> <qid> [topk] [depth] [nprobe]
   *   tri-index <store> <table> <pk> <text>  trigram postings (substring accel)
   *   tri-search <store> <table> <pk> <text> <needle...>
   *   tri-match <store> <table> <pk> <text> <query...>  boolean substring
@@ -176,6 +180,37 @@ object Cli {
           .select(col(pk), col(emb).cast("array<double>").as(emb))
         graft.store.IvfSq.annTopK(store, table, queries, pk, emb, topk,
           nprobe = nprobe)
+          .show(topk, truncate = false)
+      case "ivfbin-index" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb) = (args(2), args(3), args(4))
+        val k = if (args.length > 5) args(5).toInt else 16
+        val iters = if (args.length > 6) args(6).toInt else 3
+        val vecs = store.read(table)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.IvfBin.buildIndex(store, table, vecs, pk, emb,
+          kCells = k, iters = iters)
+        println(s"[ivfbin-index] ${store.read(graft.store.IvfBin.codesName(table)).count()} blob rows")
+      case "ivfbin-search" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val nprobe = if (args.length > 7) args(7).toInt else 2
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.IvfBin.annTopK(store, table, queries, pk, emb, topk,
+          nprobe = nprobe)
+          .show(topk, truncate = false)
+      case "ivfbin-rerank" =>
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = if (args.length > 6) args(6).toInt else 10
+        val depth = if (args.length > 7) args(7).toInt else 4 * topk
+        val nprobe = if (args.length > 8) args(8).toInt else 2
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        graft.store.IvfBin.rerank(store, table, queries, pk, emb, topk,
+          depth, nprobe = nprobe)
           .show(topk, truncate = false)
       case "bin-index" =>
         import org.apache.spark.sql.functions.col

@@ -73,10 +73,16 @@ object Doctor {
       issues ++= ivfsq(store, t, names)
       issues ++= coverage(store, "ivfsq", t, IvfSq.codesName(t))
     }
-    names.filter(_.endsWith("_bin")).foreach { idx =>
+    // "_ivfbin" also ends with "_bin" — route it to its own check
+    names.filter(n => n.endsWith("_bin") && !n.endsWith("_ivfbin")).foreach { idx =>
       val t = baseOf(idx, "_bin")
       issues ++= bin(store, t)
       issues ++= coverage(store, "bin", t, Bin.codesName(t))
+    }
+    names.filter(_.endsWith("_ivfbin")).foreach { idx =>
+      val t = baseOf(idx, "_ivfbin")
+      issues ++= ivfbin(store, t, names)
+      issues ++= coverage(store, "ivfbin", t, IvfBin.codesName(t))
     }
     names.foreach { t =>
       store.bucketLayoutOf(t).foreach { case (n, pk) =>
@@ -384,30 +390,62 @@ object Doctor {
       case _ => Nil
     }
 
-  private def bin(store: TableStore, table: String): Seq[Issue] = {
+  /** Sign-blob width uniformity — the [[Bin]]/[[IvfBin]] torn-write
+    * invariant: with no trained state, the only thing a torn encode
+    * or out-of-band edit can corrupt is the blob width itself. Every
+    * blob in one index must pack the same dimension count — a NULL or
+    * stray-width blob means HammingFold would (rightly) fail loudly
+    * mid-search on it.
+    */
+  private def blobWidths(
+      store: TableStore, component: String, table: String,
+      codesTable: String): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]
-    val codes = store.read(Bin.codesName(table))
-    // the binary index has no trained state, so the only torn-write
-    // invariant is the blob width itself: every sign blob in one
-    // index must pack the same dimension count — a NULL or odd-width
-    // blob means a torn encode or an out-of-band edit, and HammingFold
-    // would (rightly) fail loudly mid-search on it
-    val widths = codes
+    val widths = store.read(codesTable)
       .select(length(col("bits")).as("w"))
       .groupBy(col("w")).count()
       .orderBy(desc("count"), col("w"))
       .collect() // ≤ distinct-widths rows — 1 on a healthy index
     if (widths.exists(_.isNullAt(0)))
-      out += Issue("bin", table,
+      out += Issue(component, table,
         "NULL sign blobs present — torn encode or out-of-band edit " +
           "(re-upsert the affected pks)")
     val real = widths.filter(!_.isNullAt(0))
     if (real.length > 1) {
       val dominant = real.head.getInt(0)
       val stray = real.tail.map(r => s"${r.getInt(0)}B×${r.getLong(1)}").mkString(", ")
-      out += Issue("bin", table,
+      out += Issue(component, table,
         s"mixed blob widths (dominant ${dominant}B; stray $stray) — " +
           "the index mixes vectors of different dims; rebuild")
+    }
+    out.result()
+  }
+
+  private def bin(store: TableStore, table: String): Seq[Issue] =
+    blobWidths(store, "bin", table, Bin.codesName(table))
+
+  private def ivfbin(
+      store: TableStore, table: String, names: Set[String]): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    if (!names.contains(IvfBin.centsName(table)))
+      out += Issue("ivfbin", table,
+        "centroids missing: assignment and probing are impossible")
+    out ++= blobWidths(store, "ivfbin", table, IvfBin.codesName(table))
+    // pk → cell map must mirror the cell partitions exactly, same
+    // invariant as the flat IVF index
+    val idx = store.read(IvfBin.codesName(table))
+      .select(col("pk"), col("cell").cast("long"))
+    store.readIfExists(IvfBin.mapName(table)) match {
+      case None =>
+        out += Issue("ivfbin", table, "map table missing")
+      case Some(m) =>
+        val map = m.select(col("pk"), col("cell").cast("long"))
+        val onlyIdx = idx.join(map, Seq("pk", "cell"), "left_anti").count()
+        val onlyMap = map.join(idx, Seq("pk", "cell"), "left_anti").count()
+        if (onlyIdx > 0 || onlyMap > 0)
+          out += Issue("ivfbin", table,
+            s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
+              "(pk, cell) rows — moved vectors would leave stale cells")
     }
     out.result()
   }

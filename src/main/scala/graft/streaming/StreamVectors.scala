@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.store.{Bin, Ivf, IvfPq, IvfSq, Pq, Sq, TableStore}
+import graft.store.{Bin, Ivf, IvfBin, IvfPq, IvfSq, Pq, Sq, TableStore}
 
 /** Streaming maintenance of the persisted vector indexes — the
   * embedding-side analog of [[StreamFts]]: as vectors stream in, the
@@ -80,6 +80,26 @@ object StreamVectors {
     (batch, _) =>
       if (!batch.isEmpty)
         Bin.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** foreachBatch handler maintaining the IVF+binary index
+    * (cell-partitioned sign blobs). Requires `IvfBin.buildIndex` to
+    * have trained and written the coarse centroids — the blobs
+    * themselves are stateless, but cell assignment is not.
+    */
+  def ivfBinSink(
+      store: TableStore, table: String, pkCol: String, embCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        IvfBin.upsertWithCodes(store, table, batch, pkCol, embCol)
+
+  /** Wire a streaming (pk, embedding, …) frame into the IVF+binary
+    * sink.
+    */
+  def writeIvfBinIndexed(
+      vectors: DataFrame, store: TableStore, table: String,
+      pkCol: String, embCol: String, checkpointDir: String): StreamingQuery =
+    start(vectors, checkpointDir, ivfBinSink(store, table, pkCol, embCol))
 
   /** Wire a streaming (pk, embedding, …) frame into the binary sink. */
   def writeBinIndexed(
