@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.store.{Ivf, IvfPq, Pq, Sq, TableStore}
+import graft.store.{Bin, Ivf, IvfBin, IvfPq, Pq, Sq, TableStore}
 
 /** Streaming vector-index maintenance: micro-batches encode/assign
   * against the PERSISTED books/centroids and replace by pk, so the
@@ -154,6 +154,80 @@ class StreamVectorsSpec extends SparkSpec {
       mem.addData((100L, vec(7)))
       q.processAllAvailable()
       assert(store.read(IvfPq.codesName("vectors")).count() === 25L)
+    } finally q.stop()
+  }
+
+  test("a stream COLD-STARTS the binary index — no buildIndex, no trained state") {
+    // the property no other vector sink has: encode is stateless, so
+    // the first micro-batch can create the index from an empty store
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck7").toString
+    val q = StreamVectors.writeBinIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e", ckpt)
+    try {
+      mem.addData((0 until 24).map(i => (i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+      assert(store.read(Bin.codesName("vectors")).count() === 24L)
+
+      // stream a twin of vector 5; 1-bit codes tie whole
+      // neighborhoods at Hamming 0, so only the exact-cosine rerank
+      // may claim it — top-2 is {self, twin}, both at cos 1.0
+      mem.addData((100L, vec(5)))
+      q.processAllAvailable()
+      val blobs = store.read(Bin.codesName("vectors"))
+        .select(col("pk"), hex(col("bits")).as("bs"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(blobs.size === 25)
+      assert(blobs(100L) === blobs(5L))
+      val res = Bin.rerank(store, "vectors",
+        corpus.filter(col("vec_id") === 5), "vec_id", "e",
+        k = 2, depth = 25)
+        .collect()
+      assert(res.map(_.getLong(2)).toSet === Set(5L, 100L), res.toSeq.toString)
+
+      // redelivery converges
+      mem.addData((100L, vec(5)))
+      q.processAllAvailable()
+      assert(store.read(Bin.codesName("vectors")).count() === 25L)
+      assert(store.read("vectors").count() === 25L)
+    } finally q.stop()
+  }
+
+  test("streamed vectors land in their IVF+binary cell and rerank finds the twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    IvfBin.buildIndex(store, "vectors", corpus, "vec_id", "e",
+      kCells = 4, iters = 2)
+    assert(store.read(IvfBin.codesName("vectors")).count() === 24L)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svec-ck8").toString
+    val q = StreamVectors.writeIvfBinIndexed(
+      mem.toDF().toDF("vec_id", "e"), store, "vectors", "vec_id", "e", ckpt)
+    try {
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      val rows = store.read(IvfBin.codesName("vectors"))
+        .select(col("pk"), hex(col("bits")).as("bs"),
+          col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(rows.size === 25)
+      assert(rows(100L) === rows(7L)) // same position → same cell + blob
+
+      val res = IvfBin.rerank(store, "vectors",
+        corpus.filter(col("vec_id") === 7), "vec_id", "e",
+        k = 1, depth = 25, nprobe = 1)
+        .collect()
+      assert(res.head.getLong(2) === 100L) // annTopK excludes self
+      assert(math.abs(res.head.getDouble(3) - 1.0) < 1e-12)
+
+      // redelivery converges
+      mem.addData((100L, vec(7)))
+      q.processAllAvailable()
+      assert(store.read(IvfBin.codesName("vectors")).count() === 25L)
     } finally q.stop()
   }
 
