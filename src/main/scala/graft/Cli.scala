@@ -79,11 +79,15 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
   *                                         (multi-dim file skipping)
   *   hh-top <store> <table> [n]            streaming heavy-hitter counters
-  *   doctor <store> [--suggest]            index integrity checks;
+  *   doctor <store> [--suggest] [--repair] index integrity checks;
   *                                         --suggest adds maintenance
   *                                         advice (fragmented tables
   *                                         + the compact command that
-  *                                         clears them)
+  *                                         clears them); --repair
+  *                                         EXECUTES the suggested
+  *                                         compactions (layout-aware:
+  *                                         z-ordered tables keep
+  *                                         their clustering)
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   */
@@ -416,6 +420,12 @@ object Cli {
           if (sug.isEmpty) println("[doctor] no maintenance suggested")
           else sug.foreach(s =>
             println(s"[doctor] suggest/${s.table}: ${s.problem}"))
+        }
+        if (args.contains("--repair")) {
+          val done = graft.store.Doctor.repair(store)
+          if (done.isEmpty) println("[doctor] nothing to repair")
+          else done.foreach { case (t, b, a) =>
+            println(s"[doctor] repaired/$t: $b -> $a files") }
         }
       case "tables" =>
         store.tableNames.foreach(t =>

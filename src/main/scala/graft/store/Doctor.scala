@@ -132,6 +132,30 @@ object Doctor {
       } else None
     }
 
+  /** Execute every [[suggest]] finding — closing the self-driving
+    * maintenance loop: `check` names what is WRONG, `suggest` what is
+    * SLOW, `repair` fixes the slow half. Each flagged table compacts
+    * through the layout-aware verb (z-ordered tables recompact with
+    * their declared Morton key so the clustering — and every
+    * pruneFiles answer that depends on it — survives; plain tables
+    * bin-pack). Deliberately compaction-only: integrity findings need
+    * a human decision (rebuild WHICH index, from WHAT source),
+    * fragmentation does not. Returns (table, filesBefore, filesAfter)
+    * per compacted table — idempotent, since a repaired table no
+    * longer suggests.
+    */
+  def repair(
+      store: TableStore, targetBytes: Long = 128L << 20): Seq[(String, Long, Long)] =
+    suggest(store, targetBytes).map { s =>
+      val t = s.table
+      val (before, after) = store.zorderLayoutOf(t) match {
+        case Some((zCols, bits)) =>
+          store.compactZorder(t, zCols, bits, targetBytes)
+        case None => store.compact(t, targetBytes = targetBytes)
+      }
+      (t, before, after)
+    }
+
   /** The stats manifest must track exactly the table's current data
     * files — an out-of-band write leaves untracked files that every
     * pruneFiles call footer-walks on the driver (slow, never wrong),

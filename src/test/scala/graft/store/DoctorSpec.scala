@@ -287,4 +287,45 @@ class DoctorSpec extends SparkSpec {
     assert(zSug.exists(_.problem.contains("compact-z")),
       s"z-ordered table's suggestion should name compact-z: $zSug")
   }
+
+  test("repair executes every suggestion layout-aware and is idempotent") {
+    val store = freshStore()
+    // one plain fragmented table, one fragmented Z-ORDERED table
+    store.overwrite("frag",
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(40))
+    store.overwrite("z",
+      (0 until 300).map(i => (i.toLong, (i * 7 % 100).toLong, s"v$i"))
+        .toDF("id", "x", "v"))
+    store.compactZorder("z", Seq("x"), bits = 8)
+    store.overwrite("z",
+      Iteration.materialize(store.read("z")).repartition(30))
+    val tdir = new org.apache.hadoop.fs.Path(
+      store.dataFiles("z").head).getParent
+    val fs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tdir, "_graft_zorder"), true)
+    out.write("zcols=x\nbits=8\n".getBytes("UTF-8"))
+    out.close()
+    assert(Doctor.suggest(store).map(_.table).toSet === Set("frag", "z"))
+    val rowsBefore = ("frag", "z") match { case (a, b) =>
+      (store.read(a).collect().map(_.toString).sorted.toSeq,
+        store.read(b).collect().map(_.toString).sorted.toSeq)
+    }
+
+    val done = Doctor.repair(store)
+    assert(done.map(_._1).toSet === Set("frag", "z"), done.toString)
+    done.foreach { case (t, before, after) =>
+      assert(after < before, s"$t: $before -> $after files")
+    }
+    // flags cleared, rows identical, z-clustering still declared
+    assert(Doctor.suggest(store) === Seq.empty)
+    assert(store.read("frag").collect().map(_.toString).sorted.toSeq
+      === rowsBefore._1)
+    assert(store.read("z").collect().map(_.toString).sorted.toSeq
+      === rowsBefore._2)
+    assert(store.zorderLayoutOf("z") === Some((Seq("x"), 8)))
+    // idempotent: a repaired store has nothing to repair
+    assert(Doctor.repair(store) === Seq.empty)
+  }
 }
