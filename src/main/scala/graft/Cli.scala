@@ -102,6 +102,15 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** The verb dispatch, session-agnostic so CliSpec can drive every
+    * verb in-process against the shared test session (main owns the
+    * session lifecycle; run never stops it).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val cmd = args(0)
     val store = new TableStore(spark, args(1))
 
@@ -436,6 +445,5 @@ object Cli {
       case other =>
         sys.error(s"unknown command: $other")
     }
-    spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{Bin, Doctor, IvfBin, Sq, TableStore}
+
+/** End-to-end wiring of the CLI verb dispatch — every verb is a thin
+  * wrapper, and thin wrappers are exactly where an arg-index typo or
+  * a renamed store method ships unnoticed (nothing else executes
+  * them). Drives `Cli.run` in-process against the shared session and
+  * asserts the store side-effects, not the printed text.
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cli").toString
+
+  private def seedVectors(dir: String): TableStore = {
+    val store = new TableStore(spark, dir)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until dims).map(d =>
+        math.sin((i % 5) * dims + d) * 10.0 + (i * 31 + d * 7) % 13 * 0.1))
+    }.toDF("vec_id", "e")
+    store.overwrite("vectors", vecs)
+    store
+  }
+
+  private def cli(args: String*): Unit = Cli.run(spark, args.toArray)
+
+  test("vector index verbs: build, search, and rerank through the dispatch") {
+    val dir = freshDir()
+    val store = seedVectors(dir)
+
+    cli("bin-index", dir, "vectors", "vec_id", "e")
+    assert(store.read(Bin.codesName("vectors")).count() === 60L)
+    cli("bin-search", dir, "vectors", "vec_id", "e", "3", "5")
+    cli("bin-rerank", dir, "vectors", "vec_id", "e", "3", "5", "20")
+
+    cli("ivfbin-index", dir, "vectors", "vec_id", "e", "5", "2")
+    assert(store.read(IvfBin.codesName("vectors")).count() === 60L)
+    assert(store.read(IvfBin.centsName("vectors")).count() === 5L)
+    cli("ivfbin-search", dir, "vectors", "vec_id", "e", "3", "5", "2")
+    cli("ivfbin-rerank", dir, "vectors", "vec_id", "e", "3", "5", "20", "2")
+
+    cli("sq-index", dir, "vectors", "vec_id", "e")
+    assert(store.read(Sq.codesName("vectors")).count() === 60L)
+    assert(store.read(Sq.scalesName("vectors")).count() === dims.toLong)
+    cli("sq-search", dir, "vectors", "vec_id", "e", "3", "5")
+
+    // everything the verbs built passes integrity
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
+  test("doctor verb: --suggest names fragmentation, --repair clears it") {
+    val dir = freshDir()
+    val store = new TableStore(spark, dir)
+    store.overwrite("frag",
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(40))
+    assert(Doctor.suggest(store).nonEmpty)
+    cli("doctor", dir, "--suggest", "--repair")
+    assert(Doctor.suggest(store) === Seq.empty)
+    assert(store.read("frag").count() === 400L)
+  }
+
+  test("an unknown verb fails loudly instead of doing nothing") {
+    val ex = intercept[RuntimeException] { cli("frobnicate", freshDir()) }
+    assert(ex.getMessage.contains("unknown command"))
+  }
+}
