@@ -3,10 +3,151 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
+
+/** Shared row-level scoring loops, factored so the expressions can
+  * CODEGEN into whole-stage spans: interpreted `eval` and generated
+  * Java both call the same static method (top-level objects compile
+  * with static forwarders), so there is exactly one copy of each
+  * kernel's semantics — the doGenCode path cannot drift from the
+  * interpreted one the specs pin. Boxed returns carry the null
+  * verdicts (SQL SUM-of-empty / poison rules documented per
+  * expression).
+  */
+object SliceDistsKernels {
+
+  /** [[DotFold]]: null on length mismatch or any null element. */
+  def dot(av: ArrayData, bv: ArrayData): java.lang.Double = {
+    val n = av.numElements()
+    if (bv.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (av.isNullAt(i) || bv.isNullAt(i)) return null
+      acc += av.getDouble(i) * bv.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** [[L2Fold]]: same contract as [[dot]]. */
+  def l2(av: ArrayData, bv: ArrayData): java.lang.Double = {
+    val n = av.numElements()
+    if (bv.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (av.isNullAt(i) || bv.isNullAt(i)) return null
+      val d = av.getDouble(i) - bv.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** [[SubVec]]: zip_with-parity element-wise a − b, null-padded. */
+  def sub(av: ArrayData, bv: ArrayData): ArrayData = {
+    val an = av.numElements()
+    val bn = bv.numElements()
+    val n = math.max(an, bn)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= an || i >= bn || av.isNullAt(i) || bv.isNullAt(i)) null
+        else java.lang.Double.valueOf(av.getDouble(i) - bv.getDouble(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[SignPack]]: null poison on a null element. */
+  def signPack(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      if (arr.getDouble(i) > 0.0)
+        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[HammingFold]]: loud on width mismatch. */
+  def hamming(x: Array[Byte], y: Array[Byte]): Int = {
+    require(x.length == y.length,
+      s"hamming_fold: blob widths differ (${x.length} vs ${y.length} bytes) " +
+        "— code table and query packed from different-dim vectors")
+    var acc = 0
+    var i = 0
+    while (i < x.length) {
+      acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  /** [[CodeDotQ]] over the persisted blob layout. */
+  def codeDotBlob(blob: Array[Byte], ws: ArrayData): java.lang.Long = {
+    val n = math.min(blob.length, ws.numElements())
+    var acc = 0L
+    var saw = false
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        acc += math.floor(ws.getDouble(i) * (blob(i) & 0xff) * 1e6).toLong
+        saw = true
+      }
+      i += 1
+    }
+    if (saw) java.lang.Long.valueOf(acc) else null
+  }
+
+  /** [[CodeDotQ]] over the inline array<int> layout. */
+  def codeDotArr(codes: ArrayData, ws: ArrayData): java.lang.Long = {
+    val n = math.min(codes.numElements(), ws.numElements())
+    var acc = 0L
+    var saw = false
+    var i = 0
+    while (i < n) {
+      if (!codes.isNullAt(i) && !ws.isNullAt(i)) {
+        acc += math.floor(ws.getDouble(i) * codes.getInt(i) * 1e6).toLong
+        saw = true
+      }
+      i += 1
+    }
+    if (saw) java.lang.Long.valueOf(acc) else null
+  }
+
+  /** [[AdcDist]]: loud on books/codes disagreement, null poison on a
+    * null LUT slot or empty blob.
+    */
+  def adc(codes: Array[Byte], lut: ArrayData): java.lang.Long = {
+    val slices = codes.length
+    if (slices == 0) return null
+    val m = lut.numElements()
+    require(m % slices == 0,
+      s"adc_dist: LUT length $m is not a multiple of the $slices-byte blob")
+    val k = m / slices
+    var acc = 0L
+    var s = 0
+    while (s < slices) {
+      val code = codes(s) & 0xff
+      require(code < k,
+        s"adc_dist: code $code at subspace $s exceeds the $k-entry book")
+      val i = s * k + code
+      if (lut.isNullAt(i)) return null
+      acc += lut.getLong(i)
+      s += 1
+    }
+    acc
+  }
+}
 
 /** Native per-subspace squared-L2 — the product-quantization inner
   * loop (encode argmin and ADC LUT build both start from it). One
@@ -111,7 +252,7 @@ case class SliceL2Dists(
   * arrays' lengths differ — nulls the whole sum.
   */
 case class DotFold(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -130,20 +271,20 @@ case class DotFold(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val av = a.asInstanceOf[ArrayData]
-    val bv = b.asInstanceOf[ArrayData]
-    val n = av.numElements()
-    if (bv.numElements() != n) return null // zip_with pads with null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (av.isNullAt(i) || bv.isNullAt(i)) return null
-      acc += av.getDouble(i) * bv.getDouble(i)
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SliceDistsKernels.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // codegen'd into the whole-stage span: the generated Java calls the
+  // SAME static kernel the interpreted eval uses, so the two paths
+  // cannot drift — what the spec pins interpreted holds compiled
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotr")
+      s"""java.lang.Double $r = graft.functions.SliceDistsKernels.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotFold =
@@ -157,7 +298,7 @@ case class DotFold(left: Expression, right: Expression)
   * (x-y)*(x-y)), 0.0, _+_)`.
   */
 case class L2Fold(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -176,21 +317,17 @@ case class L2Fold(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val av = a.asInstanceOf[ArrayData]
-    val bv = b.asInstanceOf[ArrayData]
-    val n = av.numElements()
-    if (bv.numElements() != n) return null // zip_with pads with null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (av.isNullAt(i) || bv.isNullAt(i)) return null
-      val d = av.getDouble(i) - bv.getDouble(i)
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SliceDistsKernels.l2(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("l2r")
+      s"""java.lang.Double $r = graft.functions.SliceDistsKernels.l2($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Fold =
@@ -211,7 +348,7 @@ case class L2Fold(left: Expression, right: Expression)
   * there is no fold order to preserve.
   */
 case class SubVec(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
@@ -230,22 +367,13 @@ case class SubVec(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val av = a.asInstanceOf[ArrayData]
-    val bv = b.asInstanceOf[ArrayData]
-    val an = av.numElements()
-    val bn = bv.numElements()
-    val n = math.max(an, bn)
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      out(i) =
-        if (i >= an || i >= bn || av.isNullAt(i) || bv.isNullAt(i)) null
-        else java.lang.Double.valueOf(av.getDouble(i) - bv.getDouble(i))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SliceDistsKernels.sub(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SliceDistsKernels.sub($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SubVec =
@@ -323,7 +451,7 @@ case class PackCodes(child: Expression)
   * nothing, exactly as the pos equi-join dropped them.
   */
 case class CodeDotQ(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -346,34 +474,23 @@ case class CodeDotQ(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val ws = b.asInstanceOf[ArrayData]
     a match {
-      case blob: Array[Byte] =>
-        val n = math.min(blob.length, ws.numElements())
-        var acc = 0L
-        var saw = false
-        var i = 0
-        while (i < n) {
-          if (!ws.isNullAt(i)) {
-            acc += math.floor(ws.getDouble(i) * (blob(i) & 0xff) * 1e6).toLong
-            saw = true
-          }
-          i += 1
-        }
-        if (saw) java.lang.Long.valueOf(acc) else null
-      case codes: ArrayData =>
-        val n = math.min(codes.numElements(), ws.numElements())
-        var acc = 0L
-        var saw = false
-        var i = 0
-        while (i < n) {
-          if (!codes.isNullAt(i) && !ws.isNullAt(i)) {
-            acc += math.floor(ws.getDouble(i) * codes.getInt(i) * 1e6).toLong
-            saw = true
-          }
-          i += 1
-        }
-        if (saw) java.lang.Long.valueOf(acc) else null
+      case blob: Array[Byte] => SliceDistsKernels.codeDotBlob(blob, ws)
+      case codes: ArrayData => SliceDistsKernels.codeDotArr(codes, ws)
     }
   }
+
+  // the code layout is known at PLAN time (left.dataType), so the
+  // generated Java calls the right kernel directly — no per-row
+  // instanceof, and the fold sits inside the whole-stage span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val kernel =
+        if (left.dataType == BinaryType) "codeDotBlob" else "codeDotArr"
+      val r = ctx.freshName("cdq")
+      s"""java.lang.Long $r = graft.functions.SliceDistsKernels.$kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CodeDotQ =
@@ -402,7 +519,7 @@ case class CodeDotQ(left: Expression, right: Expression)
   * "corrupt candidates are absent, not ranked".
   */
 case class AdcDist(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -418,28 +535,17 @@ case class AdcDist(left: Expression, right: Expression)
           s"$prettyName expects (binary codes, array<bigint> lut), got ($l, $r)")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val codes = a.asInstanceOf[Array[Byte]]
-    val lut = b.asInstanceOf[ArrayData]
-    val slices = codes.length
-    if (slices == 0) return null
-    val m = lut.numElements()
-    require(m % slices == 0,
-      s"$prettyName: LUT length $m is not a multiple of the $slices-byte blob")
-    val k = m / slices
-    var acc = 0L
-    var s = 0
-    while (s < slices) {
-      val code = codes(s) & 0xff
-      require(code < k,
-        s"$prettyName: code $code at subspace $s exceeds the $k-entry book")
-      val i = s * k + code
-      if (lut.isNullAt(i)) return null
-      acc += lut.getLong(i)
-      s += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SliceDistsKernels.adc(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("adcr")
+      s"""java.lang.Long $r = graft.functions.SliceDistsKernels.adc($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcDist =
@@ -462,7 +568,7 @@ case class AdcDist(left: Expression, right: Expression)
   * a fabricated 0-bit would silently rank the row.
   */
 case class SignPack(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -478,19 +584,16 @@ case class SignPack(child: Expression)
           s"$prettyName expects array<double>, got $t")
     }
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Byte]((n + 7) / 8)
-    var i = 0
-    while (i < n) {
-      if (arr.isNullAt(i)) return null
-      if (arr.getDouble(i) > 0.0)
-        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
-      i += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(a: Any): Any =
+    SliceDistsKernels.signPack(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("spr")
+      s"""byte[] $r = graft.functions.SliceDistsKernels.signPack($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): SignPack = copy(child = newChild)
@@ -507,7 +610,7 @@ case class SignPack(child: Expression)
   * vectors — that is Doctor's corruption class, not a distance.
   */
 case class HammingFold(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -523,20 +626,16 @@ case class HammingFold(left: Expression, right: Expression)
           s"$prettyName expects (binary, binary), got ($l, $r)")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Array[Byte]]
-    val y = b.asInstanceOf[Array[Byte]]
-    require(x.length == y.length,
-      s"$prettyName: blob widths differ (${x.length} vs ${y.length} bytes) " +
-        "— code table and query packed from different-dim vectors")
-    var acc = 0
-    var i = 0
-    while (i < x.length) {
-      acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff)
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SliceDistsKernels.hamming(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  // the binary scan's entire per-row cost IS this call — codegen'd so
+  // the popcount loop sits inside the whole-stage span instead of
+  // behind an interpreted-eval virtual dispatch per candidate row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SliceDistsKernels.hamming($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HammingFold =

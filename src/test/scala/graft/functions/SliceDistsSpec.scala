@@ -305,4 +305,54 @@ class SliceDistsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("widths differ"))
   }
+
+  test("every kernel runs COMPILED: codegen-only, fallback disabled, parity held") {
+    // the doGenCode paths must actually compile and agree with the
+    // interpreted evals the other tests pin — with fallback disabled a
+    // janino error becomes a test failure instead of a silent
+    // interpreted-mode regression of every scan these kernels sit in
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = (0 until 20).map { i =>
+        (i.toLong,
+          (0 until 16).map(d => math.sin(i * 16 + d) * 3.0),
+          (0 until 16).map(d => math.cos(i * 16 + d) * 3.0))
+      }
+      val df = rows.toDF("id", "a", "b")
+      val got = df.select(col("id"),
+          SliceDists.dotFold(spark, col("a"), col("b")).as("dot"),
+          SliceDists.l2Fold(spark, col("a"), col("b")).as("l2"),
+          SliceDists.subVec(spark, col("a"), col("b")).as("sub"),
+          SliceDists.hammingFold(spark,
+            SliceDists.signPack(spark, col("a")),
+            SliceDists.signPack(spark, col("b"))).as("ham"),
+          SliceDists.codeDotQ(spark,
+            transform(col("a"), x => abs((x * 10).cast("int")) % 256),
+            col("b")).as("cdq"))
+        .collect()
+      rows.zip(got.sortBy(_.getLong(0))).foreach { case ((_, a, b), r) =>
+        val dot = a.zip(b).map { case (x, y) => x * y }
+          .foldLeft(0.0)(_ + _)
+        assert(java.lang.Double.compare(r.getDouble(1), dot) === 0)
+        val l2 = a.zip(b).map { case (x, y) => (x - y) * (x - y) }
+          .foldLeft(0.0)(_ + _)
+        assert(java.lang.Double.compare(r.getDouble(2), l2) === 0)
+        assert(r.getSeq[Double](3) === a.zip(b).map { case (x, y) => x - y })
+        val ham = a.zip(b).count { case (x, y) => (x > 0.0) != (y > 0.0) }
+        assert(r.getInt(4) === ham)
+        val cdq = a.zip(b).map { case (x, y) =>
+          math.floor(y * (math.abs((x * 10).toInt) % 256) * 1e6).toLong }.sum
+        assert(r.getLong(5) === cdq)
+      }
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", oldMode)
+      restore("spark.sql.codegen.fallback", oldFb)
+    }
+  }
 }
