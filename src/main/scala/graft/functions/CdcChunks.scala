@@ -5,7 +5,6 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -32,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * chunk text; null for an empty normalized document.
   */
 case class CdcChunks(child: Expression, w: Int = 16)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
 
   private val B = 31L
   private val M = 1000000007L

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -25,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * store/Trigram's bind-the-lowered-text-once discipline.
   */
 case class CharGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
 
   require(n >= 1, s"gram size must be positive: $n")
 

@@ -5,7 +5,6 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,12 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * no per-element GenericArrayData, no repeated subtree evaluation,
   * one MessageDigest instance per row batch.
   *
-  * CodegenFallback costs one virtual call per row; the per-row work
+  * The KernelCodegen adapter keeps the row inside the surrounding
+  * whole-stage span; the per-row work
   * (hundreds of md5s) dwarfs it, and the surrounding stage stays
   * whole-stage-codegen'd.
   */
 case class MinHashSig(child: Expression, shingleSize: Int = 3, nHashes: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.unsafe.types.UTF8String"
   require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
   require(nHashes >= 1, s"nHashes must be >= 1: $nHashes")
 

@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5(t) — exactly reproducible in the DuckDB oracle.
   */
 case class SimHashFp(child: Expression, bits: Int = 60)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String = "java.lang.Long"
+  override protected def kernelUnbox(cast: String): String =
+    s"$cast.longValue()"
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -5,7 +5,6 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the WHERE len(sh) > 0 filter).
   */
 case class TrigramStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.catalyst.InternalRow"
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_trigrams", LongType, nullable = false),

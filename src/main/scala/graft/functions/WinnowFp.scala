@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[MinHashSig]]: hundreds of hashes per row is interpreter-hostile.
   */
 case class WinnowFp(child: Expression, k: Int = 8, w: Int = 16)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.unsafe.types.UTF8String"
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true

@@ -4,7 +4,6 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -26,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * explode of an empty array emits nothing).
   */
 case class WordGrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
 
   require(n >= 1, s"gram size must be positive: $n")
 
