@@ -390,7 +390,9 @@ case class SubVec(left: Expression, right: Expression)
   * NULL rather than fabricating a code.
   */
 case class PackCodes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelJavaType: String = "byte[]"
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
