@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -171,14 +171,29 @@ object SliceDistsKernels {
   * an intentional divergence, pinned by SliceDistsSpec's
   * "fail loudly" case.
   *
-  * CodegenFallback: one virtual call per row vs slices×subDim fused
-  * multiplies — the loop dwarfs it (the MinHashSig trade).
+  * Codegen'd via the reference-object kernel pattern: the
+  * per-subspace loop still runs as one call, but the surrounding
+  * operators stay inside their whole-stage span.
   */
 case class SliceL2Dists(
     left: Expression, right: Expression, slices: Int, subDim: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(slices >= 1 && subDim >= 1,
     s"slices/subDim must be positive: $slices/$subDim")
+
+  /** Public face of nullSafeEval for generated code (the
+    * KernelCodegen pattern, binary-arity form: params and the
+    * per-subspace loop live on the instance, referenced from the
+    * compiled span so the surrounding operators stay compiled).
+    */
+  def kernel(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("sliceL2Expr", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.kernel($a, $b);"
+    })
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -332,7 +332,8 @@ class SliceDistsSpec extends SparkSpec {
             SliceDists.signPack(spark, col("b"))).as("ham"),
           SliceDists.codeDotQ(spark,
             transform(col("a"), x => abs((x * 10).cast("int")) % 256),
-            col("b")).as("cdq"))
+            col("b")).as("cdq"),
+          SliceDists.sliceL2(spark, col("a"), col("b"), 4, 4).as("sl"))
         .collect()
       rows.zip(got.sortBy(_.getLong(0))).foreach { case ((_, a, b), r) =>
         val dot = a.zip(b).map { case (x, y) => x * y }
@@ -347,6 +348,14 @@ class SliceDistsSpec extends SparkSpec {
         val cdq = a.zip(b).map { case (x, y) =>
           math.floor(y * (math.abs((x * 10).toInt) % 256) * 1e6).toLong }.sum
         assert(r.getLong(5) === cdq)
+        val sl = r.getSeq[org.apache.spark.sql.Row](6)
+          .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+        (0 until 4).foreach { s =>
+          val want = (0 until 4).map { d =>
+            val diff = a(s * 4 + d) - b(s * 4 + d); diff * diff
+          }.foldLeft(0.0)(_ + _)
+          assert(java.lang.Double.compare(sl(s), want) === 0)
+        }
       }
     } finally {
       def restore(k: String, v: Option[String]): Unit =
