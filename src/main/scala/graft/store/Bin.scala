@@ -52,6 +52,19 @@ object Bin {
   private def ham(a: Column, b: Column): Column =
     graft.functions.SliceDists.hammingFold(spark, a, b)
 
+  /** Plans built here can mix store-session frames with caller
+    * frames from ANOTHER session (foreachBatch's isolated clone —
+    * the StreamBinDup lesson); unresolved function nodes resolve
+    * against the ROOT frame's session, so make sure the store's
+    * registry has every kernel regardless of which session is
+    * `active` at column-construction time.
+    */
+  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.SliceDists.registerSignPack(s)
+    graft.functions.SliceDists.registerHamming(s)
+    graft.functions.SliceDists.registerDot(s)
+  }
+
   /** (pk, bits) rows — stateless map-only encode, no scales/codebook
     * to train or broadcast.
     */
@@ -72,6 +85,7 @@ object Bin {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    registerOn(store.spark)
     store.upsert(codesName(table), encode(batch, pkCol, embCol), Seq("pk"))
     store.upsert(table, batch, Seq(pkCol))
   }
@@ -88,6 +102,7 @@ object Bin {
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int): DataFrame = {
+    registerOn(store.spark)
     val q = queries.select(
       col(pkCol).as("query_id"), packed(col(embCol)).as("qbits"))
     store.read(codesName(table))
@@ -112,6 +127,7 @@ object Bin {
   def rerank(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, depth: Int): DataFrame = {
+    registerOn(store.spark)
     val shortlist = annTopK(store, table, queries, pkCol, embCol, depth)
       .select(col("query_id"), col("cand_id"))
     val qside = queries.select(

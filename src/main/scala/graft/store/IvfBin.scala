@@ -50,6 +50,17 @@ object IvfBin {
   private def ham(a: Column, b: Column): Column =
     graft.functions.SliceDists.hammingFold(spark, a, b)
 
+  /** Register kernels on the store's session — plans here root in
+    * store frames and must resolve there even when a caller (e.g. a
+    * foreachBatch sink) constructs columns under a different active
+    * session (the StreamBinDup lesson).
+    */
+  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.SliceDists.registerSignPack(s)
+    graft.functions.SliceDists.registerHamming(s)
+    graft.functions.SliceDists.registerDot(s)
+  }
+
   /** Nearest-cell assignment: (pk, cell, bits). Broadcast centroids,
     * max_by partial agg, ties to the lower cent_id — the [[IvfSq]]
     * discipline; the blob is packed in the same pass.
@@ -91,6 +102,7 @@ object IvfBin {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    registerOn(store.spark)
     val fresh = Iteration.materialize(
       assignBits(batch, store.read(centsName(table)), pkCol, embCol))
     CellIndex.maintain(store, codesName(table), mapName(table), fresh)
@@ -107,6 +119,7 @@ object IvfBin {
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    registerOn(store.spark)
     val cents = store.read(centsName(table))
     val probes = queries
       .select(col(pkCol).as("query_id"), col(embCol).as("qe"))
@@ -151,6 +164,7 @@ object IvfBin {
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, depth: Int,
       nprobe: Int = 2): DataFrame = {
+    registerOn(store.spark)
     val shortlist =
       annTopK(store, table, queries, pkCol, embCol, depth, nprobe)
         .select(col("query_id"), col("cand_id"))

@@ -45,6 +45,14 @@ object StreamEmbedDup {
       threshold: Double): (DataFrame, Long) => Unit =
     (batch, _) =>
       if (!batch.isEmpty) {
+        // register on BOTH sessions: plans here mix store-session
+        // frames with the micro-batch's isolated clone, whose
+        // registry was cloned cold at stream start — registering only
+        // on SparkSession.active leaves dot_fold unresolved on a
+        // registry-cold store session (the StreamBinDup lesson; its
+        // spec pins the failure mode)
+        Seq(store.spark, batch.sparkSession).foreach(
+          graft.functions.SliceDists.registerDot)
         Ivf.upsertWithCells(store, table, batch, pkCol, embCol)
         val batchPks = batch.select(col(pkCol).as("pk")).distinct()
         // the batch's cells via the map — O(batch) driver-side list,
