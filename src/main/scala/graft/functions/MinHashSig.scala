@@ -40,7 +40,7 @@ case class MinHashSig(child: Expression, shingleSize: Int = 3, nHashes: Int = 4)
     extends UnaryExpression with KernelCodegen {
 
   override protected def kernelJavaType: String =
-    "org.apache.spark.sql.unsafe.types.UTF8String"
+    "org.apache.spark.unsafe.types.UTF8String"
   require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
   require(nHashes >= 1, s"nHashes must be >= 1: $nHashes")
 

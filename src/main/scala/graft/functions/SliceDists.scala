@@ -582,7 +582,10 @@ case class AdcDist(left: Expression, right: Expression)
   * convention is pinned by SliceDistsSpec and assumed by
   * [[HammingFold]] (pad bits equal on both sides → never contribute).
   * Null elements poison the blob to NULL, the [[PackCodes]] rule —
-  * a fabricated 0-bit would silently rank the row.
+  * a fabricated 0-bit would silently rank the row. NaN codes to 0
+  * (Java NaN comparisons are all false); the DuckDB oracle spells
+  * this explicitly (`AND NOT isnan`) because DuckDB sorts NaN ABOVE
+  * every value, where `NaN > 0` would otherwise be true.
   */
 case class SignPack(child: Expression)
     extends UnaryExpression {

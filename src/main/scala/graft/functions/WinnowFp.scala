@@ -25,7 +25,7 @@ case class WinnowFp(child: Expression, k: Int = 8, w: Int = 16)
     extends UnaryExpression with KernelCodegen {
 
   override protected def kernelJavaType: String =
-    "org.apache.spark.sql.unsafe.types.UTF8String"
+    "org.apache.spark.unsafe.types.UTF8String"
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true

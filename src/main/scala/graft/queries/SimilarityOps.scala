@@ -524,7 +524,11 @@ object SimilarityOps {
   private val hammingCte: String =
     s"""WITH ex AS (
        |  SELECT vec_id, pos,
-       |    CASE WHEN e[pos] > 0 THEN 1 ELSE 0 END AS s
+       |    -- NOT isnan: DuckDB sorts NaN above every value so NaN > 0
+       |    -- is TRUE there, while Java's NaN comparisons are all
+       |    -- false — pin both engines to the SignPack rule (NaN
+       |    -- codes to 0, exactly like a non-positive dim)
+       |    CASE WHEN e[pos] > 0 AND NOT isnan(e[pos]) THEN 1 ELSE 0 END AS s
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |       (SELECT unnest(range(1, ${dims + 1})) AS pos)
        |), hx AS (

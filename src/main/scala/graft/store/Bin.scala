@@ -127,9 +127,23 @@ object Bin {
   def rerank(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, depth: Int): DataFrame = {
-    registerOn(store.spark)
     val shortlist = annTopK(store, table, queries, pkCol, embCol, depth)
       .select(col("query_id"), col("cand_id"))
+    exactRerank(store, table, queries, shortlist, pkCol, embCol, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, cand_id) shortlist — the
+    * shared stage-2 of the binary family ([[rerank]] here and
+    * [[IvfBin.rerank]]): the tiny shortlist broadcasts INTO the
+    * base-table scan, full-precision vectors are read only for
+    * shortlisted rows and never shuffled corpus-wide. Whether self
+    * matches appear is the SHORTLIST's semantics, not this stage's.
+    */
+  private[store] def exactRerank(
+      store: TableStore, table: String, queries: DataFrame,
+      shortlist: DataFrame, pkCol: String, embCol: String,
+      k: Int): DataFrame = {
+    registerOn(store.spark)
     val qside = queries.select(
       col(pkCol).as("query_id"), col(embCol).cast("array<double>").as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))

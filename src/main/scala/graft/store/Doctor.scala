@@ -425,6 +425,24 @@ object Doctor {
       store: TableStore, component: String, table: String,
       codesTable: String): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]
+    // the legacyCodes contract: a table that merely MATCHES the name
+    // suffix but doesn't carry the blob layout (a user's own
+    // "recycle_bin", an out-of-band array<int> rewrite) must be
+    // NAMED, not crash the whole doctor pass at analysis time
+    val schema = store.read(codesTable).schema
+    schema.find(_.name == "bits") match {
+      case None =>
+        out += Issue(component, table,
+          s"$codesTable has no `bits` column — not a sign-blob index " +
+            "layout (rename the table or rebuild the index)")
+        return out.result()
+      case Some(f) if f.dataType != org.apache.spark.sql.types.BinaryType =>
+        out += Issue(component, table,
+          s"bits column is ${f.dataType}, not the binary blob layout — " +
+            "legacy or out-of-band table; rebuild with buildIndex")
+        return out.result()
+      case _ => ()
+    }
     val widths = store.read(codesTable)
       .select(length(col("bits")).as("w"))
       .groupBy(col("w")).count()

@@ -164,26 +164,11 @@ object IvfBin {
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, depth: Int,
       nprobe: Int = 2): DataFrame = {
-    registerOn(store.spark)
     val shortlist =
       annTopK(store, table, queries, pkCol, embCol, depth, nprobe)
         .select(col("query_id"), col("cand_id"))
-    val qside = queries.select(
-      col(pkCol).as("query_id"), col(embCol).cast("array<double>").as("qe"))
-      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
-    val cside = store.read(table)
-      .select(col(pkCol).as("cand_id"),
-        col(embCol).cast("array<double>").as("ce"))
-      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
-    cside.join(broadcast(shortlist), Seq("cand_id"))
-      .join(broadcast(qside), Seq("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        (dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("cand_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    // the exact stage is the FLAT binary family's, shared verbatim —
+    // self-exclusion came from annTopK above, the stage doesn't care
+    Bin.exactRerank(store, table, queries, shortlist, pkCol, embCol, k)
   }
 }

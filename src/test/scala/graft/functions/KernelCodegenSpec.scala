@@ -35,15 +35,26 @@ class KernelCodegenSpec extends SparkSpec {
       CdcChunks.cdcChunks(spark, col("text")).as("cc"),
       TrigramStats.trigramStats(spark, col("text")).as("ts"))
 
+  // A Seq(...).toDF LocalRelation is PRE-EVALUATED by the optimizer's
+  // ConvertToLocalRelation rule with an interpreted projection —
+  // doGenCode never runs and a "codegen-only" assertion over it is
+  // vacuous (exactly how a broken generated cast once shipped: the
+  // test passed while every parquet-backed query silently fell back).
+  // Excluding the rule forces the projection to actually compile.
+  private val localCollapse =
+    "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+
   test("all converted kernels run codegen-only and match interpreted rows") {
     val conf = spark.conf
     val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
     val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    val oldEx = conf.getOption("spark.sql.optimizer.excludedRules")
     def rows(mode: String): Seq[String] = {
       conf.set("spark.sql.codegen.factoryMode", mode)
       allKernels(corpus).collect().map(_.toString).sorted.toSeq
     }
     try {
+      conf.set("spark.sql.optimizer.excludedRules", localCollapse)
       conf.set("spark.sql.codegen.fallback", "false")
       val interpreted = rows("NO_CODEGEN")
       val compiled = rows("CODEGEN_ONLY")
@@ -57,6 +68,7 @@ class KernelCodegenSpec extends SparkSpec {
         v.fold(conf.unset(k))(conf.set(k, _))
       restore("spark.sql.codegen.factoryMode", oldMode)
       restore("spark.sql.codegen.fallback", oldFb)
+      restore("spark.sql.optimizer.excludedRules", oldEx)
     }
   }
 
@@ -67,7 +79,9 @@ class KernelCodegenSpec extends SparkSpec {
     // equals a from-first-principles recomputation
     val conf = spark.conf
     val old = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldEx = conf.getOption("spark.sql.optimizer.excludedRules")
     conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.optimizer.excludedRules", localCollapse)
     try {
       val sig = Seq(Tuple1("one two three four")).toDF("t")
         .select(MinHashSig.minhashSig(spark, col("t")).as("s"))
@@ -83,6 +97,8 @@ class KernelCodegenSpec extends SparkSpec {
     } finally {
       old.fold(conf.unset("spark.sql.codegen.factoryMode"))(
         conf.set("spark.sql.codegen.factoryMode", _))
+      oldEx.fold(conf.unset("spark.sql.optimizer.excludedRules"))(
+        conf.set("spark.sql.optimizer.excludedRules", _))
     }
   }
 }

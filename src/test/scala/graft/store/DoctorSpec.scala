@@ -288,6 +288,25 @@ class DoctorSpec extends SparkSpec {
       s"z-ordered table's suggestion should name compact-z: $zSug")
   }
 
+  test("a name-colliding or legacy-layout _bin table is named, not crashed on") {
+    // the legacyCodes contract extended to the sign-blob family: a
+    // user table that merely ENDS in _bin (no bits column), or a
+    // bits column rewritten out-of-band as non-binary, must surface
+    // as a finding — not kill the whole doctor pass at analysis time
+    val store = freshStore()
+    store.overwrite("recycle_bin",
+      Seq((1L, "old"), (2L, "stuff")).toDF("id", "what"))
+    val noBits = Doctor.check(store).filter(_.component == "bin")
+    assert(noBits.exists(_.problem.contains("no `bits` column")), noBits)
+
+    val store2 = freshStore()
+    store2.overwrite("vecs_bin",
+      Seq((1L, Seq(1, 0, 1))).toDF("pk", "bits"))
+    val wrongType = Doctor.check(store2).filter(_.component == "bin")
+    assert(wrongType.exists(_.problem.contains("not the binary blob")),
+      wrongType)
+  }
+
   test("repair executes every suggestion layout-aware and is idempotent") {
     val store = freshStore()
     // one plain fragmented table, one fragmented Z-ORDERED table
