@@ -51,22 +51,23 @@ case class CharGrams(child: Expression, n: Int)
 }
 
 object CharGrams {
+  /** Registry/extension builder — tolerate any foldable integral
+    * literal (BIGINT casts included), the MgCounters Number.intValue
+    * pattern.
+    */
+  val builder: Seq[Expression] => Expression = exprs => {
+    val n = exprs(1).eval()
+    require(n != null, "char_grams: n must be a non-null literal")
+    CharGrams(exprs.head, n.asInstanceOf[Number].intValue)
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern): skip
     // the registry mutation once the session has the function
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("char_grams")))
-      reg.createOrReplaceTempFunction(
-        "char_grams",
-        exprs => {
-          // tolerate any foldable integral literal (BIGINT casts
-          // included) — the MgCounters Number.intValue pattern
-          val n = exprs(1).eval()
-          require(n != null, "char_grams: n must be a non-null literal")
-          CharGrams(exprs.head, n.asInstanceOf[Number].intValue)
-        },
-        "scala_udf")
+      reg.createOrReplaceTempFunction("char_grams", builder, "scala_udf")
   }
 
   /** Distinct character n-grams of `c` (pass an already-lowered

@@ -100,14 +100,17 @@ case class KmvMins(
 }
 
 object KmvMins {
+  /** Registry/extension builder: optional literal k (default 16). */
+  val builder: Seq[Expression] => Expression = exprs => {
+    val k =
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 16
+    KmvMins(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_mins", exprs => {
-        val k =
-          if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
-          else 16
-        KmvMins(exprs.head, k)
-      }, "scala_udf")
+      "kmv_mins", builder, "scala_udf")
 
   /** k smallest distinct values of a LongType column. */
   def kmvMins(spark: SparkSession, c: Column, k: Int): Column = {

@@ -152,18 +152,20 @@ case class MgCounters(
 }
 
 object MgCounters {
+  /** Registry/extension builder: optional literal k (default 64). */
+  val builder: Seq[Expression] => Expression = exprs => {
+    val k =
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 64
+    MgCounters(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("mg_counters")))
-      reg.createOrReplaceTempFunction(
-        "mg_counters", exprs => {
-          val k =
-            if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
-            else 64
-          MgCounters(exprs.head, k)
-        }, "scala_udf")
+      reg.createOrReplaceTempFunction("mg_counters", builder, "scala_udf")
   }
 
   /** Misra-Gries candidate heavy hitters of a string column. */

@@ -107,17 +107,20 @@ case class MinHashSig(child: Expression, shingleSize: Int = 3, nHashes: Int = 4)
 }
 
 object MinHashSig {
+  /** Registry/extension builder: optional literal shingle/hash args. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    def intArg(i: Int, dflt: Int): Int =
+      if (exprs.length > i) exprs(i).eval(null).asInstanceOf[Number].intValue
+      else dflt
+    MinHashSig(exprs.head, intArg(1, 3), intArg(2, 4))
+  }
+
   /** Register for the session and return a Column-builder. Idempotent.
     * SQL form: minhash_sig(text[, shingle_size[, n_hashes]]).
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => {
-        def intArg(i: Int, dflt: Int): Int =
-          if (exprs.length > i) exprs(i).eval(null).asInstanceOf[Number].intValue
-          else dflt
-        MinHashSig(exprs.head, intArg(1, 3), intArg(2, 4))
-      }, "scala_udf")
+      "minhash_sig", builder, "scala_udf")
 
   def minhashSig(
       spark: SparkSession, c: Column,

@@ -663,22 +663,25 @@ case class HammingFold(left: Expression, right: Expression)
 }
 
 object SliceDists {
+  /** Registry/extension builder for slice_l2_dists: literal
+    * slices/subDim args.
+    */
+  val sliceL2Builder: Seq[Expression] => Expression = exprs => {
+    val n = exprs(2).eval()
+    val m = exprs(3).eval()
+    require(n != null && m != null,
+      "slice_l2_dists: slices/subDim must be non-null literals")
+    SliceL2Dists(exprs(0), exprs(1),
+      n.asInstanceOf[Number].intValue, m.asInstanceOf[Number].intValue)
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("slice_l2_dists")))
       reg.createOrReplaceTempFunction(
-        "slice_l2_dists",
-        exprs => {
-          val n = exprs(2).eval()
-          val m = exprs(3).eval()
-          require(n != null && m != null,
-            "slice_l2_dists: slices/subDim must be non-null literals")
-          SliceL2Dists(exprs(0), exprs(1),
-            n.asInstanceOf[Number].intValue, m.asInstanceOf[Number].intValue)
-        },
-        "scala_udf")
+        "slice_l2_dists", sliceL2Builder, "scala_udf")
   }
 
   /** Array of (s, d) structs: per-subspace squared L2 of `a` vs `b`. */

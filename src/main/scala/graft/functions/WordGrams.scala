@@ -82,22 +82,20 @@ case class WordGrams(child: Expression, n: Int, distinct: Boolean)
 }
 
 object WordGrams {
+  /** Registry/extension builder (see CharGrams.builder). */
+  val builder: Seq[Expression] => Expression = exprs => {
+    val n = exprs(1).eval()
+    require(n != null, "word_grams: n must be a non-null literal")
+    WordGrams(exprs.head, n.asInstanceOf[Number].intValue,
+      exprs(2).eval().asInstanceOf[Boolean])
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent on the hot path (the BloomFns guard pattern)
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_grams")))
-      reg.createOrReplaceTempFunction(
-        "word_grams",
-        exprs => {
-          // tolerate any foldable integral literal (BIGINT casts
-          // included) — the MgCounters Number.intValue pattern
-          val n = exprs(1).eval()
-          require(n != null, "word_grams: n must be a non-null literal")
-          WordGrams(exprs.head, n.asInstanceOf[Number].intValue,
-            exprs(2).eval().asInstanceOf[Boolean])
-        },
-        "scala_udf")
+      reg.createOrReplaceTempFunction("word_grams", builder, "scala_udf")
   }
 
   /** Word n-grams of raw text `c` (tokenization included). */

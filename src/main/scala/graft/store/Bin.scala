@@ -59,11 +59,8 @@ object Bin {
     * registry has every kernel regardless of which session is
     * `active` at column-construction time.
     */
-  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit = {
-    graft.functions.SliceDists.registerSignPack(s)
-    graft.functions.SliceDists.registerHamming(s)
-    graft.functions.SliceDists.registerDot(s)
-  }
+  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.registerAll(s)
 
   /** (pk, bits) rows — stateless map-only encode, no scales/codebook
     * to train or broadcast.

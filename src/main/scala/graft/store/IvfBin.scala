@@ -55,11 +55,8 @@ object IvfBin {
     * foreachBatch sink) constructs columns under a different active
     * session (the StreamBinDup lesson).
     */
-  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit = {
-    graft.functions.SliceDists.registerSignPack(s)
-    graft.functions.SliceDists.registerHamming(s)
-    graft.functions.SliceDists.registerDot(s)
-  }
+  private def registerOn(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.registerAll(s)
 
   /** Nearest-cell assignment: (pk, cell, bits). Broadcast centroids,
     * max_by partial agg, ties to the lower cent_id — the [[IvfSq]]

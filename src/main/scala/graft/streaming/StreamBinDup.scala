@@ -60,12 +60,11 @@ object StreamBinDup {
       if (!batch.isEmpty) {
         // both sessions: plans here mix store-session frames
         // (store.read) with batch-session frames (the micro-batch's
-        // isolated clone, registry-cloned at STREAM START — cold)
-        Seq(store.spark, batch.sparkSession).foreach { s =>
-          graft.functions.SliceDists.registerHamming(s)
-          graft.functions.SliceDists.registerDot(s)
-          graft.functions.SliceDists.registerSignPack(s)
-        }
+        // isolated clone, registry-cloned at STREAM START — cold).
+        // On an extensions-configured session (GraftExtensions) this
+        // is a no-op — injected functions already resolve everywhere.
+        Seq(store.spark, batch.sparkSession)
+          .foreach(graft.functions.GraftFunctions.registerAll)
         def dot(a: Column, b: Column): Column =
           graft.functions.SliceDists.dotFold(store.spark, a, b)
         def ham(a: Column, b: Column): Column =

@@ -50,9 +50,9 @@ object StreamEmbedDup {
         // registry was cloned cold at stream start — registering only
         // on SparkSession.active leaves dot_fold unresolved on a
         // registry-cold store session (the StreamBinDup lesson; its
-        // spec pins the failure mode)
-        Seq(store.spark, batch.sparkSession).foreach(
-          graft.functions.SliceDists.registerDot)
+        // spec pins the failure mode). No-op under GraftExtensions.
+        Seq(store.spark, batch.sparkSession)
+          .foreach(graft.functions.GraftFunctions.registerAll)
         Ivf.upsertWithCells(store, table, batch, pkCol, embCol)
         val batchPks = batch.select(col(pkCol).as("pk")).distinct()
         // the batch's cells via the map — O(batch) driver-side list,

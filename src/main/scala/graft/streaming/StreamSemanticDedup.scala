@@ -58,12 +58,8 @@ object StreamSemanticDedup {
       if (!batch.isEmpty) {
         // both sessions — see StreamEmbedDup.embedDupSink's note on
         // the registry-cold micro-batch clone
-        Seq(store.spark, batch.sparkSession).foreach { s =>
-          graft.functions.SliceDists.registerDot(s)
-          graft.functions.SliceDists.registerSub(s)
-          graft.functions.SliceDists.registerAdc(s)
-          graft.functions.SliceDists.register(s)
-        }
+        Seq(store.spark, batch.sparkSession)
+          .foreach(graft.functions.GraftFunctions.registerAll)
         IvfPq.upsertWithCodes(store, table, batch, pkCol, embCol,
           slices, subDim)
         // ADC screen: the batch rows query their own cell (nprobe=1
