@@ -48,6 +48,7 @@ object GraftFunctions {
     "cdc_chunks" -> (e => CdcChunks(e.head)),
     "trigram_stats" -> (e => TrigramStats(e.head)),
     "kmv_mins" -> KmvMins.builder,
+    "bottom_k_sample" -> BottomKSample.builder,
     "mg_counters" -> MgCounters.builder,
     "graft_bloom_agg" -> (e => new BloomFilterAggregate(e(0), e(1), e(2))),
     "graft_might_contain" -> (e => BloomFilterMightContain(e(0), e(1))),

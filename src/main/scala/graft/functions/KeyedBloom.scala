@@ -4,7 +4,6 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -30,16 +29,19 @@ import org.apache.spark.util.sketch.BloomFilter
   * construction for a `groupBy(shard).agg(bloomAgg)` build; the
   * cache cannot detect a violated contract).
   *
-  * CodegenFallback costs one virtual call per row (the MinHashSig
-  * trade): the hash mixing + word probes per row dwarf it, and the
-  * stage around the probe stays whole-stage-codegen'd.
+  * Codegen: the generated Java calls this instance's own
+  * [[probe]] through a plan reference (the KernelCodegen
+  * discipline) — one direct call per row, the per-task filter
+  * cache lives on the instance either way, and the surrounding
+  * stage keeps its WholeStageCodegen span instead of breaking at
+  * the probe.
   *
   * Reference analog: twitter-to-sqlite's `--skip-existing` ingest
   * (cli.py:483-487) at key spaces past one filter's caps.
   */
 case class KeyedBloomMightContain(
     first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
@@ -71,16 +73,32 @@ case class KeyedBloomMightContain(
         size() > 64
     }
 
-  override protected def nullSafeEval(key: Any, blob: Any, hash: Any): Any = {
-    val k = key.asInstanceOf[java.lang.Long]
+  /** Single row kernel — interpreted eval and generated code both
+    * land here, so the compiled path cannot drift from the
+    * interpreted one (the KernelCodegen guarantee).
+    */
+  final def probe(key: Long, blob: Array[Byte], hash: Long): Boolean = {
+    val k = java.lang.Long.valueOf(key)
     var bf = cache.get(k)
     if (bf == null) {
-      bf = BloomFilter.readFrom(
-        new ByteArrayInputStream(blob.asInstanceOf[Array[Byte]]))
+      bf = BloomFilter.readFrom(new ByteArrayInputStream(blob))
       cache.put(k, bf)
     }
-    bf.mightContainLong(hash.asInstanceOf[Long])
+    bf.mightContainLong(hash)
   }
+
+  override protected def nullSafeEval(key: Any, blob: Any, hash: Any): Any =
+    probe(key.asInstanceOf[Long], blob.asInstanceOf[Array[Byte]],
+      hash.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, b, h) => {
+      val ref = ctx.addReferenceObj("keyedBloomExpr", this)
+      s"${ev.value} = $ref.probe($k, $b, $h);"
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression)

@@ -355,6 +355,75 @@ object StateOps {
        |ORDER BY ex.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_quantile_sketch — rank statistics from a BOUNDED mergeable
+  // sample, the third member of the sketch family (KMV counts
+  // distincts, Misra-Gries counts frequencies, this samples
+  // payloads). The exact-quantile plan q_quantile_hist avoids a
+  // global sort but still passes the whole corpus through a
+  // histogram; when an approximate answer suffices — progress
+  // estimates, auto-tuning length cutoffs for q_quality_filter-style
+  // gates — a deterministic bottom-k-by-hash uniform sample answers
+  // ANY quantile from ≤ k longs of per-group state
+  // (functions/BottomKSample: partial-agg'd map-side, bounded
+  // ordered-set merge, ≤ k triples per group cross the exchange).
+  //
+  // Determinism: the sample is the k rows with the smallest
+  // (md5-48bit("q|" || doc_id), doc_id) key — a function of the data
+  // only, so any partitioning, cluster size, or ENGINE replays it
+  // exactly; the oracle rebuilds it with a window rank over the same
+  // order. Estimates are the lower-quantile elements (index
+  // ⌊p·(n−1)⌋ of the value-sorted sample) — pure integer picks, no
+  // interpolation to drift cross-engine.
+  private val qskK = 64
+
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("q|"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val sample = graft.functions.BottomKSample
+      .bottomK(spark, h, col("doc_id"), col("n_chars"), qskK)
+    def pick(sorted: org.apache.spark.sql.Column, p: Double) =
+      element_at(sorted,
+        (floor(lit(p) * (size(sorted) - 1)) + 1).cast("int"))
+    Catalog.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(sample.as("sample"))
+      .select(col("source"), size(col("sample")).cast("long").as("n_sample"),
+        sort_array(col("sample")).as("sorted"))
+      .select(col("source"), col("n_sample"),
+        pick(col("sorted"), 0.5).as("p50_est"),
+        pick(col("sorted"), 0.9).as("p90_est"),
+        pick(col("sorted"), 0.99).as("p99_est"))
+      .orderBy(col("source"))
+  }
+
+  val quantileSketchSql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id, n_chars,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 13), j ->
+       |        CAST(strpos('0123456789abcdef',
+       |          substr(md5('q|' || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+       |      (acc, d) -> acc * 16 + d) AS h
+       |  FROM documents
+       |), picked AS (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM h
+       |), smp AS (
+       |  SELECT source, n_chars FROM picked WHERE rn <= $qskK
+       |), sorted AS (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rv,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM smp
+       |)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_sample,
+       |  MAX(CASE WHEN rv = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN n_chars END) AS p50_est,
+       |  MAX(CASE WHEN rv = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN n_chars END) AS p90_est,
+       |  MAX(CASE WHEN rv = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN n_chars END) AS p99_est
+       |FROM sorted GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_pivot — wide-format reshaping via Spark's NATIVE pivot operator
   // (RelationalGroupedDataset.pivot with explicit values — the
   // explicit list keeps the plan static; the values-discovering
@@ -537,6 +606,7 @@ object StateOps {
     Op("q_profile", profile, Some(profileSql)),
     Op("q_cardinality_kmv", cardinalityKmv, Some(cardinalityKmvSql)),
     Op("q_cardinality_kmv_exact", cardinalityKmvExact, Some(cardinalityKmvExactSql)),
+    Op("q_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Op("q_funnel", funnel, Some(funnelSql)),
     Op("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("q_watermark_max", watermarkMax, Some(watermarkMaxSql)),

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.store.{Iteration, TableStore}
+
+/** Streaming rank-statistics maintenance — the unbounded form of
+  * q_quantile_sketch: a persisted ≤ k-rows-per-group bottom-k-by-hash
+  * sample table (`<table>_bks`) merged per micro-batch, so the store
+  * always holds a deterministic uniform sample of the FULL stream
+  * history and any quantile of it answers from ≤ k longs per group.
+  *
+  * Merge discipline: the sample is the k rows with the smallest
+  * (hash, tie) key per group — a SET function of the data. Unlike
+  * the Misra-Gries counters (StreamHeavyHitters, where count merges
+  * are not idempotent and the batch watermark must ride the sketch),
+  * bottom-k union is IDEMPOTENT: re-merging a redelivered batch
+  * re-offers keys that are either already in the sample or already
+  * above its cutoff, and lands on the identical table. No watermark,
+  * no run-id scoping, no sentinel rows — at-least-once delivery is
+  * enough, which is the cheapest redelivery contract any maintained
+  * sketch in this engine gets.
+  *
+  * Per batch: hash the batch rows (same salted-md5 kernel as the
+  * batch query, so batch and stream build THE SAME sample for the
+  * same data), union with the stored ≤ k·|groups| rows, keep the k
+  * smallest (hash, tie) per group with one bounded window rank, and
+  * swap-write — O(batch + k·|groups|) per micro-batch, never a
+  * history replay.
+  */
+object StreamQuantiles {
+
+  def sampleName(table: String): String = s"${table}_bks"
+
+  /** The current per-group sample rows (grp, h, tie, v). */
+  def sample(store: TableStore, table: String): DataFrame =
+    store.read(sampleName(table))
+
+  /** Lower-quantile estimates per group from the persisted sample:
+    * one row per group, element ⌊p·(n−1)⌋ of the value-sorted
+    * sample for each requested p — the same integer pick as
+    * q_quantile_sketch's oracle-pinned math.
+    */
+  def quantiles(
+      store: TableStore, table: String, ps: Seq[Double]): DataFrame = {
+    val sorted = sample(store, table)
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("v"))).as("sorted"))
+    val picks = ps.map { p =>
+      element_at(col("sorted"),
+        (floor(lit(p) * (size(col("sorted")) - 1)) + 1).cast("int"))
+        .as(s"p${(p * 100).round}_est")
+    }
+    sorted.select(col("grp") +: size(col("sorted")).cast("long").as("n_sample") +: picks: _*)
+  }
+
+  /** foreachBatch handler: merge `(grpCol, tieCol, valueCol)` batch
+    * rows into the persisted sample. `tieCol` must be a unique row
+    * key (it salts the hash and breaks 48-bit ties totally, keeping
+    * the sample deterministic).
+    */
+  def quantilesSink(
+      store: TableStore, table: String, grpCol: String, tieCol: String,
+      valueCol: String, k: Int): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        val hashed = batch.select(
+          col(grpCol).cast("string").as("grp"),
+          conv(substring(md5(concat(lit("q|"), col(tieCol).cast("string"))), 1, 12), 16, 10)
+            .cast("long").as("h"),
+          col(tieCol).cast("long").as("tie"),
+          col(valueCol).cast("long").as("v"))
+          .filter(col("grp").isNotNull && col("h").isNotNull &&
+            col("tie").isNotNull && col("v").isNotNull)
+        // pinned ONCE: derives from the table the swap replaces
+        // (index-first rule). distinct() collapses a redelivered
+        // batch's duplicate (grp, tie) rows with the stored copy.
+        val merged = Iteration.materialize(
+          store.readIfExists(sampleName(table))
+            .filter(t => Seq("grp", "h", "tie", "v").forall(t.columns.contains))
+            .map(_.select(col("grp"), col("h"), col("tie"), col("v"))
+              .unionByName(hashed))
+            .getOrElse(hashed)
+            .distinct()
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("grp")).orderBy(col("h"), col("tie"))))
+            .filter(col("_rn") <= k)
+            .drop("_rn"))
+        store.overwrite(sampleName(table), merged)
+      }
+    }
+
+  /** Wire a streaming frame into the sink. */
+  def writeQuantiles(
+      rows: DataFrame, store: TableStore, table: String, grpCol: String,
+      tieCol: String, valueCol: String, checkpointDir: String,
+      k: Int = 64): StreamingQuery = {
+    val writer: DataStreamWriter[Row] = rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+    writer.foreachBatch { (batch: DataFrame, id: Long) =>
+      quantilesSink(store, table, grpCol, tieCol, valueCol, k)(batch, id)
+    }.start()
+  }
+}

@@ -161,6 +161,49 @@ class BloomSkipSpec extends SparkSpec {
     assert(occupied === 256L, s"only $occupied of 256 shards occupied")
   }
 
+  test("keyed probe runs codegen-only and matches interpreted rows") {
+    // the probe sits in every skip-existing scan row: it must COMPILE
+    // (no silent CodegenFallback demoting the stage) and the compiled
+    // path must agree with interpreted eval. LocalRelations are
+    // pre-evaluated interpreted by ConvertToLocalRelation, so exclude
+    // it — otherwise this assertion is vacuous (see KernelCodegenSpec).
+    import graft.functions.{BloomFns, KeyedBloom}
+    val keys = (0 until 300).map(i => s"item_$i")
+    val seen = keys.filter(_.hashCode % 3 == 0).toDF("k")
+    val blob = seen
+      .agg(BloomFns.bloomAgg(spark, xxhash64(col("k")), 128L, 1280L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    val oldEx = conf.getOption("spark.sql.optimizer.excludedRules")
+    def rows(mode: String): Seq[(String, Boolean)] = {
+      conf.set("spark.sql.codegen.factoryMode", mode)
+      keys.toDF("k")
+        .withColumn("h", xxhash64(col("k")))
+        .withColumn("blob", lit(blob))
+        .withColumn("shard", pmod(col("h"), lit(4L)))
+        .select(col("k"), KeyedBloom.keyedMightContain(
+          spark, col("shard"), col("blob"), col("h")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).sorted.toSeq
+    }
+    try {
+      conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val interpreted = rows("NO_CODEGEN")
+      val compiled = rows("CODEGEN_ONLY")
+      assert(compiled === interpreted)
+      assert(interpreted.exists(_._2) && interpreted.exists(!_._2))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", oldMode)
+      restore("spark.sql.codegen.fallback", oldFb)
+      restore("spark.sql.optimizer.excludedRules", oldEx)
+    }
+  }
+
   test("sharded variant with empty seen set keeps every batch row") {
     val batch = frame(0 until 50)
     val seen = frame(0 until 0).select(col("k"))

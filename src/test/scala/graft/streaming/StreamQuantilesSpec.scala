@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.TableStore
+
+/** Streaming bottom-k sample maintenance: after every micro-batch the
+  * persisted sample equals the batch aggregate's sample over the
+  * stream history so far (determinism is what makes the sketch
+  * useful), stays k-bounded per group, and redelivery is idempotent
+  * WITHOUT any watermark machinery — set-union merge is the whole
+  * redelivery story.
+  */
+class StreamQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqk").toString)
+
+  private val k = 8
+
+  /** Batch-side reference: bottom-k rows by (hash, tie) per group over
+    * `rows` — the sample the stream must converge to.
+    */
+  private def reference(rows: Seq[(String, Long, Long)]): Map[(String, Long), Long] =
+    rows.toDF("grp", "id", "v")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("q|"), col("id").cast("string"))), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def stored(store: TableStore): Map[(String, Long), Long] =
+    StreamQuantiles.sample(store, "docs")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("tie"))
+        -> r.getAs[Long]("v")).toMap
+
+  test("persisted sample equals the batch sample of the history at every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val mem = MemoryStream[(String, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqk-ck").toString
+    val q = StreamQuantiles.writeQuantiles(
+      mem.toDF().toDF("grp", "id", "v"), store, "docs", "grp", "id", "v", ckpt, k)
+
+    def data(offset: Int): Seq[(String, Long, Long)] =
+      (0 until 40).map(i =>
+        (s"g${i % 2}", (offset + i).toLong, ((offset + i) * 13 % 100).toLong))
+    val history = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    try {
+      for (b <- 0 until 3) {
+        val d = data(b * 40)
+        history ++= d
+        mem.addData(d: _*)
+        q.processAllAvailable()
+        assert(stored(store) === reference(history.toSeq), s"batch $b diverged")
+        // bounded: ≤ k rows per group
+        val perGroup = StreamQuantiles.sample(store, "docs")
+          .groupBy("grp").count().collect().map(_.getLong(1))
+        assert(perGroup.forall(_ <= k))
+      }
+      // quantile reader answers from the sample with the oracle-pinned pick
+      val qs = StreamQuantiles.quantiles(store, "docs", Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(qs.keySet === Set("g0", "g1"))
+      qs.values.foreach(v => assert(v >= 0 && v < 100))
+    } finally q.stop()
+  }
+
+  test("redelivered batch is idempotent with no watermark at all") {
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", k)
+    val batch = (0 until 30).map(i => ("g", i.toLong, i.toLong))
+      .toDF("grp", "id", "v")
+    sink(batch, 0L)
+    val first = stored(store)
+    assert(first.size === k)
+    sink(batch, 0L) // redelivery — set union converges
+    assert(stored(store) === first)
+    // sub-k start: a tiny group stays exact
+    val tiny = Seq(("t", 1000L, 7L)).toDF("grp", "id", "v")
+    sink(tiny, 1L)
+    assert(stored(store).get(("t", 1000L)) === Some(7L))
+  }
+}
