@@ -419,6 +419,15 @@ object Cli {
           .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
             org.apache.spark.sql.functions.col("item"))
           .show(n, truncate = false)
+      case "quantiles" =>
+        // quantiles <store> <table> [p,...] — rank-statistic
+        // estimates per group from the streaming bottom-k sample
+        val ps =
+          if (args.length > 3) args(3).split(",").toSeq.map(_.toDouble)
+          else Seq(0.5, 0.9, 0.99)
+        graft.streaming.StreamQuantiles.quantiles(store, args(2), ps)
+          .orderBy(org.apache.spark.sql.functions.col("grp"))
+          .show(100, truncate = false)
       case "doctor" =>
         val issues = graft.store.Doctor.check(store)
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")

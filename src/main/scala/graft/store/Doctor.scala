@@ -62,6 +62,9 @@ object Doctor {
     names.filter(_.endsWith("_cdc_ledger")).foreach { idx =>
       issues ++= cdcLedger(store, baseOf(idx, "_cdc_ledger"), names)
     }
+    names.filter(_.endsWith("_bks")).foreach { idx =>
+      issues ++= bottomKSample(store, baseOf(idx, "_bks"))
+    }
     // "_ivfsq" also ends with "_sq" — route it to its own check
     names.filter(n => n.endsWith("_sq") && !n.endsWith("_ivfsq")).foreach { idx =>
       val t = baseOf(idx, "_sq")
@@ -536,6 +539,41 @@ object Doctor {
             s"map out of sync: $onlyIdx index-only / $onlyMap map-only " +
               "(pk, cell) rows — moved vectors would leave stale cells")
     }
+    out.result()
+  }
+
+  /** StreamQuantiles' bottom-k sample: every row's hash must equal
+    * the salted-md5 recompute of its tie key (the sample is a pure
+    * function of the data — a drifted hash silently biases every
+    * quantile it answers), and (grp, tie) must be unique (set-union
+    * merge can never write two rows for one key).
+    */
+  private def bottomKSample(store: TableStore, table: String): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val sk = store.read(s"${table}_bks")
+    val cols = sk.columns.toSet
+    val missing = Seq("grp", "h", "tie", "v").filterNot(cols.contains)
+    if (missing.nonEmpty) {
+      out += Issue("quantile-sample", table,
+        s"sample is missing column(s) ${missing.mkString(", ")} — not " +
+          "bottom-k-shaped (out-of-band rewrite; rebuild via the sink)")
+      return out.result()
+    }
+    val recomputed =
+      conv(substring(md5(concat(lit("q|"), col("tie").cast("string"))), 1, 12), 16, 10)
+        .cast("long")
+    val drifted = sk.filter(col("h") =!= recomputed).count()
+    if (drifted > 0)
+      out += Issue("quantile-sample", table,
+        s"$drifted sample rows carry a hash that does not recompute " +
+          "from the tie key — the sample is no longer a function of " +
+          "the data (out-of-band edit; rebuild via the sink)")
+    val dup = sk.groupBy(col("grp"), col("tie")).count()
+      .filter(col("count") > 1).count()
+    if (dup > 0)
+      out += Issue("quantile-sample", table,
+        s"$dup (grp, tie) keys have multiple sample rows — set-union " +
+          "merge never writes duplicates (out-of-band edit; rebuild)")
     out.result()
   }
 

@@ -66,6 +66,19 @@ class CliSpec extends SparkSpec {
     assert(store.read("frag").count() === 400L)
   }
 
+  test("quantiles verb reads the streaming sample through the dispatch") {
+    val dir = freshDir()
+    val store = new TableStore(spark, dir)
+    graft.streaming.StreamQuantiles
+      .quantilesSink(store, "docs", "grp", "id", "v", 8)(
+        (0 until 30).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v"), 0L)
+    cli("quantiles", dir, "docs", "0.5,0.9")
+    // dispatch read the sample table the sink wrote (and doctor is clean)
+    assert(store.read(graft.streaming.StreamQuantiles.sampleName("docs"))
+      .count() === 8L)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("an unknown verb fails loudly instead of doing nothing") {
     val ex = intercept[RuntimeException] { cli("frobnicate", freshDir()) }
     assert(ex.getMessage.contains("unknown command"))

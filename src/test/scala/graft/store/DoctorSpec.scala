@@ -219,6 +219,37 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.check(ok).filter(_.component == "cdc-dedup").isEmpty)
   }
 
+  test("seeded bottom-k sample corruption is named (drifted hash, dup key)") {
+    val store = freshStore()
+    // a healthy sample built by the sink itself reports nothing
+    val sink = graft.streaming.StreamQuantiles
+      .quantilesSink(store, "docs", "grp", "id", "v", 8)
+    sink((0 until 30).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v"), 0L)
+    assert(Doctor.check(store).filter(_.component == "quantile-sample").isEmpty)
+
+    // drift one hash out-of-band: the sample is no longer a function
+    // of the data and every quantile it answers is silently biased
+    val sample = store.read("docs_bks")
+    store.overwrite("docs_bks", sample.withColumn("h",
+      when(col("tie") === sample.select(min("tie")).head.getLong(0),
+        col("h") + 1).otherwise(col("h"))))
+    val drifted = Doctor.check(store).filter(_.component == "quantile-sample")
+    assert(drifted.exists(_.problem.contains("does not recompute")), drifted)
+
+    // duplicate (grp, tie) rows: set-union merge never writes those
+    val dup = freshStore()
+    dup.overwrite("docs_bks",
+      Seq(("g", 10L, 1L, 5L), ("g", 10L, 1L, 6L)).toDF("grp", "h", "tie", "v"))
+    val issues = Doctor.check(dup).filter(_.component == "quantile-sample")
+    assert(issues.exists(_.problem.contains("multiple sample rows")), issues)
+
+    // a non-sample-shaped *_bks table is an Issue, not a crash
+    val shapeless = freshStore()
+    shapeless.overwrite("docs_bks", Seq((1L, "x")).toDF("pk", "junk"))
+    assert(Doctor.check(shapeless).filter(_.component == "quantile-sample")
+      .exists(_.problem.contains("missing column")))
+  }
+
   test("suggest flags a fragmented table and the suggested compact clears it") {
     val store = freshStore()
     // deliberately fragmented: 40 files for a few KB of rows — the
