@@ -376,21 +376,95 @@ class TableStore(val spark: SparkSession, root: String) {
               s"(${(outBuckets -- touched).mkString(",")}) — pk hashing " +
               "diverged between batch and merge; refusing to overwrite")
           overwritePartitions(name, merged, Seq(BucketCol))
-          if (hasFileStats(name)) {
-            // O(touched) manifest maintenance to match the O(touched)
-            // data write: keep the untouched buckets' rows as-is,
-            // footer-read only the files the overwrite just replaced
-            import org.apache.spark.sql.functions.split
-            val segs = touched.map(b => s"$BucketCol=$b")
-            val keepOld = spark.read.parquet(statsPath(name).toString)
-              .filter(!split(col("file"), "/").getItem(0).isin(segs: _*))
-            val base = qualifiedDir(name)
-            val newFiles = dataFiles(name).filter(f =>
-              segs.exists(s => f.stripPrefix(base + "/").startsWith(s + "/")))
-            writeStatsManifest(name, keepOld.unionByName(
-              footerStatsDf(newFiles, statCols(name), base)))
-          }
+          refreshTouchedStats(name, touched)
         }
+    }
+  }
+
+  /** O(touched) manifest maintenance to match an O(touched) bucket
+    * overwrite: keep the untouched buckets' stats rows as-is,
+    * footer-read only the files the overwrite just replaced.
+    */
+  private def refreshTouchedStats(name: String, touched: Seq[Long]): Unit =
+    if (hasFileStats(name)) {
+      import org.apache.spark.sql.functions.{col, split}
+      val segs = touched.map(b => s"$BucketCol=$b")
+      val keepOld = spark.read.parquet(statsPath(name).toString)
+        .filter(!split(col("file"), "/").getItem(0).isin(segs: _*))
+      val base = qualifiedDir(name)
+      val newFiles = dataFiles(name).filter(f =>
+        segs.exists(s => f.stripPrefix(base + "/").startsWith(s + "/")))
+      writeStatsManifest(name, keepOld.unionByName(
+        footerStatsDf(newFiles, statCols(name), base)))
+    }
+
+  /** Bucket-scoped CUSTOM merge — the touched-buckets choreography of
+    * the bucketed upsert (batch-derived touched set, partition-pruned
+    * existing read, bucket-subset invariant gate, dynamic partition
+    * overwrite, O(touched) stats maintenance) for maintained artifacts
+    * whose merge is NOT a keyed upsert. The motivating case is an
+    * EVICTION merge: StreamQuantiles' bottom-k sample keeps the k
+    * best rows per group and displaces the rest, which no
+    * upsert/insertIgnore precedence rule expresses.
+    *
+    * `mergeFn(existing, batch)` must return the touched buckets'
+    * COMPLETE new content: `existing` carries every row of every
+    * touched bucket (whole Hive partitions are replaced), so rows of
+    * groups that merely share a bucket with the batch have to ride
+    * through `mergeFn` unchanged.
+    *
+    * Unlike the upsert path there is no pk-type-widening escape here:
+    * callers cast `key` columns to stable types at the sink boundary
+    * (the invariant gate still turns any drift into an error, never
+    * silent loss). A flat existing table converts with one full
+    * partitioned rewrite of `mergeFn(all, batch)`; thereafter every
+    * call is O(batch + touched buckets' data).
+    */
+  def mergeTouchedBuckets(
+      name: String, incoming: DataFrame, key: Seq[String], buckets: Int)(
+      mergeFn: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(key.nonEmpty, "bucketed layout needs key columns")
+    import org.apache.spark.sql.functions.col
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn(BucketCol, bucketOfPk(key, buckets))
+      .repartition(col(BucketCol))
+    bucketLayoutOf(name) match {
+      case Some((n, declared)) =>
+        require(n == buckets && declared == key,
+          s"$name declares (buckets=$n, key=${declared.mkString(",")}); " +
+            s"caller passed (buckets=$buckets, key=${key.mkString(",")})")
+      case None => ()
+    }
+    // readIfExists treats a marker-only dir (declared before first
+    // write) as absent
+    val existingAll = readIfExists(name)
+    if (bucketLayoutOf(name).isEmpty || existingAll.isEmpty) {
+      // first write, declared-before-first-write, or one-time flat
+      // conversion: full partitioned rewrite, then (re-)declare — the
+      // swap replaces the dir, marker included
+      val merged = bucketed(mergeFn(
+        existingAll.map(df =>
+          if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df),
+        incoming))
+      writeSwapped(name, merged, Seq(BucketCol))
+      writeBucketLayout(name, buckets, key)
+    } else {
+      val inc = Iteration.materialize(
+        incoming.withColumn(BucketCol, bucketOfPk(key, buckets)))
+      val touched = inc.select(col(BucketCol)).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val ex = read(name).filter(col(BucketCol).isin(touched: _*))
+      val merged = Iteration.materialize(bucketed(
+        mergeFn(Some(ex.drop(BucketCol)), inc.drop(BucketCol))))
+      val outBuckets = merged.select(col(BucketCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(outBuckets.subsetOf(touched.toSet),
+        s"$name merge produced buckets outside the touched set " +
+          s"(${(outBuckets -- touched).mkString(",")}) — key hashing " +
+          "diverged between batch and merge; refusing to overwrite")
+      overwritePartitions(name, merged, Seq(BucketCol))
+      refreshTouchedStats(name, touched)
     }
   }
 

@@ -57,10 +57,63 @@ object StreamQuantiles {
     sorted.select(col("grp") +: size(col("sorted")).cast("long").as("n_sample") +: picks: _*)
   }
 
+  /** Union + keep the k smallest (hash, tie) per group — the one
+    * merge body both layouts share. distinct() collapses a
+    * redelivered batch's duplicate (grp, tie) rows with the stored
+    * copy; that set-union is the whole redelivery story.
+    */
+  private def evict(
+      existing: Option[DataFrame], batch: DataFrame, k: Int): DataFrame =
+    existing
+      .filter(t => Seq("grp", "h", "tie", "v").forall(t.columns.contains))
+      .map(_.select(col("grp"), col("h"), col("tie"), col("v"))
+        .unionByName(batch))
+      .getOrElse(batch)
+      .distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("tie"))))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+
+  /** Declare a grp-bucketed layout for the sample table — the
+    * O(batch) maintenance path at many-groups scale: each micro-batch
+    * then reads and rewrites ONLY the buckets its groups hash into
+    * (whole groups co-locate in one bucket), instead of the whole
+    * ≤ k·|groups| table. At a handful of groups the flat default is
+    * fine; at millions (per-domain length samples over a 100 TB
+    * corpus) the flat rewrite is O(|groups|) per batch and this path
+    * is the difference. Safe on a live flat sample: the next batch
+    * pays one partitioned conversion rewrite, then stays O(touched).
+    */
+  def ensureBucketedSample(
+      store: TableStore, table: String, buckets: Int): Unit =
+    store.bucketLayoutOf(sampleName(table)) match {
+      case Some((n, key)) =>
+        require(n == buckets && key == Seq("grp"),
+          s"${sampleName(table)} already declares (buckets=$n, " +
+            s"key=${key.mkString(",")})")
+      case None =>
+        store.readIfExists(sampleName(table)) match {
+          case Some(df) =>
+            // convert in place through the same eviction merge (an
+            // empty batch: existing rows ride through unchanged) —
+            // NOT TableStore.bucketize, whose upsert-on-pk semantics
+            // would collapse the sample to one row per group
+            store.mergeTouchedBuckets(
+              sampleName(table), df.limit(0).select(
+                col("grp"), col("h"), col("tie"), col("v")),
+              Seq("grp"), buckets)((ex, inc) =>
+              ex.map(_.unionByName(inc)).getOrElse(inc))
+          case None =>
+            store.ensureBucketed(sampleName(table), Seq("grp"), buckets)
+        }
+    }
+
   /** foreachBatch handler: merge `(grpCol, tieCol, valueCol)` batch
     * rows into the persisted sample. `tieCol` must be a unique row
     * key (it salts the hash and breaks 48-bit ties totally, keeping
-    * the sample deterministic).
+    * the sample deterministic). Routes through the bucket-scoped
+    * merge when [[ensureBucketedSample]] declared a layout.
     */
   def quantilesSink(
       store: TableStore, table: String, grpCol: String, tieCol: String,
@@ -75,21 +128,19 @@ object StreamQuantiles {
           col(valueCol).cast("long").as("v"))
           .filter(col("grp").isNotNull && col("h").isNotNull &&
             col("tie").isNotNull && col("v").isNotNull)
-        // pinned ONCE: derives from the table the swap replaces
-        // (index-first rule). distinct() collapses a redelivered
-        // batch's duplicate (grp, tie) rows with the stored copy.
-        val merged = Iteration.materialize(
-          store.readIfExists(sampleName(table))
-            .filter(t => Seq("grp", "h", "tie", "v").forall(t.columns.contains))
-            .map(_.select(col("grp"), col("h"), col("tie"), col("v"))
-              .unionByName(hashed))
-            .getOrElse(hashed)
-            .distinct()
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy(col("grp")).orderBy(col("h"), col("tie"))))
-            .filter(col("_rn") <= k)
-            .drop("_rn"))
-        store.overwrite(sampleName(table), merged)
+        store.bucketLayoutOf(sampleName(table)) match {
+          case Some((n, Seq("grp"))) =>
+            // O(batch + touched buckets): groups co-locate per bucket,
+            // so the rank window never sees an unread group's rows
+            store.mergeTouchedBuckets(
+              sampleName(table), hashed, Seq("grp"), n)(evict(_, _, k))
+          case _ =>
+            // flat default: pinned ONCE (derives from the table the
+            // swap replaces — index-first rule)
+            val merged = Iteration.materialize(
+              evict(store.readIfExists(sampleName(table)), hashed, k))
+            store.overwrite(sampleName(table), merged)
+        }
       }
     }
 

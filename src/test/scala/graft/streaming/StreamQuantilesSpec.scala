@@ -73,6 +73,57 @@ class StreamQuantilesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketized sample: converts live, agrees with flat, rewrites touched buckets only") {
+    val flat = freshStore()
+    val buckDir = java.nio.file.Files.createTempDirectory("graft-sqkb").toString
+    val buck = new TableStore(spark, buckDir)
+    val k2 = 4
+    def sink(s: TableStore) =
+      StreamQuantiles.quantilesSink(s, "docs", "grp", "id", "v", k2)
+    val b0 = (0 until 40).map(i => (s"g${i % 8}", i.toLong, i.toLong))
+      .toDF("grp", "id", "v")
+    // start BOTH flat; bucketize one mid-stream (the live-conversion path)
+    sink(flat)(b0, 0L)
+    sink(buck)(b0, 0L)
+    StreamQuantiles.ensureBucketedSample(buck, "docs", 4)
+    assert(buck.bucketLayoutOf(StreamQuantiles.sampleName("docs"))
+      === Some((4, Seq("grp"))))
+
+    val b1 = (40 until 80).map(i => (s"g${i % 8}", i.toLong, i.toLong))
+      .toDF("grp", "id", "v")
+    sink(flat)(b1, 1L)
+    sink(buck)(b1, 1L)
+    def rows(s: TableStore): Set[(String, Long, Long)] =
+      StreamQuantiles.sample(s, "docs")
+        .select(col("grp"), col("tie"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(buck) === rows(flat))
+
+    // a batch touching ONE group leaves the other buckets' files alone
+    val name = StreamQuantiles.sampleName("docs")
+    def filesOf(bucket: Long): Set[String] = {
+      val dir = new java.io.File(s"$buckDir/$name/pk_bucket=$bucket")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    // Hive partition discovery types pk_bucket as int — cast for reads
+    val g0bucket = buck.read(name).filter(col("grp") === "g0")
+      .select(col("pk_bucket").cast("long")).head.getLong(0)
+    val untouched = (0L until 4L).filter(_ != g0bucket)
+    val before = untouched.map(b => b -> filesOf(b)).toMap
+    val g0Before = filesOf(g0bucket)
+    sink(buck)(Seq(("g0", 1000L, 1L)).toDF("grp", "id", "v"), 2L)
+    untouched.foreach(b => assert(filesOf(b) === before(b),
+      s"bucket $b was rewritten by a batch that never touched it"))
+    // the touched bucket WAS rewritten (fresh part files), whether or
+    // not the offered row displaced anything
+    assert(filesOf(g0bucket) !== g0Before)
+    sink(flat)(Seq(("g0", 1000L, 1L)).toDF("grp", "id", "v"), 2L)
+    assert(rows(buck) === rows(flat))
+    // doctor: bucket placement + sample invariants both hold
+    assert(graft.store.Doctor.check(buck) === Seq.empty)
+  }
+
   test("redelivered batch is idempotent with no watermark at all") {
     val store = freshStore()
     val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", k)
