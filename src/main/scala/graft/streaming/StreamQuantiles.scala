@@ -57,6 +57,28 @@ object StreamQuantiles {
     sorted.select(col("grp") +: size(col("sorted")).cast("long").as("n_sample") +: picks: _*)
   }
 
+  /** KMV distinct-count estimate per group from the SAME persisted
+    * sample: the k smallest hashes double as a bottom-k sketch of the
+    * tie-key domain, so one maintained table answers BOTH rank
+    * statistics and cardinality over the stream's whole history —
+    * n̂ = (k−1)·2^48 / h_k (the StateOps.cardinalityKmvExact
+    * estimator), with sub-k groups exact (the sample degenerates to
+    * the true key set; fewer than k rows is the tell). This counts
+    * DISTINCT TIE KEYS ever offered; for value-cardinality, maintain
+    * a sample keyed tie=value.
+    */
+  def cardinality(store: TableStore, table: String, k: Int): DataFrame = {
+    val c = (k - 1).toDouble * 281474976710656.0 // (k−1)·2^48
+    sample(store, table)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), max(col("h")).as("hk"))
+      .select(col("grp"),
+        when(col("n_rows") < k, col("n_rows"))
+          .otherwise(floor(lit(c) / col("hk").cast("double")).cast("long"))
+          .as("est_distinct"))
+      .orderBy(col("grp"))
+  }
+
   /** Union + keep the k smallest (hash, tie) per group — the one
     * merge body both layouts share. distinct() collapses a
     * redelivered batch's duplicate (grp, tie) rows with the stored

@@ -124,6 +124,78 @@ class StreamQuantilesSpec extends SparkSpec {
     assert(graft.store.Doctor.check(buck) === Seq.empty)
   }
 
+  test("random batch sequences: flat, bucketized, and the reference model agree") {
+    // property-style hardening (the UpsertPropertySpec discipline):
+    // random batches with overlapping ties and redeliveries, applied
+    // to a flat store, a bucketized store (converted mid-sequence),
+    // and an in-JVM reference model of "k smallest (md5-48bit, tie)
+    // per group" — all three must agree exactly after every batch.
+    val rnd = new scala.util.Random(4242)
+    val kP = 5
+    def h48(tie: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"q|$tie".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (1 to 3).foreach { round =>
+      val flat = freshStore()
+      val buck = freshStore()
+      val model = scala.collection.mutable.Map[String, Set[(Long, Long, Long)]]()
+      val convertAt = rnd.nextInt(4)
+      var lastBatch: Option[org.apache.spark.sql.DataFrame] = None
+      (0 until 5).foreach { b =>
+        if (b == convertAt)
+          StreamQuantiles.ensureBucketedSample(buck, "docs", 3)
+        val redeliver = lastBatch.isDefined && rnd.nextBoolean()
+        val batch =
+          if (redeliver) lastBatch.get
+          else {
+            val rows = (1 to (1 + rnd.nextInt(12))).map { _ =>
+              val tie = rnd.nextInt(40).toLong
+              (s"g${rnd.nextInt(3)}", tie, tie * 10)
+            }
+            rows.foreach { case (g, tie, v) =>
+              val grown = model.getOrElse(g, Set.empty) + ((h48(tie), tie, v))
+              model(g) = grown.toSeq.sorted.take(kP).toSet
+            }
+            rows.toDF("grp", "id", "v")
+          }
+        lastBatch = Some(batch)
+        StreamQuantiles.quantilesSink(flat, "docs", "grp", "id", "v", kP)(batch, b)
+        StreamQuantiles.quantilesSink(buck, "docs", "grp", "id", "v", kP)(batch, b)
+        def got(s: TableStore): Map[String, Set[(Long, Long, Long)]] =
+          StreamQuantiles.sample(s, "docs")
+            .select(col("grp"), col("h"), col("tie"), col("v"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (g, rs) =>
+              g -> rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+            }
+        val want = model.toMap.filter(_._2.nonEmpty)
+        assert(got(flat) === want, s"flat diverged (round $round batch $b)")
+        assert(got(buck) === want, s"bucketized diverged (round $round batch $b)")
+      }
+    }
+  }
+
+  test("cardinality reader: KMV estimate from the same sample, sub-k exact") {
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 64)
+    // 'big': 500 distinct ties across two batches (some re-offered);
+    // 'small': 9 distinct ties — sub-k, must be exact
+    sink(((0 until 300).map(i => ("big", i.toLong, i.toLong)) ++
+      (0 until 9).map(i => ("small", i.toLong, i.toLong)))
+      .toDF("grp", "id", "v"), 0L)
+    sink((200 until 500).map(i => ("big", i.toLong, i.toLong))
+      .toDF("grp", "id", "v"), 1L)
+    val est = StreamQuantiles.cardinality(store, "docs", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("small") === 9L)
+    assert(math.abs(est("big") - 500L) <= 150L,
+      s"KMV estimate ${est("big")} too far from 500")
+  }
+
   test("redelivered batch is idempotent with no watermark at all") {
     val store = freshStore()
     val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", k)
