@@ -295,10 +295,16 @@ object SimilarityOps {
     topKPerQuery(sqScored(spark, sfDir), 5)
 
   /** The SQ8 asymmetric-scored (query_id, cand_id, cosine) set —
-    * shared by [[annSqTopK]] (direct top-k) and [[annRerank]] (coarse
-    * shortlist stage).
+    * shared by [[annSqTopK]] (direct top-k), [[annRerank]] (coarse
+    * shortlist stage), and [[annFiltered]] (label-restricted
+    * candidate set). `label` restricts CANDIDATES only; the
+    * quantization scales stay a corpus-level index property —
+    * predicates must never change codes, or two filtered searches
+    * would score the same candidate differently.
     */
-  private def sqScored(spark: SparkSession, sfDir: String): DataFrame = {
+  private def sqScored(
+      spark: SparkSession, sfDir: String,
+      label: Option[Int] = None): DataFrame = {
     val emb = Catalog.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
@@ -342,7 +348,20 @@ object SimilarityOps {
           x => x.getField("code")).as("codes"),
         sqrt(sum(floor(col("dq") * col("dq") * lit(1e6)).cast("long"))
           .cast("double") / lit(1e6)).as("dnorm"))
-    candCodes
+    // PRE-filter: the predicate lands on the candidate rows BEFORE
+    // the scoring pass, so work is selectivity-proportional (in the
+    // persisted-index form the label rides the codes table and this
+    // is a scan-level pushed filter — store/Sq.annTopKFiltered).
+    // Post-filtering a fixed-depth shortlist instead can return
+    // FEWER than k for selective labels — the classic filtered-ANN
+    // failure this shape avoids.
+    val candKept = label.fold(candCodes) { l =>
+      candCodes.join(
+        Catalog.table(spark, sfDir, "embeddings")
+          .filter(col("label") === l).select(col("vec_id").as("cand_id")),
+        Seq("cand_id"), "left_semi")
+    }
+    candKept
       .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("cand_id"),
         (((graft.functions.SliceDists.codeDotQ(spark, col("codes"), col("warr"))
@@ -408,6 +427,40 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, cand_id) AS rnk
        |  FROM cosines)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ann_filtered — FILTERED vector search: top-k under a metadata
+  // predicate (label = 7 here), the serving shape every production
+  // vector store needs (search within a tenant / language / date
+  // slice). Two designs exist: POST-filter (search, then drop
+  // non-matching results — returns < k whenever the label is rarer
+  // than 1/depth) and PRE-filter (restrict the candidate set, then
+  // score — selectivity-proportional work, always k results when k
+  // matches exist). This is the pre-filter form through the SQ8
+  // code scan: the predicate semi-joins the per-candidate code rows
+  // BEFORE the scoring fold, the quantization scales stay corpus-
+  // level (an index property — a predicate must never change codes),
+  // and the integer kernel is q_ann_sq_topk's, so exactness carries
+  // over unchanged. Oracle applies the same predicate to the same
+  // cosine set (pre- and post-filter agree on RESULTS when both
+  // score the full candidate set — the difference is cost and
+  // result-count guarantees, which the scaladoc pins).
+  private val filterLabel = 7
+
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    topKPerQuery(sqScored(spark, sfDir, Some(filterLabel)), 5)
+
+  val annFilteredSql: String =
+    s"""$sqCosinesSql
+       |SELECT query_id, rnk, cand_id, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM cosines
+       |  JOIN (SELECT vec_id FROM embeddings WHERE label = $filterLabel) f
+       |    ON f.vec_id = cand_id)
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
@@ -1443,6 +1496,7 @@ object SimilarityOps {
     Op("q_embed_norms", embedNorms, Some(embedNormsSql)),
     Op("q_int8_quant", int8Quant, Some(int8QuantSql)),
     Op("q_ann_sq_topk", annSqTopK, Some(annSqTopKSql)),
+    Op("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Op("q_ann_rerank", annRerank, Some(annRerankSql)),
     Op("q_ann_hamming_topk", annHammingTopK, Some(annHammingTopKSql)),
     Op("q_ann_hamming_rerank", annHammingRerank, Some(annHammingRerankSql)),

@@ -129,7 +129,28 @@ object Sq {
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
-      pkCol: String, embCol: String, k: Int): DataFrame = {
+      pkCol: String, embCol: String, k: Int): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, allowed = None)
+
+  /** Filtered search: top-k among candidates whose pk appears in
+    * `allowed` (one column, candidate pks) — the PRE-filter design:
+    * the predicate semi-joins the code scan BEFORE the scoring fold,
+    * so cost is selectivity-proportional and the search returns k
+    * results whenever k matches exist. (Post-filtering [[annTopK]]'s
+    * fixed-depth output returns FEWER than k whenever the predicate
+    * is rarer than 1/depth — the classic filtered-ANN failure.)
+    * Scales and codes are untouched: the quantization is an index
+    * property, never a function of the predicate.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val scales = store.read(scalesName(table))
     // per-query broadcast row: pos-ordered weight array + constants
@@ -148,8 +169,13 @@ object Sq {
         transform(array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")).as("warr"),
         sum(floor(col("qmnTerm") * lit(1e6)).cast("long")).as("qmnQ"))
-    store.read(codesName(table))
+    val codes0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("dnorm"), col("codes"))
+    val codes = allowed.fold(codes0) { a =>
+      codes0.join(
+        a.select(a.columns.head).toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    codes
       .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("cand_id"),
         (((graft.functions.SliceDists.codeDotQ(spark, col("codes"), col("warr"))

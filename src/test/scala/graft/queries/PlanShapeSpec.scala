@@ -25,7 +25,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_int8_quant", "q_ann_sq_topk",
     // round 8: the 1-bit family — packed query blobs broadcast, the
     // candidate blob scan is map-only integer popcount
-    "q_ann_hamming_topk", "q_ann_hamming_rerank")
+    "q_ann_hamming_topk", "q_ann_hamming_rerank",
+    // filtered search: the label predicate is a broadcast semi-join
+    // on the candidate rows, then the same map-only SQ8 scoring
+    "q_ann_filtered")
 
   test("ANN/sketch queries plan broadcast joins only — no SMJ, no cartesian") {
     broadcastOnly.foreach { name =>
@@ -47,7 +50,7 @@ class PlanShapeSpec extends SparkSpec {
     // a d×-row aggregate exchange keyed on the PAIR; if it creeps
     // back, this catches it even though the rows stay correct.
     val pairKeyed = """keys=\[[^\]]*(query_id[^\]]*cand_id|cand_id[^\]]*query_id)""".r
-    Seq("q_ann_sq_topk", "q_ann_rerank",
+    Seq("q_ann_sq_topk", "q_ann_rerank", "q_ann_filtered",
         "q_ann_hamming_topk", "q_ann_hamming_rerank").foreach { name =>
       val df = Inventory.byName(name).fn(spark, sfDir)
       df.collect()

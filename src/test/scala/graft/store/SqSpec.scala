@@ -119,6 +119,39 @@ class SqSpec extends SparkSpec {
     assert(recall >= 0.9, s"sq recall@10 $recall")
   }
 
+  test("filtered search: pre-filter equals exhaustive-then-filter, beats post-filter-at-depth") {
+    val store = freshStore()
+    Sq.buildIndex(store, "vectors", planted, "vec_id", "e")
+    val queries = planted.filter(col("vec_id") < 3)
+    // a SELECTIVE predicate: only members of center 4 (20 of 100 pks),
+    // none of which are the queries' own centers
+    val allowed = planted.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val filtered = rows(Sq.annTopKFiltered(
+      store, "vectors", queries, "vec_id", "e", k = 5, allowed))
+    // ground truth: score EVERYTHING (k = corpus), then keep allowed
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val exhaustive = rows(Sq.annTopK(
+        store, "vectors", queries, "vec_id", "e", k = 100))
+      .filter { case (_, _, cand) => allowedSet.contains(cand) }
+      .groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy(_._2).take(5).zipWithIndex
+          .map { case ((_, _, cand), i) => (q, i + 1L, cand) }
+      }.toSeq
+    assert(filtered.sorted === exhaustive.sorted)
+    // every query gets its full k — POST-filtering a depth-5 shortlist
+    // would return ZERO here (the queries' own centers crowd out the
+    // allowed label entirely at that depth)
+    assert(filtered.groupBy(_._1).forall(_._2.size == 5))
+    val post5 = rows(Sq.annTopK(store, "vectors", queries, "vec_id", "e", k = 5))
+      .filter { case (_, _, cand) => allowedSet.contains(cand) }
+    assert(post5.isEmpty,
+      "fixture no longer demonstrates the post-filter starvation case")
+  }
+
   test("re-upserted vectors re-encode O(batch); search is deterministic") {
     val store = freshStore()
     Sq.buildIndex(store, "vectors", planted, "vec_id", "e")
