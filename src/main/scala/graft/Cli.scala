@@ -419,6 +419,11 @@ object Cli {
           .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
             org.apache.spark.sql.functions.col("item"))
           .show(n, truncate = false)
+      case "fingerprint" =>
+        // fingerprint <store> <table> — order/partitioning-independent
+        // content hash for dataset-release reproducibility checks
+        val (n, h) = store.contentFingerprint(args(2))
+        println(f"[fingerprint] ${args(2)}: rows=$n hash=${h}%016x")
       case "quantiles" =>
         // quantiles <store> <table> [p,...] — rank-statistic
         // estimates per group from the streaming bottom-k sample

@@ -546,6 +546,33 @@ class TableStore(val spark: SparkSession, root: String) {
     * files and writes `<name>.__tmp`, then swaps — a concurrent crash
     * leaves the original table intact.
     */
+  /** Order- and partitioning-independent content fingerprint:
+    * (row count, wrapping Σ xxhash64(row)) over `cols` (default: the
+    * full schema, column-name order pinned so two stores with
+    * different on-disk column orders still agree). Two tables
+    * fingerprint-equal iff they hold the same MULTISET of rows (sum,
+    * not xor: xor cancels duplicate pairs; long addition wraps mod
+    * 2^64 and commutes, so the result is identical on any
+    * partitioning, row order, file layout, or cluster). One map-only
+    * scan + a 2-value aggregate — the cheap reproducibility check a
+    * dataset release ships with, and the invariant every layout
+    * rewrite (compact, z-order, bucketize) must preserve.
+    */
+  def contentFingerprint(
+      name: String, cols: Seq[String] = Nil): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    val df = read(name)
+    val use = if (cols.nonEmpty) cols else df.columns.sorted.toSeq
+    val row = df.select(xxhash64(use.map(col): _*).as("h"))
+    val r = row.agg(count(lit(1)).as("n"),
+      // exact DECIMAL sum (no ANSI-mode overflow ambiguity), wrapped
+      // to 64 bits explicitly below
+      sum(col("h").cast("decimal(38,0)")).as("s")).head
+    val n = r.getLong(0)
+    val s = if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger)
+    (n, s.mod(BigInt(2).pow(64)).toLong)
+  }
+
   def compact(
       name: String,
       sortBy: Seq[String] = Nil,

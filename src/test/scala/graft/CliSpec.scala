@@ -73,6 +73,7 @@ class CliSpec extends SparkSpec {
       .quantilesSink(store, "docs", "grp", "id", "v", 8)(
         (0 until 30).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v"), 0L)
     cli("quantiles", dir, "docs", "0.5,0.9")
+    cli("fingerprint", dir, graft.streaming.StreamQuantiles.sampleName("docs"))
     // dispatch read the sample table the sink wrote (and doctor is clean)
     assert(store.read(graft.streaming.StreamQuantiles.sampleName("docs"))
       .count() === 8L)

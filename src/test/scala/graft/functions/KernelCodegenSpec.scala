@@ -72,6 +72,51 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
+  test("seeded unicode fuzz corpus: compiled == interpreted on every kernel") {
+    // the fixed fixture above exercises the happy paths; generated
+    // Java breaks on the WEIRD inputs — astral-plane code points,
+    // isolated surrogates patched to valid chars, control chars,
+    // regex metacharacters, very long tokens. Seeded so a failure
+    // reproduces exactly.
+    val rnd = new scala.util.Random(20260814)
+    val alphabets = Seq(
+      "abc def ghi ",                       // plain
+      "äöü ßharp ñandú 北京 مرحبا ",          // BMP unicode
+      "😀🎉🚀 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 ",                    // astral plane
+      "\t\n .,;:!?()[]{}|\\^$*+?",          // controls + regex metas
+      "a" * 300 + " " + "b" * 300 + " ")    // very long tokens
+    val corpus = (0 until 60).map { i =>
+      val sb = new StringBuilder
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.size))
+        val start = rnd.nextInt(a.length)
+        // cut at arbitrary char offsets ON PURPOSE: a slice can split
+        // a surrogate pair — kernels must not throw on lone surrogates
+        sb.append(a.substring(start, start + rnd.nextInt(a.length - start)))
+      }
+      (i.toLong, sb.toString)
+    }.toDF("id", "text")
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    val oldEx = conf.getOption("spark.sql.optimizer.excludedRules")
+    def rows(mode: String): Seq[String] = {
+      conf.set("spark.sql.codegen.factoryMode", mode)
+      allKernels(corpus).collect().map(_.toString).sorted.toSeq
+    }
+    try {
+      conf.set("spark.sql.optimizer.excludedRules", localCollapse)
+      conf.set("spark.sql.codegen.fallback", "false")
+      assert(rows("CODEGEN_ONLY") === rows("NO_CODEGEN"))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", oldMode)
+      restore("spark.sql.codegen.fallback", oldFb)
+      restore("spark.sql.optimizer.excludedRules", oldEx)
+    }
+  }
+
   test("minhash signatures from the compiled path match the DuckDB-pinned md5 recipe") {
     // one concrete anchor so a codegen regression cannot hide behind
     // "both paths changed together": the md5-slice family is pinned
