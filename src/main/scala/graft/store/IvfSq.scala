@@ -151,7 +151,32 @@ object IvfSq {
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
-      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, allowed = None)
+
+  /** Filtered search through the composed index: top-k among
+    * candidates whose pk appears in `allowed`, pre-filtered — the
+    * predicate semi-joins the CELL-PRUNED code scan before scoring,
+    * so cost stays (probed cells ∩ allowed)-proportional. The
+    * filter × probe interplay is the part flat [[Sq.annTopKFiltered]]
+    * doesn't have: allowed rows living in UNPROBED cells are
+    * invisible, and the more selective the predicate, the fewer of
+    * the probed cells' rows survive it — so filtered searches should
+    * probe WIDER than unfiltered ones (the FAISS selectivity rule of
+    * thumb). `nprobe` therefore defaults to 2× the unfiltered
+    * default here; at extreme selectivity (|allowed| ≈ k) skip the
+    * index and brute-force the allowed rows' vectors instead.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame,
+      nprobe: Int = 4): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val cents = store.read(centsName(table))
     val scales = store.read(scalesName(table))
     val probes = queries
@@ -191,10 +216,15 @@ object IvfSq {
     val cells = probeCells.select(col(CellCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
     val spark = org.apache.spark.sql.SparkSession.active
-    store.read(codesName(table))
+    val scan0 = store.read(codesName(table))
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
       .select(col("pk").as("cand_id"), col(CellCol), col("rnorm"), col("codes"))
+    val scan = allowed.fold(scan0) { a =>
+      scan0.join(
+        a.select(a.columns.head).toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    scan
       .join(broadcast(probeCells
         .select(col("query_id"), col(CellCol), col("qcentq"), col("qnorm"))),
         Seq(CellCol))

@@ -101,6 +101,48 @@ class IvfSqSpec extends SparkSpec {
       .head.getLong(0))
   }
 
+  test("filtered search: predicate holds, wide probes restore recall, narrow probes starve") {
+    val store = freshStore()
+    IvfSq.buildIndex(store, "vectors", planted, "vec_id", "e",
+      kCells = 5, iters = 2)
+    val queries = planted.filter(col("vec_id") < 3) // centers 0, 1, 2
+    // selective predicate: members of center 4 only — a DIFFERENT
+    // cluster than any query's own, so its cell is never the
+    // closest probe
+    val allowed = planted.filter(col("vec_id") % 5 === 4).select(col("vec_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+
+    // wide probes (the filtered default covers all 5 cells here):
+    // every result satisfies the predicate and every query fills k
+    val wide = IvfSq.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 5, allowed, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(wide.forall { case (_, cand) => allowedSet.contains(cand) })
+    assert(wide.groupBy(_._1).forall(_._2.length == 5))
+    // recall vs exact cosine over the allowed set
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val recall = (0L until 3L).map { q =>
+      val exact = allowedSet.toSeq
+        .sortBy(c => (-dot(vecs(q), vecs(c)) /
+          (math.sqrt(dot(vecs(q), vecs(q))) * math.sqrt(dot(vecs(c), vecs(c)))),
+          c))
+        .take(5).toSet
+      exact.intersect(wide.filter(_._1 == q).map(_._2).toSet).size / 5.0
+    }.sum / 3.0
+    assert(recall >= 0.8, s"filtered recall@5 $recall")
+
+    // narrow probes (nprobe = 1: each query's own cell only) cannot
+    // see the allowed cluster at all — the filter × probe interaction
+    // the widened default exists for
+    val narrow = IvfSq.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 5, allowed, nprobe = 1)
+    assert(narrow.count() === 0L,
+      "fixture no longer isolates the allowed cluster from the query cells")
+  }
+
   test("seeded corruption is named (mis-shaped codes, missing scales)") {
     val store = freshStore()
     IvfSq.buildIndex(store, "vectors", planted, "vec_id", "e",
