@@ -203,4 +203,40 @@ class ArchiveSpec extends SparkSpec {
     assert(store.read("archive_personalization_interests").collect()(0)
       .getAs[String]("name") === "Python")
   }
+
+  test("distributed zip scan matches the driver-side walk, archive-tagged") {
+    // two zips in one dir (one with a nested dir + assets/ member the
+    // member rules must skip), read via the binaryFile path — every
+    // (file, content) the per-archive driver walk yields, same rules
+    val dir = java.nio.file.Files.createTempDirectory("graft-zips").toFile
+    def writeZip(name: String, entries: Seq[(String, String)]): File = {
+      val f = new File(dir, name)
+      val zos = new ZipOutputStream(new FileOutputStream(f))
+      entries.foreach { case (n, c) =>
+        zos.putNextEntry(new ZipEntry(n))
+        zos.write(c.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      f
+    }
+    val z1 = writeZip("a.zip", Seq(
+      "follower.js" -> "window.YTD.follower.part0 = []",
+      "assets/skip.js" -> "nope",
+      "data/app.js" -> "window.YTD.app.part0 = [{\"x\": 1}]",
+      "readme.txt" -> "not js"))
+    val z2 = writeZip("b.zip", Seq(
+      "following.js" -> "window.YTD.following.part0 = [\"ü\"]"))
+
+    val got = Archive
+      .readArchiveZipsDistributed(spark, dir.getAbsolutePath + "/*.zip")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = Seq(z1, z2).flatMap { z =>
+      Archive.readArchiveZip(z.getAbsolutePath)
+        .map { case (n, c) => (z.getName, n, c) }
+    }.toSet
+    assert(got === want)
+    assert(got.map(_._2) === Set("follower.js", "app.js", "following.js"))
+  }
 }
