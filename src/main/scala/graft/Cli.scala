@@ -264,6 +264,26 @@ object Cli {
           .select(col(pk), col(emb).cast("array<double>").as(emb))
         graft.store.Sq.annTopK(store, table, queries, pk, emb, topk)
           .show(topk, truncate = false)
+      case "sq-search-filtered" | "ivfsq-search-filtered" =>
+        // <store> <table> <pk> <emb> <qid> <k> <predCol> <predVal> —
+        // filtered search: allowed = base-table rows where predCol
+        // equals predVal (string-compared), pre-filtered into the
+        // code scan
+        import org.apache.spark.sql.functions.col
+        val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
+        val topk = args(6).toInt
+        val allowed = store.read(table)
+          .filter(col(args(7)).cast("string") === args(8))
+          .select(col(pk))
+        val queries = store.read(table).filter(col(pk) === qid)
+          .select(col(pk), col(emb).cast("array<double>").as(emb))
+        val res =
+          if (cmd == "sq-search-filtered")
+            graft.store.Sq.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          else graft.store.IvfSq.annTopKFiltered(
+            store, table, queries, pk, emb, topk, allowed)
+        res.show(topk, truncate = false)
       case "pq-search" | "ivf-search" | "ivfpq-search" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)

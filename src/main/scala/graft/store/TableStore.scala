@@ -562,7 +562,12 @@ class TableStore(val spark: SparkSession, root: String) {
       name: String, cols: Seq[String] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
     val df = read(name)
-    val use = if (cols.nonEmpty) cols else df.columns.sorted.toSeq
+    // BucketCol is a layout artifact, not data: excluding it by
+    // default makes a flat table and its bucketized conversion
+    // fingerprint-equal — the comparison the check exists for
+    val use =
+      if (cols.nonEmpty) cols
+      else df.columns.filterNot(_ == BucketCol).sorted.toSeq
     val row = df.select(xxhash64(use.map(col): _*).as("h"))
     val r = row.agg(count(lit(1)).as("n"),
       // exact DECIMAL sum (no ANSI-mode overflow ambiguity), wrapped

@@ -49,6 +49,11 @@ class CliSpec extends SparkSpec {
     assert(store.read(Sq.codesName("vectors")).count() === 60L)
     assert(store.read(Sq.scalesName("vectors")).count() === dims.toLong)
     cli("sq-search", dir, "vectors", "vec_id", "e", "3", "5")
+    // filtered verb: predicate column compared as string on the base
+    // table (vec_id % nothing here — reuse vec_id itself as a trivial
+    // equality predicate: allowed = the single row vec_id 7)
+    cli("sq-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
 
     // everything the verbs built passes integrity
     assert(Doctor.check(store) === Seq.empty)

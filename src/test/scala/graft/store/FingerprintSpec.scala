@@ -67,9 +67,10 @@ class FingerprintSpec extends SparkSpec {
     assert(store.contentFingerprint("t") === fp)
     store.compactZorder("t", Seq("id", "g"), bits = 9)
     assert(store.contentFingerprint("t") === fp)
-    // bucketize adds pk_bucket — fingerprint over the ORIGINAL columns
-    // is the comparable quantity across layouts
+    // bucketize adds pk_bucket, which the default column list excludes
+    // as a layout artifact — flat and bucketized fingerprints compare
+    // directly
     store.bucketize("t", Seq("id"), 4)
-    assert(store.contentFingerprint("t", Seq("g", "id", "v")) === fp)
+    assert(store.contentFingerprint("t") === fp)
   }
 }
