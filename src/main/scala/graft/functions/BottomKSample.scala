@@ -65,7 +65,15 @@ case class BottomKSample(
   private def add(
       buf: java.util.TreeMap[(Long, Long), Long],
       key: (Long, Long), v: Long): Unit = {
-    if (buf.size < k) { buf.put(key, v); () }
+    // duplicate (hash, tie) keys collapse to the MINIMUM value:
+    // callers pass a unique tie so this never fires for them, but a
+    // general SQL caller might not, and last-write-wins would make
+    // the surviving value depend on partition/merge encounter order —
+    // min() keeps the aggregate a pure function of the input multiset
+    // on any partitioning.
+    if (buf.containsKey(key)) {
+      if (v < buf.get(key)) { buf.put(key, v); () }
+    } else if (buf.size < k) { buf.put(key, v); () }
     else if (keyOrder.lt(key, buf.lastKey)) {
       buf.put(key, v)
       if (buf.size > k) { buf.remove(buf.lastKey); () }

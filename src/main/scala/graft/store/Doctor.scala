@@ -552,12 +552,25 @@ object Doctor {
     val out = Seq.newBuilder[Issue]
     val sk = store.read(s"${table}_bks")
     val cols = sk.columns.toSet
-    val missing = Seq("grp", "h", "tie", "v").filterNot(cols.contains)
+    val missing = Seq("grp", "h", "tie", "v", "k").filterNot(cols.contains)
     if (missing.nonEmpty) {
       out += Issue("quantile-sample", table,
         s"sample is missing column(s) ${missing.mkString(", ")} — not " +
           "bottom-k-shaped (out-of-band rewrite; rebuild via the sink)")
       return out.result()
+    }
+    // the k-bound the table itself declares: a group holding more
+    // rows than k means an out-of-band write the eviction merge never
+    // produces (and cardinality's estimator would silently misread)
+    val kBound = sk.agg(max(col("k"))).head
+    if (!kBound.isNullAt(0)) {
+      val over = sk.groupBy(col("grp")).count()
+        .filter(col("count") > kBound.getInt(0)).count()
+      if (over > 0)
+        out += Issue("quantile-sample", table,
+          s"$over groups hold more rows than the declared k=" +
+            s"${kBound.getInt(0)} — the eviction merge never writes " +
+            "that (out-of-band edit; rebuild via the sink)")
     }
     val recomputed =
       conv(substring(md5(concat(lit("q|"), col("tie").cast("string"))), 1, 12), 16, 10)

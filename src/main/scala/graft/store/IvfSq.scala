@@ -221,8 +221,10 @@ object IvfSq {
       .withColumn(CellCol, col(CellCol).cast("long"))
       .select(col("pk").as("cand_id"), col(CellCol), col("rnorm"), col("codes"))
     val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
       scan0.join(
-        a.select(a.columns.head).toDF("cand_id"), Seq("cand_id"), "left_semi")
+        a.toDF("cand_id"), Seq("cand_id"), "left_semi")
     }
     scan
       .join(broadcast(probeCells

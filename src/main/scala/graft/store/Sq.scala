@@ -172,8 +172,10 @@ object Sq {
     val codes0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("dnorm"), col("codes"))
     val codes = allowed.fold(codes0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
       codes0.join(
-        a.select(a.columns.head).toDF("cand_id"), Seq("cand_id"), "left_semi")
+        a.toDF("cand_id"), Seq("cand_id"), "left_semi")
     }
     codes
       .crossJoin(broadcast(qarr))

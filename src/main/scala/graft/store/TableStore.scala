@@ -442,21 +442,25 @@ class TableStore(val spark: SparkSession, root: String) {
     if (bucketLayoutOf(name).isEmpty || existingAll.isEmpty) {
       // first write, declared-before-first-write, or one-time flat
       // conversion: full partitioned rewrite, then (re-)declare — the
-      // swap replaces the dir, marker included
-      val merged = bucketed(mergeFn(
+      // swap replaces the dir, markers included, so a declared z-order
+      // clustering is applied to the rewrite and re-declared after
+      // (the same discipline as the bucketed upsert's full branch)
+      val zl = zorderLayoutOf(name)
+      val merged = zsortIfDeclared(name, bucketed(mergeFn(
         existingAll.map(df =>
           if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df),
-        incoming))
+        incoming)))
       writeSwapped(name, merged, Seq(BucketCol))
       writeBucketLayout(name, buckets, key)
+      zl.foreach { case (zc, b) => writeZorderMarker(name, zc, b) }
     } else {
       val inc = Iteration.materialize(
         incoming.withColumn(BucketCol, bucketOfPk(key, buckets)))
       val touched = inc.select(col(BucketCol)).distinct()
         .collect().map(_.getLong(0)).toSeq
       val ex = read(name).filter(col(BucketCol).isin(touched: _*))
-      val merged = Iteration.materialize(bucketed(
-        mergeFn(Some(ex.drop(BucketCol)), inc.drop(BucketCol))))
+      val merged = Iteration.materialize(zsortIfDeclared(name, bucketed(
+        mergeFn(Some(ex.drop(BucketCol)), inc.drop(BucketCol)))))
       val outBuckets = merged.select(col(BucketCol)).distinct()
         .collect().map(_.getLong(0)).toSet
       require(outBuckets.subsetOf(touched.toSet),
@@ -568,7 +572,13 @@ class TableStore(val spark: SparkSession, root: String) {
     val use =
       if (cols.nonEmpty) cols
       else df.columns.filterNot(_ == BucketCol).sorted.toSeq
-    val row = df.select(xxhash64(use.map(col): _*).as("h"))
+    // Spark's hash expressions SKIP null children (the running hash
+    // passes through unchanged), so xxhash64(a, b) on (5, null) and
+    // (null, 5) would collide — interleaving a never-null null-flag
+    // before each column keeps the fold sequence distinct per null
+    // pattern, preserving the "equal iff same row multiset" claim
+    val flagged = use.flatMap(c => Seq(col(c).isNull.cast("int"), col(c)))
+    val row = df.select(xxhash64(flagged: _*).as("h"))
     val r = row.agg(count(lit(1)).as("n"),
       // exact DECIMAL sum (no ANSI-mode overflow ambiguity), wrapped
       // to 64 bits explicitly below

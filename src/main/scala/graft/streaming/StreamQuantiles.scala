@@ -35,7 +35,7 @@ object StreamQuantiles {
 
   def sampleName(table: String): String = s"${table}_bks"
 
-  /** The current per-group sample rows (grp, h, tie, v). */
+  /** The current per-group sample rows (grp, h, tie, v, k). */
   def sample(store: TableStore, table: String): DataFrame =
     store.read(sampleName(table))
 
@@ -67,10 +67,16 @@ object StreamQuantiles {
     * DISTINCT TIE KEYS ever offered; for value-cardinality, maintain
     * a sample keyed tie=value.
     */
-  def cardinality(store: TableStore, table: String, k: Int): DataFrame = {
+  def cardinality(store: TableStore, table: String): DataFrame = {
+    val sk = sample(store, table)
+    require(sk.columns.contains("k"),
+      s"${sampleName(table)} carries no k column — rebuild via the sink")
+    // the sink stamps every row with its k on each merge, so max() is
+    // THE k — the estimator cannot silently run with a mismatched
+    // numerator (a 1-value agg, driver-read like the KMV constant)
+    val k = sk.agg(max(col("k"))).head.getInt(0)
     val c = (k - 1).toDouble * 281474976710656.0 // (k−1)·2^48
-    sample(store, table)
-      .groupBy(col("grp"))
+    sk.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"), max(col("h")).as("hk"))
       .select(col("grp"),
         when(col("n_rows") < k, col("n_rows"))
@@ -89,13 +95,16 @@ object StreamQuantiles {
     existing
       .filter(t => Seq("grp", "h", "tie", "v").forall(t.columns.contains))
       .map(_.select(col("grp"), col("h"), col("tie"), col("v"))
-        .unionByName(batch))
-      .getOrElse(batch)
+        .unionByName(batch.select(col("grp"), col("h"), col("tie"), col("v"))))
+      .getOrElse(batch.select(col("grp"), col("h"), col("tie"), col("v")))
       .distinct()
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("h"), col("tie"))))
       .filter(col("_rn") <= k)
       .drop("_rn")
+      // every merge re-stamps k uniformly, so readers (cardinality)
+      // recover THE k from the table itself, never from convention
+      .withColumn("k", lit(k))
 
   /** Declare a grp-bucketed layout for the sample table — the
     * O(batch) maintenance path at many-groups scale: each micro-batch
@@ -117,13 +126,12 @@ object StreamQuantiles {
       case None =>
         store.readIfExists(sampleName(table)) match {
           case Some(df) =>
-            // convert in place through the same eviction merge (an
-            // empty batch: existing rows ride through unchanged) —
-            // NOT TableStore.bucketize, whose upsert-on-pk semantics
+            // convert in place through an identity merge (an empty
+            // batch: existing rows ride through unchanged) — NOT
+            // TableStore.bucketize, whose upsert-on-pk semantics
             // would collapse the sample to one row per group
             store.mergeTouchedBuckets(
-              sampleName(table), df.limit(0).select(
-                col("grp"), col("h"), col("tie"), col("v")),
+              sampleName(table), df.limit(0),
               Seq("grp"), buckets)((ex, inc) =>
               ex.map(_.unionByName(inc)).getOrElse(inc))
           case None =>
@@ -132,36 +140,54 @@ object StreamQuantiles {
     }
 
   /** foreachBatch handler: merge `(grpCol, tieCol, valueCol)` batch
-    * rows into the persisted sample. `tieCol` must be a unique row
-    * key (it salts the hash and breaks 48-bit ties totally, keeping
-    * the sample deterministic). Routes through the bucket-scoped
-    * merge when [[ensureBucketedSample]] declared a layout.
+    * rows into the persisted sample. `tieCol` must be a unique
+    * INTEGRAL row key — enforced on the batch schema, because the
+    * stored `tie` is a long and the hash must recompute from it (the
+    * Doctor invariant): a string or fractional tie would either
+    * null out under the cast (silently dropping every row) or store
+    * a truncated key whose recomputed hash no longer matches.
+    * Routes through the bucket-scoped merge when
+    * [[ensureBucketedSample]] declared a layout.
     */
   def quantilesSink(
       store: TableStore, table: String, grpCol: String, tieCol: String,
       valueCol: String, k: Int): (DataFrame, Long) => Unit =
     (batch, _) => {
       if (!batch.isEmpty) {
-        val hashed = batch.select(
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val tieType = batch.schema(tieCol).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(tieType),
+          s"tie column $tieCol is $tieType — the sample stores tie as a " +
+            "long and recomputes its hash from it, so tie must be integral")
+        // hash the CASTED long's rendering: the stored (tie, h) pair
+        // then recomputes by construction, whatever integral width
+        // the batch carried
+        val tie = col(tieCol).cast("long")
+        val hashed = Iteration.materialize(batch.select(
           col(grpCol).cast("string").as("grp"),
-          conv(substring(md5(concat(lit("q|"), col(tieCol).cast("string"))), 1, 12), 16, 10)
+          conv(substring(md5(concat(lit("q|"), tie.cast("string"))), 1, 12), 16, 10)
             .cast("long").as("h"),
-          col(tieCol).cast("long").as("tie"),
+          tie.as("tie"),
           col(valueCol).cast("long").as("v"))
           .filter(col("grp").isNotNull && col("h").isNotNull &&
-            col("tie").isNotNull && col("v").isNotNull)
-        store.bucketLayoutOf(sampleName(table)) match {
-          case Some((n, Seq("grp"))) =>
-            // O(batch + touched buckets): groups co-locate per bucket,
-            // so the rank window never sees an unread group's rows
-            store.mergeTouchedBuckets(
-              sampleName(table), hashed, Seq("grp"), n)(evict(_, _, k))
-          case _ =>
-            // flat default: pinned ONCE (derives from the table the
-            // swap replaces — index-first rule)
-            val merged = Iteration.materialize(
-              evict(store.readIfExists(sampleName(table)), hashed, k))
-            store.overwrite(sampleName(table), merged)
+            col("tie").isNotNull && col("v").isNotNull))
+        // gate on the frame actually merged: a batch whose rows all
+        // filter out must not pay a full sample rewrite
+        if (!hashed.isEmpty) {
+          store.bucketLayoutOf(sampleName(table)) match {
+            case Some((n, Seq("grp"))) =>
+              // O(batch + touched buckets): groups co-locate per
+              // bucket, so the rank window never sees an unread
+              // group's rows
+              store.mergeTouchedBuckets(
+                sampleName(table), hashed, Seq("grp"), n)(evict(_, _, k))
+            case _ =>
+              // flat default: pinned ONCE (derives from the table the
+              // swap replaces — index-first rule)
+              val merged = Iteration.materialize(
+                evict(store.readIfExists(sampleName(table)), hashed, k))
+              store.overwrite(sampleName(table), merged)
+          }
         }
       }
     }

@@ -71,6 +71,22 @@ class BottomKSampleSpec extends SparkSpec {
     assert(got("b") === Seq(5L))
   }
 
+  test("duplicate (hash, tie) keys collapse to the MIN value on any partitioning") {
+    // the documented contract passes a unique tie; a general SQL
+    // caller might not — the surviving value must then be a pure
+    // function of the input multiset (min), not of encounter order
+    val df = Seq(
+      (1L, 1L, 50L), (1L, 1L, 10L), (1L, 1L, 30L), // same key, 3 values
+      (2L, 2L, 7L))
+      .toDF("h", "tie", "v")
+    def run(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(BottomKSample.bottomK(spark, col("h"), col("tie"), col("v"), 4).as("s"))
+        .head.getSeq[Long](0).sorted
+    assert(run(1) === Seq(7L, 10L))
+    assert(run(7) === Seq(7L, 10L))
+  }
+
   test("sample quantiles land near exact quantiles (uniform-hash guarantee)") {
     // k=64 over 3 groups of ~167 rows: the sampled median of a
     // 0..99(+400 spike) distribution must sit inside the central

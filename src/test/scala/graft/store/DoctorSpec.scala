@@ -239,9 +239,19 @@ class DoctorSpec extends SparkSpec {
     // duplicate (grp, tie) rows: set-union merge never writes those
     val dup = freshStore()
     dup.overwrite("docs_bks",
-      Seq(("g", 10L, 1L, 5L), ("g", 10L, 1L, 6L)).toDF("grp", "h", "tie", "v"))
+      Seq(("g", 10L, 1L, 5L, 8), ("g", 10L, 1L, 6L, 8))
+        .toDF("grp", "h", "tie", "v", "k"))
     val issues = Doctor.check(dup).filter(_.component == "quantile-sample")
     assert(issues.exists(_.problem.contains("multiple sample rows")), issues)
+
+    // a group over the declared k bound: the eviction merge never
+    // writes that
+    val over = freshStore()
+    over.overwrite("docs_bks",
+      (0 until 4).map(i => ("g", 100L + i, i.toLong, i.toLong, 2))
+        .toDF("grp", "h", "tie", "v", "k"))
+    assert(Doctor.check(over).filter(_.component == "quantile-sample")
+      .exists(_.problem.contains("more rows than the declared k")))
 
     // a non-sample-shaped *_bks table is an Issue, not a crash
     val shapeless = freshStore()

@@ -59,6 +59,18 @@ class FingerprintSpec extends SparkSpec {
     assert(fpD._2 !== fp._2)
   }
 
+  test("null position matters: (5, null) and (null, 5) fingerprint differently") {
+    // Spark's hash expressions skip null children, so without the
+    // interleaved null flags these two tables would collide — the
+    // exact "value migrated between nullable columns" release bug
+    // the check exists to catch
+    val a = freshStore()
+    a.overwrite("t", Seq((Some(5L), None: Option[Long])).toDF("p", "q"))
+    val b = freshStore()
+    b.overwrite("t", Seq((None: Option[Long], Some(5L))).toDF("p", "q"))
+    assert(a.contentFingerprint("t")._2 !== b.contentFingerprint("t")._2)
+  }
+
   test("layout rewrites preserve the fingerprint (compact, z-order, bucketize)") {
     val store = freshStore()
     store.overwrite("t", rows.toDF("id", "v", "g").repartition(40))

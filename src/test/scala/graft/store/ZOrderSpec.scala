@@ -322,6 +322,44 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("mergeTouchedBuckets (custom merges) keeps both markers and the z-sort") {
+    // the generalized bucket-scoped merge must hold the same layout
+    // discipline as the upsert path it mirrors: conversion re-declares
+    // BOTH markers after the swap, and incremental merges write
+    // z-sorted files into the touched buckets
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ztb").toString)
+    val rows = (0 until 2048).map(i =>
+      (i.toLong, (i * 2654435761L % 64L + 64L) % 64L,
+        (i * 40503L % 64L + 64L) % 64L))
+    store.overwrite("t", rows.toDF("id", "x", "y").repartition(8))
+    store.compactZorder("t", Seq("x", "y"), bits = 6)
+    assert(store.zorderLayoutOf("t") === Some((Seq("x", "y"), 6)))
+
+    def union(ex: Option[org.apache.spark.sql.DataFrame],
+        inc: org.apache.spark.sql.DataFrame) =
+      ex.map(_.unionByName(inc)).getOrElse(inc)
+    // flat → bucketed conversion through the custom merge
+    store.mergeTouchedBuckets("t",
+      Seq((9000L, 1L, 2L)).toDF("id", "x", "y"), Seq("id"), 4)(union)
+    assert(store.bucketLayoutOf("t") === Some((4, Seq("id"))))
+    assert(store.zorderLayoutOf("t") === Some((Seq("x", "y"), 6)),
+      "conversion dropped the z-order marker")
+    assert(store.read("t").count() === 2049L)
+
+    // incremental touched-bucket merge: new file is z-SORTED
+    val before = store.dataFiles("t").toSet
+    store.mergeTouchedBuckets("t",
+      Seq((9001L, 3L, 4L)).toDF("id", "x", "y"), Seq("id"), 4)(union)
+    val after = store.dataFiles("t").toSet
+    val newFile = after.diff(before).head
+    val zs = spark.read.parquet(newFile)
+      .select(graft.functions.ZOrder.zorderKey(Seq(col("x"), col("y")), 6))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs === zs.sorted, "touched-bucket custom merge lost the z-sort")
+    assert(store.read("t").count() === 2050L)
+  }
+
   test("Doctor verifies the declared z-order artifact") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-zdoc").toString)

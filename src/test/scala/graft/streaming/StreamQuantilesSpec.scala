@@ -189,7 +189,8 @@ class StreamQuantilesSpec extends SparkSpec {
       .toDF("grp", "id", "v"), 0L)
     sink((200 until 500).map(i => ("big", i.toLong, i.toLong))
       .toDF("grp", "id", "v"), 1L)
-    val est = StreamQuantiles.cardinality(store, "docs", 64)
+    // k is read from the table itself (the sink stamps it per row)
+    val est = StreamQuantiles.cardinality(store, "docs")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("small") === 9L)
     assert(math.abs(est("big") - 500L) <= 150L,
