@@ -264,11 +264,12 @@ object Cli {
           .select(col(pk), col(emb).cast("array<double>").as(emb))
         graft.store.Sq.annTopK(store, table, queries, pk, emb, topk)
           .show(topk, truncate = false)
-      case "sq-search-filtered" | "ivfsq-search-filtered" =>
+      case "sq-search-filtered" | "ivfsq-search-filtered" |
+           "bin-search-filtered" | "ivfbin-search-filtered" =>
         // <store> <table> <pk> <emb> <qid> <k> <predCol> <predVal> —
         // filtered search: allowed = base-table rows where predCol
         // equals predVal (string-compared), pre-filtered into the
-        // code scan
+        // code/blob scan
         import org.apache.spark.sql.functions.col
         val (table, pk, emb, qid) = (args(2), args(3), args(4), args(5).toLong)
         val topk = args(6).toInt
@@ -277,12 +278,20 @@ object Cli {
           .select(col(pk))
         val queries = store.read(table).filter(col(pk) === qid)
           .select(col(pk), col(emb).cast("array<double>").as(emb))
-        val res =
-          if (cmd == "sq-search-filtered")
+        val res = cmd match {
+          case "sq-search-filtered" =>
             graft.store.Sq.annTopKFiltered(
               store, table, queries, pk, emb, topk, allowed)
-          else graft.store.IvfSq.annTopKFiltered(
-            store, table, queries, pk, emb, topk, allowed)
+          case "ivfsq-search-filtered" =>
+            graft.store.IvfSq.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          case "bin-search-filtered" =>
+            graft.store.Bin.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          case _ =>
+            graft.store.IvfBin.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+        }
         res.show(topk, truncate = false)
       case "pq-search" | "ivf-search" | "ivfpq-search" =>
         import org.apache.spark.sql.functions.col

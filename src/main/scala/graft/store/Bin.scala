@@ -98,12 +98,53 @@ object Bin {
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
-      pkCol: String, embCol: String, k: Int): DataFrame = {
+      pkCol: String, embCol: String, k: Int): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, allowed = None)
+
+  /** Filtered Hamming top-k: candidates restricted to the pks in
+    * `allowed` (one column) — the PRE-filter design shared with
+    * [[Sq.annTopKFiltered]]: the predicate semi-joins the blob scan
+    * before the popcount, so cost is selectivity-proportional and k
+    * results return whenever k matches exist. The stateless encode
+    * means no scales/codebook can depend on the predicate by
+    * construction.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, Some(allowed))
+
+  /** Filtered two-stage search: the Hamming SHORTLIST itself is
+    * restricted to `allowed`, then exact-rerank — so the depth budget
+    * is spent entirely on predicate-matching candidates instead of
+    * being crowded out by non-matching near neighbors (the
+    * post-filter starvation the pre-filter family exists to avoid).
+    */
+  def rerankFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, depth: Int,
+      allowed: DataFrame): DataFrame = {
+    val shortlist = annTopKFiltered(
+        store, table, queries, pkCol, embCol, depth, allowed)
+      .select(col("query_id"), col("cand_id"))
+    exactRerank(store, table, queries, shortlist, pkCol, embCol, k)
+  }
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     registerOn(store.spark)
     val q = queries.select(
       col(pkCol).as("query_id"), packed(col(embCol)).as("qbits"))
-    store.read(codesName(table))
+    val scan0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("bits"))
+    val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
+      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    scan
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),
         ham(col("bits"), col("qbits")).cast("long").as("hamming"))

@@ -115,7 +115,26 @@ object IvfBin {
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
-      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, allowed = None)
+
+  /** Filtered cell-pruned Hamming top-k: candidates restricted to the
+    * pks in `allowed` (one column), semi-joined onto the cell-pruned
+    * blob scan before the popcount. Same filter × probe interplay as
+    * [[IvfSq.annTopKFiltered]] — allowed rows in unprobed cells are
+    * invisible, so the filtered default probes 2× wider; at extreme
+    * selectivity brute-force the allowed rows instead.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame,
+      nprobe: Int = 4): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     registerOn(store.spark)
     val cents = store.read(centsName(table))
     val probes = queries
@@ -135,10 +154,16 @@ object IvfBin {
     // literal cell list → directory-level partition pruning on the scan
     val cells = probeCells.select(col(CellCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    store.read(codesName(table))
+    val scan0 = store.read(codesName(table))
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
       .select(col("pk").as("cand_id"), col(CellCol), col("bits"))
+    val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
+      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    scan
       .join(broadcast(probeCells), Seq(CellCol))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),

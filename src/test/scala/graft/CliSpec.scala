@@ -54,6 +54,10 @@ class CliSpec extends SparkSpec {
     // equality predicate: allowed = the single row vec_id 7)
     cli("sq-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
       "vec_id", "7")
+    cli("bin-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
+    cli("ivfbin-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
 
     // everything the verbs built passes integrity
     assert(Doctor.check(store) === Seq.empty)

@@ -126,6 +126,42 @@ class BinSpec extends SparkSpec {
     assert(deep >= 0.8, s"recall@10 at depth 40: $deep")
   }
 
+  test("filtered search: pre-filter equals exhaustive-then-filter; filtered rerank fills k") {
+    val store = freshStore()
+    Bin.buildIndex(store, "vectors", planted, "vec_id", "e")
+    val queries = planted.filter(col("vec_id") < 3) // centers 0, 1, 2
+    val allowed = planted.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val filtered = rows(Bin.annTopKFiltered(
+      store, "vectors", queries, "vec_id", "e", k = 5, allowed))
+    val exhaustive = rows(Bin.annTopK(
+        store, "vectors", queries, "vec_id", "e", k = 100))
+      .filter { case (_, _, cand) => allowedSet.contains(cand) }
+      .groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy(_._2).take(5).zipWithIndex
+          .map { case ((_, _, cand), i) => (q, i + 1L, cand) }
+      }.toSeq
+    assert(filtered.sorted === exhaustive.sorted)
+    assert(filtered.groupBy(_._1).forall(_._2.size == 5))
+
+    // filtered rerank: k exact-cosine results, all inside the
+    // predicate, where post-filtering a depth-5 unfiltered shortlist
+    // would return zero (queries' own centers crowd it out)
+    val rr = Bin.rerankFiltered(
+        store, "vectors", queries, "vec_id", "e", k = 5, depth = 10, allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rr.forall { case (_, cand) => allowedSet.contains(cand) })
+    assert(rr.groupBy(_._1).forall(_._2.length == 5))
+    val post5 = rows(Bin.annTopK(store, "vectors", queries, "vec_id", "e", k = 5))
+      .filter { case (_, _, cand) => allowedSet.contains(cand) }
+    assert(post5.isEmpty,
+      "fixture no longer demonstrates the post-filter starvation case")
+  }
+
   test("doctor: healthy index is silent; seeded corruption is named") {
     val store = freshStore()
     Bin.buildIndex(store, "vectors", planted, "vec_id", "e")

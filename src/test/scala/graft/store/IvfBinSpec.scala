@@ -101,6 +101,27 @@ class IvfBinSpec extends SparkSpec {
       .head.getLong(0))
   }
 
+  test("filtered search: predicate holds at wide probes, narrow probes starve") {
+    val store = freshStore()
+    IvfBin.buildIndex(store, "vectors", planted, "vec_id", "e",
+      kCells = 5, iters = 2)
+    val queries = planted.filter(col("vec_id") < 3) // centers 0, 1, 2
+    val allowed = planted.filter(col("vec_id") % 5 === 4).select(col("vec_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+
+    val wide = IvfBin.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 5, allowed, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(wide.forall { case (_, cand) => allowedSet.contains(cand) })
+    assert(wide.groupBy(_._1).forall(_._2.length == 5))
+
+    // each query's own cell holds no allowed member: nprobe=1 sees none
+    val narrow = IvfBin.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 5, allowed, nprobe = 1)
+    assert(narrow.count() === 0L,
+      "fixture no longer isolates the allowed cluster from the query cells")
+  }
+
   test("seeded corruption is named (stray blob width, missing cents/map)") {
     val store = freshStore()
     IvfBin.buildIndex(store, "vectors", planted, "vec_id", "e",
