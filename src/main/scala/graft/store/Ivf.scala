@@ -95,7 +95,26 @@ object Ivf {
     */
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
-      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+      pkCol: String, embCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, allowed = None)
+
+  /** Filtered cell-pruned top-k: candidates restricted to the pks in
+    * `allowed` (one column), semi-joined onto the cell-pruned vector
+    * scan before the exact-cosine scoring. Same filter × probe
+    * interplay as the quantized composed indexes — allowed rows in
+    * unprobed cells are invisible, so the filtered default probes 2×
+    * wider.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame,
+      nprobe: Int = 4): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe, Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val cents = store.read(centsName(table))
     val probes = queries
       .select(col(pkCol).as("query_id"), col(embCol).as("qe"))
@@ -114,9 +133,14 @@ object Ivf {
     // literal cell list → directory-level partition pruning on the scan
     val cells = probeCells.select(col(CellCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cands = store.read(indexName(table))
+    val cands0 = store.read(indexName(table))
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
+    val cands = allowed.fold(cands0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
+      cands0.join(a.toDF("pk"), Seq("pk"), "left_semi")
+    }
     cands.join(probeCells, Seq(CellCol))
       .filter(col("pk") =!= col("query_id"))
       .select(col("query_id"), col("pk").as("cand_id"),

@@ -136,7 +136,28 @@ object IvfPq {
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int, nprobe: Int = 2,
-      slices: Int = 8, subDim: Int = 8): DataFrame = {
+      slices: Int = 8, subDim: Int = 8): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe,
+      slices, subDim, allowed = None)
+
+  /** Filtered cell-pruned ADC top-k: the allowed set semi-joins the
+    * cell-pruned code scan before the ADC fold. Same filter × probe
+    * interplay as [[IvfSq.annTopKFiltered]] — allowed rows in
+    * unprobed cells are invisible, so the filtered default probes 2×
+    * wider; at extreme selectivity brute-force the allowed rows
+    * instead of the index.
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame,
+      nprobe: Int = 4, slices: Int = 8, subDim: Int = 8): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, nprobe,
+      slices, subDim, Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, nprobe: Int,
+      slices: Int, subDim: Int, allowed: Option[DataFrame]): DataFrame = {
     val cents = store.read(centsName(table))
     val books = store.read(booksName(table))
     val probeCells = queries
@@ -176,10 +197,16 @@ object IvfPq {
         array_sort(collect_list(struct(col("s"), col("code"), col("qd")))),
         x => x.getField("qd")).as("lut_arr"))
     val spark = org.apache.spark.sql.SparkSession.active
-    store.read(codesName(table))
+    val scan0 = store.read(codesName(table))
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
       .select(col("pk").as("cand_id"), col("cell"), col("codes"))
+    val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
+      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    scan
       .join(broadcast(lutArr), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),

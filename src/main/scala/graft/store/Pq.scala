@@ -221,7 +221,27 @@ object Pq {
   def annTopK(
       store: TableStore, table: String, queries: DataFrame,
       pkCol: String, embCol: String, k: Int,
-      slices: Int = 8, subDim: Int = 8): DataFrame = {
+      slices: Int = 8, subDim: Int = 8): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, slices, subDim, None)
+
+  /** Filtered ADC top-k: candidates restricted to the pks in
+    * `allowed` (one column), semi-joined onto the code scan before
+    * the ADC fold — the pre-filter design shared across the served
+    * family (see [[Sq.annTopKFiltered]]): selectivity-proportional
+    * cost, k results whenever k matches exist, codebooks untouched
+    * (an index property can never depend on a predicate).
+    */
+  def annTopKFiltered(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int, allowed: DataFrame,
+      slices: Int = 8, subDim: Int = 8): DataFrame =
+    annSearch(store, table, queries, pkCol, embCol, k, slices, subDim,
+      Some(allowed))
+
+  private def annSearch(
+      store: TableStore, table: String, queries: DataFrame,
+      pkCol: String, embCol: String, k: Int,
+      slices: Int, subDim: Int, allowed: Option[DataFrame]): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val books = store.read(booksName(table))
     // one (query_id, lut_arr) row per query: qd sorted by (s, code) is
@@ -231,8 +251,14 @@ object Pq {
       .agg(transform(
         array_sort(collect_list(struct(col("s"), col("code"), col("qd")))),
         x => x.getField("qd")).as("lut_arr"))
-    store.read(codesName(table))
+    val scan0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("codes"))
+    val scan = allowed.fold(scan0) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
+      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
+    }
+    scan
       .crossJoin(broadcast(ql))
       .select(col("query_id"), col("cand_id"),
         graft.functions.SliceDists.adcDist(spark, col("codes"), col("lut_arr"))

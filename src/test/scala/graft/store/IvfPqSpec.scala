@@ -109,6 +109,26 @@ class IvfPqSpec extends SparkSpec {
     assert(rows.toSet === inline.collect().toSet)
   }
 
+  test("filtered search: parity predicate across the two blobs, probe-widening") {
+    val store = freshStore()
+    IvfPq.buildIndex(store, "vectors", corpus, "vec_id", "e",
+      kCells = 2, slices = slices, subDim = subDim, kCodes = 4, iters = 2)
+    // query = even blob member; allowed = ODD ids (the other cell)
+    val queries = corpus.filter(col("vec_id") === 0)
+    val allowed = corpus.filter(col("vec_id") % 2 === 1).select(col("vec_id"))
+    // nprobe=1: only the query's own (even) cell is read → no allowed
+    val narrow = IvfPq.annTopKFiltered(store, "vectors", queries,
+      "vec_id", "e", k = 3, allowed, nprobe = 1,
+      slices = slices, subDim = subDim)
+    assert(narrow.count() === 0L)
+    // the filtered default (2× wider) covers both cells → k odd results
+    val wide = IvfPq.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 3, allowed,
+        slices = slices, subDim = subDim)
+      .collect().map(_.getLong(2))
+    assert(wide.length === 3 && wide.forall(_ % 2 == 1), wide.toSeq)
+  }
+
   test("an int-pk table indexes and searches (cells normalize to long)") {
     // cent_ids — and so cells — inherit the pk column's type; the
     // maintenance/probe paths collect cells driver-side and must not

@@ -97,6 +97,21 @@ class IvfSpec extends SparkSpec {
     assert(rows.toSet === inline.collect().toSet)
   }
 
+  test("filtered search: parity predicate across the two blobs, probe-widening") {
+    val (store, _) = freshStore()
+    Ivf.buildIndex(store, "vectors", corpus, "vec_id", "e", k = 2, iters = 3)
+    val queries = corpus.filter(col("vec_id") === 0) // even blob
+    val allowed = corpus.filter(col("vec_id") % 2 === 1).select(col("vec_id"))
+    // nprobe=1 reads only the even cell → none of the allowed odd ids
+    assert(Ivf.annTopKFiltered(store, "vectors", queries,
+      "vec_id", "e", k = 3, allowed, nprobe = 1).count() === 0L)
+    // the filtered default covers both cells → k results, all odd
+    val wide = Ivf.annTopKFiltered(store, "vectors", queries,
+        "vec_id", "e", k = 3, allowed)
+      .collect().map(_.getLong(2))
+    assert(wide.length === 3 && wide.forall(_ % 2 == 1), wide.toSeq)
+  }
+
   test("re-upsert moves a vector between cells without leaving a stale row") {
     val (store, root) = freshStore()
     Ivf.buildIndex(store, "vectors", corpus, "vec_id", "e", k = 2, iters = 2)

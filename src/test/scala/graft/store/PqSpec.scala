@@ -90,6 +90,28 @@ class PqSpec extends SparkSpec {
     assert(top1 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("filtered ADC search equals exhaustive-then-filter and fills k") {
+    val store = freshStore()
+    Pq.buildIndex(store, "vectors", corpus, "vec_id", "e",
+      slices, subDim, k = 8, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val allowed = corpus.filter(col("vec_id") % 4 === 3).select(col("vec_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val filtered = rows(Pq.annTopKFiltered(
+      store, "vectors", queries, "vec_id", "e", k = 5, allowed, slices, subDim))
+    val exhaustive = rows(Pq.annTopK(
+        store, "vectors", queries, "vec_id", "e", k = 48, slices, subDim))
+      .filter { case (_, _, cand) => allowedSet.contains(cand) }
+      .groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy(_._2).take(5).zipWithIndex
+          .map { case ((_, _, cand), i) => (q, i + 1L, cand) }
+      }.toSeq
+    assert(filtered.sorted === exhaustive.sorted)
+    assert(filtered.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("re-upsert re-encodes only the batch and search sees fresh codes") {
     val store = freshStore()
     Pq.buildIndex(store, "vectors", corpus, "vec_id", "e",
