@@ -436,6 +436,88 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio feature row: signal-level statistics from the DECODED PCM
+    * payload — the audio sibling of [[ImageFeatures]], and the
+    * pipeline seam where a real deployment plugs an audio encoder.
+    */
+  case class AudioFeatures(
+      docId: Long, nSamples: Long, rms: Double, peak: Double, zcr: Double)
+
+  /** REAL audio payload decode for WAV/AIFF PCM (the formats the JDK
+    * decodes without codec jars — this is where the "payload decode
+    * is stubbed" seam genuinely shrinks): channel-0 samples stream
+    * through one pass accumulating integer sums, yielding RMS level,
+    * peak amplitude (both normalized to [0, 1] full scale), and
+    * zero-crossing rate — the classic cheap speech/music/silence
+    * discriminators a corpus-gating pipeline filters on. Integer
+    * accumulation (sum of squared 16-bit samples in a long), one
+    * division + sqrt at the end — deterministic on any partitioning
+    * and JVM. Non-PCM or undecodable payloads drop (the
+    * crafted-header rule shared with the image paths); 8-bit PCM
+    * upscales to 16-bit so the normalization is uniform.
+    */
+  def audioFeatures(binaries: DataFrame): Dataset[AudioFeatures] = {
+    val enc = Encoders.product[AudioFeatures]
+    binaries
+      .select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                import javax.sound.sampled.AudioFormat.Encoding._
+                val fmt = in.getFormat
+                val bits = fmt.getSampleSizeInBits
+                val ok =
+                  (fmt.getEncoding == PCM_SIGNED && (bits == 16 || bits == 8)) ||
+                    (fmt.getEncoding == PCM_UNSIGNED && bits == 8)
+                if (!ok || fmt.getFrameSize <= 0) None
+                else {
+                  val data = in.readAllBytes()
+                  val fs = fmt.getFrameSize
+                  val big = fmt.isBigEndian
+                  val n = data.length / fs
+                  var i = 0
+                  var sumSq = 0L
+                  var peak = 0L
+                  var crossings = 0L
+                  var prevNonNeg = true
+                  var first = true
+                  while (i < n) {
+                    val o = i * fs
+                    val s: Int =
+                      if (bits == 16) {
+                        val (hi, lo) =
+                          if (big) (data(o), data(o + 1)) else (data(o + 1), data(o))
+                        (hi << 8) | (lo & 0xff)
+                      } else if (fmt.getEncoding == PCM_SIGNED) data(o) << 8
+                      else ((data(o) & 0xff) - 128) << 8
+                    sumSq += s.toLong * s
+                    val a = math.abs(s.toLong)
+                    if (a > peak) peak = a
+                    val nonNeg = s >= 0
+                    if (!first && nonNeg != prevNonNeg) crossings += 1
+                    prevNonNeg = nonNeg
+                    first = false
+                    i += 1
+                  }
+                  if (n == 0) None
+                  else Some(AudioFeatures(id, n,
+                    math.sqrt(sumSq.toDouble / n) / 32768.0,
+                    peak / 32768.0,
+                    crossings.toDouble / math.max(n - 1, 1)))
+                }
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video rows: explode n sampled frame indices
     * per video (stride sampling), keeping the lineage (docId, frame).
     * A real pipeline would then decode each (docId, frameIdx) pair.

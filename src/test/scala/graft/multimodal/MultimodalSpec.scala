@@ -120,6 +120,49 @@ class MultimodalSpec extends SparkSpec {
     assert(corrupt.width === 16 + 'I'.toInt) // stub dims, not a throw
   }
 
+  test("real audio PCM features: sine RMS/peak/ZCR from the decoded payload") {
+    // 16-bit mono WAV, 1 kHz sine at half amplitude, sr = 8 kHz:
+    // rms → A/√2, peak → A, zcr → 2·f/sr — textbook values the
+    // extractor must recover from the BYTES, not the header
+    val sr = 8000f
+    val f = 1000.0
+    val amp = 0.5
+    val n = 8000
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * 32767.0 *
+        math.sin(2 * math.Pi * f * i / sr)).round.toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val silent = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](400)), fmt, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, silent)
+
+    val df = Seq(
+      (1L, out.toByteArray), (2L, silent.toByteArray),
+      (3L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val got = Multimodal.audioFeatures(df).collect()
+      .map(a => a.docId -> a).toMap
+    assert(got.keySet === Set(1L, 2L)) // undecodable row DROPS
+    val sine = got(1L)
+    assert(sine.nSamples === n.toLong)
+    assert(math.abs(sine.rms - amp / math.sqrt(2.0)) < 0.01, sine.rms)
+    assert(math.abs(sine.peak - amp) < 0.01, sine.peak)
+    assert(math.abs(sine.zcr - 2 * f / sr) < 0.01, sine.zcr)
+    val quiet = got(2L)
+    assert(quiet.rms === 0.0 && quiet.peak === 0.0 && quiet.zcr === 0.0)
+  }
+
   test("mp3 sync-frame headers decode to real rate/channels/duration") {
     // build a minimal MPEG1 Layer III stream: 128 kbps @ 44100 Hz,
     // joint stereo, no padding → frame length = 144*128000/44100 = 417
