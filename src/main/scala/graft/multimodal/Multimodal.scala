@@ -42,7 +42,7 @@ object Multimodal {
   /** Dispatching decoder: REAL codec for what the JDK can decode,
     * deterministic stub for everything else.
     *
-    * PNG/JPEG payloads (detected by magic bytes) go through
+    * PNG/JPEG/GIF/BMP payloads (detected by magic bytes) go through
     * `javax.imageio.ImageIO` and report true pixel dimensions; WAV and
     * AIFF payloads go through `javax.sound.sampled.AudioSystem` and
     * report true sample rate / channels / frame count; remaining
@@ -61,6 +61,13 @@ object Multimodal {
     private def isJpeg(b: Array[Byte]): Boolean =
       b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
         (b(2) & 0xff) == 0xff
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -271,7 +278,7 @@ object Multimodal {
           height = fmt.getFormat.getChannels,
           nFrames = math.max(fmt.getFrameLength, 0), // NOT_SPECIFIED = -1 → 0
           nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
-      } else if (isPng(bytes) || isJpeg(bytes)) {
+      } else if (isPng(bytes) || isJpeg(bytes) || isGif(bytes) || isBmp(bytes)) {
         // NonFatal, not just IOException: the JDK decoders throw
         // IllegalArgument/NegativeArraySize/IndexOutOfBounds on
         // crafted or truncated headers, and one bad document must not

@@ -37,13 +37,21 @@ class MultimodalSpec extends SparkSpec {
     }
     val png = encode("png", 2, 2)
     val jpg = encode("jpg", 5, 3)
-    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "content")
+    val gif = encode("gif", 4, 6)
+    val bmp = encode("bmp", 7, 2)
+    val df = Seq((1L, png), (2L, jpg), (3L, gif), (4L, bmp))
+      .toDF("doc_id", "content")
     val meta = Multimodal.decodeMeta(df).collect().sortBy(_.docId)
     assert(meta(0).kind === "image")
     assert((meta(0).width, meta(0).height) === (2, 2))
     assert(meta(0).nBytes === png.length.toLong)
     assert(meta(1).kind === "image")
     assert((meta(1).width, meta(1).height) === (5, 3))
+    // GIF and BMP ride the same ImageIO branch (magic-dispatched)
+    assert(meta(2).kind === "image")
+    assert((meta(2).width, meta(2).height) === (4, 6))
+    assert(meta(3).kind === "image")
+    assert((meta(3).width, meta(3).height) === (7, 2))
     // non-image bytes with an image-ish first byte still go to the stub
     val stub = Multimodal.Decoder.decode(3L, "HELLO".getBytes("UTF-8"))
     assert(stub.width === 16 + 'E'.toInt)
