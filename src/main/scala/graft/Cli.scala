@@ -265,7 +265,9 @@ object Cli {
         graft.store.Sq.annTopK(store, table, queries, pk, emb, topk)
           .show(topk, truncate = false)
       case "sq-search-filtered" | "ivfsq-search-filtered" |
-           "bin-search-filtered" | "ivfbin-search-filtered" =>
+           "bin-search-filtered" | "ivfbin-search-filtered" |
+           "ivf-search-filtered" | "pq-search-filtered" |
+           "ivfpq-search-filtered" =>
         // <store> <table> <pk> <emb> <qid> <k> <predCol> <predVal> —
         // filtered search: allowed = base-table rows where predCol
         // equals predVal (string-compared), pre-filtered into the
@@ -287,6 +289,15 @@ object Cli {
               store, table, queries, pk, emb, topk, allowed)
           case "bin-search-filtered" =>
             graft.store.Bin.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          case "ivf-search-filtered" =>
+            graft.store.Ivf.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          case "pq-search-filtered" =>
+            graft.store.Pq.annTopKFiltered(
+              store, table, queries, pk, emb, topk, allowed)
+          case "ivfpq-search-filtered" =>
+            graft.store.IvfPq.annTopKFiltered(
               store, table, queries, pk, emb, topk, allowed)
           case _ =>
             graft.store.IvfBin.annTopKFiltered(

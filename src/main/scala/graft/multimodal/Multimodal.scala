@@ -67,7 +67,25 @@ object Multimodal {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
     private def isBmp(b: Array[Byte]): Boolean =
-      b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+      b.length >= 2 && b(0) == 'B' && b(1) == 'M' && bmpDimsSane(b)
+
+    /** 'BM' is only a 2-byte magic — any text starting "BM…" would
+      * route to ImageIO, whose BMP reader ALLOCATES by the header's
+      * unvalidated 4-byte dims (an OutOfMemoryError no NonFatal catch
+      * covers — it would kill the task, not drop the row). Gate on
+      * the declared dims being plausibly image-sized; insane headers
+      * go to the stub like any other non-image payload.
+      */
+    private def bmpDimsSane(b: Array[Byte]): Boolean = {
+      if (b.length < 26) return false
+      def i32(o: Int): Int =
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      val w = i32(18)
+      val h = math.abs(i32(22)) // negative height = top-down BMP, legal
+      w > 0 && h > 0 && w <= 32768 && h <= 32768 &&
+        w.toLong * h <= (64L << 20)
+    }
 
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -288,9 +306,30 @@ object Multimodal {
           catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) DecodeStub.decode(docId, bytes) // corrupt payload → stub
         else MediaMeta(docId, kind = "image",
-          width = img.getWidth, height = img.getHeight, nFrames = 1,
+          width = img.getWidth, height = img.getHeight,
+          nFrames = if (isGif(bytes)) gifFrameCount(bytes) else 1,
           nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
       } else DecodeStub.decode(docId, bytes)
+
+    /** Real frame count for (possibly animated) GIFs via the ImageIO
+      * reader — `ImageIO.read` decodes only the first frame, and
+      * reporting nFrames = 1 for a 50-frame animation would understate
+      * exactly the quantity a duration/size gate filters on.
+      */
+    private def gifFrameCount(bytes: Array[Byte]): Int =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) 1
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); math.max(r.getNumImages(true), 1) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => 1 }
   }
 
   /** STUB decoder ("???" seam) for payloads the JDK cannot decode
@@ -460,8 +499,10 @@ object Multimodal {
     * accumulation (sum of squared 16-bit samples in a long), one
     * division + sqrt at the end — deterministic on any partitioning
     * and JVM. Non-PCM or undecodable payloads drop (the
-    * crafted-header rule shared with the image paths); 8-bit PCM
-    * upscales to 16-bit so the normalization is uniform.
+    * crafted-header rule shared with the image paths); every PCM
+    * width (8/16/24/32-bit) quantizes to 16 bits before accumulation
+    * so the normalization is uniform and the squared sums cannot
+    * overflow a long.
     */
   def audioFeatures(binaries: DataFrame): Dataset[AudioFeatures] = {
     val enc = Encoders.product[AudioFeatures]
@@ -479,14 +520,20 @@ object Multimodal {
                 import javax.sound.sampled.AudioFormat.Encoding._
                 val fmt = in.getFormat
                 val bits = fmt.getSampleSizeInBits
+                // every PCM width the WAV/AIFF world ships (8 through
+                // 32, incl. the 24-bit studio standard) — anything
+                // else (float PCM, A-law...) is genuinely non-PCM here
                 val ok =
-                  (fmt.getEncoding == PCM_SIGNED && (bits == 16 || bits == 8)) ||
+                  (fmt.getEncoding == PCM_SIGNED &&
+                    Seq(8, 16, 24, 32).contains(bits)) ||
                     (fmt.getEncoding == PCM_UNSIGNED && bits == 8)
                 if (!ok || fmt.getFrameSize <= 0) None
                 else {
                   val data = in.readAllBytes()
                   val fs = fmt.getFrameSize
                   val big = fmt.isBigEndian
+                  val w = (bits + 7) / 8
+                  val unsigned8 = fmt.getEncoding == PCM_UNSIGNED
                   val n = data.length / fs
                   var i = 0
                   var sumSq = 0L
@@ -496,13 +543,26 @@ object Multimodal {
                   var first = true
                   while (i < n) {
                     val o = i * fs
+                    // assemble the channel-0 sample, sign-extend from
+                    // its true width, then quantize to 16 bits so the
+                    // integer accumulation (and the [0,1] norms) are
+                    // uniform across widths
+                    var v = 0
+                    if (big) {
+                      var j = 0
+                      while (j < w) { v = (v << 8) | (data(o + j) & 0xff); j += 1 }
+                    } else {
+                      var j = w - 1
+                      while (j >= 0) { v = (v << 8) | (data(o + j) & 0xff); j -= 1 }
+                    }
                     val s: Int =
-                      if (bits == 16) {
-                        val (hi, lo) =
-                          if (big) (data(o), data(o + 1)) else (data(o + 1), data(o))
-                        (hi << 8) | (lo & 0xff)
-                      } else if (fmt.getEncoding == PCM_SIGNED) data(o) << 8
-                      else ((data(o) & 0xff) - 128) << 8
+                      if (unsigned8) ((v & 0xff) - 128) << 8
+                      else {
+                        val sh = 32 - w * 8
+                        val full = (v << sh) >> sh
+                        if (bits >= 16) full >> (bits - 16)
+                        else full << (16 - bits)
+                      }
                     sumSq += s.toLong * s
                     val a = math.abs(s.toLong)
                     if (a > peak) peak = a

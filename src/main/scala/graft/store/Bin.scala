@@ -139,11 +139,8 @@ object Bin {
       col(pkCol).as("query_id"), packed(col(embCol)).as("qbits"))
     val scan0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("bits"))
-    val scan = allowed.fold(scan0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val scan = allowed.fold(scan0)(
+      AnnFilter.semiJoinAllowed(scan0, _, "cand_id"))
     scan
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),

@@ -136,12 +136,12 @@ object Ivf {
     val cands0 = store.read(indexName(table))
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
-    val cands = allowed.fold(cands0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      cands0.join(a.toDF("pk"), Seq("pk"), "left_semi")
-    }
-    cands.join(probeCells, Seq(CellCol))
+    val cands = allowed.fold(cands0)(
+      AnnFilter.semiJoinAllowed(cands0, _, "pk"))
+    // broadcast the per-query probe rows like the sibling composed
+    // indexes do — without the hint a stats-less probeCells side can
+    // demote this to a shuffle of the whole cell-pruned vector scan
+    cands.join(broadcast(probeCells), Seq(CellCol))
       .filter(col("pk") =!= col("query_id"))
       .select(col("query_id"), col("pk").as("cand_id"),
         (dot(col("qe"), col("e")) / (col("qnorm") * col("norm")))

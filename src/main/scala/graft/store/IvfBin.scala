@@ -158,11 +158,8 @@ object IvfBin {
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
       .select(col("pk").as("cand_id"), col(CellCol), col("bits"))
-    val scan = allowed.fold(scan0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val scan = allowed.fold(scan0)(
+      AnnFilter.semiJoinAllowed(scan0, _, "cand_id"))
     scan
       .join(broadcast(probeCells), Seq(CellCol))
       .filter(col("cand_id") =!= col("query_id"))

@@ -201,11 +201,8 @@ object IvfPq {
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
       .select(col("pk").as("cand_id"), col("cell"), col("codes"))
-    val scan = allowed.fold(scan0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val scan = allowed.fold(scan0)(
+      AnnFilter.semiJoinAllowed(scan0, _, "cand_id"))
     scan
       .join(broadcast(lutArr), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))

@@ -220,12 +220,8 @@ object IvfSq {
       .filter(col(CellCol).isin(cells: _*))
       .withColumn(CellCol, col(CellCol).cast("long"))
       .select(col("pk").as("cand_id"), col(CellCol), col("rnorm"), col("codes"))
-    val scan = allowed.fold(scan0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      scan0.join(
-        a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val scan = allowed.fold(scan0)(
+      AnnFilter.semiJoinAllowed(scan0, _, "cand_id"))
     scan
       .join(broadcast(probeCells
         .select(col("query_id"), col(CellCol), col("qcentq"), col("qnorm"))),

@@ -253,11 +253,8 @@ object Pq {
         x => x.getField("qd")).as("lut_arr"))
     val scan0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("codes"))
-    val scan = allowed.fold(scan0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      scan0.join(a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val scan = allowed.fold(scan0)(
+      AnnFilter.semiJoinAllowed(scan0, _, "cand_id"))
     scan
       .crossJoin(broadcast(ql))
       .select(col("query_id"), col("cand_id"),

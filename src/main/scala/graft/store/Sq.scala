@@ -171,12 +171,8 @@ object Sq {
         sum(floor(col("qmnTerm") * lit(1e6)).cast("long")).as("qmnQ"))
     val codes0 = store.read(codesName(table))
       .select(col("pk").as("cand_id"), col("dnorm"), col("codes"))
-    val codes = allowed.fold(codes0) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single pk column; got (${a.columns.mkString(", ")})")
-      codes0.join(
-        a.toDF("cand_id"), Seq("cand_id"), "left_semi")
-    }
+    val codes = allowed.fold(codes0)(
+      AnnFilter.semiJoinAllowed(codes0, _, "cand_id"))
     codes
       .crossJoin(broadcast(qarr))
       .select(col("query_id"), col("cand_id"),

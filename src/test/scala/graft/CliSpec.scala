@@ -13,7 +13,8 @@ import graft.store.{Bin, Doctor, IvfBin, Sq, TableStore}
 class CliSpec extends SparkSpec {
   import spark.implicits._
 
-  private val dims = 16
+  // 64 = the pq/ivfpq verbs' default slices×subDim geometry
+  private val dims = 64
 
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft-cli").toString
@@ -57,6 +58,16 @@ class CliSpec extends SparkSpec {
     cli("bin-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
       "vec_id", "7")
     cli("ivfbin-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
+
+    cli("ivf-index", dir, "vectors", "vec_id", "e")
+    cli("ivf-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
+    cli("pq-index", dir, "vectors", "vec_id", "e")
+    cli("pq-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
+      "vec_id", "7")
+    cli("ivfpq-index", dir, "vectors", "vec_id", "e")
+    cli("ivfpq-search-filtered", dir, "vectors", "vec_id", "e", "3", "5",
       "vec_id", "7")
 
     // everything the verbs built passes integrity

@@ -171,6 +171,71 @@ class MultimodalSpec extends SparkSpec {
     assert(quiet.rms === 0.0 && quiet.peak === 0.0 && quiet.zcr === 0.0)
   }
 
+  test("24-bit PCM (studio standard) yields the same features as 16-bit") {
+    val sr = 8000f
+    val f = 1000.0
+    val amp = 0.5
+    val n = 4000
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 24, 1, true, false)
+    val pcm = new Array[Byte](n * 3)
+    (0 until n).foreach { i =>
+      val s = (amp * 8388607.0 *
+        math.sin(2 * math.Pi * f * i / sr)).round.toInt
+      pcm(3 * i) = (s & 0xff).toByte
+      pcm(3 * i + 1) = ((s >> 8) & 0xff).toByte
+      pcm(3 * i + 2) = ((s >> 16) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val got = Multimodal.audioFeatures(
+        Seq((1L, out.toByteArray)).toDF("doc_id", "content"))
+      .collect()
+    assert(got.length === 1, "24-bit PCM row must not silently drop")
+    val a = got(0)
+    assert(a.nSamples === n.toLong)
+    assert(math.abs(a.rms - amp / math.sqrt(2.0)) < 0.01, a.rms)
+    assert(math.abs(a.peak - amp) < 0.01, a.peak)
+    assert(math.abs(a.zcr - 2 * f / sr) < 0.01, a.zcr)
+  }
+
+  test("a BMP header declaring insane dims goes to the stub, never to ImageIO") {
+    // 'BM' is a 2-byte magic; the reader allocates by the header's
+    // unvalidated dims — a 2^30 × 2^30 claim must not reach it
+    val bomb = new Array[Byte](64)
+    bomb(0) = 'B'; bomb(1) = 'M'
+    bomb(18 + 3) = 0x40 // width  = 2^30 little-endian
+    bomb(22 + 3) = 0x40 // height = 2^30
+    val got = Multimodal.Decoder.decode(9L, bomb)
+    assert(got === Multimodal.DecodeStub.decode(9L, bomb))
+  }
+
+  test("animated GIF reports its real frame count") {
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 1, rgb)
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(0xff0000, 0x00ff00, 0x0000ff).foreach { c =>
+      w.writeToSequence(new javax.imageio.IIOImage(frame(c), null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val meta = Multimodal.decodeMeta(
+        Seq((1L, out.toByteArray)).toDF("doc_id", "content"))
+      .collect()(0)
+    assert(meta.kind === "image")
+    assert((meta.width, meta.height) === (3, 3))
+    assert(meta.nFrames === 3)
+  }
+
   test("mp3 sync-frame headers decode to real rate/channels/duration") {
     // build a minimal MPEG1 Layer III stream: 128 kbps @ 44100 Hz,
     // joint stereo, no padding → frame length = 144*128000/44100 = 417
