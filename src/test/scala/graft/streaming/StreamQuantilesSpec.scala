@@ -197,6 +197,20 @@ class StreamQuantilesSpec extends SparkSpec {
       s"KMV estimate ${est("big")} too far from 500")
   }
 
+  test("a non-integral tie column is refused loudly, not silently dropped") {
+    // string ties would null out under cast("long") — every batch row
+    // silently filtered, a stale sample forever. The sink must refuse
+    // the schema instead.
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 8)
+    val bad = Seq(("g", "uuid-1", 5L)).toDF("grp", "id", "v")
+    val ex = intercept[IllegalArgumentException] { sink(bad, 0L) }
+    assert(ex.getMessage.contains("must be integral"))
+    // fractional ties are the same trap (truncation re-keys the sample)
+    val frac = Seq(("g", 3.5, 5L)).toDF("grp", "id", "v")
+    intercept[IllegalArgumentException] { sink(frac, 1L) }
+  }
+
   test("redelivered batch is idempotent with no watermark at all") {
     val store = freshStore()
     val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", k)
