@@ -90,6 +90,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(4) >= 0.5, s"nprobe=4/16 recall floor: $r")
   }
 
+  test("FILTERED IVF recall@10 rises with nprobe and is exact at nprobe = k") {
+    // the filtered-search acceptance curve: recall measured against
+    // brute force OVER THE ALLOWED SUBSET — the quantity the
+    // probe-widening default exists to protect (allowed rows in
+    // unprobed cells are invisible, so filtered recall at a given
+    // nprobe trails unfiltered recall until every cell is probed)
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annrf").toString)
+    Ivf.buildIndex(store, "vectors", emb, "vec_id", "e", k = 16, iters = 3)
+    val allowedIds = Catalog.table(spark, sfDir, "embeddings")
+      .filter(col("label") === 7).select(col("vec_id"))
+    val exact = exactTopKOn(
+      emb.join(allowedIds, Seq("vec_id"), "left_semi"), "cosine", queries)
+
+    val r = Seq(1, 4, 16).map { np =>
+      np -> recall(resultSets(
+        Ivf.annTopKFiltered(store, "vectors", queries, "vec_id", "e", K,
+          allowedIds, nprobe = np)),
+        exact)
+    }.toMap
+    info(s"filtered IVF recall@$K by nprobe: $r")
+    assert(r(1) <= r(4) + 1e-9 && r(4) <= r(16) + 1e-9,
+      s"filtered recall must not fall as nprobe grows: $r")
+    assert(r(16) === 1.0,
+      s"probing every cell must be exhaustive over the allowed set: $r")
+    // measured 0.45 at nprobe=4 vs unfiltered IVF's ~0.8 at the same
+    // depth — the filtered-trails-unfiltered gap the widened default
+    // narrows; floor pinned under the measured value
+    assert(r(4) >= 0.4, s"filtered default-band recall floor: $r")
+  }
+
   test("PQ/ADC recall@10 clears the floor; shortlist+exact-rerank clears a higher one") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-annr2").toString)
