@@ -73,4 +73,25 @@ class EmptyBatchSpec extends SparkSpec {
       .count() === 1)
     assert(Doctor.check(store) === Seq.empty)
   }
+
+  test("all-filtered quantile batches leave the sample table untouched") {
+    // the streaming sinks gate on batch.isEmpty, but the quantile
+    // sink ALSO gates on the post-null-filter frame — a batch whose
+    // rows all filter away must not pay (or even perform) a rewrite
+    val store = freshStore()
+    val sink = graft.streaming.StreamQuantiles
+      .quantilesSink(store, "docs", "grp", "id", "v", 4)
+    sink((0 until 10).map(i => ("g", i.toLong, i.toLong))
+      .toDF("grp", "id", "v"), 0L)
+    val name = graft.streaming.StreamQuantiles.sampleName("docs")
+    def files(): Set[String] = store.dataFiles(name).toSet
+    val before = files()
+    // every row nulls out: null grp and null value
+    val allNull = Seq((null.asInstanceOf[String], 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("grp", "id", "v")
+    sink(allNull, 1L)
+    assert(files() === before,
+      "an all-filtered batch rewrote the sample table")
+    assert(Doctor.check(store) === Seq.empty)
+  }
 }
