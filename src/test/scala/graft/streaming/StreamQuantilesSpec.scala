@@ -197,6 +197,30 @@ class StreamQuantilesSpec extends SparkSpec {
       s"KMV estimate ${est("big")} too far from 500")
   }
 
+  test("bucketized merges keep the file-stats manifest fresh (O(touched) maintenance)") {
+    // the custom-merge path shares refreshTouchedStats with the
+    // bucketed upsert: after a stats-backed sample takes more batches,
+    // the manifest must still describe exactly the live files (the
+    // Doctor freshness invariant) without a full rebuild
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 4)
+    sink((0 until 40).map(i => (s"g${i % 8}", i.toLong, i.toLong))
+      .toDF("grp", "id", "v"), 0L)
+    StreamQuantiles.ensureBucketedSample(store, "docs", 4)
+    val name = StreamQuantiles.sampleName("docs")
+    // conversion happens on the NEXT merge; then enable stats
+    sink(Seq(("g0", 100L, 1L)).toDF("grp", "id", "v"), 1L)
+    store.refreshFileStats(name)
+    assert(store.hasFileStats(name))
+    // two more touched-bucket merges must keep the manifest fresh
+    sink(Seq(("g1", 101L, 2L)).toDF("grp", "id", "v"), 2L)
+    sink(Seq(("g2", 102L, 3L), ("g3", 103L, 4L)).toDF("grp", "id", "v"), 3L)
+    val stale = graft.store.Doctor.check(store)
+      .filter(_.component == "file-stats")
+    assert(stale.isEmpty, s"manifest went stale under custom merges: $stale")
+    assert(graft.store.Doctor.check(store) === Seq.empty)
+  }
+
   test("a non-integral tie column is refused loudly, not silently dropped") {
     // string ties would null out under cast("long") — every batch row
     // silently filtered, a stale sample forever. The sink must refuse
