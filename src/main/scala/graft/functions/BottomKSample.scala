@@ -149,11 +149,34 @@ case class BottomKSample(
 }
 
 object BottomKSample {
-  /** Registry/extension builder: optional literal k (default 64). */
+  /** Registry/extension builder: optional literal k (default 64). The
+    * fourth argument must be a foldable non-null integral literal — a
+    * general SQL caller passing NULL, a column, or a string gets a
+    * named AnalysisException, not a bare NPE/ClassCastException.
+    */
   val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3 || exprs.length == 4,
+      s"bottom_k_sample expects (hash, tie, value[, k]); got ${exprs.length} arguments")
+    def badK(invalid: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+        messageParameters = Map(
+          "parameter" -> "`k`",
+          "functionName" -> "`bottom_k_sample`",
+          "invalidValue" -> invalid))
     val k =
-      if (exprs.length > 3) exprs(3).eval(null).asInstanceOf[Number].intValue
-      else 64
+      if (exprs.length > 3) {
+        val e = exprs(3)
+        if (!e.foldable) badK(e.sql)
+        e.eval(null) match {
+          case n: java.lang.Integer => n.intValue
+          case n: java.lang.Long => n.intValue
+          case n: java.lang.Short => n.intValue
+          case n: java.lang.Byte => n.intValue
+          case null => badK("NULL")
+          case other => badK(s"$other (${e.dataType.simpleString})")
+        }
+      } else 64
     BottomKSample(exprs(0), exprs(1), exprs(2), k)
   }
 

@@ -35,6 +35,18 @@ object StreamQuantiles {
 
   def sampleName(table: String): String = s"${table}_bks"
 
+  /** Collision-free estimate column name: integral percents keep the
+    * familiar `p50_est`; fractional ones carry their full digits
+    * (`p49_5_est` for 0.495), so two distinct requested ps can never
+    * alias one column and break a later select-by-name.
+    */
+  private[streaming] def pColName(p: Double): String = {
+    // via the decimal RENDERING of p, not p*100 in binary floating
+    // point (0.901 * 100 == 90.10000000000001)
+    val pct = (BigDecimal(p.toString) * 100).bigDecimal.stripTrailingZeros
+    s"p${pct.toPlainString.replace('.', '_').replace("-", "neg")}_est"
+  }
+
   /** The current per-group sample rows (grp, h, tie, v, k). */
   def sample(store: TableStore, table: String): DataFrame =
     store.read(sampleName(table))
@@ -52,7 +64,7 @@ object StreamQuantiles {
     val picks = ps.map { p =>
       element_at(col("sorted"),
         (floor(lit(p) * (size(col("sorted")) - 1)) + 1).cast("int"))
-        .as(s"p${(p * 100).round}_est")
+        .as(pColName(p))
     }
     sorted.select(col("grp") +: size(col("sorted")).cast("long").as("n_sample") +: picks: _*)
   }
@@ -68,13 +80,28 @@ object StreamQuantiles {
     * a sample keyed tie=value.
     */
   def cardinality(store: TableStore, table: String): DataFrame = {
-    val sk = sample(store, table)
+    // a declared-but-empty sample (bucketed before the first batch, or
+    // every row filtered) has no k to read — the estimate over zero
+    // history is the empty frame, not an NPE
+    def emptyResult: DataFrame = store.spark.createDataFrame(
+      store.spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("est_distinct",
+          org.apache.spark.sql.types.LongType))))
+    val sk = store.readIfExists(sampleName(table)) match {
+      case Some(df) => df
+      case None => return emptyResult
+    }
     require(sk.columns.contains("k"),
       s"${sampleName(table)} carries no k column — rebuild via the sink")
     // the sink stamps every row with its k on each merge, so max() is
     // THE k — the estimator cannot silently run with a mismatched
     // numerator (a 1-value agg, driver-read like the KMV constant)
-    val k = sk.agg(max(col("k"))).head.getInt(0)
+    val kRow = sk.agg(max(col("k"))).head
+    if (kRow.isNullAt(0)) return emptyResult
+    val k = kRow.getInt(0)
     val c = (k - 1).toDouble * 281474976710656.0 // (k−1)·2^48
     sk.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"), max(col("h")).as("hk"))
@@ -86,18 +113,38 @@ object StreamQuantiles {
   }
 
   /** Union + keep the k smallest (hash, tie) per group — the one
-    * merge body both layouts share. distinct() collapses a
-    * redelivered batch's duplicate (grp, tie) rows with the stored
-    * copy; that set-union is the whole redelivery story.
+    * merge body both layouts share. Duplicate (grp, tie) keys — a
+    * redelivered batch against the stored copy, or a redelivery whose
+    * value column changed between deliveries — collapse to the MIN
+    * value, the same rule as [[graft.functions.BottomKSample]].add,
+    * so the merged sample is a pure set function of the offered keys
+    * regardless of delivery order or value drift.
+    *
+    * An existing non-empty sample that LACKS the expected columns is
+    * a loud error, not a silent rebuild: an out-of-band or
+    * legacy-schema table must be repaired explicitly (Doctor treats
+    * the same condition as an integrity failure), never overwritten
+    * with a batch-only sample that loses the stream's history.
     */
   private def evict(
       existing: Option[DataFrame], batch: DataFrame, k: Int): DataFrame =
     existing
-      .filter(t => Seq("grp", "h", "tie", "v").forall(t.columns.contains))
-      .map(_.select(col("grp"), col("h"), col("tie"), col("v"))
-        .unionByName(batch.select(col("grp"), col("h"), col("tie"), col("v"))))
+      .map { t =>
+        val missing = Seq("grp", "h", "tie", "v").filterNot(t.columns.contains)
+        if (missing.isEmpty)
+          t.select(col("grp"), col("h"), col("tie"), col("v"))
+            .unionByName(batch.select(col("grp"), col("h"), col("tie"), col("v")))
+        else if (t.isEmpty) // zero-row shell (e.g. declared-bucketed): nothing lost
+          batch.select(col("grp"), col("h"), col("tie"), col("v"))
+        else throw new IllegalArgumentException(
+          s"existing sample table lacks column(s) ${missing.mkString(", ")} " +
+            s"(found ${t.columns.mkString(", ")}) — refusing to overwrite " +
+            "stream history with a batch-only sample; repair or drop the " +
+            "table explicitly")
+      }
       .getOrElse(batch.select(col("grp"), col("h"), col("tie"), col("v")))
-      .distinct()
+      .groupBy(col("grp"), col("h"), col("tie"))
+      .agg(min(col("v")).as("v"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("h"), col("tie"))))
       .filter(col("_rn") <= k)

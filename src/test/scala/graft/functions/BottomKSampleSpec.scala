@@ -87,6 +87,25 @@ class BottomKSampleSpec extends SparkSpec {
     assert(run(7) === Seq(7L, 10L))
   }
 
+  test("an invalid k argument raises a named AnalysisException, not an NPE") {
+    import org.apache.spark.sql.AnalysisException
+    BottomKSample.register(spark)
+    val df = Seq((1L, 1L, 5L)).toDF("h", "tie", "v").cache()
+    df.createOrReplaceTempView("bks_t")
+    def bad(sql: String): Unit = {
+      val ex = intercept[AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(ex.getMessage.contains("bottom_k_sample"), s"for [$sql]: ${ex.getMessage}")
+    }
+    bad("SELECT bottom_k_sample(h, tie, v, NULL) FROM bks_t")       // null literal
+    bad("SELECT bottom_k_sample(h, tie, v, h) FROM bks_t")          // non-foldable
+    bad("SELECT bottom_k_sample(h, tie, v, 'lots') FROM bks_t")     // non-numeric
+    // a good literal still works, including a long
+    assert(spark.sql("SELECT bottom_k_sample(h, tie, v, 4L) FROM bks_t")
+      .head.getSeq[Long](0) === Seq(5L))
+  }
+
   test("sample quantiles land near exact quantiles (uniform-hash guarantee)") {
     // k=64 over 3 groups of ~167 rows: the sampled median of a
     // 0..99(+400 spike) distribution must sit inside the central

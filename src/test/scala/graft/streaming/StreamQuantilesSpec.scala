@@ -235,6 +235,61 @@ class StreamQuantilesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { sink(frac, 1L) }
   }
 
+  test("a legacy-schema existing sample fails loudly instead of silently losing history") {
+    // an out-of-band table under the sample's name with the wrong
+    // columns must NOT be swap-overwritten by a batch-only sample —
+    // that would silently lose the whole stream history
+    val store = freshStore()
+    import spark.implicits._
+    store.overwrite(StreamQuantiles.sampleName("docs"),
+      Seq(("g", 1L)).toDF("grp", "old_value"))
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 8)
+    val batch = Seq(("g", 1L, 5L)).toDF("grp", "id", "v")
+    val ex = intercept[Exception] { sink(batch, 0L) }
+    assert(ex.getMessage.contains("refusing to overwrite"),
+      s"wrong failure: ${ex.getMessage}")
+    // the legacy table survives untouched
+    assert(store.read(StreamQuantiles.sampleName("docs"))
+      .columns.toSeq === Seq("grp", "old_value"))
+  }
+
+  test("cardinality over a declared-but-empty sample is empty, not an NPE") {
+    val store = freshStore()
+    StreamQuantiles.ensureBucketedSample(store, "docs", 4)
+    assert(StreamQuantiles.cardinality(store, "docs").collect().isEmpty)
+  }
+
+  test("redelivery with a drifted value collapses to min(v), matching the aggregate") {
+    // at-least-once delivery where the value column changed between
+    // deliveries: both rows carry the same (grp, tie) — the stored
+    // sample must hold ONE row with the minimum value (the
+    // BottomKSample.add rule), keeping the (grp, tie)-uniqueness
+    // Doctor invariant
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 8)
+    sink(Seq(("g", 1L, 50L)).toDF("grp", "id", "v"), 0L)
+    sink(Seq(("g", 1L, 20L)).toDF("grp", "id", "v"), 1L) // same tie, new value
+    val rows = StreamQuantiles.sample(store, "docs")
+      .select(col("grp"), col("tie"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("g", 1L, 20L)))
+  }
+
+  test("quantile column names never collide, even for ps rounding to the same percent") {
+    assert(StreamQuantiles.pColName(0.5) === "p50_est")
+    assert(StreamQuantiles.pColName(0.495) === "p49_5_est")
+    assert(StreamQuantiles.pColName(0.901) === "p90_1_est")
+    assert(StreamQuantiles.pColName(0.99) === "p99_est")
+    val store = freshStore()
+    val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", 64)
+    sink((0 until 100).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v"), 0L)
+    val qs = StreamQuantiles.quantiles(store, "docs", Seq(0.495, 0.5, 0.9, 0.901))
+    assert(qs.columns.toSeq ===
+      Seq("grp", "n_sample", "p49_5_est", "p50_est", "p90_est", "p90_1_est"))
+    assert(qs.columns.distinct.length === qs.columns.length)
+    qs.collect() // select-by-name downstream works
+  }
+
   test("redelivered batch is idempotent with no watermark at all") {
     val store = freshStore()
     val sink = StreamQuantiles.quantilesSink(store, "docs", "grp", "id", "v", k)
