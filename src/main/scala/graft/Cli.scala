@@ -137,13 +137,8 @@ object Cli {
         val raw = spark.read.option("multiLine", true)
           .schema(graft.schema.TwitterSchemas.tweet(2)).json(args(2))
         val tables = graft.ingest.Normalize.saveTweets(raw)
-        Seq("users", "sources", "places", "media").foreach(t =>
-          tables.get(t).foreach(df => store.upsert(t, df, Seq("id"))))
-        graft.state.Watermarks.saveUserCounts(store, tables("users"),
-          graft.sources.TimelineIngest.utcNowIso())
-        tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
-        tables.get("media_tweets").foreach(df =>
-          store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
+        graft.ingest.TweetSink(store, tables,
+          Some(graft.sources.TimelineIngest.utcNowIso()))
         println(s"[save-tweets] ${store.read("tweets").count()} tweets total")
       case "fts-index" =>
         val buckets = if (args.length > 5) args(5).toInt else 0
@@ -473,6 +468,46 @@ object Cli {
         graft.streaming.StreamQuantiles.quantiles(store, args(2), ps)
           .orderBy(org.apache.spark.sql.functions.col("grp"))
           .show(100, truncate = false)
+      case "govern" =>
+        // govern <store> <table,...|--tweets> — opt tables into the
+        // epoch-pointer commit: every later write (incl. the
+        // save-tweets multi-table fan-out) becomes all-or-nothing for
+        // readers, matching the reference's per-batch SQLite txn
+        val tables =
+          if (args(2) == "--tweets") graft.ingest.TweetSink.Tables
+          else args(2).split(",").toSeq
+        store.ensureGoverned(tables)
+        println(s"[govern] ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "vacuum-epochs" =>
+        // vacuum-epochs <store> — reclaim files replaced by epoch
+        // commits (run with no readers mid-query over old epochs)
+        store.vacuumEpochs()
+        println("[vacuum-epochs] done")
+      case "estimate" =>
+        // estimate <store> <table> [col:lo:hi ...] — manifest-driven
+        // cardinality estimate, zero data I/O (Explain --stats form)
+        val preds = args.drop(3).toSeq.map { p =>
+          val Array(c, lo, hi) = p.split(":")
+          (c, lo.toLong, hi.toLong)
+        }
+        println("[estimate] " + Explain.statsReport(store, args(2), preds))
+      case "hybrid-search" =>
+        // hybrid-search <store> <table> <k> <qvec-csv> <terms...> —
+        // RRF fusion of BM25 (FTS index) and cosine (SQ8 index)
+        val k = args(3).toInt
+        val qv = args(4).split(",").map(_.toDouble)
+        graft.store.Hybrid.searchRrf(spark, store, args(2),
+            args.drop(5).mkString(" "), qv, k)
+          .show(k, truncate = false)
+      case "lsh-pairs-filtered" =>
+        // lsh-pairs-filtered <store> <table> <allowedCsv> <pk ...> —
+        // near-dup candidates of the probe pks, deduped only AGAINST
+        // the allowed set (metadata-scoped near-dup lookup)
+        import spark.implicits._
+        val allowed = args(3).split(",").map(_.toLong).toSeq.toDF("pk")
+        Lsh.candidatesForFiltered(store, args(2),
+            args.drop(4).map(_.toLong).toSeq.toDF("pk"), allowed)
+          .orderBy("doc_a", "doc_b").show(50, truncate = false)
       case "doctor" =>
         val issues = graft.store.Doctor.check(store)
         if (issues.isEmpty) println("[doctor] ok — no integrity issues")

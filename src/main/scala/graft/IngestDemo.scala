@@ -28,13 +28,8 @@ object IngestDemo {
       .json(input)
     val tables = Normalize.saveTweets(raw)
     val store = new TableStore(spark, storeDir)
-    // FK-safe order: dimensions before facts before links
-    Seq("users", "sources", "places", "media").foreach { t =>
-      tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
-    }
-    tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
-    tables.get("media_tweets").foreach(df =>
-      store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
+    // FK-safe order, atomic when the store governs the tweet tables
+    graft.ingest.TweetSink(store, tables, now = None)
 
     store.tableNames.foreach { t =>
       println(s"[ingest] $t: ${store.read(t).count()} rows")

@@ -59,17 +59,10 @@ object TimelineIngest {
           .schema(TwitterSchemas.tweet(2))
           .json(page.toDS)
         val tables = Normalize.saveTweets(raw, favoritedBy)
-        Seq("users", "sources", "places", "media").foreach { t =>
-          tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
-        }
-        // A2: follower/friend/listed count CDC rides every user save
-        // (utils.py:433 save_user_counts inside save_tweets)
-        Watermarks.saveUserCounts(store, tables("users"), now())
-        tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
-        tables.get("media_tweets").foreach(df =>
-          store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
-        tables.get("favorited_by").foreach(df =>
-          store.upsert("favorited_by", df, Seq("user", "tweet")))
+        // FK-safe fan-out incl. the A2 count CDC (utils.py:433
+        // save_user_counts inside save_tweets), atomic per page when
+        // the store governs the tweet tables
+        graft.ingest.TweetSink(store, tables, Some(now()))
         // provenance links + the since_id watermark use the PAGE's
         // top-level tweets only — nested quoted/retweeted statuses are
         // normalized into `tweets` but never appeared in the timeline

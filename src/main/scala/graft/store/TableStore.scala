@@ -22,7 +22,18 @@ class TableStore(val spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  def read(name: String): DataFrame =
+    if (isGoverned(name)) {
+      val refs = liveRefs(name)
+      if (refs.isEmpty) spark.read.parquet(path(name)) // same error surface as an empty dir
+      else refs.groupBy(_.base).toSeq.sortBy(_._1.toString).map { case (b, rs) =>
+        // basePath keeps Hive partition discovery working per source
+        // dir (committed files under the table dir; staged files
+        // under their staging dir, mid-transaction only)
+        spark.read.option("basePath", b.toString)
+          .parquet(rs.map(r => new Path(b, r.rel).toString): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else spark.read.parquet(path(name))
 
   // a dir holding only markers (ensureBucketed before first write) has
   // no schema to read — treat it as absent
@@ -34,6 +45,7 @@ class TableStore(val spark: SparkSession, root: String) {
     else fs.listStatus(new Path(root)).filter(_.isDirectory)
       .map(_.getPath.getName)
       .filterNot(_.endsWith(".__tmp")) // stale swap leftovers are not tables
+      .filterNot(_.startsWith("_")) // store bookkeeping (_graft_epoch)
       .toSeq.sorted
 
   /** Atomic-ish replace: write to `<name>.__tmp`, then swap. A failed
@@ -42,6 +54,7 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   private def writeSwapped(
       name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    if (isGoverned(name)) { withTxWrite(tx => stageReplace(tx, name, df, partitionBy)); return }
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -85,6 +98,7 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    if (isGoverned(name)) { withTxWrite(tx => stagePartitions(tx, name, df, partitionBy)); return }
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)
@@ -92,6 +106,7 @@ class TableStore(val spark: SparkSession, root: String) {
   }
 
   def drop(name: String): Unit = {
+    if (isGoverned(name)) ungovern(name)
     val dst = new Path(path(name))
     if (fs.exists(dst)) fs.delete(dst, true)
   }
@@ -102,6 +117,15 @@ class TableStore(val spark: SparkSession, root: String) {
     * present in the written frame).
     */
   def dropPartition(name: String, partCol: String, value: String): Unit = {
+    if (isGoverned(name)) {
+      // a metadata-only pending update: the partition's files leave
+      // the live set at commit (physical deletion is vacuum's job)
+      withTxWrite { tx =>
+        tx.pending(name) = liveRefs(name)
+          .filterNot(_.rel.startsWith(s"$partCol=$value/"))
+      }
+      return
+    }
     val dst = new Path(path(name) + s"/$partCol=$value")
     if (fs.exists(dst)) fs.delete(dst, true)
   }
@@ -386,7 +410,10 @@ class TableStore(val spark: SparkSession, root: String) {
     * footer-read only the files the overwrite just replaced.
     */
   private def refreshTouchedStats(name: String, touched: Seq[Long]): Unit =
-    if (hasFileStats(name)) {
+    // a table pending in an open transaction defers its stats refresh
+    // to the commit (which rebuilds from the post-flip live set)
+    if (activeTx.exists(_.pending.contains(name))) ()
+    else if (hasFileStats(name)) {
       import org.apache.spark.sql.functions.{col, split}
       val segs = touched.map(b => s"$BucketCol=$b")
       val keepOld = spark.read.parquet(statsPath(name).toString)
@@ -477,6 +504,12 @@ class TableStore(val spark: SparkSession, root: String) {
     * Shares fileStats' skip rules via the same bookkeeping filter.
     */
   def dataFiles(name: String): Seq[String] = {
+    // governed tables answer from the commit manifest: the live set,
+    // never the directory (which also holds retired files until
+    // vacuum and, mid-commit-crash, orphaned staged files)
+    if (isGoverned(name))
+      return liveRefs(name).map(fr =>
+        fs.makeQualified(new Path(fr.base, fr.rel)).toString)
     TableStore.driverListings.incrementAndGet()
     def walk(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -494,6 +527,10 @@ class TableStore(val spark: SparkSession, root: String) {
     * signal `compact` acts on.
     */
   def fileStats(name: String): (Long, Long) = {
+    if (isGoverned(name)) {
+      val sts = dataFiles(name).map(f => fs.getFileStatus(new Path(f)))
+      return (sts.size.toLong, sts.map(_.getLen).sum)
+    }
     def walk(p: Path): (Long, Long) =
       fs.listStatus(p).foldLeft((0L, 0L)) { case ((n, b), st) =>
         val base = st.getPath.getName
@@ -756,7 +793,10 @@ class TableStore(val spark: SparkSession, root: String) {
   /** Footer min/max rows for `files`, read DISTRIBUTED — one Spark
     * task per slice of the file list, so a 10^6-file manifest build is
     * a cluster job, not a driver loop. Emits one presence row plus one
-    * row per column with stats, file paths relativized to `base`.
+    * row per column with stats, file paths relativized to `base`. The
+    * presence row's `mn` carries the file's ROW COUNT (footer total),
+    * which is what [[estimateRows]] sums for manifest-driven
+    * cardinality estimates; its `mx` stays 0.
     */
   private def footerStatsDf(
       files: Seq[String], cols: Seq[String], base: String): DataFrame = {
@@ -771,8 +811,8 @@ class TableStore(val spark: SparkSession, root: String) {
         val conf = bc.value.value
         it.flatMap { f =>
           val rel = f.stripPrefix(prefix)
-          (rel, "", 0L, 0L) +: TableStore.footerEnvelope(f, conf, cols)
-            .map { case (c, mn, mx) => (rel, c, mn, mx) }
+          val (nRows, env) = TableStore.footerEnvelope(f, conf, cols)
+          (rel, "", nRows, 0L) +: env.map { case (c, mn, mx) => (rel, c, mn, mx) }
         }
       }.toDF("file", "col", "mn", "mx")
   }
@@ -795,7 +835,8 @@ class TableStore(val spark: SparkSession, root: String) {
     * footer-free pruning; every write path keeps it fresh thereafter.
     */
   def refreshFileStats(name: String): Unit =
-    writeStatsManifest(name,
+    if (activeTx.exists(_.pending.contains(name))) () // deferred to commit
+    else writeStatsManifest(name,
       footerStatsDf(dataFiles(name), statCols(name), qualifiedDir(name)))
 
   /** The maintained manifest as a DataFrame of (file, col, mn, mx)
@@ -846,7 +887,7 @@ class TableStore(val spark: SparkSession, root: String) {
         val files = dataFiles(name)
         val conf = spark.sparkContext.hadoopConfiguration
         files.map(f => (f,
-          TableStore.footerEnvelope(f, conf, cols)
+          TableStore.footerEnvelope(f, conf, cols)._2
             .map { case (c, mn, mx) => c -> (mn, mx) }.toMap))
     }
 
@@ -875,6 +916,31 @@ class TableStore(val spark: SparkSession, root: String) {
     * provably hold no matching rows). The caller still applies the
     * row-level filter; this trims the FILE list.
     */
+  /** Manifest-driven cardinality estimate for a pruned range scan —
+    * the reference's progress-bar estimate (A3,
+    * `/root/reference/cli.py:151-157` guesses work from count fields
+    * before fetching) promoted to the query layer: the sum of the
+    * ROW COUNTS of exactly the files [[pruneFiles]] keeps for
+    * `preds`, read from the presence rows' footer totals — zero data
+    * I/O, zero file opens on a manifest-backed table. With no
+    * predicates this is the table's total row count. The estimate is
+    * an UPPER BOUND on the rows a filtered scan returns (kept files
+    * may hold non-matching rows) and EXACT for the file-level scan
+    * (readPruned(preds).count() — a spec pins both). None when the
+    * table has no stats manifest (estimate would cost footer opens —
+    * callers fall back to counting or opt in via refreshFileStats).
+    */
+  def estimateRows(
+      name: String, preds: Seq[(String, Long, Long)] = Nil): Option[Long] =
+    fileStatsTable(name).map { st =>
+      import org.apache.spark.sql.functions.col
+      val keep = pruneFiles(name, preds).toSet
+      // presence rows: col = "", mn = file row count
+      st.filter(col("col") === "").collect()
+        .filter(r => keep(r.getString(0)))
+        .map(_.getLong(2)).sum
+    }
+
   def readPruned(
       name: String, preds: Seq[(String, Long, Long)]): DataFrame = {
     val keep = pruneFiles(name, preds)
@@ -885,6 +951,322 @@ class TableStore(val spark: SparkSession, root: String) {
       // reads, so a partitioned table's partition columns survive and
       // both branches return the same schema as read(name)
       spark.read.option("basePath", path(name)).parquet(keep: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Epoch-pointer commit log — atomic MULTI-TABLE visibility. The
+  // reference wraps each streamed tweet's six table writes in one
+  // SQLite transaction (`/root/reference/cli.py:664-668` `with
+  // db.conn:`; save_tweets touches tweets/users/places/sources/media/
+  // media_tweets, `utils.py:411-446`), so a reader never observes a
+  // tweet whose user row hasn't landed. The per-table swap above is
+  // atomic per TABLE only; this section restores the reference's
+  // point-in-time guarantee with the design every table format at this
+  // scale uses (Delta/Iceberg snapshot logs): writes STAGE files,
+  // reads resolve through a commit pointer, and one pointer-file
+  // rename flips every governed table from all-old to all-new at once.
+  //
+  // Layout under `<root>/_graft_epoch/`:
+  //   commit-<epoch%020d>   lines `<table>\t<listfile>` — THE pointer;
+  //                         readers resolve the max-epoch file
+  //   files-<table>-<epoch> one live data-file rel path per line
+  //                         (immutable once written; unchanged tables
+  //                         re-reference their old list, so a commit
+  //                         writes O(changed tables' files) metadata,
+  //                         not O(store) — the Iceberg manifest-list
+  //                         trick)
+  //   stage/<...>           per-transaction staging dirs
+  //
+  // Governance is opt-in per table (ensureGoverned): un-governed
+  // tables keep the plain swap exactly as before. For governed tables
+  // EVERY write path routes through staging — a write outside an
+  // explicit `transact` block becomes its own single-table commit, so
+  // compaction, z-order, upserts and markers all stay correct without
+  // knowing about epochs. Untouched files carry across epochs BY
+  // REFERENCE (the new list names the old files), so the bucketed
+  // upsert keeps its O(touched buckets) property through an atomic
+  // commit — nothing is ever copied.
+  //
+  // Crash matrix: before the pointer rename, readers resolve the old
+  // commit and see the complete OLD state of every table (staged or
+  // even already-moved files are unreferenced and invisible); after
+  // it, the complete NEW state. Replaced files stay on disk until
+  // [[vacuumEpochs]], so a reader that planned against the old commit
+  // finishes its scan. Single writer per store root (the reference's
+  // SQLite model); readers are unrestricted and cross-process.
+
+  private def epochDir = new Path(root, "_graft_epoch")
+  private def stageRoot = new Path(epochDir, "stage")
+
+  /** A live file: `base` is the table dir for committed files or a
+    * staging dir mid-transaction; `rel` preserves the Hive partition
+    * subpath so moved files keep their layout.
+    */
+  private case class FileRef(base: Path, rel: String, staged: Boolean)
+
+  private class TxState {
+    val pending = scala.collection.mutable.LinkedHashMap[String, Seq[FileRef]]()
+    val staging = scala.collection.mutable.Buffer[Path]()
+    var n = 0
+  }
+  private var activeTx: Option[TxState] = None
+
+  // commit + list files are IMMUTABLE once written (fresh name per
+  // epoch), so caching parsed content by file name is safe across
+  // writers — only the latest-pointer LISTING hits the FS per resolve
+  private val commitCache = scala.collection.mutable.HashMap[String, Map[String, String]]()
+  private val listCache = scala.collection.mutable.HashMap[String, Seq[String]]()
+
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+  private def writeSmall(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listCommits(): Seq[(Long, Path)] =
+    if (!fs.exists(epochDir)) Nil
+    else fs.listStatus(epochDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("commit-"))
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("commit-").toLong).toOption.map(_ -> p))
+      .sortBy(_._1)
+
+  /** (epoch, table → list-file name) of the latest commit, if any. */
+  private def currentCommit: Option[(Long, Map[String, String])] =
+    listCommits().lastOption.map { case (e, p) =>
+      (e, commitCache.getOrElseUpdate(p.getName,
+        readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
+          .collect { case Array(t, lf) => t -> lf }.toMap))
+    }
+
+  /** Tables whose visibility is governed by the commit pointer. */
+  def governed: Set[String] = currentCommit.map(_._2.keySet).getOrElse(Set.empty)
+
+  private def isGoverned(name: String): Boolean =
+    fs.exists(epochDir) && currentCommit.exists(_._2.contains(name))
+
+  private def committedRefs(name: String): Seq[FileRef] =
+    currentCommit.flatMap(_._2.get(name)).toSeq.flatMap { lf =>
+      listCache.getOrElseUpdate(lf,
+        readSmall(new Path(epochDir, lf)).linesIterator.filter(_.nonEmpty).toSeq)
+        .map(r => FileRef(new Path(path(name)), r, staged = false))
+    }
+
+  /** Post-pending live set inside a transaction, committed set outside. */
+  private def liveRefs(name: String): Seq[FileRef] =
+    activeTx.flatMap(_.pending.get(name)).getOrElse(committedRefs(name))
+
+  private def walkParquetRel(dir: Path): Seq[String] = {
+    val prefix = dir.toString + "/"
+    def walk(p: Path): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val base = st.getPath.getName
+        if (base.startsWith("_") || base.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (base.endsWith(".parquet"))
+          Seq(fs.makeQualified(st.getPath).toString
+            .stripPrefix(fs.makeQualified(dir).toString + "/").stripPrefix(prefix))
+        else Nil
+      }
+    walk(dir)
+  }
+
+  /** Opt `names` into epoch-pointer governance: their CURRENT files
+    * become epoch 1 (or join the live epoch), and every later write —
+    * plain upsert, bucketed merge, compact, overwrite — stages and
+    * commits through the pointer. Idempotent for already-governed
+    * tables; a table that does not exist yet is governed empty (its
+    * first write creates it atomically).
+    */
+  def ensureGoverned(names: Seq[String]): Unit = {
+    require(activeTx.isEmpty, "cannot change governance inside a transaction")
+    val (epoch, tables) = currentCommit.getOrElse((0L, Map.empty[String, String]))
+    val missing = names.filterNot(tables.contains)
+    if (missing.isEmpty) return
+    val next = epoch + 1
+    fs.mkdirs(epochDir)
+    val added = missing.map { n =>
+      val rels =
+        if (exists(n)) walkParquetRel(new Path(path(n))) else Seq.empty[String]
+      val lf = s"files-$n-$next"
+      writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
+      n -> lf
+    }
+    writeSmall(new Path(epochDir, f"commit-$next%020d"),
+      (tables ++ added).toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+  }
+
+  private def ungovern(name: String): Unit = {
+    require(activeTx.isEmpty, "cannot change governance inside a transaction")
+    currentCommit.foreach { case (epoch, tables) =>
+      if (tables.contains(name))
+        writeSmall(new Path(epochDir, f"commit-${epoch + 1}%020d"),
+          (tables - name).toSeq.sorted
+            .map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+    }
+  }
+
+  /** Run `f` with every governed-table write STAGED, then commit them
+    * all with one pointer flip: a reader — concurrent or after a crash
+    * anywhere inside `f` or before the flip — sees either the complete
+    * old state of every table or the complete new state, never a
+    * mixture. This is the engine's equivalent of the reference's
+    * per-tweet SQLite transaction around save_tweets' six table
+    * writes. Writes to UN-governed tables inside `f` apply
+    * immediately (they are outside the atomic group by construction).
+    * Any exception aborts: staging is discarded, nothing was visible.
+    */
+  def transact[T](f: => T): T = {
+    require(activeTx.isEmpty, "nested transact is not supported")
+    val tx = new TxState
+    activeTx = Some(tx)
+    val r =
+      try f
+      catch {
+        case e: Throwable =>
+          activeTx = None
+          tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
+          throw e
+      }
+    activeTx = None
+    commitTx(tx)
+    r
+  }
+
+  /** Inside a transaction: record with it. Outside: a governed write
+    * is its own single-table transaction (stage + immediate commit),
+    * so non-transactional callers stay correct without code changes.
+    */
+  private def withTxWrite(f: TxState => Unit): Unit = activeTx match {
+    case Some(tx) => f(tx)
+    case None => transact(f(activeTx.get))
+  }
+
+  private def newStageDir(tx: TxState, name: String): Path = {
+    tx.n += 1
+    val p = new Path(stageRoot, s"$name-${java.util.UUID.randomUUID().toString.take(8)}-${tx.n}")
+    fs.mkdirs(p)
+    tx.staging += p
+    p
+  }
+
+  /** Whole-table replace, staged: the transactional twin of
+    * writeSwapped's delete-and-rename.
+    */
+  private def stageReplace(
+      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    val stage = newStageDir(tx, name)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    tx.pending(name) =
+      walkParquetRel(stage).map(r => FileRef(stage, r, staged = true))
+  }
+
+  /** Dynamic-partition overwrite, staged: partitions present in `df`
+    * swap their file lists; all other live files carry across BY
+    * REFERENCE — the O(touched buckets) property survives the commit.
+    */
+  private def stagePartitions(
+      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    val stage = newStageDir(tx, name)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(stage.toString)
+    val staged = walkParquetRel(stage)
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val replaced = staged.map(dirOf).toSet
+    val kept = liveRefs(name).filterNot(fr => replaced.contains(dirOf(fr.rel)))
+    tx.pending(name) = kept ++ staged.map(r => FileRef(stage, r, staged = true))
+  }
+
+  /** Test seam: invoked after staged files are moved into place but
+    * BEFORE the commit pointer is written — the crash window the
+    * atomicity spec kills a writer in.
+    */
+  private[graft] var beforeCommitFlip: () => Unit = () => ()
+
+  private def commitTx(tx: TxState): Unit = {
+    if (tx.pending.isEmpty) {
+      tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
+      return
+    }
+    val (epoch, tables) = currentCommit.getOrElse((0L, Map.empty[String, String]))
+    require(tx.pending.keySet.subsetOf(tables.keySet),
+      s"transaction wrote un-governed tables ${tx.pending.keySet.toSet -- tables.keySet}")
+    val next = epoch + 1
+    // 1. move staged files into the table dirs (metadata renames;
+    //    invisible to readers — nothing references them yet)
+    val finalRels: Seq[(String, Seq[String])] = tx.pending.toSeq.map {
+      case (name, refs) =>
+        name -> refs.map { fr =>
+          if (!fr.staged) fr.rel
+          else {
+            val src = new Path(fr.base, fr.rel)
+            val dst0 = new Path(path(name), fr.rel)
+            fs.mkdirs(dst0.getParent)
+            // Spark part names carry a job UUID, so collisions are
+            // theoretical — but never silently overwrite a live file
+            val dst =
+              if (!fs.exists(dst0)) dst0
+              else new Path(dst0.getParent, s"e$next-${dst0.getName}")
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"rename $src -> $dst failed; commit aborted (pointer " +
+                  "unflipped — readers still see the old epoch)")
+            val rel = fr.rel.take(fr.rel.lastIndexOf('/') + 1) + dst.getName
+            rel
+          }
+        }
+    }
+    beforeCommitFlip()
+    // 2. new file lists for CHANGED tables only; unchanged tables
+    //    re-reference their existing immutable list (O(changed) commit)
+    val newTables = tables ++ finalRels.map { case (n, rels) =>
+      val lf = s"files-$n-$next"
+      writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
+      n -> lf
+    }
+    // 3. THE atomic step: one fresh pointer file; readers resolve the
+    //    max epoch, so visibility flips for every table at once
+    writeSmall(new Path(epochDir, f"commit-$next%020d"),
+      newTables.toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+    // 4. keep the stats manifests of changed tables fresh (the Doctor
+    //    invariant); governed dataFiles resolves the new live set
+    finalRels.foreach { case (n, _) => if (hasFileStats(n)) refreshFileStats(n) }
+    // 5. staging dirs are spent (their files moved out)
+    tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
+  }
+
+  /** Reclaim space: delete governed tables' data files no commit
+    * references (replaced files kept for in-flight readers, plus any
+    * orphans from a crash between file moves and the pointer flip),
+    * prune superseded commit pointers and list files, and clear stale
+    * staging. Run when no readers are mid-query over old epochs — the
+    * retention contract every snapshot store has.
+    */
+  def vacuumEpochs(): Unit = {
+    require(activeTx.isEmpty, "cannot vacuum inside a transaction")
+    currentCommit.foreach { case (_, tables) =>
+      tables.keys.foreach { n =>
+        val live = committedRefs(n).map(_.rel).toSet
+        walkParquetRel(new Path(path(n))).filterNot(live)
+          .foreach(r => fs.delete(new Path(path(n), r), false))
+      }
+      listCommits().dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+      val liveLists = tables.values.toSet
+      fs.listStatus(epochDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("files-") && !liveLists(p.getName))
+        .foreach(p => fs.delete(p, false))
+      if (fs.exists(stageRoot))
+        fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }
 
@@ -897,22 +1279,23 @@ object TableStore {
     */
   private[graft] val driverListings = new java.util.concurrent.atomic.AtomicLong
 
-  /** Footer [min, max] of integral `cols` for one parquet file — the
-    * shared core of the manifest build (executor-side, inside
-    * mapPartitions) and the legacy driver walk. Only the footer is
-    * read; data pages are never touched.
+  /** Footer (row count, [min, max] of integral `cols`) for one
+    * parquet file — the shared core of the manifest build
+    * (executor-side, inside mapPartitions) and the legacy driver
+    * walk. Only the footer is read; data pages are never touched.
     */
   private[store] def footerEnvelope(
       file: String,
       conf: org.apache.hadoop.conf.Configuration,
-      cols: Seq[String]): Seq[(String, Long, Long)] = {
+      cols: Seq[String]): (Long, Seq[(String, Long, Long)]) = {
     import scala.jdk.CollectionConverters._
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new Path(file), conf))
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
-      cols.flatMap { c =>
+      val nRows = blocks.map(_.getRowCount).sum
+      (nRows, cols.flatMap { c =>
         val stats = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == c).map(_.getStatistics))
         if (stats.isEmpty || stats.exists(s =>
@@ -920,7 +1303,7 @@ object TableStore {
         else Some((c,
           stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
           stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
-      }
+      })
     } finally r.close()
   }
 }

@@ -123,14 +123,11 @@ object StreamNormalize {
     val tweets = fixStreaming(controlFilter(batch))
     if (tweets.isEmpty) return
     val tables = Normalize.saveTweets(tweets)
-    Seq("users", "sources", "places", "media").foreach { t =>
-      tables.get(t).foreach(df => store.upsert(t, df, Seq("id")))
-    }
-    graft.state.Watermarks.saveUserCounts(store, tables("users"),
-      graft.sources.TimelineIngest.utcNowIso())
-    tables.get("tweets").foreach(df => store.upsert("tweets", df, Seq("id")))
-    tables.get("media_tweets").foreach(df =>
-      store.upsert("media_tweets", df, Seq("media_id", "tweets_id")))
+    // one atomic multi-table commit per micro-batch when the store
+    // governs the tweet tables (the reference's per-tweet transaction,
+    // cli.py:664-668); a pass-through otherwise
+    graft.ingest.TweetSink(store, tables,
+      Some(graft.sources.TimelineIngest.utcNowIso()))
   }
 
   /** Wire a parsed tweet stream into the sink. `jsonLines` is a

@@ -100,6 +100,39 @@ class CliSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("govern / vacuum-epochs / estimate / hybrid-search / lsh-pairs-filtered dispatch") {
+    val dir = freshDir()
+    val store = new TableStore(spark, dir)
+    val docs = (0 until 30).map { i =>
+      val text = if (i < 5) s"alpha beta document number $i words"
+        else s"unrelated filler text item $i"
+      (i.toLong, text, (0 until 8).map(d => math.cos(i * 8.0 + d)))
+    }.toDF("pk", "text", "e")
+    store.overwrite("docs", docs)
+
+    cli("govern", dir, "docs")
+    assert(store.governed === Set("docs"))
+    // a governed write commits through the pointer; vacuum reclaims
+    store.upsert("docs",
+      Seq((100L, "alpha beta fresh", (0 until 8).map(_ => 0.5)))
+        .toDF("pk", "text", "e"), Seq("pk"))
+    assert(store.read("docs").count() === 31L)
+    cli("vacuum-epochs", dir)
+    assert(store.read("docs").count() === 31L)
+
+    cli("refresh-stats", dir, "docs")
+    cli("estimate", dir, "docs", "pk:0:10")
+
+    cli("fts-index", dir, "docs", "pk", "text")
+    cli("sq-index", dir, "docs", "pk", "e")
+    val qv = (0 until 8).map(d => math.cos(d.toDouble)) // ≈ doc 0's vector
+    cli("hybrid-search", dir, "docs", "5", qv.mkString(","), "alpha", "beta")
+
+    cli("lsh-index", dir, "docs", "pk", "text")
+    cli("lsh-pairs-filtered", dir, "docs", "1,2,3", "0")
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("an unknown verb fails loudly instead of doing nothing") {
     val ex = intercept[RuntimeException] { cli("frobnicate", freshDir()) }
     assert(ex.getMessage.contains("unknown command"))

@@ -1,0 +1,240 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Atomic multi-table visibility through the epoch-pointer commit log:
+  * the reference wraps save_tweets' six table writes in one SQLite
+  * transaction (`/root/reference/cli.py:664-668`), so a reader never
+  * observes a torn multi-table state. These specs kill the writer at
+  * every interesting point — mid-transaction, and in the crash window
+  * between staged-file moves and the pointer flip — and prove a
+  * concurrent reader (a separate TableStore over the same root, the
+  * cross-process reader model) sees the complete OLD state of every
+  * governed table, then the complete NEW state only after the flip.
+  */
+class EpochCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-epoch").toString
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select(col("id").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("ungoverned stores are pass-throughs: transact leaves no epoch machinery behind") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.transact {
+      store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    }
+    assert(rows(store.read("t")) === Set((1L, "a")))
+    assert(store.governed === Set.empty)
+    assert(!new java.io.File(s"$root/_graft_epoch").exists())
+    // and the plain directory read still serves it (no manifest)
+    assert(rows(spark.read.parquet(s"$root/t")) === Set((1L, "a")))
+  }
+
+  test("an exception between table N and N+1 leaves readers on the complete old state") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("users", Seq((1L, "old-user")).toDF("id", "v"), Seq("id"))
+    store.upsert("tweets", Seq((10L, "old-tweet")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("users", "tweets"))
+
+    val boom = intercept[RuntimeException] {
+      store.transact {
+        store.upsert("users", Seq((2L, "new-user")).toDF("id", "v"), Seq("id"))
+        throw new RuntimeException("killed between users and tweets")
+      }
+    }
+    assert(boom.getMessage.contains("killed"))
+    // the writer's own store AND a fresh cross-process reader both see
+    // the complete old state of BOTH tables
+    val reader = new TableStore(spark, root)
+    Seq(store, reader).foreach { s =>
+      assert(rows(s.read("users")) === Set((1L, "old-user")))
+      assert(rows(s.read("tweets")) === Set((10L, "old-tweet")))
+    }
+    // the store is not wedged: a retry lands both tables atomically
+    store.transact {
+      store.upsert("users", Seq((2L, "new-user")).toDF("id", "v"), Seq("id"))
+      store.upsert("tweets", Seq((11L, "new-tweet")).toDF("id", "v"), Seq("id"))
+    }
+    assert(rows(reader.read("users")) === Set((1L, "old-user"), (2L, "new-user")))
+    assert(rows(reader.read("tweets")) === Set((10L, "old-tweet"), (11L, "new-tweet")))
+  }
+
+  test("a concurrent reader mid-transaction sees old state; the writer sees its own writes") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("users", Seq((1L, "old")).toDF("id", "v"), Seq("id"))
+    store.upsert("tweets", Seq((10L, "old")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("users", "tweets"))
+    val reader = new TableStore(spark, root)
+    store.transact {
+      store.upsert("users", Seq((2L, "new")).toDF("id", "v"), Seq("id"))
+      // reader: both tables still the complete OLD state (users was
+      // already written by the transaction, tweets not yet — exactly
+      // the torn window the per-table swap used to expose)
+      assert(rows(reader.read("users")) === Set((1L, "old")))
+      assert(rows(reader.read("tweets")) === Set((10L, "old")))
+      // writer: read-your-writes inside the transaction
+      assert(rows(store.read("users")) === Set((1L, "old"), (2L, "new")))
+      store.upsert("tweets", Seq((11L, "new")).toDF("id", "v"), Seq("id"))
+    }
+    assert(rows(reader.read("users")) === Set((1L, "old"), (2L, "new")))
+    assert(rows(reader.read("tweets")) === Set((10L, "old"), (11L, "new")))
+  }
+
+  test("a crash between file moves and the pointer flip is invisible; redelivery converges") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("users", Seq((1L, "old")).toDF("id", "v"), Seq("id"))
+    store.upsert("tweets", Seq((10L, "old")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("users", "tweets"))
+    store.beforeCommitFlip = () => throw new RuntimeException("power cut")
+    try {
+      intercept[RuntimeException] {
+        store.transact {
+          store.upsert("users", Seq((2L, "new")).toDF("id", "v"), Seq("id"))
+          store.upsert("tweets", Seq((11L, "new")).toDF("id", "v"), Seq("id"))
+        }
+      }
+    } finally store.beforeCommitFlip = () => ()
+    // staged files were already MOVED into the table dirs — but the
+    // pointer never flipped, so a fresh reader resolves the old epoch
+    // and sees the complete old state of both tables
+    val reader = new TableStore(spark, root)
+    assert(rows(reader.read("users")) === Set((1L, "old")))
+    assert(rows(reader.read("tweets")) === Set((10L, "old")))
+    // at-least-once redelivery of the same batch converges
+    store.transact {
+      store.upsert("users", Seq((2L, "new")).toDF("id", "v"), Seq("id"))
+      store.upsert("tweets", Seq((11L, "new")).toDF("id", "v"), Seq("id"))
+    }
+    assert(rows(reader.read("users")) === Set((1L, "old"), (2L, "new")))
+    assert(rows(reader.read("tweets")) === Set((10L, "old"), (11L, "new")))
+    // vacuum reclaims the crash's orphaned files + replaced epochs;
+    // the live state is untouched
+    store.vacuumEpochs()
+    assert(rows(reader.read("users")) === Set((1L, "old"), (2L, "new")))
+    assert(rows(reader.read("tweets")) === Set((10L, "old"), (11L, "new")))
+  }
+
+  test("a governed write outside transact is its own atomic single-table commit") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(rows(store.read("t")) === Set((1L, "a"), (2L, "b")))
+    val reader = new TableStore(spark, root)
+    assert(rows(reader.read("t")) === Set((1L, "a"), (2L, "b")))
+    // replaced files linger for in-flight readers until vacuum
+    store.vacuumEpochs()
+    assert(rows(reader.read("t")) === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("bucketed governed table: O(touched) maintenance survives the atomic commit") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    val b0 = (0 until 64).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    store.ensureBucketed("t", Seq("id"), 8)
+    store.upsert("t", b0, Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    val before = store.dataFiles("t").toSet
+    // a 1-row batch touches exactly one bucket
+    store.upsert("t", Seq((1000L, "x")).toDF("id", "v"), Seq("id"))
+    val after = store.dataFiles("t").toSet
+    // untouched buckets' files carried across BY REFERENCE (same
+    // physical files, no copy) — the O(touched buckets) property
+    val carried = before.intersect(after)
+    assert(carried.size >= 6,
+      s"expected most bucket files untouched; before=${before.size} " +
+        s"after=${after.size} carried=${carried.size}")
+    assert(after !== before) // the touched bucket WAS replaced
+    val got = store.read("t")
+    assert(got.count() === 65)
+    assert(rows(got.filter(col("id") === 1000L)) === Set((1000L, "x")))
+    // the layout still declares bucketing and reads still carry the
+    // partition column for pruning
+    assert(store.bucketLayoutOf("t") === Some((8, Seq("id"))))
+    assert(got.columns.contains(store.BucketCol))
+    // content identical to an ungoverned twin taking the same batches
+    val twinRoot = freshRoot()
+    val twin = new TableStore(spark, twinRoot)
+    twin.ensureBucketed("t", Seq("id"), 8)
+    twin.upsert("t", b0, Seq("id"))
+    twin.upsert("t", Seq((1000L, "x")).toDF("id", "v"), Seq("id"))
+    assert(rows(store.read("t")) === rows(twin.read("t")))
+  }
+
+  test("stats manifest stays fresh across governed commits (Doctor invariant)") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    store.refreshFileStats("t")
+    assert(store.hasFileStats("t"))
+    store.transact {
+      store.upsert("t", Seq((100L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    val stale = Doctor.check(store).filter(_.component == "file-stats")
+    assert(stale.isEmpty, s"manifest went stale across a governed commit: $stale")
+    // the manifest-backed prune still answers from the live set
+    val pruned = store.readPruned("t", Seq(("id", 100L, 100L)))
+    assert(rows(pruned.filter(col("id") === 100L)) === Set((100L, "x")))
+  }
+
+  test("vacuum reclaims replaced files and superseded pointers, never live data") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    (2 to 4).foreach(i =>
+      store.upsert("t", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+    def diskFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/t")).count(_.getName.endsWith(".parquet"))
+    }
+    val beforeVac = diskFiles()
+    store.vacuumEpochs()
+    val afterVac = diskFiles()
+    assert(afterVac < beforeVac, s"vacuum freed nothing ($beforeVac -> $afterVac)")
+    assert(afterVac === store.dataFiles("t").size)
+    assert(rows(store.read("t")) ===
+      Set((1L, "a"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
+  }
+
+  test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    val raw = spark.read.option("multiLine", true)
+      .schema(graft.schema.TwitterSchemas.tweet(2))
+      .json(resource("tweets.json"))
+    val tables = graft.ingest.Normalize.saveTweets(raw)
+    store.ensureGoverned(graft.ingest.TweetSink.Tables)
+    // crash in the final commit window: NOTHING of the batch is visible
+    store.beforeCommitFlip = () => throw new RuntimeException("power cut")
+    try intercept[RuntimeException] {
+      graft.ingest.TweetSink(store, tables, now = None)
+    } finally store.beforeCommitFlip = () => ()
+    val reader = new TableStore(spark, root)
+    graft.ingest.TweetSink.Tables.foreach { t =>
+      assert(reader.readIfExists(t).forall(_.isEmpty),
+        s"torn visibility: $t has rows after a killed commit")
+    }
+    // redelivery lands the whole fan-out atomically
+    graft.ingest.TweetSink(store, tables, now = None)
+    assert(reader.read("tweets").count() === 5)
+    assert(reader.read("users").count() === 3)
+    assert(reader.read("sources").count() === 4)
+    assert(reader.read("media_tweets").count() === 1)
+  }
+}
