@@ -1481,7 +1481,106 @@ object SimilarityOps {
        |FROM reach GROUP BY src
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_hybrid_rrf — hybrid lexical + semantic retrieval, the serving
+  // shape RAG pipelines deploy (and the natural fusion of the two
+  // index families this engine maintains — store/Hybrid.searchRrf is
+  // the persisted-index form; this op is the same math as a pure
+  // query). Two independent rankings over the same doc space:
+  //   lexical — q_fts_ranked's tf-sum relevance for MATCH
+  //     'spark AND vector' (integer score, bit-exact);
+  //   semantic — exact cosine of every other doc's embedding against
+  //     doc 0's (the pinned left-fold double kernel).
+  // Each leg truncates to depth 50 (ranks are UNDEFINED below the
+  // retrieval depth — the truncated-list RRF form), then reciprocal-
+  // rank fusion: rrf(d) = Σ 1/(60 + rank_leg(d)), absent legs
+  // contribute 0 (Cormack et al., SIGIR'09; K=60 is the paper's
+  // constant). Ranks fuse, never raw scores — BM25's unbounded sums
+  // and cosine's [-1,1] need no calibration. Float parity: 1/(60+r)
+  // is one exact-operand double division and the sum adds two such
+  // doubles — bit-identical in any IEEE engine, no rounding slop.
+  // Scale: each leg is a bounded top-depth list (posting-pruned scan;
+  // broadcast probe over the candidate scan), so the fusion join
+  // touches ≤2·depth rows regardless of corpus size.
+  private val rrfK = 60
+  private val rrfDepth = 50
+
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lexTop = Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.ingest.Transforms.tokens(col("text"))).as("token"))
+      .filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"), countDistinct(col("token")).as("n_terms"))
+      .filter(col("n_terms") === 2)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(rrfDepth)
+    // rank windows run AFTER the limit: a ≤depth-row frame, so the
+    // unpartitioned window is bounded work, not a corpus funnel
+    val lex = lexTop.withColumn("lex_rank", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("norm").as("qnorm"))
+    val semTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(rrfDepth)
+    val sem = semTop.withColumn("sem_rank", row_number().over(
+      Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0))).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, COUNT(*) AS score
+       |  FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS token
+       |    FROM documents)
+       |  WHERE token IN ('spark', 'vector')
+       |  GROUP BY doc_id
+       |  HAVING COUNT(DISTINCT token) = 2
+       |), lexr AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id, score,
+       |      row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |    FROM lex)
+       |  ORDER BY score DESC, doc_id LIMIT $rrfDepth
+       |), emb AS (
+       |  SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |), semr AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT doc_id, cosine,
+       |      row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+       |    FROM (
+       |      SELECT c.vec_id AS doc_id,
+       |        ${dotSql("q.e", "c.e")} / (q.norm * c.norm) AS cosine
+       |      FROM emb c JOIN emb q ON q.vec_id = 0 AND c.vec_id <> 0))
+       |  ORDER BY cosine DESC, doc_id LIMIT $rrfDepth
+       |)
+       |SELECT doc_id,
+       |  COALESCE(1.0 / ($rrfK + lex_rank), 0.0) +
+       |    COALESCE(1.0 / ($rrfK + sem_rank), 0.0) AS rrf,
+       |  lex_rank, sem_rank
+       |FROM lexr FULL JOIN semr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Op("q_pq_encode", pqEncode, Some(pqEncodeSql)),
     Op("q_ann_ivfpq_topk", annIvfPqTopK, Some(annIvfPqTopKSql)),
     Op("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
