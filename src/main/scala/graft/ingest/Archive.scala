@@ -56,36 +56,65 @@ object Archive {
 
   /** Distributed form of [[readArchiveZip]] for BULK historical loads:
     * every zip matching `pathGlob` unpacks inside the task that reads
-    * it (binaryFile source → per-archive ZipInputStream walk, same
-    * member rules as the driver-side walk), landing one
-    * (archive, file, content) row per .js member. This is the "land
+    * it, landing one (archive, file, content) row per .js member with
+    * the same member rules as the driver-side walk. This is the "land
     * extracted .js on object storage with one Spark job" step the
     * scale notes call for — a million per-account archives extract
-    * with cluster parallelism and never move through the driver; the
-    * per-account import semantics (drop-and-recreate per table) then
-    * run over the extracted rows unchanged. One archive must fit in
-    * one task's memory (they are per-account sized — the same bound
-    * the reference's in-process unzip imposes on its host).
+    * with cluster parallelism and never move through the driver.
+    *
+    * The task STREAMS each archive (`FileSystem.open` →
+    * `ZipInputStream`, one member decompressed at a time) rather than
+    * materializing the zip's bytes as a row: the former binaryFile
+    * form loaded whole archives into single rows, which hits Spark's
+    * 2 GB row ceiling and pressures executor memory on multi-GB
+    * archives. Per-task memory is now bounded by the LARGEST SINGLE
+    * MEMBER (the row the member becomes — an irreducible bound),
+    * independent of archive size. The driver holds only the path
+    * listing (one string per archive — the same footprint any file
+    * source's planning index pays).
     */
   def readArchiveZipsDistributed(
       spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (archivePath, bytes) =>
-        val archive = archivePath.split("/").last
-        val zin = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = Seq.newBuilder[(String, String, String)]
-        var e = zin.getNextEntry
-        while (e != null) {
-          if (e.getName.endsWith(".js") && !e.getName.startsWith("assets/"))
-            out += ((archive, e.getName.split("/").last,
-              new String(zin.readAllBytes(), "UTF-8")))
-          e = zin.getNextEntry
+    import org.apache.hadoop.fs.Path
+    val glob = new Path(pathGlob)
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = Option(fs.globStatus(glob)).toSeq.flatten
+      .filter(_.isFile).map(st => fs.makeQualified(st.getPath).toString)
+    val bc = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration))
+    val par = math.max(1,
+      math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(par)
+      .mapPartitions { it =>
+        val conf = bc.value.value
+        it.flatMap { ap =>
+          val p = new Path(ap)
+          val archive = p.getName
+          val zin = new java.util.zip.ZipInputStream(
+            new java.io.BufferedInputStream(p.getFileSystem(conf).open(p)))
+          // lazy per-entry iterator: only one member's bytes live at a
+          // time; the stream closes when the archive is exhausted
+          new Iterator[(String, String, String)] {
+            private var nextRow: (String, String, String) = null
+            private var closed = false
+            private def advance(): Unit = {
+              while (nextRow == null && !closed) {
+                val e = zin.getNextEntry
+                if (e == null) { zin.close(); closed = true }
+                else if (e.getName.endsWith(".js") &&
+                    !e.getName.startsWith("assets/"))
+                  nextRow = (archive, e.getName.split("/").last,
+                    new String(zin.readAllBytes(), "UTF-8"))
+              }
+            }
+            override def hasNext: Boolean = { advance(); nextRow != null }
+            override def next(): (String, String, String) = {
+              advance()
+              val r = nextRow; nextRow = null; r
+            }
+          }
         }
-        out.result()
       }
       .toDF("archive", "file", "content")
   }

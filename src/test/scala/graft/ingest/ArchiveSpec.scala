@@ -239,4 +239,29 @@ class ArchiveSpec extends SparkSpec {
     assert(got === want)
     assert(got.map(_._2) === Set("follower.js", "app.js", "following.js"))
   }
+
+  test("distributed zip scan streams many-member archives; empty glob is empty") {
+    // the streamed path (FileSystem.open → ZipInputStream, one member
+    // at a time — never the whole archive as a row) must yield exactly
+    // the driver walk on a many-member archive
+    val dir = java.nio.file.Files.createTempDirectory("graft-zips-m").toFile
+    val f = new File(dir, "big.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    (0 until 100).foreach { i =>
+      zos.putNextEntry(new ZipEntry(s"part$i.js"))
+      zos.write(s"""window.YTD.t$i.part0 = [{"i": $i}]""".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.putNextEntry(new ZipEntry("assets/no.js")); zos.write("x".getBytes); zos.closeEntry()
+    zos.close()
+    val got = Archive
+      .readArchiveZipsDistributed(spark, dir.getAbsolutePath + "/*.zip")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    val want = Archive.readArchiveZip(f.getAbsolutePath).toSet
+    assert(got === want)
+    assert(got.size === 100)
+    // a glob matching nothing returns an empty frame, not a crash
+    assert(Archive.readArchiveZipsDistributed(
+      spark, dir.getAbsolutePath + "/nope-*.zip").count() === 0L)
+  }
 }
