@@ -252,7 +252,32 @@ object Lsh {
     * (queries/DedupOps.jaccardVerify).
     */
   def candidatesFor(
-      store: TableStore, table: String, pks: DataFrame): DataFrame = {
+      store: TableStore, table: String, pks: DataFrame): DataFrame =
+    candidateSearch(store, table, pks, allowed = None)
+
+  /** Filtered near-dup lookup — [[candidatesFor]] under a metadata
+    * predicate, completing the filtered-search ladder (the LSH family
+    * was the one probe path without it): the corpus SIDE of every
+    * returned pair must appear in `allowed` (one pk column). This is
+    * the PRE-filter design the rest of the ladder uses
+    * ([[AnnFilter]]): the predicate semi-joins the band-pruned index
+    * scan BEFORE pair expansion, so cost is selectivity-proportional
+    * — a rare predicate shrinks the join, it never starves the
+    * result (every allowed collision is still found; LshSpec pins
+    * both purity and the no-starvation equivalence). The probe pks
+    * themselves are exempt from the predicate — the caller chose
+    * them; `allowed` scopes what they are deduped AGAINST. A
+    * probe-probe pair therefore surfaces iff the pair's OTHER member
+    * passes `allowed`, the same one-sided rule as probe-corpus pairs.
+    */
+  def candidatesForFiltered(
+      store: TableStore, table: String, pks: DataFrame,
+      allowed: DataFrame): DataFrame =
+    candidateSearch(store, table, pks, Some(allowed))
+
+  private def candidateSearch(
+      store: TableStore, table: String, pks: DataFrame,
+      allowed: Option[DataFrame]): DataFrame = {
     val probePks = pks.toDF("pk")
     val bucketList = store.read(mapName(table))
       .join(probePks, Seq("pk"), "left_semi")
@@ -260,9 +285,13 @@ object Lsh {
     val idx = store.read(indexName(table))
       .withColumn(BucketCol, col(BucketCol).cast("long"))
       .filter(col(BucketCol).isin(bucketList: _*))
+    // probe bands come from the UNFILTERED scan (a probe's own rows
+    // must never be predicate-dropped — the caller chose the probes);
+    // the candidate side is pre-filtered before the band join
     val probeBands = idx.join(probePks, Seq("pk"), "left_semi")
       .select(col("pk").as("probe_pk"), col("band_idx"), col("band"))
-    idx.join(broadcast(probeBands), Seq("band_idx", "band"))
+    val cand = allowed.fold(idx)(AnnFilter.semiJoinAllowed(idx, _, "pk"))
+    cand.join(broadcast(probeBands), Seq("band_idx", "band"))
       .filter(col("pk") =!= col("probe_pk"))
       .select(least(col("pk"), col("probe_pk")).as("doc_a"),
         greatest(col("pk"), col("probe_pk")).as("doc_b"))

@@ -195,6 +195,48 @@ class LshSpec extends SparkSpec {
     assert(oneScan.selectedPartitions.partitionCount === probeBucketVals.size)
   }
 
+  test("filtered candidatesFor: predicate purity and no starvation (SqSpec's contract)") {
+    val (store, _) = freshStore()
+    Lsh.buildIndex(store, "documents", corpus, "doc_id", "text")
+    val probes = Seq(0L).toDF("pk")
+    // unfiltered: doc 0 collides with its exact dup 1 and near dup 2
+    val unfiltered = pairSet(Lsh.candidatesFor(store, "documents", probes))
+    assert(unfiltered === Set((0L, 1L), (0L, 2L)))
+    // predicate excludes the STRONGEST collider (1) — the allowed
+    // near dup (2) must still surface: pre-filter never starves
+    val allowed = Seq(2L, 3L, 5L).toDF("pk")
+    val got = pairSet(Lsh.candidatesForFiltered(
+      store, "documents", probes, allowed))
+    assert(got === Set((0L, 2L)))
+    // purity: the non-probe side of every pair passes the predicate
+    val allowedSet = Set(2L, 3L, 5L)
+    got.foreach { case (a, b) =>
+      val other = if (a == 0L) b else a
+      assert(allowedSet(other), s"predicate leaked: ($a, $b)")
+    }
+    // equivalence: filtered == unfiltered restricted to allowed others
+    assert(got === unfiltered.filter { case (a, b) =>
+      allowedSet(if (a == 0L) b else a)
+    })
+    // empty predicate → empty result, not an error
+    assert(pairSet(Lsh.candidatesForFiltered(store, "documents", probes,
+      Seq.empty[Long].toDF("pk"))) === Set.empty)
+  }
+
+  test("filtered candidatesFor: probe-probe pairs follow the one-sided rule") {
+    val (store, _) = freshStore()
+    Lsh.buildIndex(store, "documents", corpus, "doc_id", "text")
+    // both twins (3, 4) probe together; 4 passes the predicate, so
+    // the (3, 4) pair surfaces exactly once via 3's probe
+    val probes = Seq(3L, 4L).toDF("pk")
+    val got = pairSet(Lsh.candidatesForFiltered(
+      store, "documents", probes, Seq(4L).toDF("pk")))
+    assert(got === Set((3L, 4L)))
+    // neither twin allowed → no pair, even though both probe
+    assert(pairSet(Lsh.candidatesForFiltered(
+      store, "documents", probes, Seq(5L).toDF("pk"))) === Set.empty)
+  }
+
   test("incremental maintenance == from-scratch index (any batch sequence, seeded)") {
     // the Lsh analog of FtsSpec's trigger-parity property: ANY
     // sequence of upsert batches leaves exactly the index (and map) a
