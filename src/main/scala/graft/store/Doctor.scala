@@ -133,7 +133,38 @@ object Doctor {
           s"$files files for $bytes bytes (packed floor ≈ $floor): " +
             s"small-file fragmentation — run `$verb`"))
       } else None
+    } ++ centroidDrift(store)
+
+  /** IVF centroid-drift advisories ([[IvfDrift]]): cells train once,
+    * so after heavy post-training upserts the occupancy distribution
+    * skews away from the train-time snapshot and probe recall decays
+    * silently — degraded, not wrong, hence a SUGGEST finding with a
+    * retrain recommendation (one buildIndex re-run — the Kmeans.train
+    * path the index was born from — rewrites cells and snapshot).
+    */
+  private def centroidDrift(store: TableStore): Seq[Issue] = {
+    val names = store.tableNames.toSet
+    names.toSeq.sorted.filter(_.endsWith("_cents_train")).flatMap { snap =>
+      val cents = snap.stripSuffix("_train")
+      val famBase = cents.stripSuffix("_cents") // <table>_ivf[pq|sq|bin]
+      val map = s"${famBase}_map"
+      IvfDrift.report(store, cents, map).flatMap { r =>
+        val reasons = Seq(
+          if (r.tv > 0.25)
+            Some(f"occupancy shape drifted (TV ${r.tv}%.2f > 0.25)")
+          else None,
+          if (r.growth > 2.0)
+            Some(f"corpus grew ${r.growth}%.1fx past the training snapshot " +
+              f"(${r.nTrain} -> ${r.nNow} vectors)")
+          else None).flatten
+        if (reasons.isEmpty) None
+        else Some(Issue("ivf-drift", famBase,
+          reasons.mkString("; ") + " — probe recall decays silently; " +
+            "retrain the coarse quantizer (re-run buildIndex / kmeans " +
+            "training) to restore the recall floor"))
+      }
     }
+  }
 
   /** Execute every [[suggest]] finding — closing the self-driving
     * maintenance loop: `check` names what is WRONG, `suggest` what is

@@ -68,6 +68,9 @@ object Ivf {
       .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
     store.overwrite(centsName(table), cents)
     upsertWithCells(store, table, emb, pkCol, embCol)
+    // train-time occupancy snapshot: the IvfDrift baseline a later
+    // `doctor suggest` compares against to recommend a retrain
+    IvfDrift.snapshot(store, centsName(table), mapName(table))
   }
 
   /** Upsert embedding rows AND their cell index: the batch assigns

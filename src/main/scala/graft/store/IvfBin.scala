@@ -90,6 +90,7 @@ object IvfBin {
       .withColumn("cent_norm", sqrt(dot(col("cent_e"), col("cent_e"))))
     store.overwrite(centsName(table), cents)
     upsertWithCodes(store, table, emb, pkCol, embCol)
+    IvfDrift.snapshot(store, centsName(table), mapName(table))
   }
 
   /** Upsert embedding rows AND their cell-partitioned blobs: assign

@@ -94,6 +94,7 @@ object IvfPq {
     // upsertWithCodes here would redo the full-corpus assignment pass
     indexResiduals(store, table, resid, books, slices, subDim)
     store.upsert(table, emb, Seq(pkCol))
+    IvfDrift.snapshot(store, centsName(table), mapName(table))
   }
 
   /** Encode a (pk, cell, r) residual frame against `books` and merge

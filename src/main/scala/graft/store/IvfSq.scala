@@ -125,6 +125,7 @@ object IvfSq {
         .groupBy(col("pos"))
         .agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
     upsertWithCodes(store, table, emb, pkCol, embCol)
+    IvfDrift.snapshot(store, centsName(table), mapName(table))
   }
 
   /** Upsert embedding rows AND their cell-partitioned codes: assign
