@@ -3,9 +3,7 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{array, call_function, lit}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -137,24 +135,27 @@ private[graft] object FtsMarkCore {
   }
 }
 
-/** `fts_highlight(text, terms, open, close)` — see [[FtsMarkCore]]. */
+/** `fts_highlight(text, terms, open, close)` — see [[FtsMarkCore]].
+  * Compiled via [[NaryKernelCodegen]] (the last kernel family the
+  * round-8 codegen sweep left interpreted): the highlight projection
+  * stays inside the surrounding WholeStageCodegen span, which matters
+  * because a ranked-search page at corpus scale highlights millions
+  * of matched rows, not the handful a test store holds.
+  */
 case class FtsHighlight(
     text: Expression, terms: Expression, open: Expression, close: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with NaryKernelCodegen {
 
   override def children: Seq[Expression] = Seq(text, terms, open, close)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "fts_highlight"
 
-  override def eval(input: InternalRow): Any = {
-    val t = text.eval(input)
-    val ts = terms.eval(input)
-    if (t == null || ts == null) return null
-    val termSeq = FtsMark.termStrings(ts)
+  override def kernel(a: Array[Any]): Any = {
+    if (a(0) == null || a(1) == null) return null
     UTF8String.fromString(FtsMarkCore.highlight(
-      t.asInstanceOf[UTF8String].toString, termSeq,
-      FtsMark.str(open, input), FtsMark.str(close, input)))
+      a(0).asInstanceOf[UTF8String].toString, FtsMark.termStrings(a(1)),
+      FtsMark.strOrEmpty(a(2)), FtsMark.strOrEmpty(a(3))))
   }
 
   override protected def withNewChildrenInternal(
@@ -164,12 +165,13 @@ case class FtsHighlight(
 }
 
 /** `fts_snippet(text, terms, open, close, ellipsis, ntok)` — see
-  * [[FtsMarkCore]].
+  * [[FtsMarkCore]] and the codegen note on [[FtsHighlight]]. A null
+  * `ntok` yields a null snippet (both paths share the one kernel).
   */
 case class FtsSnippet(
     text: Expression, terms: Expression, open: Expression,
     close: Expression, ellipsis: Expression, nTok: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with NaryKernelCodegen {
 
   override def children: Seq[Expression] =
     Seq(text, terms, open, close, ellipsis, nTok)
@@ -177,15 +179,12 @@ case class FtsSnippet(
   override def nullable: Boolean = true
   override def prettyName: String = "fts_snippet"
 
-  override def eval(input: InternalRow): Any = {
-    val t = text.eval(input)
-    val ts = terms.eval(input)
-    if (t == null || ts == null) return null
+  override def kernel(a: Array[Any]): Any = {
+    if (a(0) == null || a(1) == null || a(5) == null) return null
     UTF8String.fromString(FtsMarkCore.snippet(
-      t.asInstanceOf[UTF8String].toString, FtsMark.termStrings(ts),
-      FtsMark.str(open, input), FtsMark.str(close, input),
-      FtsMark.str(ellipsis, input),
-      nTok.eval(input).asInstanceOf[Number].intValue))
+      a(0).asInstanceOf[UTF8String].toString, FtsMark.termStrings(a(1)),
+      FtsMark.strOrEmpty(a(2)), FtsMark.strOrEmpty(a(3)),
+      FtsMark.strOrEmpty(a(4)), a(5).asInstanceOf[Number].intValue))
   }
 
   override protected def withNewChildrenInternal(
@@ -197,11 +196,8 @@ case class FtsSnippet(
 
 object FtsMark {
 
-  private[functions] def str(e: Expression, input: InternalRow): String =
-    e.eval(input) match {
-      case null => ""
-      case s    => s.asInstanceOf[UTF8String].toString
-    }
+  private[functions] def strOrEmpty(v: Any): String =
+    if (v == null) "" else v.asInstanceOf[UTF8String].toString
 
   private[functions] def termStrings(arr: Any): Seq[String] = {
     val a = arr.asInstanceOf[ArrayData]

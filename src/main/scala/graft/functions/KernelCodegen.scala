@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 
 /** Whole-stage-codegen adapter for the one-argument text/hash kernels
   * (grams, MinHash, SimHash, winnowing, CDC chunking, trigram stats).
@@ -47,4 +49,52 @@ private[functions] trait KernelCodegen extends UnaryExpression {
          |else { ${ev.value} = ${kernelUnbox(s"(($kernelJavaType) $r)")}; }
          |""".stripMargin
     })
+}
+
+/** N-ary sibling of [[KernelCodegen]] for kernels over several child
+  * expressions (the FtsMark highlight/snippet family — text + terms +
+  * marker arguments). The children evaluate inside the generated code
+  * (so a `terms` ARRAY literal or a per-row column both work), their
+  * null-or-value results box into one Object[], and the expression
+  * instance's own [[kernel]] — the SAME body interpreted eval runs —
+  * produces the result: one compiled call per row, no interpreted
+  * dispatch, no WholeStageCodegen span break, and the two paths
+  * cannot drift because there is only one body.
+  *
+  * Null contract: the kernel sees every child's value with nulls AS
+  * nulls and decides the result itself (highlight treats a null
+  * marker as ""; a null text is a null result) — the expression is
+  * therefore declared nullable and never uses Catalyst's null-safe
+  * shortcut.
+  */
+private[functions] trait NaryKernelCodegen extends Expression {
+
+  /** Row kernel over the children's evaluated values (null-aware:
+    * argument i is null iff child i evaluated to null; a null return
+    * is a null result). Interpreted eval and generated code both call
+    * exactly this.
+    */
+  def kernel(args: Array[Any]): Any
+
+  override def eval(input: InternalRow): Any =
+    kernel(children.map(_.eval(input)).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val ref = ctx.addReferenceObj("kernelExpr", this,
+      classOf[NaryKernelCodegen].getName)
+    // (Object) applies Java's boxing conversion to primitive children
+    val args = evals
+      .map(e => s"${e.isNull} ? null : (Object) ${e.value}").mkString(", ")
+    val r = ctx.freshName("nkr")
+    val jt = CodeGenerator.javaType(dataType)
+    val childCode = evals.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |Object $r = $ref.kernel(new Object[] {$args});
+        |boolean ${ev.isNull} = ($r == null);
+        |$jt ${ev.value} = ${ev.isNull} ?
+        |  ${CodeGenerator.defaultValue(dataType)} : (($jt) $r);
+        |""".stripMargin)
+  }
 }

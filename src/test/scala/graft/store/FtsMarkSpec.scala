@@ -11,6 +11,55 @@ import graft.functions.FtsMarkCore
 class FtsMarkSpec extends SparkSpec {
   import spark.implicits._
 
+  test("highlight/snippet run codegen-only and match interpreted rows; no span break") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.FtsMark
+    val docs = Seq(
+      (1L, "Spark streams sparkly data. spark!"),
+      (2L, "vector search; vectors win"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "stream processing. stream... processing!"))
+      .toDF("id", "text")
+    def marks(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+      FtsMark.ftsHighlight(spark, col("text"), Seq("spark", "vector*")).as("h"),
+      FtsMark.ftsSnippet(spark, col("text"), Seq("stream processing"),
+        nTok = 3).as("s"))
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    val oldEx = conf.getOption("spark.sql.optimizer.excludedRules")
+    // keep the LocalRelation from being pre-evaluated interpreted —
+    // the KernelCodegenSpec vacuity guard
+    val localCollapse =
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+    def rows(mode: String): Seq[String] = {
+      conf.set("spark.sql.codegen.factoryMode", mode)
+      marks(docs).collect().map(_.toString).sorted.toSeq
+    }
+    try {
+      conf.set("spark.sql.optimizer.excludedRules", localCollapse)
+      conf.set("spark.sql.codegen.fallback", "false")
+      val interpreted = rows("NO_CODEGEN")
+      val compiled = rows("CODEGEN_ONLY")
+      assert(compiled === interpreted)
+      assert(interpreted.exists(_.contains("null"))) // null text path ran
+      // the marking PROJECT sits inside a WholeStageCodegen span —
+      // no CodegenFallback break left in the highlight path
+      val plan = marks(docs).queryExecution.executedPlan.toString
+      val projLine = plan.linesIterator
+        .find(_.contains("fts_highlight")).getOrElse("")
+      assert(projLine.trim.startsWith("*("),
+        s"highlight project fell out of WholeStageCodegen:\n$plan")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", oldMode)
+      restore("spark.sql.codegen.fallback", oldFb)
+      restore("spark.sql.optimizer.excludedRules", oldEx)
+    }
+  }
+
   test("highlight core: token boundaries, case, phrases, prefixes, overlap merge") {
     def h(text: String, terms: String*): String =
       FtsMarkCore.highlight(text, terms, "[", "]")
