@@ -4,9 +4,37 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints the formatted physical plan for selected
   * queries so pushdown / broadcast / codegen decisions can be
-  * reviewed. Usage: tools/run_main.sh graft.Explain [query ...]
+  * reviewed. Usage:
+  *   tools/run_main.sh graft.Explain [query ...]
+  *   tools/run_main.sh graft.Explain --stats <storeRoot> <table> [col:lo:hi ...]
+  * The --stats mode prints the MANIFEST-driven cardinality estimate
+  * for a (optionally range-predicated) scan — file counts and row
+  * totals answered from `_graft_stats` presence rows with zero data
+  * I/O (TableStore.estimateRows; the reference's A3 progress
+  * estimate promoted to the query layer).
   */
 object Explain {
+
+  /** The --stats report, separated from main for spec coverage. */
+  def statsReport(
+      store: graft.store.TableStore, table: String,
+      preds: Seq[(String, Long, Long)]): String =
+    store.estimateRows(table, preds) match {
+      case None =>
+        s"$table: no stats manifest — run refresh-stats to opt in"
+      case Some(est) =>
+        val total = store.estimateRows(table).get
+        val kept = store.pruneFiles(table, preds).size
+        val all = store.dataFiles(table).size
+        val predStr =
+          if (preds.isEmpty) "(no predicates)"
+          else preds.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }
+            .mkString(" AND ")
+        s"$table $predStr: estimated rows = $est of $total total " +
+          s"(files kept = $kept of $all); estimate is exact for the " +
+          "file-level scan, an upper bound after the row filter"
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -15,6 +43,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("--stats")) {
+      val store = new graft.store.TableStore(spark, args(1))
+      val preds = args.drop(3).toSeq.map { p =>
+        val Array(c, lo, hi) = p.split(":")
+        (c, lo.toLong, hi.toLong)
+      }
+      println(statsReport(store, args(2), preds))
+      spark.stop()
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
