@@ -96,6 +96,19 @@ object Doctor {
       }
       if (store.hasFileStats(t)) issues ++= fileStatsFresh(store, t)
     }
+    // epoch-governed tables: every committed file must exist on disk —
+    // an out-of-band deletion breaks reads loudly at scan time, so
+    // name it here first (the commit log is the source of truth;
+    // unreferenced EXTRA files are normal pre-vacuum state and a
+    // `suggest` matter, not an error)
+    store.governed.toSeq.sorted.foreach { t =>
+      val missing = store.missingCommittedFiles(t)
+      if (missing.nonEmpty)
+        issues += Issue("epoch", t,
+          s"commit references ${missing.size} missing file(s) " +
+            s"(e.g. ${missing.head}) — out-of-band deletion; restore " +
+            "the files or rebuild and re-govern the table")
+    }
     issues.result()
   }
 
@@ -133,7 +146,23 @@ object Doctor {
           s"$files files for $bytes bytes (packed floor ≈ $floor): " +
             s"small-file fragmentation — run `$verb`"))
       } else None
-    } ++ centroidDrift(store)
+    } ++ centroidDrift(store) ++ epochGarbage(store)
+
+  /** Epoch-store garbage advisories: unreferenced files from replaced
+    * epochs (or commit-crash orphans) are NORMAL pre-vacuum state —
+    * in-flight readers may still scan them — but past a handful they
+    * are pure listing/storage overhead, so suggest the reclaim.
+    */
+  private def epochGarbage(store: TableStore): Seq[Issue] =
+    store.governed.toSeq.sorted.flatMap { t =>
+      val orphans = store.unreferencedFiles(t)
+      if (orphans.size >= 8)
+        Some(Issue("vacuum", t,
+          s"${orphans.size} unreferenced files from replaced epochs — " +
+            "run `vacuum-epochs <store>` (with no readers mid-query " +
+            "over old epochs)"))
+      else None
+    }
 
   /** IVF centroid-drift advisories ([[IvfDrift]]): cells train once,
     * so after heavy post-training upserts the occupancy distribution

@@ -1201,6 +1201,9 @@ class TableStore(val spark: SparkSession, root: String) {
     require(tx.pending.keySet.subsetOf(tables.keySet),
       s"transaction wrote un-governed tables ${tx.pending.keySet.toSet -- tables.keySet}")
     val next = epoch + 1
+    // pre-flip live sets, for the O(changed) stats refresh in step 4
+    val committedBefore: Map[String, Set[String]] =
+      tx.pending.keys.map(n => n -> committedRefs(n).map(_.rel).toSet).toMap
     // 1. move staged files into the table dirs (metadata renames;
     //    invisible to readers — nothing references them yet)
     val finalRels: Seq[(String, Seq[String])] = tx.pending.toSeq.map {
@@ -1238,11 +1241,48 @@ class TableStore(val spark: SparkSession, root: String) {
     writeSmall(new Path(epochDir, f"commit-$next%020d"),
       newTables.toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
     // 4. keep the stats manifests of changed tables fresh (the Doctor
-    //    invariant); governed dataFiles resolves the new live set
-    finalRels.foreach { case (n, _) => if (hasFileStats(n)) refreshFileStats(n) }
+    //    invariant) at O(changed files): rows for files still live
+    //    carry over, only the NEWLY COMMITTED files are footer-read —
+    //    a full refreshFileStats here would re-open every file of a
+    //    10^6-file table per batch commit
+    finalRels.foreach { case (n, rels) =>
+      if (hasFileStats(n)) {
+        val live = rels.toSet
+        val prior = committedBefore.getOrElse(n, Set.empty)
+        val fresh = rels.filterNot(prior)
+        val keepOld = spark.read.parquet(statsPath(n).toString)
+          .filter(org.apache.spark.sql.functions.col("file")
+            .isInCollection(live.intersect(prior)))
+        writeStatsManifest(n, keepOld.unionByName(footerStatsDf(
+          fresh.map(r => fs.makeQualified(new Path(path(n), r)).toString),
+          statCols(n), qualifiedDir(n))))
+      }
+    }
     // 5. staging dirs are spent (their files moved out)
     tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
+
+  /** Data files on disk that the current commit does NOT reference —
+    * replaced epochs awaiting [[vacuumEpochs]] plus any orphans from a
+    * crash between file moves and the pointer flip. Surfaced so
+    * Doctor can suggest a vacuum; empty for un-governed tables.
+    */
+  def unreferencedFiles(name: String): Seq[String] =
+    if (!isGoverned(name)) Nil
+    else {
+      val live = committedRefs(name).map(_.rel).toSet
+      walkParquetRel(new Path(path(name))).filterNot(live)
+    }
+
+  /** Committed files MISSING from disk — an out-of-band deletion
+    * (something bypassed the store and removed data a commit still
+    * references). Reads will fail on these; Doctor reports them as a
+    * loud integrity error. Empty for un-governed tables.
+    */
+  def missingCommittedFiles(name: String): Seq[String] =
+    if (!isGoverned(name)) Nil
+    else committedRefs(name).map(_.rel)
+      .filterNot(r => fs.exists(new Path(path(name), r)))
 
   /** Reclaim space: delete governed tables' data files no commit
     * references (replaced files kept for in-flight readers, plus any

@@ -212,6 +212,46 @@ class EpochCommitSpec extends SparkSpec {
       Set((1L, "a"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
   }
 
+  test("compact on a governed table commits through the pointer, content intact") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.overwrite("t", (0 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(20))
+    store.ensureGoverned(Seq("t"))
+    val fp = store.contentFingerprint("t")
+    val (before, after) = store.compact("t")
+    assert(after < before, s"compact freed nothing ($before -> $after)")
+    assert(store.contentFingerprint("t") === fp)
+    // live set is the compacted files; replaced epochs await vacuum
+    assert(store.dataFiles("t").size.toLong === after)
+    store.vacuumEpochs()
+    assert(store.contentFingerprint("t") === fp)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
+  test("doctor: out-of-band deletion is loud; epoch garbage suggests vacuum") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    // accrete replaced epochs until the vacuum advisory fires
+    (2 to 10).foreach(i =>
+      store.upsert("t", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+    val sug = Doctor.suggest(store).filter(_.component == "vacuum")
+    assert(sug.size === 1, s"no vacuum advisory: ${Doctor.suggest(store)}")
+    assert(sug.head.problem.contains("vacuum-epochs"))
+    store.vacuumEpochs()
+    assert(Doctor.suggest(store).filter(_.component == "vacuum") === Seq.empty)
+    assert(Doctor.check(store) === Seq.empty)
+    // out-of-band deletion of a committed file → loud integrity error
+    val victim = new java.io.File(store.dataFiles("t").head
+      .stripPrefix("file:"))
+    assert(victim.delete(), s"fixture failed to delete $victim")
+    val issues = Doctor.check(store).filter(_.component == "epoch")
+    assert(issues.size === 1, s"missing-file not flagged: ${Doctor.check(store)}")
+    assert(issues.head.problem.contains("missing file"))
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
