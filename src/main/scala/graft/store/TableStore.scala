@@ -197,11 +197,17 @@ class TableStore(val spark: SparkSession, root: String) {
     }
   }
 
-  private def writeBucketLayout(name: String, buckets: Int, pk: Seq[String]): Unit = {
-    val out = fs.create(layoutPath(name), true)
-    try out.write(s"buckets=$buckets\npk=${pk.mkString(",")}\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeBucketLayout(name: String, buckets: Int, pk: Seq[String]): Unit =
+    // inside a transaction that staged this table, the marker must not
+    // land AHEAD of the data it describes: a crash before the pointer
+    // flip would leave a bucketed declaration over flat live files and
+    // the next upsert would fail on the missing partition column.
+    // Defer to the commit (runs after the flip, same crash atom).
+    deferInTx(name, () => {
+      val out = fs.create(layoutPath(name), true)
+      try out.write(s"buckets=$buckets\npk=${pk.mkString(",")}\n".getBytes("UTF-8"))
+      finally out.close()
+    })
 
   /** The bucket a pk tuple hashes into (the Fts/Trigram convention:
     * xxhash64 then pmod, so the layout survives any pk type).
@@ -410,9 +416,11 @@ class TableStore(val spark: SparkSession, root: String) {
     * footer-read only the files the overwrite just replaced.
     */
   private def refreshTouchedStats(name: String, touched: Seq[Long]): Unit =
-    // a table pending in an open transaction defers its stats refresh
-    // to the commit (which rebuilds from the post-flip live set)
-    if (activeTx.exists(_.pending.contains(name))) ()
+    // governed tables refresh their stats in the COMMIT (O(changed
+    // files), after the flip) — both mid-transaction (pending) and
+    // just-committed (auto-wrapped write), so this per-merge partial
+    // refresh would be dead weight either way
+    if (isGoverned(name)) ()
     else if (hasFileStats(name)) {
       import org.apache.spark.sql.functions.{col, split}
       val segs = touched.map(b => s"$BucketCol=$b")
@@ -729,11 +737,13 @@ class TableStore(val spark: SparkSession, root: String) {
     (nBefore, fileStats(name)._1)
   }
 
-  private def writeZorderMarker(name: String, zCols: Seq[String], bits: Int): Unit = {
-    val out = fs.create(new Path(path(name), "_graft_zorder"), true)
-    try out.write(s"zcols=${zCols.mkString(",")}\nbits=$bits\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeZorderMarker(name: String, zCols: Seq[String], bits: Int): Unit =
+    // same marker-behind-data discipline as writeBucketLayout
+    deferInTx(name, () => {
+      val out = fs.create(new Path(path(name), "_graft_zorder"), true)
+      try out.write(s"zcols=${zCols.mkString(",")}\nbits=$bits\n".getBytes("UTF-8"))
+      finally out.close()
+    })
 
   /** The declared (zCols, bits) of a z-order-compacted table, if any. */
   def zorderLayoutOf(name: String): Option[(Seq[String], Int)] = {
@@ -1007,8 +1017,19 @@ class TableStore(val spark: SparkSession, root: String) {
   private class TxState {
     val pending = scala.collection.mutable.LinkedHashMap[String, Seq[FileRef]]()
     val staging = scala.collection.mutable.Buffer[Path]()
+    val deferred = scala.collection.mutable.Buffer[() => Unit]()
     var n = 0
   }
+
+  /** Run `action` now — unless an open transaction staged `name`, in
+    * which case it runs after the commit's pointer flip (metadata
+    * markers must never land ahead of the data they describe).
+    */
+  private def deferInTx(name: String, action: () => Unit): Unit =
+    activeTx match {
+      case Some(tx) if tx.pending.contains(name) => tx.deferred += action
+      case _ => action()
+    }
   private var activeTx: Option[TxState] = None
 
   // commit + list files are IMMUTABLE once written (fresh name per
@@ -1258,7 +1279,10 @@ class TableStore(val spark: SparkSession, root: String) {
           statCols(n), qualifiedDir(n))))
       }
     }
-    // 5. staging dirs are spent (their files moved out)
+    // 5. deferred metadata markers (bucket layout, z-order) land
+    //    AFTER the data they describe became visible
+    tx.deferred.foreach(_())
+    // 6. staging dirs are spent (their files moved out)
     tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 

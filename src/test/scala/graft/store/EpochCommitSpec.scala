@@ -212,6 +212,31 @@ class EpochCommitSpec extends SparkSpec {
       Set((1L, "a"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
   }
 
+  test("a layout marker never lands ahead of staged data (conversion killed pre-flip)") {
+    // bucketize-conversion inside a transaction killed before the
+    // pointer flip: the bucketed marker must NOT be on disk over
+    // still-flat live files (the next upsert would fail on the
+    // missing partition column) — markers are deferred past the flip
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    store.beforeCommitFlip = () => throw new RuntimeException("power cut")
+    try intercept[RuntimeException] {
+      store.transact {
+        store.upsertBucketed("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"), 4)
+      }
+    } finally store.beforeCommitFlip = () => ()
+    // no marker, flat live files, fully readable
+    assert(store.bucketLayoutOf("t") === None)
+    assert(rows(store.read("t")) === Set((1L, "a"), (2L, "b")))
+    // redelivery converts cleanly: data AND marker both land
+    store.upsertBucketed("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"), 4)
+    assert(store.bucketLayoutOf("t") === Some((4, Seq("id"))))
+    assert(rows(store.read("t")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("compact on a governed table commits through the pointer, content intact") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
