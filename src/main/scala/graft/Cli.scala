@@ -478,6 +478,15 @@ object Cli {
           else args(2).split(",").toSeq
         store.ensureGoverned(tables)
         println(s"[govern] ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "epochs" =>
+        // epochs <store> — retained snapshot epochs + governed tables
+        println(s"[epochs] retained: ${store.epochs().mkString(", ")}; " +
+          s"governed: ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "show-epoch" =>
+        // show-epoch <store> <table> <epoch> [n] — time-travel read
+        val n = if (args.length > 4) args(4).toInt else 10
+        SqliteCompat.render(store.readEpoch(args(2), args(3).toLong))
+          .show(n, truncate = false)
       case "vacuum-epochs" =>
         // vacuum-epochs <store> — reclaim files replaced by epoch
         // commits (run with no readers mid-query over old epochs)

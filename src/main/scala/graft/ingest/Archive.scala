@@ -88,11 +88,19 @@ object Archive {
     spark.createDataset(paths).repartition(par)
       .mapPartitions { it =>
         val conf = bc.value.value
+        // a downstream LIMIT can abandon the iterator mid-archive —
+        // close whatever stream is open when the task ends, so the
+        // early-exit path never leaks a file handle
+        val open = new java.util.concurrent.atomic.AtomicReference[java.io.Closeable]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            Option(open.get()).foreach(_.close())))
         it.flatMap { ap =>
           val p = new Path(ap)
           val archive = p.getName
           val zin = new java.util.zip.ZipInputStream(
             new java.io.BufferedInputStream(p.getFileSystem(conf).open(p)))
+          open.set(zin)
           // lazy per-entry iterator: only one member's bytes live at a
           // time; the stream closes when the archive is exhausted
           new Iterator[(String, String, String)] {
@@ -101,7 +109,7 @@ object Archive {
             private def advance(): Unit = {
               while (nextRow == null && !closed) {
                 val e = zin.getNextEntry
-                if (e == null) { zin.close(); closed = true }
+                if (e == null) { zin.close(); open.set(null); closed = true }
                 else if (e.getName.endsWith(".js") &&
                     !e.getName.startsWith("assets/"))
                   nextRow = (archive, e.getName.split("/").last,

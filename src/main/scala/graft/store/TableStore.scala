@@ -1286,6 +1286,40 @@ class TableStore(val spark: SparkSession, root: String) {
     tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 
+  /** Retained commit epochs, oldest first ([[vacuumEpochs]] prunes all
+    * but the latest).
+    */
+  def epochs(): Seq[Long] = listCommits().map(_._1)
+
+  /** Snapshot read — the governed table AS OF `epoch`, the time-travel
+    * dividend the pointer log pays for free (Delta's `versionAsOf`):
+    * resolve THAT epoch's pointer instead of the latest and read its
+    * file list. Works for any epoch still retained — replaced files
+    * stay on disk until [[vacuumEpochs]], which is exactly the
+    * retention window. A table governed later than `epoch` (absent
+    * from that commit) reads as empty-of-files, i.e. fails like an
+    * empty dir — it did not exist in that snapshot.
+    */
+  def readEpoch(name: String, epoch: Long): DataFrame = {
+    val commits = listCommits()
+    val p = commits.collectFirst { case (e, path) if e == epoch => path }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained commit for epoch $epoch " +
+          s"(retained: ${commits.map(_._1).mkString(", ")}) — vacuumed?"))
+    val tables = commitCache.getOrElseUpdate(p.getName,
+      readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
+        .collect { case Array(t, lf) => t -> lf }.toMap)
+    val rels = tables.get(name) match {
+      case Some(lf) => listCache.getOrElseUpdate(lf,
+        readSmall(new Path(epochDir, lf)).linesIterator.filter(_.nonEmpty).toSeq)
+      case None => throw new IllegalArgumentException(
+        s"$name was not governed at epoch $epoch")
+    }
+    if (rels.isEmpty) spark.read.parquet(path(name)) // same empty-dir error surface
+    else spark.read.option("basePath", path(name))
+      .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+  }
+
   /** Data files on disk that the current commit does NOT reference —
     * replaced epochs awaiting [[vacuumEpochs]] plus any orphans from a
     * crash between file moves and the pointer flip. Surfaced so

@@ -130,6 +130,8 @@ class CliSpec extends SparkSpec {
 
     cli("lsh-index", dir, "docs", "pk", "text")
     cli("lsh-pairs-filtered", dir, "docs", "1,2,3", "0")
+    cli("epochs", dir)
+    cli("show-epoch", dir, "docs", store.epochs().head.toString, "3")
     assert(Doctor.check(store) === Seq.empty)
   }
 

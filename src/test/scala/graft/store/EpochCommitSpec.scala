@@ -277,6 +277,65 @@ class EpochCommitSpec extends SparkSpec {
     assert(issues.head.problem.contains("missing file"))
   }
 
+  test("time travel: readEpoch serves any retained snapshot; vacuum ends retention") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t")) // epoch 1: {1}
+    store.upsert("t", Seq((2L, "b")).toDF("id", "v"), Seq("id")) // epoch 2: {1,2}
+    store.upsert("t", Seq((1L, "a2")).toDF("id", "v"), Seq("id")) // epoch 3: LWW
+    assert(store.epochs() === Seq(1L, 2L, 3L))
+    assert(rows(store.readEpoch("t", 1L)) === Set((1L, "a")))
+    assert(rows(store.readEpoch("t", 2L)) === Set((1L, "a"), (2L, "b")))
+    assert(rows(store.readEpoch("t", 3L)) === Set((1L, "a2"), (2L, "b")))
+    assert(rows(store.read("t")) === rows(store.readEpoch("t", 3L)))
+    intercept[IllegalArgumentException] { store.readEpoch("t", 99L) }
+    intercept[IllegalArgumentException] { store.readEpoch("nope", 2L) }
+    // vacuum prunes history: only the latest snapshot remains
+    store.vacuumEpochs()
+    assert(store.epochs() === Seq(3L))
+    assert(rows(store.readEpoch("t", 3L)) === Set((1L, "a2"), (2L, "b")))
+    intercept[IllegalArgumentException] { store.readEpoch("t", 2L) }
+  }
+
+  test("a governed custom-merge table (streaming quantile sample) commits atomically") {
+    // mergeTouchedBuckets — the eviction-merge path no upsert rule
+    // expresses — must route through the same staging/commit
+    // machinery when its table is governed
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    val sink = graft.streaming.StreamQuantiles
+      .quantilesSink(store, "docs", "grp", "id", "v", 4)
+    sink((0 until 40).map(i => (s"g${i % 8}", i.toLong, i.toLong))
+      .toDF("grp", "id", "v"), 0L)
+    val sample = graft.streaming.StreamQuantiles.sampleName("docs")
+    graft.streaming.StreamQuantiles.ensureBucketedSample(store, "docs", 4)
+    store.ensureGoverned(Seq(sample))
+    sink(Seq(("g0", 100L, 1L)).toDF("grp", "id", "v"), 1L) // converts, governed
+    val flat = {
+      val twin = new TableStore(spark, freshRoot())
+      val s2 = graft.streaming.StreamQuantiles
+        .quantilesSink(twin, "docs", "grp", "id", "v", 4)
+      s2((0 until 40).map(i => (s"g${i % 8}", i.toLong, i.toLong))
+        .toDF("grp", "id", "v"), 0L)
+      s2(Seq(("g0", 100L, 1L)).toDF("grp", "id", "v"), 1L)
+      twin.read(sample).select(col("grp"), col("tie"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val got = store.read(sample).select(col("grp"), col("tie"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === flat, "governed custom merge diverged from ungoverned twin")
+    // a killed commit leaves the complete prior sample
+    val before = store.read(sample).count()
+    store.beforeCommitFlip = () => throw new RuntimeException("power cut")
+    try intercept[RuntimeException] {
+      sink(Seq(("g1", 101L, 2L)).toDF("grp", "id", "v"), 2L)
+    } finally store.beforeCommitFlip = () => ()
+    assert(store.read(sample).count() === before)
+    sink(Seq(("g1", 101L, 2L)).toDF("grp", "id", "v"), 2L) // redelivery
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
