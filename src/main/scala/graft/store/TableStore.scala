@@ -1069,10 +1069,66 @@ class TableStore(val spark: SparkSession, root: String) {
   private def isGoverned(name: String): Boolean =
     fs.exists(epochDir) && currentCommit.exists(_._2.contains(name))
 
+  // chain compaction bound: after this many delta links a commit
+  // writes a full list again, so resolution reads ≤ MaxDeltaDepth+1
+  // small files and vacuum reachability stays shallow
+  private val MaxDeltaDepth = 10
+
+  private val depthCache = scala.collection.mutable.HashMap[String, Int]()
+
+  /** Resolve a commit entry to its full rel-path list. `files-*`
+    * entries ARE the list; `delta-*` entries carry `base=<entry>` +
+    * `+rel`/`-rel` lines and resolve recursively — the Delta-log
+    * trick that makes a commit write O(batch) metadata instead of
+    * O(table files). Entries are immutable once written, so the
+    * resolved set caches by name across the store's lifetime.
+    */
+  private def resolveEntry(entry: String): Seq[String] =
+    listCache.getOrElseUpdate(entry, {
+      val content = readSmall(new Path(epochDir, entry))
+      if (!entry.startsWith("delta-")) {
+        depthCache(entry) = 0
+        content.linesIterator.filter(_.nonEmpty).toSeq
+      } else {
+        val lines = content.linesIterator.toSeq
+        val base = lines.collectFirst {
+          case l if l.startsWith("base=") => l.stripPrefix("base=")
+        }.getOrElse(throw new IllegalStateException(
+          s"delta entry $entry carries no base= header"))
+        depthCache(entry) = lines.collectFirst {
+          case l if l.startsWith("depth=") => l.stripPrefix("depth=").toInt
+        }.getOrElse(1)
+        val set = scala.collection.mutable.LinkedHashSet(resolveEntry(base): _*)
+        lines.foreach { l =>
+          if (l.startsWith("+")) set += l.substring(1)
+          else if (l.startsWith("-")) set -= l.substring(1)
+        }
+        set.toSeq
+      }
+    })
+
+  private def entryDepth(entry: String): Int = {
+    if (!depthCache.contains(entry)) resolveEntry(entry) // populates
+    depthCache(entry)
+  }
+
+  /** Every log entry reachable from `entry` through base= links —
+    * what vacuum must retain for the current commit to resolve.
+    */
+  private def reachableEntries(entry: String): Set[String] = {
+    resolveEntry(entry) // ensure headers cached / base chain readable
+    if (!entry.startsWith("delta-")) Set(entry)
+    else {
+      val base = readSmall(new Path(epochDir, entry)).linesIterator
+        .collectFirst { case l if l.startsWith("base=") => l.stripPrefix("base=") }
+        .get
+      reachableEntries(base) + entry
+    }
+  }
+
   private def committedRefs(name: String): Seq[FileRef] =
     currentCommit.flatMap(_._2.get(name)).toSeq.flatMap { lf =>
-      listCache.getOrElseUpdate(lf,
-        readSmall(new Path(epochDir, lf)).linesIterator.filter(_.nonEmpty).toSeq)
+      resolveEntry(lf)
         .map(r => FileRef(new Path(path(name)), r, staged = false))
     }
 
@@ -1250,12 +1306,38 @@ class TableStore(val spark: SparkSession, root: String) {
         }
     }
     beforeCommitFlip()
-    // 2. new file lists for CHANGED tables only; unchanged tables
-    //    re-reference their existing immutable list (O(changed) commit)
+    // 2. new log entries for CHANGED tables only; unchanged tables
+    //    re-reference their existing immutable entry. A changed table
+    //    whose delta vs its previous entry is SMALLER than its full
+    //    list writes a delta link (O(batch) commit metadata — the
+    //    Delta-log incremental form); chains compact back to a full
+    //    list every MaxDeltaDepth links so resolution stays shallow.
     val newTables = tables ++ finalRels.map { case (n, rels) =>
-      val lf = s"files-$n-$next"
-      writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
-      n -> lf
+      def writeFull(): String = {
+        val lf = s"files-$n-$next"
+        writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
+        lf
+      }
+      val entry = tables.get(n) match {
+        case Some(prev) if entryDepth(prev) < MaxDeltaDepth =>
+          val old = committedBefore.getOrElse(n, resolveEntry(prev).toSet)
+          val newSet = rels.toSet
+          val adds = rels.filterNot(old)
+          val dels = (old -- newSet).toSeq.sorted
+          if (adds.size + dels.size < rels.size) {
+            val df = s"delta-$n-$next"
+            writeSmall(new Path(epochDir, df),
+              (s"base=$prev" +: s"depth=${entryDepth(prev) + 1}" +:
+                (adds.map("+" + _) ++ dels.map("-" + _))).mkString("\n"))
+            depthCache(df) = entryDepth(prev) + 1
+            df
+          } else writeFull()
+        case _ => writeFull()
+      }
+      // entries are immutable — memoize the set we just wrote
+      listCache(entry) = rels
+      if (!entry.startsWith("delta-")) depthCache(entry) = 0
+      n -> entry
     }
     // 3. THE atomic step: one fresh pointer file; readers resolve the
     //    max epoch, so visibility flips for every table at once
@@ -1310,8 +1392,7 @@ class TableStore(val spark: SparkSession, root: String) {
       readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
         .collect { case Array(t, lf) => t -> lf }.toMap)
     val rels = tables.get(name) match {
-      case Some(lf) => listCache.getOrElseUpdate(lf,
-        readSmall(new Path(epochDir, lf)).linesIterator.filter(_.nonEmpty).toSeq)
+      case Some(lf) => resolveEntry(lf)
       case None => throw new IllegalArgumentException(
         s"$name was not governed at epoch $epoch")
     }
@@ -1356,16 +1437,33 @@ class TableStore(val spark: SparkSession, root: String) {
         val live = committedRefs(n).map(_.rel).toSet
         walkParquetRel(new Path(path(n))).filterNot(live)
           .foreach(r => fs.delete(new Path(path(n), r), false))
+        deleteEmptyDirs(new Path(path(n)))
       }
       listCommits().dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
-      val liveLists = tables.values.toSet
+      // retain every log entry the CURRENT commit's chains reach
+      // (delta entries resolve through their base= links); everything
+      // else — superseded lists, dead chains — goes
+      val liveEntries = tables.values.toSet.flatMap(reachableEntries)
       fs.listStatus(epochDir).map(_.getPath)
-        .filter(p => p.getName.startsWith("files-") && !liveLists(p.getName))
+        .filter(p => (p.getName.startsWith("files-") ||
+          p.getName.startsWith("delta-")) && !liveEntries(p.getName))
         .foreach(p => fs.delete(p, false))
       if (fs.exists(stageRoot))
         fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))
     }
   }
+
+  /** Remove empty subdirectories left behind by file-level vacuum —
+    * a stale `col=value` shell would otherwise confuse partition-
+    * chain detection (partitionColumnsOf walks DIRECTORIES).
+    */
+  private def deleteEmptyDirs(dir: Path): Unit =
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith("_")) {
+        deleteEmptyDirs(st.getPath)
+        if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+      }
+    }
 }
 
 object TableStore {

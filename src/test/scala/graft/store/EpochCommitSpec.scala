@@ -336,6 +336,53 @@ class EpochCommitSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("incremental log: commits write O(batch) metadata, chains compact, history resolves") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    // a bucketed table with many files, so the full list is large
+    store.ensureBucketed("t", Seq("id"), 16)
+    store.upsert("t", (0 until 320).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    val logDir = new java.io.File(s"$root/_graft_epoch")
+    def logFiles(prefix: String): Seq[java.io.File] =
+      logDir.listFiles().filter(_.getName.startsWith(prefix)).toSeq
+    val fullLen = logFiles("files-t-").map(_.length).max
+
+    // 1-row upserts touch one bucket: the log entry must be a DELTA
+    // far smaller than the full list
+    val expected = scala.collection.mutable.Map(
+      (0 until 320).map(i => i.toLong -> s"v$i"): _*)
+    (1 to 10).foreach { i =>
+      store.upsert("t", Seq((1000L + i, s"x$i")).toDF("id", "v"), Seq("id"))
+      expected(1000L + i) = s"x$i"
+    }
+    val deltas = logFiles("delta-t-")
+    assert(deltas.size === 10, s"expected 10 delta links, got ${deltas.size}")
+    assert(deltas.map(_.length).max < fullLen / 3,
+      s"delta entries (${deltas.map(_.length).max} B) not materially " +
+        s"smaller than the full list ($fullLen B)")
+    // the 11th link would exceed MaxDeltaDepth: the chain compacts to
+    // a fresh full list instead
+    store.upsert("t", Seq((2000L, "y")).toDF("id", "v"), Seq("id"))
+    expected(2000L) = "y"
+    assert(logFiles("delta-t-").size === 10, "chain did not compact at depth 10")
+    assert(logFiles("files-t-").size >= 2)
+
+    // reads resolve identically through the whole chain
+    assert(rows(store.read("t")) === expected.toSet.map(
+      (kv: (Long, String)) => (kv._1, kv._2)))
+    val reader = new TableStore(spark, root) // cold caches: chain walk
+    assert(rows(reader.read("t")) === rows(store.read("t")))
+    // time travel still resolves mid-chain epochs
+    val midEpoch = store.epochs()(4)
+    assert(store.readEpoch("t", midEpoch).count() ===
+      320L + (midEpoch - 1)) // epoch 1 = snapshot, each +1 adds a row
+    // vacuum keeps the live chains; reads + history survive
+    store.vacuumEpochs()
+    assert(rows(store.read("t")) === rows(reader.read("t")))
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)

@@ -97,6 +97,37 @@ class HybridSpec extends SparkSpec {
     assert(ids.count(relevant) >= 4, s"filtered fusion starved: $ids")
   }
 
+  test("hybrid serving works over STREAM-maintained indexes (both families, same table)") {
+    // both legs' indexes maintained by the streaming foreachBatch
+    // sinks (the production shape: one ingest keeps FTS and SQ8 fresh
+    // per micro-batch); fusion must surface relevant docs from BOTH
+    // batches — including one only reachable through each modality
+    val store = freshStore()
+    val all = corpus.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Double](2))).toSeq
+    val (batch1, batch2) = all.partition(_._1 % 2 == 1)
+    def df(rows: Seq[(Long, String, Seq[Double])]) = rows.toDF("pk", "text", "emb")
+    // seed: scales must train once before the sq sink (its contract)
+    Fts.upsertWithIndex(store, "docs", df(batch1), "pk", "text")
+    Sq.buildIndex(store, "docs", df(batch1), "pk", "emb")
+    // micro-batch 2 lands through the streaming sinks
+    graft.streaming.StreamFts.indexSink(store, "docs", "pk", "text")(df(batch2), 1L)
+    graft.streaming.StreamVectors.sqSink(store, "docs", "pk", "emb")(df(batch2), 1L)
+
+    val fused = Hybrid.searchRrf(spark, store, "docs", "alpha beta",
+      qv.toArray, k = 10)
+    val ids = fused.select(col("pk").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(recallAt10(ids) >= 0.9, s"stream-maintained fusion recall: $ids")
+    // relevance surfaced from BOTH batches and BOTH modalities
+    assert(ids.exists(i => i % 2 == 1 && i <= 5) &&
+      ids.exists(i => i % 2 == 0 && i <= 5), s"lexical legs missing: $ids")
+    assert(ids.exists(i => i % 2 == 1 && i >= 6 && i <= 10) &&
+      ids.exists(i => i % 2 == 0 && i >= 6 && i <= 10),
+      s"semantic legs missing: $ids")
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("rrfFuse: truncated-list math, absent legs contribute zero") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     val b = Seq((3L, 1L), (4L, 2L)).toDF("id", "rank")
