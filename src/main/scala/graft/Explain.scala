@@ -15,17 +15,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
 
-  /** The --stats report, separated from main for spec coverage. */
+  /** The --stats report, separated from main for spec coverage. One
+    * manifest pass (TableStore.statsSummary), zero data I/O.
+    */
   def statsReport(
       store: graft.store.TableStore, table: String,
       preds: Seq[(String, Long, Long)]): String =
-    store.estimateRows(table, preds) match {
+    store.statsSummary(table, preds) match {
       case None =>
-        s"$table: no stats manifest — run refresh-stats to opt in"
-      case Some(est) =>
-        val total = store.estimateRows(table).get
-        val kept = store.pruneFiles(table, preds).size
-        val all = store.dataFiles(table).size
+        s"$table: no stats manifest with row counts — run refresh-stats " +
+          "to (re)build it"
+      case Some((est, total, kept, all)) =>
         val predStr =
           if (preds.isEmpty) "(no predicates)"
           else preds.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }

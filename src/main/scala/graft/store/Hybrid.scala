@@ -53,7 +53,8 @@ object Hybrid {
     * fused with RRF to the final top `k`. `allowed` (optional, one pk
     * column) pre-filters BOTH legs — the metadata-scoped serving
     * shape, selectivity-proportional on each side. Returns
-    * (pk, rrf, rank, bm25_rank, ann_rank).
+    * (pk, rrf, hybrid_rank, bm25_rank, ann_rank), leg ranks null for
+    * docs the leg did not retrieve.
     *
     * `table` must maintain both indexes ([[Fts.upsertWithIndex]] and
     * [[Sq.buildIndex]]/upsertWithCodes) over the same pk space.
@@ -76,9 +77,20 @@ object Hybrid {
     val ann = (allowed match {
       case Some(a) => Sq.annTopKFiltered(store, table, qdf, "qid", "qe", depth, a)
       case None => Sq.annTopK(store, table, qdf, "qid", "qe", depth)
-    }).select(col("cand_id").as("pk"), col("rnk").as("rank"))
-    rrfFuse(Seq(lex.select(col("pk"), col("rank")), ann), "pk", "rank", rrfK)
-      .limit(k)
-      .withColumnRenamed("rank", "hybrid_rank")
+    }).select(col("cand_id").as("pk"), col("rnk").as("ann_rank"))
+    // the per-leg ranks ride through to the output — the "why did
+    // this hit surface" column a serving layer renders
+    lex.select(col("pk"), col("rank").as("bm25_rank"))
+      .join(ann, Seq("pk"), "full_outer")
+      .select(col("pk"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("ann_rank")), lit(0.0))).as("rrf"),
+        col("bm25_rank"), col("ann_rank"))
+      .withColumn("hybrid_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("pk"))).cast("long"))
+      .filter(col("hybrid_rank") <= k)
+      .select(col("pk"), col("rrf"), col("hybrid_rank"),
+        col("bm25_rank"), col("ann_rank"))
+      .orderBy(col("hybrid_rank"))
   }
 }

@@ -25,7 +25,14 @@ class TableStore(val spark: SparkSession, root: String) {
   def read(name: String): DataFrame =
     if (isGoverned(name)) {
       val refs = liveRefs(name)
-      if (refs.isEmpty) spark.read.parquet(path(name)) // same error surface as an empty dir
+      // an empty live set must NOT fall back to a directory scan: the
+      // dir may still hold RETIRED files (pre-vacuum) that a raw read
+      // would happily serve back — fail like an empty table instead
+      // (readIfExists already reports this state as absent)
+      if (refs.isEmpty) throw new IllegalStateException(
+        s"$name has no live files in the current epoch (retired files " +
+          "may remain on disk until vacuum-epochs; use readIfExists for " +
+          "a None instead of an error)")
       else refs.groupBy(_.base).toSeq.sortBy(_._1.toString).map { case (b, rs) =>
         // basePath keeps Hive partition discovery working per source
         // dir (committed files under the table dir; staged files
@@ -536,7 +543,16 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def fileStats(name: String): (Long, Long) = {
     if (isGoverned(name)) {
-      val sts = dataFiles(name).map(f => fs.getFileStatus(new Path(f)))
+      // one listStatus per live DIRECTORY, filtered to the live set —
+      // a per-file getFileStatus would cost one serial metadata RPC
+      // per file, 10^6 of them on the tables this exists for
+      val sts = liveRefs(name)
+        .groupBy(fr => new Path(fr.base, fr.rel).getParent)
+        .toSeq.flatMap { case (dir, refs) =>
+          val names = refs.map(fr => new Path(fr.base, fr.rel).getName).toSet
+          if (!fs.exists(dir)) Nil
+          else fs.listStatus(dir).filter(st => names(st.getPath.getName)).toSeq
+        }
       return (sts.size.toLong, sts.map(_.getLen).sum)
     }
     def walk(p: Path): (Long, Long) =
@@ -827,13 +843,25 @@ class TableStore(val spark: SparkSession, root: String) {
       }.toDF("file", "col", "mn", "mx")
   }
 
+  /** Format marker row (file = "", col = this): present iff the
+    * manifest's presence rows carry footer ROW COUNTS in `mn` —
+    * manifests written before that change carried zeros there, and
+    * [[estimateRows]] must refuse them rather than report 0 rows for
+    * a populated table.
+    */
+  private val StatsRowsMarker = "__rows_v2"
+
   private def writeStatsManifest(name: String, stats: DataFrame): Unit = {
     val tmp = new Path(path(name), "_graft_stats.__tmp")
     val dst = statsPath(name)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    import spark.implicits._
+    val stamped = stats
+      .filter(org.apache.spark.sql.functions.col("col") =!= StatsRowsMarker)
+      .unionByName(Seq(("", StatsRowsMarker, 0L, 0L)).toDF("file", "col", "mn", "mx"))
     // tmp is written BEFORE dst is deleted, so an incremental update
     // that lazily reads the old manifest executes against live files
-    stats.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    stamped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
@@ -942,13 +970,43 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def estimateRows(
       name: String, preds: Seq[(String, Long, Long)] = Nil): Option[Long] =
-    fileStatsTable(name).map { st =>
+    fileStatsTable(name).flatMap { st =>
       import org.apache.spark.sql.functions.col
-      val keep = pruneFiles(name, preds).toSet
-      // presence rows: col = "", mn = file row count
-      st.filter(col("col") === "").collect()
-        .filter(r => keep(r.getString(0)))
-        .map(_.getLong(2)).sum
+      val rows = st.filter(col("col") === "" || col("col") === StatsRowsMarker)
+        .collect()
+      // a manifest written before presence rows carried row counts
+      // has zeros where counts belong — refuse (None → "run
+      // refresh-stats") instead of confidently estimating 0
+      if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
+      else {
+        val keep = pruneFiles(name, preds).toSet
+        // presence rows: col = "", mn = file row count
+        Some(rows.filter(r => r.getString(1).isEmpty && keep(r.getString(0)))
+          .map(_.getLong(2)).sum)
+      }
+    }
+
+  /** One-pass form of the estimate report: (estimated rows, total
+    * rows, kept files, total files) from a SINGLE presence-row
+    * collect plus one prune — the `estimate` CLI / `Explain --stats`
+    * backend (four independent estimateRows/dataFiles calls would
+    * re-collect the manifest each time; at 10^6 files that matters).
+    * None under the same conditions as [[estimateRows]].
+    */
+  def statsSummary(name: String, preds: Seq[(String, Long, Long)])
+      : Option[(Long, Long, Int, Int)] =
+    fileStatsTable(name).flatMap { st =>
+      import org.apache.spark.sql.functions.col
+      val rows = st.filter(col("col") === "" || col("col") === StatsRowsMarker)
+        .collect()
+      if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
+      else {
+        val presence = rows.filter(_.getString(1).isEmpty)
+        val keep = pruneFiles(name, preds).toSet
+        val kept = presence.filter(r => keep(r.getString(0)))
+        Some((kept.map(_.getLong(2)).sum, presence.map(_.getLong(2)).sum,
+          kept.length, presence.length))
+      }
     }
 
   def readPruned(
@@ -1018,6 +1076,11 @@ class TableStore(val spark: SparkSession, root: String) {
     val pending = scala.collection.mutable.LinkedHashMap[String, Seq[FileRef]]()
     val staging = scala.collection.mutable.Buffer[Path]()
     val deferred = scala.collection.mutable.Buffer[() => Unit]()
+    // tables whose pending state came from a WHOLE-TABLE replace: the
+    // commit clears their layout markers (the invariant the
+    // ungoverned dir-swap provided for free), and any deferred marker
+    // write then re-declares what still applies
+    val fullyReplaced = scala.collection.mutable.Set[String]()
     var n = 0
   }
 
@@ -1047,6 +1110,33 @@ class TableStore(val spark: SparkSession, root: String) {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Write the commit pointer ATOMICALLY: tmp file then rename to the
+    * fresh `commit-<epoch>` name. A direct create-and-write would let
+    * a crash mid-write (or a concurrent cross-process reader) observe
+    * a TRUNCATED max-epoch pointer — tables missing from it would
+    * silently read as un-governed directory scans, returning retired
+    * files. The tmp name is dot-prefixed so [[listCommits]] can never
+    * resolve it.
+    */
+  private def writePointer(epoch: Long, content: String): Unit = {
+    val name = f"commit-$epoch%020d"
+    val tmp = new Path(epochDir, s".tmp-$name")
+    writeSmall(tmp, content)
+    val dst = new Path(epochDir, name)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dst failed; commit not visible")
+  }
+
+  /** Parse a commit pointer file: table → log entry. One parser for
+    * the latest-pointer path and the time-travel path, memoized by
+    * the immutable file name.
+    */
+  private def parseCommit(p: Path): Map[String, String] =
+    commitCache.getOrElseUpdate(p.getName,
+      readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
+        .collect { case Array(t, lf) => t -> lf }.toMap)
+
   private def listCommits(): Seq[(Long, Path)] =
     if (!fs.exists(epochDir)) Nil
     else fs.listStatus(epochDir).toSeq.map(_.getPath)
@@ -1057,11 +1147,7 @@ class TableStore(val spark: SparkSession, root: String) {
 
   /** (epoch, table → list-file name) of the latest commit, if any. */
   private def currentCommit: Option[(Long, Map[String, String])] =
-    listCommits().lastOption.map { case (e, p) =>
-      (e, commitCache.getOrElseUpdate(p.getName,
-        readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
-          .collect { case Array(t, lf) => t -> lf }.toMap))
-    }
+    listCommits().lastOption.map { case (e, p) => (e, parseCommit(p)) }
 
   /** Tables whose visibility is governed by the commit pointer. */
   def governed: Set[String] = currentCommit.map(_._2.keySet).getOrElse(Set.empty)
@@ -1173,7 +1259,7 @@ class TableStore(val spark: SparkSession, root: String) {
       writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
       n -> lf
     }
-    writeSmall(new Path(epochDir, f"commit-$next%020d"),
+    writePointer(next,
       (tables ++ added).toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
   }
 
@@ -1181,7 +1267,7 @@ class TableStore(val spark: SparkSession, root: String) {
     require(activeTx.isEmpty, "cannot change governance inside a transaction")
     currentCommit.foreach { case (epoch, tables) =>
       if (tables.contains(name))
-        writeSmall(new Path(epochDir, f"commit-${epoch + 1}%020d"),
+        writePointer(epoch + 1,
           (tables - name).toSeq.sorted
             .map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
     }
@@ -1242,6 +1328,7 @@ class TableStore(val spark: SparkSession, root: String) {
       .parquet(stage.toString)
     tx.pending(name) =
       walkParquetRel(stage).map(r => FileRef(stage, r, staged = true))
+    tx.fullyReplaced += name
   }
 
   /** Dynamic-partition overwrite, staged: partitions present in `df`
@@ -1306,6 +1393,18 @@ class TableStore(val spark: SparkSession, root: String) {
         }
     }
     beforeCommitFlip()
+    // whole-table replaces drop their layout markers here (pre-flip,
+    // same crash atom): the ungoverned dir-swap destroyed markers with
+    // the directory, and leaving a bucketed declaration over a staged
+    // FLAT replacement would wedge the next upsert on the missing
+    // partition column. Deferred marker writes (a conversion in this
+    // same tx) re-declare after the flip. A crash here leaves old
+    // live data with no marker — re-derived wholesale on the next
+    // upsert, never wrong.
+    tx.fullyReplaced.foreach { n =>
+      fs.delete(layoutPath(n), false)
+      fs.delete(new Path(path(n), "_graft_zorder"), false)
+    }
     // 2. new log entries for CHANGED tables only; unchanged tables
     //    re-reference their existing immutable entry. A changed table
     //    whose delta vs its previous entry is SMALLER than its full
@@ -1339,9 +1438,10 @@ class TableStore(val spark: SparkSession, root: String) {
       if (!entry.startsWith("delta-")) depthCache(entry) = 0
       n -> entry
     }
-    // 3. THE atomic step: one fresh pointer file; readers resolve the
-    //    max epoch, so visibility flips for every table at once
-    writeSmall(new Path(epochDir, f"commit-$next%020d"),
+    // 3. THE atomic step: tmp-write + rename to one fresh pointer
+    //    file; readers resolve the max epoch, so visibility flips for
+    //    every table at once and a truncated pointer can never appear
+    writePointer(next,
       newTables.toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
     // 4. keep the stats manifests of changed tables fresh (the Doctor
     //    invariant) at O(changed files): rows for files still live
@@ -1388,15 +1488,17 @@ class TableStore(val spark: SparkSession, root: String) {
       .getOrElse(throw new IllegalArgumentException(
         s"no retained commit for epoch $epoch " +
           s"(retained: ${commits.map(_._1).mkString(", ")}) — vacuumed?"))
-    val tables = commitCache.getOrElseUpdate(p.getName,
-      readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
-        .collect { case Array(t, lf) => t -> lf }.toMap)
+    val tables = parseCommit(p)
     val rels = tables.get(name) match {
       case Some(lf) => resolveEntry(lf)
       case None => throw new IllegalArgumentException(
         s"$name was not governed at epoch $epoch")
     }
-    if (rels.isEmpty) spark.read.parquet(path(name)) // same empty-dir error surface
+    // an empty snapshot must NOT fall back to a directory scan — the
+    // dir may hold files from OTHER epochs (retired or newer), which
+    // would silently serve out-of-snapshot data
+    if (rels.isEmpty) throw new IllegalStateException(
+      s"$name has no files at epoch $epoch (empty snapshot)")
     else spark.read.option("basePath", path(name))
       .parquet(rels.map(r => new Path(path(name), r).toString): _*)
   }
@@ -1447,6 +1549,10 @@ class TableStore(val spark: SparkSession, root: String) {
       fs.listStatus(epochDir).map(_.getPath)
         .filter(p => (p.getName.startsWith("files-") ||
           p.getName.startsWith("delta-")) && !liveEntries(p.getName))
+        .foreach(p => fs.delete(p, false))
+      // crash leftovers: unflipped pointer tmp files
+      fs.listStatus(epochDir).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
         .foreach(p => fs.delete(p, false))
       if (fs.exists(stageRoot))
         fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))

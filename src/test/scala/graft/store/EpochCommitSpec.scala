@@ -383,6 +383,54 @@ class EpochCommitSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("an empty live set reads as empty/absent, never as the retired files on disk") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq((1L, "a", "d1")).toDF("id", "v", "day"), Seq("day"))
+    store.ensureGoverned(Seq("t"))
+    // drop the only partition: live set empty, files still on disk
+    store.dropPartition("t", "day", "d1")
+    assert(store.readIfExists("t").isEmpty, "dropped table should read absent")
+    val ex = intercept[IllegalStateException] { store.read("t") }
+    assert(ex.getMessage.contains("no live files"), ex.getMessage)
+    // the retired files ARE still physically present (retention) —
+    // which is exactly why the directory-scan fallback would lie
+    assert(store.unreferencedFiles("t").nonEmpty)
+  }
+
+  test("a stray pointer tmp file never resolves; vacuum removes it") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    // simulate a writer killed mid-pointer-write: a partial tmp file
+    val tmp = new java.io.File(s"$root/_graft_epoch/.tmp-commit-00000000000000000099")
+    java.nio.file.Files.writeString(tmp.toPath, "t\tfiles-t-")
+    assert(store.epochs() === Seq(1L), "tmp pointer must not resolve")
+    assert(rows(store.read("t")) === Set((1L, "a")))
+    store.vacuumEpochs()
+    assert(!tmp.exists(), "vacuum should clear pointer tmp leftovers")
+  }
+
+  test("a flat governed overwrite of a bucketed table clears the stale layout marker") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.upsert("t", (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    store.ensureGoverned(Seq("t"))
+    assert(store.bucketLayoutOf("t").nonEmpty)
+    // a whole-table replace with a FLAT frame (the ungoverned dir-swap
+    // used to destroy the marker with the directory)
+    store.overwrite("t", Seq((100L, "x")).toDF("id", "v"))
+    assert(store.bucketLayoutOf("t") === None,
+      "stale bucketed declaration over flat live files")
+    assert(rows(store.read("t")) === Set((100L, "x")))
+    // the next upsert works (would throw on the missing partition
+    // column if the marker had survived)
+    store.upsert("t", Seq((101L, "y")).toDF("id", "v"), Seq("id"))
+    assert(rows(store.read("t")) === Set((100L, "x"), (101L, "y")))
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)

@@ -67,7 +67,13 @@ class HybridSpec extends SparkSpec {
 
     val fused = Hybrid.searchRrf(spark, store, "docs", "alpha beta",
       qv.toArray, k = 10)
-    assert(fused.columns.toSeq.take(2) === Seq("pk", "rrf"))
+    assert(fused.columns.toSeq ===
+      Seq("pk", "rrf", "hybrid_rank", "bm25_rank", "ann_rank"))
+    // leg ranks explain each hit: lexical-only docs carry a bm25_rank
+    // and a (possibly deep) ann_rank; a doc absent from a leg is null
+    val byPk = fused.collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 5L).filter(byPk.contains).foreach(pk =>
+      assert(!byPk(pk).isNullAt(3), s"lexical doc $pk missing bm25_rank"))
     val fusedIds = fused.select(col("pk").cast("long"))
       .collect().map(_.getLong(0)).toSeq
     val fusedRecall = recallAt10(fusedIds)

@@ -57,6 +57,29 @@ class StatsEstimateSpec extends SparkSpec {
     val bare = freshStore()
     bare.overwrite("u", df)
     assert(bare.estimateRows("u") === None)
+
+    // a LEGACY manifest (pre-row-count presence rows, no format
+    // marker) must refuse rather than confidently estimate 0
+    val legacy = freshStore()
+    legacy.overwrite("w", df)
+    legacy.refreshFileStats("w")
+    val statsDir = s"${legacy.dataFiles("w").head.split("/w/")(0)}/w/_graft_stats"
+      .stripPrefix("file:")
+    val old = spark.read.parquet(statsDir)
+      .filter(col("col") =!= "__rows_v2")
+      .withColumn("mn", when(col("col") === "", lit(0L)).otherwise(col("mn")))
+    old.write.mode("overwrite").parquet(statsDir + ".__legacy")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(statsDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(statsDir), true)
+    fs.rename(new Path(statsDir + ".__legacy"), new Path(statsDir))
+    assert(legacy.hasFileStats("w"))
+    assert(legacy.estimateRows("w") === None,
+      "legacy manifest must not estimate (would report 0 rows)")
+    assert(graft.Explain.statsReport(legacy, "w", Nil).contains("refresh-stats"))
+    // the prune path itself still works on the legacy format
+    assert(legacy.pruneFiles("w", Seq(("k", 0L, 10L))).nonEmpty)
   }
 
   test("the Explain --stats report carries the estimate") {
