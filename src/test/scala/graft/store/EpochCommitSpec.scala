@@ -431,6 +431,59 @@ class EpochCommitSpec extends SparkSpec {
     assert(rows(store.read("t")) === Set((100L, "x"), (101L, "y")))
   }
 
+  test("a fully governed store: every maintained index family composes with the commit log") {
+    // govern base + FTS postings/stats + LSH bands + SQ8 codes + the
+    // quantile sample, run a mixed maintenance workload, and the
+    // whole store must stay query-correct, integrity-clean, and
+    // vacuumable — the "new layer composes with every artifact" pin
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    val mk = (i: Int) => (i.toLong,
+      if (i % 3 == 0) s"alpha beta doc $i" else s"plain filler text $i",
+      (0 until 8).map(d => math.sin(i * 8.0 + d)))
+    val b1 = (0 until 20).map(mk).toDF("pk", "text", "e")
+    Fts.upsertWithIndex(store, "docs", b1, "pk", "text", buckets = 4)
+    Sq.buildIndex(store, "docs", b1, "pk", "e")
+    Lsh.buildIndex(store, "docs", b1.select(col("pk"), col("text")), "pk", "text")
+    store.ensureGoverned(Seq("docs",
+      Fts.indexName("docs"), Fts.statsName("docs"),
+      Sq.codesName("docs"), Sq.scalesName("docs"),
+      Lsh.indexName("docs"), Lsh.mapName("docs"), Lsh.paramsName("docs"),
+      graft.streaming.StreamQuantiles.sampleName("docs")))
+
+    // incremental batches through every family, governed
+    val b2 = (20 until 32).map(mk).toDF("pk", "text", "e")
+    Fts.upsertWithIndex(store, "docs", b2, "pk", "text", buckets = 4)
+    Sq.upsertWithCodes(store, "docs", b2, "pk", "e")
+    Lsh.upsertWithBands(store, "docs",
+      b2.select(col("pk"), col("text")), "pk", "text")
+    graft.streaming.StreamQuantiles.quantilesSink(
+      store, "docs", "pk", "pk", "pk", 8)(
+      b1.select(col("pk"), col("pk").as("id"), col("pk").as("v"))
+        .toDF("pk", "id", "v"), 0L)
+
+    // queries over the governed indexes answer correctly
+    val hits = Fts.search(spark, store, "docs", "alpha beta")
+      .select(col("pk").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(hits === (0 until 32).filter(_ % 3 == 0).map(_.toLong).toSet)
+    val ann = Sq.annTopK(store, "docs",
+      Seq((0L, (0 until 8).map(d => math.sin(d.toDouble)))).toDF("qid", "qe"),
+      "qid", "qe", 5)
+    assert(ann.count() === 5)
+    assert(Lsh.candidates(store, "docs").count() >= 0)
+    assert(Doctor.check(store) === Seq.empty,
+      "governed multi-family store left integrity issues")
+
+    // vacuum the accumulated epochs; everything still answers
+    store.vacuumEpochs()
+    assert(Fts.search(spark, store, "docs", "alpha beta")
+      .select(col("pk").cast("long")).collect().map(_.getLong(0)).toSet === hits)
+    assert(Sq.annTopK(store, "docs",
+      Seq((0L, (0 until 8).map(d => math.sin(d.toDouble)))).toDF("qid", "qe"),
+      "qid", "qe", 5).count() === 5)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
