@@ -1522,8 +1522,16 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def missingCommittedFiles(name: String): Seq[String] =
     if (!isGoverned(name)) Nil
-    else committedRefs(name).map(_.rel)
-      .filterNot(r => fs.exists(new Path(path(name), r)))
+    else committedRefs(name)
+      .groupBy(fr => new Path(fr.base, fr.rel).getParent)
+      .toSeq.flatMap { case (dir, refs) =>
+        // one listing per directory (a per-file exists() would be one
+        // serial metadata RPC per committed file)
+        val present =
+          if (!fs.exists(dir)) Set.empty[String]
+          else fs.listStatus(dir).map(_.getPath.getName).toSet
+        refs.map(_.rel).filterNot(r => present(new Path(r).getName))
+      }.sorted
 
   /** Reclaim space: delete governed tables' data files no commit
     * references (replaced files kept for in-flight readers, plus any
