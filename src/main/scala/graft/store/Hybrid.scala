@@ -28,23 +28,34 @@ object Hybrid {
   /** Generic RRF: fuse (id, rank) lists — rank 1 = best, each list
     * already truncated to its retrieval depth. Docs absent from a
     * list contribute nothing for it (the standard truncated-list
-    * form). Returns (id, rrf, rank) ordered best-first; ties break on
-    * the lower id for engine-stable output.
+    * form). Returns (id, rrf, rank[, legNames...]) ordered
+    * best-first; ties break on the lower id for engine-stable output.
+    * Pass `legNames` (one per list) to carry each leg's rank column
+    * through — null where a leg did not retrieve the doc — the "why
+    * did this hit surface" columns a serving layer renders. One
+    * fusion body for the generic and the served path, so the formula
+    * cannot fork.
     */
   def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
-      k: Int = 60): DataFrame = {
+      k: Int = 60, legNames: Seq[String] = Nil): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranking")
-    val legs = lists.zipWithIndex.map { case (df, i) =>
-      df.select(col(idCol), col(rankCol).cast("long").as(s"__r$i"))
+    require(legNames.isEmpty || legNames.size == lists.size,
+      s"legNames (${legNames.size}) must match lists (${lists.size})")
+    val names =
+      if (legNames.nonEmpty) legNames else lists.indices.map(i => s"__r$i")
+    val legs = lists.zip(names).map { case (df, n) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(n))
     }
     val joined = legs.reduce(_.join(_, Seq(idCol), "full_outer"))
-    val rrf = legs.indices
-      .map(i => coalesce(lit(1.0) / (lit(k) + col(s"__r$i")), lit(0.0)))
+    val rrf = names
+      .map(n => coalesce(lit(1.0) / (lit(k) + col(n)), lit(0.0)))
       .reduce(_ + _)
+    val keep = if (legNames.nonEmpty) legNames.map(col) else Seq.empty
     joined
-      .select(col(idCol), rrf.as("rrf"))
+      .select(col(idCol) +: rrf.as("rrf") +: keep: _*)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .select(col(idCol) +: col("rrf") +: col("rank") +: keep: _*)
       .orderBy(col("rank"))
   }
 
@@ -77,17 +88,10 @@ object Hybrid {
     val ann = (allowed match {
       case Some(a) => Sq.annTopKFiltered(store, table, qdf, "qid", "qe", depth, a)
       case None => Sq.annTopK(store, table, qdf, "qid", "qe", depth)
-    }).select(col("cand_id").as("pk"), col("rnk").as("ann_rank"))
-    // the per-leg ranks ride through to the output — the "why did
-    // this hit surface" column a serving layer renders
-    lex.select(col("pk"), col("rank").as("bm25_rank"))
-      .join(ann, Seq("pk"), "full_outer")
-      .select(col("pk"),
-        (coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("ann_rank")), lit(0.0))).as("rrf"),
-        col("bm25_rank"), col("ann_rank"))
-      .withColumn("hybrid_rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col("pk"))).cast("long"))
+    }).select(col("cand_id").as("pk"), col("rnk").as("rank"))
+    rrfFuse(Seq(lex.select(col("pk"), col("rank")), ann), "pk", "rank",
+        rrfK, legNames = Seq("bm25_rank", "ann_rank"))
+      .withColumnRenamed("rank", "hybrid_rank")
       .filter(col("hybrid_rank") <= k)
       .select(col("pk"), col("rrf"), col("hybrid_rank"),
         col("bm25_rank"), col("ann_rank"))

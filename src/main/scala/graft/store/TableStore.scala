@@ -428,6 +428,11 @@ class TableStore(val spark: SparkSession, root: String) {
     // just-committed (auto-wrapped write), so this per-merge partial
     // refresh would be dead weight either way
     if (isGoverned(name)) ()
+    else if (hasFileStats(name) && !manifestHasRowCounts(name))
+      // legacy manifest: the partial merge would keep zero-count
+      // presence rows while the full rewrite stamps the row-count
+      // marker — upgrade wholesale once instead
+      refreshFileStats(name)
     else if (hasFileStats(name)) {
       import org.apache.spark.sql.functions.{col, split}
       val segs = touched.map(b => s"$BucketCol=$b")
@@ -572,6 +577,15 @@ class TableStore(val spark: SparkSession, root: String) {
     * `compact` preserve the layout without the caller restating it.
     */
   def partitionColumnsOf(name: String): Seq[String] = {
+    // governed tables answer from a LIVE file's rel path — the
+    // directory tree also holds retired shells from earlier layouts
+    // (a flat overwrite of an ex-bucketed table keeps the old
+    // pk_bucket=N dirs until vacuum), and walking it would report a
+    // chain the live data no longer carries
+    if (isGoverned(name))
+      return liveRefs(name).headOption.map(_.rel.split("/").dropRight(1)
+        .takeWhile(_.contains("=")).map(_.split("=", 2)(0)).toSeq)
+        .getOrElse(Seq.empty)
     @annotation.tailrec
     def loop(p: Path, acc: Vector[String]): Vector[String] = {
       val sub = fs.listStatus(p).find(st => st.isDirectory &&
@@ -851,6 +865,24 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   private val StatsRowsMarker = "__rows_v2"
 
+  /** An empty (marker-only) stats frame, for tables whose live set is
+    * empty — footerStatsDf over no files can't run (statCols needs a
+    * readable schema).
+    */
+  private def emptyStatsFrame: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Long)].toDF("file", "col", "mn", "mx")
+  }
+
+  /** Whether the persisted manifest's presence rows carry row counts
+    * (the __rows_v2 format) — incremental merges must not graft
+    * counted rows onto a zero-count legacy manifest.
+    */
+  private def manifestHasRowCounts(name: String): Boolean =
+    hasFileStats(name) && !spark.read.parquet(statsPath(name).toString)
+      .filter(org.apache.spark.sql.functions.col("col") === StatsRowsMarker)
+      .isEmpty
+
   private def writeStatsManifest(name: String, stats: DataFrame): Unit = {
     val tmp = new Path(path(name), "_graft_stats.__tmp")
     val dst = statsPath(name)
@@ -874,8 +906,15 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def refreshFileStats(name: String): Unit =
     if (activeTx.exists(_.pending.contains(name))) () // deferred to commit
-    else writeStatsManifest(name,
-      footerStatsDf(dataFiles(name), statCols(name), qualifiedDir(name)))
+    else {
+      val files = dataFiles(name)
+      // zero data files (e.g. a governed table whose live set was
+      // emptied): statCols would read() and throw — a marker-only
+      // manifest is the correct description of "no files"
+      if (files.isEmpty) writeStatsManifest(name, emptyStatsFrame)
+      else writeStatsManifest(name,
+        footerStatsDf(files, statCols(name), qualifiedDir(name)))
+    }
 
   /** The maintained manifest as a DataFrame of (file, col, mn, mx)
     * with ABSOLUTE file paths (presence rows carry col = ""), or None
@@ -970,21 +1009,7 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def estimateRows(
       name: String, preds: Seq[(String, Long, Long)] = Nil): Option[Long] =
-    fileStatsTable(name).flatMap { st =>
-      import org.apache.spark.sql.functions.col
-      val rows = st.filter(col("col") === "" || col("col") === StatsRowsMarker)
-        .collect()
-      // a manifest written before presence rows carried row counts
-      // has zeros where counts belong — refuse (None → "run
-      // refresh-stats") instead of confidently estimating 0
-      if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
-      else {
-        val keep = pruneFiles(name, preds).toSet
-        // presence rows: col = "", mn = file row count
-        Some(rows.filter(r => r.getString(1).isEmpty && keep(r.getString(0)))
-          .map(_.getLong(2)).sum)
-      }
-    }
+    statsSummary(name, preds).map(_._1)
 
   /** One-pass form of the estimate report: (estimated rows, total
     * rows, kept files, total files) from a SINGLE presence-row
@@ -1450,15 +1475,28 @@ class TableStore(val spark: SparkSession, root: String) {
     //    10^6-file table per batch commit
     finalRels.foreach { case (n, rels) =>
       if (hasFileStats(n)) {
-        val live = rels.toSet
-        val prior = committedBefore.getOrElse(n, Set.empty)
-        val fresh = rels.filterNot(prior)
-        val keepOld = spark.read.parquet(statsPath(n).toString)
-          .filter(org.apache.spark.sql.functions.col("file")
-            .isInCollection(live.intersect(prior)))
-        writeStatsManifest(n, keepOld.unionByName(footerStatsDf(
-          fresh.map(r => fs.makeQualified(new Path(path(n), r)).toString),
-          statCols(n), qualifiedDir(n))))
+        if (rels.isEmpty)
+          // an emptied table: marker-only manifest (statCols would
+          // read() the empty live set and throw AFTER a commit that
+          // already landed — the abort contract must not lie)
+          writeStatsManifest(n, emptyStatsFrame)
+        else if (!manifestHasRowCounts(n))
+          // legacy manifest (zero-count presence rows): the
+          // incremental merge would stamp the format marker over
+          // rows that still carry zeros — a silent underestimate.
+          // Pay the one-time full footer read instead.
+          refreshFileStats(n)
+        else {
+          val live = rels.toSet
+          val prior = committedBefore.getOrElse(n, Set.empty)
+          val fresh = rels.filterNot(prior)
+          val keepOld = spark.read.parquet(statsPath(n).toString)
+            .filter(org.apache.spark.sql.functions.col("file")
+              .isInCollection(live.intersect(prior)))
+          writeStatsManifest(n, keepOld.unionByName(footerStatsDf(
+            fresh.map(r => fs.makeQualified(new Path(path(n), r)).toString),
+            statCols(n), qualifiedDir(n))))
+        }
       }
     }
     // 5. deferred metadata markers (bucket layout, z-order) land

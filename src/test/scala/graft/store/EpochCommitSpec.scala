@@ -484,6 +484,39 @@ class EpochCommitSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("emptying and reshaping governed tables never wedges maintenance pre-vacuum") {
+    // finding-class pins: (a) a stats-manifest table emptied by
+    // dropPartition must COMMIT cleanly (the stats refresh used to
+    // read() the empty live set and throw after the flip); (b) a flat
+    // overwrite of an ex-bucketed table must compact correctly while
+    // the retired pk_bucket shells are still on disk (the partition
+    // chain derives from LIVE files, not the directory tree)
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.overwrite("a", Seq((1L, "x", "d1")).toDF("id", "v", "day"), Seq("day"))
+    store.ensureGoverned(Seq("a"))
+    store.refreshFileStats("a")
+    store.dropPartition("a", "day", "d1") // live set now empty
+    assert(store.readIfExists("a").isEmpty)
+    assert(store.estimateRows("a") === Some(0L)) // marker-only manifest
+    // and it can refill afterwards
+    store.overwrite("a", Seq((2L, "y", "d2")).toDF("id", "v", "day"), Seq("day"))
+    assert(store.read("a").count() === 1L)
+
+    val storeB = new TableStore(spark, root)
+    storeB.ensureBucketed("b", Seq("id"), 4)
+    storeB.upsert("b", (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    storeB.ensureGoverned(Seq("b"))
+    storeB.overwrite("b", (0 until 8).map(i => (i.toLong, s"f$i")).toDF("id", "v"))
+    // retired bucket shells still on disk, live data is FLAT
+    assert(storeB.partitionColumnsOf("b") === Seq.empty,
+      "partition chain leaked from retired directory shells")
+    val fp = storeB.contentFingerprint("b")
+    storeB.compact("b")
+    assert(storeB.contentFingerprint("b") === fp)
+    assert(storeB.read("b").count() === 8L)
+  }
+
   test("TweetSink on a governed store: the six-table fan-out is all-or-nothing") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
