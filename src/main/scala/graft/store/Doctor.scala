@@ -182,7 +182,13 @@ object Doctor {
           if (r.tv > 0.25)
             Some(f"occupancy shape drifted (TV ${r.tv}%.2f > 0.25)")
           else None,
-          if (r.growth > 2.0)
+          if (r.growth > 2.0 && r.nTrain == 0L)
+            // growth is +Infinity here — "grew Infinityx" reads as a
+            // bug, and the real story is an index trained before any
+            // vectors landed
+            Some(s"index trained on an EMPTY corpus (now ${r.nNow} " +
+              "vectors) — the centroids are meaningless")
+          else if (r.growth > 2.0)
             Some(f"corpus grew ${r.growth}%.1fx past the training snapshot " +
               f"(${r.nTrain} -> ${r.nNow} vectors)")
           else None).flatten

@@ -20,7 +20,18 @@ class TableStore(val spark: SparkSession, root: String) {
   private def fs = new Path(root).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
+  /** For governed tables existence is a COMMIT-LOG question, not a
+    * directory one: the table dir only appears at commit, so inside a
+    * transaction a directory probe would report a just-staged new
+    * table as absent — and a second upsert to it in the same
+    * transaction would then merge against nothing and silently drop
+    * the first write's rows. Pending state first, committed second —
+    * the same resolution order read()/dataFiles() use.
+    */
+  def exists(name: String): Boolean =
+    if (isGoverned(name) || activeTx.exists(_.pending.contains(name)))
+      liveRefs(name).nonEmpty
+    else fs.exists(new Path(path(name)))
 
   def read(name: String): DataFrame =
     if (isGoverned(name)) {
@@ -943,6 +954,28 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def fileEnvelopes(
       name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] =
+    fileEnvelopes0(name, cols, retried = false)
+
+  /** Governed-table staleness guard for the manifest-driven read
+    * paths: a crash between a commit's pointer flip and its manifest
+    * refresh (commitTx step 4) — or an out-of-band write — leaves the
+    * manifest describing a PREVIOUS epoch's files, and a
+    * manifest-driven prune would then silently serve retired
+    * (pre-vacuum) files that disagree with read(). Presence rows must
+    * match the live set exactly; on mismatch the caller refreshes and
+    * retries once (slower once, never wrong — the same staleness
+    * contract Doctor's file-stats invariant reports). Skipped
+    * mid-transaction for a staged table: there the manifest
+    * legitimately describes the committed epoch while the pending
+    * files are not in place yet.
+    */
+  private def manifestStale(name: String, presenceAbs: Set[String]): Boolean =
+    isGoverned(name) && !activeTx.exists(_.pending.contains(name)) &&
+      presenceAbs != dataFiles(name).toSet
+
+  private def fileEnvelopes0(
+      name: String, cols: Seq[String],
+      retried: Boolean): Seq[(String, Map[String, (Long, Long)])] =
     fileStatsTable(name) match {
       case Some(st) =>
         import org.apache.spark.sql.functions.col
@@ -953,13 +986,20 @@ class TableStore(val spark: SparkSession, root: String) {
         // prune itself becomes a distributed anti-join against the
         // manifest, not a bigger collect.
         val rows = st.filter(col("col").isin("" +: cols: _*)).collect()
-        val env = rows.filter(_.getString(1).nonEmpty)
-          .groupBy(_.getString(0))
-          .map { case (f, rs) => f ->
-            rs.map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap }
-        // presence rows carry col = "" — one per file, stats or not
-        rows.filter(_.getString(1).isEmpty).map(_.getString(0)).toSeq.sorted
-          .map(f => (f, env.getOrElse(f, Map.empty[String, (Long, Long)])))
+        val presence = rows.filter(_.getString(1).isEmpty)
+          .map(_.getString(0)).toSet
+        if (!retried && manifestStale(name, presence)) {
+          refreshFileStats(name)
+          fileEnvelopes0(name, cols, retried = true)
+        } else {
+          val env = rows.filter(_.getString(1).nonEmpty)
+            .groupBy(_.getString(0))
+            .map { case (f, rs) => f ->
+              rs.map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap }
+          // presence rows carry col = "" — one per file, stats or not
+          presence.toSeq.sorted
+            .map(f => (f, env.getOrElse(f, Map.empty[String, (Long, Long)])))
+        }
       case None =>
         val files = dataFiles(name)
         val conf = spark.sparkContext.hadoopConfiguration
@@ -1020,11 +1060,23 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def statsSummary(name: String, preds: Seq[(String, Long, Long)])
       : Option[(Long, Long, Int, Int)] =
+    statsSummary0(name, preds, retried = false)
+
+  private def statsSummary0(
+      name: String, preds: Seq[(String, Long, Long)],
+      retried: Boolean): Option[(Long, Long, Int, Int)] =
     fileStatsTable(name).flatMap { st =>
       import org.apache.spark.sql.functions.col
       val rows = st.filter(col("col") === "" || col("col") === StatsRowsMarker)
         .collect()
-      if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
+      val presence0 = rows.filter(_.getString(1).isEmpty)
+        .map(_.getString(0)).toSet
+      // same post-crash staleness guard as the prune path: estimates
+      // must describe the live epoch, not the one before the flip
+      if (!retried && manifestStale(name, presence0)) {
+        refreshFileStats(name)
+        statsSummary0(name, preds, retried = true)
+      } else if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
       else {
         val presence = rows.filter(_.getString(1).isEmpty)
         val keep = pruneFiles(name, preds).toSet
@@ -1143,14 +1195,25 @@ class TableStore(val spark: SparkSession, root: String) {
     * files. The tmp name is dot-prefixed so [[listCommits]] can never
     * resolve it.
     */
-  private def writePointer(epoch: Long, content: String): Unit = {
+  private def writePointer(epoch: Long, content: String): Unit =
+    if (!tryWritePointer(epoch, content))
+      throw new java.util.ConcurrentModificationException(
+        s"commit-$epoch already exists — a concurrent writer committed " +
+          "first; re-resolve and retry")
+
+  /** Attempt the flip; `false` iff the target pointer name already
+    * exists — another writer won epoch `epoch`, the OCC conflict
+    * signal [[commitTx]] rebases on. Any other rename failure throws.
+    */
+  private def tryWritePointer(epoch: Long, content: String): Boolean = {
     val name = f"commit-$epoch%020d"
-    val tmp = new Path(epochDir, s".tmp-$name")
+    val tmp = new Path(epochDir, s".tmp-$name-$writerTag")
     writeSmall(tmp, content)
     val dst = new Path(epochDir, name)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"rename $tmp -> $dst failed; commit not visible")
+    if (fs.rename(tmp, dst)) true
+    else if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else throw new java.io.IOException(
+      s"rename $tmp -> $dst failed; commit not visible")
   }
 
   /** Parse a commit pointer file: table → log entry. One parser for
@@ -1170,9 +1233,76 @@ class TableStore(val spark: SparkSession, root: String) {
         p.getName.stripPrefix("commit-").toLong).toOption.map(_ -> p))
       .sortBy(_._1)
 
-  /** (epoch, table → list-file name) of the latest commit, if any. */
+  // entry filenames carry a per-store random tag so two OCC writers
+  // staging the SAME table at the same epoch can never overwrite each
+  // other's immutable log entries before the pointer flip arbitrates
+  // (the loser aborts at the flip, but its entry write must not have
+  // corrupted the winner's already-referenced list)
+  private val writerTag = java.util.UUID.randomUUID().toString.take(8)
+
+  // read-side twin of activeTx: a snapshot scope pins the resolved
+  // commit so every governed read inside serves ONE epoch
+  private var pinnedCommit: Option[(Long, Map[String, String])] = None
+
+  /** (epoch, table → list-file name) of the latest commit — or the
+    * PINNED commit inside a [[withSnapshot]] scope, if any.
+    */
   private def currentCommit: Option[(Long, Map[String, String])] =
-    listCommits().lastOption.map { case (e, p) => (e, parseCommit(p)) }
+    pinnedCommit.orElse(
+      listCommits().lastOption.map { case (e, p) => (e, parseCommit(p)) })
+
+  /** Read-side twin of [[transact]]: resolve the commit pointer ONCE
+    * and serve every governed read inside `f` from that commit, so a
+    * multi-table query — a tweets⋈users join built side by side — can
+    * never straddle a concurrent commit flip and plan table A at
+    * epoch N while table B resolves N+1 (the torn view the write-side
+    * log kills, resurfacing at query-plan level; the reference's
+    * single SQLite connection gives this for free). File lists are
+    * baked into the plan at DataFrame construction, and replaced
+    * files stay on disk until [[vacuumEpochs]]' retention window
+    * passes, so frames built inside the scope stay collectable after
+    * it. Governed WRITES inside the scope are refused loudly — a
+    * snapshot is read-only by definition (a commit computed against a
+    * pinned stale base would be a lost update).
+    */
+  def withSnapshot[T](f: => T): T = {
+    require(pinnedCommit.isEmpty, "nested withSnapshot is not supported")
+    require(activeTx.isEmpty,
+      "withSnapshot inside transact is redundant — a transaction " +
+        "already reads its own pending state consistently")
+    pinnedCommit = listCommits().lastOption.map { case (e, p) => (e, parseCommit(p)) }
+    try f finally pinnedCommit = None
+  }
+
+  /** A frozen commit handle ([[Snapshot]]): every `.read` resolves
+    * from the SAME epoch, however many commits land in between — the
+    * handle form of [[withSnapshot]] for callers that pass a reader
+    * around. Throws if nothing is governed yet (no commit to pin).
+    */
+  def snapshot(): Snapshot = {
+    val (e, tables) = currentCommit.getOrElse(throw new IllegalStateException(
+      "no commit to snapshot — govern tables first (ensureGoverned)"))
+    new Snapshot(this, e, tables)
+  }
+
+  /** Resolve `name` against an explicit commit's entries — the shared
+    * core of [[readEpoch]] and [[Snapshot.read]].
+    */
+  private[store] def readResolved(
+      name: String, tables: Map[String, String], epoch: Long): DataFrame = {
+    val rels = tables.get(name) match {
+      case Some(lf) => resolveEntry(lf)
+      case None => throw new IllegalArgumentException(
+        s"$name was not governed at epoch $epoch")
+    }
+    // an empty snapshot must NOT fall back to a directory scan — the
+    // dir may hold files from OTHER epochs (retired or newer), which
+    // would silently serve out-of-snapshot data
+    if (rels.isEmpty) throw new IllegalStateException(
+      s"$name has no files at epoch $epoch (empty snapshot)")
+    else spark.read.option("basePath", path(name))
+      .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+  }
 
   /** Tables whose visibility is governed by the commit pointer. */
   def governed: Set[String] = currentCommit.map(_._2.keySet).getOrElse(Set.empty)
@@ -1272,6 +1402,7 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def ensureGoverned(names: Seq[String]): Unit = {
     require(activeTx.isEmpty, "cannot change governance inside a transaction")
+    require(pinnedCommit.isEmpty, "cannot change governance inside withSnapshot")
     val (epoch, tables) = currentCommit.getOrElse((0L, Map.empty[String, String]))
     val missing = names.filterNot(tables.contains)
     if (missing.isEmpty) return
@@ -1280,7 +1411,7 @@ class TableStore(val spark: SparkSession, root: String) {
     val added = missing.map { n =>
       val rels =
         if (exists(n)) walkParquetRel(new Path(path(n))) else Seq.empty[String]
-      val lf = s"files-$n-$next"
+      val lf = s"files-$n-$next-$writerTag"
       writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
       n -> lf
     }
@@ -1290,6 +1421,7 @@ class TableStore(val spark: SparkSession, root: String) {
 
   private def ungovern(name: String): Unit = {
     require(activeTx.isEmpty, "cannot change governance inside a transaction")
+    require(pinnedCommit.isEmpty, "cannot change governance inside withSnapshot")
     currentCommit.foreach { case (epoch, tables) =>
       if (tables.contains(name))
         writePointer(epoch + 1,
@@ -1310,6 +1442,9 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   def transact[T](f: => T): T = {
     require(activeTx.isEmpty, "nested transact is not supported")
+    require(pinnedCommit.isEmpty,
+      "governed writes inside withSnapshot are refused — a commit " +
+        "computed against a pinned stale base would be a lost update")
     val tx = new TxState
     activeTx = Some(tx)
     val r =
@@ -1381,6 +1516,13 @@ class TableStore(val spark: SparkSession, root: String) {
     */
   private[graft] var beforeCommitFlip: () => Unit = () => ()
 
+  /** Test seam: invoked right AFTER the pointer flip, before the
+    * stats-manifest refresh (step 4) — the crash window that leaves a
+    * manifest describing the previous epoch, which the read-path
+    * staleness guard ([[manifestStale]]) must absorb.
+    */
+  private[graft] var afterCommitFlip: () => Unit = () => ()
+
   private def commitTx(tx: TxState): Unit = {
     if (tx.pending.isEmpty) {
       tx.staging.foreach(p => if (fs.exists(p)) fs.delete(p, true))
@@ -1436,9 +1578,9 @@ class TableStore(val spark: SparkSession, root: String) {
     //    list writes a delta link (O(batch) commit metadata — the
     //    Delta-log incremental form); chains compact back to a full
     //    list every MaxDeltaDepth links so resolution stays shallow.
-    val newTables = tables ++ finalRels.map { case (n, rels) =>
+    val ourEntries = finalRels.map { case (n, rels) =>
       def writeFull(): String = {
-        val lf = s"files-$n-$next"
+        val lf = s"files-$n-$next-$writerTag"
         writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
         lf
       }
@@ -1449,7 +1591,7 @@ class TableStore(val spark: SparkSession, root: String) {
           val adds = rels.filterNot(old)
           val dels = (old -- newSet).toSeq.sorted
           if (adds.size + dels.size < rels.size) {
-            val df = s"delta-$n-$next"
+            val df = s"delta-$n-$next-$writerTag"
             writeSmall(new Path(epochDir, df),
               (s"base=$prev" +: s"depth=${entryDepth(prev) + 1}" +:
                 (adds.map("+" + _) ++ dels.map("-" + _))).mkString("\n"))
@@ -1465,9 +1607,40 @@ class TableStore(val spark: SparkSession, root: String) {
     }
     // 3. THE atomic step: tmp-write + rename to one fresh pointer
     //    file; readers resolve the max epoch, so visibility flips for
-    //    every table at once and a truncated pointer can never appear
-    writePointer(next,
-      newTables.toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+    //    every table at once and a truncated pointer can never appear.
+    //    On a pointer COLLISION (a concurrent writer committed this
+    //    epoch first) the Delta/Iceberg OCC rule applies: re-resolve
+    //    the current commit and re-flip at the next epoch iff the
+    //    interleaved commits touched only tables DISJOINT from this
+    //    transaction's — our staged entries and moved files stay valid
+    //    verbatim (delta bases reference per-table entries the
+    //    interleaver did not change). Overlap aborts loudly: merging
+    //    two writers' divergent file lists for one table would be a
+    //    lost update, exactly what the pointer exists to prevent.
+    var base = tables
+    var attempt = next
+    var flipped = false
+    while (!flipped) {
+      val content = (base ++ ourEntries).toSeq.sorted
+        .map { case (t, lf) => s"$t\t$lf" }.mkString("\n")
+      if (tryWritePointer(attempt, content)) flipped = true
+      else {
+        val (curEpoch, curTables) = currentCommit.getOrElse(
+          throw new IllegalStateException(
+            s"commit-$attempt exists but no commit resolves — corrupt log?"))
+        val changed = (curTables.keySet ++ base.keySet)
+          .filter(t => curTables.get(t) != base.get(t))
+        val overlap = changed.intersect(tx.pending.keySet)
+        if (overlap.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit(s) changed ${overlap.toSeq.sorted.mkString(", ")} " +
+              "while this transaction also staged them — rebase is only " +
+              "safe for disjoint table sets; re-read and retry the batch")
+        base = curTables
+        attempt = curEpoch + 1
+      }
+    }
+    afterCommitFlip()
     // 4. keep the stats manifests of changed tables fresh (the Doctor
     //    invariant) at O(changed files): rows for files still live
     //    carry over, only the NEWLY COMMITTED files are footer-read —
@@ -1526,19 +1699,7 @@ class TableStore(val spark: SparkSession, root: String) {
       .getOrElse(throw new IllegalArgumentException(
         s"no retained commit for epoch $epoch " +
           s"(retained: ${commits.map(_._1).mkString(", ")}) — vacuumed?"))
-    val tables = parseCommit(p)
-    val rels = tables.get(name) match {
-      case Some(lf) => resolveEntry(lf)
-      case None => throw new IllegalArgumentException(
-        s"$name was not governed at epoch $epoch")
-    }
-    // an empty snapshot must NOT fall back to a directory scan — the
-    // dir may hold files from OTHER epochs (retired or newer), which
-    // would silently serve out-of-snapshot data
-    if (rels.isEmpty) throw new IllegalStateException(
-      s"$name has no files at epoch $epoch (empty snapshot)")
-    else spark.read.option("basePath", path(name))
-      .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+    readResolved(name, parseCommit(p), epoch)
   }
 
   /** Data files on disk that the current commit does NOT reference —
@@ -1571,39 +1732,90 @@ class TableStore(val spark: SparkSession, root: String) {
         refs.map(_.rel).filterNot(r => present(new Path(r).getName))
       }.sorted
 
-  /** Reclaim space: delete governed tables' data files no commit
-    * references (replaced files kept for in-flight readers, plus any
-    * orphans from a crash between file moves and the pointer flip),
-    * prune superseded commit pointers and list files, and clear stale
-    * staging. Run when no readers are mid-query over old epochs — the
-    * retention contract every snapshot store has.
+  /** Reclaim space: delete governed tables' data files no RETAINED
+    * commit references, prune superseded commit pointers and
+    * unreachable log entries, and clear stale tmp/staging leftovers —
+    * under a RETENTION WINDOW (Delta's `RETAIN` semantics): a commit
+    * that was still the current pointer at any instant in the last
+    * `minAgeMs` is retained, together with every file and log entry
+    * it references, so an in-flight reader that planned on it
+    * finishes its scan and [[readEpoch]] time-travels to it. A
+    * pointer is "current" until its SUCCESSOR lands, so retention
+    * keys on the successor pointer's mtime — file mtimes are the
+    * wrong signal (a file retired five minutes ago may have been
+    * WRITTEN days ago, and deleting it would break a reader that
+    * planned pre-flip). Unreferenced files additionally keep a
+    * file-mtime guard so a CONCURRENT writer's just-moved (not yet
+    * committed) staged files are never swept mid-flip.
+    *
+    * `minAgeMs = 0` (the default) reclaims everything but the latest
+    * commit — only safe when no readers are mid-query and no other
+    * writer is mid-commit, the pre-window contract.
     */
-  def vacuumEpochs(): Unit = {
+  def vacuumEpochs(minAgeMs: Long = 0L): Unit = {
     require(activeTx.isEmpty, "cannot vacuum inside a transaction")
-    currentCommit.foreach { case (_, tables) =>
-      tables.keys.foreach { n =>
-        val live = committedRefs(n).map(_.rel).toSet
-        walkParquetRel(new Path(path(n))).filterNot(live)
-          .foreach(r => fs.delete(new Path(path(n), r), false))
-        deleteEmptyDirs(new Path(path(n)))
-      }
-      listCommits().dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
-      // retain every log entry the CURRENT commit's chains reach
-      // (delta entries resolve through their base= links); everything
-      // else — superseded lists, dead chains — goes
-      val liveEntries = tables.values.toSet.flatMap(reachableEntries)
-      fs.listStatus(epochDir).map(_.getPath)
-        .filter(p => (p.getName.startsWith("files-") ||
-          p.getName.startsWith("delta-")) && !liveEntries(p.getName))
-        .foreach(p => fs.delete(p, false))
-      // crash leftovers: unflipped pointer tmp files
-      fs.listStatus(epochDir).map(_.getPath)
-        .filter(_.getName.startsWith(".tmp-"))
-        .foreach(p => fs.delete(p, false))
-      if (fs.exists(stageRoot))
-        fs.listStatus(stageRoot).foreach(st => fs.delete(st.getPath, true))
+    require(pinnedCommit.isEmpty, "cannot vacuum inside withSnapshot")
+    val commits = listCommits()
+    if (commits.isEmpty) return
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val mtimes = commits.map { case (_, p) =>
+      fs.getFileStatus(p).getModificationTime }
+    // commits(i) was current during [mtime(i), mtime(i+1)): retained
+    // iff that interval touches the window — successor younger than
+    // the cutoff — or it IS the latest
+    val (retained, dropped) = commits.zipWithIndex.partition { case (_, i) =>
+      i == commits.size - 1 || mtimes(i + 1) > cutoff
     }
+    val retainedTables = retained.map { case ((_, p), _) => parseCommit(p) }
+    // live rel-paths per CURRENTLY governed table across ALL retained
+    // commits (an ex-governed table's directory is plain data now —
+    // never sweep it); unreferenced files older than the cutoff go
+    val current = retainedTables.last
+    current.keys.foreach { n =>
+      val live = retainedTables.flatMap(_.get(n)).distinct
+        .flatMap(resolveEntry).toSet
+      walkParquetRel(new Path(path(n))).filterNot(live)
+        .map(r => new Path(path(n), r))
+        .filter(p => fs.getFileStatus(p).getModificationTime <= cutoff)
+        .foreach(p => fs.delete(p, false))
+      deleteEmptyDirs(new Path(path(n)))
+    }
+    dropped.foreach { case ((_, p), _) => fs.delete(p, false) }
+    // retain every log entry ANY retained commit's chains reach
+    // (delta entries resolve through their base= links); everything
+    // else — superseded lists, dead chains — goes
+    val liveEntries =
+      retainedTables.flatMap(_.values).toSet.flatMap(reachableEntries)
+    fs.listStatus(epochDir).map(_.getPath)
+      .filter(p => (p.getName.startsWith("files-") ||
+        p.getName.startsWith("delta-")) && !liveEntries(p.getName))
+      .foreach(p => fs.delete(p, false))
+    // crash leftovers: unflipped pointer tmp files past the window
+    // (younger ones may be a concurrent writer's in-flight flip)
+    fs.listStatus(epochDir).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .filter(p => fs.getFileStatus(p).getModificationTime <= cutoff)
+      .foreach(p => fs.delete(p, false))
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot)
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    // bound the driver-side metadata caches (the unbounded-growth
+    // fix): drop every memoized commit/list/depth entry no retained
+    // commit reaches — on a long-lived high-commit-rate writer these
+    // otherwise accrete one full file list per historical entry
+    val keepCommits = retained.map { case ((_, p), _) => p.getName }.toSet
+    commitCache.filterInPlace((k, _) => keepCommits(k))
+    listCache.filterInPlace((k, _) => liveEntries(k))
+    depthCache.filterInPlace((k, _) => liveEntries(k))
   }
+
+  /** Test-only size probe for the epoch metadata caches — the
+    * cache-bounding spec asserts O(live entries) across N
+    * commit+vacuum cycles. (commitCache, listCache, depthCache).
+    */
+  private[graft] def metadataCacheSizes: (Int, Int, Int) =
+    (commitCache.size, listCache.size, depthCache.size)
 
   /** Remove empty subdirectories left behind by file-level vacuum —
     * a stale `col=value` shell would otherwise confuse partition-
@@ -1616,6 +1828,26 @@ class TableStore(val spark: SparkSession, root: String) {
         if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
       }
     }
+}
+
+/** A frozen view of one commit: every [[read]] resolves from the SAME
+  * epoch regardless of concurrent commits — the handle form of
+  * [[TableStore.withSnapshot]], for callers that pass a consistent
+  * reader around instead of scoping a block. Valid for as long as the
+  * epoch is retained ([[TableStore.vacuumEpochs]]' retention window).
+  */
+final class Snapshot private[store] (
+    store: TableStore, val epoch: Long,
+    private[store] val entries: Map[String, String]) {
+
+  /** Tables governed at this snapshot's epoch. */
+  def tables: Set[String] = entries.keySet
+
+  /** The governed table as of this snapshot's epoch — same resolution
+    * as [[TableStore.readEpoch]], pointer parsed exactly once at
+    * handle creation.
+    */
+  def read(name: String): DataFrame = store.readResolved(name, entries, epoch)
 }
 
 object TableStore {

@@ -1,0 +1,245 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 epoch-log hardening, each half pinned at its exact
+  * failure window:
+  *
+  *  - SNAPSHOT-CONSISTENT READS: `transact` makes writes atomic, but
+  *    two independent `read` calls each resolve the latest pointer —
+  *    a tweets⋈users join built side by side could plan table A at
+  *    epoch N and table B at N+1. `snapshot()` / `withSnapshot`
+  *    resolve the pointer ONCE (the read-side twin of `transact`;
+  *    the reference's single SQLite connection gives this for free,
+  *    `/root/reference/cli.py:664-668`).
+  *  - VACUUM RETENTION: a reader that planned on epoch N must finish
+  *    its scan even after a commit + vacuum — Delta's RETAIN rule,
+  *    keyed on pointer-supersede time (file mtime is the wrong
+  *    signal: a file retired seconds ago may be days old).
+  *  - OCC WRITER CONFLICTS: two writers racing a commit rebase when
+  *    their table sets are disjoint (the Delta/Iceberg rule) and
+  *    abort loudly on overlap — never a lost update.
+  *  - BOUNDED METADATA CACHES: vacuum evicts every memoized log entry
+  *    no retained commit reaches, so a long-lived writer's driver
+  *    memory is O(live entries), not O(commits ever made).
+  */
+class SnapshotOccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select(col("id").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def governedPair(root: String): TableStore = {
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("tweets", "users"))
+    store.transact {
+      store.upsert("tweets", Seq((10L, "t-old")).toDF("id", "v"), Seq("id"))
+      store.upsert("users", Seq((1L, "u-old")).toDF("id", "v"), Seq("id"))
+    }
+    store
+  }
+
+  test("snapshot(): a commit flipped between building a join's two sides is invisible") {
+    val store = governedPair(freshRoot())
+    val snap = store.snapshot()
+    val epochAtPin = snap.epoch
+    // side 1 of the join built from the handle...
+    val tweets = snap.read("tweets")
+    // ...a concurrent commit flips BOTH tables...
+    store.transact {
+      store.upsert("tweets", Seq((11L, "t-new")).toDF("id", "v"), Seq("id"))
+      store.upsert("users", Seq((2L, "u-new")).toDF("id", "v"), Seq("id"))
+    }
+    // ...side 2 built after the flip still serves the pinned epoch
+    val users = snap.read("users")
+    assert(rows(tweets) === Set((10L, "t-old")))
+    assert(rows(users) === Set((1L, "u-old")))
+    assert(snap.epoch === epochAtPin)
+    assert(snap.tables === Set("tweets", "users"))
+    // un-pinned reads (and a fresh snapshot) see the new epoch
+    assert(rows(store.read("users")) === Set((1L, "u-old"), (2L, "u-new")))
+    assert(store.snapshot().epoch === epochAtPin + 1)
+  }
+
+  test("withSnapshot: plain store.read serves one epoch across a concurrent flip") {
+    val root = freshRoot()
+    val store = governedPair(root)
+    val writer = new TableStore(spark, root)
+    val (tweets, users) = store.withSnapshot {
+      val t = store.read("tweets")
+      writer.transact {
+        writer.upsert("tweets", Seq((11L, "t-new")).toDF("id", "v"), Seq("id"))
+        writer.upsert("users", Seq((2L, "u-new")).toDF("id", "v"), Seq("id"))
+      }
+      (t, store.read("users"))
+    }
+    assert(rows(tweets) === Set((10L, "t-old")))
+    assert(rows(users) === Set((1L, "u-old")))
+    // the pin is scoped: outside the block the latest epoch serves
+    assert(rows(store.read("users")) === Set((1L, "u-old"), (2L, "u-new")))
+  }
+
+  test("withSnapshot is read-only for governed tables: a write inside is refused") {
+    val store = governedPair(freshRoot())
+    val e = intercept[IllegalArgumentException] {
+      store.withSnapshot {
+        store.upsert("users", Seq((9L, "x")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    assert(e.getMessage.contains("withSnapshot"))
+    // nothing leaked: the refused write left no trace
+    assert(rows(store.read("users")) === Set((1L, "u-old")))
+  }
+
+  test("vacuum retention window: a reader planned pre-flip finishes; age-0 reclaims") {
+    val store = governedPair(freshRoot())
+    val epoch1 = store.snapshot().epoch
+    // a reader plans its scan on the current epoch (file list baked
+    // into the DataFrame at construction)...
+    val planned = store.read("tweets")
+    // ...then the writer replaces the table AND vacuums with a
+    // retention window: the superseded commit was current within the
+    // window, so its files and pointer survive
+    store.transact {
+      store.upsert("tweets", Seq((10L, "t-NEW")).toDF("id", "v"), Seq("id"))
+    }
+    store.vacuumEpochs(minAgeMs = 3600L * 1000)
+    assert(rows(planned) === Set((10L, "t-old")),
+      "in-flight reader lost files despite the retention window")
+    // time travel to the retained epoch still resolves
+    assert(rows(store.readEpoch("tweets", epoch1)) === Set((10L, "t-old")))
+    // age-0 vacuum (the no-readers contract) reclaims: the old epoch
+    // is gone and its files swept
+    store.vacuumEpochs()
+    assert(store.epochs() === Seq(epoch1 + 1))
+    intercept[IllegalArgumentException] { store.readEpoch("tweets", epoch1) }
+    assert(store.unreferencedFiles("tweets").isEmpty)
+    assert(rows(store.read("tweets")) === Set((10L, "t-NEW")))
+  }
+
+  test("OCC: disjoint concurrent commits rebase; both land; overlap aborts loudly") {
+    val root = freshRoot()
+    val a = new TableStore(spark, root)
+    a.ensureGoverned(Seq("ta", "tb"))
+    a.transact {
+      a.upsert("ta", Seq((1L, "a0")).toDF("id", "v"), Seq("id"))
+      a.upsert("tb", Seq((1L, "b0")).toDF("id", "v"), Seq("id"))
+    }
+    val b = new TableStore(spark, root)
+    // writer B commits table tb INSIDE writer A's commit window (after
+    // A staged ta, before A's pointer flip) — A's first flip attempt
+    // collides and must rebase onto B's commit
+    a.beforeCommitFlip = () => {
+      a.beforeCommitFlip = () => ()
+      b.transact {
+        b.upsert("tb", Seq((2L, "b1")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    try a.transact {
+      a.upsert("ta", Seq((2L, "a1")).toDF("id", "v"), Seq("id"))
+    } finally a.beforeCommitFlip = () => ()
+    // BOTH writers' rows are visible from a fresh reader — no lost
+    // update on either side of the race
+    val reader = new TableStore(spark, root)
+    assert(rows(reader.read("ta")) === Set((1L, "a0"), (2L, "a1")))
+    assert(rows(reader.read("tb")) === Set((1L, "b0"), (2L, "b1")))
+
+    // overlap: both writers stage the SAME table — the loser must
+    // abort (merging divergent file lists would be a lost update)
+    val c = new TableStore(spark, root)
+    reader.beforeCommitFlip = () => {
+      reader.beforeCommitFlip = () => ()
+      c.transact {
+        c.upsert("ta", Seq((3L, "a2-c")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    val boom =
+      try intercept[java.util.ConcurrentModificationException] {
+        reader.transact {
+          reader.upsert("ta", Seq((4L, "a2-r")).toDF("id", "v"), Seq("id"))
+        }
+      } finally reader.beforeCommitFlip = () => ()
+    assert(boom.getMessage.contains("ta"))
+    // the winner's commit stands untouched
+    assert(rows(new TableStore(spark, root).read("ta")) ===
+      Set((1L, "a0"), (2L, "a1"), (3L, "a2-c")))
+  }
+
+  test("metadata caches stay O(live entries) across commit+vacuum cycles") {
+    val store = governedPair(freshRoot())
+    def sizes = store.metadataCacheSizes
+    var watermark = (0, 0, 0)
+    (1 to 20).foreach { i =>
+      store.transact {
+        store.upsert("tweets", Seq((100L + i, s"t$i")).toDF("id", "v"), Seq("id"))
+      }
+      store.read("tweets").count() // resolve (and memoize) the live chain
+      store.vacuumEpochs()
+      val s = sizes
+      if (i == 5) watermark = s
+      if (i > 5) {
+        assert(s._1 <= watermark._1 + 1,
+          s"commitCache grew past steady state at cycle $i: $s vs $watermark")
+        assert(s._2 <= watermark._2 + 2,
+          s"listCache grew past steady state at cycle $i: $s vs $watermark")
+        assert(s._3 <= watermark._3 + 2,
+          s"depthCache grew past steady state at cycle $i: $s vs $watermark")
+      }
+    }
+    // absolute bound: one retained commit, ≤ (MaxDeltaDepth+1) chain
+    // entries per table — nowhere near the 20 commits made
+    val (c, l, d) = sizes
+    assert(c <= 2 && l <= 2 * 12 && d <= 2 * 12, s"caches unbounded: ($c, $l, $d)")
+  }
+
+  test("two upserts to a brand-new governed table inside one transact both survive") {
+    // regression (ADVICE r9): exists/readIfExists gated on the table
+    // DIRECTORY, which for a governed table only appears at commit —
+    // the second upsert merged against nothing and silently dropped
+    // the first write's rows
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("fresh"))
+    store.transact {
+      store.upsert("fresh", Seq((1L, "first")).toDF("id", "v"), Seq("id"))
+      store.upsert("fresh", Seq((2L, "second")).toDF("id", "v"), Seq("id"))
+    }
+    assert(rows(store.read("fresh")) === Set((1L, "first"), (2L, "second")))
+    assert(rows(new TableStore(spark, root).read("fresh")) ===
+      Set((1L, "first"), (2L, "second")))
+  }
+
+  test("a crash between the pointer flip and the stats refresh cannot serve retired files") {
+    // regression (ADVICE r9): pruneFiles/readPruned/estimateRows
+    // answer entirely from the manifest; a manifest describing the
+    // PREVIOUS epoch would silently serve pre-vacuum retired files
+    // that disagree with read(). The read path now cross-checks
+    // presence rows against the live set and refreshes on mismatch.
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.overwrite("m", Seq((1L, "old")).toDF("id", "v"))
+    store.refreshFileStats("m")
+    store.ensureGoverned(Seq("m"))
+    store.afterCommitFlip = () => throw new RuntimeException("power cut post-flip")
+    try intercept[RuntimeException] {
+      store.transact {
+        store.overwrite("m", Seq((2L, "new")).toDF("id", "v"))
+      }
+    } finally store.afterCommitFlip = () => ()
+    // fresh process over the crashed store: the commit LANDED (flip
+    // precedes the crash), so every read form must serve the new epoch
+    val reader = new TableStore(spark, root)
+    assert(rows(reader.read("m")) === Set((2L, "new")))
+    val pruned = reader.readPruned("m", Seq(("id", 0L, 100L)))
+    assert(rows(pruned) === Set((2L, "new")),
+      "manifest-driven scan served the pre-flip epoch")
+    assert(reader.estimateRows("m") === Some(1L))
+  }
+}
