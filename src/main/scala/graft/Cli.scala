@@ -88,8 +88,24 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         compactions (layout-aware:
   *                                         z-ordered tables keep
   *                                         their clustering)
+  *   index-retrain <store> <famBase>       re-run the recorded
+  *                                         buildIndex for a drifted
+  *                                         IVF family (famBase =
+  *                                         <table>_<ivf|ivfpq|ivfsq|
+  *                                         ivfbin>); doctor --repair
+  *                                         runs the same loop for
+  *                                         every flagged index
+  *   vacuum-epochs <store> [minutes]       reclaim replaced-epoch
+  *                                         files; a retention window
+  *                                         keeps commits current
+  *                                         within the last N minutes
+  *                                         so in-flight readers finish
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
+  *
+  * Read-only verbs on a governed store run inside ONE withSnapshot
+  * scope (see [[ReadOnlyVerbs]]): multi-table reads cannot straddle a
+  * concurrent commit flip.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -110,10 +126,37 @@ object Cli {
     * verb in-process against the shared test session (main owns the
     * session lifecycle; run never stops it).
     */
+  /** Verbs that only READ the store — on a governed store these run
+    * inside one [[TableStore.withSnapshot]] scope, so a verb that
+    * touches several tables (an FTS search reads index + stats, a
+    * hybrid search reads two index families + the base table) can
+    * never straddle a concurrent writer's commit flip; the
+    * reference's single SQLite connection gives the same guarantee
+    * for free.
+    */
+  private val ReadOnlyVerbs: Set[String] = Set(
+    "fts-search", "fts-ranked", "fts-highlight", "fts-snippet",
+    "tri-search", "tri-match", "lsh-pairs", "lsh-pairs-filtered",
+    "pq-search", "ivf-search", "ivfpq-search", "sq-search",
+    "ivfsq-search", "bin-search", "bin-rerank", "ivfbin-search",
+    "ivfbin-rerank", "sq-search-filtered", "ivfsq-search-filtered",
+    "bin-search-filtered", "ivfbin-search-filtered",
+    "ivf-search-filtered", "pq-search-filtered", "ivfpq-search-filtered",
+    "hybrid-search", "hh-top", "quantiles", "estimate", "prune-files",
+    "fingerprint", "tables", "show", "epochs")
+
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val cmd = args(0)
     val store = new TableStore(spark, args(1))
 
+    if (ReadOnlyVerbs(cmd) && store.governed.nonEmpty)
+      store.withSnapshot(dispatch(spark, store, cmd, args))
+    else dispatch(spark, store, cmd, args)
+  }
+
+  private def dispatch(
+      spark: SparkSession, store: TableStore, cmd: String,
+      args: Array[String]): Unit = {
     cmd match {
       case "import" =>
         args.drop(2).foreach { path =>
@@ -488,10 +531,15 @@ object Cli {
         SqliteCompat.render(store.readEpoch(args(2), args(3).toLong))
           .show(n, truncate = false)
       case "vacuum-epochs" =>
-        // vacuum-epochs <store> — reclaim files replaced by epoch
-        // commits (run with no readers mid-query over old epochs)
-        store.vacuumEpochs()
-        println("[vacuum-epochs] done")
+        // vacuum-epochs <store> [minAgeMinutes] — reclaim files
+        // replaced by epoch commits; with a retention window, commits
+        // current within the last N minutes survive so in-flight
+        // readers finish (Delta RETAIN semantics). Age 0 (default)
+        // requires no readers mid-query over old epochs.
+        val minAge = args.lift(2).map(_.toLong * 60_000L).getOrElse(0L)
+        store.vacuumEpochs(minAge)
+        println(s"[vacuum-epochs] done (retention ${minAge / 60000} min); " +
+          s"retained epochs: ${store.epochs().mkString(", ")}")
       case "estimate" =>
         // estimate <store> <table> [col:lo:hi ...] — manifest-driven
         // cardinality estimate, zero data I/O (Explain --stats form)
@@ -500,6 +548,14 @@ object Cli {
           (c, lo.toLong, hi.toLong)
         }
         println("[estimate] " + Explain.statsReport(store, args(2), preds))
+      case "index-retrain" =>
+        // index-retrain <store> <famBase> — re-run the recorded
+        // buildIndex for a drifted IVF family index (famBase =
+        // <table>_<ivf|ivfpq|ivfsq|ivfbin>); restores the recall
+        // floor and resets the drift report to tv≈0, growth=1
+        val r = graft.store.IvfDrift.retrain(store, args(2))
+        println(f"[index-retrain] ${args(2)}: tv=${r.tv}%.3f " +
+          f"growth=${r.growth}%.2f (${r.nNow} vectors)")
       case "hybrid-search" =>
         // hybrid-search <store> <table> <k> <qvec-csv> <terms...> —
         // RRF fusion of BM25 (FTS index) and cosine (SQ8 index)
@@ -530,9 +586,14 @@ object Cli {
         }
         if (args.contains("--repair")) {
           val done = graft.store.Doctor.repair(store)
-          if (done.isEmpty) println("[doctor] nothing to repair")
-          else done.foreach { case (t, b, a) =>
+          val retrained = graft.store.Doctor.retrainDrifted(store)
+          if (done.isEmpty && retrained.isEmpty)
+            println("[doctor] nothing to repair")
+          done.foreach { case (t, b, a) =>
             println(s"[doctor] repaired/$t: $b -> $a files") }
+          retrained.foreach { case (f, b, a) =>
+            println(f"[doctor] retrained/$f: tv ${b.tv}%.2f -> ${a.tv}%.2f, " +
+              f"growth ${b.growth}%.2f -> ${a.growth}%.2f") }
         }
       case "tables" =>
         store.tableNames.foreach(t =>

@@ -153,14 +153,19 @@ object Doctor {
     * in-flight readers may still scan them — but past a handful they
     * are pure listing/storage overhead, so suggest the reclaim.
     */
-  private def epochGarbage(store: TableStore): Seq[Issue] =
+  private def epochGarbage(
+      store: TableStore, thresholdBytes: Long = 64L << 20): Seq[Issue] =
     store.governed.toSeq.sorted.flatMap { t =>
       val orphans = store.unreferencedFiles(t)
-      if (orphans.size >= 8)
+      // two independent triggers: many small retired files (listing
+      // overhead) OR few huge ones (storage) — one 1 GB retired file
+      // wastes as much as a thousand 1 MB ones
+      val bytes = if (orphans.isEmpty) 0L else store.unreferencedBytes(t)
+      if (orphans.size >= 8 || bytes >= thresholdBytes)
         Some(Issue("vacuum", t,
-          s"${orphans.size} unreferenced files from replaced epochs — " +
-            "run `vacuum-epochs <store>` (with no readers mid-query " +
-            "over old epochs)"))
+          s"${orphans.size} unreferenced files ($bytes bytes) from " +
+            "replaced epochs — run `vacuum-epochs <store> [minutes]` " +
+            "(retention window keeps in-flight readers safe)"))
       else None
     }
 
@@ -223,6 +228,29 @@ object Doctor {
         case None => store.compact(t, targetBytes = targetBytes)
       }
       (t, before, after)
+    }
+
+  /** Execute the RETRAIN half of the advisory loop: every ivf-drift
+    * [[suggest]] finding whose index recorded training provenance
+    * ([[IvfDrift.recordTraining]], captured by every buildIndex)
+    * re-runs its family's buildIndex on the current corpus — the
+    * `doctor --repair` twin of the compaction `repair`, closing the
+    * detect→recommend→retrain loop in one command. Indexes without
+    * provenance (pre-capture builds) stay advisory-only: retraining
+    * them needs the caller's pk/emb columns. Returns (famBase,
+    * reportBefore, reportAfter) per retrained index — `after.tv ≈ 0`
+    * and `growth = 1` by construction, so the call is idempotent
+    * (a retrained index no longer suggests).
+    */
+  def retrainDrifted(
+      store: TableStore): Seq[(String, IvfDrift.Report, IvfDrift.Report)] =
+    centroidDrift(store).flatMap { issue =>
+      val famBase = issue.table
+      IvfDrift.trainingMeta(store, famBase).map { _ =>
+        val before = IvfDrift
+          .report(store, s"${famBase}_cents", s"${famBase}_map").get
+        (famBase, before, IvfDrift.retrain(store, famBase))
+      }
     }
 
   /** The stats manifest must track exactly the table's current data

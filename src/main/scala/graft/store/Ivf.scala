@@ -71,6 +71,10 @@ object Ivf {
     // train-time occupancy snapshot: the IvfDrift baseline a later
     // `doctor suggest` compares against to recommend a retrain
     IvfDrift.snapshot(store, centsName(table), mapName(table))
+    // provenance for the one-command retrain loop (IvfDrift.retrain)
+    IvfDrift.recordTraining(store, s"${table}_ivf", Map(
+      "table" -> table, "family" -> "ivf", "pk" -> pkCol, "emb" -> embCol,
+      "k" -> k.toString, "iters" -> iters.toString))
   }
 
   /** Upsert embedding rows AND their cell index: the batch assigns

@@ -91,6 +91,9 @@ object IvfBin {
     store.overwrite(centsName(table), cents)
     upsertWithCodes(store, table, emb, pkCol, embCol)
     IvfDrift.snapshot(store, centsName(table), mapName(table))
+    IvfDrift.recordTraining(store, s"${table}_ivfbin", Map(
+      "table" -> table, "family" -> "ivfbin", "pk" -> pkCol, "emb" -> embCol,
+      "kCells" -> kCells.toString, "iters" -> iters.toString))
   }
 
   /** Upsert embedding rows AND their cell-partitioned blobs: assign

@@ -34,6 +34,66 @@ object IvfDrift {
   /** Train-time occupancy snapshot table for a cents table. */
   def snapName(centsTable: String): String = s"${centsTable}_train"
 
+  /** Training-provenance table for an IVF family
+    * (`<famBase>_meta`, famBase = `<table>_<family>`): the (key,
+    * value) rows a later [[retrain]] needs to re-run the family's
+    * buildIndex with nothing restated by the caller — base table,
+    * family, pk/emb columns, k-means parameters. Written by each
+    * buildIndex alongside the occupancy snapshot.
+    */
+  def metaName(famBase: String): String = s"${famBase}_meta"
+
+  def recordTraining(
+      store: TableStore, famBase: String, kv: Map[String, String]): Unit = {
+    import store.spark.implicits._
+    store.overwrite(metaName(famBase), kv.toSeq.toDF("key", "value"))
+  }
+
+  /** The recorded provenance, or None for a pre-provenance index
+    * (retrain then needs the manual buildIndex path).
+    */
+  def trainingMeta(
+      store: TableStore, famBase: String): Option[Map[String, String]] =
+    store.readIfExists(metaName(famBase)).map(
+      _.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+
+  /** Close the drift loop: re-run the family's buildIndex from the
+    * recorded provenance — retraining centroids (and any dependent
+    * codebooks/scales) on the CURRENT corpus, rewriting the cell
+    * index and refreshing the occupancy snapshot, which restores the
+    * probe-recall floor (FAISS's retrain-the-coarse-quantizer
+    * advice). Returns the fresh drift report: tv ≈ 0, growth = 1 by
+    * construction (the snapshot was just taken from the same corpus).
+    */
+  def retrain(store: TableStore, famBase: String): Report = {
+    val meta = trainingMeta(store, famBase).getOrElse(
+      throw new IllegalArgumentException(
+        s"no training provenance recorded for $famBase — the index " +
+          "predates provenance capture; re-run its buildIndex manually"))
+    val (table, pk, emb) = (meta("table"), meta("pk"), meta("emb"))
+    def p(k: String, d: Int) = meta.get(k).map(_.toInt).getOrElse(d)
+    val vecs = store.read(table)
+      .select(col(pk), col(emb).cast("array<double>").as(emb))
+    meta("family") match {
+      case "ivf" => Ivf.buildIndex(store, table, vecs, pk, emb,
+        k = p("k", 16), iters = p("iters", 3))
+      case "ivfpq" => IvfPq.buildIndex(store, table, vecs, pk, emb,
+        kCells = p("kCells", 16), slices = p("slices", 8),
+        subDim = p("subDim", 8), kCodes = p("kCodes", 16),
+        iters = p("iters", 3))
+      case "ivfsq" => IvfSq.buildIndex(store, table, vecs, pk, emb,
+        kCells = p("kCells", 16), iters = p("iters", 3))
+      case "ivfbin" => IvfBin.buildIndex(store, table, vecs, pk, emb,
+        kCells = p("kCells", 16), iters = p("iters", 3))
+      case other => throw new IllegalArgumentException(
+        s"unknown IVF family in $famBase provenance: $other")
+    }
+    report(store, s"${famBase}_cents", s"${famBase}_map").getOrElse(
+      throw new IllegalStateException(
+        s"$famBase retrained but no drift report resolves — " +
+          "snapshot or map missing after buildIndex"))
+  }
+
   final case class Report(tv: Double, growth: Double, nTrain: Long, nNow: Long)
 
   /** Persist the train-time per-cell occupancy (called by each IVF

@@ -95,6 +95,11 @@ object IvfPq {
     indexResiduals(store, table, resid, books, slices, subDim)
     store.upsert(table, emb, Seq(pkCol))
     IvfDrift.snapshot(store, centsName(table), mapName(table))
+    IvfDrift.recordTraining(store, s"${table}_ivfpq", Map(
+      "table" -> table, "family" -> "ivfpq", "pk" -> pkCol, "emb" -> embCol,
+      "kCells" -> kCells.toString, "slices" -> slices.toString,
+      "subDim" -> subDim.toString, "kCodes" -> kCodes.toString,
+      "iters" -> iters.toString))
   }
 
   /** Encode a (pk, cell, r) residual frame against `books` and merge

@@ -126,6 +126,9 @@ object IvfSq {
         .agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
     upsertWithCodes(store, table, emb, pkCol, embCol)
     IvfDrift.snapshot(store, centsName(table), mapName(table))
+    IvfDrift.recordTraining(store, s"${table}_ivfsq", Map(
+      "table" -> table, "family" -> "ivfsq", "pk" -> pkCol, "emb" -> embCol,
+      "kCells" -> kCells.toString, "iters" -> iters.toString))
   }
 
   /** Upsert embedding rows AND their cell-partitioned codes: assign

@@ -1714,6 +1714,14 @@ class TableStore(val spark: SparkSession, root: String) {
       walkParquetRel(new Path(path(name))).filterNot(live)
     }
 
+  /** Total bytes of [[unreferencedFiles]] — Doctor's vacuum-advice
+    * signal (one huge retired file wastes as much as many small
+    * ones). Diagnostic cadence: one getFileStatus per orphan.
+    */
+  def unreferencedBytes(name: String): Long =
+    unreferencedFiles(name).map(r =>
+      fs.getFileStatus(new Path(path(name), r)).getLen).sum
+
   /** Committed files MISSING from disk — an out-of-band deletion
     * (something bypassed the store and removed data a commit still
     * references). Reads will fail on these; Doctor reports them as a

@@ -135,6 +135,33 @@ class CliSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("index-retrain and vacuum retention window through the dispatch") {
+    val dir = freshDir()
+    val store = seedVectors(dir)
+    cli("ivf-index", dir, "vectors", "vec_id", "e", "4", "3")
+    // heavy post-training growth from an unseen region → drift
+    val more = (100 until 300).map { i =>
+      (i.toLong, (0 until dims).map(d => math.cos(i * 3.0 + d) * 5.0))
+    }.toDF("vec_id", "e")
+    graft.store.Ivf.upsertWithCells(store, "vectors", more, "vec_id", "e")
+    assert(Doctor.suggest(store).exists(_.component == "ivf-drift"))
+    cli("index-retrain", dir, "vectors_ivf")
+    assert(Doctor.suggest(store).filter(_.component == "ivf-drift") === Seq.empty)
+
+    // vacuum with a retention window keeps the superseded epoch
+    // readable for in-flight readers; age-0 reclaims it
+    cli("govern", dir, "vectors")
+    val e1 = store.epochs().last
+    store.upsert("vectors",
+      Seq((999L, (0 until dims).map(_ => 0.1))).toDF("vec_id", "e"),
+      Seq("vec_id"))
+    cli("vacuum-epochs", dir, "60")
+    assert(store.epochs().contains(e1),
+      "retention window failed to keep the superseded epoch")
+    cli("vacuum-epochs", dir)
+    assert(store.epochs() === Seq(e1 + 1))
+  }
+
   test("an unknown verb fails loudly instead of doing nothing") {
     val ex = intercept[RuntimeException] { cli("frobnicate", freshDir()) }
     assert(ex.getMessage.contains("unknown command"))

@@ -100,6 +100,39 @@ class IvfDriftSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("one-command retrain: recorded provenance drives IvfDrift.retrain / doctor --repair") {
+    val store = freshStore()
+    Ivf.buildIndex(store, "docs", trainCorpus, "pk", "e", k = 4, iters = 4)
+    // provenance captured at build time
+    val meta = IvfDrift.trainingMeta(store, "docs_ivf").get
+    assert(meta("table") === "docs" && meta("family") === "ivf" &&
+      meta("pk") === "pk" && meta("emb") === "e" && meta("k") === "4")
+    Ivf.upsertWithCells(store, "docs", driftCorpus, "pk", "e")
+    assert(Doctor.suggest(store).exists(_.component == "ivf-drift"))
+
+    // the doctor --repair hook: detect → retrain in one call, nothing
+    // restated by the caller
+    val done = Doctor.retrainDrifted(store)
+    assert(done.size === 1)
+    val (fam, before, after) = done.head
+    assert(fam === "docs_ivf")
+    assert(before.growth > 2.0)
+    assert(after.tv < 1e-9 && math.abs(after.growth - 1.0) < 1e-9,
+      s"retrain did not reset the drift report: $after")
+    // idempotent: a retrained index no longer suggests, so a second
+    // repair pass is a no-op
+    assert(Doctor.suggest(store).filter(_.component == "ivf-drift") === Seq.empty)
+    assert(Doctor.retrainDrifted(store) === Seq.empty)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // an index without provenance stays advisory-only, loudly
+    store.drop(IvfDrift.metaName("docs_ivf"))
+    val e = intercept[IllegalArgumentException] {
+      IvfDrift.retrain(store, "docs_ivf")
+    }
+    assert(e.getMessage.contains("provenance"))
+  }
+
   test("shape drift alone (no growth) is flagged via total variation") {
     val store = freshStore()
     Ivf.buildIndex(store, "docs", trainCorpus, "pk", "e", k = 4, iters = 4)
