@@ -52,9 +52,17 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val passes = (1 to runs).map(_ => onePass())
-    val results = passes.head
     def passTotal(p: Seq[(String, Double)]): Double =
       p.collect { case (_, v) if v >= 0 => v }.sum
+    // per-query MIN-of-runs: the steady-state number a per-query diff
+    // should compare (single-run values carry ±25-140% ambient machine
+    // phase — three rounds of re-litigating that is enough). A query
+    // that threw in EVERY pass keeps the -1 sentinel; one that threw
+    // in some passes reports the min of its clean runs.
+    val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
+      val vs = passes.map(_(i)._2).filter(_ >= 0)
+      name -> (if (vs.isEmpty) -1.0 else vs.min)
+    }
     val errs = results.count(_._2 < 0)
     val minTotal = passes.map(passTotal).min
     // truncation self-defense: the round tails have been clipped from
@@ -66,8 +74,11 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = passTotal(results)
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","errs":$errs,"runs":$runs,"min3":${r3(minTotal)},"value":${r3(total)},"count":${results.size}}""")
+    // "value" stays the run-1 total (wall-clock comparable across
+    // rounds); "min3" is the min-of-run-totals; "queries" carries the
+    // per-query mins (sums to ≤ min3 — each query's best run)
+    val total = passTotal(passes.head)
+    println(s"""{"metric":"total","unit":"sec","per_query":"min-of-runs","queries":$qs,"sf":"$sfDir","errs":$errs,"runs":$runs,"min3":${r3(minTotal)},"value":${r3(total)},"count":${results.size}}""")
     spark.stop()
   }
 }

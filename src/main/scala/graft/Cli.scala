@@ -100,6 +100,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         keeps commits current
   *                                         within the last N minutes
   *                                         so in-flight readers finish
+  *   tag <store> <name> [epoch]            pin a named release epoch
+  *                                         (a vacuum root until
+  *                                         drop-tag); tags/show-tag/
+  *                                         drop-tag manage and read it
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   *
@@ -143,7 +147,8 @@ object Cli {
     "bin-search-filtered", "ivfbin-search-filtered",
     "ivf-search-filtered", "pq-search-filtered", "ivfpq-search-filtered",
     "hybrid-search", "hh-top", "quantiles", "estimate", "prune-files",
-    "fingerprint", "tables", "show", "epochs")
+    "fingerprint", "tables", "show", "epochs", "tags", "show-tag",
+    "show-epoch")
 
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val cmd = args(0)
@@ -525,6 +530,27 @@ object Cli {
         // epochs <store> — retained snapshot epochs + governed tables
         println(s"[epochs] retained: ${store.epochs().mkString(", ")}; " +
           s"governed: ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "tag" =>
+        // tag <store> <name> [epoch] — pin an epoch as a named
+        // release; tagged epochs are VACUUM ROOTS (their files and
+        // pointers survive any retention window) until drop-tag
+        val e = store.tagEpoch(args(2), args.lift(3).map(_.toLong))
+        println(s"[tag] ${args(2)} -> epoch $e")
+      case "tags" =>
+        // tags <store> — named releases and their pinned epochs
+        store.tags().toSeq.sortBy(_._1).foreach { case (t, e) =>
+          println(f"$t%-24s epoch $e") }
+      case "drop-tag" =>
+        // drop-tag <store> <name> — the epoch becomes reclaimable by
+        // the next vacuum (unless otherwise retained)
+        store.dropTag(args(2))
+        println(s"[drop-tag] ${args(2)}")
+      case "show-tag" =>
+        // show-tag <store> <table> <tag> [n] — read a table as of a
+        // named release
+        val n = if (args.length > 4) args(4).toInt else 10
+        SqliteCompat.render(store.readTag(args(2), args(3)))
+          .show(n, truncate = false)
       case "show-epoch" =>
         // show-epoch <store> <table> <epoch> [n] — time-travel read
         val n = if (args.length > 4) args(4).toInt else 10
@@ -557,12 +583,23 @@ object Cli {
         println(f"[index-retrain] ${args(2)}: tv=${r.tv}%.3f " +
           f"growth=${r.growth}%.2f (${r.nNow} vectors)")
       case "hybrid-search" =>
-        // hybrid-search <store> <table> <k> <qvec-csv> <terms...> —
-        // RRF fusion of BM25 (FTS index) and cosine (SQ8 index)
+        // hybrid-search <store> <table> <k> <qvec-csv>
+        //   [--filter <col> <val>] <terms...> —
+        // RRF fusion of BM25 (FTS index) and cosine (SQ8 index);
+        // --filter pre-filters BOTH legs to base-table rows where
+        // col = val (the metadata-scoped serving shape)
+        import org.apache.spark.sql.functions.col
         val k = args(3).toInt
         val qv = args(4).split(",").map(_.toDouble)
+        val (allowed, terms) =
+          if (args.length > 7 && args(5) == "--filter")
+            (Some(store.read(args(2))
+              .filter(col(args(6)).cast("string") === args(7))
+              .select(col("pk"))),
+              args.drop(8))
+          else (None, args.drop(5))
         graft.store.Hybrid.searchRrf(spark, store, args(2),
-            args.drop(5).mkString(" "), qv, k)
+            terms.mkString(" "), qv, k, allowed = allowed)
           .show(k, truncate = false)
       case "lsh-pairs-filtered" =>
         // lsh-pairs-filtered <store> <table> <allowedCsv> <pk ...> —

@@ -1502,6 +1502,14 @@ object SimilarityOps {
   // Scale: each leg is a bounded top-depth list (posting-pruned scan;
   // broadcast probe over the candidate scan), so the fusion join
   // touches ≤2·depth rows regardless of corpus size.
+  //
+  // DELIBERATE SPLIT vs the served path: this oracle's lexical leg is
+  // the TF-SUM scorer (DuckDB-bit-exact integers), while
+  // Hybrid.searchRrf's lexical leg is BM25 over the persisted FTS
+  // index (floating-point, corpus-statistics-dependent — not
+  // oracle-expressible without replicating BM25 in SQL). The fusion
+  // body is byte-identical (one rrfFuse), so the formula cannot fork;
+  // the BM25 side is pinned by HybridSpec instead.
   private val rrfK = 60
   private val rrfDepth = 50
 

@@ -1702,6 +1702,56 @@ class TableStore(val spark: SparkSession, root: String) {
     readResolved(name, parseCommit(p), epoch)
   }
 
+  // -------------------------------------------------------------------
+  // Named epoch tags — Iceberg-style refs for dataset releases: a tag
+  // pins a commit ("the exact corpus that trained model X") as a
+  // VACUUM ROOT, so every file and log entry it references survives
+  // any retention window until the tag is dropped, and readTag
+  // resolves reads through it by name. This is the reproducibility
+  // primitive a training-data release ships with: contentFingerprint
+  // proves WHAT the release holds, the tag guarantees it stays
+  // readable.
+
+  private def tagPath(tag: String) = new Path(epochDir, s"tag-$tag")
+
+  /** Pin `epoch` (default: the current commit) under a name.
+    * Re-tagging an existing name re-points it (Iceberg's replace-tag
+    * form). Returns the pinned epoch.
+    */
+  def tagEpoch(tag: String, epoch: Option[Long] = None): Long = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._-]+"),
+      s"tag names are [A-Za-z0-9._-]+: '$tag'")
+    val commits = listCommits()
+    require(commits.nonEmpty, "no commits to tag — govern tables first")
+    val e = epoch.getOrElse(commits.last._1)
+    require(commits.exists(_._1 == e),
+      s"no retained commit for epoch $e " +
+        s"(retained: ${commits.map(_._1).mkString(", ")})")
+    writeSmall(tagPath(tag), e.toString)
+    e
+  }
+
+  /** All tags: name → pinned epoch. */
+  def tags(): Map[String, Long] =
+    if (!fs.exists(epochDir)) Map.empty
+    else fs.listStatus(epochDir).map(_.getPath)
+      .filter(_.getName.startsWith("tag-"))
+      .map(p => p.getName.stripPrefix("tag-") -> readSmall(p).trim.toLong)
+      .toMap
+
+  /** Drop a tag — its epoch becomes reclaimable by the next vacuum
+    * (unless otherwise retained).
+    */
+  def dropTag(tag: String): Unit = fs.delete(tagPath(tag), false)
+
+  /** Read a governed table as of a tag — [[readEpoch]] by name. */
+  def readTag(name: String, tag: String): DataFrame = {
+    val t = tags()
+    val e = t.getOrElse(tag, throw new IllegalArgumentException(
+      s"no such tag: $tag (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    readEpoch(name, e)
+  }
+
   /** Data files on disk that the current commit does NOT reference —
     * replaced epochs awaiting [[vacuumEpochs]] plus any orphans from a
     * crash between file moves and the pointer flip. Surfaced so
@@ -1770,9 +1820,11 @@ class TableStore(val spark: SparkSession, root: String) {
       fs.getFileStatus(p).getModificationTime }
     // commits(i) was current during [mtime(i), mtime(i+1)): retained
     // iff that interval touches the window — successor younger than
-    // the cutoff — or it IS the latest
-    val (retained, dropped) = commits.zipWithIndex.partition { case (_, i) =>
-      i == commits.size - 1 || mtimes(i + 1) > cutoff
+    // the cutoff — or it IS the latest, or a TAG pins it (tags are
+    // vacuum roots: a named release must stay readable until dropped)
+    val tagged = tags().values.toSet
+    val (retained, dropped) = commits.zipWithIndex.partition { case ((e, _), i) =>
+      i == commits.size - 1 || mtimes(i + 1) > cutoff || tagged(e)
     }
     val retainedTables = retained.map { case ((_, p), _) => parseCommit(p) }
     // live rel-paths per CURRENTLY governed table across ALL retained

@@ -127,11 +127,21 @@ class CliSpec extends SparkSpec {
     cli("sq-index", dir, "docs", "pk", "e")
     val qv = (0 until 8).map(d => math.cos(d.toDouble)) // ≈ doc 0's vector
     cli("hybrid-search", dir, "docs", "5", qv.mkString(","), "alpha", "beta")
+    cli("hybrid-search", dir, "docs", "5", qv.mkString(","),
+      "--filter", "pk", "2", "alpha", "beta")
 
     cli("lsh-index", dir, "docs", "pk", "text")
     cli("lsh-pairs-filtered", dir, "docs", "1,2,3", "0")
     cli("epochs", dir)
     cli("show-epoch", dir, "docs", store.epochs().head.toString, "3")
+    // named release: tag, list, read-by-tag, drop — vacuum-root
+    // semantics are pinned in SnapshotOccSpec; here the dispatch
+    cli("tag", dir, "release-v1")
+    assert(store.tags().contains("release-v1"))
+    cli("tags", dir)
+    cli("show-tag", dir, "docs", "release-v1", "3")
+    cli("drop-tag", dir, "release-v1")
+    assert(store.tags() === Map.empty)
     assert(Doctor.check(store) === Seq.empty)
   }
 

@@ -199,6 +199,36 @@ class SnapshotOccSpec extends SparkSpec {
     assert(c <= 2 && l <= 2 * 12 && d <= 2 * 12, s"caches unbounded: ($c, $l, $d)")
   }
 
+  test("tags are vacuum roots: a tagged release epoch survives age-0 vacuum until dropped") {
+    val store = governedPair(freshRoot())
+    val e1 = store.snapshot().epoch
+    store.tagEpoch("release-v1")
+    assert(store.tags() === Map("release-v1" -> e1))
+    store.transact {
+      store.upsert("tweets", Seq((11L, "t2")).toDF("id", "v"), Seq("id"))
+    }
+    store.transact {
+      store.upsert("tweets", Seq((12L, "t3")).toDF("id", "v"), Seq("id"))
+    }
+    store.vacuumEpochs()
+    // the tagged epoch survived the age-0 vacuum with its files; the
+    // untagged middle epoch was reclaimed
+    assert(store.epochs() === Seq(e1, e1 + 2))
+    assert(rows(store.readTag("tweets", "release-v1")) === Set((10L, "t-old")))
+    // dropping the tag releases the pin; the next vacuum reclaims
+    store.dropTag("release-v1")
+    store.vacuumEpochs()
+    assert(store.epochs() === Seq(e1 + 2))
+    intercept[IllegalArgumentException] {
+      store.readTag("tweets", "release-v1")
+    }
+    // tagging an unretained epoch is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      store.tagEpoch("ghost", Some(e1))
+    }
+    assert(e.getMessage.contains("retained"))
+  }
+
   test("two upserts to a brand-new governed table inside one transact both survive") {
     // regression (ADVICE r9): exists/readIfExists gated on the table
     // DIRECTORY, which for a governed table only appears at commit —

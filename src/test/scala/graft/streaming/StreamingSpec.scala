@@ -143,6 +143,53 @@ class StreamingSpec extends SparkSpec {
     assert(graft.store.Doctor.check(store) === Seq.empty)
   }
 
+  test("restart after a crash BETWEEN the commit flip and the checkpoint advance converges") {
+    // the composition crash test: at-least-once redelivery AND the
+    // epoch log are individually pinned; this kills the stream in the
+    // window where they interact worst — the batch's epoch commit
+    // LANDED but the streaming checkpoint did NOT advance, so the
+    // restarted query replays an ALREADY-COMMITTED batch. Idempotent
+    // keyed upserts inside a fresh commit must converge to exactly
+    // one epoch-visible copy of every row.
+    val root = java.nio.file.Files.createTempDirectory("graft-streamr").toString
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(graft.ingest.TweetSink.Tables)
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-chkr").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamNormalize.start(mem.toDF(), store, checkpoint)
+    mem.addData(streamingTweet)
+    q.processAllAvailable()
+    val epochAfterB1 = store.epochs().last
+
+    store.afterCommitFlip = () => throw new RuntimeException("crash post-flip")
+    mem.addData(restTweet)
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    } finally store.afterCommitFlip = () => ()
+    // the commit landed BEFORE the crash: a fresh reader already sees
+    // the complete batch-2 state on every table
+    val reader = new TableStore(spark, root)
+    assert(reader.read("tweets").count() === 3)
+    assert(reader.read("users").count() === 1)
+    val epochAfterCrash = new TableStore(spark, root).epochs().last
+    assert(epochAfterCrash > epochAfterB1)
+
+    // checkpoint replay: the same batch redelivers into a store that
+    // already holds it — exactly one copy survives, as a real commit
+    val q2 = StreamNormalize.start(mem.toDF(), store, checkpoint)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(reader.read("tweets").count() === 3,
+      "redelivered committed batch duplicated rows")
+    assert(reader.read("users").count() === 1)
+    assert(reader.read("sources").count() === 1)
+    // the epoch-visible copy is singular at EVERY retained epoch the
+    // replay produced, and the store stays integrity-clean
+    assert(graft.store.Doctor.check(store) === Seq.empty)
+  }
+
   test("K8 sink auto-routes through a bucketized tweets table") {
     val store = freshStore()
     val checkpoint =

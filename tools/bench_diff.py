@@ -42,6 +42,24 @@ def load(path):
             return json.loads(line)
         except json.JSONDecodeError:
             pass
+    # last resort: the clip landed INSIDE the queries map, so no JSON
+    # reconstruction is possible — regex-salvage the intact per-query
+    # pairs (a key clipped mid-name simply doesn't match) plus the
+    # tail summary scalars, which Bench deliberately emits LAST so
+    # they survive any head clip
+    import re
+    pairs = re.findall(r'"(q_\w+)":(-?\d+(?:\.\d+)?)', tail)
+    if pairs:
+        doc = {"queries": {k: float(v) for k, v in pairs},
+               "salvaged": True}
+        for key in ("min3", "value", "errs", "count", "runs"):
+            m = re.search(rf'"{key}":(-?\d+(?:\.\d+)?)', tail)
+            if m:
+                doc[key] = float(m.group(1))
+        m = re.search(r'"per_query":"([^"]+)"', tail)
+        if m:
+            doc["per_query"] = m.group(1)
+        return doc
     raise SystemExit(f"{path}: neither a driver wrapper nor a bench line")
 
 
@@ -55,6 +73,15 @@ def main(old_path, new_path, threshold_pct=25.0):
     print(f"# bench diff: {old_path} -> {new_path}")
     print(f"total: {old.get('value', 0):.2f}s -> {new.get('value', 0):.2f}s "
           f"({len(oq)} -> {len(nq)} queries)")
+    # since round 10 the per-query map carries MIN-of-runs (ambient
+    # machine phase muddied three rounds of single-run diffs); flag a
+    # basis mismatch so a cross-era diff's downward shift reads as the
+    # basis change it is, not a perf win
+    po = old.get("per_query", "run-1")
+    pn = new.get("per_query", "run-1")
+    if po != pn:
+        print(f"NOTE: per-query basis differs: {po} -> {pn} — expect a "
+              "uniform shift; only relative per-query deltas are meaningful")
     if shared:
         so = sum(oq[q] for q in shared)
         sn = sum(nq[q] for q in shared)
