@@ -100,4 +100,91 @@ class EpochPropertySpec extends SparkSpec {
         s"round $round left integrity issues")
     }
   }
+
+  test("two-writer OCC races: reader always equals the model; snapshots stay pinned") {
+    // randomized interleavings of the round-10 OCC rule: writer B
+    // commits INSIDE writer A's commit window every step (the
+    // beforeCommitFlip seam = the worst possible interleaving).
+    // Disjoint table sets must BOTH land (A rebases); overlapping
+    // sets must abort A loudly — and A's plain retry then converges.
+    // The model applies B-then-A (the arbitration order the pointer
+    // enforces); a cross-process reader must equal it after every
+    // step, through vacuums, and a snapshot pinned before a B commit
+    // must keep serving the pre-commit state.
+    val rnd = new scala.util.Random(20260815)
+    (1 to 2).foreach { round =>
+      val root = java.nio.file.Files.createTempDirectory("graft-eprop2").toString
+      val a = new TableStore(spark, root)
+      val b = new TableStore(spark, root)
+      val reader = new TableStore(spark, root)
+      a.ensureGoverned(tables)
+      val model = scala.collection.mutable.Map(
+        tables.map(_ -> scala.collection.mutable.Map.empty[Long, String]): _*)
+
+      def mkBatch(ts: Seq[String], tag: String): Map[String, Seq[(Long, String)]] =
+        ts.map(t => t -> rnd.shuffle((0 until 20).toList).take(1 + rnd.nextInt(3))
+          .map(id => (id.toLong, s"$tag-${rnd.nextInt(100)}"))).toMap
+      def commit(w: TableStore, batch: Map[String, Seq[(Long, String)]]): Unit =
+        w.transact {
+          batch.foreach { case (t, rows) =>
+            w.upsert(t, rows.toDF("id", "v"), Seq("id"))
+          }
+        }
+      def applyModel(batch: Map[String, Seq[(Long, String)]]): Unit =
+        batch.foreach { case (t, rows) =>
+          rows.foreach { case (id, v) => model(t)(id) = v } }
+      def check(step: String): Unit = tables.foreach { t =>
+        val got =
+          if (reader.readIfExists(t).isEmpty) Set.empty[(Long, String)]
+          else reader.read(t).select(col("id"), col("v"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got === model(t).toSet, s"round $round, $step: $t diverged")
+      }
+
+      (0 until 8).foreach { step =>
+        val tsA = rnd.shuffle(tables).take(1 + rnd.nextInt(2))
+        val wantOverlap = rnd.nextBoolean()
+        val tsB =
+          if (wantOverlap) Seq(tsA.head)
+          else rnd.shuffle(tables.filterNot(tsA.contains)).take(1)
+        val batchA = mkBatch(tsA, s"a$step")
+        val batchB = mkBatch(tsB, s"b$step")
+        a.beforeCommitFlip = () => {
+          a.beforeCommitFlip = () => ()
+          commit(b, batchB)
+        }
+        if (tsB.exists(tsA.contains)) {
+          try intercept[java.util.ConcurrentModificationException] {
+            commit(a, batchA)
+          } finally a.beforeCommitFlip = () => ()
+          applyModel(batchB)
+          check(s"loser-aborted@$step") // B landed whole; A not at all
+          commit(a, batchA) // the standard OCC retry, post-conflict
+          applyModel(batchA)
+        } else {
+          try commit(a, batchA) finally a.beforeCommitFlip = () => ()
+          applyModel(batchB); applyModel(batchA) // disjoint: any order
+        }
+        check(s"race@$step")
+        if (rnd.nextInt(3) == 0) {
+          a.vacuumEpochs()
+          check(s"vacuum@$step")
+        }
+        if (rnd.nextInt(3) == 0 && model.values.exists(_.nonEmpty)) {
+          val t0 = tables.find(t => model(t).nonEmpty).get
+          val snap = reader.snapshot()
+          val want = model(t0).toSet
+          val late = Map(t0 -> Seq((777L, s"late$step")))
+          commit(b, late); applyModel(late)
+          val got = snap.read(t0).select(col("id"), col("v"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          assert(got === want,
+            s"round $round snap@$step: pinned read drifted to a later epoch")
+          check(s"post-snap@$step")
+        }
+      }
+      assert(Doctor.check(a) === Seq.empty,
+        s"round $round left integrity issues")
+    }
+  }
 }
