@@ -613,27 +613,30 @@ object TextOps {
   // The final scalar products pass 2^63 around 10^9 corpus tokens, so
   // they run in DECIMAL(38,0) — integer-exact to 38 digits, good past
   // 10^15 tokens (DuckDB's SUM promotes to INT128 on its own).
-  private def featBucket: Column =
+  /** ONE definition of the hashed feature bucket (over a `token`
+    * column) — shared by the batch oracle op and the streaming
+    * incremental model (streaming/StreamCentroid).
+    */
+  private[graft] def featBucket: Column =
     conv(substring(md5(col("token")), 1, 2), 16, 10).cast("int")
 
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  /** ONE definition of the weak-label rule (+1 = passes the length
+    * gate) — shared by the batch op and the streaming sink.
+    */
+  private[graft] def lengthGateLabel(text: Column): Column =
+    when(length(text) >= 200 && size(Transforms.tokens(text)) >= 10, 1)
+      .otherwise(-1)
+
+  /** The integer-exact nearest-centroid decision, factored so the
+    * one-shot op and the streaming incrementally-maintained model
+    * share a single scoring body. Inputs: per-(doc, bucket) counts,
+    * per-bucket class sums (sp, sn), and the 1-row class doc counts
+    * (b_pos, a_neg). Returns (doc_id, pred ∈ {1, −1}).
+    */
+  private[graft] def centroidPredict(
+      feat: DataFrame, docIds: DataFrame,
+      sums: DataFrame, counts: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val docs = Catalog.table(spark, sfDir, "documents")
-    val lab = docs.select(col("doc_id"),
-      when(length(col("text")) >= 200 &&
-        size(Transforms.tokens(col("text"))) >= 10, 1).otherwise(-1).as("y"))
-    val feat = docs
-      .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), featBucket.as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val counts = lab.agg(
-      sum(when(col("y") === 1, 1L).otherwise(0L)).as("b_pos"),
-      sum(when(col("y") === -1, 1L).otherwise(0L)).as("a_neg"))
-    val sums = feat.join(lab, Seq("doc_id"))
-      .groupBy(col("bucket"))
-      .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
-        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
     val w = sums.crossJoin(broadcast(counts))
       .select(col("bucket"), col("sp"), col("sn"),
         col("a_neg"), col("b_pos"),
@@ -647,11 +650,30 @@ object TextOps {
     val keep = (lit(2).cast(dec) * col("a_neg").cast(dec) *
       col("b_pos").cast(dec) * coalesce(col("xw"), lit(0L)).cast(dec)) >
       col("th")
-    lab.join(xw, Seq("doc_id"), "left")
+    docIds.join(xw, Seq("doc_id"), "left")
       .crossJoin(broadcast(counts)).crossJoin(broadcast(th))
-      .select(col("doc_id"), col("y").as("label_y"),
-        when(keep, 1).otherwise(-1).as("pred"),
-        when(keep === (col("y") === 1), 1).otherwise(0).as("correct"))
+      .withColumn("pred", when(keep, 1).otherwise(-1))
+  }
+
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Catalog.table(spark, sfDir, "documents")
+    val lab = docs.select(col("doc_id"),
+      lengthGateLabel(col("text")).as("y"))
+    val feat = docs
+      .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), featBucket.as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = lab.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("b_pos"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("a_neg"))
+    val sums = feat.join(lab, Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
+        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
+    centroidPredict(feat, lab, sums, counts)
+      .select(col("doc_id"), col("y").as("label_y"), col("pred"),
+        when(col("pred") === col("y"), 1).otherwise(0).as("correct"))
       .orderBy(col("doc_id"))
   }
 
