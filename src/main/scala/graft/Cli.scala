@@ -78,6 +78,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         (optionally sort-clustered)
   *   compact-z <store> <table> <bits> <col,...>  Z-order rewrite
   *                                         (multi-dim file skipping)
+  *   classify <store> <modelBase> <docsTable> <idCol> <textCol> [n]
+  *                                         score a table against the
+  *                                         maintained streaming
+  *                                         centroid quality model
   *   hh-top <store> <table> [n]            streaming heavy-hitter counters
   *   doctor <store> [--suggest] [--repair] index integrity checks;
   *                                         --suggest adds maintenance
@@ -146,7 +150,7 @@ object Cli {
     "ivfbin-rerank", "sq-search-filtered", "ivfsq-search-filtered",
     "bin-search-filtered", "ivfbin-search-filtered",
     "ivf-search-filtered", "pq-search-filtered", "ivfpq-search-filtered",
-    "hybrid-search", "hh-top", "quantiles", "estimate", "prune-files",
+    "hybrid-search", "hh-top", "quantiles", "classify", "estimate", "prune-files",
     "fingerprint", "tables", "show", "epochs", "tags", "show-tag",
     "show-epoch")
 
@@ -494,6 +498,14 @@ object Cli {
           args(2), args(4).split(",").toSeq, args(3).toInt)
         println(s"[compact-z] ${args(2)}: $before -> $after files, " +
           s"z-ordered by ${args(4)}")
+      case "classify" =>
+        // classify <store> <modelBase> <docsTable> <idCol> <textCol> [n]
+        // — score a stored table against the maintained streaming
+        // centroid quality model (<modelBase>_qcls)
+        val n = if (args.length > 6) args(6).toInt else 20
+        graft.streaming.StreamCentroid.classify(store, args(2),
+            store.read(args(3)), args(4), args(5))
+          .orderBy("doc_id").show(n, truncate = false)
       case "hh-top" =>
         // hh-top <store> <table> [n] — current heavy-hitter counters
         // from the streaming sketch, largest first

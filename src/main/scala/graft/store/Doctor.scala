@@ -59,6 +59,9 @@ object Doctor {
     names.filter(_.endsWith("_decon_grams")).foreach { idx =>
       issues ++= decontaminate(store, baseOf(idx, "_decon_grams"), names)
     }
+    names.filter(_.endsWith("_qcls")).foreach { idx =>
+      issues ++= centroidModel(store, baseOf(idx, "_qcls"))
+    }
     names.filter(_.endsWith("_cdc_ledger")).foreach { idx =>
       issues ++= cdcLedger(store, baseOf(idx, "_cdc_ledger"), names)
     }
@@ -387,6 +390,48 @@ object Doctor {
         "sketch has no run_id column — a restart with a fresh " +
           "checkpoint would skip batches until its ids caught up " +
           "(rebuild via the sink)")
+    out.result()
+  }
+
+  /** Streaming centroid-classifier model (`<table>_qcls`,
+    * streaming/StreamCentroid): same shape discipline as the sketch
+    * checks — a mis-shaped model is an Issue, never a crash.
+    */
+  private def centroidModel(store: TableStore, table: String): Seq[Issue] = {
+    val out = Seq.newBuilder[Issue]
+    val m = store.read(s"${table}_qcls")
+    val cols = m.columns.toSet
+    val missing = Seq("bucket", "sp", "sn").filterNot(cols.contains)
+    if (missing.nonEmpty) {
+      out += Issue("centroid-model", table,
+        s"model is missing column(s) ${missing.mkString(", ")} — not " +
+          "centroid-shaped (out-of-band rewrite; rebuild via the sink)")
+      return out.result()
+    }
+    // exactly one doc-counts row (bucket = -1): the decision rule
+    // divides through by these — zero rows means an unservable model,
+    // several means a torn merge
+    val nCounts = m.filter(col("bucket") === -1).count()
+    if (nCounts != 1L)
+      out += Issue("centroid-model", table,
+        s"$nCounts doc-count rows (bucket = -1); the sink writes exactly " +
+          "one — out-of-band edit or torn merge (rebuild via the sink)")
+    // sums are token/doc COUNTS — the additive merge can never write
+    // a negative
+    val neg = m.filter(col("sp") < 0L || col("sn") < 0L).count()
+    if (neg > 0)
+      out += Issue("centroid-model", table,
+        s"$neg model rows carry negative class sums — the additive " +
+          "merge never writes those (out-of-band edit; rebuild)")
+    // redelivery watermark discipline (same contract as the sketches)
+    if (!cols.contains("batch_id"))
+      out += Issue("centroid-model", table,
+        "model has no batch_id column — a redelivered micro-batch " +
+          "would merge twice (rebuild via the sink)")
+    else if (!cols.contains("run_id"))
+      out += Issue("centroid-model", table,
+        "model has no run_id column — a fresh-checkpoint restart " +
+          "would skip batches until its ids caught up (rebuild)")
     out.result()
   }
 

@@ -145,6 +145,23 @@ class CliSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("classify verb scores a table through the maintained centroid model") {
+    val dir = freshDir()
+    val store = new TableStore(spark, dir)
+    val docs = (0 until 20).map { i =>
+      val text =
+        if (i < 12) ("alpha beta " * 30) + "the of and that extra tokens here"
+        else s"tiny$i"
+      (i.toLong, text)
+    }.toDF("id", "text")
+    store.overwrite("corpus", docs)
+    graft.streaming.StreamCentroid.centroidSink(store, "docs", "text")(docs, 0L)
+    cli("classify", dir, "docs", "corpus", "id", "text", "5")
+    assert(store.read(graft.streaming.StreamCentroid.modelName("docs"))
+      .count() >= 2L)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("index-retrain and vacuum retention window through the dispatch") {
     val dir = freshDir()
     val store = seedVectors(dir)

@@ -79,4 +79,32 @@ class StreamCentroidSpec extends SparkSpec {
     assert(modelRows(store, "docs") !== after0, "new-run batch was wrongly skipped")
     assert(graft.store.Doctor.check(store) === Seq.empty)
   }
+
+  test("doctor names seeded model corruption instead of crashing") {
+    val store = freshStore()
+    val sink = StreamCentroid.centroidSink(store, "docs", "text", runId = "r1")
+    sink(all.toDF("id", "text"), 0L)
+    assert(graft.store.Doctor.check(store) === Seq.empty)
+    val name = StreamCentroid.modelName("docs")
+    val good = store.read(name).collect()
+
+    // negative sums + a duplicated doc-count row (torn merge)
+    store.overwrite(name,
+      store.read(name).unionByName(
+        Seq((-1, -5L, 2L, "r1", 0L)).toDF("bucket", "sp", "sn", "run_id", "batch_id")))
+    val found = graft.store.Doctor.check(store)
+      .filter(_.component == "centroid-model").map(_.problem).mkString("; ")
+    assert(found.contains("doc-count") && found.contains("negative"), found)
+
+    // missing watermark columns
+    store.overwrite(name,
+      Seq((0, 1L, 1L), (-1, 2L, 3L)).toDF("bucket", "sp", "sn"))
+    assert(graft.store.Doctor.check(store)
+      .exists(_.problem.contains("batch_id")))
+
+    // not centroid-shaped at all → a named Issue, not a crash
+    store.overwrite(name, Seq((1, "x")).toDF("a", "b"))
+    assert(graft.store.Doctor.check(store)
+      .exists(_.problem.contains("not centroid-shaped")))
+  }
 }
