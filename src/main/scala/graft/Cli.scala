@@ -108,6 +108,11 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         (a vacuum root until
   *                                         drop-tag); tags/show-tag/
   *                                         drop-tag manage and read it
+  *   release <store> <name>                tag the current epoch AND
+  *                                         print every governed
+  *                                         table's content
+  *                                         fingerprint (the dataset-
+  *                                         release one-liner)
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   *
@@ -548,6 +553,20 @@ object Cli {
         // pointers survive any retention window) until drop-tag
         val e = store.tagEpoch(args(2), args.lift(3).map(_.toLong))
         println(s"[tag] ${args(2)} -> epoch $e")
+      case "release" =>
+        // release <store> <name> — pin the current epoch under a tag
+        // AND print every governed table's content fingerprint: the
+        // dataset-release one-liner (the tag keeps the bytes
+        // readable through any vacuum policy; the fingerprint proves
+        // WHAT they are for the release notes)
+        val e = store.tagEpoch(args(2))
+        println(s"[release] ${args(2)} -> epoch $e")
+        store.governed.toSeq.sorted.foreach { t =>
+          if (store.dataFiles(t).nonEmpty) {
+            val (n, h) = store.contentFingerprint(t)
+            println(f"[release]   $t%-24s rows=$n hash=$h%016x")
+          } else println(f"[release]   $t%-24s (empty)")
+        }
       case "tags" =>
         // tags <store> — named releases and their pinned epochs
         store.tags().toSeq.sortBy(_._1).foreach { case (t, e) =>

@@ -138,9 +138,12 @@ class CliSpec extends SparkSpec {
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
     assert(store.tags().contains("release-v1"))
+    cli("release", dir, "corpus-2026-08")
+    assert(store.tags().contains("corpus-2026-08"))
     cli("tags", dir)
     cli("show-tag", dir, "docs", "release-v1", "3")
     cli("drop-tag", dir, "release-v1")
+    cli("drop-tag", dir, "corpus-2026-08")
     assert(store.tags() === Map.empty)
     assert(Doctor.check(store) === Seq.empty)
   }
