@@ -973,6 +973,20 @@ class TableStore(val spark: SparkSession, root: String) {
     isGoverned(name) && !activeTx.exists(_.pending.contains(name)) &&
       presenceAbs != dataFiles(name).toSet
 
+  /** Driver footer walk over the LIVE file set — the no-manifest
+    * path, and the fallback a pinned (or irreparably stale) reader
+    * takes instead of trusting a manifest that describes some other
+    * epoch.
+    */
+  private def footerWalkEnvelopes(
+      name: String, cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
+    val files = dataFiles(name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map(f => (f,
+      TableStore.footerEnvelope(f, conf, cols)._2
+        .map { case (c, mn, mx) => c -> (mn, mx) }.toMap))
+  }
+
   private def fileEnvelopes0(
       name: String, cols: Seq[String],
       retried: Boolean): Seq[(String, Map[String, (Long, Long)])] =
@@ -988,9 +1002,20 @@ class TableStore(val spark: SparkSession, root: String) {
         val rows = st.filter(col("col").isin("" +: cols: _*)).collect()
         val presence = rows.filter(_.getString(1).isEmpty)
           .map(_.getString(0)).toSet
-        if (!retried && manifestStale(name, presence)) {
-          refreshFileStats(name)
-          fileEnvelopes0(name, cols, retried = true)
+        if (manifestStale(name, presence)) {
+          if (pinnedCommit.isDefined || retried)
+            // a PINNED reader must neither trust a manifest that
+            // describes another epoch (the pin would silently leak)
+            // nor "heal" it backwards to the pinned file set
+            // (corrupting it for every un-pinned reader): walk the
+            // pinned live set's footers instead — slower, never
+            // wrong, writes nothing. Same escape if a refresh somehow
+            // failed to converge (retried).
+            footerWalkEnvelopes(name, cols)
+          else {
+            refreshFileStats(name)
+            fileEnvelopes0(name, cols, retried = true)
+          }
         } else {
           val env = rows.filter(_.getString(1).nonEmpty)
             .groupBy(_.getString(0))
@@ -1000,12 +1025,7 @@ class TableStore(val spark: SparkSession, root: String) {
           presence.toSeq.sorted
             .map(f => (f, env.getOrElse(f, Map.empty[String, (Long, Long)])))
         }
-      case None =>
-        val files = dataFiles(name)
-        val conf = spark.sparkContext.hadoopConfiguration
-        files.map(f => (f,
-          TableStore.footerEnvelope(f, conf, cols)._2
-            .map { case (c, mn, mx) => c -> (mn, mx) }.toMap))
+      case None => footerWalkEnvelopes(name, cols)
     }
 
   /** The files a stats-aware scan must open for a conjunction of
@@ -1072,10 +1092,17 @@ class TableStore(val spark: SparkSession, root: String) {
       val presence0 = rows.filter(_.getString(1).isEmpty)
         .map(_.getString(0)).toSet
       // same post-crash staleness guard as the prune path: estimates
-      // must describe the live epoch, not the one before the flip
-      if (!retried && manifestStale(name, presence0)) {
-        refreshFileStats(name)
-        statsSummary0(name, preds, retried = true)
+      // must describe the live epoch, not the one before the flip. A
+      // PINNED reader gets None instead (estimate honestly
+      // unavailable for its epoch — callers fall back to counting);
+      // it must not refresh (see fileEnvelopes0) and the manifest's
+      // row counts describe a different epoch.
+      if (manifestStale(name, presence0)) {
+        if (pinnedCommit.isDefined || retried) None
+        else {
+          refreshFileStats(name)
+          statsSummary0(name, preds, retried = true)
+        }
       } else if (!rows.exists(_.getString(1) == StatsRowsMarker)) None
       else {
         val presence = rows.filter(_.getString(1).isEmpty)

@@ -199,6 +199,43 @@ class SnapshotOccSpec extends SparkSpec {
     assert(c <= 2 && l <= 2 * 12 && d <= 2 * 12, s"caches unbounded: ($c, $l, $d)")
   }
 
+  test("a pinned reader never trusts — or heals backwards — a newer epoch's manifest") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.overwrite("p", Seq((1L, "old")).toDF("id", "v"))
+    store.refreshFileStats("p")
+    store.ensureGoverned(Seq("p"))
+    val writer = new TableStore(spark, root)
+    store.withSnapshot {
+      // concurrent commit + its step-4 manifest refresh: the manifest
+      // now describes epoch N+1 while this scope is pinned to N
+      writer.transact {
+        writer.overwrite("p", Seq((2L, "new")).toDF("id", "v"))
+      }
+      // the pinned manifest-driven scan serves the PINNED epoch
+      // (footer-walk fallback, not the newer manifest)...
+      assert(rows(store.readPruned("p", Seq(("id", 0L, 100L)))) ===
+        Set((1L, "old")),
+        "pinned prune leaked the newer epoch through the manifest")
+      // ...and estimates are honestly unavailable for the pinned epoch
+      assert(store.estimateRows("p") === None)
+    }
+    // the pinned reader wrote NOTHING: the manifest still describes
+    // the new epoch (a backwards heal would corrupt every un-pinned
+    // reader until their own cross-check re-healed it forward)
+    val reader = new TableStore(spark, root)
+    val newRels = reader.dataFiles("p").map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val manifestFiles = spark.read.parquet(s"$root/p/_graft_stats")
+      .filter(col("col") === "").select("file")
+      .collect().map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) })
+      .filter(_.nonEmpty).toSet
+    assert(manifestFiles === newRels,
+      "pinned reader rewrote the manifest to its own epoch")
+    // un-pinned manifest-driven reads serve the new epoch as usual
+    assert(rows(reader.readPruned("p", Seq(("id", 0L, 100L)))) === Set((2L, "new")))
+    assert(reader.estimateRows("p") === Some(1L))
+  }
+
   test("tags are vacuum roots: a tagged release epoch survives age-0 vacuum until dropped") {
     val store = governedPair(freshRoot())
     val e1 = store.snapshot().epoch
