@@ -172,6 +172,46 @@ class SnapshotOccSpec extends SparkSpec {
       Set((1L, "a0"), (2L, "a1"), (3L, "a2-c")))
   }
 
+  test("OCC rebase composes with the bucketed O(touched) path and delta entries") {
+    // the rebase carries OUR log entries verbatim — including DELTA
+    // entries whose base= references the per-table entry the
+    // interleaver did not change. A bucketed upsert under a race must
+    // keep both properties: the rebased commit resolves correctly AND
+    // untouched buckets' files carried by reference.
+    val root = freshRoot()
+    val a = new TableStore(spark, root)
+    a.ensureBucketed("big", Seq("id"), 8)
+    a.ensureGoverned(Seq("big", "other"))
+    a.transact {
+      a.upsert("big", (0 until 64).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+        Seq("id"))
+      a.upsert("other", Seq((1L, "o0")).toDF("id", "v"), Seq("id"))
+    }
+    val filesBefore = a.dataFiles("big").toSet
+    val b = new TableStore(spark, root)
+    a.beforeCommitFlip = () => {
+      a.beforeCommitFlip = () => ()
+      b.transact {
+        b.upsert("other", Seq((2L, "o1")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    try a.transact {
+      a.upsert("big", Seq((3L, "UPD")).toDF("id", "v"), Seq("id"))
+    } finally a.beforeCommitFlip = () => ()
+    val reader = new TableStore(spark, root)
+    // both writers' rows visible; the race lost nothing
+    assert(reader.read("big").count() === 64L)
+    assert(rows(reader.read("other")) === Set((1L, "o0"), (2L, "o1")))
+    assert(reader.read("big").filter(col("id") === 3L)
+      .select(col("v")).head.getString(0) === "UPD")
+    // O(touched) survived the rebase: untouched buckets' files are
+    // carried BY REFERENCE into the rebased commit
+    val filesAfter = reader.dataFiles("big").toSet
+    assert((filesBefore intersect filesAfter).nonEmpty,
+      "rebase lost the by-reference carry-over (full rewrite?)")
+    assert(Doctor.check(reader) === Seq.empty)
+  }
+
   test("metadata caches stay O(live entries) across commit+vacuum cycles") {
     val store = governedPair(freshRoot())
     def sizes = store.metadataCacheSizes
