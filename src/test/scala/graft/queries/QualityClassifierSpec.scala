@@ -26,4 +26,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("pred")).toSet === Set(1, -1),
       "constant predictor — the model collapsed to one class")
   }
+
+  test("the model side broadcasts; no cartesian fallback") {
+    // the scale claim: 256-row weights + 1-row scalars broadcast, the
+    // only sort-merge join is the doc-keyed label-score outer join
+    val df = Inventory.byName("q_quality_classifier")
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "model weights did not broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      s"planned a CartesianProduct:\n${plan.take(1200)}")
+  }
 }

@@ -133,6 +133,20 @@ class IvfDriftSpec extends SparkSpec {
     assert(e.getMessage.contains("provenance"))
   }
 
+  test("an index trained on an empty corpus is named plainly, not as Infinityx growth") {
+    // regression (ADVICE r9): nTrain == 0 made growth +Infinity and
+    // the advisory rendered "corpus grew Infinityx" — confusing for
+    // what is really a pre-data build
+    val store = freshStore()
+    Ivf.buildIndex(store, "docs", trainCorpus, "pk", "e", k = 4, iters = 4)
+    store.overwrite(IvfDrift.snapName(Ivf.centsName("docs")),
+      trainCorpus.limit(0).select(col("pk").as("cell"), col("pk").as("n_train")))
+    val flagged = Doctor.suggest(store).filter(_.component == "ivf-drift")
+    assert(flagged.size === 1)
+    assert(flagged.head.problem.contains("EMPTY corpus"), flagged.head.problem)
+    assert(!flagged.head.problem.contains("Infinity"), flagged.head.problem)
+  }
+
   test("shape drift alone (no growth) is flagged via total variation") {
     val store = freshStore()
     Ivf.buildIndex(store, "docs", trainCorpus, "pk", "e", k = 4, iters = 4)
