@@ -108,6 +108,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         (a vacuum root until
   *                                         drop-tag); tags/show-tag/
   *                                         drop-tag manage and read it
+  *   diff-epochs <store> <table> <from> [to] [n]  incremental scan:
+  *                                         rows of files added
+  *                                         between two retained
+  *                                         epochs (catch-up read)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -157,7 +161,7 @@ object Cli {
     "ivf-search-filtered", "pq-search-filtered", "ivfpq-search-filtered",
     "hybrid-search", "hh-top", "quantiles", "classify", "estimate", "prune-files",
     "fingerprint", "tables", "show", "epochs", "tags", "show-tag",
-    "show-epoch")
+    "show-epoch", "diff-epochs")
 
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val cmd = args(0)
@@ -547,6 +551,20 @@ object Cli {
         // epochs <store> — retained snapshot epochs + governed tables
         println(s"[epochs] retained: ${store.epochs().mkString(", ")}; " +
           s"governed: ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "diff-epochs" =>
+        // diff-epochs <store> <table> <fromEpoch> [toEpoch] [n] — the
+        // incremental scan between two retained epochs: rows of the
+        // files ADDED between them (at-least-once per changed row;
+        // pk-dedup downstream for exactly-once). The catch-up read an
+        // incremental consumer runs instead of a full rescan.
+        val from = args(3).toLong
+        val df = args.lift(4).map(_.toLong) match {
+          case Some(to) => store.readAddedSince(args(2), from, to)
+          case None => store.readAddedSince(args(2), from)
+        }
+        val n = if (args.length > 5) args(5).toInt else 10
+        println(s"[diff-epochs] ${df.count()} rows in files added since epoch $from")
+        SqliteCompat.render(df).show(n, truncate = false)
       case "tag" =>
         // tag <store> <name> [epoch] — pin an epoch as a named
         // release; tagged epochs are VACUUM ROOTS (their files and

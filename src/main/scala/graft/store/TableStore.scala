@@ -1729,6 +1729,63 @@ class TableStore(val spark: SparkSession, root: String) {
     readResolved(name, parseCommit(p), epoch)
   }
 
+  /** INCREMENTAL scan between two retained epochs (Iceberg's
+    * incremental-read semantics): the rows of every file present in
+    * `toEpoch`'s commit but not in `fromEpoch`'s — what a downstream
+    * job must process to catch up from one dataset version to the
+    * next without rescanning the table. Exact for append-shaped
+    * history (new files only); a REWRITTEN file (a bucketed upsert
+    * merging old rows with a batch, a compaction) reappears in full,
+    * so the contract is AT-LEAST-ONCE per changed-or-moved row —
+    * downstream dedup by pk (the skip-existing anti-join this engine
+    * already ships) restores exactly-once, the same discipline
+    * Iceberg documents for its changelog scans. Cost: one metadata
+    * diff (two resolved rel lists) + a scan of only the new files —
+    * never O(table).
+    *
+    * Both epochs must still be retained (vacuum retention / tags);
+    * `fromEpoch` must be ≤ `toEpoch` and both must govern `name`.
+    * An empty diff returns an empty frame with the table's schema.
+    */
+  def readAddedSince(
+      name: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch <= toEpoch,
+      s"fromEpoch $fromEpoch > toEpoch $toEpoch")
+    val commits = listCommits().toMap
+    def relsAt(e: Long): Set[String] = {
+      val p = commits.getOrElse(e, throw new IllegalArgumentException(
+        s"no retained commit for epoch $e " +
+          s"(retained: ${commits.keys.toSeq.sorted.mkString(", ")}) — vacuumed?"))
+      val tables = parseCommit(p)
+      tables.get(name) match {
+        case Some(lf) => resolveEntry(lf).toSet
+        case None => throw new IllegalArgumentException(
+          s"$name was not governed at epoch $e")
+      }
+    }
+    val added = (relsAt(toEpoch) -- relsAt(fromEpoch)).toSeq.sorted
+    if (added.nonEmpty)
+      spark.read.option("basePath", path(name))
+        .parquet(added.map(r => new Path(path(name), r).toString): _*)
+    // empty diff: serve an empty frame with the table's schema from
+    // whichever endpoint still has files (readEpoch refuses empty
+    // snapshots — correctly — so pick a non-empty one)
+    else if (relsAt(toEpoch).nonEmpty) readEpoch(name, toEpoch).limit(0)
+    else if (relsAt(fromEpoch).nonEmpty) readEpoch(name, fromEpoch).limit(0)
+    else throw new IllegalStateException(
+      s"$name holds no files at either epoch — no schema to serve")
+  }
+
+  /** [[readAddedSince]] against the CURRENT epoch — the steady-state
+    * incremental-consumer call: "everything that landed after the
+    * epoch I last processed".
+    */
+  def readAddedSince(name: String, fromEpoch: Long): DataFrame = {
+    val (cur, _) = currentCommit.getOrElse(throw new IllegalStateException(
+      "no commits — govern tables first"))
+    readAddedSince(name, fromEpoch, cur)
+  }
+
   // -------------------------------------------------------------------
   // Named epoch tags — Iceberg-style refs for dataset releases: a tag
   // pins a commit ("the exact corpus that trained model X") as a

@@ -134,6 +134,8 @@ class CliSpec extends SparkSpec {
     cli("lsh-pairs-filtered", dir, "docs", "1,2,3", "0")
     cli("epochs", dir)
     cli("show-epoch", dir, "docs", store.epochs().head.toString, "3")
+    cli("diff-epochs", dir, "docs", store.epochs().head.toString,
+      store.epochs().last.toString)
     // named release: tag, list, read-by-tag, drop — vacuum-root
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
