@@ -112,6 +112,11 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         rows of files added
   *                                         between two retained
   *                                         epochs (catch-up read)
+  *   consume <store> <table> <consumer> [n]  deliver-and-advance for
+  *                                         a named incremental
+  *                                         consumer (cursor epochs
+  *                                         pin vacuum; drop-consumer
+  *                                         releases)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -551,6 +556,25 @@ object Cli {
         // epochs <store> — retained snapshot epochs + governed tables
         println(s"[epochs] retained: ${store.epochs().mkString(", ")}; " +
           s"governed: ${store.governed.toSeq.sorted.mkString(", ")}")
+      case "consume" =>
+        // consume <store> <table> <consumer> [n] — deliver everything
+        // this named consumer has not yet seen (full table on first
+        // call, added-files diff after) and advance its cursor; the
+        // cursor epoch pins vacuum until the consumer catches up or
+        // is dropped (drop-consumer)
+        val n = if (args.length > 4) args(4).toInt else 10
+        graft.store.EpochFollower.consumeNew(store, args(2), args(3)) { df =>
+          println(s"[consume] ${df.count()} rows for consumer ${args(3)}")
+          SqliteCompat.render(df).show(n, truncate = false)
+        } match {
+          case Some((_, e)) => println(s"[consume] cursor advanced to epoch $e")
+          case None => println(s"[consume] ${args(3)} is current — nothing new")
+        }
+      case "drop-consumer" =>
+        // drop-consumer <store> <table> <consumer> — unregister (and
+        // release the vacuum pin)
+        graft.store.EpochFollower.drop(store, args(2), args(3))
+        println(s"[drop-consumer] ${args(3)}")
       case "diff-epochs" =>
         // diff-epochs <store> <table> <fromEpoch> [toEpoch] [n] — the
         // incremental scan between two retained epochs: rows of the

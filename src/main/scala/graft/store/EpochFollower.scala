@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental CONSUMER cursors over the epoch log — the operational
+  * form of [[TableStore.readAddedSince]]: each named consumer records
+  * the last epoch it processed in the store's `_graft_cursors`
+  * bookkeeping table (underscore-prefixed: invisible to tableNames /
+  * Doctor table walks, like every other store-internal artifact), and
+  * [[consumeNew]] feeds it exactly the files added since — the
+  * consumer-group pattern (Kafka's committed offsets, Delta's
+  * streaming-source checkpoint) scaled down to one parquet table.
+  *
+  * Delivery contract: AT-LEAST-ONCE. The cursor advances only after
+  * the handler returns — a crash mid-handler re-delivers the same
+  * diff on the next call, and a rewritten file (bucketed merge,
+  * compaction) re-delivers its rows even without a crash
+  * (readAddedSince's documented contract). Downstream pk-dedup (the
+  * skip-existing anti-join) restores exactly-once; the spec drives
+  * that composition.
+  *
+  * Registered cursors are VACUUM ROOTS, like tags: vacuumEpochs
+  * retains every epoch a cursor still needs as its diff base, so a
+  * lagging consumer can always catch up — and a dead consumer is
+  * unregistered with [[drop]], releasing its pin (the same lifecycle
+  * as dropTag). Scale: the cursor table holds one row per (table,
+  * consumer); every consume is one metadata diff + a scan of only
+  * the new files.
+  */
+object EpochFollower {
+
+  /** Store-internal cursor table (one per store root). */
+  val CursorTable = "_graft_cursors"
+
+  /** The consumer's last-processed epoch, if registered. */
+  def cursor(
+      store: TableStore, table: String, consumer: String): Option[Long] =
+    cursors(store).get((table, consumer))
+
+  /** All registered cursors: (table, consumer) → epoch. */
+  def cursors(store: TableStore): Map[(String, String), Long] =
+    store.readIfExists(CursorTable).map(
+      _.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap).getOrElse(Map.empty)
+
+  private def advance(
+      store: TableStore, table: String, consumer: String, epoch: Long): Unit = {
+    import store.spark.implicits._
+    store.upsert(CursorTable,
+      Seq((table, consumer, epoch)).toDF("table", "consumer", "epoch"),
+      Seq("table", "consumer"))
+  }
+
+  /** Unregister a consumer — releases its vacuum pin (the dropTag
+    * lifecycle; run when a consumer is retired, or its lag pins
+    * epochs forever).
+    */
+  def drop(store: TableStore, table: String, consumer: String): Unit =
+    store.readIfExists(CursorTable).foreach { c =>
+      store.overwrite(CursorTable,
+        c.filter(!(col("table") === table && col("consumer") === consumer)))
+    }
+
+  /** Feed the handler everything this consumer has not yet seen —
+    * the FULL table on first call (registration), the added-files
+    * diff thereafter — and advance the cursor AFTER the handler
+    * returns. Returns Some((handlerResult, newEpoch)) when anything
+    * was consumed, None when the consumer is already current. The
+    * handler's frame is epoch-pinned (explicit file list), so a
+    * concurrent commit mid-handler neither tears it nor is missed —
+    * it is the next call's diff.
+    */
+  def consumeNew[T](store: TableStore, table: String, consumer: String)(
+      f: DataFrame => T): Option[(T, Long)] = {
+    val to = store.snapshot().epoch
+    cursor(store, table, consumer) match {
+      case Some(from) if from >= to => None
+      case Some(from) =>
+        val r = f(store.readAddedSince(table, from, to))
+        advance(store, table, consumer, to)
+        Some((r, to))
+      case None =>
+        val r = f(store.readEpoch(table, to))
+        advance(store, table, consumer, to)
+        Some((r, to))
+    }
+  }
+}

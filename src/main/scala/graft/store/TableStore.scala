@@ -1904,11 +1904,15 @@ class TableStore(val spark: SparkSession, root: String) {
       fs.getFileStatus(p).getModificationTime }
     // commits(i) was current during [mtime(i), mtime(i+1)): retained
     // iff that interval touches the window — successor younger than
-    // the cutoff — or it IS the latest, or a TAG pins it (tags are
-    // vacuum roots: a named release must stay readable until dropped)
-    val tagged = tags().values.toSet
+    // the cutoff — or it IS the latest, or a TAG or a registered
+    // CONSUMER CURSOR pins it (both are vacuum roots: a named release
+    // must stay readable until dropped, and a lagging incremental
+    // consumer must keep its diff base until it catches up or is
+    // unregistered)
+    val pinnedEpochs = tags().values.toSet ++
+      EpochFollower.cursors(this).values.toSet
     val (retained, dropped) = commits.zipWithIndex.partition { case ((e, _), i) =>
-      i == commits.size - 1 || mtimes(i + 1) > cutoff || tagged(e)
+      i == commits.size - 1 || mtimes(i + 1) > cutoff || pinnedEpochs(e)
     }
     val retainedTables = retained.map { case ((_, p), _) => parseCommit(p) }
     // live rel-paths per CURRENTLY governed table across ALL retained

@@ -136,6 +136,11 @@ class CliSpec extends SparkSpec {
     cli("show-epoch", dir, "docs", store.epochs().head.toString, "3")
     cli("diff-epochs", dir, "docs", store.epochs().head.toString,
       store.epochs().last.toString)
+    cli("consume", dir, "docs", "ops", "3")
+    assert(graft.store.EpochFollower.cursor(store, "docs", "ops").nonEmpty)
+    cli("consume", dir, "docs", "ops", "3") // current: no-op
+    cli("drop-consumer", dir, "docs", "ops")
+    assert(graft.store.EpochFollower.cursor(store, "docs", "ops").isEmpty)
     // named release: tag, list, read-by-tag, drop — vacuum-root
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
