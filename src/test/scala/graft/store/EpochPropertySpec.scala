@@ -30,6 +30,13 @@ class EpochPropertySpec extends SparkSpec {
       val model = scala.collection.mutable.Map(
         tables.map(_ -> scala.collection.mutable.Map.empty[Long, String]): _*)
       var lastBatch: Option[Map[String, Seq[(Long, String)]]] = None
+      // per-epoch model snapshots, for the incremental-scan invariant
+      val history = scala.collection.mutable.Map[Long, Map[String, Map[Long, String]]]()
+
+      def snapshotModel(): Unit =
+        store.epochs().lastOption.foreach { e =>
+          history(e) = model.map { case (t, m) => t -> m.toMap }.toMap
+        }
 
       def applyTx(batch: Map[String, Seq[(Long, String)]]): Unit =
         store.transact {
@@ -47,6 +54,7 @@ class EpochPropertySpec extends SparkSpec {
         assert(got === want, s"round $round, $step: $t diverged")
       }
 
+      snapshotModel() // epoch 1: everything governed empty
       (0 until 14).foreach { step =>
         rnd.nextInt(10) match {
           case n if n <= 4 => // normal multi-table transaction
@@ -63,6 +71,7 @@ class EpochPropertySpec extends SparkSpec {
               rows.foreach { case (id, v) => model(t)(id) = v }
             }
             lastBatch = Some(batch)
+            snapshotModel()
             check(s"tx@$step")
           case 5 | 6 => // crash at the pre-flip window, then redeliver
             lastBatch.foreach { batch =>
@@ -71,6 +80,7 @@ class EpochPropertySpec extends SparkSpec {
               finally store.beforeCommitFlip = () => ()
               check(s"crash@$step") // reader unmoved
               applyTx(batch) // at-least-once redelivery converges
+              snapshotModel()
               check(s"redeliver@$step")
             }
           case 7 => // abort mid-transaction (second table never lands)
@@ -84,14 +94,39 @@ class EpochPropertySpec extends SparkSpec {
             check(s"abort@$step")
           case 8 => // vacuum: reclaim must never change visible state
             store.vacuumEpochs()
+            history.keys.filterNot(store.epochs().toSet).toSeq
+              .foreach(history.remove)
             check(s"vacuum@$step")
-          case 9 => // time travel: the latest epoch equals the model
+          case 9 => // time travel: the latest epoch equals the model;
+            // incremental scan: the diff from a random retained epoch
+            // must CONTAIN every row that changed since it (the
+            // at-least-once contract of readAddedSince)
             tables.foreach { t =>
               if (model(t).nonEmpty) {
                 val got = store.readEpoch(t, store.epochs().last)
                   .select(col("id"), col("v"))
                   .collect().map(r => (r.getLong(0), r.getString(1))).toSet
                 assert(got === model(t).toSet, s"round $round epoch-read@$step")
+              }
+            }
+            val retained = store.epochs().filter(history.contains)
+            if (retained.nonEmpty) {
+              val e = retained(rnd.nextInt(retained.size))
+              val cur = store.epochs().last
+              tables.foreach { t =>
+                val then_ = history(e).getOrElse(t, Map.empty)
+                val now = model(t).toMap
+                val changed = now.toSet.diff(then_.toSet)
+                if (changed.nonEmpty || then_.nonEmpty || now.nonEmpty) {
+                  val added =
+                    if (then_.isEmpty && now.isEmpty) Set.empty[(Long, String)]
+                    else store.readAddedSince(t, e, cur)
+                      .select(col("id"), col("v"))
+                      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+                  assert(changed.subsetOf(added),
+                    s"round $round diff@$step: $t epoch $e->$cur lost " +
+                      s"changed rows ${changed -- added}")
+                }
               }
             }
         }
