@@ -149,7 +149,27 @@ object Doctor {
           s"$files files for $bytes bytes (packed floor ≈ $floor): " +
             s"small-file fragmentation — run `$verb`"))
       } else None
-    } ++ centroidDrift(store) ++ epochGarbage(store)
+    } ++ centroidDrift(store) ++ epochGarbage(store) ++ consumerLag(store)
+
+  /** Incremental-consumer lag advisories: a registered cursor is a
+    * vacuum root, so a consumer that stops consuming pins every epoch
+    * since its cursor — storage and metadata grow until it catches up
+    * or is dropped. Flag past a handful of pinned epochs.
+    */
+  private def consumerLag(store: TableStore): Seq[Issue] = {
+    val cur = store.epochs().lastOption.getOrElse(return Seq.empty)
+    EpochFollower.cursors(store).toSeq.sortBy(_._1).flatMap {
+      case ((table, consumer), epoch) =>
+        val lag = cur - epoch
+        if (lag >= 8)
+          Some(Issue("consumer-lag", table,
+            s"consumer '$consumer' is $lag epochs behind (cursor $epoch, " +
+              s"head $cur) — its vacuum pin retains every epoch since; " +
+              "run `consume <store> $table $consumer` to catch it up, or " +
+              "`drop-consumer` if it is dead"))
+        else None
+    }
+  }
 
   /** Epoch-store garbage advisories: unreferenced files from replaced
     * epochs (or commit-crash orphans) are NORMAL pre-vacuum state —

@@ -24,9 +24,19 @@ import org.apache.spark.sql.functions._
   * retains every epoch a cursor still needs as its diff base, so a
   * lagging consumer can always catch up — and a dead consumer is
   * unregistered with [[drop]], releasing its pin (the same lifecycle
-  * as dropTag). Scale: the cursor table holds one row per (table,
-  * consumer); every consume is one metadata diff + a scan of only
-  * the new files.
+  * as dropTag). Doctor's `suggest` flags consumers whose lag keeps
+  * many epochs pinned. Scale: the cursor table holds one row per
+  * (table, consumer); every consume is one metadata diff + a scan of
+  * only the new files.
+  *
+  * Concurrency: cursor advances are whole-table swap upserts, so two
+  * consumer PROCESSES advancing concurrently can lose one advance
+  * (last-writer-wins on the shared cursor table). That is safe by
+  * the delivery contract — a lost advance only re-delivers the same
+  * diff next call, never skips — the same at-least-once outcome as a
+  * crash before the advance. A deployment with many concurrent
+  * consumers serializes advances through its own scheduler, exactly
+  * as the single-writer store contract already requires of writers.
   */
 object EpochFollower {
 

@@ -124,8 +124,18 @@ class EpochFollowerSpec extends SparkSpec {
     // ...so the catch-up still resolves and delivers both new rows
     val caught = EpochFollower.consumeNew(store, "t", "lagging")(rows)
     assert(caught.get._1.map(_._1).intersect(Set(2L, 3L)) === Set(2L, 3L))
+    // a deeply lagging consumer earns a Doctor advisory naming it
+    (0 until 8).foreach { i =>
+      store.transact {
+        store.upsert("t", Seq((10L + i, s"x$i")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    val lag = Doctor.suggest(store).filter(_.component == "consumer-lag")
+    assert(lag.size === 1, s"lag advisory missing: ${Doctor.suggest(store)}")
+    assert(lag.head.problem.contains("lagging"))
     // dropping the consumer releases the pin
     EpochFollower.drop(store, "t", "lagging")
+    assert(Doctor.suggest(store).filter(_.component == "consumer-lag") === Seq.empty)
     assert(EpochFollower.cursor(store, "t", "lagging") === None)
     store.vacuumEpochs()
     assert(store.epochs().size === 1)
