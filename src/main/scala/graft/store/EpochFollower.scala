@@ -91,9 +91,16 @@ object EpochFollower {
         advance(store, table, consumer, to)
         Some((r, to))
       case None =>
-        val r = f(store.readEpoch(table, to))
-        advance(store, table, consumer, to)
-        Some((r, to))
+        // registration waits for data: a governed-but-empty table has
+        // no files to serve (readEpoch correctly refuses empty
+        // snapshots), so the consumer stays unregistered until the
+        // first rows land — then its first delivery is the full table
+        if (store.readIfExists(table).isEmpty) None
+        else {
+          val r = f(store.readEpoch(table, to))
+          advance(store, table, consumer, to)
+          Some((r, to))
+        }
     }
   }
 }

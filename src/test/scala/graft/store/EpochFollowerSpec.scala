@@ -25,6 +25,10 @@ class EpochFollowerSpec extends SparkSpec {
     val store = freshStore()
     store.ensureBucketed("t", Seq("id"), 4)
     store.ensureGoverned(Seq("t"))
+    // a governed-but-empty table delivers nothing and registers no
+    // cursor — the consumer waits for the first rows
+    assert(EpochFollower.consumeNew(store, "t", "trainer")(rows) === None)
+    assert(EpochFollower.cursor(store, "t", "trainer") === None)
     store.transact {
       store.upsert("t", (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
         Seq("id"))
