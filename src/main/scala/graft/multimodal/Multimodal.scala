@@ -87,6 +87,16 @@ object Multimodal {
         w.toLong * h <= (64L << 20)
     }
 
+    /** TIFF magic: `II*\0` (little-endian) or `MM\0*` (big-endian) —
+      * the JDK bundles a TIFF ImageIO plugin since Java 9, so these
+      * decode for REAL like PNG/JPEG (multi-page TIFFs report their
+      * true page count as nFrames, the GIF animation treatment).
+      */
+    private def isTiff(b: Array[Byte]): Boolean =
+      b.length >= 4 &&
+        ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 0x2a && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 0x2a))
+
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
@@ -296,7 +306,8 @@ object Multimodal {
           height = fmt.getFormat.getChannels,
           nFrames = math.max(fmt.getFrameLength, 0), // NOT_SPECIFIED = -1 → 0
           nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
-      } else if (isPng(bytes) || isJpeg(bytes) || isGif(bytes) || isBmp(bytes)) {
+      } else if (isPng(bytes) || isJpeg(bytes) || isGif(bytes) ||
+          isBmp(bytes) || isTiff(bytes)) {
         // NonFatal, not just IOException: the JDK decoders throw
         // IllegalArgument/NegativeArraySize/IndexOutOfBounds on
         // crafted or truncated headers, and one bad document must not
@@ -307,16 +318,21 @@ object Multimodal {
         if (img == null) DecodeStub.decode(docId, bytes) // corrupt payload → stub
         else MediaMeta(docId, kind = "image",
           width = img.getWidth, height = img.getHeight,
-          nFrames = if (isGif(bytes)) gifFrameCount(bytes) else 1,
+          // multi-frame formats (animated GIF, multi-page TIFF) report
+          // their true frame/page count — the quantity a size gate
+          // filters on
+          nFrames =
+            if (isGif(bytes) || isTiff(bytes)) imageFrameCount(bytes) else 1,
           nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
       } else DecodeStub.decode(docId, bytes)
 
-    /** Real frame count for (possibly animated) GIFs via the ImageIO
-      * reader — `ImageIO.read` decodes only the first frame, and
-      * reporting nFrames = 1 for a 50-frame animation would understate
-      * exactly the quantity a duration/size gate filters on.
+    /** Real frame/page count for multi-image formats (animated GIF,
+      * multi-page TIFF) via the matching ImageIO reader —
+      * `ImageIO.read` decodes only the first frame, and reporting
+      * nFrames = 1 for a 50-frame animation would understate exactly
+      * the quantity a duration/size gate filters on.
       */
-    private def gifFrameCount(bytes: Array[Byte]): Int =
+    private def imageFrameCount(bytes: Array[Byte]): Int =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))

@@ -236,6 +236,36 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.nFrames === 3)
   }
 
+  test("TIFF payloads decode for real; multi-page TIFFs report their page count") {
+    def frame(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x00ff00)
+      img
+    }
+    // single-page, both byte orders are the same writer's output
+    val single = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frame(6, 4), "tiff", single)
+    // multi-page via writeToSequence (the GIF animation treatment)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    (1 to 3).foreach { _ =>
+      w.writeToSequence(new javax.imageio.IIOImage(frame(3, 3), null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val meta = Multimodal.decodeMeta(
+        Seq((1L, single.toByteArray), (2L, out.toByteArray))
+          .toDF("doc_id", "content"))
+      .collect().sortBy(_.docId)
+    assert(meta(0).kind === "image")
+    assert((meta(0).width, meta(0).height, meta(0).nFrames) === (6, 4, 1))
+    assert(meta(1).kind === "image")
+    assert((meta(1).width, meta(1).height, meta(1).nFrames) === (3, 3, 3))
+  }
+
   test("mp3 sync-frame headers decode to real rate/channels/duration") {
     // build a minimal MPEG1 Layer III stream: 128 kbps @ 44100 Hz,
     // joint stereo, no padding → frame length = 144*128000/44100 = 417
