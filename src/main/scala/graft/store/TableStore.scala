@@ -124,7 +124,26 @@ class TableStore(val spark: SparkSession, root: String) {
   }
 
   def drop(name: String): Unit = {
-    if (isGoverned(name)) ungovern(name)
+    if (isGoverned(name)) {
+      // a release tag's guarantee is "stays readable until the tag is
+      // dropped", and a consumer cursor's is "my diff base survives":
+      // deleting the directory would break both SILENTLY (the pinned
+      // epochs would still resolve, to files that no longer exist).
+      // Refuse until the pins are released — the same
+      // drop-the-ref-first discipline as branches in git.
+      val commitByEpoch = listCommits().toMap
+      val taggedBy = tags().filter { case (_, e) =>
+        commitByEpoch.get(e).exists(p => parseCommit(p).contains(name)) }
+      require(taggedBy.isEmpty,
+        s"$name is pinned by release tag(s) " +
+          s"${taggedBy.keys.toSeq.sorted.mkString(", ")} — drop-tag first")
+      val cursorsOn = EpochFollower.cursors(this).keys
+        .filter(_._1 == name).map(_._2).toSeq.sorted
+      require(cursorsOn.isEmpty,
+        s"$name has registered consumer cursor(s) " +
+          s"${cursorsOn.mkString(", ")} — drop-consumer first")
+      ungovern(name)
+    }
     val dst = new Path(path(name))
     if (fs.exists(dst)) fs.delete(dst, true)
   }

@@ -345,6 +345,22 @@ class SnapshotOccSpec extends SparkSpec {
     assert(e.getMessage.contains("retained"))
   }
 
+  test("drop refuses while a tag or cursor still pins the table, allows after release") {
+    val store = governedPair(freshRoot())
+    store.tagEpoch("pin")
+    val t = intercept[IllegalArgumentException] { store.drop("tweets") }
+    assert(t.getMessage.contains("pin"))
+    store.dropTag("pin")
+    EpochFollower.consumeNew(store, "tweets", "c1")(identity)
+    val c = intercept[IllegalArgumentException] { store.drop("tweets") }
+    assert(c.getMessage.contains("c1"))
+    EpochFollower.drop(store, "tweets", "c1")
+    store.drop("tweets") // pins released: destructive drop proceeds
+    assert(!store.exists("tweets"))
+    // the sibling table is untouched
+    assert(rows(store.read("users")) === Set((1L, "u-old")))
+  }
+
   test("two upserts to a brand-new governed table inside one transact both survive") {
     // regression (ADVICE r9): exists/readIfExists gated on the table
     // DIRECTORY, which for a governed table only appears at commit —
