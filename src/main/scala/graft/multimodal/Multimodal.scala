@@ -106,6 +106,12 @@ object Multimodal {
         b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
         (b(11) == 'F' || b(11) == 'C')
 
+    /** Sun AU (`.snd` magic) — the third PCM container the JDK's
+      * sampled-audio stack decodes natively.
+      */
+    private def isAu(b: Array[Byte]): Boolean =
+      b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+
     private def meanByte(bytes: Array[Byte]): Double =
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
@@ -291,7 +297,7 @@ object Multimodal {
             nBytes = bytes.length.toLong, meanByte = meanByte(bytes))
           case None => DecodeStub.decode(docId, bytes)
         }
-      } else if (isWav(bytes) || isAiff(bytes)) {
+      } else if (isWav(bytes) || isAiff(bytes) || isAu(bytes)) {
         // real audio header decode via the JDK's sampled-audio stack;
         // MediaMeta's pixel fields carry the audio analogs (documented
         // mapping): width = sample rate in Hz, height = channel count,

@@ -114,7 +114,8 @@ class MultimodalSpec extends SparkSpec {
     }
     val wav = encode(javax.sound.sampled.AudioFileFormat.Type.WAVE, 8000f, 1, 1600)
     val aiff = encode(javax.sound.sampled.AudioFileFormat.Type.AIFF, 44100f, 2, 441)
-    val df = Seq((1L, wav), (2L, aiff)).toDF("doc_id", "content")
+    val au = encode(javax.sound.sampled.AudioFileFormat.Type.AU, 16000f, 1, 320)
+    val df = Seq((1L, wav), (2L, aiff), (3L, au)).toDF("doc_id", "content")
     val meta = Multimodal.decodeMeta(df).collect().sortBy(_.docId)
     assert(meta(0).kind === "audio")
     // audio mapping: width = sample rate Hz, height = channels
@@ -122,6 +123,9 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0).nBytes === wav.length.toLong)
     assert(meta(1).kind === "audio")
     assert((meta(1).width, meta(1).height, meta(1).nFrames) === (44100, 2, 441))
+    // Sun AU rides the same AudioSystem branch (.snd magic)
+    assert(meta(2).kind === "audio")
+    assert((meta(2).width, meta(2).height, meta(2).nFrames) === (16000, 1, 320))
     // a truncated RIFF header (magic only, no fmt chunk) falls back to
     // the stub instead of failing the decode job
     val corrupt = Multimodal.Decoder.decode(3L, "RIFFxxxxWAVE".getBytes("US-ASCII"))
