@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Delivery contract: AT-LEAST-ONCE. The cursor advances only after
   * the handler returns — a crash mid-handler re-delivers the same
-  * diff on the next call, and a rewritten file (bucketed merge,
-  * compaction) re-delivers its rows even without a crash
-  * (readAddedSince's documented contract). Downstream pk-dedup (the
-  * skip-existing anti-join) restores exactly-once; the spec drives
-  * that composition.
+  * diff on the next call, and a file rewritten by an UPSERT (bucketed
+  * merge) re-delivers its rows even without a crash (readAddedSince's
+  * documented contract). Rewrite-ONLY commits (compaction, z-order)
+  * are skipped entirely while their history is retained: the consumer
+  * crosses them without the handler firing — no O(table) redelivery.
+  * Downstream pk-dedup (the skip-existing anti-join) restores
+  * exactly-once; [[consumeChanges]] is the row-exact CDC form (with
+  * deletes). The spec drives both compositions.
   *
   * Registered cursors are VACUUM ROOTS, like tags: vacuumEpochs
   * retains every epoch a cursor still needs as its diff base, so a
@@ -86,6 +89,14 @@ object EpochFollower {
     val to = store.snapshot().epoch
     cursor(store, table, consumer) match {
       case Some(from) if from >= to => None
+      case Some(from) if store.addedRelsSince(table, from, to).isEmpty =>
+        // nothing to deliver — epochs advanced but this table's logical
+        // content did not (rewrite-only commits: compaction, z-order;
+        // or commits touching other tables). Advance the cursor WITHOUT
+        // invoking the handler: a consumer crossing a compaction sees
+        // an empty feed, not an O(table) redelivery.
+        advance(store, table, consumer, to)
+        None
       case Some(from) =>
         val r = f(store.readAddedSince(table, from, to))
         advance(store, table, consumer, to)
@@ -98,6 +109,48 @@ object EpochFollower {
         if (store.readIfExists(table).isEmpty) None
         else {
           val r = f(store.readEpoch(table, to))
+          advance(store, table, consumer, to)
+          Some((r, to))
+        }
+    }
+  }
+
+  /** The ROW-LEVEL form of [[consumeNew]]: feeds the handler a
+    * [[TableStore.readChangesSince]] frame (rows tagged
+    * `_change_type ∈ {insert, delete}`) instead of the added-files
+    * scan, so a derived mirror applies inserts as upserts and deletes
+    * as pk removals and NEVER serves ghosts after a dedup pass or
+    * retention delete. First call registers and delivers the full
+    * table as inserts. Same cursor, same at-least-once advance, same
+    * vacuum pinning; rewrite-only windows advance the cursor without
+    * invoking the handler (the handler never sees an empty compaction
+    * echo).
+    */
+  def consumeChanges[T](
+      store: TableStore, table: String, consumer: String, pk: Seq[String])(
+      f: DataFrame => T): Option[(T, Long)] = {
+    val to = store.snapshot().epoch
+    cursor(store, table, consumer) match {
+      case Some(from) if from >= to => None
+      case Some(from) =>
+        // provably-unchanged window (rewrite-only commits, or commits
+        // touching other tables): advance without invoking the handler
+        // — zero data I/O, straight from the commit-op metadata
+        val unchanged = store.commitOps(table, from, to)
+          .exists(_.forall { case (_, op) => TableStore.RewriteOps(op) })
+        if (unchanged) {
+          advance(store, table, consumer, to)
+          None
+        } else {
+          val r = f(store.readChangesSince(table, from, to, pk))
+          advance(store, table, consumer, to)
+          Some((r, to))
+        }
+      case None =>
+        if (store.readIfExists(table).isEmpty) None
+        else {
+          val r = f(store.readEpoch(table, to)
+            .withColumn(store.ChangeTypeCol, lit("insert")))
           advance(store, table, consumer, to)
           Some((r, to))
         }

@@ -15,6 +15,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 class TableStore(val spark: SparkSession, root: String) {
 
+  import TableStore.{OpCompact, OpGovern, OpOverwrite, OpUnknown, OpUpsert, RewriteOps}
+
   private def path(name: String) = s"$root/$name"
 
   private def fs = new Path(root).getFileSystem(
@@ -71,8 +73,9 @@ class TableStore(val spark: SparkSession, root: String) {
     * silently returning would present data loss as success.
     */
   private def writeSwapped(
-      name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    if (isGoverned(name)) { withTxWrite(tx => stageReplace(tx, name, df, partitionBy)); return }
+      name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      op: String = OpOverwrite): Unit = {
+    if (isGoverned(name)) { withTxWrite(tx => stageReplace(tx, name, df, partitionBy, op)); return }
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -114,9 +117,13 @@ class TableStore(val spark: SparkSession, root: String) {
     * swap-based writes, this writes in place, and Spark refuses — or
     * worse, corrupts — reads of a path being overwritten.
     */
-  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit =
+    overwritePartitions(name, df, partitionBy, OpUpsert)
+
+  private[store] def overwritePartitions(
+      name: String, df: DataFrame, partitionBy: Seq[String], op: String): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    if (isGoverned(name)) { withTxWrite(tx => stagePartitions(tx, name, df, partitionBy)); return }
+    if (isGoverned(name)) { withTxWrite(tx => stagePartitions(tx, name, df, partitionBy, op)); return }
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)
@@ -160,6 +167,7 @@ class TableStore(val spark: SparkSession, root: String) {
       withTxWrite { tx =>
         tx.pending(name) = liveRefs(name)
           .filterNot(_.rel.startsWith(s"$partCol=$value/"))
+        recordOp(tx, name, TableStore.OpDelete)
       }
       return
     }
@@ -175,7 +183,8 @@ class TableStore(val spark: SparkSession, root: String) {
             s"passed pk=${pk.mkString(",")} — refusing a mixed-key merge")
         mergeBucketed(name, incoming, pk, n, ignore = false)
       case None =>
-        writeSwapped(name, Upsert.upsert(readIfExists(name), incoming, pk))
+        writeSwapped(name, Upsert.upsert(readIfExists(name), incoming, pk),
+          op = OpUpsert)
     }
 
   def insertIgnore(name: String, incoming: DataFrame, pk: Seq[String]): Unit =
@@ -186,7 +195,8 @@ class TableStore(val spark: SparkSession, root: String) {
             s"passed pk=${pk.mkString(",")} — refusing a mixed-key merge")
         mergeBucketed(name, incoming, pk, n, ignore = true)
       case None =>
-        writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk))
+        writeSwapped(name, Upsert.insertIgnore(readIfExists(name), incoming, pk),
+          op = OpUpsert)
     }
 
   // -------------------------------------------------------------------
@@ -278,7 +288,8 @@ class TableStore(val spark: SparkSession, root: String) {
     require(exists(name), s"no such table: $name")
     require(bucketLayoutOf(name).isEmpty,
       s"$name already declares a bucket layout")
-    mergeBucketed(name, read(name).limit(0), pk, buckets, ignore = false)
+    mergeBucketed(name, read(name).limit(0), pk, buckets, ignore = false,
+      op = OpCompact)
   }
 
   /** Declare the bucket layout BEFORE the first write — the
@@ -319,7 +330,7 @@ class TableStore(val spark: SparkSession, root: String) {
 
   private def mergeBucketed(
       name: String, incoming: DataFrame, pk: Seq[String], buckets: Int,
-      ignore: Boolean): Unit = {
+      ignore: Boolean, op: String = OpUpsert): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(pk.nonEmpty, "bucketed layout needs pk columns")
     import org.apache.spark.sql.functions.col
@@ -335,7 +346,7 @@ class TableStore(val spark: SparkSession, root: String) {
           incoming)
           .withColumn(BucketCol, bucketOfPk(pk, buckets))
           .repartition(col(BucketCol))
-        writeSwapped(name, merged, Seq(BucketCol))
+        writeSwapped(name, merged, Seq(BucketCol), op = op)
         writeBucketLayout(name, buckets, pk)
       case Some((n, declaredPk)) =>
         require(n == buckets && declaredPk == pk,
@@ -348,7 +359,7 @@ class TableStore(val spark: SparkSession, root: String) {
           val merged = merge(None, incoming)
             .withColumn(BucketCol, bucketOfPk(pk, buckets))
             .repartition(col(BucketCol))
-          writeSwapped(name, merged, Seq(BucketCol))
+          writeSwapped(name, merged, Seq(BucketCol), op = op)
           writeBucketLayout(name, buckets, pk)
           return
         }
@@ -412,7 +423,7 @@ class TableStore(val spark: SparkSession, root: String) {
             merge(Some(existing.drop(BucketCol)), inc.drop(BucketCol))
               .withColumn(BucketCol, bucketOfPk(pk, buckets))
               .repartition(col(BucketCol)))
-          writeSwapped(name, merged, Seq(BucketCol))
+          writeSwapped(name, merged, Seq(BucketCol), op = op)
           writeBucketLayout(name, buckets, pk)
           zl.foreach { case (zc, b) => writeZorderMarker(name, zc, b) }
         } else {
@@ -442,7 +453,7 @@ class TableStore(val spark: SparkSession, root: String) {
             s"$name merge produced buckets outside the touched set " +
               s"(${(outBuckets -- touched).mkString(",")}) — pk hashing " +
               "diverged between batch and merge; refusing to overwrite")
-          overwritePartitions(name, merged, Seq(BucketCol))
+          overwritePartitions(name, merged, Seq(BucketCol), op)
           refreshTouchedStats(name, touched)
         }
     }
@@ -527,7 +538,7 @@ class TableStore(val spark: SparkSession, root: String) {
         existingAll.map(df =>
           if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df),
         incoming)))
-      writeSwapped(name, merged, Seq(BucketCol))
+      writeSwapped(name, merged, Seq(BucketCol), op = OpUpsert)
       writeBucketLayout(name, buckets, key)
       zl.foreach { case (zc, b) => writeZorderMarker(name, zc, b) }
     } else {
@@ -713,7 +724,7 @@ class TableStore(val spark: SparkSession, root: String) {
     val sorted =
       if (sortBy.isEmpty) shaped
       else shaped.sortWithinPartitions((partCols ++ sortBy).map(col): _*)
-    writeSwapped(name, sorted, partCols)
+    writeSwapped(name, sorted, partCols, op = OpCompact)
     layout.foreach { case (n, pk) =>
       if (partCols.contains(BucketCol)) writeBucketLayout(name, n, pk)
     }
@@ -780,7 +791,7 @@ class TableStore(val spark: SparkSession, root: String) {
       .repartitionByRange(nFiles, partCols.map(col) :+ col("__zkey"): _*)
       .sortWithinPartitions(partCols.map(col) :+ col("__zkey"): _*)
       .drop("__zkey")
-    writeSwapped(name, shaped, partCols)
+    writeSwapped(name, shaped, partCols, op = OpCompact)
     layout.foreach { case (n, pk) =>
       if (partCols.contains(BucketCol)) writeBucketLayout(name, n, pk)
     }
@@ -1199,6 +1210,10 @@ class TableStore(val spark: SparkSession, root: String) {
     val pending = scala.collection.mutable.LinkedHashMap[String, Seq[FileRef]]()
     val staging = scala.collection.mutable.Buffer[Path]()
     val deferred = scala.collection.mutable.Buffer[() => Unit]()
+    // WHY each table changed (append/upsert/compact/overwrite/delete) —
+    // stamped into the commit's log entries so incremental consumers
+    // can skip rewrite-only commits (Iceberg's REPLACE-snapshot rule)
+    val ops = scala.collection.mutable.LinkedHashMap[String, String]()
     // tables whose pending state came from a WHOLE-TABLE replace: the
     // commit clears their layout markers (the invariant the
     // ungoverned dir-swap provided for free), and any deferred marker
@@ -1256,11 +1271,28 @@ class TableStore(val spark: SparkSession, root: String) {
     val tmp = new Path(epochDir, s".tmp-$name-$writerTag")
     writeSmall(tmp, content)
     val dst = new Path(epochDir, name)
+    atomicPointerPut(tmp, dst)
+  }
+
+  /** THE atomicity primitive of the whole commit log: publish `tmp` as
+    * `dst` iff `dst` does not exist yet, atomically. Everything else in
+    * the log — staging, entries, vacuum — only needs plain writes and
+    * deletes; correctness under concurrent writers and crashes reduces
+    * to this one put-if-absent. The default is HDFS/POSIX `rename`
+    * (atomic, fails-if-exists on both). Object stores without atomic
+    * rename (S3) override JUST this method with a conditional put
+    * (`If-None-Match: *`) or a small CAS service (DynamoDB — what
+    * Delta's S3 LogStore does); see SCALING.md §commit-log. Contract:
+    * return true iff this writer's content is now `dst`; false iff
+    * `dst` already existed (the OCC conflict signal — `tmp` must be
+    * cleaned up); throw on anything else (the commit must not be
+    * half-visible).
+    */
+  protected def atomicPointerPut(tmp: Path, dst: Path): Boolean =
     if (fs.rename(tmp, dst)) true
     else if (fs.exists(dst)) { fs.delete(tmp, false); false }
     else throw new java.io.IOException(
       s"rename $tmp -> $dst failed; commit not visible")
-  }
 
   /** Parse a commit pointer file: table → log entry. One parser for
     * the latest-pointer path and the time-travel path, memoized by
@@ -1375,7 +1407,9 @@ class TableStore(val spark: SparkSession, root: String) {
       val content = readSmall(new Path(epochDir, entry))
       if (!entry.startsWith("delta-")) {
         depthCache(entry) = 0
-        content.linesIterator.filter(_.nonEmpty).toSeq
+        // `#`-prefixed lines are headers (op=…); rel paths never start
+        // with `#` (partition dirs are `col=value`, part files `part-…`)
+        content.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       } else {
         val lines = content.linesIterator.toSeq
         val base = lines.collectFirst {
@@ -1398,6 +1432,23 @@ class TableStore(val spark: SparkSession, root: String) {
     if (!depthCache.contains(entry)) resolveEntry(entry) // populates
     depthCache(entry)
   }
+
+  // entry → op tag, memoized like the list/depth caches (entries are
+  // immutable once written)
+  private val opCache = scala.collection.mutable.HashMap[String, String]()
+
+  /** The operation that produced a log entry — [[TableStore.OpUnknown]]
+    * for entries written before op stamping (treated as a logical
+    * change: never skipped).
+    */
+  private def opOf(entry: String): String =
+    opCache.getOrElseUpdate(entry, {
+      readSmall(new Path(epochDir, entry)).linesIterator.collectFirst {
+        case l if l.startsWith("#op=") => l.stripPrefix("#op=")
+        case l if entry.startsWith("delta-") && l.startsWith("op=") =>
+          l.stripPrefix("op=")
+      }.getOrElse(OpUnknown)
+    })
 
   /** Every log entry reachable from `entry` through base= links —
     * what vacuum must retain for the current commit to resolve.
@@ -1458,7 +1509,8 @@ class TableStore(val spark: SparkSession, root: String) {
       val rels =
         if (exists(n)) walkParquetRel(new Path(path(n))) else Seq.empty[String]
       val lf = s"files-$n-$next-$writerTag"
-      writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
+      writeSmall(new Path(epochDir, lf), (s"#op=$OpGovern" +: rels).mkString("\n"))
+      opCache(lf) = OpGovern
       n -> lf
     }
     writePointer(next,
@@ -1506,6 +1558,33 @@ class TableStore(val spark: SparkSession, root: String) {
     r
   }
 
+  /** [[transactWithRetry]]: [[transact]] with bounded automatic retry of SAME-TABLE OCC
+    * overlaps — the serialization loop the reference's single SQLite
+    * writer gets from its connection lock. `f` MUST be an idempotent
+    * batch-builder: on an overlap abort it is re-executed verbatim
+    * against the REBASED base (governed reads inside `f` resolve the
+    * interleaved writer's commit on the retry, so a read-merge-write
+    * batch recomputes against fresh state — no lost update). Disjoint
+    * concurrent commits still rebase without retrying; any other
+    * failure propagates immediately. The loser's already-moved staged
+    * files from a failed attempt are unreferenced (invisible) and
+    * reclaimed by [[vacuumEpochs]]. Past `maxAttempts` the final
+    * overlap propagates loudly.
+    */
+  def transactWithRetry[T](maxAttempts: Int)(f: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be ≥ 1: $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return transact(f)
+      catch {
+        case e: TableStore.OccOverlapException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Inside a transaction: record with it. Outside: a governed write
     * is its own single-table transaction (stage + immediate commit),
     * so non-transactional callers stay correct without code changes.
@@ -1527,7 +1606,8 @@ class TableStore(val spark: SparkSession, root: String) {
     * writeSwapped's delete-and-rename.
     */
   private def stageReplace(
-      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String],
+      op: String): Unit = {
     val stage = newStageDir(tx, name)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -1535,14 +1615,29 @@ class TableStore(val spark: SparkSession, root: String) {
     tx.pending(name) =
       walkParquetRel(stage).map(r => FileRef(stage, r, staged = true))
     tx.fullyReplaced += name
+    recordOp(tx, name, op)
   }
+
+  /** Combine a transaction's op tags per table: repeated same-op writes
+    * keep the tag; mixed tags degrade conservatively to a
+    * logical-change tag (never to a skippable rewrite), with overwrite
+    * dominating (the table's whole content was replaced at some point
+    * in the transaction).
+    */
+  private def recordOp(tx: TxState, name: String, op: String): Unit =
+    tx.ops(name) = tx.ops.get(name) match {
+      case None | Some(`op`) => op
+      case Some(prev) if prev == OpOverwrite || op == OpOverwrite => OpOverwrite
+      case _ => OpUpsert
+    }
 
   /** Dynamic-partition overwrite, staged: partitions present in `df`
     * swap their file lists; all other live files carry across BY
     * REFERENCE — the O(touched buckets) property survives the commit.
     */
   private def stagePartitions(
-      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+      tx: TxState, name: String, df: DataFrame, partitionBy: Seq[String],
+      op: String): Unit = {
     val stage = newStageDir(tx, name)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
       .parquet(stage.toString)
@@ -1554,6 +1649,7 @@ class TableStore(val spark: SparkSession, root: String) {
     val replaced = staged.map(dirOf).toSet
     val kept = liveRefs(name).filterNot(fr => replaced.contains(dirOf(fr.rel)))
     tx.pending(name) = kept ++ staged.map(r => FileRef(stage, r, staged = true))
+    recordOp(tx, name, op)
   }
 
   /** Test seam: invoked after staged files are moved into place but
@@ -1625,9 +1721,13 @@ class TableStore(val spark: SparkSession, root: String) {
     //    Delta-log incremental form); chains compact back to a full
     //    list every MaxDeltaDepth links so resolution stays shallow.
     val ourEntries = finalRels.map { case (n, rels) =>
+      // WHY this table changed, stamped into the entry so incremental
+      // scans can skip rewrite-only commits without reading any data
+      val op = tx.ops.getOrElse(n, OpUpsert)
       def writeFull(): String = {
         val lf = s"files-$n-$next-$writerTag"
-        writeSmall(new Path(epochDir, lf), rels.mkString("\n"))
+        writeSmall(new Path(epochDir, lf),
+          (s"#op=$op" +: rels).mkString("\n"))
         lf
       }
       val entry = tables.get(n) match {
@@ -1640,14 +1740,16 @@ class TableStore(val spark: SparkSession, root: String) {
             val df = s"delta-$n-$next-$writerTag"
             writeSmall(new Path(epochDir, df),
               (s"base=$prev" +: s"depth=${entryDepth(prev) + 1}" +:
-                (adds.map("+" + _) ++ dels.map("-" + _))).mkString("\n"))
+                s"op=$op" +: (adds.map("+" + _) ++ dels.map("-" + _)))
+                .mkString("\n"))
             depthCache(df) = entryDepth(prev) + 1
             df
           } else writeFull()
         case _ => writeFull()
       }
-      // entries are immutable — memoize the set we just wrote
+      // entries are immutable — memoize the set (and op) we just wrote
       listCache(entry) = rels
+      opCache(entry) = op
       if (!entry.startsWith("delta-")) depthCache(entry) = 0
       n -> entry
     }
@@ -1678,10 +1780,12 @@ class TableStore(val spark: SparkSession, root: String) {
           .filter(t => curTables.get(t) != base.get(t))
         val overlap = changed.intersect(tx.pending.keySet)
         if (overlap.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
+          throw new TableStore.OccOverlapException(
             s"concurrent commit(s) changed ${overlap.toSeq.sorted.mkString(", ")} " +
               "while this transaction also staged them — rebase is only " +
-              "safe for disjoint table sets; re-read and retry the batch")
+              "safe for disjoint table sets; re-read and retry the batch " +
+              "(or commit through transactWithRetry for bounded " +
+              "automatic retry of an idempotent batch)")
         base = curTables
         attempt = curEpoch + 1
       }
@@ -1748,41 +1852,127 @@ class TableStore(val spark: SparkSession, root: String) {
     readResolved(name, parseCommit(p), epoch)
   }
 
-  /** INCREMENTAL scan between two retained epochs (Iceberg's
-    * incremental-read semantics): the rows of every file present in
-    * `toEpoch`'s commit but not in `fromEpoch`'s — what a downstream
-    * job must process to catch up from one dataset version to the
-    * next without rescanning the table. Exact for append-shaped
-    * history (new files only); a REWRITTEN file (a bucketed upsert
-    * merging old rows with a batch, a compaction) reappears in full,
-    * so the contract is AT-LEAST-ONCE per changed-or-moved row —
-    * downstream dedup by pk (the skip-existing anti-join this engine
-    * already ships) restores exactly-once, the same discipline
-    * Iceberg documents for its changelog scans. Cost: one metadata
-    * diff (two resolved rel lists) + a scan of only the new files —
-    * never O(table).
-    *
-    * Both epochs must still be retained (vacuum retention / tags);
-    * `fromEpoch` must be ≤ `toEpoch` and both must govern `name`.
-    * An empty diff returns an empty frame with the table's schema.
+  /** The table's log entry at epoch `e`, or None if the table was not
+    * governed in that commit.
     */
-  def readAddedSince(
-      name: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+  private def entryAt(
+      name: String, commits: Map[Long, Path], e: Long): Option[String] =
+    commits.get(e).flatMap(p => parseCommit(p).get(name))
+
+  private def relsAtRequired(
+      name: String, commits: Map[Long, Path], e: Long): Set[String] = {
+    val p = commits.getOrElse(e, throw new IllegalArgumentException(
+      s"no retained commit for epoch $e " +
+        s"(retained: ${commits.keys.toSeq.sorted.mkString(", ")}) — vacuumed?"))
+    parseCommit(p).get(name) match {
+      case Some(lf) => resolveEntry(lf).toSet
+      case None => throw new IllegalArgumentException(
+        s"$name was not governed at epoch $e")
+    }
+  }
+
+  /** The (epoch, op) history of commits that CHANGED `name`'s file
+    * list in `(fromEpoch, toEpoch]` — None when any intermediate
+    * commit was vacuumed (epochs are consecutive, so a gap in the
+    * retained set is detectable) or the table was ungoverned at some
+    * step, in which case only the endpoint-diff is computable.
+    */
+  def commitOps(
+      name: String, fromEpoch: Long, toEpoch: Long): Option[Seq[(Long, String)]] = {
+    val commits = listCommits().toMap
+    val epochs = (fromEpoch to toEpoch)
+    if (!epochs.forall(commits.contains)) None
+    else {
+      val entries = epochs.map(e => entryAt(name, commits, e))
+      if (entries.exists(_.isEmpty)) None
+      else Some(epochs.zip(entries.map(_.get)).sliding(2).collect {
+        case Seq((_, prev), (e, cur)) if cur != prev => (e, opOf(cur))
+      }.toSeq)
+    }
+  }
+
+  /** Rel paths of the files an incremental consumer must read to catch
+    * up from `fromEpoch` to `toEpoch` — the file-level diff behind
+    * [[readAddedSince]], REWRITE-AWARE when the intermediate commit
+    * history is still retained: the walk accumulates each step's added
+    * files, skips steps whose op is rewrite-only (compact / z-order /
+    * bucketize — no logical rows changed, Iceberg's REPLACE-snapshot
+    * rule), and drops files a later non-rewrite step removed (their
+    * surviving rows ride that step's own adds). When any intermediate
+    * commit was vacuumed the walk falls back to the coarse endpoint
+    * diff (`rels(to) -- rels(from)`) — correct, but a compaction in
+    * the gap then redelivers the table, so size the vacuum retention
+    * window to cover consumer lag.
+    */
+  private[store] def addedRelsSince(
+      name: String, fromEpoch: Long, toEpoch: Long): Seq[String] = {
     require(fromEpoch <= toEpoch,
       s"fromEpoch $fromEpoch > toEpoch $toEpoch")
     val commits = listCommits().toMap
-    def relsAt(e: Long): Set[String] = {
-      val p = commits.getOrElse(e, throw new IllegalArgumentException(
-        s"no retained commit for epoch $e " +
-          s"(retained: ${commits.keys.toSeq.sorted.mkString(", ")}) — vacuumed?"))
-      val tables = parseCommit(p)
-      tables.get(name) match {
-        case Some(lf) => resolveEntry(lf).toSet
-        case None => throw new IllegalArgumentException(
-          s"$name was not governed at epoch $e")
+    // endpoint validation happens unconditionally (retained + governed)
+    val fromSet = relsAtRequired(name, commits, fromEpoch)
+    val toSet = relsAtRequired(name, commits, toEpoch)
+    val stepEpochs = ((fromEpoch + 1) to toEpoch)
+    val walkable = stepEpochs.forall(e =>
+      entryAt(name, commits, e).isDefined) &&
+      entryAt(name, commits, fromEpoch).isDefined
+    if (!walkable) (toSet -- fromSet).toSeq.sorted
+    else {
+      val acc = scala.collection.mutable.LinkedHashSet[String]()
+      var prevEntry = entryAt(name, commits, fromEpoch).get
+      var prevSet = fromSet
+      stepEpochs.foreach { e =>
+        val entry = entryAt(name, commits, e).get
+        if (entry != prevEntry) {
+          val cur = resolveEntry(entry).toSet
+          if (!RewriteOps(opOf(entry))) {
+            // a non-rewrite step supersedes what it removed: rows that
+            // survive ride its adds, removed-and-gone rows must not be
+            // redelivered as stale images
+            acc --= (prevSet -- cur)
+            acc ++= (cur -- prevSet)
+          }
+          // rewrite step: content is row-identical — neither its adds
+          // nor its removals change what the consumer must see; files
+          // accumulated earlier stay on disk (their commit is retained)
+          prevSet = cur
+          prevEntry = entry
+        }
       }
+      acc.toSeq
     }
-    val added = (relsAt(toEpoch) -- relsAt(fromEpoch)).toSeq.sorted
+  }
+
+  /** INCREMENTAL scan between two retained epochs (Iceberg's
+    * incremental-read semantics): the rows a downstream job must
+    * process to catch up from one dataset version to the next without
+    * rescanning the table. The file list comes from
+    * [[addedRelsSince]], so REWRITE-ONLY commits (compact / z-order /
+    * bucketize) deliver NOTHING when the intermediate history is
+    * retained — a routine compaction no longer redelivers the table.
+    * Exact for append-shaped history; a file REWRITTEN by an upsert
+    * (bucketed merge) reappears in full, so the contract remains
+    * AT-LEAST-ONCE per changed-or-moved row — downstream dedup by pk
+    * (the skip-existing anti-join this engine already ships) restores
+    * exactly-once; [[readChangesSince]] is the row-exact form. One
+    * at-least-once nuance of the rewrite-aware walk: a window spanning
+    * a compaction FOLLOWED by an upsert can deliver a pre-compaction
+    * file alongside the upsert's newer images of some of its rows —
+    * consumers that upsert by pk with a latest-wins tiebreak (or use
+    * readChangesSince) are unaffected. Cost: one metadata walk + a
+    * scan of only the delivered files — never O(table).
+    *
+    * Both epochs must still be retained (vacuum retention / tags /
+    * cursors); `fromEpoch` must be ≤ `toEpoch` and both must govern
+    * `name`. An empty diff returns an empty frame with the table's
+    * schema.
+    */
+  def readAddedSince(
+      name: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+    val added = addedRelsSince(name, fromEpoch, toEpoch)
+    def relsAt(e: Long): Set[String] =
+      entryAt(name, listCommits().toMap, e).map(resolveEntry(_).toSet)
+        .getOrElse(Set.empty)
     if (added.nonEmpty)
       spark.read.option("basePath", path(name))
         .parquet(added.map(r => new Path(path(name), r).toString): _*)
@@ -1803,6 +1993,91 @@ class TableStore(val spark: SparkSession, root: String) {
     val (cur, _) = currentCommit.getOrElse(throw new IllegalStateException(
       "no commits — govern tables first"))
     readAddedSince(name, fromEpoch, cur)
+  }
+
+  /** Column carrying each changed row's change type in
+    * [[readChangesSince]] frames: `insert` (new or updated row, new
+    * image) or `delete` (row gone, last image).
+    */
+  val ChangeTypeCol = "_change_type"
+
+  /** ROW-LEVEL change feed between two retained epochs — the CDC form
+    * of [[readAddedSince]], exact where the file-level scan is only
+    * at-least-once: every returned row is tagged
+    * `_change_type ∈ {insert, delete}`, where `insert` carries the new
+    * image of a row that is new OR changed since `fromEpoch`, and
+    * `delete` carries the last image of a row whose pk left the table
+    * (a dedup pass, a retention delete, a dropped partition). Carried
+    * rows — including every row a compaction or z-order merely moved —
+    * are emitted NOT AT ALL: a derived mirror (the CDC-driven FTS
+    * pattern) applies inserts as upserts and deletes as pk removals
+    * and converges exactly, with no ghosts.
+    *
+    * Mechanics: the file diff between the endpoints (rewrite-skipping
+    * where retained — a rewrite-only window short-circuits to an empty
+    * feed with ZERO data I/O), reconciled row-level: added-file rows
+    * anti-joined against removed-file rows on (pk, full-row hash) are
+    * the inserts; removed-file pks anti-joined against added-file pks
+    * are the deletes. Cost is O(changed files' rows) for
+    * upsert-shaped history; a window mixing a compaction WITH logical
+    * changes degrades to reconciling the rewritten files (consume
+    * promptly, or cut consumption windows at compaction boundaries,
+    * to stay O(diff)).
+    *
+    * `pk` must be the table's logical key (non-null; the declared
+    * bucket pk where one exists). Both epochs must be retained and
+    * govern `name`. One degrade, never a lie: a window spanning a
+    * LAYOUT change (bucketize, an overwrite that flattens a
+    * partitioned table) can re-emit unchanged rows as inserts — the
+    * full-row hash compares partition-column representations across
+    * layouts — but never emits a false delete (deletes key on the pk
+    * alone); mirrors upserting by pk stay exact.
+    */
+  def readChangesSince(
+      name: String, fromEpoch: Long, toEpoch: Long,
+      pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, "readChangesSince needs the table's pk columns")
+    require(fromEpoch <= toEpoch,
+      s"fromEpoch $fromEpoch > toEpoch $toEpoch")
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val commits = listCommits().toMap
+    val fromSet = relsAtRequired(name, commits, fromEpoch)
+    val toSet = relsAtRequired(name, commits, toEpoch)
+    val schemaSource =
+      if (toSet.nonEmpty) readEpoch(name, toEpoch)
+      else readEpoch(name, fromEpoch)
+    pk.foreach(c => require(schemaSource.columns.contains(c),
+      s"$name has no column $c (pk passed: ${pk.mkString(",")})"))
+    val empty = schemaSource.limit(0)
+      .withColumn(ChangeTypeCol, lit("insert"))
+    // rewrite-only window: provably no logical change, zero data I/O
+    val ops = commitOps(name, fromEpoch, toEpoch)
+    if (ops.exists(_.forall { case (_, op) => RewriteOps(op) })) return empty
+    val added = (toSet -- fromSet).toSeq.sorted
+    val removed = (fromSet -- toSet).toSeq.sorted
+    def readRels(rels: Seq[String]): DataFrame =
+      spark.read.option("basePath", path(name))
+        .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+    if (added.isEmpty && removed.isEmpty) return empty
+    val dataCols = schemaSource.columns.toSeq
+    val rowHash = xxhash64(dataCols.map(col): _*)
+    if (removed.isEmpty)
+      return readRels(added).withColumn(ChangeTypeCol, lit("insert"))
+    if (added.isEmpty)
+      return readRels(removed).withColumn(ChangeTypeCol, lit("delete"))
+    val a = readRels(added).withColumn("__h", rowHash)
+    val r = readRels(removed).withColumn("__h", rowHash)
+    // new or changed: present in the added files with no identical row
+    // (pk + full-row hash) among the removed — carried rows cancel out
+    val inserts = a.join(r.select((pk :+ "__h").map(col): _*),
+        pk :+ "__h", "left_anti")
+      .drop("__h").withColumn(ChangeTypeCol, lit("insert"))
+    // gone: a removed file's pk absent from every added file. (A
+    // removed file's rows either moved into an added file or left the
+    // table — the live set never needs scanning.)
+    val deletes = r.join(a.select(pk.map(col): _*), pk, "left_anti")
+      .drop("__h").withColumn(ChangeTypeCol, lit("delete"))
+    inserts.unionByName(deletes)
   }
 
   // -------------------------------------------------------------------
@@ -1975,6 +2250,7 @@ class TableStore(val spark: SparkSession, root: String) {
     commitCache.filterInPlace((k, _) => keepCommits(k))
     listCache.filterInPlace((k, _) => liveEntries(k))
     depthCache.filterInPlace((k, _) => liveEntries(k))
+    opCache.filterInPlace((k, _) => liveEntries(k))
   }
 
   /** Test-only size probe for the epoch metadata caches — the
@@ -2018,6 +2294,33 @@ final class Snapshot private[store] (
 }
 
 object TableStore {
+
+  // Operation types stamped into commit-log entries — WHY a table's
+  // file list changed, not just how. Rewrite-only ops ([[RewriteOps]])
+  // change no logical rows, so incremental consumers skip them
+  // (Iceberg's REPLACE-snapshot rule for changelog scans).
+  val OpUpsert = "upsert"
+  val OpOverwrite = "overwrite"
+  val OpCompact = "compact"
+  val OpDelete = "delete"
+  val OpGovern = "govern"
+  /** Entries written before op stamping — treated as a logical change
+    * (conservative: never skipped).
+    */
+  val OpUnknown = "unknown"
+
+  /** Ops that rewrite files without changing logical rows. */
+  val RewriteOps: Set[String] = Set(OpCompact)
+
+  /** Two writers committed divergent file lists for the SAME table —
+    * the one OCC conflict a rebase cannot resolve (merging the lists
+    * would be a lost update). A `ConcurrentModificationException`
+    * subtype so existing catch sites keep working, and
+    * [[TableStore.transactWithRetry]] can retry EXACTLY this and
+    * nothing else.
+    */
+  class OccOverlapException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
 
   /** Driver-side recursive directory listings performed (dataFiles
     * calls) — a test-visible shim counter so specs can PROVE a

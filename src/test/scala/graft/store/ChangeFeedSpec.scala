@@ -1,0 +1,215 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-11 commit-log semantics, each pinned at its scale failure:
+  *
+  *  - OPERATION TYPES: the log records WHY a table's files changed
+  *    (upsert / compact / overwrite / delete / govern), so incremental
+  *    scans skip rewrite-only commits — Iceberg's REPLACE-snapshot
+  *    rule. Without it, ONE routine compaction redelivers the ENTIRE
+  *    table to every EpochFollower consumer: O(table) per consumer per
+  *    compaction at 100 TB.
+  *  - ROW-LEVEL CHANGE FEED: readChangesSince tags rows
+  *    insert/delete, so a derived mirror (the CDC FTS pattern) drops
+  *    ghosts after a dedup or retention delete — readAddedSince alone
+  *    can never retract a row.
+  *  - OCC OVERLAP RETRY: transact(maxAttempts) re-executes an
+  *    idempotent batch against the rebased base when two writers race
+  *    the SAME table — the serialization the reference's single SQLite
+  *    writer lock provides (`/root/reference/utils.py` writes through
+  *    one connection), bounded and loud past the bound.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdc").toString
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select(col("id").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def changes(df: DataFrame): Set[(Long, String, String)] =
+    df.select(col("id").cast("long"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("the commit log records WHY each table changed (op types)") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    val eUp = store.snapshot().epoch
+    store.compact("t")
+    val eCp = store.snapshot().epoch
+    store.overwrite("t", Seq((1L, "only")).toDF("id", "v"))
+    val eOw = store.snapshot().epoch
+    val ops = store.commitOps("t", eUp - 1, eOw).get.toMap
+    assert(ops(eUp) === TableStore.OpUpsert)
+    assert(ops(eCp) === TableStore.OpCompact)
+    assert(ops(eOw) === TableStore.OpOverwrite)
+  }
+
+  test("a compaction delivers NOTHING to incremental consumers; an upsert its batch") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 64).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    // register the consumer (first delivery = full table)
+    var fired = 0
+    val first = EpochFollower.consumeNew(store, "t", "mirror") { df =>
+      fired += 1; df.count()
+    }
+    assert(first.map(_._1) === Some(64L))
+    val ePre = store.snapshot().epoch
+
+    // a routine compaction: files rewritten, no logical rows changed —
+    // the consumer crosses it WITHOUT the handler firing
+    store.compact("t")
+    assert(EpochFollower.consumeNew(store, "t", "mirror")(df => {
+      fired += 1; df.count() }) === None)
+    assert(fired === 1, "handler fired on a rewrite-only commit")
+    // the cursor still advanced (no re-examination next call)
+    assert(EpochFollower.cursor(store, "t", "mirror")
+      === Some(store.snapshot().epoch))
+
+    // an upsert delivers its batch (at file level: the touched bucket,
+    // a strict subset — never the table)
+    store.upsert("t", Seq((100L, "NEW")).toDF("id", "v"), Seq("id"))
+    val second = EpochFollower.consumeNew(store, "t", "mirror")(rows)
+    assert(second.isDefined)
+    val got = second.get._1
+    assert(got.contains((100L, "NEW")))
+    assert(got.size < 64, s"compaction echo redelivered the table (${got.size})")
+
+    // a window SPANNING compact-then-upsert still skips the rewrite:
+    // only the upsert's files are delivered
+    val spanned = rows(store.readAddedSince("t", ePre))
+    assert(spanned.contains((100L, "NEW")))
+    assert(spanned.size < 64,
+      s"spanning window redelivered the compaction (${spanned.size})")
+    // and a compact-only window is file-empty with the table's schema
+    val compactOnly = store.readAddedSince("t", ePre, ePre + 1)
+    assert(compactOnly.count() === 0L)
+    assert(compactOnly.columns.contains("v"))
+  }
+
+  test("readChangesSince: inserts carry new images, deletes last images, carried rows nothing") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    val e1 = store.snapshot().epoch
+    // one new row, one updated row — everything else carried
+    store.upsert("t", Seq((100L, "NEW"), (5L, "V5-UPD")).toDF("id", "v"),
+      Seq("id"))
+    val e2 = store.snapshot().epoch
+    assert(changes(store.readChangesSince("t", e1, e2, Seq("id"))) ===
+      Set((100L, "NEW", "insert"), (5L, "V5-UPD", "insert")))
+    // a retention delete (governed overwrite dropping pk 7): exactly
+    // one delete, carrying the row's last image
+    store.overwrite("t", store.read("t").filter(col("id") =!= 7L))
+    val e3 = store.snapshot().epoch
+    assert(changes(store.readChangesSince("t", e2, e3, Seq("id"))) ===
+      Set((7L, "v7", "delete")))
+    // a compaction emits ZERO changes (metadata fast path)
+    store.compact("t")
+    val e4 = store.snapshot().epoch
+    assert(store.readChangesSince("t", e3, e4, Seq("id")).count() === 0L)
+    // same-epoch window: empty, schema intact (with the tag column)
+    val same = store.readChangesSince("t", e4, e4, Seq("id"))
+    assert(same.count() === 0L && same.columns.contains("_change_type"))
+  }
+
+  test("CDC mirror: consumeChanges retracts deleted rows — no ghosts") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs",
+      (0 until 32).map(i => (i.toLong, s"d$i")).toDF("id", "v"), Seq("id"))
+    // the mirror: a plain (un-governed) derived table maintained from
+    // the change feed — inserts upsert, deletes remove by pk
+    var fired = 0
+    def sync(): Unit =
+      EpochFollower.consumeChanges(store, "docs", "mirror", Seq("id")) { ch =>
+        fired += 1
+        val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
+        val del = ch.filter(col("_change_type") === "delete")
+          .select(col("id")).distinct()
+        val cur = store.readIfExists("mirror")
+          .map(m => m.join(del, Seq("id"), "left_anti"))
+        val next = cur match {
+          case Some(m) => Upsert.upsert(Some(m),
+            ins.select(col("id"), col("v")), Seq("id"))
+          case None => ins.select(col("id"), col("v"))
+        }
+        store.overwrite("mirror", next)
+      }
+    sync()
+    assert(fired === 1 && store.read("mirror").count() === 32L)
+
+    // a dedup-style delete: drop the bucket holding pk 0 — the mirror
+    // must stop serving every pk that lived there
+    val bucket = store.read("docs").filter(col("id") === 0L)
+      .select(col("pk_bucket").cast("long")).head.getLong(0)
+    val doomed = store.read("docs")
+      .filter(col("pk_bucket").cast("long") === bucket)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    store.dropPartition("docs", "pk_bucket", bucket.toString)
+    sync()
+    assert(fired === 2)
+    val mirrorIds = store.read("mirror")
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(mirrorIds.intersect(doomed) === Set.empty,
+      s"ghost rows survived the delete: ${mirrorIds.intersect(doomed)}")
+    assert(mirrorIds.size === 32 - doomed.size)
+
+    // a compaction fires nothing at the mirror
+    store.compact("docs")
+    sync()
+    assert(fired === 2, "compaction echoed into the CDC mirror")
+  }
+
+  test("transactWithRetry converges a same-table two-writer race") {
+    val root = freshRoot()
+    val a = new TableStore(spark, root)
+    a.ensureGoverned(Seq("t"))
+    a.transact { a.upsert("t", Seq((1L, "base")).toDF("id", "v"), Seq("id")) }
+    val b = new TableStore(spark, root)
+    // writer B lands a SAME-TABLE commit inside A's window: A's flip
+    // collides with an overlap — un-retried this aborts (the r10 spec);
+    // with retry the batch re-executes against B's base and BOTH land
+    a.beforeCommitFlip = () => {
+      a.beforeCommitFlip = () => ()
+      b.transact { b.upsert("t", Seq((2L, "from-b")).toDF("id", "v"), Seq("id")) }
+    }
+    try a.transactWithRetry(3) {
+      a.upsert("t", Seq((3L, "from-a")).toDF("id", "v"), Seq("id"))
+    } finally a.beforeCommitFlip = () => ()
+    assert(rows(new TableStore(spark, root).read("t")) ===
+      Set((1L, "base"), (2L, "from-b"), (3L, "from-a")))
+
+    // bounded: attempts exhausted → the overlap propagates loudly
+    val c = new TableStore(spark, root)
+    c.beforeCommitFlip = () => {
+      c.beforeCommitFlip = () => ()
+      b.transact { b.upsert("t", Seq((4L, "b2")).toDF("id", "v"), Seq("id")) }
+    }
+    val boom =
+      try intercept[java.util.ConcurrentModificationException] {
+        c.transactWithRetry(1) {
+          c.upsert("t", Seq((5L, "c1")).toDF("id", "v"), Seq("id"))
+        }
+      } finally c.beforeCommitFlip = () => ()
+    assert(boom.getMessage.contains("t"))
+    // the winner's commit stands; the loser's staged leftovers are
+    // invisible and vacuumable
+    assert(rows(new TableStore(spark, root).read("t")).contains((4L, "b2")))
+    assert(!rows(new TableStore(spark, root).read("t")).contains((5L, "c1")))
+  }
+}
