@@ -35,7 +35,10 @@ object Prof {
     val edges = queries.SimilarityOps.semanticEdges(spark, sfDir)
       .localCheckpoint(true)
     time("cc rounds on semantic edges")(
-      queries.DedupOps.connectedComponents(edges))
+      queries.DedupOps.connectedComponents(
+        edges.select("doc_a", "doc_b")))
+    time("cell-local union-find cc")(
+      queries.SimilarityOps.cellComponents(edges))
     time("full q_semantic_dedup")(
       queries.SimilarityOps.semanticDedup(spark, sfDir))
     spark.stop()

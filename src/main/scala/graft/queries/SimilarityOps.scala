@@ -1393,21 +1393,73 @@ object SimilarityOps {
   // it tractable at 100 TB: candidate pairs are in-cell only (equi-
   // join on the cell id, skew-bounded through PairExpansion's grid
   // tasks, ids-only payload), never a corpus×corpus product — the
-  // same shape as q_embed_near_dup but with the clustering endgame of
-  // q_dedup_clusters: pointer-jumping connected components over the
-  // verified edge set, representative = min vec_id, keep = (vec_id ==
-  // cluster). The oracle recomputes the fixpoint as a recursive
-  // transitive closure.
+  // same shape as q_embed_near_dup but with a clustering endgame the
+  // cell structure makes CHEAP: edges are in-cell by construction, so
+  // components never span cells and one per-cell union-find pass
+  // ([[cellComponents]]) replaces the global pointer-jumping fixpoint;
+  // representative = min vec_id, keep = (vec_id == cluster). The
+  // oracle recomputes the same components as a recursive transitive
+  // closure.
   private val semThreshold = 0.3
 
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
-    DedupOps.connectedComponents(semanticEdges(spark, sfDir))
+    cellComponents(semanticEdges(spark, sfDir))
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
       .orderBy(col("vec_id"))
 
-  /** The verified in-cell cosine edge set semanticDedup clusters —
-    * graft-visible so profiling harnesses can time CC variants on
+  /** Connected components of a CELL-LOCAL edge set — the SemDeDup
+    * endgame specialized to the graph it actually runs on: every edge
+    * joins two members of the SAME k-means cell (candidates are
+    * generated in-cell), so no component can span cells and the global
+    * pointer-jumping fixpoint (log-rounds of joins, each checkpointed)
+    * collapses to ONE shuffle on the cell id + a per-cell union-find
+    * inside `flatMapGroups`. Representative = min member id (union
+    * attaches the larger root under the smaller), bit-identical to the
+    * min-label fixpoint [[DedupOps.connectedComponents]] computes.
+    *
+    * Scale: per-task state is the cell's VERTEX set (not its edges —
+    * the iterator streams), so memory is bounded by the largest cell,
+    * the same bound the in-cell pair expansion already imposes; a
+    * degenerate giant cell should be split at clustering time (more
+    * centroids), which fixes the quadratic pair step too — falling
+    * back to the iterative [[DedupOps.connectedComponents]] merely
+    * trades driver rounds for the same skew.
+    */
+  private[graft] def cellComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .select(col("cell").cast("long"), col("doc_a").cast("long"),
+        col("doc_b").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val (ra, rb) = (find(a), find(b))
+          // attach the larger root under the smaller: the root stays
+          // the component's MIN id — the oracle's representative
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(k => (k, find(k))).toSeq
+      }
+      .toDF("doc_id", "cluster")
+  }
+
+  /** The verified in-cell cosine edge set semanticDedup clusters,
+    * with the cell id each edge lives in (columns doc_a, doc_b, cell)
+    * — graft-visible so profiling harnesses can time CC variants on
     * the real edge distribution.
     */
   private[graft] def semanticEdges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1436,15 +1488,16 @@ object SimilarityOps {
     // the (small) pair set for the exact-cosine edge filter
     val edges = graft.store.PairExpansion.pairsWithinBuckets(
         assigned.select(col("vec_id"), col("cell")),
-        keyCols = Seq("cell"), idCol = "vec_id")
-      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+        keyCols = Seq("cell"), idCol = "vec_id", payloadCols = Seq("cell"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        col("a.cell").as("cell"))
       .join(assigned.select(col("vec_id").as("doc_a"), col("e").as("ea"),
         col("norm").as("na")), Seq("doc_a"))
       .join(assigned.select(col("vec_id").as("doc_b"), col("e").as("eb"),
         col("norm").as("nb")), Seq("doc_b"))
       .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= semThreshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("cell"))
     edges
   }
 

@@ -103,4 +103,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.length === 61)
     assert(got.forall(_.getLong(1) === 1L))
   }
+
+  test("cell-local union-find equals the global fixpoint on cell-partitioned graphs") {
+    // SemDeDup's edge sets are in-cell by construction (candidates
+    // come from one k-means cell), which is exactly what lets
+    // cellComponents replace the iterative global CC with one
+    // mapGroups pass — this pins the two bit-identical on random
+    // graphs with that structure (disjoint vertex ranges per cell)
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { trial =>
+      val edges = (0 until 4).flatMap { cell =>
+        val base = cell * 1000L
+        val nVerts = 2 + rnd.nextInt(30)
+        val nEdges = 1 + rnd.nextInt(40)
+        (1 to nEdges).map { _ =>
+          val a = base + rnd.nextInt(nVerts)
+          val b = base + rnd.nextInt(nVerts)
+          if (a == b) (a, a + 1, cell.toLong)
+          else (math.min(a, b), math.max(a, b), cell.toLong)
+        }
+      }.distinct
+      val df = edges.toDF("doc_a", "doc_b", "cell")
+      val global = DedupOps.connectedComponents(df.select("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = SimilarityOps.cellComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === global, s"trial=$trial")
+    }
+  }
 }
