@@ -199,6 +199,12 @@ object Fts {
           store.dropPartition(indexName(table), BucketCol, b.toString))
         writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl,
           buckets, epoch, textCols)
+        // an index opted into file skipping keeps its token envelopes
+        // fresh at O(replaced buckets' files), matching the write
+        // (governed stores get this from the commit itself; there the
+        // presence sets already agree and this is a no-op)
+        if (store.hasFileStats(indexName(table)))
+          store.refreshFileStatsIncremental(indexName(table))
 
       case _ =>
         // (re)build wholesale: first index of this table, a layout
@@ -244,6 +250,19 @@ object Fts {
     }
     store.upsert(table, batch, Seq(pkCol))
   }
+
+  /** Opt `table`'s postings into FILE-level term skipping: build the
+    * `_graft_stats` manifest (token envelopes encoded via
+    * [[TableStore.stringStatKey]]) over the index once; every later
+    * [[upsertWithIndex]] batch keeps it fresh at O(replaced files),
+    * and every MATCH query prunes its file list through it — the
+    * listing-level analog of the in-file row-group skipping the
+    * per-file token sort already provides. On a pk-bucketed layout
+    * this is what stops a single-term probe opening all N bucket
+    * footers.
+    */
+  def enableFileSkipping(store: TableStore, table: String): Unit =
+    store.refreshFileStats(indexName(table))
 
   /** (distinct docs, summed dl) of a postings slice — dl is constant
     * per pk (per (pk, fcol) on the multi-column layout), so the
@@ -807,14 +826,72 @@ object Fts {
     * left-anti join.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
-    val idx = store.read(indexName(table))
-    val multi = idx.columns.contains("fcol")
     parseQuery(query) match {
-      case None => idx.select(col("pk")).limit(0)
+      case None => store.read(indexName(table)).select(col("pk")).limit(0)
       case Some(node) =>
+        val idx = prunedIndex(store, table, node)
+        val multi = idx.columns.contains("fcol")
         validateColFilters(store, table, node, multi)
         evalPks(idx, node, multi).select(col("pk"))
     }
+  }
+
+  /** Encoded `[lo, hi]` token ranges the query's terms probe — one
+    * point range per exact token ([[TableStore.stringStatKey]]), one
+    * closed range per prefix term. Every Term variant contributes (a
+    * NOT branch's postings are read too — the anti-join needs them),
+    * so the union of ranges covers every token `evalPks` can touch.
+    */
+  private def termProbes(node: Node): Seq[(Long, Long)] = {
+    def point(t: String) =
+      (TableStore.stringStatKey(t), TableStore.stringStatKey(t))
+    def prefix(p: String) =
+      (TableStore.stringStatKey(p), TableStore.stringStatKeyUpper(p))
+    def ofTerm(t: Term): Seq[(Long, Long)] = t match {
+      case Plain(w)       => Seq(point(w))
+      case PrefixTerm(p)  => Seq(prefix(p))
+      case Phrase(toks, lastPrefix) =>
+        if (lastPrefix) toks.init.map(point) :+ prefix(toks.last)
+        else toks.map(point)
+      case Near(ps, _)          => ps.flatten.map(point)
+      case ColFiltered(_, inner) => ofTerm(inner)
+      case Anchored(inner)       => ofTerm(inner)
+    }
+    def walk(n: Node): Seq[(Long, Long)] = n match {
+      case TermNode(t)   => ofTerm(t)
+      case AndNode(ks)   => ks.flatMap(walk)
+      case OrNode(ks)    => ks.flatMap(walk)
+      case NotNode(a, b) => walk(a) ++ walk(b)
+    }
+    walk(node).distinct
+  }
+
+  /** The postings subset a MATCH query needs: on a manifest-backed
+    * index, only the FILES whose encoded token envelope intersects
+    * some query-term range — file-level skipping on top of the
+    * row-group pruning the per-file token sort already provides, so
+    * a selective term on a 4096-bucket postings layout opens a
+    * handful of footers instead of all 4096 (the store's
+    * `_graft_stats` machinery, same rows as z-order pruning; string
+    * envelopes ride [[TableStore.stringStatKey]]'s order-preserving
+    * prefix encoding — conservative, never a false skip). Indexes
+    * without a manifest (or whose manifest predates string stats)
+    * read everything, exactly as before.
+    */
+  private def prunedIndex(
+      store: TableStore, table: String, node: Node): DataFrame = {
+    val name = indexName(table)
+    if (!store.hasFileStats(name)) return store.read(name)
+    val probes = termProbes(node)
+    if (probes.isEmpty) return store.read(name)
+    val env = store.fileEnvelopes(name, Seq("token"))
+    val keep = env.collect {
+      case (f, e) if probes.exists { case (lo, hi) =>
+        e.get("token").forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => f
+    }
+    if (keep.size == env.size) store.read(name)
+    else store.readFileSubset(name, keep)
   }
 
   /** Column filters referenced by the query tree. */
@@ -870,12 +947,13 @@ object Fts {
       k1: Double = 1.2,
       b: Double = 0.75,
       colWeights: Map[String, Double] = Map.empty): DataFrame = {
-    val idx = store.read(indexName(table))
-    val multi = idx.columns.contains("fcol")
     val node = parseQuery(query) match {
       case Some(n) => n
-      case None    => return idx.select(col("pk"), lit(0.0).as("score")).limit(0)
+      case None    => return store.read(indexName(table))
+        .select(col("pk"), lit(0.0).as("score")).limit(0)
     }
+    val idx = prunedIndex(store, table, node)
+    val multi = idx.columns.contains("fcol")
     validateColFilters(store, table, node, multi)
     // FTS5 `bm25(fts, w1, w2, …)` per-column weights: each posting's
     // contribution scales by its column's weight (default 1.0;
@@ -895,8 +973,10 @@ object Fts {
     val stats: DataFrame = store.readIfExists(statsName(table)) match {
       case Some(st) =>
         st.select(col("n_docs").cast("double").as("n_docs"), col("avgdl"))
-      case None => // legacy store indexed before stats persistence
-        idx.select(col("pk"), col("dl")).distinct()
+      case None => // legacy store indexed before stats persistence —
+        // computed from the FULL index, never the term-pruned subset
+        // (N and avgdl are corpus constants)
+        store.read(indexName(table)).select(col("pk"), col("dl")).distinct()
           .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     }
     def termCond(t: Term): Column = t match {

@@ -860,14 +860,17 @@ class TableStore(val spark: SparkSession, root: String) {
   private def qualifiedDir(name: String): String =
     fs.makeQualified(new Path(path(name))).toString
 
-  /** Top-level integral columns — the types whose footer min/max the
-    * envelope model (and DuckDB-parity pruning semantics) covers.
+  /** Top-level integral and string columns — the types whose footer
+    * min/max the Long envelope model covers (integrals numerically;
+    * strings via [[TableStore.stringStatKey]]'s order-preserving
+    * 8-byte-prefix encoding, the seam that lets an FTS term probe
+    * prune postings FILES through the same manifest).
     */
   private def statCols(name: String): Seq[String] = {
     import org.apache.spark.sql.types._
     read(name).schema.fields.collect {
-      case f if Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(f.dataType) => f.name
+      case f if Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+        StringType).contains(f.dataType) => f.name
     }.toSeq
   }
 
@@ -955,6 +958,40 @@ class TableStore(val spark: SparkSession, root: String) {
       if (files.isEmpty) writeStatsManifest(name, emptyStatsFrame)
       else writeStatsManifest(name,
         footerStatsDf(files, statCols(name), qualifiedDir(name)))
+    }
+
+  /** O(changed files) manifest refresh for UN-governed tables
+    * maintained by dynamic partition overwrite (FTS/trigram/IVF
+    * postings): rows for files still on disk carry over, only files
+    * that appeared since the last refresh are footer-read, rows for
+    * gone files drop. (Governed tables get exactly this from the
+    * commit itself — step 4 of commitTx; this is the same contract
+    * for the in-place path, where a full [[refreshFileStats]] per
+    * batch would re-open every footer of a 10^6-file index.) Falls
+    * back to the full build when no usable manifest exists.
+    */
+  def refreshFileStatsIncremental(name: String): Unit =
+    if (activeTx.exists(_.pending.contains(name))) () // deferred to commit
+    else if (!hasFileStats(name) || !manifestHasRowCounts(name))
+      refreshFileStats(name)
+    else {
+      val live = dataFiles(name)
+      if (live.isEmpty) { writeStatsManifest(name, emptyStatsFrame); return }
+      val dir = qualifiedDir(name) + "/"
+      val liveRel = live.map(_.stripPrefix(dir)).toSet
+      import org.apache.spark.sql.functions.col
+      val prior = spark.read.parquet(statsPath(name).toString)
+        .filter(col("col") =!= StatsRowsMarker)
+      val priorRel = prior.filter(col("col") === "")
+        .select("file").collect().map(_.getString(0)).toSet
+      val fresh = live.filterNot(f => priorRel(f.stripPrefix(dir)))
+      // materialize the carried rows: writeStatsManifest deletes the
+      // old manifest AFTER writing the tmp, but keep the plan simple
+      val kept = prior.filter(col("file")
+        .isInCollection(liveRel.intersect(priorRel)))
+      if (fresh.isEmpty && priorRel == liveRel) () // already exact
+      else writeStatsManifest(name, kept.unionByName(
+        footerStatsDf(fresh, statCols(name), qualifiedDir(name))))
     }
 
   /** The maintained manifest as a DataFrame of (file, col, mn, mx)
@@ -1144,8 +1181,16 @@ class TableStore(val spark: SparkSession, root: String) {
     }
 
   def readPruned(
-      name: String, preds: Seq[(String, Long, Long)]): DataFrame = {
-    val keep = pruneFiles(name, preds)
+      name: String, preds: Seq[(String, Long, Long)]): DataFrame =
+    readFileSubset(name, pruneFiles(name, preds))
+
+  /** Read an explicit (pre-pruned) absolute-path file subset of
+    * `name`, schema-identical to `read(name)` — the shared tail of
+    * [[readPruned]] and callers with their own prune semantics (the
+    * FTS term probe unions ranges instead of intersecting them).
+    */
+  private[store] def readFileSubset(
+      name: String, keep: Seq[String]): DataFrame =
     if (keep.isEmpty)
       read(name).limit(0)
     else
@@ -1153,7 +1198,6 @@ class TableStore(val spark: SparkSession, root: String) {
       // reads, so a partitioned table's partition columns survive and
       // both branches return the same schema as read(name)
       spark.read.option("basePath", path(name)).parquet(keep: _*)
-  }
 
   // -------------------------------------------------------------------
   // Epoch-pointer commit log — atomic MULTI-TABLE visibility. The
@@ -2329,10 +2373,45 @@ object TableStore {
     */
   private[graft] val driverListings = new java.util.concurrent.atomic.AtomicLong
 
-  /** Footer (row count, [min, max] of integral `cols`) for one
-    * parquet file — the shared core of the manifest build
-    * (executor-side, inside mapPartitions) and the legacy driver
-    * walk. Only the footer is read; data pages are never touched.
+  /** Order-preserving 8-byte-prefix encoding of a string into the
+    * manifest's Long envelope slots: the first 8 UTF-8 bytes, read
+    * big-endian as an unsigned number, remapped to signed order
+    * (`^ Long.MinValue`). Monotone — `a ≤ b` (byte-lex, which UTF-8
+    * makes code-point order) implies `key(a) ≤ key(b)` — so a file
+    * whose true token range is `[m, M]` provably holds no token `t`
+    * with `key(t)` outside `[key(m), key(M)]`, and pruning on the
+    * encoded range is conservative (false keeps only, on shared
+    * 8-byte prefixes — never a false skip). This is what lets STRING
+    * columns ride the same (file, col, mn, mx) manifest rows as the
+    * integral ones.
+    */
+  def stringStatKey(s: String): Long =
+    prefix8(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), pad = 0x00)
+
+  /** Upper bound of [[stringStatKey]] over every string that STARTS
+    * WITH `s` — the closed prefix-range probe (`token LIKE 's%'`):
+    * the 8-byte prefix padded with 0xFF instead of zeros.
+    */
+  def stringStatKeyUpper(s: String): Long =
+    prefix8(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), pad = 0xFF)
+
+  private def prefix8(bytes: Array[Byte], pad: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else pad.toLong)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
+  /** Footer (row count, [min, max] of `cols`) for one parquet file —
+    * the shared core of the manifest build (executor-side, inside
+    * mapPartitions) and the legacy driver walk. Only the footer is
+    * read; data pages are never touched. Integral columns carry their
+    * numeric min/max; STRING columns carry [[stringStatKey]]-encoded
+    * min/max (parquet-mr truncates long binary stats with max rounded
+    * UP, so the encoded envelope stays conservative).
     */
   private[store] def footerEnvelope(
       file: String,
@@ -2350,9 +2429,19 @@ object TableStore {
           .find(_.getPath.toDotString == c).map(_.getStatistics))
         if (stats.isEmpty || stats.exists(s =>
             s == null || !s.hasNonNullValue)) None
-        else Some((c,
-          stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-          stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+        else stats.head.genericGetMin match {
+          case _: Number => Some((c,
+            stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+          case _: org.apache.parquet.io.api.Binary => Some((c,
+            stats.map(s => prefix8(s.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+              pad = 0x00)).min,
+            stats.map(s => prefix8(s.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+              pad = 0xFF)).max))
+          case _ => None
+        }
       })
     } finally r.close()
   }

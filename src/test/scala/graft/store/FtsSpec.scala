@@ -365,6 +365,57 @@ class FtsSpec extends SparkSpec {
     assert(store.read("tweets").count() === 1)
   }
 
+  test("file skipping: a selective term opens a strict subset of postings files") {
+    val store = freshStore()
+    // one doc per letter region: bucket files (pk-hash partitioned,
+    // token-sorted) get NARROW token envelopes, so a term probe can
+    // prove most files irrelevant from the manifest alone
+    val docs = (0 until 16).map { i =>
+      val l = ('a' + i).toChar
+      (i.toLong, (1 to 6).map(j => s"${l}word$j").mkString(" "))
+    }.toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text", buckets = 16)
+
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+    def scannedFiles(q: String): Set[String] =
+      Fts.search(spark, store, "tweets", q).queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation if fs.location.rootPaths.exists(
+              _.toString.contains(Fts.indexName("tweets"))) =>
+            fs.location.inputFiles.toSet
+          case _ => Set.empty[String]
+        }
+      }.flatten.toSet
+
+    val before = hits("cword3")
+    assert(before === Set(2L))
+    val allFiles = scannedFiles("cword3")
+    assert(allFiles.size >= 6, s"want multi-file index, got ${allFiles.size}")
+
+    Fts.enableFileSkipping(store, "tweets")
+    // identical results, strictly fewer files opened
+    assert(hits("cword3") === before)
+    val pruned = scannedFiles("cword3")
+    assert(pruned.nonEmpty && pruned.size < allFiles.size,
+      s"no file-level skip: ${pruned.size} of ${allFiles.size}")
+    // prefix probes prune through the padded upper bound
+    assert(hits("cword*") === Set(2L))
+    assert(scannedFiles("cword*").size < allFiles.size)
+    // ranked + boolean forms stay exact on the pruned scan
+    assert(Fts.searchRanked(spark, store, "tweets", "cword3 OR eword1")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 4L))
+
+    // an incremental batch keeps the manifest fresh: new vocabulary is
+    // findable and still pruned
+    Fts.upsertWithIndex(store, "tweets",
+      Seq((100L, "zzznew zzzterm")).toDF("id", "full_text"),
+      "id", "full_text", buckets = 16)
+    assert(hits("zzzterm") === Set(100L))
+    assert(scannedFiles("zzzterm").size < scannedFiles("cword1 OR eword1 OR zzznew").size + 1)
+    assert(Doctor.check(store).filter(_.component == "file-stats") === Seq.empty)
+  }
+
   private def bucketOf(pk: Long, buckets: Int): Long =
     Seq(pk).toDF("pk")
       .select(pmod(xxhash64(col("pk")), lit(buckets.toLong)))
