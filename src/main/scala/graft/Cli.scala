@@ -117,6 +117,16 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         consumer (cursor epochs
   *                                         pin vacuum; drop-consumer
   *                                         releases)
+  *   history <store> <table> <from> [to]   commits that changed the
+  *                                         table, with WHY (op tags:
+  *                                         upsert/compact/overwrite/…)
+  *   changes <store> <table> <from> <to> <pk[,…]> [n]  row-level
+  *                                         change feed: insert/delete
+  *                                         tagged rows; compactions
+  *                                         emit nothing
+  *   consume-changes <store> <table> <consumer> <pk[,…]> [n]  the CDC
+  *                                         form of consume (mirrors
+  *                                         can retract deletes)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -166,7 +176,7 @@ object Cli {
     "ivf-search-filtered", "pq-search-filtered", "ivfpq-search-filtered",
     "hybrid-search", "hh-top", "quantiles", "classify", "estimate", "prune-files",
     "fingerprint", "tables", "show", "epochs", "tags", "show-tag",
-    "show-epoch", "diff-epochs")
+    "show-epoch", "diff-epochs", "history", "changes")
 
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val cmd = args(0)
@@ -589,6 +599,50 @@ object Cli {
         val n = if (args.length > 5) args(5).toInt else 10
         println(s"[diff-epochs] ${df.count()} rows in files added since epoch $from")
         SqliteCompat.render(df).show(n, truncate = false)
+      case "history" =>
+        // history <store> <table> <fromEpoch> [toEpoch] — the commits
+        // that changed the table's file list in the window, with WHY
+        // (upsert/overwrite/compact/delete/govern): the op tags that
+        // let incremental consumers skip rewrite-only commits
+        val from = args(3).toLong
+        val to = args.lift(4).map(_.toLong)
+          .getOrElse(store.snapshot().epoch)
+        store.commitOps(args(2), from, to) match {
+          case Some(ops) if ops.isEmpty =>
+            println(s"[history] ${args(2)} unchanged in ($from, $to]")
+          case Some(ops) => ops.foreach { case (e, op) =>
+            println(s"[history] epoch $e  $op") }
+          case None => println(
+            s"[history] window not walkable (vacuumed or ungoverned " +
+              s"steps) — only the endpoint diff is computable")
+        }
+      case "changes" =>
+        // changes <store> <table> <fromEpoch> <toEpoch> <pk[,pk2…]>
+        // [n] — the row-level change feed between two retained
+        // epochs: inserts carry new images, deletes last images,
+        // carried rows (incl. everything a compaction moved) nothing
+        val pk = args(5).split(",").toSeq
+        val df = store.readChangesSince(args(2), args(3).toLong,
+          args(4).toLong, pk)
+        val n = if (args.length > 6) args(6).toInt else 10
+        println(s"[changes] ${df.count()} changed rows")
+        SqliteCompat.render(df).show(n, truncate = false)
+      case "consume-changes" =>
+        // consume-changes <store> <table> <consumer> <pk[,pk2…]> [n]
+        // — the CDC form of consume: the handler sees rows tagged
+        // _change_type ∈ {insert, delete}, so a mirror can retract
+        // deletions; rewrite-only windows advance silently
+        val n = if (args.length > 5) args(5).toInt else 10
+        graft.store.EpochFollower.consumeChanges(
+          store, args(2), args(3), args(4).split(",").toSeq) { df =>
+          println(s"[consume-changes] ${df.count()} changes for ${args(3)}")
+          SqliteCompat.render(df).show(n, truncate = false)
+        } match {
+          case Some((_, e)) =>
+            println(s"[consume-changes] cursor advanced to epoch $e")
+          case None =>
+            println(s"[consume-changes] ${args(3)} is current — no changes")
+        }
       case "tag" =>
         // tag <store> <name> [epoch] — pin an epoch as a named
         // release; tagged epochs are VACUUM ROOTS (their files and

@@ -141,6 +141,14 @@ class CliSpec extends SparkSpec {
     cli("consume", dir, "docs", "ops", "3") // current: no-op
     cli("drop-consumer", dir, "docs", "ops")
     assert(graft.store.EpochFollower.cursor(store, "docs", "ops").isEmpty)
+    // round-11 commit-log verbs: op history, row-level changes, CDC consume
+    cli("history", dir, "docs", store.epochs().head.toString)
+    cli("changes", dir, "docs", store.epochs().head.toString,
+      store.epochs().last.toString, "pk")
+    cli("consume-changes", dir, "docs", "cdc", "pk", "3")
+    assert(graft.store.EpochFollower.cursor(store, "docs", "cdc").nonEmpty)
+    cli("consume-changes", dir, "docs", "cdc", "pk", "3") // current: no-op
+    cli("drop-consumer", dir, "docs", "cdc")
     // named release: tag, list, read-by-tag, drop — vacuum-root
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
