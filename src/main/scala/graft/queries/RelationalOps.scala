@@ -480,27 +480,58 @@ object RelationalOps {
   // hash shuffle on bucket, never a cross product. The oracle runs
   // the same query as DuckDB's native IEJoin.
   //
-  // Window derivation (lag-gap sessionization of the ERROR stream)
-  // uses a global ordered window: deliberate and safe — the interval
-  // SET is the sparse filtered stream (~2% of events), the same
-  // driver-scale reasoning as the model-artifact tables; the JOIN
-  // side stays fully distributed.
+  // Window derivation (lag-gap sessionization of the ERROR stream) is
+  // DISTRIBUTED in two levels: range-partition the error timestamps,
+  // gap-merge each partition LOCALLY into (start, end) spans inside
+  // one mapPartitions pass (range partitions hold disjoint contiguous
+  // ts slices, so the local merge is exact within its slice), then
+  // run the ordered window only over the SPANS — merging boundary
+  // spans whose gap crosses a partition edge and assigning the
+  // sequential wid the oracle's semantics demand. The inherently
+  // sequential step thus sees O(bursts + partitions) rows instead of
+  // every error event — the same
+  // aggregate-locally-then-order-the-summary shape as the sketch
+  // family. Span-level gap-merge equals event-level: within a span
+  // consecutive gaps are ≤ the threshold by construction, so only
+  // boundary gaps remain to test. The JOIN side stays fully
+  // distributed.
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val bucketUs = 600L * 1000000L // 10-minute bands
+    val gapUs = 300L * 1000000L
     val ev = Catalog.table(spark, sfDir, "events")
-    val w = Window.orderBy(col("ts"))
-    val windows = ev.filter(col("event_type") === "error")
-      .select(col("ts"))
+    val par = spark.sessionState.conf.numShufflePartitions
+    val localSpans = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("us"))
+      .repartitionByRange(par, col("us"))
+      .sortWithinPartitions(col("us"))
+      .as[Long]
+      .mapPartitions { it =>
+        // local gap-merge: one span per burst within this ts slice
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = 0L
+        var last = 0L
+        var open = false
+        it.foreach { us =>
+          if (!open) { start = us; last = us; open = true }
+          else if (us - last > gapUs) { out += ((start, last)); start = us; last = us }
+          else last = us
+        }
+        if (open) out += ((start, last))
+        out.iterator
+      }
+      .toDF("s_us", "e_us")
+    val w = Window.orderBy(col("s_us"))
+    val windows = localSpans
       .withColumn("brk",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-            > 300L * 1000000L, 1).otherwise(0))
+        when(lag(col("e_us"), 1).over(w).isNull ||
+          col("s_us") - lag(col("e_us"), 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("wid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("wid"))
-      .agg((min(unix_micros(col("ts"))) - 60L * 1000000L).as("w_start_us"),
-        (max(unix_micros(col("ts"))) + 60L * 1000000L).as("w_end_us"))
+      .agg((min(col("s_us")) - 60L * 1000000L).as("w_start_us"),
+        (max(col("e_us")) + 60L * 1000000L).as("w_end_us"))
     val banded = windows.select(col("wid"), col("w_start_us"), col("w_end_us"),
       explode(sequence(floor(col("w_start_us") / bucketUs),
         floor(col("w_end_us") / bucketUs))).as("bkt"))
