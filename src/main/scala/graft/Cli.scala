@@ -127,6 +127,15 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   consume-changes <store> <table> <consumer> <pk[,…]> [n]  the CDC
   *                                         form of consume (mirrors
   *                                         can retract deletes)
+  *   delete <store> <table> <pkCol> <v[,…]>  delete rows by pk
+  *                                         (O(touched buckets) when
+  *                                         bucketed; op-tagged)
+  *   fts-delete <store> <table> <pkCol> <v[,…]> [buckets]  delete
+  *                                         rows AND postings, corpus
+  *                                         stats decremented
+  *   delete-cascade <store> <table> <pkCol> <v[,…]>  delete rows and
+  *                                         retract them from EVERY
+  *                                         maintained index (no ghosts)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -221,6 +230,45 @@ object Cli {
         Fts.upsertWithIndexCols(store, args(2), store.read(args(2)), args(3),
           args(4).split(",").toSeq, buckets)
         println(s"[fts-index] ${store.read(Fts.indexName(args(2))).count()} postings")
+      case "delete" =>
+        // delete <store> <table> <pkCol> <v1[,v2…]> — delete rows by
+        // pk: O(touched buckets) on a declared layout; op-tagged so
+        // the change feed retracts exactly these pks downstream
+        import spark.implicits._
+        val vals = args(4).split(",").toSeq
+        val keys = scala.util.Try(vals.map(_.toLong)).toOption match {
+          case Some(ls) => ls.toDF(args(3))
+          case None => vals.toDF(args(3))
+        }
+        store.deleteByPk(args(2), keys, Seq(args(3)))
+        println(s"[delete] ${vals.size} pk(s) from ${args(2)}")
+      case "fts-delete" =>
+        // fts-delete <store> <table> <pkCol> <v1[,v2…]> [buckets] —
+        // delete rows AND their postings (stats decremented); pass the
+        // index's bucket count for the O(affected buckets) path
+        import spark.implicits._
+        val vals = args(4).split(",").toSeq
+        val keys = scala.util.Try(vals.map(_.toLong)).toOption match {
+          case Some(ls) => ls.toDF(args(3))
+          case None => vals.toDF(args(3))
+        }
+        val buckets = if (args.length > 5) args(5).toInt else 0
+        Fts.deleteWithIndex(store, args(2), keys, args(3), buckets)
+        println(s"[fts-delete] ${vals.size} pk(s) from ${args(2)} + postings")
+      case "delete-cascade" =>
+        // delete-cascade <store> <table> <pkCol> <v1[,v2…]> — delete
+        // rows from the base table AND retract them from EVERY
+        // maintained per-pk index (FTS/trigram/LSH postings, the ANN
+        // codes ladder) so nothing ranks ghosts; Doctor stays clean
+        import spark.implicits._
+        val vals = args(4).split(",").toSeq
+        val keys = scala.util.Try(vals.map(_.toLong)).toOption match {
+          case Some(ls) => ls.toDF(args(3))
+          case None => vals.toDF(args(3))
+        }
+        val touched = graft.store.Retract.cascade(store, args(2), keys, args(3))
+        println(s"[delete-cascade] ${vals.size} pk(s) from ${args(2)} + " +
+          s"${touched.size} index table(s): ${touched.mkString(", ")}")
       case "pq-index" | "ivf-index" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb) = (args(2), args(3), args(4))

@@ -167,6 +167,17 @@ object Doctor {
               s"head $cur) — its vacuum pin retains every epoch since; " +
               "run `consume <store> $table $consumer` to catch it up, or " +
               "`drop-consumer` if it is dead"))
+        else if (lag > 0 && store.commitOps(table, epoch, cur).isEmpty)
+          // the window is no longer rewrite-walkable (intermediate
+          // commits vacuumed / table ungoverned at a step): the next
+          // consume falls back to the coarse endpoint diff, and any
+          // compaction in the gap then redelivers the table
+          Some(Issue("consumer-lag", table,
+            s"consumer '$consumer' (cursor $epoch, head $cur) has a " +
+              "non-walkable catch-up window — intermediate commits were " +
+              "vacuumed, so its next consume cannot skip rewrite-only " +
+              "commits and may redeliver compacted files; consume sooner " +
+              "or widen the vacuum retention window past consumer lag"))
         else None
     }
   }
@@ -571,7 +582,8 @@ object Doctor {
           Seq(Issue(component, table,
             s"$artifact covers $na of $nb base rows — searches " +
               "silently skip missing vectors and rank deleted ones " +
-              "(re-upsert the divergent pks or rebuild)"))
+              "(re-upsert the divergent pks, rebuild, or — after a " +
+              "base-row delete — retract them with delete-cascade)"))
         else Nil
       case _ => Nil
     }

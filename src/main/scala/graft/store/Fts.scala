@@ -264,6 +264,124 @@ object Fts {
   def enableFileSkipping(store: TableStore, table: String): Unit =
     store.refreshFileStats(indexName(table))
 
+  /** Delete rows AND their postings — the ghost-free path a dedup
+    * pass or retention delete takes on an FTS-indexed table (the
+    * delete-side twin of [[upsertWithIndex]]'s trigger analog; FTS5's
+    * DELETE trigger). On the bucketed layout with healthy stats the
+    * index maintenance is O(affected buckets) with the corpus stats
+    * DECREMENTED incrementally; a flat or torn index rewrites
+    * wholesale (stats recomputed exact). The base rows go through
+    * [[TableStore.deleteByPk]] (O(touched buckets) on a declared
+    * layout), so the whole operation is op-tagged `delete` and the
+    * change feed retracts exactly these pks downstream.
+    */
+  def deleteWithIndex(
+      store: TableStore,
+      table: String,
+      keys: DataFrame,
+      pkCol: String,
+      buckets: Int = 0): Unit = {
+    retractPostings(store, table,
+      keys.select(col(pkCol).as("pk")).distinct(), buckets)
+    store.deleteByPk(table, keys.select(col(pkCol)), Seq(pkCol))
+  }
+
+  /** The bucket count the index was built with, from the stats row —
+    * 0 for a flat or legacy index. What [[deleteWithIndex]] callers
+    * pass when they did not record the layout themselves.
+    */
+  def bucketCountOf(store: TableStore, table: String): Int =
+    statsBucketCount(store, table).getOrElse(0)
+
+  /** The postings half of [[deleteWithIndex]]: retract `delPks` (a
+    * 1-column `pk` frame) from the index and decrement the corpus
+    * stats, leaving the base table untouched — the piece
+    * [[Retract.cascade]] composes with the other index families'
+    * retractions before one shared base delete.
+    */
+  private[store] def retractPostings(
+      store: TableStore,
+      table: String,
+      delPks: DataFrame,
+      buckets: Int): Unit = {
+    store.readIfExists(indexName(table)) match {
+      case Some(ex) if ex.columns.contains("positions") &&
+          ex.columns.contains(BucketCol) && buckets > 0 &&
+          statsBucketCount(store, table).contains(buckets) &&
+          statsCols(store, table).isDefined &&
+          epochsAgree(store, table) =>
+        val affected = delPks.select(bucketOf(col("pk"), buckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        if (affected.nonEmpty) {
+          val exAffected = ex.filter(col(BucketCol).isin(affected: _*))
+          val (oldN, oldDl) = statsTotals(store, table, ex)
+          val (outN, outDl) = docTotals(
+            exAffected.join(delPks, Seq("pk"), "left_semi"))
+          val merged = Iteration.materialize(
+            exAffected.join(delPks, Seq("pk"), "left_anti")
+              .drop(BucketCol)
+              .withColumn(BucketCol, bucketOf(col("pk"), buckets))
+              .repartition(col(BucketCol))
+              .sortWithinPartitions(col("token")))
+          // same crash discipline as the upsert path: epoch bump FIRST
+          val epoch = writeEpoch(store, table)
+          store.overwritePartitions(indexName(table), merged,
+            Seq(BucketCol), TableStore.OpDelete)
+          val stillThere = merged.select(col(BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSet
+          affected.filterNot(stillThere).foreach(b =>
+            store.dropPartition(indexName(table), BucketCol, b.toString))
+          writeStats(store, table, oldN - outN, oldDl - outDl,
+            buckets, epoch, statsCols(store, table).get)
+          if (store.hasFileStats(indexName(table)))
+            store.refreshFileStatsIncremental(indexName(table))
+        }
+      case Some(ex) =>
+        // flat layout, legacy schema, or torn stats: wholesale rewrite
+        // of the postings minus the deleted pks; stats recomputed
+        // exact from the fresh index when the store records them
+        val flat = (if (ex.columns.contains(BucketCol)) ex.drop(BucketCol)
+          else ex).join(delPks, Seq("pk"), "left_anti")
+        val epoch = writeEpoch(store, table)
+        if (buckets > 0)
+          store.overwrite(indexName(table),
+            flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
+              .repartition(col(BucketCol))
+              .sortWithinPartitions(col("token")),
+            partitionBy = Seq(BucketCol))
+        else store.overwrite(indexName(table), flat)
+        statsCols(store, table).foreach { cols =>
+          val (n, dl) = docTotals(store.read(indexName(table)))
+          writeStats(store, table, n, dl, buckets, epoch, cols)
+        }
+      case None => () // never indexed — nothing to retract
+    }
+  }
+
+  /** Apply a [[TableStore.readChangesSince]] frame to an FTS-indexed
+    * table: deletes retract rows AND postings ([[deleteWithIndex]]),
+    * inserts upsert rows and reindex ([[upsertWithIndexCols]]) — the
+    * one-call consumer for a ghost-free FTS mirror driven by
+    * `EpochFollower.consumeChanges` / `EpochStream`. Idempotent per
+    * batch (both halves replace by pk), so the change feed's
+    * at-least-once redelivery converges.
+    */
+  def applyChanges(
+      store: TableStore,
+      table: String,
+      changes: DataFrame,
+      pkCol: String,
+      textCols: Seq[String],
+      buckets: Int = 0): Unit = {
+    val tagCol = "_change_type"
+    val del = changes.filter(col(tagCol) === "delete")
+      .select(col(pkCol)).distinct()
+    val ins = changes.filter(col(tagCol) === "insert").drop(tagCol)
+    if (!del.isEmpty) deleteWithIndex(store, table, del, pkCol, buckets)
+    if (!ins.isEmpty) upsertWithIndexCols(store, table, ins, pkCol,
+      textCols, buckets)
+  }
+
   /** (distinct docs, summed dl) of a postings slice — dl is constant
     * per pk (per (pk, fcol) on the multi-column layout), so the
     * distinct collapses to one row per doc/column and n_docs counts

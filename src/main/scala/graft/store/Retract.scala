@@ -1,0 +1,121 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cascading pk deletion across EVERY maintained per-pk index — the
+  * piece that makes deletes first-class for an indexed corpus. Every
+  * index family in the engine (FTS/trigram/LSH postings, the whole
+  * ANN codes ladder) keys its rows on the base table's pk, and every
+  * family's UPSERT maintenance replaces by pk — but an upsert can
+  * never RETRACT a pk, so a dedup pass or retention delete would
+  * leave each index ranking ghosts (exactly what Doctor's coverage
+  * invariants flag). [[cascade]] is the one-call fix: retract the pks
+  * from each existing index table (O(scan + touched partitions) —
+  * partition-scoped dynamic overwrite where the layout allows), then
+  * delete the base rows ([[TableStore.deleteByPk]], op-tagged so the
+  * change feed propagates the retraction to downstream mirrors).
+  *
+  * Model-parameter tables (IVF centroids, SQ scales, PQ codebooks)
+  * are untouched — they parameterize the encoding, not the corpus,
+  * and stay valid for the surviving rows (drift detection owns their
+  * long-term health). Aggregate sketches (KMV, heavy hitters,
+  * quantile samples) cannot subtract an element by construction;
+  * rebuild those from the surviving table.
+  */
+object Retract {
+
+  /** (index table, within-partition sort columns its maintenance
+    * keeps) — the per-pk index families of `table`; sort columns
+    * preserve each family's row-group-pruning layout through the
+    * retraction rewrite.
+    */
+  private def registry(table: String): Seq[(String, Seq[String])] = Seq(
+    Trigram.indexName(table) -> Nil,
+    Lsh.indexName(table) -> Seq("band"),
+    Lsh.mapName(table) -> Nil,
+    Sq.codesName(table) -> Nil,
+    Bin.codesName(table) -> Nil,
+    Pq.codesName(table) -> Nil,
+    Ivf.indexName(table) -> Nil,
+    Ivf.mapName(table) -> Nil,
+    IvfPq.codesName(table) -> Nil,
+    IvfPq.mapName(table) -> Nil,
+    IvfSq.codesName(table) -> Nil,
+    IvfSq.mapName(table) -> Nil,
+    IvfBin.codesName(table) -> Nil,
+    IvfBin.mapName(table) -> Nil)
+
+  /** Retract `delPks` (a 1-column frame named `pk`) from one pk-keyed
+    * index table. Declared bucket layouts ride
+    * [[TableStore.deleteByPk]]'s O(touched buckets) path; a
+    * Hive-partitioned layout (pk-hash buckets, IVF cells) rewrites
+    * only the partitions that actually HOLD a deleted pk (one semi-
+    * join scan to find them — never more than the index's own read
+    * cost); an unpartitioned table pays the flat rewrite. Emptied
+    * partitions drop explicitly (dynamic overwrite cannot rewrite an
+    * absent partition).
+    */
+  def fromIndexTable(
+      store: TableStore, name: String, delPks: DataFrame,
+      sortCols: Seq[String] = Nil): Unit = {
+    store.bucketLayoutOf(name) match {
+      case Some((_, declaredPk)) =>
+        require(declaredPk.size == 1,
+          s"$name declares a composite bucket pk (${declaredPk.mkString(",")}) " +
+            "— per-pk index tables key on one column")
+        store.deleteByPk(name, delPks.toDF(declaredPk.head), declaredPk)
+      case None =>
+        val ex = store.read(name)
+        store.partitionColumnsOf(name) match {
+          case Seq(p) =>
+            val hit = ex.join(delPks, Seq("pk"), "left_semi")
+              .select(col(p).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (hit.isEmpty) return
+            val exTouched = ex.filter(col(p).cast("string").isin(hit: _*))
+            val kept0 = exTouched.join(delPks, Seq("pk"), "left_anti")
+              .repartition(col(p))
+            val kept = Iteration.materialize(
+              if (sortCols.isEmpty) kept0
+              else kept0.sortWithinPartitions(sortCols.map(col): _*))
+            store.overwritePartitions(name, kept, Seq(p), TableStore.OpDelete)
+            val stillThere = kept.select(col(p).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSet
+            hit.filterNot(stillThere).foreach(v =>
+              store.dropPartition(name, p, v))
+          case _ =>
+            store.deleteByPk(name, delPks, Seq("pk"))
+        }
+    }
+  }
+
+  /** Delete `keys` from the base table AND every maintained per-pk
+    * index of it that exists in the store — FTS postings go through
+    * [[Fts.retractPostings]] (corpus stats decremented, bucket count
+    * auto-detected from the stats row), everything else through
+    * [[fromIndexTable]]. Returns the index tables retracted from, for
+    * operator visibility. Idempotent: re-running with the same keys
+    * changes nothing.
+    */
+  def cascade(
+      store: TableStore, table: String, keys: DataFrame,
+      pkCol: String): Seq[String] = {
+    val delPks = Iteration.materialize(
+      keys.select(col(pkCol).as("pk")).distinct())
+    val touched = Seq.newBuilder[String]
+    if (store.exists(Fts.indexName(table))) {
+      Fts.retractPostings(store, table, delPks,
+        Fts.bucketCountOf(store, table))
+      touched += Fts.indexName(table)
+    }
+    registry(table).foreach { case (name, sortCols) =>
+      if (store.exists(name)) {
+        fromIndexTable(store, name, delPks, sortCols)
+        touched += name
+      }
+    }
+    store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
+    touched.result()
+  }
+}

@@ -199,6 +199,69 @@ class TableStore(val spark: SparkSession, root: String) {
           op = OpUpsert)
     }
 
+  /** Delete rows by pk — the write path a dedup pass or retention
+    * policy takes (the reference never deletes; this is the
+    * extension-side complement of upsert that the row-level change
+    * feed retracts through). On a declared bucket layout the delete is
+    * O(touched buckets): only the buckets the keys hash into are
+    * anti-joined and dynamically overwritten, emptied buckets drop
+    * their partition explicitly; a flat table pays the whole-table
+    * rewrite (the same Delta-MERGE seam as the flat upsert). Commits
+    * are op-tagged `delete`, so incremental consumers see exactly the
+    * retracted pks through [[readChangesSince]]. Keys with pk types
+    * narrower than the stored ones are cast up front (the
+    * type-sensitive-xxhash64 rule the bucketed merge enforces); a
+    * lossy cast is refused.
+    */
+  def deleteByPk(name: String, keys: DataFrame, pk: Seq[String]): Unit = {
+    require(pk.nonEmpty, "deleteByPk needs pk columns")
+    require(exists(name), s"no such table: $name")
+    import org.apache.spark.sql.functions.col
+    val existing = read(name)
+    val keyCols = keys.select(pk.map(col): _*)
+    bucketLayoutOf(name) match {
+      case Some((buckets, declaredPk)) =>
+        require(declaredPk == pk,
+          s"$name is bucketed on pk=${declaredPk.mkString(",")}; deleteByPk " +
+            s"passed pk=${pk.mkString(",")} — refusing a mixed-key delete")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        val keyTyped = pk.foldLeft(keyCols) { (df, c) =>
+          val cur = df.schema(c).dataType
+          val stored = existing.schema(c).dataType
+          if (cur == stored) df
+          else {
+            require(Cast.canUpCast(cur, stored),
+              s"$name pk column $c is $stored but the key frame carries " +
+                s"$cur — refusing a lossy pk cast")
+            df.withColumn(c, col(c).cast(stored))
+          }
+        }
+        val inc = Iteration.materialize(
+          keyTyped.withColumn(BucketCol, bucketOfPk(pk, buckets)))
+        val touched = inc.select(col(BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (touched.isEmpty) return
+        val ex = existing.filter(col(BucketCol).isin(touched: _*))
+        val kept = Iteration.materialize(zsortIfDeclared(name,
+          ex.drop(BucketCol).join(inc.drop(BucketCol), pk, "left_anti")
+            .withColumn(BucketCol, bucketOfPk(pk, buckets))
+            .repartition(col(BucketCol))))
+        overwritePartitions(name, kept, Seq(BucketCol), TableStore.OpDelete)
+        // a bucket emptied by the delete is absent from the dynamic
+        // overwrite — clear its stale partition explicitly (the same
+        // rule as the FTS empty-bucket path)
+        val stillThere = kept.select(col(BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSet
+        touched.filterNot(stillThere).foreach(b =>
+          dropPartition(name, BucketCol, b.toString))
+        refreshTouchedStats(name, touched)
+      case None =>
+        writeSwapped(name,
+          existing.join(keyCols, pk, "left_anti"),
+          partitionColumnsOf(name), op = TableStore.OpDelete)
+    }
+  }
+
   // -------------------------------------------------------------------
   // Bucketed base-table layout — the O(batch) upsert path. The plain
   // upsert above rewrites the WHOLE table per batch (the documented

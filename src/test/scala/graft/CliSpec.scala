@@ -149,6 +149,21 @@ class CliSpec extends SparkSpec {
     assert(graft.store.EpochFollower.cursor(store, "docs", "cdc").nonEmpty)
     cli("consume-changes", dir, "docs", "cdc", "pk", "3") // current: no-op
     cli("drop-consumer", dir, "docs", "cdc")
+    // delete verbs: rows gone, postings retracted, stats decremented
+    cli("fts-delete", dir, "docs", "pk", "0")
+    assert(store.read("docs").filter(col("pk") === 0L).isEmpty)
+    assert(graft.store.Fts.search(spark, store, "docs", "alpha")
+      .filter(col("pk") === 0L).isEmpty)
+    cli("delete", dir, "docs", "pk", "29")
+    assert(store.read("docs").filter(col("pk") === 29L).isEmpty)
+    // cascade: one verb retracts pks from EVERY maintained index —
+    // without it Doctor's coverage invariant (correctly) flags the SQ
+    // index still ranking the deleted vectors; idempotent over the
+    // already-deleted 0 and 29, so it also heals their stale codes
+    cli("delete-cascade", dir, "docs", "pk", "0,29,28")
+    assert(store.read("docs").filter(col("pk") === 28L).isEmpty)
+    assert(store.read(Sq.codesName("docs"))
+      .filter(col("pk").isin(0L, 28L, 29L)).isEmpty)
     // named release: tag, list, read-by-tag, drop — vacuum-root
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
