@@ -70,21 +70,58 @@ object Trigram {
           idx.filter(col(BucketCol).isin(touched: _*))
             .join(batchPks, Seq("pk"), "left_anti")
             .unionByName(fresh)
-            .repartition(col(BucketCol)))
+            .repartition(col(BucketCol))
+            // gram-sorted files: row groups prune on g probes, and the
+            // per-file g envelopes in the stats manifest stay narrow —
+            // the file-skipping dividend (same layout rule as FTS
+            // token sorting)
+            .sortWithinPartitions(col("g")))
         store.overwritePartitions(indexName(table), merged, Seq(BucketCol))
         val stillThere = merged.select(col(BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSet
         touched.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
+        if (store.hasFileStats(indexName(table)))
+          store.refreshFileStatsIncremental(indexName(table))
       case None =>
         // an all-short-text first batch has no gram rows; writing a
         // zero-file partitioned dir would leave an unreadable index —
         // leave the index absent (search falls back to a direct scan)
         if (!fresh.isEmpty)
           store.overwrite(indexName(table),
-            fresh.repartition(col(BucketCol)), partitionBy = Seq(BucketCol))
+            fresh.repartition(col(BucketCol)).sortWithinPartitions(col("g")),
+            partitionBy = Seq(BucketCol))
     }
     store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** Opt the trigram postings into FILE-level gram skipping: build the
+    * `_graft_stats` manifest once (g envelopes via
+    * [[TableStore.stringStatKey]] — narrow because files are
+    * gram-sorted); every later [[upsertWithIndex]] batch keeps it
+    * fresh at O(replaced files), and every needle probe prunes its
+    * file list through it instead of opening all N bucket footers.
+    */
+  def enableFileSkipping(store: TableStore, table: String): Unit =
+    store.refreshFileStats(indexName(table))
+
+  /** The postings subset a needle's grams can live in — file-level
+    * skipping on a manifest-backed index ([[Fts]]'s prunedIndex rule:
+    * conservative encoded point probes, never a false skip; no
+    * manifest or legacy rows = read everything).
+    */
+  private def prunedIndex(
+      store: TableStore, table: String, grams: Seq[String]): DataFrame = {
+    val name = indexName(table)
+    if (!store.hasFileStats(name)) return store.read(name)
+    val probes = grams.map(TableStore.stringStatKey)
+    val env = store.fileEnvelopes(name, Seq("g"))
+    val keep = env.collect {
+      case (f, e) if probes.exists(p =>
+        e.get("g").forall { case (mn, mx) => mx >= p && mn <= p }) => f
+    }
+    if (keep.size == env.size) store.read(name)
+    else store.readFileSubset(name, keep)
   }
 
   /** All pks whose text contains `needle` (case-folded, like FTS5
@@ -118,7 +155,7 @@ object Trigram {
     val cps = n.codePoints.toArray
     val nGrams = (0 to cps.length - 3)
       .map(i => new String(cps, i, 3)).distinct
-    val cands = store.read(indexName(table))
+    val cands = prunedIndex(store, table, nGrams)
       .filter(col("g").isin(nGrams: _*))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("hits"))

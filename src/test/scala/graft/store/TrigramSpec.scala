@@ -138,4 +138,49 @@ class TrigramSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rows(store) === rows(rebuilt))
   }
+
+  test("file skipping: a needle probe opens a strict subset of postings files") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = freshStore()
+    // per-doc letter regions keep each bucket file's g envelope narrow
+    val docs = (0 until 16).map { i =>
+      val l = ('a' + i).toChar
+      (i.toLong, (1 to 5).map(j => s"$l$l$l$l$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    Trigram.upsertWithIndex(store, "docs", docs, "doc_id", "text")
+
+    def hits(needle: String): Set[Long] =
+      Trigram.substringSearch(store, "docs", "doc_id", "text", needle)
+        .collect().map(_.getLong(0)).toSet
+    def scanned(needle: String): Set[String] =
+      Trigram.substringSearch(store, "docs", "doc_id", "text", needle)
+        .queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation if fs.location.rootPaths.exists(
+                _.toString.contains(Trigram.indexName("docs"))) =>
+              fs.location.inputFiles.toSet
+            case _ => Set.empty[String]
+          }
+        }.flatten.toSet
+
+    // probe the LAST letter region: gram mins are pinned to the
+    // space-gram region in every file (grams span word boundaries),
+    // so pruning is max-side — buckets whose docs all precede 'p'
+    // provably cannot hold a "pp…" gram
+    val expect = hits("pppp1")
+    assert(expect === Set(15L))
+    val allFiles = scanned("pppp1")
+    assert(allFiles.size >= 6, s"want a multi-file index, got ${allFiles.size}")
+    Trigram.enableFileSkipping(store, "docs")
+    assert(hits("pppp1") === expect)
+    val pruned = scanned("pppp1")
+    assert(pruned.nonEmpty && pruned.size < allFiles.size,
+      s"no file-level skip: ${pruned.size} of ${allFiles.size}")
+    // an incremental batch keeps the manifest fresh
+    Trigram.upsertWithIndex(store, "docs",
+      Seq((100L, "zzznewgram here")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(hits("zzznewgram") === Set(100L))
+    assert(scanned("zzznewgram").size < allFiles.size + 1)
+    assert(Doctor.check(store).filter(_.component == "file-stats") === Seq.empty)
+  }
 }
