@@ -183,8 +183,8 @@ object Fts {
             .drop(BucketCol)
             .unionByName(fresh)
             .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-            .repartition(col(BucketCol))
-            .sortWithinPartitions(col("token")))
+            .repartitionByRange(col(BucketCol), col("token"))
+            .sortWithinPartitions(col(BucketCol), col("token")))
         // bump the epoch BEFORE touching postings: a crash anywhere
         // between here and writeStats leaves epoch ≠ stats.epoch and
         // the next upsert rebuilds wholesale instead of trusting
@@ -238,8 +238,8 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
-              .sortWithinPartitions(col("token")),
+              .repartitionByRange(col(BucketCol), col("token"))
+              .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)
         // corpus stats from the fresh index: one scan at write time —
@@ -321,8 +321,8 @@ object Fts {
             exAffected.join(delPks, Seq("pk"), "left_anti")
               .drop(BucketCol)
               .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
-              .sortWithinPartitions(col("token")))
+              .repartitionByRange(col(BucketCol), col("token"))
+              .sortWithinPartitions(col(BucketCol), col("token")))
           // same crash discipline as the upsert path: epoch bump FIRST
           val epoch = writeEpoch(store, table)
           store.overwritePartitions(indexName(table), merged,
@@ -346,8 +346,8 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
-              .sortWithinPartitions(col("token")),
+              .repartitionByRange(col(BucketCol), col("token"))
+              .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)
         statsCols(store, table).foreach { cols =>

@@ -154,7 +154,8 @@ object Lsh {
       store.overwrite(indexName(table), rows)
     else
       store.overwrite(indexName(table),
-        rows.repartition(col(BucketCol)).sortWithinPartitions(col("band")),
+        rows.repartitionByRange(col(BucketCol), col("band"))
+          .sortWithinPartitions(col(BucketCol), col("band")),
         partitionBy = Seq(BucketCol))
     store.overwrite(mapName(table),
       rows.select(col("pk"), col(BucketCol)).distinct())
@@ -189,8 +190,8 @@ object Lsh {
       val merged = Iteration.materialize(
         idx.join(batchPks, Seq("pk"), "left_anti")
           .unionByName(fresh)
-          .repartition(col(BucketCol))
-          .sortWithinPartitions(col("band")))
+          .repartitionByRange(col(BucketCol), col("band"))
+          .sortWithinPartitions(col(BucketCol), col("band")))
       if (merged.isEmpty) {
         // the batch blanked every doc in the affected buckets; if those
         // were the index's ONLY buckets, dropping them all would leave

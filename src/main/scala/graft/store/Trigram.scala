@@ -70,12 +70,13 @@ object Trigram {
           idx.filter(col(BucketCol).isin(touched: _*))
             .join(batchPks, Seq("pk"), "left_anti")
             .unionByName(fresh)
-            .repartition(col(BucketCol))
-            // gram-sorted files: row groups prune on g probes, and the
-            // per-file g envelopes in the stats manifest stay narrow —
-            // the file-skipping dividend (same layout rule as FTS
-            // token sorting)
-            .sortWithinPartitions(col("g")))
+            // range-split on (bucket, gram): a hot bucket spreads over
+            // several tasks/files, each covering a NARROW gram range —
+            // bounded task size at 100 TB and tight per-file envelopes
+            // for the stats-manifest file skipping (same layout rule
+            // as FTS token sorting)
+            .repartitionByRange(col(BucketCol), col("g"))
+            .sortWithinPartitions(col(BucketCol), col("g")))
         store.overwritePartitions(indexName(table), merged, Seq(BucketCol))
         val stillThere = merged.select(col(BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSet
@@ -89,7 +90,8 @@ object Trigram {
         // leave the index absent (search falls back to a direct scan)
         if (!fresh.isEmpty)
           store.overwrite(indexName(table),
-            fresh.repartition(col(BucketCol)).sortWithinPartitions(col("g")),
+            fresh.repartitionByRange(col(BucketCol), col("g"))
+              .sortWithinPartitions(col(BucketCol), col("g")),
             partitionBy = Seq(BucketCol))
     }
     store.upsert(table, batch, Seq(pkCol))
