@@ -51,11 +51,31 @@ object EpochFollower {
       store: TableStore, table: String, consumer: String): Option[Long] =
     cursors(store).get((table, consumer))
 
-  /** All registered cursors: (table, consumer) → epoch. */
-  def cursors(store: TableStore): Map[(String, String), Long] =
-    store.readIfExists(CursorTable).map(
-      _.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-        .toMap).getOrElse(Map.empty)
+  /** All registered cursors: (table, consumer) → epoch. Retries a
+    * handful of times on a read failure: the cursor table is a plain
+    * swap-maintained table, so a read racing a concurrent consumer's
+    * advance (another process/thread) can transiently fail mid-swap —
+    * vacuumEpochs reads pins through here, and treating a transient
+    * failure as "no cursors" would silently drop a lagging consumer's
+    * vacuum roots. (A mid-swap MISSING dir still reads as empty — the
+    * microsecond window the vacuum retention period is the documented
+    * guard for.)
+    */
+  def cursors(store: TableStore): Map[(String, String), Long] = {
+    var attempt = 0
+    while (true) {
+      try return store.readIfExists(CursorTable).map(
+        _.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap).getOrElse(Map.empty)
+      catch {
+        case e: Exception =>
+          if (attempt >= 3) throw e
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def advance(
       store: TableStore, table: String, consumer: String, epoch: Long): Unit = {
