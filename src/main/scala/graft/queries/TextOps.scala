@@ -784,6 +784,47 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_scrub_mask — the scrub stage itself (q_pii_scan is its dry run):
+  // replace every match of an ordered pattern list with a typed
+  // placeholder — the PII set (email → phone → URL: the email pass
+  // removes digits a phone pattern could partially re-match, and a URL
+  // embedding an email redacts consistently inner-first) plus a
+  // blocklisted-entity mask (`\b(customer|supplier)\b` → <ENTITY>, the
+  // anonymize-named-entities form; also what exercises the chain on
+  // this corpus, whose synthetic text carries no literal PII). Emits
+  // only the docs the scrub CHANGED — at corpus scale the untouched
+  // majority is pure pass-through and needs no rewrite. Pure
+  // regexp_replace chain: codegen'd, map-only, no shuffle before the
+  // presentation sort. Patterns stay in the Java∩RE2 common syntax
+  // (\b is ASCII word-boundary in both).
+  private val scrubPatterns = piiPatterns.map { case (kind, p) =>
+    (p, s"<${kind.toUpperCase(java.util.Locale.ROOT)}>")
+  } :+ ("\\b(customer|supplier)\\b" -> "<ENTITY>")
+
+  def scrubMask(spark: SparkSession, sfDir: String): DataFrame = {
+    val masked = scrubPatterns.foldLeft(col("text")) {
+      case (c, (p, token)) => regexp_replace(c, p, token)
+    }
+    Catalog.table(spark, sfDir, "documents")
+      .withColumn("masked_text", masked)
+      .filter(col("masked_text") =!= col("text"))
+      .select(col("doc_id"), col("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val scrubMaskSql: String = {
+    // DuckDB replaces only the FIRST match without the 'g' flag (the
+    // documented parity gotcha); Spark's regexp_replace is global
+    val chain = scrubPatterns.foldLeft("text") { case (expr, (p, token)) =>
+      s"regexp_replace($expr, '$p', '$token', 'g')"
+    }
+    s"""SELECT doc_id, masked_text FROM (
+       |  SELECT doc_id, text, $chain AS masked_text FROM documents)
+       |WHERE masked_text <> text
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val piiScanSql: String = {
     val exprs = piiPatterns.map { case (kind, p) =>
       s"len(regexp_extract_all(text, '$p')) AS n_$kind"
@@ -1557,6 +1598,7 @@ object TextOps {
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Op("q_repetition", repetition, Some(repetitionSql)),
     Op("q_pii_scan", piiScan, Some(piiScanSql)),
+    Op("q_scrub_mask", scrubMask, Some(scrubMaskSql)),
     Op("q_token_count", tokenCount, Some(tokenCountSql)),
     Op("q_text_stats", textStats, Some(textStatsSql)),
     Op("q_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
