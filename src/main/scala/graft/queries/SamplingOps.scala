@@ -164,6 +164,48 @@ object SamplingOps {
       |LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_token_budget — greedy per-source fill to a fixed TOKEN budget,
+  // the "assemble an N-token mixture" step of every pretraining-data
+  // build (mixture recipes are stated in tokens, not documents — a
+  // domain of long docs must admit fewer of them). Docs admit in a
+  // deterministic hash-shuffled order (md5 bucket, doc_id tiebreak) so
+  // the fill is an unbiased reproducible sample rather than a
+  // doc_id-prefix artifact, and a doc stays admitted as the corpus
+  // grows until its domain's budget fills. One per-source running-sum
+  // window: state bounded per key, one hash shuffle, no global sort.
+  private[queries] val tokenBudgetN = 600L
+
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Transforms.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokenBudgetN)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |        t -> t <> '')) AS n_tokens,
+       |      $hashBucketSql AS bucket
+       |    FROM documents))
+       |WHERE cum <= $tokenBudgetN
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_domain_cap — the per-domain document cap every web-scale corpus
   // build applies (C4 / RefinedWeb style: no single host may dominate
   // the mixture): within each source, keep the top `domainCapN` docs
@@ -264,6 +306,7 @@ object SamplingOps {
   def ops: Seq[Op] = Seq(
     Op("q_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     Op("q_domain_cap", domainCap, Some(domainCapSql)),
+    Op("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Op("q_hash_split", hashSplit, Some(hashSplitSql)),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Op("q_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),
