@@ -54,6 +54,37 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  // ---------------------------------------------------------------------
+  // q_dedup_keep_best — the QUALITY-aware keeper policy (what a real
+  // corpus build uses instead of keep-first: among exact duplicates,
+  // keep the copy the quality signal ranks highest — here the Gopher
+  // length proxy n_chars desc, doc_id tiebreak; production plugs any
+  // scored column into the same max_by). Same single map-side-partial
+  // shuffle as keep-first — max_by aggregates without a window.
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        // composite integer key (n_chars dominant, lowest doc_id on
+        // ties): arg_max needs ONE orderable key in both engines, and
+        // integers keep it bit-exact
+        max_by(col("doc_id"),
+          col("n_chars").cast("long") * lit(100000000L) - col("doc_id"))
+          .as("keeper"),
+        max(col("n_chars")).as("keeper_chars"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  val dedupKeepBestSql: String =
+    s"""SELECT $fingerprintSql AS fp,
+       |  arg_max(doc_id, CAST(n_chars AS BIGINT) * 100000000 - doc_id) AS keeper,
+       |  MAX(n_chars) AS keeper_chars,
+       |  COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY fp
+       |ORDER BY fp""".stripMargin
+
   val dedupKeepFirstSql: String =
     s"""SELECT $fingerprintSql AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
        |FROM documents
@@ -878,6 +909,7 @@ object DedupOps {
     Op("q_simhash", simhashFingerprints, Some(simhashSql)),
     Op("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("q_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
+    Op("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Op("q_minhash_bands", minhashBands, Some(minhashBandsSql)),
     Op("q_minhash_wide", minhashWide, Some(minhashWideSql)),
     Op("q_near_dup_pairs", nearDupPairs, Some(nearDupPairsSql)),
