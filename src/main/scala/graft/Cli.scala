@@ -136,6 +136,10 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *   delete-cascade <store> <table> <pkCol> <v[,…]>  delete rows and
   *                                         retract them from EVERY
   *                                         maintained index (no ghosts)
+  *   follow-fts <store> <table> <consumer> <pkCol> <textCol> [buckets]
+  *                                         drain the change feed into
+  *                                         an FTS mirror (CDC, cursor-
+  *                                         checkpointed, ghost-free)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -269,6 +273,24 @@ object Cli {
         val touched = graft.store.Retract.cascade(store, args(2), keys, args(3))
         println(s"[delete-cascade] ${vals.size} pk(s) from ${args(2)} + " +
           s"${touched.size} index table(s): ${touched.mkString(", ")}")
+      case "follow-fts" =>
+        // follow-fts <store> <table> <consumer> <pkCol> <textCol>
+        // [buckets] — drain the table's row-level change feed into an
+        // FTS-indexed mirror `<table>_mirror` (inserts upsert+reindex,
+        // deletes retract rows AND postings — never ghosts), advancing
+        // the named cursor: the one-command CDC mirror. Run it from
+        // cron or wrap EpochStream.start around the same pieces for a
+        // continuous query.
+        val (table, consumer, pkCol, textCol) =
+          (args(2), args(3), args(4), args(5))
+        val buckets = if (args.length > 6) args(6).toInt else 0
+        val mirror = s"${table}_mirror"
+        val n = graft.streaming.EpochStream.processAvailable(
+          store, table, consumer, Some(Seq(pkCol))) { ch =>
+          graft.store.Fts.applyChanges(store, mirror, ch, pkCol,
+            Seq(textCol), buckets)
+        }
+        println(s"[follow-fts] $n batch(es) applied to $mirror for $consumer")
       case "pq-index" | "ivf-index" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb) = (args(2), args(3), args(4))

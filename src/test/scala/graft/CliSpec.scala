@@ -164,6 +164,16 @@ class CliSpec extends SparkSpec {
     assert(store.read("docs").filter(col("pk") === 28L).isEmpty)
     assert(store.read(Sq.codesName("docs"))
       .filter(col("pk").isin(0L, 28L, 29L)).isEmpty)
+    // CDC FTS mirror in one verb: full table on registration, then a
+    // delete propagates as a retraction (no ghosts)
+    cli("follow-fts", dir, "docs", "m1", "pk", "text")
+    assert(store.read("docs_mirror").count() === store.read("docs").count())
+    cli("delete-cascade", dir, "docs", "pk", "1")
+    cli("follow-fts", dir, "docs", "m1", "pk", "text")
+    assert(store.read("docs_mirror").filter(col("pk") === 1L).isEmpty)
+    assert(store.read(graft.store.Fts.indexName("docs_mirror"))
+      .filter(col("pk") === 1L).isEmpty)
+    graft.store.EpochFollower.drop(store, "docs", "m1")
     // named release: tag, list, read-by-tag, drop — vacuum-root
     // semantics are pinned in SnapshotOccSpec; here the dispatch
     cli("tag", dir, "release-v1")
