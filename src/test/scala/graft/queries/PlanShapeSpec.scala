@@ -84,4 +84,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"),
       s"q_asof_join lost its window:\n${plan.take(1500)}")
   }
+
+  test("round-11 queries keep their narrow shapes (map-only scrub, keyed window, one agg)") {
+    // q_scrub_mask: a regexp_replace chain is a pure projection — no
+    // join, no aggregate, nothing but the presentation sort's exchange
+    val scrub = Inventory.byName("q_scrub_mask").fn(spark, sfDir)
+    scrub.collect()
+    val scrubPlan = scrub.queryExecution.executedPlan.toString
+    assert(!scrubPlan.contains("Join") && !scrubPlan.contains("HashAggregate"),
+      s"q_scrub_mask grew a join/aggregate:\n${scrubPlan.take(1500)}")
+    // q_token_budget: the running sum must stay keyed per source —
+    // an unpartitioned window would funnel the corpus through one task
+    val budget = Inventory.byName("q_token_budget").fn(spark, sfDir)
+    budget.collect()
+    val budgetPlan = budget.queryExecution.executedPlan.toString
+    assert(budgetPlan.contains("Window"),
+      s"q_token_budget lost its window:\n${budgetPlan.take(1500)}")
+    assert("Window \\[[^\\]]*partitionBy=\\[\\]".r
+      .findFirstIn(budgetPlan).isEmpty &&
+      !budgetPlan.contains("Join"),
+      s"q_token_budget window lost its source key:\n${budgetPlan.take(1500)}")
+    // q_dedup_keep_best: one partial+final aggregate, no window/join
+    val best = Inventory.byName("q_dedup_keep_best").fn(spark, sfDir)
+    best.collect()
+    val bestPlan = best.queryExecution.executedPlan.toString
+    assert(bestPlan.contains("HashAggregate") ||
+      bestPlan.contains("ObjectHashAggregate") ||
+      bestPlan.contains("SortAggregate"),
+      s"q_dedup_keep_best lost its aggregate:\n${bestPlan.take(1500)}")
+    assert(!bestPlan.contains("Join") && !bestPlan.contains("Window "),
+      s"q_dedup_keep_best grew a join/window:\n${bestPlan.take(1500)}")
+  }
 }

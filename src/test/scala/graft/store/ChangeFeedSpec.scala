@@ -175,6 +175,64 @@ class ChangeFeedSpec extends SparkSpec {
     assert(fired === 2, "compaction echoed into the CDC mirror")
   }
 
+  test("property: readChangesSince equals the model diff over random histories") {
+    // random governed histories of upserts / deletes / compactions;
+    // for random epoch windows the change feed must equal the model:
+    // inserts = pks whose value is NEW OR CHANGED across the window
+    // (new image), deletes = pks present at `from` and gone at `to`,
+    // carried rows (and everything a compaction moved) = NOTHING.
+    val rnd = new scala.util.Random(23)
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    val model = scala.collection.mutable.Map[Long, String]()
+    // epoch → model snapshot after that commit
+    val snaps = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    store.upsert("t", Seq((0L, "seed")).toDF("id", "v"), Seq("id"))
+    model(0L) = "seed"
+    snaps(store.snapshot().epoch) = model.toMap
+    (1 to 20).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // upsert: mix of new pks and updates
+          val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            val pk = rnd.nextInt(24).toLong
+            (pk, s"v$step-${rnd.nextInt(100)}")
+          }.distinct.groupBy(_._1).map(_._2.head).toSeq
+          store.upsert("t", batch.toDF("id", "v"), Seq("id"))
+          batch.foreach { case (k, v) => model(k) = v }
+        case 2 => // delete a random existing subset
+          val doomed = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+          if (doomed.nonEmpty) {
+            store.deleteByPk("t", doomed.toDF("id"), Seq("id"))
+            doomed.foreach(model.remove)
+          } else {
+            store.upsert("t", Seq((99L, s"v$step")).toDF("id", "v"), Seq("id"))
+            model(99L) = s"v$step"
+          }
+        case 3 => // rewrite-only: must contribute NOTHING to any window
+          store.compact("t")
+      }
+      snaps(store.snapshot().epoch) = model.toMap
+    }
+    val epochs = snaps.keys.toSeq.sorted
+    (1 to 12).foreach { _ =>
+      val i = rnd.nextInt(epochs.size)
+      val j = i + rnd.nextInt(epochs.size - i)
+      val (from, to) = (epochs(i), epochs(j))
+      val (a, b) = (snaps(from), snaps(to))
+      val expectIns = b.filter { case (k, v) => !a.get(k).contains(v) }.toSet
+      val expectDel = (a.keySet -- b.keySet)
+      val got = store.readChangesSince("t", from, to, Seq("id"))
+        .select(col("id").cast("long"), col("v"), col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val gotIns = got.collect { case (k, v, "insert") => (k, v) }.toSet
+      val gotDel = got.collect { case (k, _, "delete") => k }.toSet
+      assert(gotIns === expectIns, s"inserts diverge for window ($from, $to]")
+      assert(gotDel === expectDel, s"deletes diverge for window ($from, $to]")
+    }
+  }
+
   test("transactWithRetry converges a same-table two-writer race") {
     val root = freshRoot()
     val a = new TableStore(spark, root)
