@@ -140,6 +140,9 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         drain the change feed into
   *                                         an FTS mirror (CDC, cursor-
   *                                         checkpointed, ghost-free)
+  *   heal-ghosts <store> <table> <pkCol>   retract index rows whose pk
+  *                                         left the base (the safe half
+  *                                         of a coverage divergence)
   *   release <store> <name>                tag the current epoch AND
   *                                         print every governed
   *                                         table's content
@@ -273,6 +276,15 @@ object Cli {
         val touched = graft.store.Retract.cascade(store, args(2), keys, args(3))
         println(s"[delete-cascade] ${vals.size} pk(s) from ${args(2)} + " +
           s"${touched.size} index table(s): ${touched.mkString(", ")}")
+      case "heal-ghosts" =>
+        // heal-ghosts <store> <table> <pkCol> — retract from every
+        // maintained index the pks no longer present in the base table
+        // (the safe half of a coverage divergence: ghost rows only
+        // rank deleted docs; missing rows still need a re-upsert)
+        val healed = graft.store.Retract.healGhosts(store, args(2), args(3))
+        if (healed.isEmpty) println(s"[heal-ghosts] ${args(2)}: no ghosts")
+        else healed.foreach { case (idx, n) =>
+          println(s"[heal-ghosts] $idx: retracted $n ghost pk(s)") }
       case "follow-fts" =>
         // follow-fts <store> <table> <consumer> <pkCol> <textCol>
         // [buckets] — drain the table's row-level change feed into an

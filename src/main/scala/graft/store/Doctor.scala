@@ -582,8 +582,8 @@ object Doctor {
           Seq(Issue(component, table,
             s"$artifact covers $na of $nb base rows — searches " +
               "silently skip missing vectors and rank deleted ones " +
-              "(re-upsert the divergent pks, rebuild, or — after a " +
-              "base-row delete — retract them with delete-cascade)"))
+              "(ghost rows: heal-ghosts / delete-cascade; missing " +
+              "rows: re-upsert the divergent pks or rebuild)"))
         else Nil
       case _ => Nil
     }

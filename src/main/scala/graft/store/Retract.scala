@@ -90,6 +90,46 @@ object Retract {
     }
   }
 
+  /** Heal the GHOST aftermath of a bare base-row delete (a
+    * [[TableStore.deleteByPk]] that bypassed [[cascade]], an
+    * out-of-band rewrite): retract from every maintained index the pks
+    * that no longer exist in the base table. Safe by construction —
+    * a ghost row only ever ranks a deleted document, so removing it
+    * cannot lose data (the MISSING direction, base pks absent from an
+    * index, still needs a human: re-upsert from source or rebuild).
+    * Returns (index table, ghosts retracted) for the tables that had
+    * any; Doctor's coverage invariants go green for the ghost-only
+    * divergences afterwards. Idempotent.
+    */
+  def healGhosts(
+      store: TableStore, table: String, pkCol: String): Seq[(String, Long)] = {
+    val basePks = Iteration.materialize(
+      store.read(table).select(col(pkCol).as("pk")).distinct())
+    def ghostsOf(name: String): DataFrame = Iteration.materialize(
+      store.read(name).select(col("pk")).distinct()
+        .join(basePks, Seq("pk"), "left_anti"))
+    val out = Seq.newBuilder[(String, Long)]
+    if (store.exists(Fts.indexName(table))) {
+      val g = ghostsOf(Fts.indexName(table))
+      val n = g.count()
+      if (n > 0) {
+        Fts.retractPostings(store, table, g, Fts.bucketCountOf(store, table))
+        out += ((Fts.indexName(table), n))
+      }
+    }
+    registry(table).foreach { case (name, sortCols) =>
+      if (store.exists(name)) {
+        val g = ghostsOf(name)
+        val n = g.count()
+        if (n > 0) {
+          fromIndexTable(store, name, g, sortCols)
+          out += ((name, n))
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Delete `keys` from the base table AND every maintained per-pk
     * index of it that exists in the store — FTS postings go through
     * [[Fts.retractPostings]] (corpus stats decremented, bucket count

@@ -175,6 +175,35 @@ class FtsDeleteSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("healGhosts retracts what a bare delete orphaned; Doctor goes green") {
+    val (store, _) = freshStore()
+    val dims = 8
+    val docs = (0 until 16).map { i =>
+      (i.toLong, s"common word$i",
+        (0 until dims).map(d => math.sin(i * dims + d)))
+    }.toDF("id", "full_text", "e")
+    store.overwrite("docs", docs)
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    Sq.buildIndex(store, "docs", store.read("docs"), "id", "e")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // a BARE base delete (no cascade) orphans every index
+    store.deleteByPk("docs", Seq(2L, 5L).toDF("id"), Seq("id"))
+    assert(Doctor.check(store).nonEmpty, "coverage divergence undetected")
+
+    val healed = Retract.healGhosts(store, "docs", "id").toMap
+    assert(healed(Fts.indexName("docs")) === 2L)
+    assert(healed(Sq.codesName("docs")) === 2L)
+    assert(store.read(Fts.indexName("docs"))
+      .filter(col("pk").isin(2L, 5L)).isEmpty)
+    // FTS corpus stats were decremented with the retraction
+    assert(store.read(Fts.statsName("docs")).head.getAs[Long]("n_docs") === 14L)
+    assert(Doctor.check(store) === Seq.empty)
+    // idempotent: nothing left to heal
+    assert(Retract.healGhosts(store, "docs", "id") === Seq.empty)
+  }
+
   test("applyChanges keeps an FTS mirror ghost-free from the change feed") {
     val (store, _) = freshStore()
     store.ensureBucketed("docs", Seq("id"), 4)
