@@ -676,6 +676,17 @@ object DedupOps {
     * coverage (a path-shaped component exercises the pointer-jumping
     * round bound).
     *
+    * HYBRID solver (the GraphFrames/Pregel "local when small" rule):
+    * the edge set is already materialized for the iterative loop, so
+    * one cheap count routes small graphs — the common case: the
+    * VERIFIED duplicate-pair set is tiny relative to the corpus even
+    * when the corpus is not — through a single bounded union-find
+    * task ([[connectedComponentsLocal]]: one shuffle to one task,
+    * memory O(vertices), no driver collect, bit-identical min-id
+    * labels), skipping the ~5 checkpointed rounds whose per-round job
+    * floor dominates at that size. Graphs past the threshold keep the
+    * distributed pointer-jumping loop below.
+    *
     * Each round MUST checkpoint before the next composes on it:
     * a round references its predecessor 4× (neighbor-min, the two
     * jump sides, the final join), and Spark does no cross-branch
@@ -688,10 +699,54 @@ object DedupOps {
     * traffic eats the saved job scheduling. The per-round eager pin
     * is the cheap side of every variant tried.
     */
+  /** Edge count up to which the one-task union-find solves CC —
+    * ~200k undirected pairs keep the task's hash maps in the tens of
+    * MB, far under any executor budget; overridable for specs that
+    * pin the iterative path on small graphs.
+    */
+  private[queries] var LocalCcMaxEdges = 200000L
+
+  /** One-task union-find CC (min-id representative) — the small-graph
+    * arm of [[connectedComponents]]. One exchange to a single task;
+    * state O(vertices); same labels as the fixpoint by construction
+    * (union attaches the larger root under the smaller).
+    */
+  private[queries] def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(k => (k, find(k))).toSeq.iterator
+      }
+      .toDF("doc_id", "cluster")
+  }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import graft.store.Iteration.materialize
-    val edges = materialize(pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val undirected = materialize(pairs.select(
+      col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")))
+    if (undirected.count() <= LocalCcMaxEdges)
+      return connectedComponentsLocal(undirected)
+    val edges = materialize(undirected.unionByName(
+        undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var labels = materialize(edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = labels.isEmpty

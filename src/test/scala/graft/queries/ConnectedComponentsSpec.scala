@@ -12,6 +12,15 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `f` with the local union-find arm disabled, so small test
+    * graphs exercise the distributed pointer-jumping path.
+    */
+  private def forcingIterative[T](f: => T): T = {
+    val saved = DedupOps.LocalCcMaxEdges
+    DedupOps.LocalCcMaxEdges = 0L
+    try f finally DedupOps.LocalCcMaxEdges = saved
+  }
+
   test("multi-component graph: each vertex labeled with component min") {
     // components: {1,2,3}, {10,11}, {20} (isolated vertices never
     // appear in the pair set, so 20 is absent from the output)
@@ -43,9 +52,16 @@ class ConnectedComponentsSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(v => v -> find(v)).toMap
+      // both arms of the hybrid must equal the model: the one-task
+      // union-find (the small-graph default) and the distributed
+      // pointer-jumping fixpoint
       val got = DedupOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"verts=$nVerts edges=${pairs.length}")
+      assert(got === expected, s"local arm: verts=$nVerts edges=${pairs.length}")
+      val gotIter = forcingIterative(
+        DedupOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(gotIter === expected, s"iterative arm: verts=$nVerts edges=${pairs.length}")
     }
   }
 
@@ -76,8 +92,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     try {
       assert(spark.sparkContext.getCheckpointDir.isDefined)
       val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
-      val got = DedupOps.connectedComponents(pairs)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = forcingIterative(DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
       assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       // reliable checkpoint files actually landed in the configured dir
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -99,7 +115,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     // shape; min label must traverse 60 hops — log-rounds with
     // jumping, impossible under a small fixed cap without it
     val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = DedupOps.connectedComponents(chain).collect()
+    val got = forcingIterative(DedupOps.connectedComponents(chain).collect())
     assert(got.length === 61)
     assert(got.forall(_.getLong(1) === 1L))
   }
