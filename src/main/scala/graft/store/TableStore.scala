@@ -2133,12 +2133,22 @@ class TableStore(val spark: SparkSession, root: String) {
     *
     * `pk` must be the table's logical key (non-null; the declared
     * bucket pk where one exists). Both epochs must be retained and
-    * govern `name`. One degrade, never a lie: a window spanning a
-    * LAYOUT change (bucketize, an overwrite that flattens a
-    * partitioned table) can re-emit unchanged rows as inserts — the
-    * full-row hash compares partition-column representations across
-    * layouts — but never emits a false delete (deletes key on the pk
-    * alone); mirrors upserting by pk stay exact.
+    * govern `name`. SCHEMA EVOLUTION is first-class: a window spanning
+    * a column-adding upsert (the bucketed upsert's alter=True rewrite)
+    * null-fills BOTH endpoint frames to the union schema before
+    * hashing — the same unionByName(null-fill) rule the evolution
+    * rewrite itself applies — so a carried row whose only "difference"
+    * is the null-filled new column is emitted NOT AT ALL, and a row
+    * whose new image populates the column is an insert. The feed's
+    * schema is the union (toEpoch's columns first, any dropped columns
+    * appended): deletes keep their full last image, inserts carry null
+    * for columns the new schema dropped. One degrade, never a lie: a
+    * window spanning a LAYOUT change (bucketize, an overwrite that
+    * flattens a partitioned table) can re-emit unchanged rows as
+    * inserts — partition-column values can round-trip through a
+    * different representation — but never emits a false delete
+    * (deletes key on the pk alone); mirrors upserting by pk stay
+    * exact.
     */
   def readChangesSince(
       name: String, fromEpoch: Long, toEpoch: Long,
@@ -2166,14 +2176,41 @@ class TableStore(val spark: SparkSession, root: String) {
       spark.read.option("basePath", path(name))
         .parquet(rels.map(r => new Path(path(name), r).toString): _*)
     if (added.isEmpty && removed.isEmpty) return empty
-    val dataCols = schemaSource.columns.toSeq
-    val rowHash = xxhash64(dataCols.map(col): _*)
     if (removed.isEmpty)
       return readRels(added).withColumn(ChangeTypeCol, lit("insert"))
     if (added.isEmpty)
       return readRels(removed).withColumn(ChangeTypeCol, lit("delete"))
-    val a = readRels(added).withColumn("__h", rowHash)
-    val r = readRels(removed).withColumn("__h", rowHash)
+    val aRaw = readRels(added)
+    val rRaw = readRels(removed)
+    // Align both sides to the UNION schema before hashing (toEpoch's
+    // columns first, dropped columns appended): a removed file that
+    // predates a column-adding upsert lacks the new column, so hashing
+    // the toEpoch column list against it fails analysis. Null-filling
+    // mirrors the evolution rewrite's own unionByName semantics —
+    // xxhash64 skips null inputs, so an old image and its null-filled
+    // rewrite hash identically (carried), while a populated new column
+    // makes the row an insert. Types are reconciled toward the added
+    // side (partition-discovered columns can surface as INT where the
+    // flat form stored LONG — casting keeps cross-layout hashes
+    // comparable).
+    val aTypes = aRaw.schema.map(f => f.name -> f.dataType).toMap
+    val rTypes = rRaw.schema.map(f => f.name -> f.dataType).toMap
+    val unionCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      (aRaw.columns ++ rRaw.columns.filterNot(aRaw.columns.contains))
+        .toSeq.map(n => n -> aTypes.getOrElse(n, rTypes(n)))
+    def align(df: DataFrame): DataFrame = {
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
+      df.select(unionCols.map { case (n, t) =>
+        have.get(n) match {
+          case Some(dt) if dt == t => col(n)
+          case Some(_) => col(n).cast(t).as(n)
+          case None => lit(null).cast(t).as(n)
+        }
+      }: _*)
+    }
+    val rowHash = xxhash64(unionCols.map { case (n, _) => col(n) }: _*)
+    val a = align(aRaw).withColumn("__h", rowHash)
+    val r = align(rRaw).withColumn("__h", rowHash)
     // new or changed: present in the added files with no identical row
     // (pk + full-row hash) among the removed — carried rows cancel out
     val inserts = a.join(r.select((pk :+ "__h").map(col): _*),

@@ -175,6 +175,52 @@ class ChangeFeedSpec extends SparkSpec {
     assert(fired === 2, "compaction echoed into the CDC mirror")
   }
 
+  test("readChangesSince survives schema evolution: ALTER-shaped window, exactly-once") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    // a CDC consumer registered BEFORE the evolution
+    var batches = Vector.empty[Set[(Long, String, Option[String], String)]]
+    def consume(): Option[Long] =
+      EpochFollower.consumeChanges(store, "t", "mirror", Seq("id")) { ch =>
+        batches :+= ch.select(col("id").cast("long"), col("v"),
+            col("lang"), col(store.ChangeTypeCol))
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            Option(r.getString(2)), r.getString(3))).toSet
+      }.map(_._2)
+    // first consume: lang doesn't exist yet — use the plain form
+    EpochFollower.consumeChanges(store, "t", "mirror", Seq("id"))(_.count())
+    val ePre = store.snapshot().epoch
+
+    // the ALTER-shaped commit: the batch carries a NEW column, so the
+    // bucketed upsert pays its all-or-nothing evolution rewrite (EVERY
+    // file replaced). One row updated, one inserted, 31 carried.
+    store.upsert("t",
+      Seq((5L, "V5-UPD", "en"), (100L, "NEW", "de")).toDF("id", "v", "lang"),
+      Seq("id"))
+    assert(consume().isDefined)
+    assert(batches.last === Set(
+      (5L, "V5-UPD", Some("en"), "insert"),
+      (100L, "NEW", Some("de"), "insert")),
+      "an ALTER-spanning window must emit exactly the changed rows — " +
+        "carried rows null-filled by the evolution rewrite emit NOTHING")
+    // nothing unchanged re-emits on the next poll
+    assert(consume().isEmpty)
+
+    // a window spanning BOTH the evolution and a later delete: the
+    // delete carries the pre-evolution image null-filled to the union
+    // schema (never a false delete)
+    store.deleteByPk("t", Seq(7L).toDF("id"), Seq("id"))
+    val span = store.readChangesSince("t", ePre, store.snapshot().epoch,
+      Seq("id"))
+    val del = span.filter(col(store.ChangeTypeCol) === "delete")
+      .select(col("id").cast("long"), col("v"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(del.toSet === Set((7L, "v7", None)))
+  }
+
   test("property: readChangesSince equals the model diff over random histories") {
     // random governed histories of upserts / deletes / compactions;
     // for random epoch windows the change feed must equal the model:

@@ -124,6 +124,59 @@ class EpochStreamSpec extends SparkSpec {
       consumerStore, "t", "c")(mirrorUpsert) === 0)
   }
 
+  test("live mirror crosses a schema-evolving commit (ALTER-shaped CDC window)") {
+    val root = freshRoot()
+    val producer = new TableStore(spark, root)
+    producer.ensureBucketed("t", Seq("id"), 4)
+    producer.ensureGoverned(Seq("t"))
+    producer.upsert("t",
+      (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+
+    val consumerStore = new TableStore(spark, root)
+    val rowsSunk = new java.util.concurrent.atomic.AtomicLong()
+    val handle = EpochStream.start(consumerStore, "t", "evo-mirror",
+      pollMs = 50L, pk = Some(Seq("id"))) { ch =>
+      // sink keys on (id, v) only — it predates the evolution, the
+      // realistic mirror shape when a producer ALTERs under a consumer
+      rowsSunk.addAndGet(
+        ch.filter(col("_change_type") === "insert").count())
+      val ins = ch.filter(col("_change_type") === "insert")
+        .select(col("id"), col("v"))
+      val del = ch.filter(col("_change_type") === "delete")
+        .select("id").distinct()
+      val next = consumerStore.readIfExists("m") match {
+        case Some(m) => graft.store.Upsert.upsert(
+          Some(m.join(del, Seq("id"), "left_anti")), ins, Seq("id"))
+        case None => ins
+      }
+      consumerStore.overwrite("m", next)
+    }
+    def caughtUp(): Boolean =
+      EpochFollower.cursor(consumerStore, "t", "evo-mirror")
+        .contains(producer.snapshot().epoch)
+    try {
+      eventually()(caughtUp())
+      assert(consumerStore.read("m").count() === 16L)
+      val sunkBefore = rowsSunk.get()
+      // the producer ALTERs the table live: a column-adding upsert
+      // rewrites EVERY file; the running mirror must cross it and see
+      // only the logically-changed rows
+      producer.upsert("t",
+        Seq((3L, "V3-UPD", "en"), (200L, "NEW", "de")).toDF("id", "v", "lang"),
+        Seq("id"))
+      eventually()(caughtUp())
+      assert(handle.lastError === None,
+        s"mirror died crossing the evolution: ${handle.lastError}")
+      assert(rowsSunk.get() - sunkBefore === 2L,
+        "the ALTER-spanning window re-emitted carried rows")
+      val got = consumerStore.read("m")
+        .select(col("id").cast("long"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.contains((3L, "V3-UPD")) && got.contains((200L, "NEW")))
+      assert(got.size === 17)
+    } finally handle.stop()
+  }
+
   test("row-level form: the bridged mirror retracts deletes") {
     val root = freshRoot()
     val producer = new TableStore(spark, root)
