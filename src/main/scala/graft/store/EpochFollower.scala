@@ -145,6 +145,22 @@ object EpochFollower {
     * vacuum pinning; rewrite-only windows advance the cursor without
     * invoking the handler (the handler never sees an empty compaction
     * echo).
+    *
+    * A pending window MIXING rewrite commits with logical changes is
+    * CUT at the rewrite boundaries automatically (while the commit
+    * history is retained): each run of logical commits is delivered as
+    * its own exact batch, each rewrite-only segment advances the
+    * cursor with zero data I/O — so a poll that slept across
+    * `upsert → compact → upsert` reconciles the two upserts' diffs
+    * and never touches the compaction's rewritten files. This keeps
+    * CDC O(logical diff) unconditionally, where the single-window form
+    * would degrade to reconciling the rewritten table
+    * (readChangesSince's documented caveat). The handler fires once
+    * per logical segment; the cursor advances after EACH segment, so a
+    * crash mid-poll resumes at the segment boundary (same
+    * at-least-once contract). Returns the LAST segment's handler
+    * result. With vacuumed intermediate history the split is not
+    * computable and the call falls back to the single endpoint window.
     */
   def consumeChanges[T](
       store: TableStore, table: String, consumer: String, pk: Seq[String])(
@@ -153,18 +169,42 @@ object EpochFollower {
     cursor(store, table, consumer) match {
       case Some(from) if from >= to => None
       case Some(from) =>
-        // provably-unchanged window (rewrite-only commits, or commits
-        // touching other tables): advance without invoking the handler
-        // — zero data I/O, straight from the commit-op metadata
-        val unchanged = store.commitOps(table, from, to)
-          .exists(_.forall { case (_, op) => TableStore.RewriteOps(op) })
-        if (unchanged) {
-          advance(store, table, consumer, to)
-          None
-        } else {
-          val r = f(store.readChangesSince(table, from, to, pk))
-          advance(store, table, consumer, to)
-          Some((r, to))
+        store.commitOps(table, from, to) match {
+          case Some(ops) if ops.forall {
+              case (_, op) => TableStore.RewriteOps(op) } =>
+            // provably-unchanged window (rewrite-only commits, or
+            // commits touching other tables): advance without invoking
+            // the handler — zero data I/O, pure commit-op metadata
+            advance(store, table, consumer, to)
+            None
+          case Some(ops) =>
+            // cut the window at rewrite commits: bounds isolate each
+            // rewrite epoch (its segment short-circuits in
+            // readChangesSince's metadata fast path) so the logical
+            // segments' endpoint diffs never span a rewrite
+            val cuts = ops.collect {
+              case (e, op) if TableStore.RewriteOps(op) => Seq(e - 1, e)
+            }.flatten
+            val bounds = (from +: cuts.filter(e => e > from && e < to))
+              .:+(to).distinct.sorted
+            var last: Option[T] = None
+            bounds.sliding(2).foreach {
+              case Seq(a, b) =>
+                val segLogical = ops.exists { case (e, op) =>
+                  e > a && e <= b && !TableStore.RewriteOps(op) }
+                if (segLogical)
+                  last = Some(f(store.readChangesSince(table, a, b, pk)))
+                advance(store, table, consumer, b)
+              case _ => ()
+            }
+            last.map(r => (r, to))
+          case None =>
+            // vacuumed / partially-ungoverned history: the split is
+            // not computable — single endpoint window (readChangesSince
+            // degrades as documented, never lies)
+            val r = f(store.readChangesSince(table, from, to, pk))
+            advance(store, table, consumer, to)
+            Some((r, to))
         }
       case None =>
         if (store.readIfExists(table).isEmpty) None

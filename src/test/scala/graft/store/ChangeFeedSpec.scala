@@ -175,6 +175,54 @@ class ChangeFeedSpec extends SparkSpec {
     assert(fired === 2, "compaction echoed into the CDC mirror")
   }
 
+  test("a poll spanning upsert→compact→upsert splits at the rewrite: two exact batches, compaction outputs never read") {
+    val store = new TableStore(spark, freshRoot())
+    store.ensureBucketed("t", Seq("id"), 16)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    EpochFollower.consumeChanges(store, "t", "m", Seq("id"))(_.count())
+    val occupied = store.read("t")
+      .select(col("pk_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def bucketOf(pk: Long): Long = Seq(pk).toDF("pk")
+      .select(pmod(xxhash64(col("pk")), lit(16L))).head.getLong(0)
+
+    // pending while the consumer sleeps: a logical upsert, a routine
+    // compaction, and a second logical upsert (into a previously-empty
+    // bucket — an append-shaped diff)
+    store.upsert("t", Seq((3L, "V3-UPD")).toDF("id", "v"), Seq("id"))
+    val preCompact = store.read("t").inputFiles.toSet
+    store.compact("t")
+    val compactOutputs = store.read("t").inputFiles.toSet -- preCompact
+    assert(compactOutputs.nonEmpty)
+    val freshPk = (100L to 300L).find(p => !occupied.contains(bucketOf(p))).get
+    store.upsert("t", Seq((freshPk, "NEW")).toDF("id", "v"), Seq("id"))
+
+    // ONE poll: the window is cut at the rewrite — two exact batches,
+    // and the rewritten files are reconciled by NEITHER (the IO
+    // assertion: no batch's scan set touches the compaction's outputs)
+    var batches = Vector.empty[Set[(Long, String, String)]]
+    var readFiles = Set.empty[String]
+    val fed = EpochFollower.consumeChanges(store, "t", "m", Seq("id")) { ch =>
+      readFiles ++= ch.inputFiles.toSet
+      batches :+= changes(ch)
+    }
+    assert(fed.isDefined)
+    assert(batches === Vector(
+      Set((3L, "V3-UPD", "insert")),
+      Set((freshPk, "NEW", "insert"))),
+      "the mixed window must deliver each logical run as its own exact batch")
+    assert(readFiles.intersect(compactOutputs) === Set.empty,
+      s"CDC reconciled the compaction's rewritten files: " +
+        s"${readFiles.intersect(compactOutputs)}")
+    // cursor is current; nothing re-emits
+    assert(EpochFollower.cursor(store, "t", "m")
+      === Some(store.snapshot().epoch))
+    assert(EpochFollower.consumeChanges(store, "t", "m", Seq("id"))(changes)
+      .isEmpty)
+  }
+
   test("readChangesSince survives schema evolution: ALTER-shaped window, exactly-once") {
     val store = new TableStore(spark, freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)
