@@ -62,23 +62,39 @@ object DedupOps {
   // scored column into the same max_by). Same single map-side-partial
   // shuffle as keep-first — max_by aggregates without a window.
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
-    Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("n_chars"), fingerprint(col("text")).as("fp"))
-      .groupBy(col("fp"))
+    keepBestOf(Catalog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), fingerprint(col("text")).as("fp")))
+
+  /** The keeper aggregation over a pre-fingerprinted (doc_id, n_chars,
+    * fp) frame — one map-side-partial shuffle, no window. Exposed so
+    * the property spec can drive it over adversarial id domains.
+    */
+  private[queries] def keepBestOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("fp"))
       .agg(
-        // composite integer key (n_chars dominant, lowest doc_id on
-        // ties): arg_max needs ONE orderable key in both engines, and
-        // integers keep it bit-exact
+        // lexicographic struct key (n_chars dominant, lowest doc_id on
+        // ties): struct ordering is field-by-field, so quality
+        // dominance holds for ANY doc_id domain — an arithmetic
+        // packing (n_chars*1e8 − doc_id) silently let billion-scale
+        // ids flip the n_chars ordering
         max_by(col("doc_id"),
-          col("n_chars").cast("long") * lit(100000000L) - col("doc_id"))
+          struct(col("n_chars").cast("long").as("q"),
+            (-col("doc_id")).cast("long").as("tie")))
           .as("keeper"),
         max(col("n_chars")).as("keeper_chars"),
         count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  // DuckDB's arg_max has no struct key, so the oracle packs the same
+  // (n_chars, -doc_id) order into a 128-bit HUGEINT — n_chars*2^64 −
+  // doc_id cannot flip for ANY int64 doc_id, unlike the old 1e8
+  // packing. Deliberately a DIFFERENT exact formulation than Spark's
+  // struct max_by: independent derivations make the parity check a
+  // real oracle.
   val dedupKeepBestSql: String =
     s"""SELECT $fingerprintSql AS fp,
-       |  arg_max(doc_id, CAST(n_chars AS BIGINT) * 100000000 - doc_id) AS keeper,
+       |  arg_max(doc_id, CAST(n_chars AS HUGEINT)
+       |    * CAST('18446744073709551616' AS HUGEINT) - doc_id) AS keeper,
        |  MAX(n_chars) AS keeper_chars,
        |  COUNT(*) AS n_copies
        |FROM documents
