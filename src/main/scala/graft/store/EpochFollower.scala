@@ -78,10 +78,20 @@ object EpochFollower {
   }
 
   private def advance(
-      store: TableStore, table: String, consumer: String, epoch: Long): Unit = {
+      store: TableStore, table: String, consumer: String, epoch: Long): Unit =
+    advanceAll(store, Seq(table), consumer, epoch)
+
+  /** ONE swap upsert advancing every member table's cursor row — the
+    * cursor table is whole-table swap-maintained, so the advance is
+    * atomic across tables: a multi-table consumer can never observe
+    * (or leave behind) member cursors at different epochs.
+    */
+  private def advanceAll(
+      store: TableStore, tables: Seq[String], consumer: String,
+      epoch: Long): Unit = {
     import store.spark.implicits._
     store.upsert(CursorTable,
-      Seq((table, consumer, epoch)).toDF("table", "consumer", "epoch"),
+      tables.map(t => (t, consumer, epoch)).toDF("table", "consumer", "epoch"),
       Seq("table", "consumer"))
   }
 
@@ -214,6 +224,108 @@ object EpochFollower {
           advance(store, table, consumer, to)
           Some((r, to))
         }
+    }
+  }
+
+  /** TRANSACTIONALLY-CONSISTENT multi-table CDC: one consumer, one
+    * logical cursor over N tables, every batch a map of each table's
+    * row-level changes computed over the SAME epoch window. The epoch
+    * log is global, so two tables upserted in ONE `transact` land at
+    * one epoch and are delivered in the SAME batch — a mirror joining
+    * them can never serve a torn join, which per-table consumers
+    * permit (each advancing its own cursor at its own pace). The
+    * member cursors live as ordinary (table, consumer) rows advanced
+    * by ONE atomic swap upsert, so a crash "between tables" is
+    * impossible by construction, every member keeps its vacuum pin,
+    * and Doctor's lag advisories see each table.
+    *
+    * `pks` maps each member table to its logical key. First call
+    * registers and delivers each non-empty member in full (tables
+    * still empty are registered too — their first rows arrive as a
+    * later diff); all-empty stays unregistered. Windows mixing
+    * rewrites with logical changes are cut at the UNION of the
+    * members' rewrite boundaries (same O(logical diff) guarantee as
+    * [[consumeChanges]], same per-segment cursor advance); a member
+    * with no logical change in a segment is absent from that batch's
+    * map. Returns the LAST batch's handler result. If member cursors
+    * ever diverge (the same consumer name also used per-table — don't)
+    * the window starts at the MINIMUM: at-least-once redelivery for
+    * the ahead members, never a skip.
+    */
+  def consumeChangesMulti[T](
+      store: TableStore, pks: Seq[(String, Seq[String])], consumer: String)(
+      f: Map[String, DataFrame] => T): Option[(T, Long)] = {
+    require(pks.nonEmpty, "consumeChangesMulti needs at least one table")
+    val tables = pks.map(_._1)
+    val to = store.snapshot().epoch
+    val cur = cursors(store)
+    val registered = tables.flatMap(t => cur.get((t, consumer)))
+    if (registered.isEmpty) {
+      // registration: full delivery of every member that has data, one
+      // atomic cursor write for ALL members (including still-empty
+      // ones, so their first rows arrive as an ordinary diff)
+      val full = pks.flatMap { case (t, _) =>
+        if (store.readIfExists(t).isEmpty) None
+        else Some(t -> store.readEpoch(t, to)
+          .withColumn(store.ChangeTypeCol, lit("insert")))
+      }.toMap
+      if (full.isEmpty) None
+      else {
+        val r = f(full)
+        advanceAll(store, tables, consumer, to)
+        Some((r, to))
+      }
+    } else {
+      require(registered.size == tables.size,
+        s"consumer '$consumer' is registered on only " +
+          s"${registered.size} of ${tables.size} member tables — " +
+          "member sets must not change after registration")
+      val from = registered.min
+      if (from >= to) return None
+      val opsPer: Map[String, Option[Seq[(Long, String)]]] =
+        tables.map(t => t -> store.commitOps(t, from, to)).toMap
+      def logicalIn(t: String, a: Long, b: Long): Boolean =
+        opsPer(t) match {
+          case Some(ops) => ops.exists { case (e, op) =>
+            e > a && e <= b && !TableStore.RewriteOps(op) }
+          case None => true // unprovable: must deliver
+        }
+      if (tables.forall(t => opsPer(t).exists(_.forall {
+          case (_, op) => TableStore.RewriteOps(op) }))) {
+        advanceAll(store, tables, consumer, to)
+        None
+      } else if (opsPer.values.exists(_.isEmpty)) {
+        // some member's window is not walkable (vacuumed history):
+        // one consistent endpoint window for everyone
+        val frames = pks.flatMap { case (t, pk) =>
+          if (logicalIn(t, from, to))
+            Some(t -> store.readChangesSince(t, from, to, pk))
+          else None
+        }.toMap
+        val r = f(frames)
+        advanceAll(store, tables, consumer, to)
+        Some((r, to))
+      } else {
+        // cut at the UNION of the members' rewrite boundaries
+        val cuts = opsPer.values.flatMap(_.get).collect {
+          case (e, op) if TableStore.RewriteOps(op) => Seq(e - 1, e)
+        }.flatten.toSeq
+        val bounds = (from +: cuts.filter(e => e > from && e < to))
+          .:+(to).distinct.sorted
+        var last: Option[T] = None
+        bounds.sliding(2).foreach {
+          case Seq(a, b) =>
+            val seg = pks.flatMap { case (t, pk) =>
+              if (logicalIn(t, a, b))
+                Some(t -> store.readChangesSince(t, a, b, pk))
+              else None
+            }.toMap
+            if (seg.nonEmpty) last = Some(f(seg))
+            advanceAll(store, tables, consumer, b)
+          case _ => ()
+        }
+        last.map(r => (r, to))
+      }
     }
   }
 }
