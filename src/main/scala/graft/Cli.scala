@@ -83,8 +83,13 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         maintained streaming
   *                                         centroid quality model
   *   hh-top <store> <table> [n]            streaming heavy-hitter counters
-  *   doctor <store> [--suggest] [--repair] index integrity checks;
+  *   doctor <store> [--suggest [--retention <ms>]] [--repair]
+  *                                         index integrity checks;
   *                                         --suggest adds maintenance
+  *                                         (--retention <ms> predicts
+  *                                         whether vacuumEpochs(ms)
+  *                                         breaks a consumer's
+  *                                         rewrite-skipping window)
   *                                         advice (fragmented tables
   *                                         + the compact command that
   *                                         clears them); --repair
@@ -825,7 +830,12 @@ object Cli {
         else issues.foreach(i =>
           println(s"[doctor] ${i.component}/${i.table}: ${i.problem}"))
         if (args.contains("--suggest")) {
-          val sug = graft.store.Doctor.suggest(store)
+          // --retention <ms>: also predict whether vacuumEpochs(ms)
+          // would cost a lagging consumer its rewrite-skipping window
+          val planned = args.sliding(2).collectFirst {
+            case Array("--retention", ms) => ms.toLong }
+          val sug = graft.store.Doctor.suggest(store,
+            vacuumMinAgeMs = planned)
           if (sug.isEmpty) println("[doctor] no maintenance suggested")
           else sug.foreach(s =>
             println(s"[doctor] suggest/${s.table}: ${s.problem}"))

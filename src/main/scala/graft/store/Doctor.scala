@@ -132,7 +132,8 @@ object Doctor {
     * when the suggested compact would actually reduce the file count.
     */
   def suggest(
-      store: TableStore, targetBytes: Long = 128L << 20): Seq[Issue] =
+      store: TableStore, targetBytes: Long = 128L << 20,
+      vacuumMinAgeMs: Option[Long] = None): Seq[Issue] =
     store.tableNames.flatMap { t =>
       val (files, bytes) = store.fileStats(t)
       val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
@@ -149,7 +150,8 @@ object Doctor {
           s"$files files for $bytes bytes (packed floor ≈ $floor): " +
             s"small-file fragmentation — run `$verb`"))
       } else None
-    } ++ centroidDrift(store) ++ epochGarbage(store) ++ consumerLag(store)
+    } ++ centroidDrift(store) ++ epochGarbage(store) ++ consumerLag(store) ++
+      vacuumMinAgeMs.toSeq.flatMap(vacuumHorizon(store, _))
 
   /** Incremental-consumer lag advisories: a registered cursor is a
     * vacuum root, so a consumer that stops consuming pins every epoch
@@ -179,6 +181,50 @@ object Doctor {
               "commits and may redeliver compacted files; consume sooner " +
               "or widen the vacuum retention window past consumer lag"))
         else None
+    }
+  }
+
+  /** PREDICTIVE vacuum-horizon check: would `vacuumEpochs(planned)`
+    * run NOW cost a lagging consumer its rewrite-skipping? The
+    * rewrite-aware incremental walk needs every intermediate commit in
+    * (cursor, head) retained; vacuum retains a commit only while its
+    * successor's mtime is inside the retention window (or a tag /
+    * cursor pins it directly). The existing consumer-lag advisory
+    * fires AFTER the fallback is already in force — this one names the
+    * consumers a planned retention would break, counts the commits at
+    * risk, and reports the minAgeMs that would be safe — retention
+    * sizing stops being an operator guess.
+    */
+  private def vacuumHorizon(
+      store: TableStore, plannedMinAgeMs: Long): Seq[Issue] = {
+    val commits = store.commitMtimes()
+    if (commits.size < 3) return Seq.empty
+    val head = commits.last._1
+    val pinned = store.tags().values.toSet ++
+      EpochFollower.cursors(store).values.toSet
+    val now = System.currentTimeMillis()
+    val cutoff = now - plannedMinAgeMs
+    EpochFollower.cursors(store).toSeq.sortBy(_._1).flatMap {
+      case ((table, consumer), epoch) =>
+        // the walk needs every commit in (cursor, head); commit i
+        // survives vacuum while its SUCCESSOR is younger than the
+        // cutoff, it is the latest, or a pin holds it directly
+        val atRisk = commits.zipWithIndex.collect {
+          case ((e, _), i) if e > epoch && e < head && !pinned(e) &&
+            commits(i + 1)._2 <= cutoff => (e, commits(i + 1)._2)
+        }
+        if (atRisk.isEmpty) None
+        else {
+          val safeMs = now - atRisk.map(_._2).min + 1
+          Some(Issue("vacuum-horizon", table,
+            s"consumer '$consumer' (cursor $epoch, head $head) would " +
+              s"lose rewrite-skipping: vacuumEpochs($plannedMinAgeMs) " +
+              s"drops ${atRisk.size} intermediate commit(s) from its " +
+              s"catch-up window, so its next consume degrades to the " +
+              s"coarse endpoint diff and a compaction in the gap " +
+              s"redelivers the table — use minAgeMs >= $safeMs, or " +
+              s"consume/drop the consumer first"))
+        }
     }
   }
 

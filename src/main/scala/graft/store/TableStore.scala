@@ -1418,6 +1418,16 @@ class TableStore(val spark: SparkSession, root: String) {
         p.getName.stripPrefix("commit-").toLong).toOption.map(_ -> p))
       .sortBy(_._1)
 
+  /** Retained commits with their file mtimes, epoch-ascending — the
+    * inputs of [[vacuumEpochs]]' retention decision, exposed so Doctor
+    * can PREDICT which intermediate commits a planned vacuum would
+    * drop (the rewrite-skipping horizon check) instead of only
+    * reporting the loss after the fact.
+    */
+  private[store] def commitMtimes(): Seq[(Long, Long)] =
+    listCommits().map { case (e, p) =>
+      (e, fs.getFileStatus(p).getModificationTime) }
+
   // entry filenames carry a per-store random tag so two OCC writers
   // staging the SAME table at the same epoch can never overwrite each
   // other's immutable log entries before the pointer flip arbitrates

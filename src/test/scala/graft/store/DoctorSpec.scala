@@ -388,4 +388,48 @@ class DoctorSpec extends SparkSpec {
     // idempotent: a repaired store has nothing to repair
     assert(Doctor.repair(store) === Seq.empty)
   }
+
+  test("vacuum-horizon: lagging consumer + short retention is flagged with the safe window") {
+    val store = freshStore()
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    // register the consumer, then let it fall behind across logical
+    // commits AND a compaction (the rewrite whose skipping is at stake)
+    EpochFollower.consumeChanges(store, "t", "lagger", Seq("id"))(_.count())
+    val cursorAt = EpochFollower.cursor(store, "t", "lagger").get
+    store.upsert("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    store.compact("t")
+    store.upsert("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+
+    // a generous planned retention: silent — nothing in the window is
+    // old enough for that vacuum to touch
+    assert(Doctor.suggest(store, vacuumMinAgeMs = Some(3600L * 1000))
+      .filter(_.component == "vacuum-horizon") === Seq.empty)
+
+    // an aggressive retention: the consumer is named, with the count
+    // of commits at risk and the minAgeMs that would be safe
+    val warn = Doctor.suggest(store, vacuumMinAgeMs = Some(0L))
+      .filter(_.component == "vacuum-horizon")
+    assert(warn.size === 1)
+    assert(warn.head.table === "t")
+    assert(warn.head.problem.contains("'lagger'"))
+    assert(warn.head.problem.contains("use minAgeMs >= "))
+    val safeMs = "minAgeMs >= (\\d+)".r.findFirstMatchIn(warn.head.problem)
+      .get.group(1).toLong
+
+    // the recommendation is REAL both ways: vacuuming with the safe
+    // window (plus scheduling slack) keeps the walk intact…
+    store.vacuumEpochs(safeMs + 60000L)
+    assert(store.commitOps("t", cursorAt, store.snapshot().epoch).isDefined,
+      "the recommended retention still lost the window")
+    // …and ignoring the warning loses rewrite-skipping exactly as said
+    store.vacuumEpochs(0L)
+    assert(store.commitOps("t", cursorAt, store.snapshot().epoch).isEmpty,
+      "vacuum(0) was expected to break the walk — the warning would be noise")
+
+    // healthy setup: a caught-up consumer is silent even at retention 0
+    EpochFollower.consumeChanges(store, "t", "lagger", Seq("id"))(_.count())
+    assert(Doctor.suggest(store, vacuumMinAgeMs = Some(0L))
+      .filter(_.component == "vacuum-horizon") === Seq.empty)
+  }
 }
