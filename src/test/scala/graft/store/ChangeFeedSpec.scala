@@ -23,8 +23,14 @@ import graft.SparkSpec
   *    writer lock provides (`/root/reference/utils.py` writes through
   *    one connection), bounded and loud past the bound.
   */
-class ChangeFeedSpec extends SparkSpec {
+abstract class ChangeFeedBehavior extends SparkSpec {
   import spark.implicits._
+
+  /** Overridden by the S3-seam twin suite: the whole CDC/OCC matrix
+    * runs over BOTH pointer-seam implementations.
+    */
+  protected def mkStore(root: String): TableStore =
+    new TableStore(spark, root)
 
   private def freshRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-cdc").toString
@@ -38,7 +44,7 @@ class ChangeFeedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
   test("the commit log records WHY each table changed (op types)") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)
     store.ensureGoverned(Seq("t"))
     store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
@@ -55,7 +61,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("a compaction delivers NOTHING to incremental consumers; an upsert its batch") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)
     store.ensureGoverned(Seq("t"))
     store.upsert("t", (0 until 64).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
@@ -100,7 +106,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("readChangesSince: inserts carry new images, deletes last images, carried rows nothing") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureGoverned(Seq("t"))
     store.upsert("t", (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
       Seq("id"))
@@ -127,7 +133,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("CDC mirror: consumeChanges retracts deleted rows — no ghosts") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("docs", Seq("id"), 4)
     store.ensureGoverned(Seq("docs"))
     store.upsert("docs",
@@ -176,7 +182,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("a poll spanning upsert→compact→upsert splits at the rewrite: two exact batches, compaction outputs never read") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 16)
     store.ensureGoverned(Seq("t"))
     store.upsert("t", (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
@@ -224,7 +230,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("readChangesSince survives schema evolution: ALTER-shaped window, exactly-once") {
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)
     store.ensureGoverned(Seq("t"))
     store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
@@ -276,7 +282,7 @@ class ChangeFeedSpec extends SparkSpec {
     // (new image), deletes = pks present at `from` and gone at `to`,
     // carried rows (and everything a compaction moved) = NOTHING.
     val rnd = new scala.util.Random(23)
-    val store = new TableStore(spark, freshRoot())
+    val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)
     store.ensureGoverned(Seq("t"))
     val model = scala.collection.mutable.Map[Long, String]()
@@ -329,10 +335,10 @@ class ChangeFeedSpec extends SparkSpec {
 
   test("transactWithRetry converges a same-table two-writer race") {
     val root = freshRoot()
-    val a = new TableStore(spark, root)
+    val a = mkStore(root)
     a.ensureGoverned(Seq("t"))
     a.transact { a.upsert("t", Seq((1L, "base")).toDF("id", "v"), Seq("id")) }
-    val b = new TableStore(spark, root)
+    val b = mkStore(root)
     // writer B lands a SAME-TABLE commit inside A's window: A's flip
     // collides with an overlap — un-retried this aborts (the r10 spec);
     // with retry the batch re-executes against B's base and BOTH land
@@ -343,11 +349,11 @@ class ChangeFeedSpec extends SparkSpec {
     try a.transactWithRetry(3) {
       a.upsert("t", Seq((3L, "from-a")).toDF("id", "v"), Seq("id"))
     } finally a.beforeCommitFlip = () => ()
-    assert(rows(new TableStore(spark, root).read("t")) ===
+    assert(rows(mkStore(root).read("t")) ===
       Set((1L, "base"), (2L, "from-b"), (3L, "from-a")))
 
     // bounded: attempts exhausted → the overlap propagates loudly
-    val c = new TableStore(spark, root)
+    val c = mkStore(root)
     c.beforeCommitFlip = () => {
       c.beforeCommitFlip = () => ()
       b.transact { b.upsert("t", Seq((4L, "b2")).toDF("id", "v"), Seq("id")) }
@@ -361,7 +367,19 @@ class ChangeFeedSpec extends SparkSpec {
     assert(boom.getMessage.contains("t"))
     // the winner's commit stands; the loser's staged leftovers are
     // invisible and vacuumable
-    assert(rows(new TableStore(spark, root).read("t")).contains((4L, "b2")))
-    assert(!rows(new TableStore(spark, root).read("t")).contains((5L, "c1")))
+    assert(rows(mkStore(root).read("t")).contains((4L, "b2")))
+    assert(!rows(mkStore(root).read("t")).contains((5L, "c1")))
   }
+}
+
+/** The matrix over the default POSIX-rename pointer seam. */
+class ChangeFeedSpec extends ChangeFeedBehavior
+
+/** The SAME matrix over the simulated S3 conditional-put seam
+  * (transient 500 + duplicated request on every flip) — incl. the
+  * two-writer transactWithRetry race.
+  */
+class ChangeFeedS3Spec extends ChangeFeedBehavior {
+  override protected def mkStore(root: String): TableStore =
+    S3SeamStore.flaky(spark, root)
 }

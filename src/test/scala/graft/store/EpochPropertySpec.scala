@@ -13,8 +13,12 @@ import graft.SparkSpec
   * the model (all-or-nothing per transaction), and crashes must never
   * lose, tear, or duplicate state.
   */
-class EpochPropertySpec extends SparkSpec {
+abstract class EpochPropertyBehavior extends SparkSpec {
   import spark.implicits._
+
+  /** Overridden by the S3-seam twin suite (see SnapshotOccS3Spec). */
+  protected def mkStore(root: String): TableStore =
+    new TableStore(spark, root)
 
   private val tables = Seq("ta", "tb", "tc")
 
@@ -22,8 +26,8 @@ class EpochPropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(20260814)
     (1 to 3).foreach { round =>
       val root = java.nio.file.Files.createTempDirectory("graft-eprop").toString
-      val store = new TableStore(spark, root)
-      val reader = new TableStore(spark, root)
+      val store = mkStore(root)
+      val reader = mkStore(root)
       // one table starts bucketed (the O(touched) path), rest flat
       store.ensureBucketed("ta", Seq("id"), 4)
       store.ensureGoverned(tables)
@@ -149,9 +153,9 @@ class EpochPropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(20260815)
     (1 to 2).foreach { round =>
       val root = java.nio.file.Files.createTempDirectory("graft-eprop2").toString
-      val a = new TableStore(spark, root)
-      val b = new TableStore(spark, root)
-      val reader = new TableStore(spark, root)
+      val a = mkStore(root)
+      val b = mkStore(root)
+      val reader = mkStore(root)
       a.ensureGoverned(tables)
       val model = scala.collection.mutable.Map(
         tables.map(_ -> scala.collection.mutable.Map.empty[Long, String]): _*)
@@ -222,4 +226,15 @@ class EpochPropertySpec extends SparkSpec {
         s"round $round left integrity issues")
     }
   }
+}
+
+/** The property matrix over the default POSIX-rename pointer seam. */
+class EpochPropertySpec extends EpochPropertyBehavior
+
+/** The SAME property matrix over the simulated S3 conditional-put
+  * seam (transient 500 + duplicated request on every flip).
+  */
+class EpochPropertyS3Spec extends EpochPropertyBehavior {
+  override protected def mkStore(root: String): TableStore =
+    S3SeamStore.flaky(spark, root)
 }

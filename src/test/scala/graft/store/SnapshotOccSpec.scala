@@ -26,8 +26,15 @@ import graft.SparkSpec
   *    no retained commit reaches, so a long-lived writer's driver
   *    memory is O(live entries), not O(commits ever made).
   */
-class SnapshotOccSpec extends SparkSpec {
+abstract class SnapshotOccBehavior extends SparkSpec {
   import spark.implicits._
+
+  /** The store under test — overridden by the S3-seam twin suite, so
+    * the whole OCC/crash matrix runs against BOTH pointer-seam
+    * implementations (POSIX rename and simulated conditional put).
+    */
+  protected def mkStore(root: String): TableStore =
+    new TableStore(spark, root)
 
   private def freshRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-snap").toString
@@ -37,7 +44,7 @@ class SnapshotOccSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
   private def governedPair(root: String): TableStore = {
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     store.ensureGoverned(Seq("tweets", "users"))
     store.transact {
       store.upsert("tweets", Seq((10L, "t-old")).toDF("id", "v"), Seq("id"))
@@ -71,7 +78,7 @@ class SnapshotOccSpec extends SparkSpec {
   test("withSnapshot: plain store.read serves one epoch across a concurrent flip") {
     val root = freshRoot()
     val store = governedPair(root)
-    val writer = new TableStore(spark, root)
+    val writer = mkStore(root)
     val (tweets, users) = store.withSnapshot {
       val t = store.read("tweets")
       writer.transact {
@@ -126,13 +133,13 @@ class SnapshotOccSpec extends SparkSpec {
 
   test("OCC: disjoint concurrent commits rebase; both land; overlap aborts loudly") {
     val root = freshRoot()
-    val a = new TableStore(spark, root)
+    val a = mkStore(root)
     a.ensureGoverned(Seq("ta", "tb"))
     a.transact {
       a.upsert("ta", Seq((1L, "a0")).toDF("id", "v"), Seq("id"))
       a.upsert("tb", Seq((1L, "b0")).toDF("id", "v"), Seq("id"))
     }
-    val b = new TableStore(spark, root)
+    val b = mkStore(root)
     // writer B commits table tb INSIDE writer A's commit window (after
     // A staged ta, before A's pointer flip) — A's first flip attempt
     // collides and must rebase onto B's commit
@@ -147,13 +154,13 @@ class SnapshotOccSpec extends SparkSpec {
     } finally a.beforeCommitFlip = () => ()
     // BOTH writers' rows are visible from a fresh reader — no lost
     // update on either side of the race
-    val reader = new TableStore(spark, root)
+    val reader = mkStore(root)
     assert(rows(reader.read("ta")) === Set((1L, "a0"), (2L, "a1")))
     assert(rows(reader.read("tb")) === Set((1L, "b0"), (2L, "b1")))
 
     // overlap: both writers stage the SAME table — the loser must
     // abort (merging divergent file lists would be a lost update)
-    val c = new TableStore(spark, root)
+    val c = mkStore(root)
     reader.beforeCommitFlip = () => {
       reader.beforeCommitFlip = () => ()
       c.transact {
@@ -168,7 +175,7 @@ class SnapshotOccSpec extends SparkSpec {
       } finally reader.beforeCommitFlip = () => ()
     assert(boom.getMessage.contains("ta"))
     // the winner's commit stands untouched
-    assert(rows(new TableStore(spark, root).read("ta")) ===
+    assert(rows(mkStore(root).read("ta")) ===
       Set((1L, "a0"), (2L, "a1"), (3L, "a2-c")))
   }
 
@@ -179,7 +186,7 @@ class SnapshotOccSpec extends SparkSpec {
     // keep both properties: the rebased commit resolves correctly AND
     // untouched buckets' files carried by reference.
     val root = freshRoot()
-    val a = new TableStore(spark, root)
+    val a = mkStore(root)
     a.ensureBucketed("big", Seq("id"), 8)
     a.ensureGoverned(Seq("big", "other"))
     a.transact {
@@ -188,7 +195,7 @@ class SnapshotOccSpec extends SparkSpec {
       a.upsert("other", Seq((1L, "o0")).toDF("id", "v"), Seq("id"))
     }
     val filesBefore = a.dataFiles("big").toSet
-    val b = new TableStore(spark, root)
+    val b = mkStore(root)
     a.beforeCommitFlip = () => {
       a.beforeCommitFlip = () => ()
       b.transact {
@@ -198,7 +205,7 @@ class SnapshotOccSpec extends SparkSpec {
     try a.transact {
       a.upsert("big", Seq((3L, "UPD")).toDF("id", "v"), Seq("id"))
     } finally a.beforeCommitFlip = () => ()
-    val reader = new TableStore(spark, root)
+    val reader = mkStore(root)
     // both writers' rows visible; the race lost nothing
     assert(reader.read("big").count() === 64L)
     assert(rows(reader.read("other")) === Set((1L, "o0"), (2L, "o1")))
@@ -241,11 +248,11 @@ class SnapshotOccSpec extends SparkSpec {
 
   test("a pinned reader never trusts — or heals backwards — a newer epoch's manifest") {
     val root = freshRoot()
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     store.overwrite("p", Seq((1L, "old")).toDF("id", "v"))
     store.refreshFileStats("p")
     store.ensureGoverned(Seq("p"))
-    val writer = new TableStore(spark, root)
+    val writer = mkStore(root)
     store.withSnapshot {
       // concurrent commit + its step-4 manifest refresh: the manifest
       // now describes epoch N+1 while this scope is pinned to N
@@ -263,7 +270,7 @@ class SnapshotOccSpec extends SparkSpec {
     // the pinned reader wrote NOTHING: the manifest still describes
     // the new epoch (a backwards heal would corrupt every un-pinned
     // reader until their own cross-check re-healed it forward)
-    val reader = new TableStore(spark, root)
+    val reader = mkStore(root)
     val newRels = reader.dataFiles("p").map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val manifestFiles = spark.read.parquet(s"$root/p/_graft_stats")
       .filter(col("col") === "").select("file")
@@ -278,7 +285,7 @@ class SnapshotOccSpec extends SparkSpec {
 
   test("incremental scan: readAddedSince reads only the files added between epochs") {
     val root = freshRoot()
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     // bucketed so a later upsert touches ONE bucket and the diff can
     // prove it scanned only the changed files, not the table
     store.ensureBucketed("inc", Seq("id"), 4)
@@ -367,14 +374,14 @@ class SnapshotOccSpec extends SparkSpec {
     // the second upsert merged against nothing and silently dropped
     // the first write's rows
     val root = freshRoot()
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     store.ensureGoverned(Seq("fresh"))
     store.transact {
       store.upsert("fresh", Seq((1L, "first")).toDF("id", "v"), Seq("id"))
       store.upsert("fresh", Seq((2L, "second")).toDF("id", "v"), Seq("id"))
     }
     assert(rows(store.read("fresh")) === Set((1L, "first"), (2L, "second")))
-    assert(rows(new TableStore(spark, root).read("fresh")) ===
+    assert(rows(mkStore(root).read("fresh")) ===
       Set((1L, "first"), (2L, "second")))
   }
 
@@ -385,7 +392,7 @@ class SnapshotOccSpec extends SparkSpec {
     // that disagree with read(). The read path now cross-checks
     // presence rows against the live set and refreshes on mismatch.
     val root = freshRoot()
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     store.overwrite("m", Seq((1L, "old")).toDF("id", "v"))
     store.refreshFileStats("m")
     store.ensureGoverned(Seq("m"))
@@ -397,11 +404,24 @@ class SnapshotOccSpec extends SparkSpec {
     } finally store.afterCommitFlip = () => ()
     // fresh process over the crashed store: the commit LANDED (flip
     // precedes the crash), so every read form must serve the new epoch
-    val reader = new TableStore(spark, root)
+    val reader = mkStore(root)
     assert(rows(reader.read("m")) === Set((2L, "new")))
     val pruned = reader.readPruned("m", Seq(("id", 0L, 100L)))
     assert(rows(pruned) === Set((2L, "new")),
       "manifest-driven scan served the pre-flip epoch")
     assert(reader.estimateRows("m") === Some(1L))
   }
+}
+
+/** The matrix over the default POSIX-rename pointer seam. */
+class SnapshotOccSpec extends SnapshotOccBehavior
+
+/** The SAME matrix over the simulated S3 conditional-put seam, with
+  * every flip crossing a transient 500 and a duplicated request —
+  * proving the one protected method is genuinely the only thing an
+  * object-store deployment overrides.
+  */
+class SnapshotOccS3Spec extends SnapshotOccBehavior {
+  override protected def mkStore(root: String): TableStore =
+    S3SeamStore.flaky(spark, root)
 }
