@@ -39,6 +39,8 @@ object Prof {
         edges.select("doc_a", "doc_b")))
     time("cell-local union-find cc")(
       queries.SimilarityOps.cellComponents(edges))
+    queries.SimilarityOps.lastCcPeak.foreach(p =>
+      println(s"[prof] cc peak task vertices        ${p.value}"))
     time("full q_semantic_dedup")(
       queries.SimilarityOps.semanticDedup(spark, sfDir))
     spark.stop()

@@ -1420,15 +1420,19 @@ object SimilarityOps {
     *
     * Scale: per-task state is the cell's VERTEX set (not its edges —
     * the iterator streams), so memory is bounded by the largest cell,
-    * the same bound the in-cell pair expansion already imposes; a
-    * degenerate giant cell should be split at clustering time (more
-    * centroids), which fixes the quadratic pair step too — falling
-    * back to the iterative [[DedupOps.connectedComponents]] merely
-    * trades driver rounds for the same skew.
+    * the same bound the in-cell pair expansion already imposes — and
+    * since round 12 that bound is enforced WITHOUT operator tuning:
+    * [[autoSplitCells]] refines any cell past `defaultMaxCellSize`
+    * before pairs are ever generated, so a skewed corpus cannot hand
+    * this stage (or PairExpansion) a degenerate giant cell. The
+    * per-task vertex peak is observable through [[lastCcPeak]].
     */
   private[graft] def cellComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val peak = new MaxAcc
+    spark.sparkContext.register(peak, "graft.cc.peakVertices")
+    lastCcPeak = Some(peak)
     edges
       .select(col("cell").cast("long"), col("doc_a").cast("long"),
         col("doc_b").cast("long"))
@@ -1452,38 +1456,82 @@ object SimilarityOps {
           if (ra < rb) parent(rb) = ra
           else if (rb < ra) parent(ra) = rb
         }
+        peak.add(parent.size.toLong)
         parent.keysIterator.map(k => (k, find(k))).toSeq
       }
       .toDF("doc_id", "cluster")
   }
+
+  /** Max-of-task-values accumulator (Spark ships sum/list only). */
+  private[graft] class MaxAcc
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var m = 0L
+    override def isZero: Boolean = m == 0L
+    override def copy(): MaxAcc = { val c = new MaxAcc; c.m = m; c }
+    override def reset(): Unit = m = 0L
+    override def add(v: Long): Unit = m = math.max(m, v)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      m = math.max(m, o.value)
+    override def value: Long = m
+  }
+
+  /** Observability hook (Prof + specs): the max vertex-set size any
+    * single task held during the most recent [[cellComponents]]
+    * ACTION — the giant-cell memory bound, measured, not asserted.
+    * Driver-side, last-call-wins; test/profiling use only.
+    */
+  private[graft] var lastCcPeak: Option[MaxAcc] = None
 
   /** The verified in-cell cosine edge set semanticDedup clusters,
     * with the cell id each edge lives in (columns doc_a, doc_b, cell)
     * — graft-visible so profiling harnesses can time CC variants on
     * the real edge distribution.
     */
-  private[graft] def semanticEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def semanticEdges(spark: SparkSession, sfDir: String): DataFrame =
+    semanticEdgesOf(Catalog.table(spark, sfDir, "embeddings"),
+      defaultMaxCellSize)
+
+  /** Largest vertex set one cell may hold before [[autoSplitCells]]
+    * refines it. 4096 keeps the quadratic in-cell pair step ≤ ~8M
+    * candidate pairs per cell and the union-find task ≤ 4096 parents —
+    * comfortably inside one executor task at any corpus size. Far
+    * above every cell the driver's SFs produce (≤2000 vectors total),
+    * so oracle semantics are untouched at verification scale.
+    */
+  private[graft] val defaultMaxCellSize = 4096
+
+  /** [[semanticEdges]] over an arbitrary (vec_id, embedding) frame
+    * with an explicit giant-cell bound — the spec drives skewed
+    * synthetic corpora through the exact production plan.
+    */
+  private[graft] def semanticEdgesOf(
+      embRaw: DataFrame, maxCellSize: Int): DataFrame = {
+    val spark = embRaw.sparkSession
     import graft.store.Iteration.materialize
     // emb feeds only the (broadcast-sized) cents filter and the one
     // assignment pass that `assigned` pins — recomputing the narrow
     // projection twice is cheaper than an extra eager checkpoint job
-    val emb = Catalog.table(spark, sfDir, "embeddings")
+    val emb = embRaw
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
         col("norm").as("cent_norm"))
     // every vector (seeds included — they are corpus members) to its
-    // nearest cell: broadcast cents, max_by partial agg
-    val assigned = materialize(emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("norm"), col("cent_id"),
-        (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
-          .as("_cs"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("e"), col("norm"), col("cent_id").as("cell")),
-        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
-      .select(col("vec_id"), col("_best.e").as("e"),
-        col("_best.norm").as("norm"), col("_best.cell").as("cell")))
+    // nearest cell: broadcast cents, max_by partial agg; then refine
+    // any degenerate giant cell so the pair step stays bounded
+    val assigned = autoSplitCells(
+      materialize(emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("norm"), col("cent_id"),
+          (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+            .as("_cs"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("e"), col("norm"), col("cent_id").as("cell")),
+          struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+        .select(col("vec_id"), col("_best.e").as("e"),
+          col("_best.norm").as("norm"), col("_best.cell").as("cell"))),
+      maxCellSize)
     // in-cell pairs, ids only through the grid; vectors join back onto
     // the (small) pair set for the exact-cosine edge filter
     val edges = graft.store.PairExpansion.pairsWithinBuckets(
@@ -1499,6 +1547,71 @@ object SimilarityOps {
         >= semThreshold)
       .select(col("doc_a"), col("doc_b"), col("cell"))
     edges
+  }
+
+  /** GIANT-CELL AUTO-SPLIT: recursively re-cluster any cell whose
+    * vertex count exceeds `maxCellSize`, using the same deterministic
+    * machinery as the top level — sub-seeds are the `subK` smallest
+    * member vec_ids (the engine's seed convention), assignment is one
+    * broadcast-cosine max_by pass. Skew stops being an operator
+    * judgment ("use more centroids"): both the quadratic in-cell pair
+    * expansion and the per-cell union-find stay bounded by
+    * `maxCellSize` automatically, at any corpus shape.
+    *
+    * Mechanics per round (≤ `maxRounds`, each a bounded job):
+    * oversized cells come from a count aggregate (driver list ≤ cell
+    * count — metadata-scale); sub-seed selection is a
+    * `row_number ≤ subK` window, which InferWindowGroupLimit rewrites
+    * into a per-partition top-k (no full sort of the giant cell, the
+    * same bounded pattern [[topkPerQuery]] documents); refined cell
+    * ids are `-(seed vec_id) - 1` — globally unique because a vector
+    * seeds at most the one cell it belongs to, and negative so they
+    * never collide with top-level centroid ids. Vectors whose cosine
+    * ties across sub-seeds break deterministically (largest sub_cell
+    * id = smallest seed id). A cell of IDENTICAL vectors cannot be
+    * split by any clustering — rounds stop making progress and the cap
+    * leaves it intact (its pairs are genuinely quadratic; that is the
+    * data, not skew).
+    */
+  private[graft] def autoSplitCells(
+      assigned: DataFrame, maxCellSize: Int,
+      subK: Int = 8, maxRounds: Int = 8): DataFrame = {
+    import graft.store.Iteration.materialize
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    var cur = assigned
+    var round = 0
+    var doneSplitting = false
+    while (round < maxRounds && !doneSplitting) {
+      val oversized = cur.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCellSize)
+        .select(col("cell").cast("long")).as[Long].collect().toSeq
+      if (oversized.isEmpty) doneSplitting = true
+      else {
+        val over = cur.filter(col("cell").isin(oversized: _*))
+        val keep = cur.filter(!col("cell").isin(oversized: _*))
+        val w = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+        val subCents = over
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= subK)
+          .select(col("cell"), (-col("vec_id") - lit(1L)).as("sub_cell"),
+            col("e").as("cent_e"), col("norm").as("cent_norm"))
+        val reassigned = over.join(broadcast(subCents), Seq("cell"))
+          .select(col("vec_id"), col("e"), col("norm"), col("sub_cell"),
+            (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+              .as("_cs"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("e"), col("norm"), col("sub_cell").as("cell")),
+            struct(col("_cs"), col("sub_cell").as("_tie"))).as("_best"))
+          .select(col("vec_id"), col("_best.e").as("e"),
+            col("_best.norm").as("norm"), col("_best.cell").as("cell"))
+        cur = materialize(keep.unionByName(reassigned))
+      }
+      round += 1
+    }
+    cur
   }
 
   val semanticDedupSql: String =
