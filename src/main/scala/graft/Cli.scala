@@ -153,6 +153,12 @@ import graft.store.{Fts, Ivf, IvfPq, Lsh, Pq, SqliteCompat, TableStore}
   *                                         table's content
   *                                         fingerprint (the dataset-
   *                                         release one-liner)
+  *   build-corpus <store> <sfDir> <name> [budget]
+  *                                         the COMPOSED corpus build:
+  *                                         scrub → keep-best dedup →
+  *                                         decontaminate → token-
+  *                                         budget mixture → governed
+  *                                         write → tag + fingerprint
   *   tables <store>                        list tables + counts
   *   show <store> <table> [n]              rows (sqlite-compat form)
   *
@@ -736,6 +742,28 @@ object Cli {
         // pointers survive any retention window) until drop-tag
         val e = store.tagEpoch(args(2), args.lift(3).map(_.toLong))
         println(s"[tag] ${args(2)} -> epoch $e")
+      case "build-corpus" =>
+        // build-corpus <store> <sfDir> <name> [budgetTokens] — the
+        // composed corpus build in ONE command: scrub (typed PII
+        // masking) → keep-best exact dedup → train split + 8-gram
+        // decontamination → per-source token-budget mixture, written
+        // as the governed `corpus_release` table in one transaction,
+        // then tagged and fingerprinted. readTag("corpus_release",
+        // <name>) re-serves those exact bytes through any vacuum
+        // policy — a reproducible training-data release.
+        val (sfDir, name) = (args(2), args(3))
+        val budget = args.lift(4).map(_.toLong)
+          .getOrElse(graft.queries.PipelineOps.defaultReleaseBudget)
+        val docs = graft.queries.Catalog.table(spark, sfDir, "documents")
+        val (census, mixture) = graft.queries.PipelineOps.releaseFrames(
+          spark, docs, budget, Integer.toHexString((sfDir + name).hashCode))
+        store.ensureGoverned(Seq("corpus_release"))
+        store.transact { store.overwrite("corpus_release", mixture) }
+        census.collect().foreach(r =>
+          println(f"[build-corpus] ${r.getString(0)}%-18s ${r.getLong(1)}"))
+        val e = store.tagEpoch(name)
+        val (n, h) = store.contentFingerprint("corpus_release")
+        println(f"[build-corpus] release '$name' -> epoch $e rows=$n hash=$h%016x")
       case "release" =>
         // release <store> <name> — pin the current epoch under a tag
         // AND print every governed table's content fingerprint: the

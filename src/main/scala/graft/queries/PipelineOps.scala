@@ -490,7 +490,161 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_corpus_release — THE composed corpus-build, end to end: scrub
+  // (typed-placeholder masking) → keep-best exact dedup (quality =
+  // masked length, lowest id tiebreak) → train split + 8-gram
+  // decontamination against the held-out split → per-source
+  // token-budget mixture — measured as one census (stage, n). The
+  // `build-corpus` CLI verb runs the SAME stages, writes the mixture
+  // as a governed table, and tags + fingerprints the release: the
+  // end-to-end story the individual primitives exist for. Every stage
+  // keeps its verified scale shape: map-only codegen'd scrub chain,
+  // one fp-partitioned top-1 window (InferWindowGroupLimit), the
+  // bloom-suspect gram join (only suspects shuffle), one per-source
+  // bounded window — stage boundaries pinned via store.Iteration like
+  // pipelineCensus.
+  def corpusRelease(spark: SparkSession, sfDir: String): DataFrame =
+    releaseFrames(spark, Catalog.table(spark, sfDir, "documents"),
+      defaultReleaseBudget, Integer.toHexString(sfDir.hashCode))._1
+
+  /** Default per-source token budget of the release mixture — shared
+    * with the oracle SQL and the `build-corpus` CLI default.
+    */
+  val defaultReleaseBudget: Long = SamplingOps.tokenBudgetN
+
+  /** (census, mixture) of the composed release over an arbitrary
+    * documents frame — the CLI writes the mixture governed and tags
+    * it; the census is the oracle-checked measurement.
+    */
+  private[graft] def releaseFrames(
+      spark: SparkSession, docsRaw: DataFrame, budget: Long,
+      viewTag: String): (DataFrame, DataFrame) = {
+    val scrubbed = materialize(docsRaw.select(col("doc_id"), col("source"),
+      col("text").as("raw"),
+      TextOps.scrubbedText(col("text")).as("text")))
+    val wq = Window.partitionBy(col("fp"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    val keepBest = materialize(scrubbed
+      .withColumn("fp", Transforms.exactFingerprint(col("text")))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("source"), col("text")))
+    val bucket = SamplingOps.hashBucket(col("doc_id"))
+    val train = materialize(keepBest.filter(bucket < 205))
+    val evalDocs = scrubbed.filter(bucket >= 230)
+    val clean = materialize(train.join(
+      contaminatedIds(spark, train, evalDocs, viewTag),
+      Seq("doc_id"), "left_anti"))
+    val wmix = Window.partitionBy(col("source"))
+      .orderBy(SamplingOps.hashBucket(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mixture = materialize(clean
+      .withColumn("n_tokens", size(Transforms.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wmix))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens")))
+    def stageCount(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+    val census = stageCount("1_total", docsRaw)
+      .unionByName(stageCount("2_scrub_changed",
+        scrubbed.filter(col("text") =!= col("raw"))))
+      .unionByName(stageCount("3_keep_best", keepBest))
+      .unionByName(stageCount("4_train", train))
+      .unionByName(stageCount("5_clean", clean))
+      .unionByName(stageCount("6_mixture_docs", mixture))
+      .unionByName(mixture
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("n"))
+        .select(lit("7_mixture_tokens").as("stage"), col("n")))
+      .orderBy(col("stage"))
+    (census, mixture)
+  }
+
+  /** doc_ids of `train` docs sharing any word-8-gram with `evalDocs` —
+    * the bloom-suspect shape of [[decontaminate]] generalized to
+    * arbitrary (doc_id, text) frames: the eval side's bloom blob drops
+    * clean train grams map-side, the exact equi-join confirms, no
+    * false negatives.
+    */
+  private def contaminatedIds(
+      spark: SparkSession, train: DataFrame, evalDocs: DataFrame,
+      tag: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
+        spark, col("text"), 8, distinct = true)).as("gram"))
+    val evalGrams = grams(evalDocs.select(col("doc_id"), col("text")))
+      .select(col("gram")).distinct()
+    graft.functions.BloomFns.register(spark)
+    val evalView = s"graft_release_eval_grams_$tag"
+    val trainView = s"graft_release_train_grams_$tag"
+    evalGrams.createOrReplaceTempView(evalView)
+    grams(train.select(col("doc_id"), col("text")))
+      .createOrReplaceTempView(trainView)
+    spark.sql(
+      s"""SELECT doc_id, gram FROM $trainView
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(gram), 100000L, 1000000L)
+         |   FROM $evalView),
+         |  xxhash64(gram))""".stripMargin)
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id")).distinct()
+  }
+
+  val corpusReleaseSql: String = {
+    val toks = """list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"""
+    val fp = "md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))"
+    val chain = TextOps.scrubChainSql("text")
+    val b = SamplingOps.hashBucketSql
+    val gramsOf =
+      """unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 7, 0)),
+        |      j -> array_to_string(toks[j+1:j+8], ' ')))) AS gram""".stripMargin
+    s"""WITH scrub AS (
+       |  SELECT doc_id, source, text AS raw, $chain AS text FROM documents
+       |), kb AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      ROW_NUMBER() OVER (PARTITION BY $fp
+       |        ORDER BY len(text) DESC, doc_id) AS rk
+       |    FROM scrub) WHERE rk = 1
+       |), train AS (
+       |  SELECT doc_id, source, text FROM kb WHERE $b < 205
+       |), eval_grams AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT $gramsOf
+       |    FROM (SELECT $toks AS toks FROM scrub WHERE $b >= 230))
+       |), contaminated AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, $gramsOf
+       |    FROM (SELECT doc_id, $toks AS toks FROM train)
+       |  ) g JOIN eval_grams e USING (gram)
+       |), clean AS (
+       |  SELECT doc_id, source, text FROM train
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |), mix AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |    SELECT doc_id, n_tokens,
+       |      SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM (SELECT source, doc_id,
+       |        CAST(len($toks) AS BIGINT) AS n_tokens, $b AS bucket
+       |      FROM clean))
+       |  WHERE cum <= ${SamplingOps.tokenBudgetN}
+       |)
+       |SELECT stage, n FROM (
+       |  SELECT '1_total' AS stage, COUNT(*) AS n FROM documents
+       |  UNION ALL SELECT '2_scrub_changed', COUNT(*) FROM scrub WHERE text <> raw
+       |  UNION ALL SELECT '3_keep_best', COUNT(*) FROM kb
+       |  UNION ALL SELECT '4_train', COUNT(*) FROM train
+       |  UNION ALL SELECT '5_clean', COUNT(*) FROM clean
+       |  UNION ALL SELECT '6_mixture_docs', COUNT(*) FROM mix
+       |  UNION ALL SELECT '7_mixture_tokens',
+       |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM mix)
+       |ORDER BY stage""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("q_corpus_release", corpusRelease, Some(corpusReleaseSql)),
     Op("q_pipeline_census", pipelineCensus, Some(pipelineCensusSql)),
     Op("q_mixture_temperature", mixtureTemperature, Some(mixtureTemperatureSql)),
     Op("q_curation_census", curationCensus, Some(curationCensusSql)),

@@ -802,10 +802,22 @@ object TextOps {
     (p, s"<${kind.toUpperCase(java.util.Locale.ROOT)}>")
   } :+ ("\\b(customer|supplier)\\b" -> "<ENTITY>")
 
-  def scrubMask(spark: SparkSession, sfDir: String): DataFrame = {
-    val masked = scrubPatterns.foldLeft(col("text")) {
-      case (c, (p, token)) => regexp_replace(c, p, token)
+  /** The scrub chain as a reusable Column / DuckDB expression — the
+    * release pipeline (PipelineOps.corpusRelease) runs the SAME chain
+    * as its first stage, one definition.
+    */
+  private[queries] def scrubbedText(c: Column): Column =
+    scrubPatterns.foldLeft(c) {
+      case (x, (p, token)) => regexp_replace(x, p, token)
     }
+
+  private[queries] def scrubChainSql(inner: String): String =
+    scrubPatterns.foldLeft(inner) { case (expr, (p, token)) =>
+      s"regexp_replace($expr, '$p', '$token', 'g')"
+    }
+
+  def scrubMask(spark: SparkSession, sfDir: String): DataFrame = {
+    val masked = scrubbedText(col("text"))
     Catalog.table(spark, sfDir, "documents")
       .withColumn("masked_text", masked)
       .filter(col("masked_text") =!= col("text"))
@@ -816,9 +828,7 @@ object TextOps {
   val scrubMaskSql: String = {
     // DuckDB replaces only the FIRST match without the 'g' flag (the
     // documented parity gotcha); Spark's regexp_replace is global
-    val chain = scrubPatterns.foldLeft("text") { case (expr, (p, token)) =>
-      s"regexp_replace($expr, '$p', '$token', 'g')"
-    }
+    val chain = scrubChainSql("text")
     s"""SELECT doc_id, masked_text FROM (
        |  SELECT doc_id, text, $chain AS masked_text FROM documents)
        |WHERE masked_text <> text

@@ -236,4 +236,29 @@ class CliSpec extends SparkSpec {
     val ex = intercept[RuntimeException] { cli("frobnicate", freshDir()) }
     assert(ex.getMessage.contains("unknown command"))
   }
+
+  test("build-corpus: one command yields a tagged, fingerprinted governed release") {
+    val dir = freshDir()
+    cli("build-corpus", dir, "/root/testdata/sf0.001", "rel-1")
+    val store = new TableStore(spark, dir)
+    assert(store.governed.contains("corpus_release"))
+    val n = store.read("corpus_release").count()
+    assert(n > 0, "the release mixture is empty")
+    assert(store.read("corpus_release").columns.toSet ===
+      Set("doc_id", "source", "text", "n_tokens"))
+    // the release is pinned: the tag re-serves the exact rows
+    assert(store.tags().contains("rel-1"))
+    assert(store.readTag("corpus_release", "rel-1").count() === n)
+    val (fpRows, _) = store.contentFingerprint("corpus_release")
+    assert(fpRows === n)
+    // the scrub stage is IN the released bytes: blocklisted entities
+    // are masked, so the raw tokens never reach the corpus
+    assert(store.read("corpus_release")
+      .filter(col("text").rlike("\\b(customer|supplier)\\b"))
+      .count() === 0L)
+    // a second release under a new name pins its own epoch
+    cli("build-corpus", dir, "/root/testdata/sf0.001", "rel-2", "400")
+    assert(Set("rel-1", "rel-2").subsetOf(store.tags().keySet))
+    assert(store.readTag("corpus_release", "rel-1").count() === n)
+  }
 }
