@@ -1003,6 +1003,21 @@ object Fts {
     val probes = termProbes(node)
     if (probes.isEmpty) return store.read(name)
     val env = store.fileEnvelopes(name, Seq("token"))
+    // SEARCH-path staleness guard for an UN-governed index (a governed
+    // one gets this from the store's manifest guard, which re-syncs on
+    // presence mismatch): the manifest refresh is a separate step
+    // after the postings overwrite, so a crash between them leaves
+    // envelopes describing the PREVIOUS batch's files — pruning on
+    // them would silently skip live postings (false negatives) or
+    // open files the overwrite removed. When the epoch marker
+    // disagrees with the stats row (the torn-write signal the upsert
+    // path already honors) or the write-ahead pending flag shows a
+    // mutation ran without its refresh, prune NOTHING: slower once,
+    // never wrong; the next refresh heals it. Both probes are O(1) —
+    // no directory listing re-enters the prune path.
+    if (!store.governed.contains(name) && (!store.statsManifestFresh(name)
+        || !epochsAgree(store, table)))
+      return store.read(name)
     val keep = env.collect {
       case (f, e) if probes.exists { case (lo, hi) =>
         e.get("token").forall { case (mn, mx) => mx >= lo && mn <= hi }

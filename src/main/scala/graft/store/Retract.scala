@@ -137,6 +137,15 @@ object Retract {
     * [[fromIndexTable]]. Returns the index tables retracted from, for
     * operator visibility. Idempotent: re-running with the same keys
     * changes nothing.
+    *
+    * Crash discipline: on a GOVERNED base the entire cascade stages as
+    * ONE transaction ([[TableStore.inOneEpoch]]) — readers see the
+    * delete everywhere or nowhere. On an un-governed store the BASE
+    * is deleted FIRST, indexes after: a crash mid-cascade then leaves
+    * only GHOST index rows (pks absent from the base), which
+    * [[healGhosts]] self-repairs — the old index-first order left
+    * indexes MISSING postings for still-live rows, the divergence
+    * direction no automated repair can close.
     */
   def cascade(
       store: TableStore, table: String, keys: DataFrame,
@@ -144,18 +153,20 @@ object Retract {
     val delPks = Iteration.materialize(
       keys.select(col(pkCol).as("pk")).distinct())
     val touched = Seq.newBuilder[String]
-    if (store.exists(Fts.indexName(table))) {
-      Fts.retractPostings(store, table, delPks,
-        Fts.bucketCountOf(store, table))
-      touched += Fts.indexName(table)
-    }
-    registry(table).foreach { case (name, sortCols) =>
-      if (store.exists(name)) {
-        fromIndexTable(store, name, delPks, sortCols)
-        touched += name
+    store.inOneEpoch(table) {
+      store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
+      if (store.exists(Fts.indexName(table))) {
+        Fts.retractPostings(store, table, delPks,
+          Fts.bucketCountOf(store, table))
+        touched += Fts.indexName(table)
+      }
+      registry(table).foreach { case (name, sortCols) =>
+        if (store.exists(name)) {
+          fromIndexTable(store, name, delPks, sortCols)
+          touched += name
+        }
       }
     }
-    store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
     touched.result()
   }
 }

@@ -124,6 +124,7 @@ class TableStore(val spark: SparkSession, root: String) {
       name: String, df: DataFrame, partitionBy: Seq[String], op: String): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
     if (isGoverned(name)) { withTxWrite(tx => stagePartitions(tx, name, df, partitionBy, op)); return }
+    markStatsPending(name)
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)
@@ -171,6 +172,7 @@ class TableStore(val spark: SparkSession, root: String) {
       }
       return
     }
+    markStatsPending(name)
     val dst = new Path(path(name) + s"/$partCol=$value")
     if (fs.exists(dst)) fs.delete(dst, true)
   }
@@ -205,10 +207,14 @@ class TableStore(val spark: SparkSession, root: String) {
     * feed retracts through). On a declared bucket layout the delete is
     * O(touched buckets): only the buckets the keys hash into are
     * anti-joined and dynamically overwritten, emptied buckets drop
-    * their partition explicitly; a flat table pays the whole-table
-    * rewrite (the same Delta-MERGE seam as the flat upsert). Commits
-    * are op-tagged `delete`, so incremental consumers see exactly the
-    * retracted pks through [[readChangesSince]]. Keys with pk types
+    * their partition explicitly — and on a governed store the whole
+    * branch (overwrite + partition drops + stats) lands as ONE epoch
+    * ([[inOneEpoch]]), so no reader or change-feed consumer can
+    * observe a partially-applied delete; a flat table pays the
+    * whole-table rewrite (the same Delta-MERGE seam as the flat
+    * upsert), atomic by the single swap. Commits are op-tagged
+    * `delete`, so incremental consumers see exactly the retracted pks
+    * through [[readChangesSince]]. Keys with pk types
     * narrower than the stored ones are cast up front (the
     * type-sensitive-xxhash64 rule the bucketed merge enforces); a
     * lossy cast is refused.
@@ -220,7 +226,7 @@ class TableStore(val spark: SparkSession, root: String) {
     val existing = read(name)
     val keyCols = keys.select(pk.map(col): _*)
     bucketLayoutOf(name) match {
-      case Some((buckets, declaredPk)) =>
+      case Some((buckets, declaredPk)) => inOneEpoch(name) {
         require(declaredPk == pk,
           s"$name is bucketed on pk=${declaredPk.mkString(",")}; deleteByPk " +
             s"passed pk=${pk.mkString(",")} — refusing a mixed-key delete")
@@ -240,27 +246,40 @@ class TableStore(val spark: SparkSession, root: String) {
           keyTyped.withColumn(BucketCol, bucketOfPk(pk, buckets)))
         val touched = inc.select(col(BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSeq
-        if (touched.isEmpty) return
-        val ex = existing.filter(col(BucketCol).isin(touched: _*))
-        val kept = Iteration.materialize(zsortIfDeclared(name,
-          ex.drop(BucketCol).join(inc.drop(BucketCol), pk, "left_anti")
-            .withColumn(BucketCol, bucketOfPk(pk, buckets))
-            .repartition(col(BucketCol))))
-        overwritePartitions(name, kept, Seq(BucketCol), TableStore.OpDelete)
-        // a bucket emptied by the delete is absent from the dynamic
-        // overwrite — clear its stale partition explicitly (the same
-        // rule as the FTS empty-bucket path)
-        val stillThere = kept.select(col(BucketCol)).distinct()
-          .collect().map(_.getLong(0)).toSet
-        touched.filterNot(stillThere).foreach(b =>
-          dropPartition(name, BucketCol, b.toString))
-        refreshTouchedStats(name, touched)
+        if (touched.nonEmpty) {
+          val ex = existing.filter(col(BucketCol).isin(touched: _*))
+          val kept = Iteration.materialize(zsortIfDeclared(name,
+            ex.drop(BucketCol).join(inc.drop(BucketCol), pk, "left_anti")
+              .withColumn(BucketCol, bucketOfPk(pk, buckets))
+              .repartition(col(BucketCol))))
+          overwritePartitions(name, kept, Seq(BucketCol), TableStore.OpDelete)
+          // a bucket emptied by the delete is absent from the dynamic
+          // overwrite — clear its stale partition explicitly (the same
+          // rule as the FTS empty-bucket path)
+          val stillThere = kept.select(col(BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSet
+          touched.filterNot(stillThere).foreach(b =>
+            dropPartition(name, BucketCol, b.toString))
+          refreshTouchedStats(name, touched)
+        }
+      }
       case None =>
         writeSwapped(name,
           existing.join(keyCols, pk, "left_anti"),
           partitionColumnsOf(name), op = TableStore.OpDelete)
     }
   }
+
+  /** Run `f`'s writes to governed `name` as ONE epoch: the bucketed
+    * delete (dynamic overwrite + per-emptied-bucket dropPartition) is
+    * multi-commit without it, so a reader or change-feed consumer
+    * landing between those epochs would observe a PARTIALLY-applied
+    * delete. No-op when un-governed (swap writes are already atomic)
+    * or when the caller already opened a transaction (nesting is
+    * refused by [[transact]]; the outer tx provides the atomicity).
+    */
+  private[store] def inOneEpoch[T](name: String)(f: => T): T =
+    if (isGoverned(name) && activeTx.isEmpty) transact(f) else f
 
   // -------------------------------------------------------------------
   // Bucketed base-table layout — the O(batch) upsert path. The plain
@@ -1004,7 +1023,36 @@ class TableStore(val spark: SparkSession, root: String) {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    clearStatsPending(name)
   }
+
+  private def statsPendingPath(name: String) =
+    new Path(path(name), "_graft_stats_pending")
+
+  /** WRITE-AHEAD dirt marker for the skipping manifest of an
+    * UN-governed, in-place-maintained table (FTS/trigram/IVF
+    * postings): every dynamic-partition overwrite / partition drop
+    * sets it BEFORE mutating files, [[writeStatsManifest]] clears it
+    * after the refresh — so a crash in the window between them leaves
+    * the flag on disk, and a manifest-driven prune can detect the
+    * stale envelopes with ONE existence probe instead of the O(files)
+    * directory listing the prune path exists to avoid. Governed
+    * tables don't need it (their manifest guard re-syncs against the
+    * commit's live set).
+    */
+  private[store] def markStatsPending(name: String): Unit =
+    if (hasFileStats(name)) writeSmall(statsPendingPath(name), "")
+
+  private def clearStatsPending(name: String): Unit = {
+    val p = statsPendingPath(name)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** False while an in-place mutation has run without its manifest
+    * refresh — the search-path staleness probe (O(1)).
+    */
+  private[store] def statsManifestFresh(name: String): Boolean =
+    !fs.exists(statsPendingPath(name))
 
   /** (Re)build the persisted manifest for `name` from its current
     * files — a distributed footer read. Call once (or via
@@ -1052,7 +1100,8 @@ class TableStore(val spark: SparkSession, root: String) {
       // old manifest AFTER writing the tmp, but keep the plan simple
       val kept = prior.filter(col("file")
         .isInCollection(liveRel.intersect(priorRel)))
-      if (fresh.isEmpty && priorRel == liveRel) () // already exact
+      if (fresh.isEmpty && priorRel == liveRel)
+        clearStatsPending(name) // already exact — the refresh ran
       else writeStatsManifest(name, kept.unionByName(
         footerStatsDf(fresh, statCols(name), qualifiedDir(name))))
     }

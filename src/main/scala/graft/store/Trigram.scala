@@ -118,6 +118,13 @@ object Trigram {
     if (!store.hasFileStats(name)) return store.read(name)
     val probes = grams.map(TableStore.stringStatKey)
     val env = store.fileEnvelopes(name, Seq("g"))
+    // staleness guard for an un-governed index — same rule as Fts's
+    // prunedIndex: a crash between the postings overwrite and the
+    // separate manifest refresh leaves envelopes describing dead
+    // files; the write-ahead pending flag detects that window in O(1)
+    // and the probe prunes NOTHING (slower once, never a false skip)
+    if (!store.governed.contains(name) && !store.statsManifestFresh(name))
+      return store.read(name)
     val keep = env.collect {
       case (f, e) if probes.exists(p =>
         e.get("g").forall { case (mn, mx) => mx >= p && mn <= p }) => f

@@ -275,6 +275,34 @@ abstract class ChangeFeedBehavior extends SparkSpec {
     assert(del.toSet === Set((7L, "v7", None)))
   }
 
+  test("a bucketed delete lands as ONE epoch — never a partially-applied state") {
+    val store = mkStore(freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    // doom EVERY pk of one bucket (forces a dropPartition) plus one pk
+    // of another (forces a dynamic overwrite) — the multi-commit shape
+    // readers used to observe mid-delete
+    val byBucket = store.read("t")
+      .select(col("pk_bucket").cast("long"), col("id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSet }
+    val emptiedBucket = byBucket.keys.min
+    val otherPk = byBucket(byBucket.keys.max).head
+    val doomed = byBucket(emptiedBucket) + otherPk
+    val e0 = store.snapshot().epoch
+    store.deleteByPk("t", doomed.toSeq.toDF("id"), Seq("id"))
+    assert(store.snapshot().epoch === e0 + 1,
+      "the bucketed delete committed more than one epoch — readers " +
+        "between them would see a partially-applied delete")
+    // the single-epoch window carries exactly the doomed pks as deletes
+    val ch = changes(store.readChangesSince("t", e0, e0 + 1, Seq("id")))
+    assert(ch.map(c => (c._1, c._3)) === doomed.map((_, "delete")))
+    assert(rows(store.read("t")).map(_._1).toSet
+      === (0L until 32L).toSet -- doomed)
+  }
+
   test("property: readChangesSince equals the model diff over random histories") {
     // random governed histories of upserts / deletes / compactions;
     // for random epoch windows the change feed must equal the model:

@@ -175,6 +175,25 @@ class FtsDeleteSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
+  test("cascade on a governed base stages as ONE epoch") {
+    val (store, _) = freshStore()
+    store.ensureGoverned(Seq("docs"))
+    val docs = (0 until 12).map(i => (i.toLong, s"common word$i text"))
+      .toDF("id", "full_text")
+    store.overwrite("docs", docs)
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    val e0 = store.snapshot().epoch
+    Retract.cascade(store, "docs", Seq(3L, 7L).toDF("id"), "id")
+    assert(store.snapshot().epoch === e0 + 1,
+      "the governed cascade committed more than one epoch — a reader " +
+        "between them would see the delete partially applied")
+    assert(store.read("docs").count() === 10L)
+    assert(store.read(Fts.indexName("docs"))
+      .filter(col("pk").isin(3L, 7L)).isEmpty)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
   test("healGhosts retracts what a bare delete orphaned; Doctor goes green") {
     val (store, _) = freshStore()
     val dims = 8

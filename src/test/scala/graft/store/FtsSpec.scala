@@ -421,6 +421,52 @@ class FtsSpec extends SparkSpec {
       .select(pmod(xxhash64(col("pk")), lit(buckets.toLong)))
       .head.getLong(0)
 
+  test("a torn manifest window (mutation without refresh) never false-skips or opens dead files") {
+    val store = freshStore()
+    val docs = (0 until 16).map { i =>
+      val l = ('a' + i).toChar
+      (i.toLong, (1 to 6).map(j => s"${l}word$j").mkString(" "))
+    }.toDF("id", "full_text")
+    Fts.upsertWithIndex(store, "tweets", docs, "id", "full_text", buckets = 16)
+    Fts.enableFileSkipping(store, "tweets")
+    val idxName = Fts.indexName("tweets")
+    def hits(q: String): Set[Long] =
+      Fts.search(spark, store, "tweets", q).collect().map(_.getLong(0)).toSet
+    assert(hits("cword3") === Set(2L))
+    assert(store.statsManifestFresh(idxName))
+
+    // crash residue 1: DEAD files still in the manifest. The store's
+    // in-place mutations mark the write-ahead pending flag before
+    // touching files; "crashing" before the refresh is simply not
+    // running it. Without the guard the term probe would hand the
+    // reader a file the drop removed.
+    val b2 = bucketOf(2L, 16)
+    store.dropPartition(idxName, "pk_bucket", b2.toString)
+    assert(!store.statsManifestFresh(idxName))
+    assert(hits("cword3") === Set.empty)
+    assert(hits("aword1") === Set(0L))
+
+    // crash residue 2: LIVE files missing from the manifest — clone
+    // doc 0's postings under a new pk into a previously-empty bucket.
+    // A stale prune would silently skip the new file (false negative).
+    val occupied = store.read(idxName)
+      .select(col("pk_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val newPk = (200L to 400L).find(p => !occupied.contains(bucketOf(p, 16))).get
+    val clone = store.read(idxName).filter(col("pk") === 0L)
+      .drop("pk_bucket").withColumn("pk", lit(newPk))
+      .withColumn("pk_bucket", lit(bucketOf(newPk, 16)))
+    store.overwritePartitions(idxName, clone, Seq("pk_bucket"))
+    assert(hits("aword1") === Set(0L, newPk),
+      "stale manifest silently skipped a live postings file")
+
+    // one refresh heals: flag clears, pruning resumes, results exact
+    store.refreshFileStatsIncremental(idxName)
+    assert(store.statsManifestFresh(idxName))
+    assert(hits("aword1") === Set(0L, newPk))
+    assert(hits("cword3") === Set.empty)
+  }
+
   private def partitionFiles(root: String, table: String): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(root, Fts.indexName(table))
