@@ -1519,19 +1519,20 @@ object SimilarityOps {
       .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
         col("norm").as("cent_norm"))
     // every vector (seeds included — they are corpus members) to its
-    // nearest cell: broadcast cents, max_by partial agg; then refine
-    // any degenerate giant cell so the pair step stays bounded
-    val assigned = autoSplitCells(
-      materialize(emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("e"), col("norm"), col("cent_id"),
-          (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
-            .as("_cs"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("e"), col("norm"), col("cent_id").as("cell")),
-          struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
-        .select(col("vec_id"), col("_best.e").as("e"),
-          col("_best.norm").as("norm"), col("_best.cell").as("cell"))),
-      maxCellSize)
+    // nearest cell: broadcast cents, max_by partial agg; then collapse
+    // exact-duplicate vectors inside degenerate giant cells (the case
+    // clustering cannot split) and refine what remains
+    val assigned0 = materialize(emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("norm"), col("cent_id"),
+        (dot(col("e"), col("cent_e")) / (col("norm") * col("cent_norm")))
+          .as("_cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("norm"), col("cent_id").as("cell")),
+        struct(col("_cs"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("vec_id"), col("_best.e").as("e"),
+        col("_best.norm").as("norm"), col("_best.cell").as("cell")))
+    val (deduped, dupPairs) = collapseExactDups(assigned0, maxCellSize)
+    val assigned = autoSplitCells(deduped, maxCellSize)
     // in-cell pairs, ids only through the grid; vectors join back onto
     // the (small) pair set for the exact-cosine edge filter
     val edges = graft.store.PairExpansion.pairsWithinBuckets(
@@ -1546,7 +1547,51 @@ object SimilarityOps {
       .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= semThreshold)
       .select(col("doc_a"), col("doc_b"), col("cell"))
-    edges
+    // dup members rejoin through rep→member edges, tagged with the
+    // rep's POST-split cell so cellComponents keeps one group per
+    // vertex; cos(rep, member) = 1 ≥ any threshold — no verify needed
+    dupPairs match {
+      case Some(dp) => edges.unionByName(dp.join(
+          assigned.select(col("vec_id").as("doc_a"), col("cell")),
+          Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("cell")))
+      case None => edges
+    }
+  }
+
+  /** EXACT-DUPLICATE COLLAPSE inside oversized cells: bit-identical
+    * vectors trivially satisfy any cosine threshold, so a cell of N
+    * copies needs no pairs at all — the one degenerate shape
+    * [[autoSplitCells]] provably cannot split (every copy ties on
+    * every sub-seed). Members group by their full (cell, vector); the
+    * min-id representative stays in the assignment for pair
+    * generation, every other member leaves it and re-enters the edge
+    * set as a direct rep→member edge. The pair step becomes quadratic
+    * in DISTINCT vectors only, and components are exactly preserved:
+    * any old edge (a, b) has the same cosine as (rep(a), rep(b)), and
+    * each member rides its dup edge to the rep. Only cells past
+    * `maxCellSize` pay the (cell, vector) shuffle — the common path
+    * adds one metadata-scale count aggregate.
+    */
+  private def collapseExactDups(
+      assigned: DataFrame, maxCellSize: Int): (DataFrame, Option[DataFrame]) = {
+    import graft.store.Iteration.materialize
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val oversized = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .select(col("cell").cast("long")).as[Long].collect().toSeq
+    if (oversized.isEmpty) return (assigned, None)
+    val over = assigned.filter(col("cell").isin(oversized: _*))
+    val keep = assigned.filter(!col("cell").isin(oversized: _*))
+    val w = Window.partitionBy(col("cell"), col("e"))
+    val tagged = materialize(
+      over.withColumn("_rep", min(col("vec_id")).over(w)))
+    val dupPairs = tagged.filter(col("vec_id") =!= col("_rep"))
+      .select(col("_rep").as("doc_a"), col("vec_id").as("doc_b"))
+    val reps = tagged.filter(col("vec_id") === col("_rep")).drop("_rep")
+    (keep.unionByName(reps), Some(dupPairs))
   }
 
   /** GIANT-CELL AUTO-SPLIT: recursively re-cluster any cell whose

@@ -2140,7 +2140,14 @@ class TableStore(val spark: SparkSession, root: String) {
       entryAt(name, listCommits().toMap, e).map(resolveEntry(_).toSet)
         .getOrElse(Set.empty)
     if (added.nonEmpty)
+      // mergeSchema: the delivered files can come from SEVERAL commits,
+      // and a window spanning a schema-evolving upsert mixes pre- and
+      // post-evolution files — without the union, parquet samples ONE
+      // footer and either drops the new column or serves an unstable
+      // schema per poll. Cost: O(delivered files) footer reads, the
+      // window's own size — never O(table).
       spark.read.option("basePath", path(name))
+        .option("mergeSchema", "true")
         .parquet(added.map(r => new Path(path(name), r).toString): _*)
     // empty diff: serve an empty frame with the table's schema from
     // whichever endpoint still has files (readEpoch refuses empty

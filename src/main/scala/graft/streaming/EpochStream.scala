@@ -92,22 +92,69 @@ object EpochStream {
   def start(
       store: TableStore, table: String, consumer: String,
       pollMs: Long = 250L, pk: Option[Seq[String]] = None)(
-      sink: DataFrame => Unit): Handle = {
+      sink: DataFrame => Unit): Handle =
+    startLoop(s"epoch-stream-$table-$consumer", pollMs) { onBatch =>
+      processAvailable(store, table, consumer, pk) { df =>
+        sink(df); onBatch()
+      }
+    }
+
+  /** The MULTI-TABLE drain: one consumer, one consistent window over
+    * N member tables per batch ([[EpochFollower.consumeChangesMulti]])
+    * — the sink's map carries each member's row-level change feed
+    * computed at the SAME epoch endpoints, so a mirror that joins
+    * members can never serve a torn join. Same cursor/crash contract
+    * as [[processAvailable]].
+    */
+  def processAvailableMulti(
+      store: TableStore, pks: Seq[(String, Seq[String])], consumer: String)(
+      sink: Map[String, DataFrame] => Unit): Int = {
+    require(pks.nonEmpty, "processAvailableMulti needs member tables")
+    val head = pks.head._1
+    var batches = 0
+    var progressed = true
+    while (progressed) {
+      val before = EpochFollower.cursor(store, head, consumer)
+      val fed = EpochFollower.consumeChangesMulti(store, pks, consumer)(sink)
+      if (fed.isDefined) batches += 1
+      progressed = EpochFollower.cursor(store, head, consumer) != before
+    }
+    batches
+  }
+
+  /** Continuous multi-table form of [[start]]. */
+  def startMulti(
+      store: TableStore, pks: Seq[(String, Seq[String])], consumer: String,
+      pollMs: Long = 250L)(sink: Map[String, DataFrame] => Unit): Handle =
+    startLoop(s"epoch-stream-multi-$consumer", pollMs) { onBatch =>
+      processAvailableMulti(store, pks, consumer) { m =>
+        sink(m); onBatch()
+      }
+    }
+
+  /** Shared poll loop. `onBatch` is invoked AFTER each sink return
+    * (before the cursor advance), so [[Handle.batchesProcessed]]
+    * counts every completed sink call exactly once even when a later
+    * batch's error stops the loop — the old form added
+    * processAvailable's return value at drain END, silently dropping
+    * the completed-batch count of a partially-failed drain.
+    */
+  private def startLoop(
+      name: String, pollMs: Long)(drain: (() => Unit) => Unit): Handle = {
     val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val batches = new java.util.concurrent.atomic.AtomicLong()
     val t = new Thread(() => {
       try {
         while (!stopFlag.get()) {
-          batches.addAndGet(
-            processAvailable(store, table, consumer, pk)(sink).toLong)
+          drain(() => batches.incrementAndGet())
           Thread.sleep(pollMs)
         }
       } catch {
         case _: InterruptedException => () // stop() signaled mid-sleep
         case e: Throwable => err.set(e)
       }
-    }, s"epoch-stream-$table-$consumer")
+    }, name)
     t.setDaemon(true)
     t.start()
     new Handle(t, stopFlag, err, batches)

@@ -35,7 +35,9 @@ class SemanticSplitSpec extends SparkSpec {
     val g = (id - 16) % groups
     val v = basis(3)
     v(16 + g) = 3.3
-    v(47) += 0.001 * (((id - 16) / groups) % 3)
+    // per-id noise: every member distinct, so THIS corpus exercises
+    // the split path alone (the exact-dup collapse has its own test)
+    v(47) += 0.0001 * (id - 16)
     v
   }
 
@@ -85,14 +87,18 @@ class SemanticSplitSpec extends SparkSpec {
     assert(splitComps === model)
   }
 
-  test("a cell of identical vectors is irreducible: rounds cap, answer intact") {
-    // 64 copies of one direction (+16 seed spread): no clustering can
-    // split them — the cap must leave the cell whole, not loop or drop
+  test("a cell of identical vectors collapses to linear edges, answer intact") {
+    // 64 bit-identical copies of one direction (+16 seed spread): no
+    // clustering can split them — the exact-dup collapse must bound
+    // the pair step instead (1 verified rep pair + 63 dup edges, not
+    // the 2080 quadratic pairs the raw cell implies)
     val dup = ((0 until 16).map(i => (i.toLong, basis(i).toSeq)) ++
       (16 until 80).map(id => (id.toLong, basis(3).map(_ * 2.0).toSeq)))
       .toDF("vec_id", "embedding")
-    val cc = SimilarityOps.cellComponents(
-        SimilarityOps.semanticEdgesOf(dup, maxCellSize = 8))
+    val edges = SimilarityOps.semanticEdgesOf(dup, maxCellSize = 8)
+    assert(edges.count() === 64L,
+      "identical-vector cell generated a quadratic pair set")
+    val cc = SimilarityOps.cellComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // seed 3 (cos 1 to every copy) joins the duplicates' component
     assert(cc.keySet === (Set(3L) ++ (16L until 80L).toSet))

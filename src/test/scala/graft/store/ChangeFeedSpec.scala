@@ -275,6 +275,33 @@ abstract class ChangeFeedBehavior extends SparkSpec {
     assert(del.toSet === Set((7L, "v7", None)))
   }
 
+  test("readAddedSince serves the union schema over a mixed-schema window") {
+    // upsert → compact → schema-evolving upsert: the rewrite-aware
+    // walk keeps the pre-compaction file (its rows were merely moved)
+    // AND the evolution's new-schema files — a mixed-schema file set.
+    // Without an explicit schema union, parquet samples one footer and
+    // the delivered frame either lacks the new column or changes shape
+    // per poll.
+    val store = mkStore(freshRoot())
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"))
+    val ePre = store.snapshot().epoch
+    store.upsert("t", Seq((20L, "x")).toDF("id", "v"), Seq("id"))
+    store.compact("t")
+    store.upsert("t", Seq((21L, "y", "en")).toDF("id", "v", "lang"), Seq("id"))
+    val got = store.readAddedSince("t", ePre)
+    assert(got.columns.contains("lang"),
+      "mixed-schema window dropped the evolved column")
+    val rows = got.select(col("id").cast("long"), col("v"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(rows.contains((21L, "y", Some("en"))))
+    assert(rows.exists(r => r._1 == 20L && r._3.isEmpty),
+      "pre-evolution rows must null-fill the new column")
+  }
+
   test("a bucketed delete lands as ONE epoch — never a partially-applied state") {
     val store = mkStore(freshRoot())
     store.ensureBucketed("t", Seq("id"), 4)

@@ -177,6 +177,62 @@ class EpochStreamSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("live multi-table mirror: joint commits always arrive as one consistent batch") {
+    val root = freshRoot()
+    val producer = new TableStore(spark, root)
+    producer.ensureGoverned(Seq("users", "posts"))
+    producer.transact {
+      producer.upsert("users", Seq((0L, "u0")).toDF("id", "v"), Seq("id"))
+      producer.upsert("posts", Seq((0L, "p0")).toDF("id", "v"), Seq("id"))
+    }
+    val consumerStore = new TableStore(spark, root)
+    val pks = Seq("users" -> Seq("id"), "posts" -> Seq("id"))
+    val torn = new java.util.concurrent.atomic.AtomicLong()
+    val handle = EpochStream.startMulti(consumerStore, pks, "join-mirror",
+      pollMs = 50L) { m =>
+      // every producer commit below is JOINT — a batch carrying only
+      // one member would be a torn window
+      if (m.size != 2) torn.incrementAndGet()
+      val u = m.get("users").map(_.filter(col("_change_type") === "insert")
+        .select(col("id"), col("v").as("uname")))
+      val p = m.get("posts").map(_.filter(col("_change_type") === "insert")
+        .select(col("id"), col("v").as("ptitle")))
+      for (uu <- u; pp <- p) {
+        val joined = uu.join(pp, Seq("id"))
+        val next = consumerStore.readIfExists("joined") match {
+          case Some(cur) => graft.store.Upsert.upsert(Some(cur), joined, Seq("id"))
+          case None => joined
+        }
+        consumerStore.overwrite("joined", next)
+      }
+    }
+    def caughtUp(): Boolean =
+      EpochFollower.cursor(consumerStore, "users", "join-mirror")
+        .contains(producer.snapshot().epoch)
+    try {
+      eventually()(caughtUp())
+      (1 to 5).foreach { i =>
+        producer.transact {
+          producer.upsert("users", Seq((i.toLong, s"u$i")).toDF("id", "v"),
+            Seq("id"))
+          producer.upsert("posts", Seq((i.toLong, s"p$i")).toDF("id", "v"),
+            Seq("id"))
+        }
+      }
+      eventually()(caughtUp())
+      assert(handle.lastError === None)
+      assert(torn.get() === 0L,
+        "a joint commit was delivered with only one member present")
+      val joined = consumerStore.read("joined")
+        .select(col("id").cast("long"), col("uname"), col("ptitle"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(joined === (0 to 5).map(i =>
+        (i.toLong, s"u$i", s"p$i")).toSet)
+      assert(handle.batchesProcessed >= 1L)
+    } finally handle.stop()
+  }
+
   test("row-level form: the bridged mirror retracts deletes") {
     val root = freshRoot()
     val producer = new TableStore(spark, root)
