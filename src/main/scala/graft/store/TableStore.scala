@@ -1518,6 +1518,13 @@ class TableStore(val spark: SparkSession, root: String) {
     try f finally pinnedCommit = None
   }
 
+  /** The latest committed epoch, or None when nothing is governed yet
+    * — the non-throwing poll for consumers that start before the
+    * first commit (the streaming source's getOffset). Pure pointer
+    * read, no data I/O.
+    */
+  def currentEpochIfAny: Option[Long] = currentCommit.map(_._1)
+
   /** A frozen commit handle ([[Snapshot]]): every `.read` resolves
     * from the SAME epoch, however many commits land in between — the
     * handle form of [[withSnapshot]] for callers that pass a reader

@@ -1,0 +1,230 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.{EpochFollower, TableStore}
+
+/** The epoch log as a native Structured Streaming source: offsets are
+  * epochs, Spark's WAL is the checkpoint, and the delivered change
+  * feed reconstructs the table exactly — across deletes, compactions
+  * (silent), backlog splits, and a stop/restart of the query.
+  */
+class EpochLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-elsrc").toString
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** foreachBatch sink: applies insert/delete tags to a pk→value map
+    * and records each non-empty batch's row set (thread-safe — the
+    * stream thread writes, the test thread reads after
+    * processAllAvailable).
+    */
+  private class Mirror {
+    val state = mutable.LinkedHashMap[Long, String]()
+    val batches = mutable.ArrayBuffer[Set[(Long, String, String)]]()
+    def apply(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(col("id").cast("long"), col("v"),
+          col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      this.synchronized {
+        if (rows.nonEmpty) batches += rows.toSet
+        rows.foreach {
+          case (id, v, "insert") => state(id) = v
+          case (id, _, "delete") => state.remove(id)
+          case (_, _, t) => fail(s"unexpected change type $t")
+        }
+      }
+    }
+    def snapshot(): Map[Long, String] = this.synchronized(state.toMap)
+    def batchCount(): Int = this.synchronized(batches.size)
+  }
+
+  private def startQuery(
+      root: String, mirror: Mirror, ckpt: String,
+      extra: Map[String, String] = Map.empty) = {
+    val src = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "docs").option("pk", "id")
+      .options(extra)
+      .load()
+    src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => mirror.apply(df.toDF()))
+      .start()
+  }
+
+  test("readStream CDC: snapshot, increments, deletes, silent compaction") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs",
+      (0 until 6).map(i => (i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ck"))
+    try {
+      q.processAllAvailable()
+      assert(mirror.snapshot() ===
+        (0 until 6).map(i => i.toLong -> s"v$i").toMap,
+        "initial batch must be the full table as inserts")
+
+      // increment: an update + a fresh row
+      store.upsert("docs", Seq((2L, "v2b"), (9L, "v9")).toDF("id", "v"),
+        Seq("id"))
+      q.processAllAvailable()
+      assert(mirror.snapshot()(2L) === "v2b")
+      assert(mirror.snapshot()(9L) === "v9")
+
+      // delete propagates as a tagged retraction
+      store.deleteByPk("docs", Seq(0L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(!mirror.snapshot().contains(0L), "delete did not propagate")
+
+      // compaction: epochs advance, nothing is delivered
+      val before = mirror.batchCount()
+      store.compact("docs")
+      q.processAllAvailable()
+      assert(mirror.batchCount() === before,
+        "a rewrite-only commit leaked rows into the stream")
+      assert(mirror.snapshot() === Map(
+        1L -> "v1", 2L -> "v2b", 3L -> "v3", 4L -> "v4", 5L -> "v5",
+        9L -> "v9"))
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("restart from the checkpoint resumes without re-delivery") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+
+    val ckpt = freshDir("graft-els-ck")
+    val m1 = new Mirror
+    val q1 = startQuery(root, m1, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(m1.snapshot() === Map(1L -> "a", 2L -> "b"))
+
+    // commits while the query is DOWN
+    store.upsert("docs", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    store.deleteByPk("docs", Seq(1L).toDF("id"), Seq("id"))
+
+    val m2 = new Mirror
+    val q2 = startQuery(root, m2, ckpt)
+    try {
+      q2.processAllAvailable()
+      // m2 saw ONLY the down-window changes — the WAL, not the source,
+      // carries the position across the restart
+      val delivered = m2.synchronized(m2.batches.flatten.toSet)
+      assert(!delivered.exists(r => r._1 == 2L),
+        s"restart re-delivered the committed snapshot: $delivered")
+      assert(delivered.contains((3L, "c", "insert")))
+      assert(delivered.exists(r => r._1 == 1L && r._3 == "delete"))
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+  }
+
+  test("maxEpochsPerBatch splits a backlog; consumer option pins a cursor") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((0L, "v0")).toDF("id", "v"), Seq("id"))
+    // backlog: three separate commits before the query starts
+    (1 to 3).foreach(i =>
+      store.upsert("docs", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ck"),
+      Map("maxEpochsPerBatch" -> "1", "consumer" -> "els-spec"))
+    try {
+      q.processAllAvailable()
+      assert(mirror.snapshot() ===
+        (0 to 3).map(i => i.toLong -> s"v$i").toMap)
+      // initial snapshot is one batch; a capped drain of later commits
+      // would then show up as separate batches — with the whole
+      // backlog BEFORE the start, the snapshot covers it; now feed a
+      // live backlog and drain capped
+      (4 to 6).foreach(i =>
+        store.upsert("docs", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+      val before = mirror.batchCount()
+      q.processAllAvailable()
+      assert(mirror.batchCount() - before >= 3,
+        "cap=1 must deliver one commit per micro-batch")
+      assert(mirror.snapshot() ===
+        (0 to 6).map(i => i.toLong -> s"v$i").toMap)
+      // the streaming query registered a vacuum-pinning cursor
+      assert(EpochFollower.cursor(store, "docs", "els-spec").isDefined,
+        "consumer option did not register a cursor")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("startingEpoch=latest skips history (changes mode is exact)") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "old")).toDF("id", "v"), Seq("id"))
+
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ck"),
+      Map("startingEpoch" -> "latest"))
+    try {
+      q.processAllAvailable()
+      assert(mirror.batchCount() === 0,
+        "latest must not deliver pre-start history")
+      store.upsert("docs", Seq((2L, "new")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      val delivered = mirror.synchronized(mirror.batches.flatten.toSet)
+      assert(delivered === Set((2L, "new", "insert")),
+        "the change feed after 'latest' must carry ONLY post-start changes")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+
+    val latest = mutable.LinkedHashMap[Long, String]()
+    val src = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "docs").option("mode", "appends")
+      .load()
+    assert(!src.columns.contains("_change_type"),
+      "appends mode must not carry a change-type column")
+    val q = src.writeStream
+      .option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val rows = df.select(col("id").cast("long"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // the appends contract: at-least-once per changed-or-moved row,
+        // later windows carry the newer image — upsert-by-pk converges
+        latest.synchronized { rows.foreach { case (id, v) => latest(id) = v } }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      store.upsert("docs", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      // a compaction must deliver nothing (rewrite-aware walk): the
+      // mirror stays converged, and crucially never regresses 2L to "b"
+      store.compact("docs")
+      q.processAllAvailable()
+      assert(latest.synchronized(latest.toMap) ===
+        Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+}
