@@ -1,0 +1,266 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.TableStore
+
+/** Governed tables as a FIRST-CLASS SQL catalog — DataSource V2
+  * `TableCatalog`, so the store joins `spark.sql` by name:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.root", "/data/corpus")
+  * spark.sql("SELECT lang, count(*) FROM graft.documents GROUP BY 1")
+  * spark.sql("SELECT * FROM graft.documents VERSION AS OF 7")  // epoch
+  * spark.sql("INSERT INTO graft.documents SELECT ...")
+  * }}}
+  *
+  * Reads resolve through the store's epoch machinery: `VERSION AS OF
+  * n` maps to [[TableStore.readEpoch]] (time travel over the commit
+  * log — retained epochs only, the vacuum retention contract), a bare
+  * read serves the current commit. The scan is a `V1Scan` bridge over
+  * the store's own DataFrame: Spark hands down required columns and
+  * filters, both are applied to the underlying frame so column pruning
+  * and predicate pushdown reach the PARQUET scan (the store's stats /
+  * bucket / z-order pruning all engage); every filter is also kept as
+  * a residual above (reported un-pushed), so correctness never
+  * depends on the translation. `INSERT INTO` upserts by the table's
+  * declared bucket pk when one exists (the store's only write
+  * discipline for bucketed layout) and whole-table-merges otherwise;
+  * `INSERT OVERWRITE` maps to [[TableStore.overwrite]] on flat
+  * tables. DDL (CREATE/ALTER/DROP/RENAME) stays with the library's
+  * own verbs — the catalog reports them unsupported rather than
+  * inventing a second lifecycle.
+  *
+  * Scale: catalog calls are driver metadata (`tableNames`, schema
+  * resolution); the data path is the same governed parquet scan every
+  * library read uses — nothing is collected or re-encoded. A fresh
+  * [[TableStore]] is opened per call (instances are single-threaded;
+  * concurrent SQL sessions each get their own).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def store(): TableStore =
+    new TableStore(SparkSession.active, root)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"graft catalog has no namespaces (got ${namespace.mkString(".")})")
+    store().tableNames.map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && store().tableNames.contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, epoch = None)
+
+  /** `VERSION AS OF <epoch>` — the commit log is the version history. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, epoch = Some(version.toLong))
+
+  override def loadTable(ident: Identifier, version: Long): Table =
+    load(ident, epoch = Some(version))
+
+  private def load(ident: Identifier, epoch: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(root, ident.name, epoch)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create tables through the library (ensureBucketed/ensureGoverned + " +
+        "upsert), then query them here")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution happens through the library's upsert path")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}
+
+/** One governed table (optionally pinned to an epoch) behind the V2
+  * Table interface; reads and writes bridge to the store's own verbs.
+  */
+private[sql] class GraftTable(
+    root: String, tableName: String, epoch: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def store(): TableStore =
+    new TableStore(SparkSession.active, root)
+
+  private def frame(): DataFrame = {
+    val s = store()
+    val raw = epoch match {
+      case Some(e) => s.readEpoch(tableName, e)
+      case None => s.readIfExists(tableName).getOrElse(
+        throw new IllegalStateException(
+          s"$tableName holds no data yet — insert through the library first"))
+    }
+    // the bucket routing column is store-internal layout, not table
+    // surface: SQL readers never see it, INSERT never has to supply it
+    // (the upsert path recomputes it)
+    if (raw.columns.contains(s.BucketCol)) raw.drop(s.BucketCol) else raw
+  }
+
+  override def name(): String =
+    epoch.fold(tableName)(e => s"$tableName@$e")
+
+  override lazy val schema: StructType = frame().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(() => frame())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(epoch.isEmpty,
+      s"cannot write to $tableName pinned at epoch ${epoch.get} — " +
+        "time-travel reads are immutable")
+    new GraftWriteBuilder(() => store(), tableName)
+  }
+}
+
+/** Column pruning + filter pushdown, both applied to the underlying
+  * frame so they reach the parquet scan; every filter is ALSO reported
+  * un-pushed (residual), so Spark re-applies it above and correctness
+  * never depends on the Filter→Column translation.
+  */
+private[sql] class GraftScanBuilder(frame: () => DataFrame)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: Option[StructType] = None
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual: re-applied by Spark above the scan
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val pruned0 = filters.flatMap(GraftScanBuilder.toColumn)
+      .foldLeft(frame())(_.filter(_))
+    val pruned = required match {
+      case Some(s) if s.fieldNames.nonEmpty =>
+        pruned0.select(s.fieldNames.map(col).toIndexedSeq: _*)
+      case Some(_) => // COUNT(*)-style empty projection: keep one col
+        pruned0.select(col(pruned0.columns.head))
+      case None => pruned0
+    }
+    new GraftV1Scan(pruned, required)
+  }
+}
+
+private[sql] object GraftScanBuilder {
+  /** Best-effort Filter→Column translation — anything untranslatable
+    * is simply not pushed (the residual above keeps semantics).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+private[sql] class GraftV1Scan(projected: DataFrame, required: Option[StructType])
+  extends V1Scan {
+
+  override def readSchema(): StructType = projected.schema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = projected.schema
+      override def buildScan(): RDD[Row] = projected.rdd
+    }.asInstanceOf[T]
+}
+
+/** INSERT INTO → upsert by the declared bucket pk (bucketed tables) or
+  * whole-table merge (flat governed tables — the store's swap
+  * discipline); INSERT OVERWRITE (truncate) → [[TableStore.overwrite]].
+  */
+private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ovr: Boolean): Unit = {
+          val s = mkStore()
+          val wantOverwrite = overwrite || ovr
+          s.bucketLayoutOf(table) match {
+            case Some((_, pk)) =>
+              require(!wantOverwrite,
+                s"INSERT OVERWRITE on bucketed table $table is not " +
+                  "supported — use the library's overwrite + ensureBucketed")
+              s.upsert(table, data, pk)
+            case None if wantOverwrite => s.overwrite(table, data)
+            case None =>
+              val merged = s.readIfExists(table) match {
+                case Some(cur) => cur.unionByName(data, allowMissingColumns = true)
+                case None => data
+              }
+              s.overwrite(table, merged)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.store.TableStore
+
+/** Governed tables through `spark.sql`: the V2 catalog resolves names,
+  * serves epoch time travel (`VERSION AS OF`), and routes INSERT
+  * through the store's own write discipline.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ONE mount for the suite: Spark instantiates and caches the catalog
+  // on first reference, so later conf changes would not re-root it —
+  // tests share the root and use distinct table names
+  private lazy val mounted: TableStore = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    new TableStore(spark, root)
+  }
+  private def mountCatalog(): (String, TableStore) = ("", mounted)
+
+  test("SELECT by name: projection, filter, aggregate over a governed table") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs",
+      (0 until 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "g"),
+      Seq("id"))
+
+    val rows = spark.sql(
+      "SELECT id, v FROM graft.docs WHERE g = 1 AND id < 10 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq(1L, 4L, 7L).map(i => (i, s"v$i")))
+
+    val agg = spark.sql(
+      "SELECT g, count(*) AS n FROM graft.docs GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(agg.toSeq === Seq((0, 7L), (1, 7L), (2, 6L)))
+
+    val tables = spark.sql("SHOW TABLES IN graft")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains("docs"))
+  }
+
+  test("VERSION AS OF maps to epochs: time travel across an upsert and a delete") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    store.upsert("t", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    store.deleteByPk("t", Seq(1L).toDF("id"), Seq("id"))
+
+    def rowsAt(clause: String): Set[(Long, String)] =
+      spark.sql(s"SELECT id, v FROM graft.t $clause")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(rowsAt(s"VERSION AS OF $e1") === Set((1L, "a"), (2L, "b")),
+      "time travel must serve the pinned epoch's rows")
+    assert(rowsAt("") === Set((2L, "b2"), (3L, "c")))
+  }
+
+  test("INSERT INTO: bucketed upsert-by-pk, flat merge, flat OVERWRITE") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("b", Seq("id"), 4)
+    store.ensureGoverned(Seq("b", "f"))
+    store.upsert("b", Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+    store.overwrite("f", Seq((1L, "x")).toDF("id", "v"))
+    val e0 = store.snapshot().epoch
+
+    // bucketed: INSERT is the store's upsert — same pk replaces
+    spark.sql("INSERT INTO graft.b VALUES (1, 'x2'), (2, 'y')")
+    assert(store.read("b").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "x2"), (2L, "y")))
+
+    // flat: INSERT merges (append semantics on the swap table)
+    spark.sql("INSERT INTO graft.f VALUES (2, 'y')")
+    assert(store.read("f").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((1L, "x"), (2L, "y")))
+
+    // flat: INSERT OVERWRITE replaces
+    spark.sql("INSERT OVERWRITE graft.f VALUES (9, 'z')")
+    assert(store.read("f").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((9L, "z")))
+
+    // writes through SQL are ordinary commits: the change feed sees them
+    val feed = store.readChangesSince("b", e0, store.snapshot().epoch,
+      Seq("id")).collect()
+    assert(feed.nonEmpty)
+  }
+
+  test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft.nope (id BIGINT) USING parquet"))
+    assert(e.getMessage.toLowerCase.contains("ensure") ||
+      e.getMessage.toLowerCase.contains("support"))
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM graft.never_was").collect())
+    assert(missing.getMessage.toLowerCase.contains("table") ||
+      missing.getMessage.toLowerCase.contains("not found"))
+  }
+}
