@@ -77,7 +77,11 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty && store().tableNames.contains(ident.name)
+    ident.namespace.isEmpty && {
+      val (base, meta) = GraftCatalog.splitMeta(ident.name)
+      (meta.isEmpty || GraftCatalog.MetaTables.contains(meta.get)) &&
+        store().tableNames.contains(base)
+    }
 
   override def loadTable(ident: Identifier): Table =
     load(ident, epoch = None)
@@ -91,7 +95,13 @@ class GraftCatalog extends TableCatalog {
 
   private def load(ident: Identifier, epoch: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(root, ident.name, epoch)
+    GraftCatalog.splitMeta(ident.name) match {
+      case (base, Some(meta)) =>
+        require(epoch.isEmpty,
+          "metadata tables are not versioned — query them unpinned")
+        new GraftMetaTable(root, base, meta)
+      case (name, None) => new GraftTable(root, name, epoch)
+    }
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
@@ -111,6 +121,56 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+}
+
+object GraftCatalog {
+  /** Metadata-table suffixes (Iceberg's `table$snapshots` pattern —
+    * backtick the identifier in SQL: `` graft.`docs$history` ``).
+    */
+  val MetaTables: Set[String] = Set("history", "files", "tags", "cursors")
+
+  private[sql] def splitMeta(name: String): (String, Option[String]) =
+    name.lastIndexOf('$') match {
+      case -1 => (name, None)
+      case i => (name.substring(0, i), Some(name.substring(i + 1)))
+    }
+}
+
+/** Read-only metadata tables over the commit log: `$history` (epoch,
+  * op, n_files — retained commits that changed the table), `$files`
+  * (the stats manifest: per-file row counts / sizes / column
+  * envelopes), `$tags` (name → pinned epoch), `$cursors` (consumer →
+  * last-processed epoch). All driver-metadata-sized; served through
+  * the same V1 scan bridge.
+  */
+private[sql] class GraftMetaTable(root: String, base: String, meta: String)
+  extends Table with SupportsRead {
+
+  private def frame(): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val s = new TableStore(spark, root)
+    meta match {
+      case "history" =>
+        s.tableHistory(base).toDF("epoch", "op", "n_files")
+      case "files" =>
+        // manifest-backed when the table opted into footer-free pruning
+        // (refreshFileStats); plain live file list otherwise
+        s.fileStatsTable(base).getOrElse(s.dataFiles(base).toDF("file"))
+      case "tags" => s.tags().toSeq.toDF("tag", "epoch")
+      case "cursors" =>
+        graft.store.EpochFollower.cursors(s).toSeq.collect {
+          case ((t, consumer), epoch) if t == base => (consumer, epoch)
+        }.toDF("consumer", "epoch")
+    }
+  }
+
+  override def name(): String = s"$base$$$meta"
+  override lazy val schema: StructType = frame().schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(() => frame())
 }
 
 /** One governed table (optionally pinned to an epoch) behind the V2

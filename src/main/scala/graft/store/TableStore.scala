@@ -1623,6 +1623,28 @@ class TableStore(val spark: SparkSession, root: String) {
       }.getOrElse(OpUnknown)
     })
 
+  /** RETAINED commit history affecting `name`, oldest first: (epoch,
+    * op, n_files) of every retained commit that changed the table's
+    * file list — the `$history` metadata surface (Iceberg's snapshots
+    * table). The first retained entry counts as a change (its op is
+    * whatever produced it — earlier history may have been vacuumed).
+    * Pure metadata walk, O(retained commits).
+    */
+  def tableHistory(name: String): Seq[(Long, String, Int)] = {
+    val commits = listCommits()
+    val cmap = commits.toMap
+    var prevEntry: Option[String] = None
+    val out = Seq.newBuilder[(Long, String, Int)]
+    commits.map(_._1).sorted.foreach { e =>
+      val cur = entryAt(name, cmap, e)
+      if (cur != prevEntry) {
+        cur.foreach(en => out += ((e, opOf(en), resolveEntry(en).size)))
+        prevEntry = cur
+      }
+    }
+    out.result()
+  }
+
   /** Every log entry reachable from `entry` through base= links —
     * what vacuum must retain for the current commit to resolve.
     */

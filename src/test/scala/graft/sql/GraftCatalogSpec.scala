@@ -91,6 +91,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed.nonEmpty)
   }
 
+  test("metadata tables: $history ops, $files manifest, $tags, $cursors") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("m", Seq("id"), 4)
+    store.ensureGoverned(Seq("m"))
+    store.upsert("m", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    store.compact("m")
+    store.refreshFileStats("m") // opt into the manifest-backed $files
+    store.tagEpoch("m-release")
+    graft.store.EpochFollower.consumeNew(store, "m", "meta-spec")(_ => ())
+
+    val hist = spark.sql(
+      "SELECT epoch, op FROM graft.`m$history` ORDER BY epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._2).contains("upsert"))
+    assert(hist.map(_._2).contains("compact"))
+    assert(hist.map(_._1).distinct.length === hist.length,
+      "history must carry one row per changing commit")
+
+    val files = spark.sql("SELECT file FROM graft.`m$files`")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("/m/")))
+
+    val tags = spark.sql("SELECT tag, epoch FROM graft.`m$tags`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.contains("m-release"))
+
+    val cursors = spark.sql(
+      "SELECT consumer, epoch FROM graft.`m$cursors`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cursors.contains("meta-spec"))
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
