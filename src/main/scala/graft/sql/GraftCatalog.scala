@@ -276,9 +276,32 @@ private[sql] object GraftScanBuilder {
 }
 
 private[sql] class GraftV1Scan(projected: DataFrame, required: Option[StructType])
-  extends V1Scan {
+  extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = projected.schema
+
+  /** The underlying frame's OWN Catalyst estimate (file-size-based,
+    * pruning- and filter-aware). Honest caveat: current Spark wraps V1
+    * scans in V1ScanWrapper, which does NOT forward this interface, so
+    * the STATIC optimizer still sees the unknown-size default — the
+    * broadcast decision for SQL joins over governed tables lands at
+    * RUNTIME instead, where AQE's measured shuffle sizes convert
+    * sort-merge to broadcast-hash (pinned in GraftCatalogSpec). Kept
+    * because it costs nothing, is correct, and engages the moment the
+    * wrapper learns to delegate.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val st = projected.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.optimizedPlan.stats
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          st.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      override def numRows(): java.util.OptionalLong =
+        st.rowCount.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r.min(BigInt(Long.MaxValue)).toLong))
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

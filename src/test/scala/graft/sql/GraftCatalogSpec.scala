@@ -91,6 +91,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed.nonEmpty)
   }
 
+  test("SQL join over a small governed dim table broadcasts (AQE runtime)") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("dim", "fact"))
+    store.overwrite("dim", Seq((0L, "x"), (1L, "y")).toDF("k", "label"))
+    store.overwrite("fact",
+      (0 until 5000).map(i => (i.toLong, i.toLong % 2)).toDF("id", "k"))
+
+    // static CBO cannot see through V1ScanWrapper (see GraftV1Scan's
+    // estimateStatistics note) — the broadcast decision is AQE's,
+    // from measured shuffle sizes, so assert the EXECUTED final plan
+    val q = spark.sql(
+      "SELECT f.id, d.label FROM graft.fact f JOIN graft.dim d ON f.k = d.k")
+    assert(q.collect().length === 5000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small governed table did not broadcast at runtime:\n$plan")
+  }
+
   test("metadata tables: $history ops, $files manifest, $tags, $cursors") {
     val (_, store) = mountCatalog()
     store.ensureBucketed("m", Seq("id"), 4)
