@@ -314,6 +314,20 @@ object Cli {
             Seq(textCol), buckets)
         }
         println(s"[follow-fts] $n batch(es) applied to $mirror for $consumer")
+      case "sql" =>
+        // sql <store> <statement> [maxRows] — mount the store as the
+        // `graft` SQL catalog and run one statement: SELECT over any
+        // governed table (incl. `t$history`/`t$files`/`t$tags`/
+        // `t$cursors` metadata tables and `VERSION AS OF <epoch>` time
+        // travel) or INSERT INTO / INSERT OVERWRITE routed through the
+        // store's write discipline. One root per session (Spark caches
+        // the catalog instance on first reference).
+        spark.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft.root", args(1))
+        val out = spark.sql(args(2))
+        if (out.columns.nonEmpty)
+          out.show(args.lift(3).map(_.toInt).getOrElse(20), truncate = false)
       case "pq-index" | "ivf-index" =>
         import org.apache.spark.sql.functions.col
         val (table, pk, emb) = (args(2), args(3), args(4))

@@ -55,17 +55,30 @@ import graft.store.TableStore
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
-  private var root: String = _
+  private var initRoot: Option[String] = None
 
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        s"catalog '$name' needs spark.sql.catalog.$name.root"))
+    initRoot = Option(options.get("root"))
+    require(root.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root")
   }
 
   override def name(): String = catalogName
+
+  /** Spark caches the catalog INSTANCE on first reference and never
+    * re-runs initialize, so the root is re-read from the live session
+    * conf on every call — `spark.conf.set(...root, newRoot)` re-roots
+    * the catalog the way users expect (one catalog name, many stores
+    * over a session's lifetime; the CLI `sql` verb relies on it).
+    */
+  private def root: String =
+    Option(SparkSession.active.conf.get(
+      s"spark.sql.catalog.$catalogName.root", null))
+      .orElse(initRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog '$catalogName' needs spark.sql.catalog.$catalogName.root"))
 
   private def store(): TableStore =
     new TableStore(SparkSession.active, root)

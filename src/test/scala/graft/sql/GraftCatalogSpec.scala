@@ -10,16 +10,29 @@ import graft.store.TableStore
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  // ONE mount for the suite: Spark instantiates and caches the catalog
-  // on first reference, so later conf changes would not re-root it —
-  // tests share the root and use distinct table names
-  private lazy val mounted: TableStore = {
+  // Spark caches the catalog INSTANCE on first reference; the catalog
+  // re-reads its root from the live conf per call (tested below), so a
+  // fresh root per test is just a conf set
+  private def mountCatalog(): (String, TableStore) = {
     val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root", root)
-    new TableStore(spark, root)
+    (root, new TableStore(spark, root))
   }
-  private def mountCatalog(): (String, TableStore) = ("", mounted)
+
+  test("re-rooting: a conf change points the cached catalog at a new store") {
+    val (_, a) = mountCatalog()
+    a.ensureGoverned(Seq("t"))
+    a.upsert("t", Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT v FROM graft.t").collect().head.getString(0)
+      === "A")
+    val (_, b) = mountCatalog() // same catalog name, new root
+    b.ensureGoverned(Seq("t"))
+    b.upsert("t", Seq((1L, "B")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT v FROM graft.t").collect().head.getString(0)
+      === "B",
+      "the cached catalog instance must follow the live conf root")
+  }
 
   test("SELECT by name: projection, filter, aggregate over a governed table") {
     val (_, store) = mountCatalog()
