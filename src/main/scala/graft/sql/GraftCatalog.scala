@@ -46,6 +46,16 @@ import graft.store.TableStore
   * own verbs — the catalog reports them unsupported rather than
   * inventing a second lifecycle.
   *
+  * Consistency: like Iceberg/Delta catalogs, each TABLE REFERENCE
+  * resolves the then-current commit independently, so a multi-table
+  * query racing a concurrent commit can observe tables at different
+  * epochs (the library-side fix is [[TableStore.withSnapshot]]). The
+  * SQL-side fix is free here because the epoch is GLOBAL across
+  * tables: `VERSION AS OF e` on every referenced table is a
+  * transactionally consistent multi-table snapshot — one epoch, all
+  * tables, however the query interleaves with writers (pinned in
+  * GraftCatalogSpec).
+  *
   * Scale: catalog calls are driver metadata (`tableNames`, schema
   * resolution); the data path is the same governed parquet scan every
   * library read uses — nothing is collected or re-encoded. A fresh

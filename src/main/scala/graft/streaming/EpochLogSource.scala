@@ -73,12 +73,16 @@ class EpochLogSource(
 
   private val store = new TableStore(sqlContext.sparkSession, root)
 
-  /** `latest` skips history: the base epoch pinned at source creation.
-    * `earliest` leaves None — the first batch is a full snapshot.
+  /** `latest` skips history (base = the epoch at source creation), a
+    * NUMBER resumes/reprocesses from that exact epoch (retained-epoch
+    * contract applies), `earliest` leaves None — the first batch is a
+    * full snapshot.
     */
-  private val latestBase: Option[Long] =
-    if (startingEpoch == "latest") Some(currentEpoch().getOrElse(0L))
-    else None
+  private val latestBase: Option[Long] = startingEpoch match {
+    case "latest" => Some(currentEpoch().getOrElse(0L))
+    case "earliest" => None
+    case n => Some(n.toLong)
+  }
 
   /** Highest epoch this source has returned or been handed — the
     * monotone floor for offset computation. A registered consumer
@@ -213,8 +217,9 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     require(mode == "appends" || pk.nonEmpty,
       "changes mode needs option(\"pk\", ...) — the table's logical key")
     val starting = parameters.getOrElse("startingEpoch", "earliest")
-    require(starting == "earliest" || starting == "latest",
-      s"startingEpoch must be earliest|latest, got '$starting'")
+    require(starting == "earliest" || starting == "latest" ||
+      starting.forall(_.isDigit),
+      s"startingEpoch must be earliest|latest|<epoch>, got '$starting'")
     new EpochLogSource(
       sqlContext, required(parameters, "root"), required(parameters, "table"),
       pk, mode, starting,

@@ -154,6 +154,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cursors.contains("meta-spec"))
   }
 
+  test("VERSION AS OF on every table = consistent multi-table snapshot") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("u", "p"))
+    // one transact: both tables land at ONE epoch
+    store.transact {
+      store.upsert("u", Seq((1L, "u1")).toDF("id", "v"), Seq("id"))
+      store.upsert("p", Seq((1L, "p1")).toDF("id", "v"), Seq("id"))
+    }
+    val e = store.snapshot().epoch
+    // later writers move both tables on
+    store.transact {
+      store.upsert("u", Seq((1L, "u2")).toDF("id", "v"), Seq("id"))
+      store.upsert("p", Seq((1L, "p2")).toDF("id", "v"), Seq("id"))
+    }
+    // the pinned join serves the joint-commit view, not a mix
+    val rows = spark.sql(
+      s"""SELECT u.v AS uv, p.v AS pv
+         |FROM graft.u VERSION AS OF $e u
+         |JOIN graft.p VERSION AS OF $e p ON u.id = p.id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("u1", "p1")))
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))

@@ -189,6 +189,65 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composition: graft-cdc source drives a ghost-free FTS mirror") {
+    // follow-fts as a REAL Structured Streaming query: the commit log
+    // in through readStream, Fts.applyChanges in foreachBatch, the
+    // mirror searchable and delete-clean — Spark's WAL doing the
+    // cursor's job
+    val root = freshRoot()
+    val producer = new TableStore(spark, root)
+    producer.ensureGoverned(Seq("docs"))
+    producer.upsert("docs",
+      Seq((1L, "spark window functions"), (2L, "bloom filter joins"))
+        .toDF("id", "full_text"), Seq("id"))
+
+    val mirrorStore = new TableStore(spark, root)
+    val q = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "docs").option("pk", "id")
+      .load()
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => graft.store.Fts.applyChanges(
+        mirrorStore, "docs_mirror", df.toDF(), "id", Seq("full_text")))
+      .start()
+    try {
+      q.processAllAvailable()
+      def hits(term: String): Set[Long] =
+        graft.store.Fts.search(spark, mirrorStore, "docs_mirror", term)
+          .select(col("pk").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(hits("bloom") === Set(2L))
+
+      producer.upsert("docs",
+        Seq((3L, "bloom sketches at scale")).toDF("id", "full_text"), Seq("id"))
+      producer.deleteByPk("docs", Seq(2L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(hits("bloom") === Set(3L),
+        "mirror must index the insert and retract the delete's postings")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("numeric startingEpoch reprocesses from that exact epoch") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    store.upsert("docs", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ck"),
+      Map("startingEpoch" -> e1.toString))
+    try {
+      q.processAllAvailable()
+      val delivered = mirror.synchronized(mirror.batches.flatten.toSet)
+      assert(delivered === Set((2L, "b", "insert")),
+        s"epoch-pinned start must deliver exactly the post-$e1 changes")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
