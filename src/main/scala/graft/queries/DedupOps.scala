@@ -430,6 +430,66 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_ngram_novelty — DIRECTIONAL novelty profile: per document, the
+  // share of its distinct word-8-gram passages whose FIRST occurrence
+  // in the corpus (lowest doc_id — ingestion order) is this document.
+  // The curation complement of q_passage_dedup's symmetric census: a
+  // low-novelty doc arriving late is boilerplate/recombination and a
+  // cheap drop candidate BEFORE pair-level dedup runs, the
+  // "contribution over the corpus so far" signal RefinedWeb-style
+  // pipelines order sources by. Docs under 8 tokens have no passages
+  // and drop out (the shared gram rule).
+  //
+  // Scale shape: identical to q_passage_dedup — one tokenize+explode
+  // pass (materialized once, feeding both branches), a partial-agg'd
+  // groupBy(gram) keeping ONLY (gram, min doc_id), an equi-join back,
+  // one groupBy(doc_id). The build side carries an 8-word string + one
+  // long; boilerplate hot keys are AQE-skew-split. Nothing is ordered
+  // globally — "first" is the min aggregate, not a sort.
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyOf(Catalog.table(spark, sfDir, "documents"))
+
+  /** Novelty profile of an arbitrary (doc_id, text) corpus slice. */
+  private[queries] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    import graft.store.Iteration.materialize
+    val grams = materialize(docs
+      .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
+        docs.sparkSession, col("text"), 8, distinct = true)).as("gram")))
+    val firstOwner = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOwner, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1)))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(0, len(toks) - 7),
+      |      j -> array_to_string(toks[j+1:j+8], ' ')))) AS gram
+      |  FROM toks WHERE len(toks) >= 8
+      |), first_owner AS (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel,
+      |  CAST(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM grams g JOIN first_owner f USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_simhash — SimHash-16 document fingerprints: per token, 16 bits
   // derived from md5 hex digits; per bit, the signed token votes sum;
   // fingerprint = bits with positive vote. All-integer math and
@@ -985,5 +1045,6 @@ object DedupOps {
     Op("q_minhash_wide", minhashWide, Some(minhashWideSql)),
     Op("q_near_dup_pairs", nearDupPairs, Some(nearDupPairsSql)),
     Op("q_jaccard_blocked", jaccardBlocked, Some(jaccardBlockedSql)),
-    Op("q_passage_dedup", passageDedup, Some(passageDedupSql)))
+    Op("q_passage_dedup", passageDedup, Some(passageDedupSql)),
+    Op("q_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)))
 }

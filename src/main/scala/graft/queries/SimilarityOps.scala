@@ -1041,6 +1041,77 @@ object SimilarityOps {
        |ORDER BY cell, dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_embed_diversity — per-label embedding DISPERSION: each label's
+  // centroid (exact quantized-integer mean, the q_kmeans_step rule)
+  // and its members' mean cosine to it. The curation dial mixture
+  // pipelines read before sampling: a label whose members hug their
+  // centroid (mean cos → 1) is redundant — semantic dedup will
+  // collapse it — while a dispersed label carries diversity worth
+  // oversampling; SemDeDup's own extreme-points observation made
+  // per-cluster dispersion the keep/drop signal.
+  //
+  // Float-parity discipline end to end: centroid components from
+  // 1e-6-quantized integer sums (order-free), per-member cosine =
+  // sequential-fold dot / norms (one expression, identical operands
+  // both engines), the per-label MEAN again over 1e-6-quantized longs
+  // with one final division. Shape: one posexplode + partial-agg'd
+  // groupBy(label, dim) for centroids (centroid table = labels × dims
+  // rows, broadcast back), map-side cosine, one groupBy(label) — no
+  // shuffle carries vectors beyond the first aggregation.
+  def embedDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Catalog.table(spark, sfDir, "embeddings")
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        asDouble(col("embedding")).as("e"))
+    val cents = emb
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1e6).cast("long")).as("q"),
+        count(lit(1)).as("n"))
+      .withColumn("c",
+        (col("q").cast("double") / 1e6) / col("n").cast("double"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        (dot(col("e"), col("cent"))
+          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("cent"), col("cent")))))
+          .as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("cos") * 1e6).cast("long")).as("qsum"))
+      .select(col("label"), col("n_vecs"),
+        ((col("qsum").cast("double") / 1e6) / col("n_vecs").cast("double"))
+          .as("mean_cos"))
+      .orderBy(col("label"))
+  }
+
+  val embedDiversitySql: String = {
+    val cosExpr = s"${dotSql("m.e", "c.cent")} / " +
+      s"(sqrt(${dotSql("m.e", "m.e")}) * sqrt(${dotSql("c.cent", "c.cent")}))"
+    s"""WITH emb AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |), comp AS (
+       |  SELECT label, dim,
+       |    (CAST(SUM(CAST(floor(e[dim] * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+       |      / CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM emb, (SELECT unnest(range(1, ${dims + 1})) AS dim)
+       |  GROUP BY label, dim
+       |), cents AS (
+       |  SELECT label, list(c ORDER BY dim) AS cent FROM comp GROUP BY label
+       |), scored AS (
+       |  SELECT m.label, $cosExpr AS cos
+       |  FROM emb m JOIN cents c USING (label)
+       |)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  (CAST(SUM(CAST(floor(cos * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+  }
+
   /** Full Lloyd training loop around the oracle-verified step shape:
     * seed with the k lowest-id vectors (deterministic), iterate
     * assignment (max_by against broadcast centroids) + quantized-mean
@@ -1805,6 +1876,7 @@ object SimilarityOps {
     Op("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Op("q_ann_pq_topk", annPqTopK, Some(annPqTopKSql)),
     Op("q_kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    Op("q_embed_diversity", embedDiversity, Some(embedDiversitySql)),
     Op("q_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("q_ann_lsh_buckets", annLshBuckets, Some(annLshBucketsSql)),
     Op("q_ann_lsh_topk", annLshTopK, Some(annLshTopKSql)),
