@@ -115,4 +115,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!bestPlan.contains("Join") && !bestPlan.contains("Window "),
       s"q_dedup_keep_best grew a join/window:\n${bestPlan.take(1500)}")
   }
+
+  test("round-12 queries: novelty = gram equi-join, diversity = broadcast-only") {
+    // q_ngram_novelty: "first occurrence" must be a min AGGREGATE
+    // joined back on the gram key — never a global ordered window (the
+    // single-partition funnel a naive first-seen derivation plans)
+    val nov = Inventory.byName("q_ngram_novelty").fn(spark, sfDir)
+    nov.collect()
+    val novPlan = nov.queryExecution.executedPlan.toString
+    assert(novPlan.contains("HashAggregate"),
+      s"q_ngram_novelty lost its min aggregate:\n${novPlan.take(1500)}")
+    assert(!novPlan.contains("CartesianProduct") &&
+      !novPlan.contains("BroadcastNestedLoopJoin"),
+      s"q_ngram_novelty planned a product join:\n${novPlan.take(1500)}")
+    assert("Window \\[[^\\]]*partitionBy=\\[\\]".r.findFirstIn(novPlan).isEmpty,
+      s"q_ngram_novelty grew an unpartitioned window:\n${novPlan.take(1500)}")
+    // q_embed_diversity: the labels×dims centroid table must come BACK
+    // as a broadcast — vectors never shuffle past the first aggregation
+    val div = Inventory.byName("q_embed_diversity").fn(spark, sfDir)
+    div.collect()
+    val divPlan = div.queryExecution.executedPlan.toString
+    assert(divPlan.contains("BroadcastHashJoin"),
+      s"q_embed_diversity lost the broadcast centroid join:\n${divPlan.take(1500)}")
+    assert(!divPlan.contains("SortMergeJoin"),
+      s"q_embed_diversity shuffles vectors for the centroid join:\n${divPlan.take(1500)}")
+  }
 }
