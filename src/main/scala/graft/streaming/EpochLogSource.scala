@@ -94,11 +94,17 @@ class EpochLogSource(
     consumer.flatMap(c => EpochFollower.cursor(store, table, c))
       .orElse(latestBase)
 
-  // register the cursor (vacuum pin) up front, so retention holds the
-  // stream's replay window from the first trigger, not the first commit
+  // register the cursor (vacuum pin) up front AT THE CREATION EPOCH:
+  // Spark's offset WAL can reference a batch whose commit-log write
+  // was lost (stop/crash between the sink write and the commit — the
+  // at-least-once window), and its replay needs the batch's END epoch
+  // retained. commit() has not fired yet at that point, so the
+  // REGISTRATION value is the only pin — it must cover everything the
+  // source could have offered, i.e. the epoch current when the source
+  // was built. A pin at 0 (the old value) pinned nothing.
   consumer.foreach { c =>
     if (EpochFollower.cursor(store, table, c).isEmpty)
-      registerCursor(c, maxSeen.getOrElse(0L))
+      registerCursor(c, maxSeen.orElse(currentEpoch()).getOrElse(0L))
   }
 
   override def schema: StructType = fixedSchema

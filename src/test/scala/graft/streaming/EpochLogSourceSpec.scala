@@ -248,6 +248,59 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vacuum: the consumer cursor pins the replay base; without one, loud failure") {
+    // WITH a consumer: the streaming query's position is a vacuum root,
+    // so aggressive retention cannot strand its diff base — the restart
+    // consumes the down-window exactly
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val ckpt = freshDir("graft-els-ck")
+    val m1 = new Mirror
+    val q1 = startQuery(root, m1, ckpt, Map("consumer" -> "vac-spec"))
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    (2 to 4).foreach(i =>
+      store.upsert("docs", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+    store.vacuumEpochs(0L) // zero retention: only pins survive
+    val m2 = new Mirror
+    val q2 = startQuery(root, m2, ckpt, Map("consumer" -> "vac-spec"))
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"pinned replay base was vacuumed: ${q2.exception}")
+      val got = m2.synchronized(m2.batches.flatten.toSet)
+      assert(got === (2 to 4).map(i => (i.toLong, s"v$i", "insert")).toSet,
+        s"down-window not delivered exactly: $got")
+    } finally q2.stop()
+
+    // WITHOUT a consumer: nothing pins the WAL's base epoch — a
+    // zero-retention vacuum strands it and the restart fails LOUDLY
+    // (never silently skips or re-serves wrong data)
+    val root2 = freshRoot()
+    val store2 = new TableStore(spark, root2)
+    store2.ensureGoverned(Seq("docs"))
+    store2.upsert("docs", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val ckpt2 = freshDir("graft-els-ck")
+    val m3 = new Mirror
+    val q3 = startQuery(root2, m3, ckpt2)
+    try { q3.processAllAvailable() } finally q3.stop()
+    (2 to 4).foreach(i =>
+      store2.upsert("docs", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+    store2.vacuumEpochs(0L)
+    val m4 = new Mirror
+    val q4 = startQuery(root2, m4, ckpt2)
+    try {
+      val failed =
+        try { q4.processAllAvailable(); q4.exception.isDefined }
+        catch { case _: Exception => true }
+      assert(failed,
+        "restart over a vacuumed replay base must fail loudly — " +
+          "size retention to consumer lag, or pass option(\"consumer\", ...)")
+    } finally q4.stop()
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
