@@ -55,6 +55,10 @@ class GraftCatalogSpec extends SparkSpec {
     val tables = spark.sql("SHOW TABLES IN graft")
       .collect().map(_.getString(1)).toSet
     assert(tables.contains("docs"))
+
+    // zero-column projection (the scan's keep-one-column fallback)
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 20L)
   }
 
   test("VERSION AS OF maps to epochs: time travel across an upsert and a delete") {
