@@ -1,5 +1,7 @@
 package graft.sql
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.store.TableStore
 
@@ -179,6 +181,33 @@ class GraftCatalogSpec extends SparkSpec {
          |JOIN graft.p VERSION AS OF $e p ON u.id = p.id""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(rows.toSeq === Seq(("u1", "p1")))
+  }
+
+  test("graft-changes reader format: the CDC window through spark.read") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("c"))
+    store.upsert("c", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    store.upsert("c", Seq((2L, "b2"), (3L, "x")).toDF("id", "v"), Seq("id"))
+    store.deleteByPk("c", Seq(1L).toDF("id"), Seq("id"))
+
+    val got = spark.read.format("graft-changes")
+      .option("root", root).option("table", "c").option("pk", "id")
+      .option("fromEpoch", e1.toString)
+      .load()
+      .select(col("id").cast("long"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set((2L, "b2", "insert"), (3L, "x", "insert"),
+      (1L, "a", "delete")))
+
+    // bounded window: toEpoch caps at the first upsert — no delete yet
+    val mid = spark.read.format("graft-changes")
+      .option("root", root).option("table", "c").option("pk", "id")
+      .option("fromEpoch", e1.toString).option("toEpoch", (e1 + 1).toString)
+      .load()
+      .select(col("_change_type")).collect().map(_.getString(0))
+    assert(mid.nonEmpty && mid.forall(_ == "insert"))
   }
 
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
