@@ -301,6 +301,56 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("property: random commit histories — the mirror converges exactly") {
+    // seeded random interleavings of upsert / delete / compact with the
+    // query draining at arbitrary points: whatever the history, the
+    // mirror's reconstruction must equal the table, and compactions
+    // must never inflate the delivered row count (rewrite-skipping)
+    val rnd = new scala.util.Random(424242)
+    (1 to 2).foreach { trial =>
+      val root = freshRoot()
+      val store = new TableStore(spark, root)
+      store.ensureBucketed("docs", Seq("id"), 4)
+      store.ensureGoverned(Seq("docs"))
+      store.upsert("docs", Seq((0L, "seed")).toDF("id", "v"), Seq("id"))
+      val mirror = new Mirror
+      val q = startQuery(root, mirror, freshDir("graft-els-ck"))
+      try {
+        var live = Set(0L)
+        (1 to 10).foreach { step =>
+          rnd.nextInt(4) match {
+            case 0 | 1 =>
+              val ids = (0 until 1 + rnd.nextInt(3))
+                .map(_ => rnd.nextInt(24).toLong).distinct
+              store.upsert("docs",
+                ids.map(i => (i, s"t$trial-s$step-$i")).toDF("id", "v"),
+                Seq("id"))
+              live ++= ids
+            case 2 if live.nonEmpty =>
+              val victim = live.toSeq(rnd.nextInt(live.size))
+              store.deleteByPk("docs", Seq(victim).toDF("id"), Seq("id"))
+              live -= victim
+            case _ => store.compact("docs")
+          }
+          if (rnd.nextInt(3) == 0) q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"trial $trial: ${q.exception}")
+        val table = store.read("docs").select(col("id").cast("long"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(mirror.snapshot() === table,
+          s"trial $trial: mirror diverged from the table")
+        // the change feed is exact: every delivered insert is a row
+        // some state actually held — delivered inserts per pk never
+        // exceed the writes that touched it (no compaction echoes)
+        val delivered = mirror.synchronized(
+          mirror.batches.flatten.count(_._3 == "insert"))
+        assert(delivered <= 10 * 3 + 1,
+          s"trial $trial: $delivered inserts delivered — rewrite echo?")
+      } finally q.stop()
+    }
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
