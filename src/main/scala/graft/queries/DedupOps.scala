@@ -440,12 +440,14 @@ object DedupOps {
   // pipelines order sources by. Docs under 8 tokens have no passages
   // and drop out (the shared gram rule).
   //
-  // Scale shape: identical to q_passage_dedup — one tokenize+explode
-  // pass (materialized once, feeding both branches), a partial-agg'd
-  // groupBy(gram) keeping ONLY (gram, min doc_id), an equi-join back,
-  // one groupBy(doc_id). The build side carries an 8-word string + one
-  // long; boilerplate hot keys are AQE-skew-split. Nothing is ordered
-  // globally — "first" is the min aggregate, not a sort.
+  // Scale shape: BETTER than a first-owner join-back (which would
+  // shuffle every gram string twice) — novel counts fall out of the
+  // min-owner aggregate ALONE: grams are distinct per doc, so
+  // groupBy(gram).min(doc_id) followed by a count per owner IS each
+  // doc's novel-gram count. Two partial-agg'd aggregations over one
+  // materialized gram frame, then a doc-level join of two O(docs)
+  // frames — gram strings cross the wire once, "first" is a min
+  // aggregate, nothing is globally ordered.
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
     ngramNoveltyOf(Catalog.table(spark, sfDir, "documents"))
 
@@ -455,16 +457,17 @@ object DedupOps {
     val grams = materialize(docs
       .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
         docs.sparkSession, col("text"), 8, distinct = true)).as("gram")))
-    val firstOwner = grams.groupBy(col("gram"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstOwner, Seq("gram"))
+    val perDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), lit(1)))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams").cast("double"))
-          .as("novelty"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams").cast("double")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 
@@ -478,16 +481,19 @@ object DedupOps {
       |    list_transform(range(0, len(toks) - 7),
       |      j -> array_to_string(toks[j+1:j+8], ' ')))) AS gram
       |  FROM toks WHERE len(toks) >= 8
-      |), first_owner AS (
-      |  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+      |), per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+      |), novel AS (
+      |  SELECT doc_id, COUNT(*) AS n_novel FROM (
+      |    SELECT MIN(doc_id) AS doc_id FROM grams GROUP BY gram
+      |  ) GROUP BY doc_id
       |)
-      |SELECT g.doc_id, COUNT(*) AS n_grams,
-      |  COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel,
-      |  CAST(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
-      |FROM grams g JOIN first_owner f USING (gram)
-      |GROUP BY g.doc_id
-      |ORDER BY g.doc_id""".stripMargin
+      |SELECT p.doc_id, p.n_grams,
+      |  COALESCE(n.n_novel, 0) AS n_novel,
+      |  CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+      |    / CAST(p.n_grams AS DOUBLE) AS novelty
+      |FROM per_doc p LEFT JOIN novel n USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_simhash — SimHash-16 document fingerprints: per token, 16 bits
