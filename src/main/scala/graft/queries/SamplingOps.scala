@@ -18,8 +18,11 @@ import graft.ingest.Transforms
   */
 object SamplingOps {
 
-  /** First md5 byte of the id rendered in decimal: 0-255. */
-  private[queries] def hashBucket(id: Column): Column =
+  /** First md5 byte of the id rendered in decimal: 0-255. Shared with
+    * the streaming budget sink (StreamTokenBudget) — ONE definition of
+    * the deterministic admission order.
+    */
+  private[graft] def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
   private[queries] val hashBucketSql =
