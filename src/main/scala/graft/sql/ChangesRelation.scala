@@ -40,8 +40,16 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
     val store = new TableStore(sqlContext.sparkSession, required("root"))
     val table = required("table")
     val mode = parameters.getOrElse("mode", "changes")
-    val from = required("fromEpoch").toLong
-    val to = parameters.get("toEpoch").map(_.toLong)
+    def tagEpoch(tag: String): Long = store.tags().getOrElse(tag,
+      throw new IllegalArgumentException(s"unknown tag '$tag'"))
+    // fromTag/toTag name release-pinned epochs — "what changed between
+    // release A and release B" is two options
+    val from = parameters.get("fromTag").map(tagEpoch)
+      .orElse(parameters.get("fromEpoch").map(_.toLong))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-changes needs option(\"fromEpoch\"|\"fromTag\", ...)"))
+    val to = parameters.get("toTag").map(tagEpoch)
+      .orElse(parameters.get("toEpoch").map(_.toLong))
       .orElse(store.currentEpochIfAny)
       .getOrElse(throw new IllegalStateException(
         "no commits — govern tables first"))

@@ -109,9 +109,17 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     load(ident, epoch = None)
 
-  /** `VERSION AS OF <epoch>` — the commit log is the version history. */
+  /** `VERSION AS OF <epoch>` — the commit log is the version history.
+    * A non-numeric version resolves as a release TAG (`VERSION AS OF
+    * 'rel-1'`), the Iceberg ref convention — tags are named pinned
+    * epochs, so the global-epoch consistency rule applies to them too.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, epoch = Some(version.toLong))
+    load(ident, epoch = Some(
+      if (version.forall(_.isDigit)) version.toLong
+      else store().tags().getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither an epoch nor a known tag"))))
 
   override def loadTable(ident: Identifier, version: Long): Table =
     load(ident, epoch = Some(version))

@@ -78,6 +78,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rowsAt(s"VERSION AS OF $e1") === Set((1L, "a"), (2L, "b")),
       "time travel must serve the pinned epoch's rows")
     assert(rowsAt("") === Set((2L, "b2"), (3L, "c")))
+
+    // a TAG is a named epoch — usable wherever a version goes
+    store.tagEpoch("tt-rel", Some(e1))
+    assert(rowsAt("VERSION AS OF 'tt-rel'") === Set((1L, "a"), (2L, "b")),
+      "tag-name time travel must resolve through the release tags")
   }
 
   test("INSERT INTO: bucketed upsert-by-pk, flat merge, flat OVERWRITE") {
@@ -208,6 +213,16 @@ class GraftCatalogSpec extends SparkSpec {
       .load()
       .select(col("_change_type")).collect().map(_.getString(0))
     assert(mid.nonEmpty && mid.forall(_ == "insert"))
+
+    // the release-diff form: tags name the window's endpoints
+    store.tagEpoch("diff-a", Some(e1))
+    store.tagEpoch("diff-b", Some(e1 + 1))
+    val byTag = spark.read.format("graft-changes")
+      .option("root", root).option("table", "c").option("pk", "id")
+      .option("fromTag", "diff-a").option("toTag", "diff-b")
+      .load().select(col("_change_type")).collect().map(_.getString(0))
+    assert(byTag.toSeq === mid.toSeq.sorted || byTag.sorted.toSeq === mid.sorted.toSeq,
+      "tag-named window must equal the epoch-named window")
   }
 
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
