@@ -138,14 +138,22 @@ object Retract {
     * operator visibility. Idempotent: re-running with the same keys
     * changes nothing.
     *
-    * Crash discipline: on a GOVERNED base the entire cascade stages as
-    * ONE transaction ([[TableStore.inOneEpoch]]) — readers see the
-    * delete everywhere or nowhere. On an un-governed store the BASE
-    * is deleted FIRST, indexes after: a crash mid-cascade then leaves
-    * only GHOST index rows (pks absent from the base), which
-    * [[healGhosts]] self-repairs — the old index-first order left
-    * indexes MISSING postings for still-live rows, the divergence
-    * direction no automated repair can close.
+    * Crash discipline: when the base AND every existing index table
+    * are governed, the entire cascade stages as ONE transaction
+    * ([[TableStore.inOneEpoch]]) — readers see the delete everywhere
+    * or nowhere. In any MIXED or un-governed configuration (the common
+    * one: governed base, swap-maintained in-place indexes — see
+    * TableStore.markStatsPending) the BASE delete lands FIRST (its own
+    * single-table commit where governed), index retractions after: a
+    * crash mid-cascade then leaves only GHOST index rows (pks absent
+    * from the base), which [[healGhosts]] self-repairs. A transaction
+    * can only stage GOVERNED writes, so wrapping un-governed index
+    * retractions would apply them immediately while the base delete
+    * stays staged — indexes MISSING postings for still-live rows, the
+    * divergence direction no automated repair can close; the mixed
+    * path exists precisely to keep the failure mode on the healable
+    * side (and is refused inside an outer [[TableStore.transact]],
+    * where the base-first order cannot be enforced).
     */
   def cascade(
       store: TableStore, table: String, keys: DataFrame,
@@ -153,8 +161,7 @@ object Retract {
     val delPks = Iteration.materialize(
       keys.select(col(pkCol).as("pk")).distinct())
     val touched = Seq.newBuilder[String]
-    store.inOneEpoch(table) {
-      store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
+    def retractIndexes(): Unit = {
       if (store.exists(Fts.indexName(table))) {
         Fts.retractPostings(store, table, delPks,
           Fts.bucketCountOf(store, table))
@@ -166,6 +173,30 @@ object Retract {
           touched += name
         }
       }
+    }
+    // every table the index retractions write (FTS postings commit
+    // together with their corpus-stats row)
+    val indexWrites =
+      (if (store.exists(Fts.indexName(table)))
+        Seq(Fts.indexName(table), Fts.statsName(table)) else Nil) ++
+        registry(table).map(_._1).filter(store.exists)
+    val governed = store.governed
+    if (governed.contains(table) && indexWrites.forall(governed.contains)) {
+      // fully governed: one atomic epoch, everywhere-or-nowhere
+      store.inOneEpoch(table) {
+        store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
+        retractIndexes()
+      }
+    } else {
+      require(!store.inTransaction,
+        s"cascade on $table inside an outer transact needs every index " +
+          s"table governed (un-governed: ${indexWrites.filterNot(governed.contains).mkString(", ")}) " +
+          "— their retraction would apply before the staged base delete " +
+          "commits, leaving indexes missing postings for live rows")
+      store.inOneEpoch(table) {
+        store.deleteByPk(table, delPks.toDF(pkCol), Seq(pkCol))
+      }
+      retractIndexes()
     }
     touched.result()
   }

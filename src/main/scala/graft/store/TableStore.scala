@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * exactly this class with MERGE INTO; everything above it is
   * format-agnostic.
   */
-class TableStore(val spark: SparkSession, root: String) {
+class TableStore(val spark: SparkSession, val root: String) {
 
   import TableStore.{OpCompact, OpGovern, OpOverwrite, OpUnknown, OpUpsert, RewriteOps}
 
@@ -1388,6 +1388,14 @@ class TableStore(val spark: SparkSession, root: String) {
       case _ => action()
     }
   private var activeTx: Option[TxState] = None
+
+  /** Whether a [[transact]] block is open on this instance — the
+    * signal [[Retract.cascade]] uses to refuse a MIXED-governance
+    * cascade inside an outer transaction (its base delete would stage
+    * while un-governed index retractions apply immediately, the
+    * unhealable missing-postings direction).
+    */
+  private[store] def inTransaction: Boolean = activeTx.nonEmpty
 
   // commit + list files are IMMUTABLE once written (fresh name per
   // epoch), so caching parsed content by file name is safe across

@@ -175,14 +175,18 @@ class FtsDeleteSpec extends SparkSpec {
     assert(Doctor.check(store) === Seq.empty)
   }
 
-  test("cascade on a governed base stages as ONE epoch") {
+  test("fully-governed cascade (base + indexes) stages as ONE epoch") {
     val (store, _) = freshStore()
-    store.ensureGoverned(Seq("docs"))
     val docs = (0 until 12).map(i => (i.toLong, s"common word$i text"))
       .toDF("id", "full_text")
     store.overwrite("docs", docs)
     Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
       Seq("full_text"), buckets = 4)
+    // govern the base AND every table the cascade writes — only then
+    // is the everywhere-or-nowhere claim honest (a transaction stages
+    // governed writes only)
+    store.ensureGoverned(Seq("docs", Fts.indexName("docs"),
+      Fts.statsName("docs")))
     val e0 = store.snapshot().epoch
     Retract.cascade(store, "docs", Seq(3L, 7L).toDF("id"), "id")
     assert(store.snapshot().epoch === e0 + 1,
@@ -191,6 +195,73 @@ class FtsDeleteSpec extends SparkSpec {
     assert(store.read("docs").count() === 10L)
     assert(store.read(Fts.indexName("docs"))
       .filter(col("pk").isin(3L, 7L)).isEmpty)
+    assert(store.read(Fts.statsName("docs")).head.getAs[Long]("n_docs") === 10L)
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
+  test("mixed governance: the BASE delete commits before any index retraction") {
+    // governed base, swap-maintained (un-governed) FTS index — the
+    // common config. The index retraction must not apply while the
+    // base delete is still staged (a reader would see an index
+    // missing postings for live rows, the unhealable direction); the
+    // base commit flips FIRST, indexes retract after (ghost
+    // direction, healGhosts-repairable).
+    val (store, _) = freshStore()
+    store.ensureGoverned(Seq("docs"))
+    val docs = (0 until 12).map(i => (i.toLong, s"common word$i text"))
+      .toDF("id", "full_text")
+    store.overwrite("docs", docs)
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    val probe = new TableStore(spark, store.root) // reader's-eye view
+    var postingsAtFlip = -1L
+    store.beforeCommitFlip = () =>
+      // fires at the BASE commit: the un-governed index must still be
+      // intact at this instant (the old order had already gutted it)
+      postingsAtFlip = probe.read(Fts.indexName("docs"))
+        .filter(col("pk").isin(3L, 7L)).count()
+    try Retract.cascade(store, "docs", Seq(3L, 7L).toDF("id"), "id")
+    finally store.beforeCommitFlip = () => ()
+    assert(postingsAtFlip > 0L,
+      "index postings were retracted BEFORE the base delete committed — " +
+        "a crash there leaves indexes missing postings for live rows")
+    assert(store.read("docs").count() === 10L)
+    assert(store.read(Fts.indexName("docs"))
+      .filter(col("pk").isin(3L, 7L)).isEmpty)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // cascade inside an outer transact cannot enforce base-first for
+    // un-governed indexes — refused loudly, nothing applied
+    val before = store.read(Fts.indexName("docs")).count()
+    val e = intercept[IllegalArgumentException](store.transact {
+      Retract.cascade(store, "docs", Seq(1L).toDF("id"), "id")
+    })
+    assert(e.getMessage.contains("governed"))
+    assert(store.read(Fts.indexName("docs")).count() === before)
+    assert(store.read("docs").count() === 10L)
+  }
+
+  test("mixed-governance crash between base commit and index retraction heals") {
+    val (store, _) = freshStore()
+    store.ensureGoverned(Seq("docs"))
+    val docs = (0 until 12).map(i => (i.toLong, s"common word$i text"))
+      .toDF("id", "full_text")
+    store.overwrite("docs", docs)
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    // power cut right after the base commit's pointer flip: the delete
+    // is visible, index retraction never runs
+    store.afterCommitFlip = () => throw new RuntimeException("power cut")
+    try intercept[RuntimeException](
+      Retract.cascade(store, "docs", Seq(3L, 7L).toDF("id"), "id"))
+    finally store.afterCommitFlip = () => ()
+    assert(store.read("docs").count() === 10L, "base delete committed")
+    assert(store.read(Fts.indexName("docs"))
+      .filter(col("pk").isin(3L, 7L)).count() > 0L,
+      "crash left GHOST postings — the repairable direction")
+    // the advertised repair closes it
+    val healed = Retract.healGhosts(store, "docs", "id").toMap
+    assert(healed(Fts.indexName("docs")) === 2L)
     assert(Doctor.check(store) === Seq.empty)
   }
 
