@@ -23,11 +23,29 @@ import graft.store.{Iteration, TableStore}
   *     (hash-shuffled: `hashBucket(id), id` — the SAME order the
   *     batch recipe uses, so a replayed batch admits the same rows);
   *  2. running per-source sums over the BATCH (a batch-sized window),
-  *     offset by the source's stored `used` total;
-  *  3. rows with `used + cum ≤ budget` insert-ignore into the
+  *     offset by the source's stored `seen` total — EVERY token that
+  *     ever arrived for the source, admitted or not. Gating on seen
+  *     (not on the admitted `used`) is what makes the recipe's
+  *     monotone-prefix semantics boundary-invariant: the first
+  *     overflow pushes seen past the budget permanently, so a source
+  *     that fills mid-batch stays closed in every later batch — with
+  *     used-gating it would block only for the rest of that batch and
+  *     resume at the next trigger, making the corpus depend on
+  *     trigger cadence;
+  *  3. rows with `seen + cum ≤ budget` insert-ignore into the
   *     admitted table (idempotent by id);
-  *  4. the state table `<table>_budget_state` (source, used, run_id,
-  *     batch_id) swap-writes with the new totals.
+  *  4. the state table `<table>_budget_state` (source, used, seen,
+  *     run_id, batch_id) swap-writes with the new totals (`used` =
+  *     admitted tokens, the reporting surface; `seen` = all arrivals,
+  *     the gate). Legacy state without a seen column reads as
+  *     seen = used — the best available floor.
+  *
+  * The one admission decision micro-batching still owns is ORDER:
+  * rows are hash-ordered within a batch, so two runs whose triggers
+  * split the same arrivals differently can admit a different last-doc
+  * AT the budget boundary (a 2-token doc vs its batch-mate). What is
+  * boundary-invariant is the semantics the header promises: every
+  * source's admitted prefix stops at its first overflow, forever.
   *
   * TOKEN SUMS ARE NOT IDEMPOTENT, so redelivery is guarded by the
   * sketch-sink watermark discipline (StreamHeavyHitters): the
@@ -96,40 +114,55 @@ object StreamTokenBudget {
     val spark = batch.sparkSession
     import spark.implicits._
     val prior = store.readIfExists(stateName(table))
-      .map(_.filter(col("source").isNotNull)
-        .select(col("source"), col("used")))
-      .getOrElse(Seq.empty[(String, Long)].toDF("source", "used"))
+      .map { st =>
+        // legacy state (pre-seen column): seen = used is the best
+        // available floor — strictly better than re-opening a closed
+        // source, and exact from the source's next arrival on
+        val withSeen =
+          if (st.columns.contains("seen")) st
+          else st.withColumn("seen", col("used"))
+        withSeen.filter(col("source").isNotNull)
+          .select(col("source"), col("used"), col("seen"))
+      }
+      .getOrElse(Seq.empty[(String, Long, Long)].toDF("source", "used", "seen"))
     val w = Window.partitionBy(col("source"))
       .orderBy(SamplingOps.hashBucket(col("id")), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = batch
+    val scored = Iteration.materialize(batch
       .select(col(idCol).as("id"), col(sourceCol).as("source"),
         size(Transforms.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .join(broadcast(prior.withColumnRenamed("used", "prior")),
+      .join(broadcast(prior.select(col("source"), col("seen").as("prior_seen"))),
         Seq("source"), "left")
-      .withColumn("total", coalesce(col("prior"), lit(0L)) + col("cum"))
-    val admitted = Iteration.materialize(
-      scored.filter(col("total") <= budget)
-        .select(col("id"), col("source"), col("n_tokens"),
-          col("total").as("cum_tokens")))
+      // the gate counts EVERY token the source ever presented (this
+      // row's batch-prefix included) — one overflow closes the source
+      // in this and every later batch, trigger cadence irrelevant
+      .withColumn("total", coalesce(col("prior_seen"), lit(0L)) + col("cum")))
+    val admitted = scored.filter(col("total") <= budget)
+      .select(col("id"), col("source"), col("n_tokens"),
+        col("total").as("cum_tokens"))
     // admitted FIRST (idempotent insert-ignore), state after: a crash
     // between them replays a batch whose decision recomputes
     // identically, so the delta lands exactly once
     store.insertIgnore(admittedName(table), admitted, Seq("id"))
+    val delta = scored.groupBy(col("source")).agg(
+      sum(when(col("total") <= budget, col("n_tokens")).otherwise(lit(0L)))
+        .as("used"),
+      sum(col("n_tokens")).as("seen"))
     val newState = prior
-      .unionByName(admitted.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("used")))
-      .groupBy(col("source")).agg(sum(col("used")).as("used"))
+      .unionByName(delta)
+      .groupBy(col("source"))
+      .agg(sum(col("used")).as("used"), sum(col("seen")).as("seen"))
       .withColumn("run_id", lit(runId))
       .withColumn("batch_id", lit(batchId))
     // a batch admitting nothing still advances the watermark — the
     // state swap is the commit point (sentinel row when no sources)
-    val sentinel = Seq((null: String, 0L, runId, batchId))
-      .toDF("source", "used", "run_id", "batch_id")
+    val sentinel = Seq((null: String, 0L, 0L, runId, batchId))
+      .toDF("source", "used", "seen", "run_id", "batch_id")
     store.overwrite(stateName(table),
       Iteration.materialize(newState
-        .select(col("source"), col("used"), col("run_id"), col("batch_id"))
+        .select(col("source"), col("used"), col("seen"),
+          col("run_id"), col("batch_id"))
         .unionByName(sentinel)))
   }
 }

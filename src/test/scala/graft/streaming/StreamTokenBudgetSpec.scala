@@ -72,6 +72,45 @@ class StreamTokenBudgetSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a source that overflows mid-stream stays closed — admission is trigger-cadence-invariant") {
+    val store = freshStore()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stb-ck").toString
+    val q = StreamTokenBudget.writeBudgeted(
+      mem.toDF().toDF("id", "source", "text"), store, "docs",
+      "id", "source", "text", budget = 5L, checkpoint = ckpt)
+    try {
+      // batch 1: 3 of 5 used
+      mem.addData((1L, "s", "one two three"))
+      q.processAllAvailable()
+      assert(admitted(store).keySet === Set(1L))
+      // batch 2: a 4-token doc overflows (3+4=7) — the source is now
+      // CLOSED, not merely blocked for this batch
+      mem.addData((2L, "s", "a b c d"))
+      q.processAllAvailable()
+      assert(admitted(store).keySet === Set(1L))
+      // batch 3: a 2-token doc would fit the ADMITTED total (3+2=5);
+      // gating on admitted tokens would re-open the source here and
+      // make the corpus depend on where triggers cut the stream. The
+      // batch recipe's monotone prefix stopped at doc 2 — so must we.
+      mem.addData((3L, "s", "x y"))
+      q.processAllAvailable()
+      assert(admitted(store).keySet === Set(1L),
+        "a closed source re-admitted after its overflow — admission " +
+          "depends on micro-batch boundaries")
+      // reporting surface: used = admitted tokens only; the persisted
+      // gate carries every arrival
+      assert(StreamTokenBudget.usedTotals(store, "docs")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        === Map("s" -> 3L))
+      assert(store.read(StreamTokenBudget.stateName("docs"))
+        .filter(col("source") === "s")
+        .head.getAs[Long]("seen") === 9L)
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   test("within one batch the admission order is the batch recipe's (hash-shuffled)") {
     val store = freshStore()
     implicit val sqlCtx = spark.sqlContext
