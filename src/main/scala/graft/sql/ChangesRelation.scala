@@ -2,7 +2,8 @@ package graft.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.store.TableStore
@@ -20,12 +21,18 @@ import graft.store.TableStore
   *   .load()                             // rows tagged _change_type
   * }}}
   *
-  * `mode=appends` serves the file-level incremental scan
-  * ([[TableStore.readAddedSince]], rewrite-skipping, no tag column)
-  * instead of the exact feed. Both endpoints must be retained — the
-  * vacuum contract every CDC consumer carries. The relation is the
-  * store's own frame behind a V1 `TableScan`; cost is the window's
-  * changed files, never O(table).
+  * Window endpoints name epochs directly (`fromEpoch`/`toEpoch`),
+  * release tags (`fromTag`/`toTag`), or wall-clock instants
+  * (`fromTimestamp`/`toTimestamp` — epoch millis or ISO-8601,
+  * resolved against the commit log's persisted stamps via
+  * [[TableStore.epochAtTimestamp]]). `mode=appends` serves the
+  * file-level incremental scan ([[TableStore.readAddedSince]],
+  * rewrite-skipping, no tag column) instead of the exact feed. Both
+  * endpoints must be retained — the vacuum contract every CDC
+  * consumer carries. The relation is the store's own frame behind a
+  * V1 relation with column pruning and filter pushdown delegated to
+  * the underlying frame; cost is the window's changed files (and with
+  * a projection, only the selected columns' pages), never O(table).
   */
 class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
 
@@ -42,13 +49,22 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
     val mode = parameters.getOrElse("mode", "changes")
     def tagEpoch(tag: String): Long = store.tags().getOrElse(tag,
       throw new IllegalArgumentException(s"unknown tag '$tag'"))
+    // fromTimestamp/toTimestamp resolve through the commit log's
+    // persisted wall-clock stamps (epoch millis, or any ISO-8601
+    // instant) — "what changed since yesterday 03:00" is one option
+    def tsEpoch(v: String): Long = store.epochAtTimestamp(
+      if (v.forall(_.isDigit)) v.toLong
+      else java.time.Instant.parse(v).toEpochMilli)
     // fromTag/toTag name release-pinned epochs — "what changed between
     // release A and release B" is two options
     val from = parameters.get("fromTag").map(tagEpoch)
+      .orElse(parameters.get("fromTimestamp").map(tsEpoch))
       .orElse(parameters.get("fromEpoch").map(_.toLong))
       .getOrElse(throw new IllegalArgumentException(
-        "graft-changes needs option(\"fromEpoch\"|\"fromTag\", ...)"))
+        "graft-changes needs option(\"fromEpoch\"|\"fromTag\"|" +
+          "\"fromTimestamp\", ...)"))
     val to = parameters.get("toTag").map(tagEpoch)
+      .orElse(parameters.get("toTimestamp").map(tsEpoch))
       .orElse(parameters.get("toEpoch").map(_.toLong))
       .orElse(store.currentEpochIfAny)
       .getOrElse(throw new IllegalStateException(
@@ -65,10 +81,38 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
   }
 }
 
+/** The window frame behind `PrunedFilteredScan`: Spark's required
+  * columns and pushable filters are applied to the UNDERLYING frame,
+  * so both reach the parquet scan of the window's changed files — a
+  * `select("pk")` over a wide CDC window reads one column's pages,
+  * not every column of every changed file (the V1 `TableScan` form
+  * deserialized the full width). Same residual discipline as the
+  * catalog's scan: every filter is also reported unhandled, so Spark
+  * re-applies it above and correctness never depends on the
+  * Filter→Column translation.
+  */
 private[sql] class ChangesRelation(
     context: SQLContext, frame: DataFrame)
-  extends BaseRelation with TableScan {
+  extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = frame.schema
-  override def buildScan(): RDD[Row] = frame.rdd
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters // all residual: re-applied by Spark above the scan
+
+  /** The pruned-and-filtered frame [[buildScan]] executes — split out
+    * so the spec can assert the underlying parquet scan's ReadSchema
+    * (the proof pruning reached the pages, not just the relation).
+    */
+  private[sql] def project(
+      requiredColumns: Array[String], filters: Array[Filter]): DataFrame = {
+    val filtered = filters.flatMap(GraftScanBuilder.toColumn)
+      .foldLeft(frame)(_.filter(_))
+    // an empty projection (COUNT(*)) is a genuine zero-column scan —
+    // parquet answers it from row counts alone
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+    project(requiredColumns, filters).rdd
 }

@@ -60,7 +60,10 @@ import graft.store.TableStore
   * resolution); the data path is the same governed parquet scan every
   * library read uses — nothing is collected or re-encoded. A fresh
   * [[TableStore]] is opened per call (instances are single-threaded;
-  * concurrent SQL sessions each get their own).
+  * concurrent SQL sessions each get their own) — the price of the
+  * re-rooting contract above: a hot SQL loop pays one store open
+  * (pointer listing + parse, a couple of driver-side FS calls) per
+  * table resolution, never per row.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -110,19 +113,32 @@ class GraftCatalog extends TableCatalog {
     load(ident, epoch = None)
 
   /** `VERSION AS OF <epoch>` — the commit log is the version history.
-    * A non-numeric version resolves as a release TAG (`VERSION AS OF
-    * 'rel-1'`), the Iceberg ref convention — tags are named pinned
-    * epochs, so the global-epoch consistency rule applies to them too.
+    * A version that parses as a Long is an EPOCH; anything else
+    * resolves as a release TAG (`VERSION AS OF 'rel-1'`), the Iceberg
+    * ref convention — tags are named pinned epochs, so the
+    * global-epoch consistency rule applies to them too. Numeric tag
+    * names are therefore shadowed by the epoch interpretation (tag
+    * names are free-form; epochs are not) — name tags with a
+    * non-digit character. A version that is neither fails loudly.
     */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, epoch = Some(
-      if (version.forall(_.isDigit)) version.toLong
-      else store().tags().getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither an epoch nor a known tag"))))
+      scala.util.Try(version.trim.toLong).toOption.getOrElse(
+        store().tags().getOrElse(version,
+          throw new IllegalArgumentException(
+            s"'$version' is neither an epoch nor a known tag")))))
 
-  override def loadTable(ident: Identifier, version: Long): Table =
-    load(ident, epoch = Some(version))
+  /** `TIMESTAMP AS OF <instant>` — Spark hands the instant as
+    * MICROSECONDS since the epoch; it resolves to the latest retained
+    * commit whose persisted wall-clock stamp is ≤ the instant
+    * ([[TableStore.epochAtTimestamp]] — commit-log `#ts=` headers,
+    * immune to mtime-rewriting copies). Like `VERSION AS OF`, the
+    * resolved epoch is GLOBAL, so the same instant on every referenced
+    * table is a transactionally consistent multi-table snapshot.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, epoch = Some(store().epochAtTimestamp(
+      Math.floorDiv(timestamp, 1000L))))
 
   private def load(ident: Identifier, epoch: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -183,7 +199,14 @@ private[sql] class GraftMetaTable(root: String, base: String, meta: String)
     val s = new TableStore(spark, root)
     meta match {
       case "history" =>
-        s.tableHistory(base).toDF("epoch", "op", "n_files")
+        // committed_at = the pointer's persisted wall-clock stamp
+        // (pointer mtime for legacy commits) — what TIMESTAMP AS OF
+        // resolves against, surfaced Iceberg-snapshots-style
+        val stamps = s.commitStamps().toMap
+        s.tableHistory(base)
+          .map { case (e, op, n) =>
+            (e, new java.sql.Timestamp(stamps(e)), op, n) }
+          .toDF("epoch", "committed_at", "op", "n_files")
       case "files" =>
         // manifest-backed when the table opted into footer-free pruning
         // (refreshFileStats); plain live file list otherwise

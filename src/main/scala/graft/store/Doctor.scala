@@ -197,7 +197,7 @@ object Doctor {
     */
   private def vacuumHorizon(
       store: TableStore, plannedMinAgeMs: Long): Seq[Issue] = {
-    val commits = store.commitMtimes()
+    val commits = store.commitStamps()
     if (commits.size < 3) return Seq.empty
     val head = commits.last._1
     val pinned = store.tags().values.toSet ++

@@ -1433,7 +1433,12 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def tryWritePointer(epoch: Long, content: String): Boolean = {
     val name = f"commit-$epoch%020d"
     val tmp = new Path(epochDir, s".tmp-$name-$writerTag")
-    writeSmall(tmp, content)
+    // wall-clock stamped INTO the pointer (a `#`-header line, invisible
+    // to the table\tentry parser): file mtimes are the wrong identity
+    // for a commit's time — an rsync/copy/restore rewrites them — so
+    // TIMESTAMP AS OF resolution and vacuum retention key on this
+    // persisted stamp, with mtime only as the legacy-pointer fallback
+    writeSmall(tmp, s"#ts=${System.currentTimeMillis()}\n" + content)
     val dst = new Path(epochDir, name)
     atomicPointerPut(tmp, dst)
   }
@@ -1464,8 +1469,20 @@ class TableStore(val spark: SparkSession, val root: String) {
     */
   private def parseCommit(p: Path): Map[String, String] =
     commitCache.getOrElseUpdate(p.getName,
-      readSmall(p).linesIterator.filter(_.nonEmpty).map(_.split("\t", 2))
+      readSmall(p).linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#")) // `#` = headers (ts)
+        .map(_.split("\t", 2))
         .collect { case Array(t, lf) => t -> lf }.toMap)
+
+  // pointer files are immutable → stamp memoizes by name, like the
+  // entry caches (None = legacy pointer written before stamping)
+  private val tsCache = scala.collection.mutable.HashMap[String, Option[Long]]()
+
+  private def commitTsOf(p: Path): Option[Long] =
+    tsCache.getOrElseUpdate(p.getName,
+      readSmall(p).linesIterator.collectFirst {
+        case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
+      })
 
   private def listCommits(): Seq[(Long, Path)] =
     if (!fs.exists(epochDir)) Nil
@@ -1475,15 +1492,40 @@ class TableStore(val spark: SparkSession, val root: String) {
         p.getName.stripPrefix("commit-").toLong).toOption.map(_ -> p))
       .sortBy(_._1)
 
-  /** Retained commits with their file mtimes, epoch-ascending — the
-    * inputs of [[vacuumEpochs]]' retention decision, exposed so Doctor
-    * can PREDICT which intermediate commits a planned vacuum would
-    * drop (the rewrite-skipping horizon check) instead of only
-    * reporting the loss after the fact.
+  /** Retained commits with their wall-clock stamps, epoch-ascending —
+    * the persisted `#ts=` header where present (every pointer written
+    * since stamping), the pointer file's mtime for legacy pointers.
+    * These are the inputs of [[vacuumEpochs]]' retention decision and
+    * of [[epochAtTimestamp]], exposed so Doctor can PREDICT which
+    * intermediate commits a planned vacuum would drop (the
+    * rewrite-skipping horizon check) instead of only reporting the
+    * loss after the fact.
     */
-  private[store] def commitMtimes(): Seq[(Long, Long)] =
+  def commitStamps(): Seq[(Long, Long)] =
     listCommits().map { case (e, p) =>
-      (e, fs.getFileStatus(p).getModificationTime) }
+      (e, commitTsOf(p).getOrElse(fs.getFileStatus(p).getModificationTime)) }
+
+  /** The epoch a wall-clock instant resolves to: the LATEST retained
+    * commit whose persisted stamp is ≤ `tsMillis` — Delta/Iceberg's
+    * `TIMESTAMP AS OF` rule (a query at time T sees the table as the
+    * then-current commit served it). Stamps are the commit log's own
+    * `#ts=` headers, so a copied/restored store resolves identically —
+    * file mtimes play no part for stamped pointers. Throws when
+    * `tsMillis` predates every retained commit (vacuumed history or a
+    * before-first-commit instant) — never silently serves a newer
+    * epoch. Robust to cross-writer clock skew: the scan takes the max
+    * qualifying epoch rather than assuming stamps are monotone.
+    */
+  def epochAtTimestamp(tsMillis: Long): Long = {
+    val stamps = commitStamps()
+    require(stamps.nonEmpty, "no commits — govern tables first")
+    val at = stamps.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no retained commit at or before ts=$tsMillis (earliest retained: " +
+        s"epoch ${stamps.head._1} at ${stamps.head._2}) — vacuumed, or a " +
+        "before-first-commit instant")
+    at.map(_._1).max
+  }
 
   // entry filenames carry a per-store random tag so two OCC writers
   // staging the SAME table at the same epoch can never overwrite each
@@ -2424,12 +2466,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     * it references, so an in-flight reader that planned on it
     * finishes its scan and [[readEpoch]] time-travels to it. A
     * pointer is "current" until its SUCCESSOR lands, so retention
-    * keys on the successor pointer's mtime — file mtimes are the
-    * wrong signal (a file retired five minutes ago may have been
-    * WRITTEN days ago, and deleting it would break a reader that
-    * planned pre-flip). Unreferenced files additionally keep a
-    * file-mtime guard so a CONCURRENT writer's just-moved (not yet
-    * committed) staged files are never swept mid-flip.
+    * keys on the successor pointer's PERSISTED `#ts=` stamp (its
+    * mtime only for legacy pointers written before stamping) — file
+    * mtimes are the wrong signal twice over: a file retired five
+    * minutes ago may have been WRITTEN days ago, and an rsync/copy/
+    * restore rewrites every mtime while the stamps ride the bytes.
+    * Unreferenced files additionally keep a file-mtime guard so a
+    * CONCURRENT writer's just-moved (not yet committed) staged files
+    * are never swept mid-flip.
     *
     * `minAgeMs = 0` (the default) reclaims everything but the latest
     * commit — only safe when no readers are mid-query and no other
@@ -2441,19 +2485,21 @@ class TableStore(val spark: SparkSession, val root: String) {
     val commits = listCommits()
     if (commits.isEmpty) return
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val mtimes = commits.map { case (_, p) =>
-      fs.getFileStatus(p).getModificationTime }
-    // commits(i) was current during [mtime(i), mtime(i+1)): retained
+    val stamps = commits.map { case (_, p) =>
+      commitTsOf(p).getOrElse(fs.getFileStatus(p).getModificationTime) }
+    // commits(i) was current during [stamp(i), stamp(i+1)): retained
     // iff that interval touches the window — successor younger than
     // the cutoff — or it IS the latest, or a TAG or a registered
     // CONSUMER CURSOR pins it (both are vacuum roots: a named release
     // must stay readable until dropped, and a lagging incremental
     // consumer must keep its diff base until it catches up or is
-    // unregistered)
+    // unregistered). Stamps are the pointers' persisted `#ts=`
+    // headers (mtime only for legacy pointers), so retention survives
+    // an mtime-rewriting copy/restore.
     val pinnedEpochs = tags().values.toSet ++
       EpochFollower.cursors(this).values.toSet
     val (retained, dropped) = commits.zipWithIndex.partition { case ((e, _), i) =>
-      i == commits.size - 1 || mtimes(i + 1) > cutoff || pinnedEpochs(e)
+      i == commits.size - 1 || stamps(i + 1) > cutoff || pinnedEpochs(e)
     }
     val retainedTables = retained.map { case ((_, p), _) => parseCommit(p) }
     // live rel-paths per CURRENTLY governed table across ALL retained
@@ -2495,6 +2541,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     // otherwise accrete one full file list per historical entry
     val keepCommits = retained.map { case ((_, p), _) => p.getName }.toSet
     commitCache.filterInPlace((k, _) => keepCommits(k))
+    tsCache.filterInPlace((k, _) => keepCommits(k))
     listCache.filterInPlace((k, _) => liveEntries(k))
     depthCache.filterInPlace((k, _) => liveEntries(k))
     opCache.filterInPlace((k, _) => liveEntries(k))

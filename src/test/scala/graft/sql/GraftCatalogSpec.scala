@@ -225,6 +225,147 @@ class GraftCatalogSpec extends SparkSpec {
       "tag-named window must equal the epoch-named window")
   }
 
+  private def fmtUtc(ms: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+
+  test("TIMESTAMP AS OF resolves persisted commit stamps; mtimes are irrelevant") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    Thread.sleep(15) // stamps are millis — force distinct ones
+    store.upsert("t", Seq((1L, "b")).toDF("id", "v"), Seq("id"))
+    val stamps = store.commitStamps().toMap
+    assert(stamps(e1) < stamps(e1 + 1), "commit stamps must be distinct here")
+
+    def vAt(clause: String): String =
+      spark.sql(s"SELECT v FROM graft.t $clause").collect().head.getString(0)
+
+    // an instant BETWEEN the two commits serves the earlier epoch
+    val between = stamps(e1 + 1) - 1
+    assert(vAt(s"TIMESTAMP AS OF '${fmtUtc(between)}'") === "a")
+    // an instant at/after the second commit serves it
+    assert(vAt(s"TIMESTAMP AS OF '${fmtUtc(stamps(e1 + 1))}'") === "b")
+
+    // $history surfaces the stamps Iceberg-snapshots-style
+    val hist = spark.sql(
+      "SELECT epoch, committed_at FROM graft.`t$history` ORDER BY epoch")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist(e1) === stamps(e1) && hist(e1 + 1) === stamps(e1 + 1))
+
+    // mtime tampering (rsync/copy/restore) must not move resolution:
+    // rewrite every pointer's mtime to the distant past
+    val epochDir = java.nio.file.Paths.get(root, "_graft_epoch")
+    java.nio.file.Files.list(epochDir).forEach { p =>
+      if (p.getFileName.toString.startsWith("commit-"))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    assert(vAt(s"TIMESTAMP AS OF '${fmtUtc(between)}'") === "a",
+      "resolution keyed on file mtimes — a copied store would time-travel wrong")
+
+    // before-first-commit fails loudly rather than serving a newer epoch
+    val e = intercept[Exception](vAt("TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+    assert(e.getMessage.contains("no retained commit"))
+  }
+
+  test("vacuum retention keys on persisted stamps; legacy pointers fall back to mtime") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("t"))
+    (1 to 3).foreach { i =>
+      store.upsert("t", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    }
+    val epochs = store.epochs()
+    // tamper every pointer mtime to the distant past: mtime-keyed
+    // retention would now reclaim everything but the latest commit
+    val epochDir = java.nio.file.Paths.get(root, "_graft_epoch")
+    java.nio.file.Files.list(epochDir).forEach { p =>
+      if (p.getFileName.toString.startsWith("commit-"))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    store.vacuumEpochs(minAgeMs = 3600L * 1000L)
+    assert(store.epochs() === epochs,
+      "retention used mtimes — fresh-stamped commits were reclaimed")
+
+    // legacy pointer (pre-stamping): strip the #ts= header in place and
+    // read through a FRESH store (caches memoize by immutable name) —
+    // the stamp falls back to the file's mtime
+    val oldest = java.nio.file.Files.list(epochDir)
+      .filter(_.getFileName.toString.startsWith("commit-"))
+      .sorted().findFirst().get()
+    val stripped = new String(
+      java.nio.file.Files.readAllBytes(oldest), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#ts=")).mkString("\n")
+    java.nio.file.Files.write(oldest, stripped.getBytes("UTF-8"))
+    // drop Hadoop LocalFS's checksum sidecar — the out-of-band rewrite
+    // invalidated it (a real legacy store simply never had the header)
+    java.nio.file.Files.deleteIfExists(
+      oldest.getParent.resolve("." + oldest.getFileName.toString + ".crc"))
+    java.nio.file.Files.setLastModifiedTime(oldest,
+      java.nio.file.attribute.FileTime.fromMillis(12345L))
+    val fresh = new TableStore(spark, root)
+    assert(fresh.commitStamps().toMap.apply(epochs.head) === 12345L,
+      "legacy pointer must fall back to its mtime")
+  }
+
+  test("graft-changes: timestamp-bounded windows; projections prune to the column's pages") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("c"))
+    // incompressible payload — a constant string snappy-compresses to
+    // nothing and the pruning saving would vanish into page headers
+    val rnd = new scala.util.Random(42)
+    store.upsert("c",
+      (0 until 400).map(i => (i.toLong, rnd.alphanumeric.take(1024).mkString))
+        .toDF("id", "payload"),
+      Seq("id"))
+    val e1 = store.snapshot().epoch
+    Thread.sleep(15)
+    store.upsert("c", Seq((10_000L, "late")).toDF("id", "payload"), Seq("id"))
+    val stamps = store.commitStamps().toMap
+
+    // wall-clock window: fromTimestamp between the commits ≡ fromEpoch e1
+    val byTs = spark.read.format("graft-changes")
+      .option("root", root).option("table", "c").option("pk", "id")
+      .option("fromTimestamp", (stamps(e1 + 1) - 1).toString)
+      .load().select(col("id").cast("long")).collect().map(_.getLong(0))
+    assert(byTs.toSet === Set(10_000L),
+      s"timestamp window must equal the epoch window, got ${byTs.toSeq}")
+
+    // column pruning, end to end: Spark must hand the relation only
+    // the selected column (PrunedFilteredScan — the V1 TableScan form
+    // forced the full width through a Project above)...
+    val opts = Map("root" -> root, "table" -> "c", "pk" -> "id",
+      "fromEpoch" -> (e1 - 1).toString, "toEpoch" -> e1.toString)
+    def window = spark.read.format("graft-changes").options(opts).load()
+    val q = window.select("id")
+    assert(q.collect().length === 400)
+    val scanOut = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.output.map(_.name)
+    }.flatten
+    assert(scanOut === Seq("id"),
+      s"Spark asked the relation for ${scanOut.mkString(",")} — pruning " +
+        "did not reach the scan")
+    // ...and the relation must push the projection into the underlying
+    // parquet scan: the window frame's ReadSchema carries ONLY that
+    // column, so the payload pages are never decoded
+    val rel = new ChangesRelationProvider()
+      .createRelation(spark.sqlContext, opts)
+      .asInstanceOf[ChangesRelation]
+    val innerScan = rel.project(Array("id"), Array.empty)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSeq
+      }.flatten
+    assert(innerScan === Seq("id"),
+      s"parquet ReadSchema carries ${innerScan.mkString(",")} — the " +
+        "window deserializes columns the projection dropped")
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
