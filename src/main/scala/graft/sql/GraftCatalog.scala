@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -228,11 +228,28 @@ private[sql] class GraftMetaTable(root: String, base: String, meta: String)
 }
 
 /** One governed table (optionally pinned to an epoch) behind the V2
-  * Table interface; reads and writes bridge to the store's own verbs.
+  * Table interface; reads, writes and deletes bridge to the store's
+  * own verbs.
+  *
+  * `DELETE FROM graft.t WHERE …` routes through [[SupportsDelete]]:
+  * Spark hands the condition down as source filters (anything it
+  * cannot translate fails the query loudly at planning — a DELETE
+  * never silently falls back to a scan-and-rewrite Spark would have
+  * to invent). On a single-pk bucketed table the matching keys feed
+  * [[graft.store.Retract.cascade]], so the base rows AND every
+  * maintained per-pk index (FTS postings, trigram, the ANN codes
+  * ladder) retract together — one atomic epoch when everything is
+  * governed, the healable base-first order otherwise, exactly the
+  * library contract. Composite-pk bucketed tables take the
+  * O(touched buckets) [[TableStore.deleteByPk]] (per-pk indexes
+  * cannot exist on them); flat tables take the predicate rewrite
+  * ([[TableStore.deleteWhere]]) and are REFUSED while per-pk indexes
+  * exist (no declared key to cascade with — the library's
+  * Retract.cascade owns that case).
   */
 private[sql] class GraftTable(
     root: String, tableName: String, epoch: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def store(): TableStore =
     new TableStore(SparkSession.active, root)
@@ -268,6 +285,45 @@ private[sql] class GraftTable(
       s"cannot write to $tableName pinned at epoch ${epoch.get} — " +
         "time-travel reads are immutable")
     new GraftWriteBuilder(() => store(), tableName)
+  }
+
+  /** Only fully-translatable conditions are deletable — Spark then
+    * raises its standard "cannot delete where" analysis error for the
+    * rest instead of this table guessing at semantics.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    epoch.isEmpty && filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(epoch.isEmpty,
+      s"cannot delete from $tableName pinned at epoch ${epoch.get} — " +
+        "time-travel reads are immutable")
+    val cols = filters.map(f => GraftScanBuilder.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition not translatable to a source filter: $f")))
+    val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
+    val s = store()
+    s.bucketLayoutOf(tableName) match {
+      case Some((_, Seq(pk))) =>
+        // single declared key: the full index cascade (one governed
+        // epoch when base + indexes are all governed; base-first,
+        // healGhosts-repairable otherwise)
+        graft.store.Retract.cascade(
+          s, tableName, frame().filter(cond).select(col(pk)), pk)
+      case Some((_, pk)) =>
+        // composite key: per-pk indexes cannot exist — bucket-scoped
+        // base delete only
+        s.deleteByPk(tableName,
+          frame().filter(cond).select(pk.map(col): _*), pk)
+      case None =>
+        val indexed = graft.store.Retract.indexTablesOf(s, tableName)
+        require(indexed.isEmpty,
+          s"$tableName has maintained per-pk indexes " +
+            s"(${indexed.mkString(", ")}) but no declared bucket pk — " +
+            "SQL DELETE cannot cascade without a key; use the library's " +
+            "Retract.cascade(store, table, keys, pkCol)")
+        s.deleteWhere(tableName, cond)
+    }
   }
 }
 
@@ -325,6 +381,8 @@ private[sql] object GraftScanBuilder {
     case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
     case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true)) // DELETE with no WHERE
+    case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
 }

@@ -46,6 +46,16 @@ object Retract {
     IvfBin.codesName(table) -> Nil,
     IvfBin.mapName(table) -> Nil)
 
+  /** Every maintained per-pk index table of `table` that EXISTS in the
+    * store right now (FTS postings + the trigram/LSH/ANN registry) —
+    * the set [[cascade]] retracts from. Callers that cannot supply a
+    * pk (SQL DELETE on a flat table) use this to detect when a bare
+    * base delete would orphan index rows and fail loudly instead.
+    */
+  def indexTablesOf(store: TableStore, table: String): Seq[String] =
+    (if (store.exists(Fts.indexName(table))) Seq(Fts.indexName(table))
+     else Nil) ++ registry(table).map(_._1).filter(store.exists)
+
   /** Retract `delPks` (a 1-column frame named `pk`) from one pk-keyed
     * index table. Declared bucket layouts ride
     * [[TableStore.deleteByPk]]'s O(touched buckets) path; a

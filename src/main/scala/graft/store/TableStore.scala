@@ -270,6 +270,29 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Delete the rows matching `cond` from a FLAT (un-bucketed) table —
+    * the predicate form of [[deleteByPk]] for tables with no declared
+    * key (SQL `DELETE FROM … WHERE …` lands here when no bucket layout
+    * exists). Null-safe by construction: rows where `cond` evaluates
+    * to NULL are KEPT (SQL's three-valued DELETE contract — only
+    * definite matches go), which a pk anti-join over all columns could
+    * not promise. The whole-table rewrite is the same Delta-MERGE seam
+    * as the flat upsert, atomic by the single swap, op-tagged `delete`
+    * so the change feed diffs the retraction. Bucketed tables must
+    * take [[deleteByPk]] (O(touched buckets)); this method refuses
+    * them rather than silently paying O(table).
+    */
+  def deleteWhere(name: String, cond: org.apache.spark.sql.Column): Unit = {
+    require(exists(name), s"no such table: $name")
+    require(bucketLayoutOf(name).isEmpty,
+      s"$name is bucketed — delete by key (deleteByPk / Retract.cascade), " +
+        "which rewrites only the touched buckets")
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    writeSwapped(name,
+      read(name).filter(not(coalesce(cond, lit(false)))),
+      partitionColumnsOf(name), op = TableStore.OpDelete)
+  }
+
   /** Run `f`'s writes to governed `name` as ONE epoch: the bucketed
     * delete (dynamic overwrite + per-emptied-bucket dropPartition) is
     * multi-commit without it, so a reader or change-feed consumer

@@ -366,6 +366,82 @@ class GraftCatalogSpec extends SparkSpec {
         "window deserializes columns the projection dropped")
   }
 
+  test("SQL DELETE cascades: base + every index in one governed epoch, " +
+    "feed emits the pks, prior epochs still serve them") {
+    import graft.store.{Doctor, Fts, Retract, Sq}
+    val (_, store) = mountCatalog()
+    val dims = 8
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.upsert("docs", (0 until 24).map { i =>
+      (i.toLong, s"common word$i text",
+        (0 until dims).map(d => math.sin(i * dims + d) * 3.0))
+    }.toDF("id", "full_text", "e"), Seq("id"))
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    Sq.buildIndex(store, "docs", store.read("docs"), "id", "e")
+    store.ensureGoverned(Seq("docs", Fts.indexName("docs"),
+      Fts.statsName("docs"), Sq.codesName("docs")))
+    val e1 = store.snapshot().epoch
+
+    spark.sql("DELETE FROM graft.docs WHERE id = 3 OR id IN (7)")
+
+    // ONE epoch: everything governed, so the cascade staged atomically
+    val e2 = store.snapshot().epoch
+    assert(e2 === e1 + 1,
+      "fully-governed SQL DELETE must land base + indexes as one epoch")
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 22L)
+    // every index retracted the pks; Doctor's invariants all green
+    Seq(Fts.indexName("docs"), Sq.codesName("docs")).foreach { idx =>
+      assert(store.read(idx).filter(col("pk").isin(3L, 7L)).isEmpty,
+        s"$idx still ranks deleted pks")
+    }
+    assert(store.read(Fts.statsName("docs")).head.getAs[Long]("n_docs") === 22L)
+    assert(Doctor.check(store) === Seq.empty)
+    // the change feed emits exactly the deleted pks
+    val ch = store.readChangesSince("docs", e1, e2, Seq("id"))
+      .select(col("id").cast("long"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch === Set((3L, "delete"), (7L, "delete")))
+    // time travel still serves the deleted rows at the prior epoch
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.docs VERSION AS OF $e1 WHERE id IN (3, 7)")
+      .collect().head.getLong(0) === 2L)
+
+    // an untranslatable predicate fails loudly — a DELETE never falls
+    // back to a silent scan-and-guess
+    val bad = intercept[Exception](
+      spark.sql("DELETE FROM graft.docs WHERE length(full_text) > 999"))
+    assert(bad.getMessage.toLowerCase.contains("delete") ||
+      bad.getMessage.toLowerCase.contains("translat"), bad.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 22L, "the failed DELETE must not write")
+
+    // flat table with a maintained index but no declared pk: refused
+    // with the library pointer (no key to cascade with)
+    store.overwrite("flat", (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text"))
+    Fts.upsertWithIndexCols(store, "flat", store.read("flat"), "id",
+      Seq("full_text"), buckets = 2)
+    val refuse = intercept[Exception](
+      spark.sql("DELETE FROM graft.flat WHERE id = 1"))
+    assert(refuse.getMessage.contains("Retract.cascade"), refuse.getMessage)
+    assert(Retract.indexTablesOf(store, "flat").nonEmpty)
+
+    // flat UN-indexed table: predicate rewrite, rows where the
+    // condition is NULL are kept (SQL three-valued DELETE)
+    store.overwrite("plain", Seq((1L, "x"), (2L, "y"), (3L, null))
+      .toDF("id", "v"))
+    spark.sql("DELETE FROM graft.plain WHERE v = 'x'")
+    assert(spark.sql("SELECT id FROM graft.plain ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L),
+      "NULL-condition rows must survive a DELETE")
+    // unqualified DELETE (no WHERE) empties the table
+    spark.sql("DELETE FROM graft.plain")
+    assert(spark.sql("SELECT count(*) FROM graft.plain")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
