@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.StreamingFrame
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.store.{EpochFollower, TableStore}
 
@@ -48,15 +48,38 @@ import graft.store.{EpochFollower, TableStore}
   *    later schema evolution are picked up on query restart, the
   *    standard Spark contract (dropped columns null-fill).
   *
-  * Options: `root`, `table` (required); `pk` (comma-separated,
-  * required in `changes` mode); `mode` = `changes` (default, rows
-  * tagged `_change_type ∈ {insert, delete}`) | `appends` (file-level
+  * '''Multi-table mode''' — `tables=a,b` instead of `table`:
+  * TRANSACTIONALLY-CONSISTENT CDC over N tables through ONE stream,
+  * the streaming twin of [[EpochFollower.consumeChangesMulti]]. The
+  * epoch log is global, so two tables upserted in one
+  * [[TableStore.transact]] land at one epoch — and because every
+  * micro-batch window is a single global epoch pair shared by ALL
+  * members, their changes arrive in the SAME micro-batch, always: a
+  * downstream mirror joining them can never serve a torn join, the
+  * exact anomaly per-table readStreams permit (each advancing its own
+  * offsets at its own pace). Rows carry a `_table` discriminator
+  * column; per-member keys come as `pk.<table>` options; windows cut
+  * at the UNION of the members' rewrite boundaries (same O(logical
+  * diff) guarantee); a member with no logical change in a window
+  * contributes no rows; crash-replay re-reads the same global window
+  * for every member, so the pairing survives restarts by
+  * construction. The delivered schema is `_table` + the union of the
+  * member schemas (same-name columns must agree on type — pass
+  * `.schema(...)` to override) + `_change_type`; a member's missing
+  * columns null-fill.
+  *
+  * Options: `root` (required); `table` (single mode) or `tables`
+  * (comma-separated, multi mode) — exactly one; `pk` (comma-separated,
+  * required in single `changes` mode) / `pk.<table>` (per member,
+  * multi mode); `mode` = `changes` (default, rows tagged
+  * `_change_type ∈ {insert, delete}`) | `appends` (file-level
   * at-least-once adds, no tag column, rewrite-skipping via
-  * [[TableStore.readAddedSince]]); `startingEpoch` = `earliest`
-  * (default: first batch is the full table as inserts) | `latest`
-  * (only commits after query start); `maxEpochsPerBatch`;
-  * `consumer` — optional: registers/advances an [[EpochFollower]]
-  * cursor as batches COMMIT, so the streaming query pins vacuum
+  * [[TableStore.readAddedSince]]; single-table only); `startingEpoch`
+  * = `earliest` (default: first batch is the full table(s) as
+  * inserts) | `latest` (only commits after query start);
+  * `maxEpochsPerBatch`; `consumer` — optional: registers/advances an
+  * [[EpochFollower]] cursor (one per member table, all rows in one
+  * atomic swap) as batches COMMIT, so the streaming query pins vacuum
   * retention like every other consumer (without it, vacuuming the
   * un-replayed window can invalidate crash-replay — same sizing rule
   * as the poll-loop bridge).
@@ -67,11 +90,13 @@ import graft.store.{EpochFollower, TableStore}
   * single-threaded store contract).
   */
 class EpochLogSource(
-    sqlContext: SQLContext, root: String, table: String, pk: Seq[String],
+    sqlContext: SQLContext, root: String,
+    members: Seq[(String, Seq[String])], tagTable: Boolean,
     mode: String, startingEpoch: String, maxEpochsPerBatch: Option[Long],
     consumer: Option[String], fixedSchema: StructType) extends Source {
 
   private val store = new TableStore(sqlContext.sparkSession, root)
+  private val tables = members.map(_._1)
 
   /** `latest` skips history (base = the epoch at source creation), a
     * NUMBER resumes/reprocesses from that exact epoch (retained-epoch
@@ -85,14 +110,18 @@ class EpochLogSource(
   }
 
   /** Highest epoch this source has returned or been handed — the
-    * monotone floor for offset computation. A registered consumer
-    * cursor seeds it across restarts (Spark re-hands WAL offsets via
+    * monotone floor for offset computation. Registered consumer
+    * cursors seed it across restarts (Spark re-hands WAL offsets via
     * getBatch on crash recovery; the cursor covers the clean-restart
-    * path where it does not).
+    * path where it does not). Multi-table: the MINIMUM member cursor,
+    * the consumeChangesMulti rule — at-least-once redelivery for
+    * ahead members, never a skip.
     */
-  private var maxSeen: Option[Long] =
-    consumer.flatMap(c => EpochFollower.cursor(store, table, c))
-      .orElse(latestBase)
+  private var maxSeen: Option[Long] = {
+    val registered = consumer.toSeq.flatMap(c =>
+      tables.flatMap(t => EpochFollower.cursor(store, t, c)))
+    if (registered.nonEmpty) Some(registered.min) else latestBase
+  }
 
   // register the cursor (vacuum pin) up front AT THE CREATION EPOCH:
   // Spark's offset WAL can reference a batch whose commit-log write
@@ -101,10 +130,14 @@ class EpochLogSource(
   // retained. commit() has not fired yet at that point, so the
   // REGISTRATION value is the only pin — it must cover everything the
   // source could have offered, i.e. the epoch current when the source
-  // was built. A pin at 0 (the old value) pinned nothing.
+  // was built. A pin at 0 (the old value) pinned nothing. All member
+  // rows land in one atomic swap (no partially-registered multi).
   consumer.foreach { c =>
-    if (EpochFollower.cursor(store, table, c).isEmpty)
-      registerCursor(c, maxSeen.orElse(currentEpoch()).getOrElse(0L))
+    val unregistered =
+      tables.filter(t => EpochFollower.cursor(store, t, c).isEmpty)
+    if (unregistered.nonEmpty)
+      registerCursors(unregistered, c,
+        maxSeen.orElse(currentEpoch()).getOrElse(0L))
   }
 
   override def schema: StructType = fixedSchema
@@ -112,23 +145,25 @@ class EpochLogSource(
   override def getOffset: Option[OffsetV1] = currentEpoch().flatMap { cur =>
     maxSeen match {
       case None =>
-        // initial full-snapshot delivery (earliest): wait until the
-        // table holds files, then offer the whole current epoch
-        if (store.readIfExists(table).isEmpty) None
+        // initial full-snapshot delivery (earliest): wait until some
+        // member holds files, then offer the whole current epoch
+        if (tables.forall(t => store.readIfExists(t).isEmpty)) None
         else Some(LongOffset(cur))
       case Some(base) if cur <= base => Some(LongOffset(base))
       case Some(base) =>
         val target0 =
           if (mode == "appends") cur // rewrite-aware walk needs no cuts
-          else store.commitOps(table, base, cur) match {
-            case Some(ops) =>
+          else {
+            val opsPer = tables.map(t => store.commitOps(t, base, cur))
+            if (opsPer.exists(_.isEmpty)) cur // vacuumed: endpoint window
+            else {
               // one logical segment per micro-batch: cut the pending
-              // window at this table's rewrite commits
-              val cuts = ops.collect {
+              // window at the UNION of the members' rewrite commits
+              val cuts = opsPer.flatMap(_.get).collect {
                 case (e, op) if TableStore.RewriteOps(op) => Seq(e - 1, e)
               }.flatten
               (cuts.filter(e => e > base && e < cur) :+ cur).min
-            case None => cur // vacuumed history: single endpoint window
+            }
           }
         val target = maxEpochsPerBatch
           .fold(target0)(m => math.min(target0, base + m))
@@ -143,28 +178,53 @@ class EpochLogSource(
     val frame = baseE match {
       case Some(b) if b >= endE => emptyFrame()
       case Some(b) =>
-        if (mode == "appends") store.readAddedSince(table, b, endE)
-        else store.readChangesSince(table, b, endE, pk)
+        if (mode == "appends") store.readAddedSince(tables.head, b, endE)
+        else unionAligned(members.flatMap { case (t, pk) =>
+          if (logicalIn(t, b, endE))
+            Some(tagged(t, store.readChangesSince(t, b, endE, pk)))
+          else None // provably unchanged member: zero data I/O
+        })
       case None => // earliest: the registration snapshot, all inserts
-        if (store.readIfExists(table).isEmpty) emptyFrame()
-        else store.readEpoch(table, endE)
-          .withColumn(store.ChangeTypeCol, lit("insert"))
+        unionAligned(members.flatMap { case (t, _) =>
+          if (store.readIfExists(t).isEmpty) None
+          else Some(tagged(t, store.readEpoch(t, endE)
+            .withColumn(store.ChangeTypeCol, lit("insert"))))
+        })
     }
-    StreamingFrame.asStreaming(align(frame))
+    StreamingFrame.asStreaming(frame)
   }
 
   override def commit(end: OffsetV1): Unit = consumer.foreach { c =>
     // Spark has committed the batch to its WAL — release the replay
-    // pin up to its end (the cursor is a floor, never a window source)
-    registerCursor(c, epochOf(end))
+    // pin up to its end (the cursor is a floor, never a window source);
+    // every member advances in ONE swap (no torn multi-table cursor)
+    registerCursors(tables, c, epochOf(end))
   }
 
   override def stop(): Unit = ()
 
+  /** Did any commit in (a, b] logically change `t`? Unprovable
+    * (vacuumed history) counts as yes — must deliver, never skip.
+    */
+  private def logicalIn(t: String, a: Long, b: Long): Boolean =
+    store.commitOps(t, a, b) match {
+      case Some(ops) => ops.exists { case (e, op) =>
+        e > a && e <= b && !TableStore.RewriteOps(op) }
+      case None => true
+    }
+
+  private def tagged(t: String, df: DataFrame): DataFrame =
+    if (tagTable) df.withColumn(EpochLogSource.TableCol, lit(t)) else df
+
+  private def unionAligned(parts: Seq[DataFrame]): DataFrame =
+    if (parts.isEmpty) emptyFrame()
+    else parts.map(align).reduce(_.unionByName(_))
+
   /** Serve exactly the query-start schema regardless of what the
     * window's files carry: evolution-added columns are dropped until
     * restart, evolution-dropped columns null-fill — the fixed-schema
-    * contract every Spark streaming source keeps.
+    * contract every Spark streaming source keeps. (Multi-table: also
+    * null-fills each member's missing union-schema columns.)
     */
   private def align(df: DataFrame): DataFrame = {
     val have = df.schema.map(f => f.name -> f.dataType).toMap
@@ -183,10 +243,10 @@ class EpochLogSource(
 
   private def currentEpoch(): Option[Long] = store.currentEpochIfAny
 
-  private def registerCursor(c: String, epoch: Long): Unit = {
+  private def registerCursors(ts: Seq[String], c: String, epoch: Long): Unit = {
     import store.spark.implicits._
     store.upsert(EpochFollower.CursorTable,
-      Seq((table, c, epoch)).toDF("table", "consumer", "epoch"),
+      ts.map(t => (t, c, epoch)).toDF("table", "consumer", "epoch"),
       Seq("table", "consumer"))
   }
 
@@ -197,10 +257,19 @@ class EpochLogSource(
   }
 }
 
+object EpochLogSource {
+  /** Multi-table discriminator column: which member a row belongs to. */
+  val TableCol = "_table"
+}
+
 /** `format("graft-cdc")` registration. The source schema is resolved
   * at query definition: the user-provided `.schema(...)` wins; else
   * the table's current schema (plus `_change_type` in changes mode),
-  * which requires the table to already hold data.
+  * which requires the table to already hold data. Multi-table
+  * (`tables=a,b`): `_table` + the union of the member schemas (all
+  * nullable — members null-fill each other's columns) +
+  * `_change_type`; every member must hold data unless `.schema(...)`
+  * is passed.
   */
 class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -218,21 +287,50 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val mode = parameters.getOrElse("mode", "changes")
     require(mode == "changes" || mode == "appends",
       s"mode must be changes|appends, got '$mode'")
-    val pk = parameters.get("pk").map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq.empty)
-    require(mode == "appends" || pk.nonEmpty,
-      "changes mode needs option(\"pk\", ...) — the table's logical key")
     val starting = parameters.getOrElse("startingEpoch", "earliest")
     require(starting == "earliest" || starting == "latest" ||
       starting.forall(_.isDigit),
       s"startingEpoch must be earliest|latest|<epoch>, got '$starting'")
+    val members = resolveMembers(parameters, mode)
     new EpochLogSource(
-      sqlContext, required(parameters, "root"), required(parameters, "table"),
-      pk, mode, starting,
+      sqlContext, required(parameters, "root"),
+      members, tagTable = parameters.contains("tables"),
+      mode, starting,
       parameters.get("maxEpochsPerBatch").map(_.toLong),
       parameters.get("consumer"),
       resolveSchema(sqlContext, schema, parameters))
   }
+
+  /** `table` + `pk` (single) XOR `tables` + per-member `pk.<t>`
+    * (multi). Multi is changes-mode only — `appends` has no pk and no
+    * torn-join problem to solve.
+    */
+  private def resolveMembers(
+      parameters: Map[String, String], mode: String): Seq[(String, Seq[String])] =
+    parameters.get("tables") match {
+      case Some(ts) =>
+        require(!parameters.contains("table"),
+          "pass option(\"table\", ...) or option(\"tables\", ...), not both")
+        require(mode == "changes",
+          "multi-table graft-cdc is changes-mode only")
+        val names = splitCsv(ts)
+        require(names.nonEmpty, "tables must name at least one table")
+        names.map { t =>
+          t -> parameters.get(s"pk.$t").map(splitCsv).getOrElse(
+            throw new IllegalArgumentException(
+              s"multi-table graft-cdc needs option(\"pk.$t\", ...) — " +
+                "each member's logical key"))
+        }
+      case None =>
+        val table = required(parameters, "table")
+        val pk = parameters.get("pk").map(splitCsv).getOrElse(Seq.empty)
+        require(mode == "appends" || pk.nonEmpty,
+          "changes mode needs option(\"pk\", ...) — the table's logical key")
+        Seq(table -> pk)
+    }
+
+  private def splitCsv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private def required(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key,
@@ -245,10 +343,36 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val base = user.getOrElse {
       val store = new TableStore(
         sqlContext.sparkSession, required(parameters, "root"))
-      store.readIfExists(required(parameters, "table")).getOrElse(
-        throw new IllegalArgumentException(
-          s"table '${parameters("table")}' holds no data yet — pass " +
-            ".schema(...) to start a stream over an empty table")).schema
+      parameters.get("tables") match {
+        case Some(ts) =>
+          // union of the member schemas, first-seen field order; a
+          // same-name type conflict has no automatic answer — the
+          // user's .schema(...) decides (align() casts members to it)
+          val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+          splitCsv(ts).foreach { t =>
+            val sch = store.readIfExists(t).getOrElse(
+              throw new IllegalArgumentException(
+                s"table '$t' holds no data yet — pass .schema(...) to " +
+                  "start a multi-table stream over empty members")).schema
+            sch.fields.filterNot(_.name == store.BucketCol).foreach { f =>
+              fields.get(f.name) match {
+                case Some(g) =>
+                  require(g.dataType == f.dataType,
+                    s"column '${f.name}' is ${g.dataType} in one member " +
+                      s"and ${f.dataType} in '$t' — pass .schema(...) " +
+                      "to pick the served type")
+                case None => fields(f.name) = f.copy(nullable = true)
+              }
+            }
+          }
+          StructType(StructField(EpochLogSource.TableCol, StringType,
+            nullable = false) +: fields.values.toSeq)
+        case None =>
+          store.readIfExists(required(parameters, "table")).getOrElse(
+            throw new IllegalArgumentException(
+              s"table '${parameters("table")}' holds no data yet — pass " +
+                ".schema(...) to start a stream over an empty table")).schema
+      }
     }
     if (mode == "appends" || base.fieldNames.contains("_change_type")) base
     else base.add("_change_type", "string", nullable = false)

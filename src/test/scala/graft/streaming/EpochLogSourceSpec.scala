@@ -389,4 +389,188 @@ class EpochLogSourceSpec extends SparkSpec {
       assert(q.exception.isEmpty)
     } finally q.stop()
   }
+
+  /** foreachBatch sink for the multi-table form: records, per
+    * micro-batch, which member tables contributed rows — the torn-join
+    * witness — plus every delivered (table, pk, value, tag) row.
+    */
+  private class MultiMirror {
+    val batches = mutable.ArrayBuffer[Map[String, Set[(Long, String, String)]]]()
+    def apply(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(col("_table"), col("id").cast("long"), col("v"),
+          col("_change_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      this.synchronized {
+        if (rows.nonEmpty)
+          batches += rows.groupBy(_._1).map { case (t, rs) =>
+            t -> rs.map(r => (r._2, r._3, r._4)).toSet }
+      }
+    }
+    def all(): Seq[Map[String, Set[(Long, String, String)]]] =
+      this.synchronized(batches.toSeq)
+    def rowsOf(table: String): Set[(Long, String, String)] =
+      this.synchronized(batches.flatMap(_.getOrElse(table, Set.empty)).toSet)
+  }
+
+  test("multi-table: one transact, one micro-batch — never a torn pair; " +
+    "crash-replay keeps the pairing; per-table reader parity") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("a", "b"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    store.upsert("b", Seq((10L, "b1")).toDF("id", "v"), Seq("id"))
+
+    def startMulti(m: MultiMirror, ckpt: String) = {
+      val src = spark.readStream.format("graft-cdc")
+        .option("root", root).option("tables", "a,b")
+        .option("pk.a", "id").option("pk.b", "id")
+        .option("consumer", "multi-mirror")
+        .load()
+      assert(src.columns.take(1) === Array("_table"))
+      src.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => m.apply(df.toDF()))
+        .start()
+    }
+
+    val ckpt = freshDir("graft-els-ck")
+    val m1 = new MultiMirror
+    val q1 = startMulti(m1, ckpt)
+    try {
+      q1.processAllAvailable()
+      // registration batch: BOTH members' snapshots in the same batch
+      assert(m1.all().head.keySet === Set("a", "b"),
+        "the registration snapshot must deliver every member together")
+
+      // two tables committed in ONE transact must arrive in ONE batch
+      val batchesBefore = m1.all().size
+      store.transact {
+        store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+        store.upsert("b", Seq((20L, "b2")).toDF("id", "v"), Seq("id"))
+      }
+      q1.processAllAvailable()
+      val joint = m1.all().drop(batchesBefore)
+      assert(joint.size === 1, s"one transact produced ${joint.size} batches")
+      assert(joint.head.keySet === Set("a", "b"),
+        "a one-transact commit was torn across batches")
+      assert(joint.head("a") === Set((2L, "a2", "insert")))
+      assert(joint.head("b") === Set((20L, "b2", "insert")))
+
+      // per-table reader parity over the SAME window: the batch CDC
+      // reader serves exactly the member rows the multi stream carried
+      val e2 = store.snapshot().epoch
+      val windowB = store.readChangesSince("b", e2 - 1, e2, Seq("id"))
+        .select(col("id").cast("long"), col("v"), col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(windowB === joint.head("b"),
+        "a per-table reader of the same window diverged from the " +
+          "multi stream's member rows")
+
+      // a single-member commit delivers only that member (no echo)
+      store.upsert("a", Seq((3L, "a3")).toDF("id", "v"), Seq("id"))
+      q1.processAllAvailable()
+      assert(m1.all().last.keySet === Set("a"))
+      assert(q1.exception.isEmpty)
+    } finally q1.stop()
+
+    // commits while the query is DOWN — including a joint one and a
+    // delete; the restarted query (same WAL) must still pair them
+    store.transact {
+      store.upsert("a", Seq((4L, "a4")).toDF("id", "v"), Seq("id"))
+      store.upsert("b", Seq((40L, "b4")).toDF("id", "v"), Seq("id"))
+    }
+    store.deleteByPk("b", Seq(10L).toDF("id"), Seq("id"))
+
+    val m2 = new MultiMirror
+    val q2 = startMulti(m2, ckpt)
+    try {
+      q2.processAllAvailable()
+      val pairedBatch = m2.all().find(_.contains("a")).get
+      assert(pairedBatch.keySet === Set("a", "b"),
+        "crash-replay tore a one-transact commit across batches")
+      assert(pairedBatch("a") === Set((4L, "a4", "insert")))
+      assert(pairedBatch("b").contains((40L, "b4", "insert")))
+      assert(m2.rowsOf("b").contains((10L, "b1", "delete")),
+        "the down-time delete must arrive as a tagged retraction")
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+
+    // a fresh single-table graft-cdc stream (own checkpoint: its first
+    // batch is the CURRENT snapshot) converges to the same state the
+    // multi stream's member rows produce
+    val perTable = mutable.LinkedHashMap[Long, String]()
+    val qs = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "b").option("pk", "id")
+      .load()
+      .writeStream.option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val rows = df.select(col("id").cast("long"), col("v"),
+            col("_change_type"))
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))
+        perTable.synchronized {
+          rows.foreach {
+            case (id, v, "insert") => perTable(id) = v
+            case (id, _, "delete") => perTable.remove(id)
+            case (_, _, t) => fail(s"unexpected change type $t")
+          }
+        }
+        ()
+      }).start()
+    try {
+      qs.processAllAvailable()
+      val multiState = mutable.LinkedHashMap[Long, String]()
+      (m1.all() ++ m2.all()).foreach(_.getOrElse("b", Set.empty).foreach {
+        case (id, v, "insert") => multiState(id) = v
+        case (id, _, "delete") => multiState.remove(id)
+        case (_, _, t) => fail(s"unexpected change type $t")
+      })
+      assert(perTable.synchronized(perTable.toMap) === multiState.toMap,
+        "a per-table reader converged to a different state than the " +
+          "multi stream's member rows")
+      assert(qs.exception.isEmpty)
+    } finally qs.stop()
+  }
+
+  test("multi-table: member validation, schema union, empty members need .schema") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("x", "y"))
+    store.upsert("x", Seq((1L, "v", 7)).toDF("id", "v", "extra"), Seq("id"))
+    store.upsert("y", Seq((2L, "w")).toDF("id", "v"), Seq("id"))
+
+    // schema = _table + union of member fields + _change_type; member
+    // frames null-fill each other's columns
+    val src = spark.readStream.format("graft-cdc")
+      .option("root", root).option("tables", "x,y")
+      .option("pk.x", "id").option("pk.y", "id")
+      .load()
+    assert(src.columns.toSeq ===
+      Seq("_table", "id", "v", "extra", "_change_type"))
+
+    // a missing per-member pk fails loudly (createSource runs on the
+    // stream thread — the error surfaces through the query)
+    val qNoPk = spark.readStream.format("graft-cdc")
+      .option("root", root).option("tables", "x,y")
+      .option("pk.x", "id")
+      .load()
+      .writeStream.option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => ()).start()
+    val noPk = intercept[Exception](qNoPk.processAllAvailable())
+    assert(noPk.getMessage.contains("pk.y"), noPk.getMessage)
+
+    // an empty member has no schema to union — .schema(...) required
+    store.ensureGoverned(Seq("z"))
+    val empty = intercept[Exception] {
+      spark.readStream.format("graft-cdc")
+        .option("root", root).option("tables", "x,z")
+        .option("pk.x", "id").option("pk.z", "id")
+        .load()
+    }
+    assert(empty.getMessage.contains("schema"), empty.getMessage)
+  }
 }
