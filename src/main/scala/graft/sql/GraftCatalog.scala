@@ -153,12 +153,58 @@ class GraftCatalog extends TableCatalog {
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** CREATE TABLE / CTAS — the one DDL the catalog accepts, closing
+    * the SQL-only lifecycle gap (everything else still lives with the
+    * library's richer verbs):
+    *
+    * {{{
+    * CREATE TABLE graft.docs TBLPROPERTIES('pk'='id','buckets'='16')
+    *   AS SELECT ...   -- governed + bucketed: INSERT INTO upserts by pk
+    * CREATE TABLE graft.flat AS SELECT ...   -- governed, flat layout
+    * }}}
+    *
+    * `pk` (comma-separated) + optional `buckets` (default 16) declare
+    * the bucketed upsert layout; without `pk` the table is flat
+    * (whole-table-merge INSERT discipline). The create commits the
+    * declared schema as an EMPTY governed table first (so the table
+    * resolves, time-travels and SELECTs as zero rows immediately); a
+    * CTAS's rows then land as the next epoch through the normal
+    * INSERT path — the standard non-atomic V2 CTAS shape, with each
+    * step crash-safe on its own. Layout is `pk`-hash bucketing only:
+    * `PARTITIONED BY` is refused (the store owns physical layout).
+    * DROP/ALTER/RENAME stay with the library.
+    */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create tables through the library (ensureBucketed/ensureGoverned + " +
-        "upsert), then query them here")
+      properties: util.Map[String, String]): Table = {
+    require(ident.namespace.isEmpty,
+      s"graft catalog has no namespaces (got ${ident.namespace.mkString(".")})")
+    require(!ident.name.contains("$"),
+      "'$' names the metadata-table suffix — pick another table name")
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported — declare TBLPROPERTIES('pk'=..., " +
+        "'buckets'=...) for the bucketed layout; the store owns physical layout")
+    val s = store()
+    if (s.tableNames.contains(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(catalogName, ident.name))
+    val pk = Option(properties.get("pk"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val buckets = Option(properties.get("buckets")).map(_.trim.toInt)
+    require(buckets.isEmpty || pk.nonEmpty,
+      "'buckets' needs a 'pk' table property to bucket on")
+    pk.foreach(p => p.foreach(c => require(schema.fieldNames.contains(c),
+      s"pk column '$c' is not in the created schema " +
+        s"(${schema.fieldNames.mkString(", ")})")))
+    // declare layout + schema, then govern — the schema marker lets
+    // the empty table resolve (and SELECT as zero rows) before any
+    // insert; the CTAS rows land as the next epoch via the normal
+    // INSERT path
+    pk.foreach(p => s.ensureBucketed(ident.name, p, buckets.getOrElse(16)))
+    s.declareSchema(ident.name, schema)
+    s.ensureGoverned(Seq(ident.name))
+    new GraftTable(root, ident.name, epoch = None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -258,8 +304,12 @@ private[sql] class GraftTable(
     val s = store()
     val raw = epoch match {
       case Some(e) => s.readEpoch(tableName, e)
-      case None => s.readIfExists(tableName).getOrElse(
-        throw new IllegalStateException(
+      case None => s.readIfExists(tableName)
+        .orElse(s.declaredSchemaOf(tableName).map(sch =>
+          // created empty (SQL CREATE/CTAS): serve the declared shape
+          SparkSession.active.createDataFrame(
+            new java.util.ArrayList[Row](), sch)))
+        .getOrElse(throw new IllegalStateException(
           s"$tableName holds no data yet — insert through the library first"))
     }
     // the bucket routing column is store-internal layout, not table

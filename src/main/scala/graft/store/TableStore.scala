@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Parquet-directory table catalog with the reference's sink semantics
   * (SURVEY.md §2.5): `upsert` (K1/K2 replace), `insertIgnore` (K7
@@ -1621,12 +1621,40 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
     // an empty snapshot must NOT fall back to a directory scan — the
     // dir may hold files from OTHER epochs (retired or newer), which
-    // would silently serve out-of-snapshot data
-    if (rels.isEmpty) throw new IllegalStateException(
-      s"$name has no files at epoch $epoch (empty snapshot)")
+    // would silently serve out-of-snapshot data. A DECLARED schema
+    // (SQL CREATE before any insert) serves the empty frame instead.
+    if (rels.isEmpty) declaredSchemaOf(name) match {
+      case Some(s) =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), s)
+      case None => throw new IllegalStateException(
+        s"$name has no files at epoch $epoch (empty snapshot)")
+    }
     else spark.read.option("basePath", path(name))
       .parquet(rels.map(r => new Path(path(name), r).toString): _*)
   }
+
+  private def schemaPath(name: String) = new Path(path(name), "_graft_schema")
+
+  /** Persist the DECLARED schema of a table created EMPTY (SQL
+    * CREATE / CTAS, before any insert): [[declaredSchemaOf]] lets
+    * readers serve a zero-row frame of this shape while the table
+    * holds no data files. Underscore-prefixed like the layout marker —
+    * invisible to parquet scans and the file-stats walkers. Strictly a
+    * FALLBACK: the moment data lands, the data's own schema wins
+    * everywhere (flat overwrites even delete the marker with the old
+    * dir; on bucketed layouts it lingers, consulted again only if a
+    * delete empties the table — where serving the original declared
+    * shape is the right answer).
+    */
+  def declareSchema(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    fs.mkdirs(new Path(path(name)))
+    writeSmall(schemaPath(name), schema.json)
+  }
+
+  def declaredSchemaOf(name: String): Option[org.apache.spark.sql.types.StructType] =
+    if (!fs.exists(schemaPath(name))) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      readSmall(schemaPath(name))).asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Tables whose visibility is governed by the commit pointer. */
   def governed: Set[String] = currentCommit.map(_._2.keySet).getOrElse(Set.empty)

@@ -442,14 +442,85 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("CTAS: governed + bucketed when pk is declared, flat otherwise; " +
+    "INSERT INTO continues the history") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("src"))
+    store.upsert("src",
+      (0 until 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "g"),
+      Seq("id"))
+
+    // bucketed CTAS: pk + buckets via TBLPROPERTIES
+    spark.sql("CREATE TABLE graft.docs TBLPROPERTIES('pk'='id','buckets'='4') " +
+      "AS SELECT id, v FROM graft.src WHERE g <> 2")
+    assert(store.bucketLayoutOf("docs") === Some((4, Seq("id"))),
+      "CTAS with pk must declare the bucketed upsert layout")
+    assert(store.governed.contains("docs"), "CTAS tables must be governed")
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 14L)
+    // $history carries the creation + the CTAS insert; INSERT INTO
+    // continues it as a bucketed pk upsert (update, not append)
+    val eCreated = spark.sql("SELECT epoch FROM graft.`docs$history`")
+      .collect().map(_.getLong(0)).sorted
+    assert(eCreated.nonEmpty)
+    spark.sql("INSERT INTO graft.docs SELECT id, concat(v, 'x') " +
+      "FROM graft.src WHERE g = 2")
+    spark.sql("INSERT INTO graft.docs VALUES (0, 'replaced')")
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 20L, "pk upsert must replace, not append")
+    assert(spark.sql("SELECT v FROM graft.docs WHERE id = 0")
+      .collect().head.getString(0) === "replaced")
+    assert(spark.sql("SELECT count(*) FROM graft.`docs$history`")
+      .collect().head.getLong(0) > eCreated.length,
+      "INSERT INTO must continue the CTAS history")
+    // the CTAS-create epoch still time-travels (empty table)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.docs VERSION AS OF ${eCreated.head}")
+      .collect().head.getLong(0) === 0L)
+
+    // plain CREATE (no AS SELECT): empty but resolvable, SELECTs 0 rows
+    spark.sql("CREATE TABLE graft.fresh (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='id')")
+    assert(spark.sql("SELECT count(*) FROM graft.fresh")
+      .collect().head.getLong(0) === 0L)
+    spark.sql("INSERT INTO graft.fresh VALUES (1, 'a')")
+    assert(spark.sql("SELECT v FROM graft.fresh").collect()
+      .head.getString(0) === "a")
+
+    // flat CTAS (no pk): governed, whole-table-merge discipline
+    spark.sql("CREATE TABLE graft.flat AS SELECT g, count(*) AS n " +
+      "FROM graft.src GROUP BY g")
+    assert(store.bucketLayoutOf("flat").isEmpty)
+    assert(store.governed.contains("flat"))
+    assert(spark.sql("SELECT count(*) FROM graft.flat")
+      .collect().head.getLong(0) === 3L)
+
+    // guardrails: duplicate name, bad pk, PARTITIONED BY, buckets sans pk
+    val dup = intercept[Exception](
+      spark.sql("CREATE TABLE graft.docs AS SELECT 1 AS x"))
+    assert(dup.getMessage.toLowerCase.contains("exists"), dup.getMessage)
+    val badPk = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.oops TBLPROPERTIES('pk'='nope') AS SELECT 1 AS x"))
+    assert(badPk.getMessage.contains("pk column"), badPk.getMessage)
+    val part = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.oops (id BIGINT) PARTITIONED BY (id)"))
+    assert(part.getMessage.contains("PARTITIONED BY"), part.getMessage)
+    assert(!store.tableNames.contains("oops"),
+      "a refused CREATE must leave nothing behind")
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
     store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
     val e = intercept[Exception](
-      spark.sql("CREATE TABLE graft.nope (id BIGINT) USING parquet"))
-    assert(e.getMessage.toLowerCase.contains("ensure") ||
-      e.getMessage.toLowerCase.contains("support"))
+      spark.sql("ALTER TABLE graft.t RENAME TO graft.t2"))
+    assert(e.getMessage.toLowerCase.contains("support") ||
+      e.getMessage.toLowerCase.contains("rename"), e.getMessage)
+    val alter = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t ADD COLUMN w STRING"))
+    assert(alter.getMessage.toLowerCase.contains("upsert") ||
+      alter.getMessage.toLowerCase.contains("support"), alter.getMessage)
     val missing = intercept[Exception](
       spark.sql("SELECT * FROM graft.never_was").collect())
     assert(missing.getMessage.toLowerCase.contains("table") ||
