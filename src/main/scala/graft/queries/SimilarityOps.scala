@@ -1769,8 +1769,13 @@ object SimilarityOps {
   // index families this engine maintains — store/Hybrid.searchRrf is
   // the persisted-index form; this op is the same math as a pure
   // query). Two independent rankings over the same doc space:
-  //   lexical — q_fts_ranked's tf-sum relevance for MATCH
-  //     'spark AND vector' (integer score, bit-exact);
+  //   lexical — the SERVED scorer: BM25 (k1=1.2, b=0.75 — FTS5's
+  //     constants, the exact formula Fts.searchRanked computes over
+  //     the persisted index) for MATCH 'spark AND vector': idf(t) =
+  //     ln((N - df + 0.5)/(df + 0.5) + 1), score(d) = Σ_t idf(t) ·
+  //     tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)), both terms
+  //     required. N/avgdl are corpus stats, df corpus-wide per term —
+  //     the same statistics the index's 1-row stats table persists.
   //   semantic — exact cosine of every other doc's embedding against
   //     doc 0's (the pinned left-fold double kernel).
   // Each leg truncates to depth 50 (ranks are UNDEFINED below the
@@ -1778,31 +1783,43 @@ object SimilarityOps {
   // rank fusion: rrf(d) = Σ 1/(60 + rank_leg(d)), absent legs
   // contribute 0 (Cormack et al., SIGIR'09; K=60 is the paper's
   // constant). Ranks fuse, never raw scores — BM25's unbounded sums
-  // and cosine's [-1,1] need no calibration. Float parity: 1/(60+r)
-  // is one exact-operand double division and the sum adds two such
-  // doubles — bit-identical in any IEEE engine, no rounding slop.
-  // Scale: each leg is a bounded top-depth list (posting-pruned scan;
-  // broadcast probe over the candidate scan), so the fusion join
-  // touches ≤2·depth rows regardless of corpus size.
-  //
-  // DELIBERATE SPLIT vs the served path: this oracle's lexical leg is
-  // the TF-SUM scorer (DuckDB-bit-exact integers), while
-  // Hybrid.searchRrf's lexical leg is BM25 over the persisted FTS
-  // index (floating-point, corpus-statistics-dependent — not
-  // oracle-expressible without replicating BM25 in SQL). The fusion
-  // body is byte-identical (one rrfFuse), so the formula cannot fork;
-  // the BM25 side is pinned by HybridSpec instead.
+  // and cosine's [-1,1] need no calibration. Float parity: the BM25
+  // expression tree is written identically on both sides (same
+  // association, same literals — 2.2 is bit-equal to 1.2+1 in
+  // binary64); the per-doc sum adds exactly TWO doubles (one per
+  // query term), where IEEE addition is commutative, so aggregation
+  // order cannot fork; ranks then fuse via 1/(60+r), one
+  // exact-operand division. Scale: each leg is a bounded top-depth
+  // list (posting-pruned scan; broadcast probe over the candidate
+  // scan), so the fusion join touches ≤2·depth rows regardless of
+  // corpus size. (Until r13 the lexical leg was a tf-sum stand-in
+  // for oracle bit-parity; the oracle now carries the true scorer.)
   private val rrfK = 60
   private val rrfDepth = 50
 
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val lexTop = Catalog.table(spark, sfDir, "documents")
+    val toks = Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         explode(graft.ingest.Transforms.tokens(col("text"))).as("token"))
-      .filter(col("token").isin("spark", "vector"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val lexTop = tf
+      .join(broadcast(docFreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("score"), countDistinct(col("token")).as("n_terms"))
-      .filter(col("n_terms") === 2)
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === 2) // AND: both terms present
       .orderBy(col("score").desc, col("doc_id"))
       .limit(rrfDepth)
     // rank windows run AFTER the limit: a ≤depth-row frame, so the
@@ -1834,14 +1851,32 @@ object SimilarityOps {
   }
 
   val hybridRrfSql: String =
-    s"""WITH lex AS (
-       |  SELECT doc_id, COUNT(*) AS score
-       |  FROM (
-       |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS token
-       |    FROM documents)
-       |  WHERE token IN ('spark', 'vector')
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM toks WHERE token IN ('spark', 'vector')
+       |  GROUP BY doc_id, token
+       |), dfreq AS (
+       |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY token
+       |), lex AS (
+       |  SELECT doc_id, SUM(s) AS score FROM (
+       |    SELECT t.doc_id,
+       |      ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |        * (t.tf * 2.2) /
+       |        (t.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl)) AS s
+       |    FROM tf t
+       |    JOIN dfreq d USING (token)
+       |    JOIN dl l USING (doc_id)
+       |    CROSS JOIN stats st)
        |  GROUP BY doc_id
-       |  HAVING COUNT(DISTINCT token) = 2
+       |  HAVING COUNT(*) = 2
        |), lexr AS (
        |  SELECT doc_id, lex_rank FROM (
        |    SELECT doc_id, score,
