@@ -33,6 +33,19 @@ import graft.store.TableStore
   * V1 relation with column pruning and filter pushdown delegated to
   * the underlying frame; cost is the window's changed files (and with
   * a projection, only the selected columns' pages), never O(table).
+  *
+  * '''Multi-table windows''' — `tables=a,b` + per-member `pk.<t>`
+  * keys (instead of `table`/`pk`): ONE read serving every member's
+  * changes over the SAME global epoch window, rows tagged with a
+  * `_table` discriminator — the batch twin of the streaming source's
+  * multi mode and [[graft.store.EpochFollower.consumeChangesMulti]].
+  * Because the window is one epoch pair, two tables upserted in one
+  * `transact` always appear in the same result — a release diff
+  * joining them can never be torn. The schema is `_table` + the
+  * union of the member schemas (members null-fill each other's
+  * columns; same-name columns must be union-compatible); a member
+  * with no logical change in the window contributes no rows and
+  * costs no data I/O (commit-op metadata proves it unchanged).
   */
 class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
 
@@ -45,7 +58,7 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         s"graft-changes needs option(\"$key\", ...)"))
     val store = new TableStore(sqlContext.sparkSession, required("root"))
-    val table = required("table")
+    def table: String = required("table") // single-table branches only
     val mode = parameters.getOrElse("mode", "changes")
     def tagEpoch(tag: String): Long = store.tags().getOrElse(tag,
       throw new IllegalArgumentException(s"unknown tag '$tag'"))
@@ -69,12 +82,76 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
       .orElse(store.currentEpochIfAny)
       .getOrElse(throw new IllegalStateException(
         "no commits — govern tables first"))
-    val frame = mode match {
-      case "appends" => store.readAddedSince(table, from, to)
-      case "changes" =>
+    val frame = (mode, parameters.get("tables")) match {
+      case (m, Some(_)) if m != "changes" =>
+        throw new IllegalArgumentException(
+          "multi-table graft-changes is changes-mode only")
+      case ("changes", Some(ts)) =>
+        require(!parameters.contains("table"),
+          "pass option(\"table\", ...) or option(\"tables\", ...), not both")
+        val names = ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty, "tables must name at least one table")
+        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.types.{StringType, StructField}
+        // the served shape is STABLE regardless of which members
+        // changed in the window: _table + the union of the members'
+        // CURRENT schemas (first-seen order, same-name columns must
+        // agree on type) + _change_type; members null-fill each
+        // other's columns
+        val fields =
+          scala.collection.mutable.LinkedHashMap[String, StructField]()
+        names.foreach { t =>
+          store.readIfExists(t).foreach(_.schema.fields
+            .filterNot(_.name == store.BucketCol).foreach { f =>
+              fields.get(f.name) match {
+                case Some(g) => require(g.dataType == f.dataType,
+                  s"column '${f.name}' is ${g.dataType} in one member and " +
+                    s"${f.dataType} in '$t' — multi-table windows need " +
+                    "union-compatible member schemas")
+                case None => fields(f.name) = f.copy(nullable = true)
+              }
+            })
+        }
+        val target = StructType(
+          StructField("_table", StringType, nullable = false) +:
+            (fields.values.toSeq :+
+              StructField("_change_type", StringType, nullable = false)))
+        // one global window for every member: a one-transact commit is
+        // never torn across the result. Provably-unchanged members
+        // (commit-op metadata: no logical op in the window) contribute
+        // nothing and cost no data I/O.
+        val parts = names.flatMap { t =>
+          val pk = parameters.get(s"pk.$t")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"multi-table graft-changes needs option(\"pk.$t\", ...) — " +
+                "each member's logical key"))
+          val logical = store.commitOps(t, from, to) match {
+            case Some(ops) => ops.exists { case (e, op) =>
+              e > from && e <= to && !TableStore.RewriteOps(op) }
+            case None => true // unprovable (vacuumed): must deliver
+          }
+          if (!logical) None
+          else Some(store.readChangesSince(t, from, to, pk)
+            .withColumn("_table", lit(t)))
+        }
+        val aligned = parts.map { df =>
+          val have = df.schema.map(f => f.name -> f.dataType).toMap
+          df.select(target.map(f => have.get(f.name) match {
+            case Some(dt) if dt == f.dataType => col(f.name)
+            case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }): _*)
+        }
+        if (aligned.isEmpty)
+          sqlContext.sparkSession.createDataFrame(
+            new java.util.ArrayList[Row](), target)
+        else aligned.reduce(_.unionByName(_))
+      case ("appends", None) => store.readAddedSince(table, from, to)
+      case ("changes", None) =>
         val pk = required("pk").split(",").map(_.trim).toSeq
         store.readChangesSince(table, from, to, pk)
-      case other => throw new IllegalArgumentException(
+      case (other, None) => throw new IllegalArgumentException(
         s"mode must be changes|appends, got '$other'")
     }
     new ChangesRelation(sqlContext, frame)

@@ -42,9 +42,14 @@ import graft.store.TableStore
   * declared bucket pk when one exists (the store's only write
   * discipline for bucketed layout) and whole-table-merges otherwise;
   * `INSERT OVERWRITE` maps to [[TableStore.overwrite]] on flat
-  * tables. DDL (CREATE/ALTER/DROP/RENAME) stays with the library's
-  * own verbs — the catalog reports them unsupported rather than
-  * inventing a second lifecycle.
+  * tables. `CREATE TABLE` / CTAS declare governed (+ optionally
+  * bucketed) tables — see [[createTable]]; `DELETE FROM` and
+  * `TRUNCATE` route through the index-cascading retraction — see
+  * [[GraftTable]]. UPDATE/MERGE stay with the library's upsert verb:
+  * Spark's group-based row-level rewrite path requires a native DSv2
+  * `BatchWrite` (executor-side writers), where this catalog
+  * deliberately bridges through V1 frames; ALTER/DROP/RENAME stay
+  * with the library's richer lifecycle.
   *
   * Consistency: like Iceberg/Delta catalogs, each TABLE REFERENCE
   * resolves the then-current commit independently, so a multi-table

@@ -509,6 +509,63 @@ class GraftCatalogSpec extends SparkSpec {
       "a refused CREATE must leave nothing behind")
   }
 
+  test("multi-table graft-changes: one global window, never a torn pair; " +
+    "TRUNCATE routes through the delete path") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("a", "b"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    store.upsert("b", Seq((10L, "b1", 7)).toDF("id", "v", "extra"), Seq("id"))
+    val e0 = store.snapshot().epoch
+    store.transact {
+      store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+      store.upsert("b", Seq((20L, "b2", 8)).toDF("id", "v", "extra"), Seq("id"))
+    }
+    val e1 = store.snapshot().epoch
+    store.upsert("a", Seq((3L, "a3")).toDF("id", "v"), Seq("id"))
+    val e2 = store.snapshot().epoch
+
+    def window(from: Long, to: Long) = spark.read.format("graft-changes")
+      .option("root", root).option("tables", "a,b")
+      .option("pk.a", "id").option("pk.b", "id")
+      .option("fromEpoch", from.toString).option("toEpoch", to.toString)
+      .load()
+
+    // the one-transact commit appears for BOTH members in one window
+    val joint = window(e0, e1)
+    assert(joint.columns.head === "_table")
+    assert(joint.columns.last === "_change_type")
+    val rows = joint.select(col("_table"), col("id").cast("long"), col("v"),
+        col("extra"), col("_change_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getInt(3).asInstanceOf[Any],
+        r.getString(4))).toSet
+    assert(rows === Set(
+      ("a", 2L, "a2", null, "insert"),
+      ("b", 20L, "b2", 8, "insert")),
+      s"multi-table window wrong: $rows")
+    // member parity: the single-table reader over the same window
+    val single = spark.read.format("graft-changes")
+      .option("root", root).option("table", "b").option("pk", "id")
+      .option("fromEpoch", e0.toString).option("toEpoch", e1.toString)
+      .load().select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(single === Set(20L))
+    // a member with no logical change contributes nothing
+    val only = window(e1, e2)
+    assert(only.select("_table").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+
+    // TRUNCATE TABLE rides the same delete machinery (TruncatableTable
+    // → deleteWhere(AlwaysTrue)); the feed emits the retractions
+    spark.sql("TRUNCATE TABLE graft.a")
+    assert(spark.sql("SELECT count(*) FROM graft.a")
+      .collect().head.getLong(0) === 0L)
+    val e3 = store.snapshot().epoch
+    val truncFeed = store.readChangesSince("a", e2, e3, Seq("id"))
+      .select(col("id").cast("long"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(truncFeed === Set((1L, "delete"), (2L, "delete"), (3L, "delete")))
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
