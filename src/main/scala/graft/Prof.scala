@@ -29,20 +29,36 @@ object Prof {
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
     }
 
-    // default subjects: the CC loop on the real semantic edge set
-    // (the engine's slowest query family) and the full query around
-    // it — edit locally when attributing a different query's stages
-    val edges = queries.SimilarityOps.semanticEdges(spark, sfDir)
-      .localCheckpoint(true)
-    time("cc rounds on semantic edges")(
-      queries.DedupOps.connectedComponents(
-        edges.select("doc_a", "doc_b")))
-    time("cell-local union-find cc")(
-      queries.SimilarityOps.cellComponents(edges))
-    queries.SimilarityOps.lastCcPeak.foreach(p =>
-      println(s"[prof] cc peak task vertices        ${p.value}"))
-    time("full q_semantic_dedup")(
-      queries.SimilarityOps.semanticDedup(spark, sfDir))
+    // default subjects — edit locally when attributing a different
+    // query's stages (round 13: q_hybrid_rrf's legs)
+    val docs = queries.Catalog.table(spark, sfDir, "documents")
+    time("lex: array-stat BM25 leg")(docs
+      .select(col("doc_id"), ingest.Transforms.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        size(filter(col("toks"), t => t === "spark")).cast("double").as("tf_s"),
+        size(filter(col("toks"), t => t === "vector")).cast("double").as("tf_v"))
+      .filter(col("dl") > 0 && col("tf_s") > 0 && col("tf_v") > 0))
+    time("lex: old tf-sum leg")(docs
+      .select(col("doc_id"),
+        explode(ingest.Transforms.tokens(col("text"))).as("token"))
+      .filter(col("token").isin("spark", "vector"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"),
+        countDistinct(col("token")).as("n_terms"))
+      .filter(col("n_terms") === 2))
+    val emb = queries.Catalog.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _),
+        lit(0.0), _ + _)))
+    time("sem: cosine-vs-doc0 leg")(emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"))))
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("qe"), col("e"), _ * _), lit(0.0), _ + _) /
+          (col("qnorm") * col("norm"))).as("cosine"))
+      .orderBy(col("cosine").desc).limit(50))
+    time("full q_hybrid_rrf")(
+      queries.SimilarityOps.hybridRrf(spark, sfDir))
     spark.stop()
   }
 }

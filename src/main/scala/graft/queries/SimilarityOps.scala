@@ -1798,28 +1798,44 @@ object SimilarityOps {
   private val rrfDepth = 50
 
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Catalog.table(spark, sfDir, "documents")
+    // dl and both term frequencies are per-doc ARRAY statistics — no
+    // explode, no token ever crosses a shuffle: one map-only pass
+    // computes size(tokens) and two filtered counts per document (the
+    // exploded groupBy(doc) form shuffled/aggregated every token and
+    // measured ~2× this plan at sf0.1; tf-idf-style ops that need
+    // per-token state still explode — BM25 over a FIXED query term
+    // set does not). The corpus constants (N, avgdl, per-term df) are
+    // then one 1-row aggregate, broadcast back.
+    val docStats = Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(graft.ingest.Transforms.tokens(col("text"))).as("token"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("token").isin("spark", "vector"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val docFreq = tf.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val lexTop = tf
-      .join(broadcast(docFreq), Seq("token"))
-      .join(dl, Seq("doc_id"))
+        graft.ingest.Transforms.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        size(filter(col("toks"), t => t === "spark")).cast("double").as("tf_s"),
+        size(filter(col("toks"), t => t === "vector")).cast("double").as("tf_v"))
+      // a zero-token doc has no postings: it is absent from an FTS
+      // index and from the oracle's exploded token stream — N/avgdl
+      // must not count it
+      .filter(col("dl") > 0)
+    val stats = docStats.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"),
+      count(when(col("tf_s") > 0, 1)).cast("double").as("df_s"),
+      count(when(col("tf_v") > 0, 1)).cast("double").as("df_v"))
+    // the same expression tree as the SQL, one leg per term; the
+    // per-doc score is the two legs' explicit sum (IEEE addition of
+    // two doubles is commutative, so this equals the SQL's SUM over
+    // the two per-term rows)
+    def idf(df: Column): Column =
+      log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    def leg(tf: Column, df: Column): Column =
+      idf(df) * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val lexTop = docStats
+      .filter(col("tf_s") > 0 && col("tf_v") > 0) // AND: both terms
       .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)) * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === 2) // AND: both terms present
+      .withColumn("score",
+        leg(col("tf_s"), col("df_s")) + leg(col("tf_v"), col("df_v")))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(rrfDepth)
     // rank windows run AFTER the limit: a ≤depth-row frame, so the
