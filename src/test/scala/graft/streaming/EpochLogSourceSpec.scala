@@ -535,6 +535,114 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally qs.stop()
   }
 
+  test("property: random multi-table histories — mirrors converge, " +
+    "joint commits are never torn, restarts keep the pairing") {
+    // seeded random interleavings of per-table upserts/deletes/compacts
+    // and JOINT transacts over two tables, the query draining (and once
+    // RESTARTING from its checkpoint) at arbitrary points: each member
+    // mirror must equal its table, and every joint commit's marker rows
+    // must appear in the same micro-batch, in every delivery
+    val rnd = new scala.util.Random(1313)
+    (1 to 2).foreach { trial =>
+      val root = freshRoot()
+      val store = new TableStore(spark, root)
+      store.ensureBucketed("a", Seq("id"), 2)
+      store.ensureGoverned(Seq("a", "b"))
+      store.upsert("a", Seq((0L, "seedA")).toDF("id", "v"), Seq("id"))
+      store.upsert("b", Seq((0L, "seedB")).toDF("id", "v"), Seq("id"))
+
+      val mirror = new MultiMirror
+      val ckpt = freshDir("graft-els-ck")
+      def start() = {
+        val src = spark.readStream.format("graft-cdc")
+          .option("root", root).option("tables", "a,b")
+          .option("pk.a", "id").option("pk.b", "id")
+          .option("consumer", s"prop$trial")
+          .load()
+        src.writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => mirror.apply(df.toDF()))
+          .start()
+      }
+      var q = start()
+      var joints = 0
+      val liveA = mutable.Set(0L)
+      val liveB = mutable.Set(0L)
+      try {
+        (1 to 12).foreach { step =>
+          rnd.nextInt(6) match {
+            case 0 =>
+              val id = rnd.nextInt(20).toLong
+              store.upsert("a", Seq((id, s"a$trial-$step")).toDF("id", "v"),
+                Seq("id")); liveA += id
+            case 1 =>
+              val id = rnd.nextInt(20).toLong
+              store.upsert("b", Seq((id, s"b$trial-$step")).toDF("id", "v"),
+                Seq("id")); liveB += id
+            case 2 =>
+              joints += 1
+              val k = joints
+              store.transact {
+                store.upsert("a", Seq((1000L + k, s"joint$trial-$k"))
+                  .toDF("id", "v"), Seq("id"))
+                store.upsert("b", Seq((2000L + k, s"joint$trial-$k"))
+                  .toDF("id", "v"), Seq("id"))
+              }
+              liveA += 1000L + k; liveB += 2000L + k
+            case 3 if liveA.exists(_ < 1000L) =>
+              // joint markers (ids ≥ 1000) stay live: a delete landing
+              // in the same drained window as the joint insert would
+              // legitimately cancel it out of the diff, which is not
+              // the torn-pair defect this test hunts
+              val pool = liveA.toSeq.filter(_ < 1000L)
+              val victim = pool(rnd.nextInt(pool.size))
+              store.deleteByPk("a", Seq(victim).toDF("id"), Seq("id"))
+              liveA -= victim
+            case 4 if liveA.nonEmpty => store.compact("a") // empty: no files
+            case _ => store.compact("b")
+          }
+          if (rnd.nextInt(3) == 0) q.processAllAvailable()
+          if (step == 6) { // crash/restart mid-history, same WAL
+            q.processAllAvailable(); q.stop()
+            q = start()
+          }
+        }
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"trial $trial: ${q.exception}")
+        // each member mirror equals its table
+        Seq("a", "b").foreach { t =>
+          val table = store.read(t).select(col("id").cast("long"), col("v"))
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          val state = mutable.LinkedHashMap[Long, String]()
+          mirror.all().foreach(_.getOrElse(t, Set.empty).foreach {
+            case (id, v, "insert") => state(id) = v
+            case (id, _, "delete") => state.remove(id)
+            case (_, _, tag) => fail(s"unexpected change type $tag")
+          })
+          assert(state.toMap === table,
+            s"trial $trial: mirror for '$t' diverged from the table")
+        }
+        // joint commits are never torn — in EVERY delivery (incl. the
+        // restart's at-least-once replays): a batch carrying one
+        // member's joint-k marker carries the other's too
+        (1 to joints).foreach { k =>
+          def marker(b: Map[String, Set[(Long, String, String)]],
+              t: String, id: Long) =
+            b.getOrElse(t, Set.empty)
+              .contains((id, s"joint$trial-$k", "insert"))
+          val hits = mirror.all().filter(b =>
+            marker(b, "a", 1000L + k) || marker(b, "b", 2000L + k))
+          assert(hits.nonEmpty, s"trial $trial: joint $k never delivered")
+          hits.foreach { b =>
+            assert(marker(b, "a", 1000L + k) && marker(b, "b", 2000L + k),
+              s"trial $trial: joint commit $k torn across micro-batches")
+          }
+        }
+      } finally q.stop()
+    }
+  }
+
   test("multi-table: member validation, schema union, empty members need .schema") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
