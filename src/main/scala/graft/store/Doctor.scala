@@ -98,6 +98,7 @@ object Doctor {
         issues ++= zordered(store, t, zCols, bits)
       }
       if (store.hasFileStats(t)) issues ++= fileStatsFresh(store, t)
+      issues ++= declaredSchema(store, t)
     }
     // epoch-governed tables: every committed file must exist on disk —
     // an out-of-band deletion breaks reads loudly at scan time, so
@@ -338,6 +339,45 @@ object Doctor {
     * pruneFiles call footer-walks on the driver (slow, never wrong),
     * and tracked-but-gone files that waste manifest rows.
     */
+  /** A `_graft_schema` marker (SQL CREATE/CTAS) is only CONSULTED
+    * while the table holds no data — but if a delete later empties the
+    * table, readers fall back to it. A marker that drifted from the
+    * evolved data schema would then silently serve the ORIGINAL shape,
+    * so divergence is named here while the data still exists to
+    * compare against (fix: re-declare, or remove the marker).
+    * Name+type only — nullability and the store-internal bucket
+    * column are not part of the declared surface.
+    */
+  private def declaredSchema(store: TableStore, table: String): Seq[Issue] =
+    store.declaredSchemaOf(table) match {
+      case Some(declared) =>
+        store.readIfExists(table) match {
+          case Some(df) =>
+            val actual = df.schema.fields
+              .filterNot(_.name == store.BucketCol)
+              .map(f => f.name -> f.dataType).toMap
+            val decl = declared.fields.map(f => f.name -> f.dataType).toMap
+            if (decl == actual) Seq.empty
+            else {
+              val drift =
+                (decl.keySet -- actual.keySet).toSeq.sorted
+                  .map(c => s"$c only declared") ++
+                (actual.keySet -- decl.keySet).toSeq.sorted
+                  .map(c => s"$c only in data") ++
+                decl.keySet.intersect(actual.keySet).toSeq.sorted
+                  .filter(c => decl(c) != actual(c))
+                  .map(c => s"$c ${decl(c)}→${actual(c)}")
+              Seq(Issue("schema", table,
+                s"declared-schema marker diverges from the data " +
+                  s"(${drift.mkString(", ")}) — a delete emptying the " +
+                  "table would serve the stale declared shape; " +
+                  "re-declare (declareSchema) or remove the marker"))
+            }
+          case None => Seq.empty // empty table: the marker IS the schema
+        }
+      case None => Seq.empty
+    }
+
   private def fileStatsFresh(store: TableStore, table: String): Seq[Issue] = {
     val out = Seq.newBuilder[Issue]
     val listed = store.dataFiles(table).toSet

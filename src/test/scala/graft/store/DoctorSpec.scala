@@ -389,6 +389,26 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.repair(store) === Seq.empty)
   }
 
+  test("a drifted declared-schema marker is named; matching or empty is silent") {
+    val store = freshStore()
+    import org.apache.spark.sql.types._
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    // empty table with a marker: the marker IS the schema — silent
+    store.declareSchema("t", declared)
+    assert(Doctor.check(store).filter(_.component == "schema") === Seq.empty)
+    // data matching the declaration: silent (nullability ignored)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(Doctor.check(store).filter(_.component == "schema") === Seq.empty)
+    // evolved data vs stale marker: named with the drift, not crashed
+    store.overwrite("t", Seq((1L, "a", 7)).toDF("id", "v", "extra"))
+    store.declareSchema("t", declared) // flat overwrite dropped it — re-pin
+    val issues = Doctor.check(store).filter(_.component == "schema")
+    assert(issues.size === 1 && issues.head.table === "t")
+    assert(issues.head.problem.contains("extra only in data"),
+      issues.head.problem)
+  }
+
   test("vacuum-horizon: lagging consumer + short retention is flagged with the safe window") {
     val store = freshStore()
     store.ensureGoverned(Seq("t"))
