@@ -276,5 +276,18 @@ class CliSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((1L, "a2"), (2L, "b")))
     cli("sql", dir, "SELECT * FROM graft.`kv$history`")
+
+    // the round-13 lifecycle statements ride the same mounted catalog:
+    // CTAS declares a governed bucketed table, DELETE cascades by key
+    cli("sql", dir, "CREATE TABLE graft.kv2 " +
+      "TBLPROPERTIES('pk'='id','buckets'='2') " +
+      "AS SELECT id, upper(v) AS v FROM graft.kv")
+    assert(store.bucketLayoutOf("kv2") === Some((2, Seq("id"))))
+    assert(store.read("kv2").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "A2"), (2L, "B")))
+    cli("sql", dir, "DELETE FROM graft.kv2 WHERE id = 1")
+    assert(store.read("kv2").select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
   }
 }
