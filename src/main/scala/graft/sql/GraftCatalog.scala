@@ -70,10 +70,32 @@ import graft.store.TableStore
   * (pointer listing + parse, a couple of driver-side FS calls) per
   * table resolution, never per row.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var initRoot: Option[String] = None
+
+  /** Maintenance verbs as SQL stored procedures (`CALL
+    * graft.system.doctor()` etc. — see [[GraftProcedures]]); resolve
+    * under the `system` namespace or bare.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      (ident.namespace.length == 1 && ident.namespace.head == "system"),
+      s"procedures live in the 'system' namespace " +
+        s"(got ${ident.namespace.mkString(".")})")
+    GraftProcedures.load(ident.name, () => store()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' — known: " +
+          GraftProcedures.idents.map(_.name).sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty || namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace " +
+        s"(got ${namespace.mkString(".")})")
+    GraftProcedures.idents
+  }
 
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit = {

@@ -566,6 +566,61 @@ class GraftCatalogSpec extends SparkSpec {
     assert(truncFeed === Set((1L, "delete"), (2L, "delete"), (3L, "delete")))
   }
 
+  test("stored procedures: CALL graft.system.* runs the maintenance verbs") {
+    import graft.store.{Doctor, Sq}
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 2)
+    store.ensureGoverned(Seq("docs"))
+    (1 to 4).foreach { i => // several commits → several small files
+      store.upsert("docs", Seq((i.toLong, s"v$i",
+        (0 until 8).map(d => math.sin(i * 8 + d)))).toDF("id", "v", "e"),
+        Seq("id"))
+    }
+
+    // doctor: healthy store → zero finding rows
+    assert(spark.sql("CALL graft.system.doctor()").collect().isEmpty)
+
+    // compact: fewer files, same rows
+    val c = spark.sql("CALL graft.system.compact('docs')").collect().head
+    assert(c.getLong(2) <= c.getLong(1),
+      s"compact grew the file count: $c")
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 4L)
+
+    // tag pins the current epoch; VERSION AS OF resolves it; drop frees it
+    val tagged = spark.sql("CALL graft.system.tag('rel-x')").collect().head
+    assert(tagged.getString(0) === "rel-x")
+    assert(store.tags()("rel-x") === tagged.getLong(1))
+    assert(spark.sql("SELECT count(*) FROM graft.docs VERSION AS OF 'rel-x'")
+      .collect().head.getLong(0) === 4L)
+    spark.sql("CALL graft.system.drop_tag('rel-x')")
+    assert(!store.tags().contains("rel-x"))
+
+    // heal_ghosts: a bare base delete orphans the SQ index; the
+    // procedure names and repairs it, Doctor goes green
+    Sq.buildIndex(store, "docs", store.read("docs"), "id", "e")
+    store.deleteByPk("docs", Seq(2L).toDF("id"), Seq("id"))
+    assert(Doctor.check(store).nonEmpty, "ghost seeding failed")
+    val healed = spark.sql("CALL graft.system.heal_ghosts('docs', 'id')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(healed(Sq.codesName("docs")) === 1L)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // refresh_stats + vacuum return their summaries
+    assert(spark.sql("CALL graft.system.refresh_stats('docs')")
+      .collect().head.getLong(1) > 0L)
+    assert(spark.sql("CALL graft.system.vacuum(min_age_ms => 0)")
+      .collect().head.getLong(0) === store.snapshot().epoch)
+
+    // unknown procedure fails loudly (Spark wraps the catalog's error,
+    // which names the known set, in FAILED_TO_LOAD_ROUTINE)
+    val bad = intercept[Exception](
+      spark.sql("CALL graft.system.explode_everything()"))
+    assert(bad.getMessage.contains("explode_everything"), bad.getMessage)
+    assert(Option(bad.getCause).exists(_.getMessage.contains("doctor")),
+      s"cause: ${bad.getCause}")
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
