@@ -174,6 +174,9 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
+      // functions + SQL UPDATE/MERGE interception for the `sql` verb
+      .config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

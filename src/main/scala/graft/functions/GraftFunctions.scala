@@ -75,13 +75,23 @@ object GraftFunctions {
   * inherit them — the class of registry-cold resolution failures the
   * manual registration calls defend against cannot occur at all on
   * an extensions-configured session.
+  *
+  * Also injects the SQL DML interception for governed tables
+  * ([[graft.sql.GraftDml]]): a post-hoc resolution rule turns
+  * analyzed `UPDATE` / `MERGE INTO` on `graft.*` catalog tables into
+  * store-verb commands, and the paired planner strategy executes
+  * them. Both are strict no-ops on every other plan, so the
+  * extensions stay safe to install globally.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectPostHocResolutionRule(sp => new graft.sql.GraftDml.DmlRule(sp))
+    ext.injectPlannerStrategy(sp => new graft.sql.GraftDml.DmlStrategy(sp))
+  }
 }

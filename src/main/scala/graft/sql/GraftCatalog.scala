@@ -45,11 +45,14 @@ import graft.store.TableStore
   * tables. `CREATE TABLE` / CTAS declare governed (+ optionally
   * bucketed) tables — see [[createTable]]; `DELETE FROM` and
   * `TRUNCATE` route through the index-cascading retraction — see
-  * [[GraftTable]]. UPDATE/MERGE stay with the library's upsert verb:
-  * Spark's group-based row-level rewrite path requires a native DSv2
-  * `BatchWrite` (executor-side writers), where this catalog
-  * deliberately bridges through V1 frames; ALTER/DROP/RENAME stay
-  * with the library's richer lifecycle.
+  * [[GraftTable]]. `UPDATE` and `MERGE INTO` complete the DML story
+  * through the extensions seam ([[GraftDml]], injected by
+  * `spark.sql.extensions=graft.functions.GraftExtensions`): Spark's
+  * own path would need a native DSv2 `BatchWrite` (executor-side
+  * writers) where this catalog deliberately bridges through V1
+  * frames, so the analyzed plans are intercepted one level up and
+  * routed through the store's upsert / retraction verbs instead.
+  * ALTER/DROP/RENAME stay with the library's richer lifecycle.
   *
   * Consistency: like Iceberg/Delta catalogs, each TABLE REFERENCE
   * resolves the then-current commit independently, so a multi-table
@@ -323,6 +326,12 @@ private[sql] class GraftMetaTable(root: String, base: String, meta: String)
 private[sql] class GraftTable(
     root: String, tableName: String, epoch: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  // exposed for the DML interception rule (GraftDml), which re-roots
+  // its own store from the same coordinates
+  private[sql] def graftRoot: String = root
+  private[sql] def graftTableName: String = tableName
+  private[sql] def graftEpoch: Option[Long] = epoch
 
   private def store(): TableStore =
     new TableStore(SparkSession.active, root)

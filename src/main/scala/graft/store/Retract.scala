@@ -56,6 +56,29 @@ object Retract {
     (if (store.exists(Fts.indexName(table))) Seq(Fts.indexName(table))
      else Nil) ++ registry(table).map(_._1).filter(store.exists)
 
+  /** Every table a [[cascade]] on `table` would WRITE for its indexes
+    * (the FTS postings commit together with their corpus-stats row,
+    * hence the extra stats entry vs [[indexTablesOf]]).
+    */
+  private def indexWriteTables(store: TableStore, table: String): Seq[String] =
+    (if (store.exists(Fts.indexName(table)))
+      Seq(Fts.indexName(table), Fts.statsName(table)) else Nil) ++
+      registry(table).map(_._1).filter(store.exists)
+
+  /** True when a [[cascade]] on `table` may ride an OUTER
+    * [[TableStore.transact]]: the base and every index table the
+    * cascade would write are governed, so the whole retraction stages
+    * into the caller's single epoch. The SQL MERGE path uses this to
+    * decide whether deletes + upserts can commit as one epoch; when
+    * false, cascade's own mixed-governance ordering applies (and it
+    * refuses to run inside an outer transaction — see below).
+    */
+  def cascadeAtomic(store: TableStore, table: String): Boolean = {
+    val governed = store.governed
+    governed.contains(table) &&
+      indexWriteTables(store, table).forall(governed.contains)
+  }
+
   /** Retract `delPks` (a 1-column frame named `pk`) from one pk-keyed
     * index table. Declared bucket layouts ride
     * [[TableStore.deleteByPk]]'s O(touched buckets) path; a
@@ -184,12 +207,7 @@ object Retract {
         }
       }
     }
-    // every table the index retractions write (FTS postings commit
-    // together with their corpus-stats row)
-    val indexWrites =
-      (if (store.exists(Fts.indexName(table)))
-        Seq(Fts.indexName(table), Fts.statsName(table)) else Nil) ++
-        registry(table).map(_._1).filter(store.exists)
+    val indexWrites = indexWriteTables(store, table)
     val governed = store.governed
     if (governed.contains(table) && indexWrites.forall(governed.contains)) {
       // fully governed: one atomic epoch, everywhere-or-nowhere

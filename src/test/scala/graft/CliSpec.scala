@@ -289,5 +289,18 @@ class CliSpec extends SparkSpec {
     cli("sql", dir, "DELETE FROM graft.kv2 WHERE id = 1")
     assert(store.read("kv2").select(col("id").cast("long")).collect()
       .map(_.getLong(0)).toSeq === Seq(2L))
+
+    // UPDATE and MERGE ride the extensions-injected DML interception
+    // (the CLI session is built with GraftExtensions, as is this one)
+    cli("sql", dir, "UPDATE graft.kv SET v = concat(v, '!') WHERE id = 1")
+    assert(store.read("kv").filter(col("id") === 1L)
+      .select("v").collect().head.getString(0) === "a2!")
+    cli("sql", dir,
+      "MERGE INTO graft.kv t USING (SELECT 2L AS id, 'B2' AS v " +
+        "UNION ALL SELECT 3L, 'c') s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(store.read("kv").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a2!"), (2L, "B2"), (3L, "c")))
   }
 }

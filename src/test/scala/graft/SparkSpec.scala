@@ -17,6 +17,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the canonical integration (functions + SQL DML interception);
+      // suites exercise the same session shape users are told to build
+      .config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",

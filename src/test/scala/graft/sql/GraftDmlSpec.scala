@@ -1,0 +1,260 @@
+package graft.sql
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.store.{Doctor, Fts, Retract, Sq, TableStore}
+
+/** SQL UPDATE and MERGE INTO through the extensions seam
+  * ([[GraftDml]] via `graft.functions.GraftExtensions`, which the
+  * shared test session is built with — the same config users are told
+  * to set): the analyzed plans route through the store's upsert /
+  * retraction verbs, with the guardrail surface pinned alongside the
+  * happy paths.
+  */
+class GraftDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mountCatalog(): (String, TableStore) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    (root, new TableStore(spark, root))
+  }
+
+  test("SQL UPDATE on a bucketed table: matched rows upsert by pk in one " +
+    "epoch; prior epochs still time-travel; NULL predicates keep rows") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t",
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, null, 40L))
+        .toDF("id", "v", "n"), Seq("id"))
+    val e1 = store.snapshot().epoch
+
+    spark.sql("UPDATE graft.t SET n = n + 100 WHERE v = 'a'")
+
+    val e2 = store.snapshot().epoch
+    assert(e2 === e1 + 1, "a bucketed UPDATE is one upsert = one epoch")
+    assert(spark.sql("SELECT id, n FROM graft.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 110L), (2L, 120L), (3L, 30L), (4L, 40L)),
+      "only v='a' rows update; the NULL-v row keeps SQL three-valued " +
+        "WHERE semantics")
+    assert(spark.sql(
+      s"SELECT sum(n) FROM graft.t VERSION AS OF $e1")
+      .collect().head.getLong(0) === 100L,
+      "time travel must serve the pre-UPDATE rows")
+
+    // expressions over several columns + builtin functions work (the
+    // assignment is the analyzed expression, not a re-parse)
+    spark.sql("UPDATE graft.t SET v = concat(coalesce(v, '?'), " +
+      "cast(n as string)) WHERE id >= 3")
+    assert(spark.sql("SELECT v FROM graft.t WHERE id = 4")
+      .collect().head.getString(0) === "?40")
+  }
+
+  test("UPDATE guardrails: pk assignment and flat-but-indexed refused " +
+    "loudly and never write; literals ride Spark's assignment coercion") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a", 10L)).toDF("id", "v", "n"), Seq("id"))
+    val e1 = store.snapshot().epoch
+
+    val pkErr = intercept[Exception](
+      spark.sql("UPDATE graft.t SET id = id + 1 WHERE v = 'a'"))
+    assert(pkErr.getMessage.contains("pk"), pkErr.getMessage)
+
+    assert(store.snapshot().epoch === e1, "failed UPDATEs must not write")
+    assert(spark.sql("SELECT v, n FROM graft.t").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 10L)))
+
+    // a cross-type literal rides Spark's own assignment coercion (the
+    // analyzer inserts the cast before the rule ever sees the plan);
+    // the engine's lossless-cast guard stays as defense-in-depth for
+    // assignments the analyzer leaves uncast
+    spark.sql("UPDATE graft.t SET v = 42 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM graft.t WHERE id = 1")
+      .collect().head.getString(0) === "42")
+
+    // flat table with a maintained per-pk index: no declared key to
+    // upsert by — refused with the library pointer (same rule as DELETE)
+    store.overwrite("flat", (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text"))
+    Fts.upsertWithIndexCols(store, "flat", store.read("flat"), "id",
+      Seq("full_text"), buckets = 2)
+    val refuse = intercept[Exception](
+      spark.sql("UPDATE graft.flat SET full_text = 'x' WHERE id = 1"))
+    assert(refuse.getMessage.contains("index"), refuse.getMessage)
+    assert(Retract.indexTablesOf(store, "flat").nonEmpty)
+  }
+
+  test("UPDATE on a flat un-indexed table: whole-table rewrite through " +
+    "one swap; unmatched and NULL-predicate rows ride through unchanged") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("plain"))
+    store.overwrite("plain", Seq((1L, "x", 1L), (2L, "y", 2L), (3L, null, 3L))
+      .toDF("id", "v", "n"))
+    val e1 = store.snapshot().epoch
+    spark.sql("UPDATE graft.plain SET n = -n WHERE v = 'x'")
+    assert(store.snapshot().epoch === e1 + 1)
+    assert(spark.sql("SELECT id, n FROM graft.plain ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, -1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("MERGE INTO, full clause surface on an indexed governed table: " +
+    "deletes cascade through every index, the whole merge is ONE epoch, " +
+    "and the change feed drives the documented postings refresh") {
+    val (_, store) = mountCatalog()
+    val dims = 8
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.upsert("docs", (0 until 24).map { i =>
+      (i.toLong, s"common word$i text",
+        (0 until dims).map(d => math.sin(i * dims + d) * 3.0))
+    }.toDF("id", "full_text", "e"), Seq("id"))
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    Sq.buildIndex(store, "docs", store.read("docs"), "id", "e")
+    store.ensureGoverned(Seq("docs", Fts.indexName("docs"),
+      Fts.statsName("docs"), Sq.codesName("docs")))
+    val e1 = store.snapshot().epoch
+
+    val eight = "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D)"
+    spark.sql(
+      s"""MERGE INTO graft.docs t
+        |USING (
+        |  SELECT 3L AS id, 'rewritten text three' AS full_text, $eight AS e
+        |  UNION ALL SELECT 7L, 'irrelevant', $eight
+        |  UNION ALL SELECT 100L, 'fresh inserted row', $eight
+        |) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.id = 7 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET full_text = s.full_text
+        |WHEN NOT MATCHED THEN INSERT (id, full_text, e)
+        |  VALUES (s.id, s.full_text, s.e)
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 11 THEN DELETE
+        |""".stripMargin)
+
+    val e2 = store.snapshot().epoch
+    assert(e2 === e1 + 1,
+      "a fully-governed MERGE (deletes + upserts) must be ONE epoch")
+    // 24 - deleted(7, 11) + inserted(100)
+    assert(spark.sql("SELECT count(*) FROM graft.docs")
+      .collect().head.getLong(0) === 23L)
+    assert(spark.sql("SELECT full_text FROM graft.docs WHERE id = 3")
+      .collect().head.getString(0) === "rewritten text three")
+    assert(spark.sql("SELECT e[0] FROM graft.docs WHERE id = 100")
+      .collect().head.getDouble(0) === 0.1)
+    // deleted pks retracted from EVERY index (the cascade), atomically
+    // with the base
+    Seq(Fts.indexName("docs"), Sq.codesName("docs")).foreach { idx =>
+      assert(store.read(idx).filter(col("pk").isin(7L, 11L)).isEmpty,
+        s"$idx still ranks merged-away pks")
+    }
+    // time travel serves the pre-merge state
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.docs VERSION AS OF $e1 " +
+        "WHERE id IN (7, 11)").collect().head.getLong(0) === 2L)
+
+    // updated/inserted rows leave postings to index maintenance (the
+    // INSERT INTO contract) — Doctor REPORTS the gap rather than the
+    // engine hiding it...
+    assert(Doctor.check(store).nonEmpty,
+      "Doctor must flag postings that MERGE's upserts made stale")
+    // ...and the change feed names exactly the rows to refresh: the
+    // O(batch) repair is one upsertWithIndexCols over the feed's
+    // non-delete rows
+    val ch = store.readChangesSince("docs", e1, e2, Seq("id"))
+    val touched = ch.filter(col("_change_type") =!= "delete")
+      .select(col("id").cast("long")).as[Long].collect().toSeq.sorted
+    assert(touched === Seq(3L, 100L))
+    val touchedRows = store.read("docs").filter(col("id").isin(touched: _*))
+    Fts.upsertWithIndexCols(store, "docs", touchedRows, "id",
+      Seq("full_text"), buckets = 4)
+    store.upsert(Sq.codesName("docs"),
+      Sq.encode(touchedRows, store.read(Sq.scalesName("docs")), "id", "e"),
+      Seq("pk"))
+    assert(Doctor.check(store) === Seq.empty,
+      "feed-driven index refresh must restore every invariant")
+  }
+
+  test("MERGE guardrails: cardinality violation, duplicate-pk batch, " +
+    "unsupported schema evolution — refused; nothing writes") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), Seq("id"))
+    val e1 = store.snapshot().epoch
+
+    // two source rows hit target id=1 with a matched clause present
+    val card = intercept[Exception](spark.sql(
+      """MERGE INTO graft.t USING
+        |(SELECT 1L AS id, 1L AS n UNION ALL SELECT 1L, 2L) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin))
+    assert(card.getMessage.toLowerCase.contains("cardinality"),
+      card.getMessage)
+
+    // a non-pk ON condition that would insert the same pk twice
+    val dup = intercept[Exception](spark.sql(
+      """MERGE INTO graft.t USING
+        |(SELECT 9L AS id, 100L AS n UNION ALL SELECT 9L, 200L) s
+        |ON t.n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n)""".stripMargin))
+    assert(dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
+
+    assert(store.snapshot().epoch === e1, "failed MERGEs must not write")
+    assert(spark.sql("SELECT sum(n) FROM graft.t")
+      .collect().head.getLong(0) === 30L)
+  }
+
+  test("MERGE UPDATE SET * / INSERT * on a bucketed table: the pk " +
+    "assignment is provably the ON join key — exempt, not refused") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 4)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "v", "n"), Seq("id"))
+    spark.sql(
+      """MERGE INTO graft.t t
+        |USING (SELECT 2L AS id, 'B' AS v, 99L AS n
+        |       UNION ALL SELECT 9L, 'z', 1L) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v, n FROM graft.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq((1L, "a", 10L), (2L, "B", 99L), (9L, "z", 1L)))
+    // an ACTUAL pk reassignment still refuses
+    val err = intercept[Exception](spark.sql(
+      """MERGE INTO graft.t t USING (SELECT 2L AS id) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET id = s.id + 1""".stripMargin))
+    assert(err.getMessage.contains("pk"), err.getMessage)
+  }
+
+  test("MERGE on a flat un-indexed table: single-swap full rebuild with " +
+    "first-matching-clause-wins semantics") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("plain"))
+    store.overwrite("plain",
+      Seq((1L, "keep"), (2L, "update-me"), (3L, "delete-me"))
+        .toDF("id", "v"))
+    val e1 = store.snapshot().epoch
+    spark.sql(
+      """MERGE INTO graft.plain t
+        |USING (SELECT 2L AS id, 'updated' AS v
+        |       UNION ALL SELECT 3L, 'x'
+        |       UNION ALL SELECT 4L, 'inserted') s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.id = 3 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(store.snapshot().epoch === e1 + 1)
+    assert(spark.sql("SELECT id, v FROM graft.plain ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "keep"), (2L, "updated"), (4L, "inserted")))
+  }
+}
