@@ -76,7 +76,11 @@ import graft.store.{EpochFollower, TableStore}
   * at-least-once adds, no tag column, rewrite-skipping via
   * [[TableStore.readAddedSince]]; single-table only); `startingEpoch`
   * = `earliest` (default: first batch is the full table(s) as
-  * inserts) | `latest` (only commits after query start);
+  * inserts) | `latest` (only commits after query start); OR
+  * `startingTimestamp` (epoch millis or ISO-8601 instant — commits
+  * stamped at or after it replay, resolved once at source creation
+  * off the commit log's persisted stamps; the streaming form of
+  * `TIMESTAMP AS OF` / graft-changes `fromTimestamp`);
   * `maxEpochsPerBatch`; `consumer` — optional: registers/advances an
   * [[EpochFollower]] cursor (one per member table, all rows in one
   * atomic swap) as batches COMMIT, so the streaming query pins vacuum
@@ -93,7 +97,8 @@ class EpochLogSource(
     sqlContext: SQLContext, root: String,
     members: Seq[(String, Seq[String])], tagTable: Boolean,
     mode: String, startingEpoch: String, maxEpochsPerBatch: Option[Long],
-    consumer: Option[String], fixedSchema: StructType) extends Source {
+    consumer: Option[String], fixedSchema: StructType,
+    startingTimestamp: Option[Long] = None) extends Source {
 
   private val store = new TableStore(sqlContext.sparkSession, root)
   private val tables = members.map(_._1)
@@ -101,12 +106,24 @@ class EpochLogSource(
   /** `latest` skips history (base = the epoch at source creation), a
     * NUMBER resumes/reprocesses from that exact epoch (retained-epoch
     * contract applies), `earliest` leaves None — the first batch is a
-    * full snapshot.
+    * full snapshot. `startingTimestamp` (when set, exclusive with
+    * `startingEpoch`) resolves against the commit log's persisted
+    * wall-clock stamps AT SOURCE CREATION — same pinning rule as the
+    * replay window: the stream delivers every commit stamped AT OR
+    * AFTER the instant (the Delta CDF `startingTimestamp` rule), so
+    * the base is the newest retained commit stamped strictly before
+    * it; an instant predating every retained commit degrades to
+    * `earliest` (everything qualifies — the full first snapshot).
     */
-  private val latestBase: Option[Long] = startingEpoch match {
-    case "latest" => Some(currentEpoch().getOrElse(0L))
-    case "earliest" => None
-    case n => Some(n.toLong)
+  private val latestBase: Option[Long] = startingTimestamp match {
+    case Some(ts) =>
+      val before = store.commitStamps().filter(_._2 < ts)
+      if (before.isEmpty) None else Some(before.map(_._1).max)
+    case None => startingEpoch match {
+      case "latest" => Some(currentEpoch().getOrElse(0L))
+      case "earliest" => None
+      case n => Some(n.toLong)
+    }
   }
 
   /** Highest epoch this source has returned or been handed — the
@@ -291,6 +308,15 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     require(starting == "earliest" || starting == "latest" ||
       starting.forall(_.isDigit),
       s"startingEpoch must be earliest|latest|<epoch>, got '$starting'")
+    // startingTimestamp: epoch millis or ISO-8601 instant, resolved
+    // against the commit log's persisted stamps (the TIMESTAMP AS OF /
+    // graft-changes fromTimestamp machinery, streaming form)
+    val startingTs = parameters.get("startingTimestamp").map(v =>
+      if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
+      else java.time.Instant.parse(v).toEpochMilli)
+    require(startingTs.isEmpty || !parameters.contains("startingEpoch"),
+      "pass option(\"startingEpoch\", ...) or " +
+        "option(\"startingTimestamp\", ...), not both")
     val members = resolveMembers(parameters, mode)
     new EpochLogSource(
       sqlContext, required(parameters, "root"),
@@ -298,7 +324,8 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
       mode, starting,
       parameters.get("maxEpochsPerBatch").map(_.toLong),
       parameters.get("consumer"),
-      resolveSchema(sqlContext, schema, parameters))
+      resolveSchema(sqlContext, schema, parameters),
+      startingTs)
   }
 
   /** `table` + `pk` (single) XOR `tables` + per-member `pk.<t>`

@@ -248,6 +248,53 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp: commits stamped at or after the instant replay; " +
+    "a pre-history instant degrades to earliest; conflicts refused") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    store.upsert("docs", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ts"),
+      Map("startingTimestamp" -> mid.toString))
+    try {
+      q.processAllAvailable()
+      val delivered = mirror.synchronized(mirror.batches.flatten.toSet)
+      assert(delivered === Set((2L, "b", "insert")),
+        "only commits stamped after the instant replay")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+
+    // ISO-8601 form, predating every commit: everything qualifies —
+    // the earliest semantics (full first snapshot)
+    val all = new Mirror
+    val q2 = startQuery(root, all, freshDir("graft-els-ts2"),
+      Map("startingTimestamp" ->
+        java.time.Instant.ofEpochMilli(1L).toString))
+    try {
+      q2.processAllAvailable()
+      assert(all.snapshot() === Map(1L -> "a", 2L -> "b"))
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+
+    // startingEpoch and startingTimestamp together: refused at start
+    val err = intercept[Exception] {
+      val bad = startQuery(root, new Mirror, freshDir("graft-els-ts3"),
+        Map("startingTimestamp" -> mid.toString,
+          "startingEpoch" -> "latest"))
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .exists(e => Option(e.getMessage).exists(_.contains("not both"))),
+      err.toString)
+  }
+
   test("vacuum: the consumer cursor pins the replay base; without one, loud failure") {
     // WITH a consumer: the streaming query's position is a vacuum root,
     // so aggressive retention cannot strand its diff base — the restart
