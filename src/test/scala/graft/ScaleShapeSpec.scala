@@ -34,15 +34,7 @@ class ScaleShapeSpec extends SparkSpec {
       SparkEntry.queries(name)(spark, dir).count(); ()
     }.shuffleWriteBytes
 
-  // (query, driving table) — the table whose row count scales the work
-  private val probes = Seq(
-    "q_semantic_dedup" -> "embeddings",
-    "q_near_dup_pairs" -> "documents",
-    "q_passage_dedup" -> "documents",
-    "q_ngram_novelty" -> "documents")
-
-  test("dedup-family shuffle volume grows ≤ ~linearly from sf0.01 to sf0.1") {
-    assume(available, s"driver testdata missing at $lo / $hi")
+  private def pinAlpha(probes: Seq[(String, String)], blame: String): Unit = {
     val exponents = probes.map { case (name, table) =>
       val rLo = rows(lo, table)
       val rHi = rows(hi, table)
@@ -58,8 +50,34 @@ class ScaleShapeSpec extends SparkSpec {
     }
     val offenders = exponents.filter(_._2 > 1.35)
     assert(offenders.isEmpty,
-      "super-linear shuffle growth (α > 1.35) — a pair-expansion or " +
-        "join-back is leaking quadratic volume: " +
+      s"super-linear shuffle growth (α > 1.35) — $blame: " +
         offenders.map { case (n, a) => f"$n α=$a%.2f" }.mkString(", "))
+  }
+
+  test("dedup-family shuffle volume grows ≤ ~linearly from sf0.01 to sf0.1") {
+    assume(available, s"driver testdata missing at $lo / $hi")
+    // (query, driving table) — the table whose row count scales the work
+    pinAlpha(Seq(
+      "q_semantic_dedup" -> "embeddings",
+      "q_near_dup_pairs" -> "documents",
+      "q_passage_dedup" -> "documents",
+      "q_ngram_novelty" -> "documents"),
+      "a pair-expansion or join-back is leaking quadratic volume")
+  }
+
+  test("ANN/similarity-family shuffle volume grows ≤ ~linearly " +
+    "from sf0.01 to sf0.1") {
+    assume(available, s"driver testdata missing at $lo / $hi")
+    // the train (k-means/codebooks) + encode + probe compositions:
+    // every stage shuffles O(rows) (assignments, code rows, top-k
+    // exchanges) — a candidate blowup (cell skew, unpruned probe)
+    // would surface as α → 2
+    pinAlpha(Seq(
+      "q_cosine_topk" -> "embeddings",
+      "q_ann_lsh_topk" -> "embeddings",
+      "q_ann_ivfpq_topk" -> "embeddings",
+      "q_embed_diversity" -> "embeddings"),
+      "a candidate-generation or train stage is leaking " +
+        "super-linear volume")
   }
 }
