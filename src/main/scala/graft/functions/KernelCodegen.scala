@@ -44,8 +44,17 @@ private[functions] trait KernelCodegen extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val ref = ctx.addReferenceObj("kernelExpr", this)
       val r = ctx.freshName("kr")
+      // when the child is non-nullable, Catalyst folds ev.isNull to
+      // the literal `false` — assigning to it is invalid Java (janino
+      // rejected the whole stage and every row paid the interpreted
+      // fallback). A non-nullable slot must never see null anyway, so
+      // that branch throws instead of assigning.
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(" +
+          s""""${prettyName}: null kernel result in a non-nullable slot");"""
       s"""Object $r = $ref.kernel($a);
-         |if ($r == null) { ${ev.isNull} = true; }
+         |if ($r == null) { $onNull }
          |else { ${ev.value} = ${kernelUnbox(s"(($kernelJavaType) $r)")}; }
          |""".stripMargin
     })

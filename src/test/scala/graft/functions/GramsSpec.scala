@@ -80,4 +80,22 @@ class GramsSpec extends SparkSpec {
       .head.getSeq[String](0).toList
     assert(got === List("a b", "b a", "a b", "b a"))
   }
+
+  test("kernel codegen survives a NON-nullable child (no janino fallback)") {
+    // with a non-nullable child, ev.isNull folds to the literal
+    // `false` — the old generated `false = true;` failed janino and
+    // every row of the stage silently paid the interpreted fallback;
+    // fallback=false makes any such compile failure fatal again
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(4)
+        .select(concat(lit("word"), col("id").cast("string")).as("t"))
+      assert(!df.schema("t").nullable, "probe needs a non-nullable child")
+      val grams = df
+        .select(CharGrams.charGrams(spark, col("t"), 3).as("g"))
+        .selectExpr("size(g)").collect().map(_.getInt(0)).toSeq
+      assert(grams === Seq(3, 3, 3, 3))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
