@@ -888,13 +888,16 @@ object Cli {
         if (args.contains("--repair")) {
           val done = graft.store.Doctor.repair(store)
           val retrained = graft.store.Doctor.retrainDrifted(store)
-          if (done.isEmpty && retrained.isEmpty)
+          val healed = graft.store.Doctor.healCoverage(store)
+          if (done.isEmpty && retrained.isEmpty && healed.isEmpty)
             println("[doctor] nothing to repair")
           done.foreach { case (t, b, a) =>
             println(s"[doctor] repaired/$t: $b -> $a files") }
           retrained.foreach { case (f, b, a) =>
             println(f"[doctor] retrained/$f: tv ${b.tv}%.2f -> ${a.tv}%.2f, " +
               f"growth ${b.growth}%.2f -> ${a.growth}%.2f") }
+          healed.foreach { case (t, w, n) =>
+            println(s"[doctor] healed/$t: $w ($n row(s))") }
         }
       case "tables" =>
         store.tableNames.foreach(t =>

@@ -532,7 +532,10 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
               require(!wantOverwrite,
                 s"INSERT OVERWRITE on bucketed table $table is not " +
                   "supported — use the library's overwrite + ensureBucketed")
-              s.upsert(table, data, pk)
+              // maintained indexes refresh with the batch (the
+              // trigger contract, one epoch when governed) — see
+              // graft.store.IndexMaintain
+              graft.store.IndexMaintain.upsertMaintained(s, table, data, pk)
             case None if wantOverwrite => s.overwrite(table, data)
             case None =>
               val merged = s.readIfExists(table) match {

@@ -177,7 +177,7 @@ object GraftDml {
         val projected = out.map(a =>
           newValue(a).getOrElse(PlanFrame.columnOf(a)).as(a.name))
         val updated = tgt.filter(condCol).select(projected: _*)
-        s.upsert(table, updated, pk)
+        graft.store.IndexMaintain.upsertMaintained(s, table, updated, pk)
       case None =>
         val indexed = Retract.indexTablesOf(s, table)
         require(indexed.isEmpty,
@@ -395,7 +395,8 @@ object GraftDml {
         }
         def applyAll(): Unit = {
           dels.foreach(applyDeletes)
-          ups.foreach(u => s.upsert(table, u, pk))
+          ups.foreach(u =>
+            graft.store.IndexMaintain.upsertMaintained(s, table, u, pk))
         }
         val atomic = dels.isDefined && ups.isDefined &&
           (pk.size > 1 || Retract.cascadeAtomic(s, table)) &&

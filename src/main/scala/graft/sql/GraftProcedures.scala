@@ -137,6 +137,14 @@ private[sql] object GraftProcedures {
       "retract index rows whose pks no longer exist in the base table " +
         "(the repairable aftermath of a bare delete); one row per " +
         "index that held ghosts"),
+    Proc("heal_coverage", Seq.empty,
+      StructType(Seq(StructField("table", StringType),
+        StructField("what", StringType), StructField("healed", LongType))),
+      (s, _) => Doctor.healCoverage(s).map { case (t, w, n) =>
+        row(utf8(t), utf8(w), n) },
+      "heal pk-set divergence of every per-pk index: ghosts retract, " +
+        "missing vector rows re-encode from recorded provenance; one " +
+        "row per healed divergence (no rows = nothing to heal)"),
     Proc("refresh_stats", Seq(in("table", StringType)),
       StructType(Seq(StructField("table", StringType),
         StructField("files", LongType))),

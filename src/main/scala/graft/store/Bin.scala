@@ -82,9 +82,20 @@ object Bin {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
-    registerOn(store.spark)
-    store.upsert(codesName(table), encode(batch, pkCol, embCol), Seq("pk"))
+    refreshCodes(store, table, batch, pkCol, embCol)
     store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The blobs half of [[upsertWithCodes]] — no base write (the SQL
+    * DML maintenance seam, [[IndexMaintain]]); records provenance.
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
+    registerOn(store.spark)
+    IndexMaintain.recordIfChanged(store, codesName(table), Map(
+      "table" -> table, "family" -> "bin", "pk" -> pkCol, "emb" -> embCol))
+    store.upsert(codesName(table), encode(batch, pkCol, embCol), Seq("pk"))
   }
 
   /** Hamming top-k over the PERSISTED blob table: queries pack

@@ -323,6 +323,18 @@ object Doctor {
     * and `growth = 1` by construction, so the call is idempotent
     * (a retrained index no longer suggests).
     */
+  /** Execute the COVERAGE half of `--repair`: every bucketed
+    * single-pk table with per-pk indexes heals its pk-set divergences
+    * through [[IndexMaintain.healDiverged]] — ghosts retract from
+    * every family, missing vector rows re-encode from recorded
+    * provenance (the column map that used to need a human to
+    * restate). Returns (table, what, n) per healed divergence;
+    * idempotent — a healed store returns nothing.
+    */
+  def healCoverage(store: TableStore): Seq[(String, String, Long)] =
+    store.tableNames.sorted.flatMap(t =>
+      IndexMaintain.healDiverged(store, t).map { case (w, n) => (t, w, n) })
+
   def retrainDrifted(
       store: TableStore): Seq[(String, IvfDrift.Report, IvfDrift.Report)] =
     centroidDrift(store).flatMap { issue =>

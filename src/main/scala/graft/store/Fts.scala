@@ -140,6 +140,23 @@ object Fts {
       pkCol: String,
       textCols: Seq[String],
       buckets: Int = 0): Unit = {
+    refreshPostings(store, table, batch, pkCol, textCols, buckets)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The postings half of [[upsertWithIndexCols]] — delete-and-replace
+    * the index rows and stats of the batch's pks WITHOUT writing the
+    * base table. The seam SQL DML maintenance composes with: there the
+    * base rows land through the statement's own upsert, and this call
+    * keeps the index in step ([[IndexMaintain]]).
+    */
+  private[store] def refreshPostings(
+      store: TableStore,
+      table: String,
+      batch: DataFrame,
+      pkCol: String,
+      textCols: Seq[String],
+      buckets: Int = 0): Unit = {
     require(textCols.nonEmpty, "at least one indexed column required")
     // Index FIRST, base table second: `batch` may lazily reference the
     // base table's current parquet files (e.g. a reindex of the table
@@ -248,7 +265,6 @@ object Fts {
         val (n, dl) = docTotals(store.read(indexName(table)))
         writeStats(store, table, n, dl, buckets, epoch, textCols)
     }
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** Opt `table`'s postings into FILE-level term skipping: build the
@@ -435,7 +451,7 @@ object Fts {
   /** Indexed column names recorded in the stats row (None = legacy
     * stats from before multi-column support).
     */
-  private def statsCols(store: TableStore, table: String): Option[Seq[String]] =
+  private[store] def statsCols(store: TableStore, table: String): Option[Seq[String]] =
     store.readIfExists(statsName(table)).flatMap { st =>
       if (st.columns.contains("cols"))
         Some(st.select(col("cols")).head.getString(0).split(",", -1).toSeq)

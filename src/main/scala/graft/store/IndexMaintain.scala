@@ -1,0 +1,211 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Index maintenance for SQL writes — the trigger contract. The
+  * reference keeps its FTS index fresh with SQLite sync triggers on
+  * every write (`/root/reference/utils.py:330-352`); this is that
+  * contract generalized to EVERY maintained per-pk index family: a
+  * SQL `INSERT INTO` / `UPDATE` / `MERGE INTO` on a bucketed governed
+  * table refreshes the postings/codes of exactly the written rows,
+  * O(batch) through each family's own incremental maintenance, and —
+  * when the base and every index write-table are governed — inside
+  * the SAME epoch as the base rows, so a reader or CDC consumer never
+  * sees the base and its indexes disagree.
+  *
+  * What makes an index REFRESHABLE with nothing restated is recorded
+  * provenance: each family's build/refresh persists the column map it
+  * was built with (`<index>_meta`, the [[IvfDrift.recordTraining]]
+  * convention the IVF families already used for retrain; FTS needs no
+  * extra table — its stats row already carries the indexed columns
+  * and bucket count; LSH's numeric parameters already persist in its
+  * params table). An index built BEFORE provenance capture (or under
+  * a different pk column than the table's declared bucket key) is
+  * reported as skipped and keeps the previous contract: Doctor flags
+  * the divergence, the change feed names the rows to refresh.
+  *
+  * The library-facing `upsertWith*` verbs are untouched — explicit
+  * composition stays the library's model (streaming sinks pick their
+  * own families per batch); this object is the SQL surface's
+  * "indexes just stay correct" counterpart.
+  */
+object IndexMaintain {
+
+  /** Write (or rewrite, when changed) an index's provenance rows —
+    * the key/value map a later refresh needs with nothing restated.
+    * Keyed on the index's PRIMARY table name (`<idx>_meta`). The
+    * guard read keeps per-batch callers cheap: an unchanged map never
+    * rewrites.
+    */
+  def recordIfChanged(
+      store: TableStore, idxTable: String, kv: Map[String, String]): Unit =
+    if (!IvfDrift.trainingMeta(store, idxTable).contains(kv))
+      IvfDrift.recordTraining(store, idxTable, kv)
+
+  private final case class Family(
+      name: String,
+      writes: Seq[String],
+      refresh: (TableStore, String, DataFrame, String) => Unit)
+
+  /** (refreshable families, skipped families) for `table` under the
+    * declared pk column: a family is skipped when its index exists
+    * but its metadata is missing (pre-provenance build) or was
+    * recorded under a different pk.
+    */
+  private def resolve(
+      store: TableStore, table: String,
+      pkCol: String): (Seq[Family], Seq[String]) = {
+    val out = Seq.newBuilder[Family]
+    val skip = Seq.newBuilder[String]
+
+    if (store.exists(Fts.indexName(table)))
+      Fts.statsCols(store, table) match {
+        case Some(cols) =>
+          out += Family("fts",
+            Seq(Fts.indexName(table), Fts.statsName(table)),
+            (s, t, b, pk) => Fts.refreshPostings(
+              s, t, b, pk, cols, Fts.bucketCountOf(s, t)))
+        case None => skip += "fts"
+      }
+
+    def withMeta(fam: String, primary: String, writes: Seq[String],
+        need: Seq[String])(
+        mk: Map[String, String] =>
+          (TableStore, String, DataFrame, String) => Unit): Unit =
+      if (store.exists(primary))
+        IvfDrift.trainingMeta(store, primary) match {
+          case Some(m) if need.forall(m.contains) &&
+              m.get("pk").contains(pkCol) =>
+            out += Family(fam, writes, mk(m))
+          case _ => skip += fam
+        }
+
+    withMeta("trigram", Trigram.indexName(table),
+      Seq(Trigram.indexName(table)), Seq("text"))(m =>
+      (s, t, b, pk) => Trigram.refreshIndex(s, t, b, pk, m("text")))
+
+    if (store.exists(Lsh.indexName(table)))
+      (IvfDrift.trainingMeta(store, Lsh.indexName(table)),
+        Lsh.params(store, table)) match {
+        case (Some(m), Some(p)) if m.contains("text") &&
+            m.get("pk").contains(pkCol) =>
+          out += Family("lsh",
+            Seq(Lsh.indexName(table), Lsh.mapName(table),
+              Lsh.paramsName(table)),
+            (s, t, b, pk) => Lsh.refreshBands(s, t, b, pk, m("text"), p))
+        case _ => skip += "lsh"
+      }
+
+    withMeta("sq", Sq.codesName(table),
+      Seq(Sq.codesName(table)), Seq("emb"))(m =>
+      (s, t, b, pk) => Sq.refreshCodes(s, t, b, pk, m("emb")))
+    withMeta("pq", Pq.codesName(table),
+      Seq(Pq.codesName(table)), Seq("emb", "slices", "subDim"))(m =>
+      (s, t, b, pk) => Pq.refreshCodes(s, t, b, pk, m("emb"),
+        m("slices").toInt, m("subDim").toInt))
+    withMeta("bin", Bin.codesName(table),
+      Seq(Bin.codesName(table)), Seq("emb"))(m =>
+      (s, t, b, pk) => Bin.refreshCodes(s, t, b, pk, m("emb")))
+    withMeta("ivf", Ivf.indexName(table),
+      Seq(Ivf.indexName(table), Ivf.mapName(table)), Seq("emb"))(m =>
+      (s, t, b, pk) => Ivf.refreshCells(s, t, b, pk, m("emb")))
+    withMeta("ivfpq", IvfPq.codesName(table),
+      Seq(IvfPq.codesName(table), IvfPq.mapName(table)),
+      Seq("emb", "slices", "subDim"))(m =>
+      (s, t, b, pk) => IvfPq.refreshCodes(s, t, b, pk, m("emb"),
+        m("slices").toInt, m("subDim").toInt))
+    withMeta("ivfsq", IvfSq.codesName(table),
+      Seq(IvfSq.codesName(table), IvfSq.mapName(table)), Seq("emb"))(m =>
+      (s, t, b, pk) => IvfSq.refreshCodes(s, t, b, pk, m("emb")))
+    withMeta("ivfbin", IvfBin.codesName(table),
+      Seq(IvfBin.codesName(table), IvfBin.mapName(table)), Seq("emb"))(m =>
+      (s, t, b, pk) => IvfBin.refreshCodes(s, t, b, pk, m("emb")))
+
+    (out.result(), skip.result())
+  }
+
+  /** Upsert `batch` into `table` AND refresh every refreshable index
+    * for those rows — ONE epoch when the base and all index
+    * write-tables are governed (no-op wrapping inside an already-open
+    * transaction, which then provides the atomicity). Composite-pk
+    * tables cannot carry per-pk indexes: plain upsert. Returns
+    * (refreshed, skipped) family names.
+    *
+    * Ordering/healing: the batch is materialized first (severing any
+    * plan dependency on base files an un-governed bucketed upsert
+    * rewrites in place), then base, then indexes — under mixed
+    * governance a crash between the two leaves indexes STALE for
+    * already-live rows, the direction Doctor detects and a re-upsert
+    * heals (contrast deletes, where [[Retract.cascade]] must own the
+    * ordering because an upsert can never retract).
+    */
+  /** Heal coverage divergence of `table`'s per-pk indexes from
+    * recorded provenance: GHOST pks (indexed rows whose base row is
+    * gone) retract everywhere via [[Retract.healGhosts]]; MISSING
+    * rows (live base rows a VECTOR index does not cover — the exact
+    * count-coverage invariant Doctor checks) re-encode through the
+    * family's own incremental refresh. The text families (FTS,
+    * trigram, LSH) are deliberately ghost-only here: a doc can be
+    * LEGITIMATELY absent from them (no tokens, sub-trigram text, too
+    * short to shingle), so "missing" is not decidable from pk sets —
+    * their content checks stay with Doctor and their refresh with the
+    * write paths. Content-stale rows (same pk, outdated postings) are
+    * likewise undetectable from coverage; re-upsert to heal those.
+    * Returns (what, healed-count) rows; idempotent — a healed table
+    * reports nothing.
+    */
+  def healDiverged(
+      store: TableStore, table: String): Seq[(String, Long)] =
+    store.bucketLayoutOf(table) match {
+      case Some((_, Seq(pk))) if Retract.indexTablesOf(store, table).nonEmpty =>
+        val ghosts = Retract.healGhosts(store, table, pk)
+          .map { case (idx, n) => s"ghosts:$idx" -> n }
+        val covers = Map(
+          "sq" -> Sq.codesName(table), "pq" -> Pq.codesName(table),
+          "bin" -> Bin.codesName(table), "ivf" -> Ivf.mapName(table),
+          "ivfpq" -> IvfPq.codesName(table),
+          "ivfsq" -> IvfSq.codesName(table),
+          "ivfbin" -> IvfBin.codesName(table))
+        val (fams, _) = resolve(store, table, pk)
+        val base = store.read(table)
+        val refreshed = fams.filter(f => covers.contains(f.name)).flatMap { f =>
+          val art = store.read(covers(f.name))
+            .select(org.apache.spark.sql.functions.col("pk").as(pk))
+            .distinct()
+          val missing = Iteration.materialize(
+            base.join(art, Seq(pk), "left_anti"))
+          val n = missing.count()
+          if (n == 0L) None
+          else {
+            f.refresh(store, table, missing, pk)
+            Some(s"missing:${covers(f.name)}" -> n)
+          }
+        }
+        ghosts ++ refreshed
+      case _ => Nil
+    }
+
+  def upsertMaintained(
+      store: TableStore, table: String, batch: DataFrame,
+      pk: Seq[String]): (Seq[String], Seq[String]) = {
+    if (pk.size != 1) {
+      store.upsert(table, batch, pk)
+      return (Nil, Nil)
+    }
+    val (fams, skipped) = resolve(store, table, pk.head)
+    if (fams.isEmpty) {
+      store.upsert(table, batch, pk)
+      return (Nil, skipped)
+    }
+    val b = Iteration.materialize(batch)
+    def go(): Unit = {
+      store.upsert(table, b, pk)
+      fams.foreach(_.refresh(store, table, b, pk.head))
+    }
+    val governed = store.governed
+    val atomic = governed.contains(table) &&
+      fams.flatMap(_.writes).forall(governed.contains)
+    if (atomic && !store.inTransaction) store.transact(go()) else go()
+    (fams.map(_.name), skipped)
+  }
+}

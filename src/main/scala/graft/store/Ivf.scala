@@ -87,10 +87,19 @@ object Ivf {
   def upsertWithCells(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    refreshCells(store, table, batch, pkCol, embCol)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The cell-index half of [[upsertWithCells]] — no base write (the
+    * SQL DML maintenance seam, [[IndexMaintain]]).
+    */
+  private[store] def refreshCells(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
     val cents = store.read(centsName(table))
     val fresh = Iteration.materialize(assign(batch, cents, pkCol, embCol))
     CellIndex.maintain(store, indexName(table), mapName(table), fresh)
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** ANN top-k over the persisted index: each query probes its

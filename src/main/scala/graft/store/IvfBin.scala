@@ -103,11 +103,20 @@ object IvfBin {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    refreshCodes(store, table, batch, pkCol, embCol)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The sign-blobs half of [[upsertWithCodes]] — no base write (the
+    * SQL DML maintenance seam, [[IndexMaintain]]).
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
     registerOn(store.spark)
     val fresh = Iteration.materialize(
       assignBits(batch, store.read(centsName(table)), pkCol, embCol))
     CellIndex.maintain(store, codesName(table), mapName(table), fresh)
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** Hamming top-k: queries probe their nprobe nearest cells by FLOAT

@@ -124,12 +124,22 @@ object IvfPq {
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String,
       slices: Int = 8, subDim: Int = 8): Unit = {
+    refreshCodes(store, table, batch, pkCol, embCol, slices, subDim)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The residual-codes half of [[upsertWithCodes]] — no base write
+    * (the SQL DML maintenance seam, [[IndexMaintain]]).
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String,
+      slices: Int = 8, subDim: Int = 8): Unit = {
     val cents = store.read(centsName(table))
     val books = store.read(booksName(table))
     val resid = Iteration.materialize(
       assignResiduals(batch, cents, pkCol, embCol))
     indexResiduals(store, table, resid, books, slices, subDim)
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** ANN top-k over the persisted index: probes pick their `nprobe`

@@ -139,12 +139,21 @@ object IvfSq {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    refreshCodes(store, table, batch, pkCol, embCol)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The residual-codes half of [[upsertWithCodes]] — no base write
+    * (the SQL DML maintenance seam, [[IndexMaintain]]).
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
     val resid = assignResiduals(
       batch, store.read(centsName(table)), pkCol, embCol)
     val fresh = Iteration.materialize(
       encode(resid, store.read(scalesName(table))))
     CellIndex.maintain(store, codesName(table), mapName(table), fresh)
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** ANN top-k: queries probe their nprobe nearest cells (broadcast

@@ -98,6 +98,9 @@ object Lsh {
       pkCol: String, textCol: String,
       shingleSize: Int = 3, nHashes: Int = 4, bands: Int = 2,
       buckets: Int = 16): Unit = {
+    IndexMaintain.recordIfChanged(store, indexName(table), Map(
+      "table" -> table, "family" -> "lsh",
+      "pk" -> pkCol, "text" -> textCol))
     rebuild(store, table, corpus, pkCol, textCol,
       Params(shingleSize, nHashes, bands, buckets))
     store.upsert(table, corpus, Seq(pkCol))
@@ -115,7 +118,22 @@ object Lsh {
       pkCol: String, textCol: String,
       shingleSize: Int = 3, nHashes: Int = 4, bands: Int = 2,
       buckets: Int = 16): Unit = {
-    val want = Params(shingleSize, nHashes, bands, buckets)
+    refreshBands(store, table, batch, pkCol, textCol,
+      Params(shingleSize, nHashes, bands, buckets))
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The band-index half of [[upsertWithBands]] — no base write (the
+    * SQL DML maintenance seam, [[IndexMaintain]]); records the indexed
+    * column as provenance (the numeric parameters already persist in
+    * the params table).
+    */
+  private[store] def refreshBands(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, textCol: String, want: Params): Unit = {
+    IndexMaintain.recordIfChanged(store, indexName(table), Map(
+      "table" -> table, "family" -> "lsh",
+      "pk" -> pkCol, "text" -> textCol))
     params(store, table) match {
       // the empty-index check (a cheap limit-1 probe) routes an index
       // with no band rows back through the wholesale path: an empty
@@ -130,10 +148,7 @@ object Lsh {
           Upsert.upsert(store.readIfExists(table), batch, Seq(pkCol))
             .select(col(pkCol), col(textCol)),
           pkCol, textCol, want)
-        store.upsert(table, batch, Seq(pkCol))
-        return
     }
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   private def rebuild(

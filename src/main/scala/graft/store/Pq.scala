@@ -201,10 +201,23 @@ object Pq {
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String,
       slices: Int = 8, subDim: Int = 8): Unit = {
+    refreshCodes(store, table, batch, pkCol, embCol, slices, subDim)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The codes half of [[upsertWithCodes]] — no base write (the SQL
+    * DML maintenance seam, [[IndexMaintain]]); records provenance.
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String,
+      slices: Int = 8, subDim: Int = 8): Unit = {
+    IndexMaintain.recordIfChanged(store, codesName(table), Map(
+      "table" -> table, "family" -> "pq", "pk" -> pkCol, "emb" -> embCol,
+      "slices" -> slices.toString, "subDim" -> subDim.toString))
     val books = store.read(booksName(table))
     val fresh = encode(batch, books, pkCol, embCol, slices, subDim)
     store.upsert(codesName(table), fresh, Seq("pk"))
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** ADC top-k over the PERSISTED code table: the per-query LUT from

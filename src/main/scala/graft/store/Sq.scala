@@ -109,10 +109,22 @@ object Sq {
   def upsertWithCodes(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, embCol: String): Unit = {
+    refreshCodes(store, table, batch, pkCol, embCol)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The codes half of [[upsertWithCodes]] — no base write (the SQL
+    * DML maintenance seam, [[IndexMaintain]]). Records provenance so
+    * later maintenance needs nothing restated.
+    */
+  private[store] def refreshCodes(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, embCol: String): Unit = {
+    IndexMaintain.recordIfChanged(store, codesName(table), Map(
+      "table" -> table, "family" -> "sq", "pk" -> pkCol, "emb" -> embCol))
     val scales = store.read(scalesName(table))
     store.upsert(codesName(table),
       encode(batch, scales, pkCol, embCol), Seq("pk"))
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** Asymmetric cosine top-k over the PERSISTED code table: per query,

@@ -55,6 +55,21 @@ object Trigram {
   def upsertWithIndex(
       store: TableStore, table: String, batch: DataFrame,
       pkCol: String, textCol: String): Unit = {
+    refreshIndex(store, table, batch, pkCol, textCol)
+    store.upsert(table, batch, Seq(pkCol))
+  }
+
+  /** The postings half of [[upsertWithIndex]] — no base-table write
+    * (the SQL-DML maintenance seam, see [[IndexMaintain]]). Records
+    * the indexed column as provenance so later maintenance needs
+    * nothing restated.
+    */
+  private[store] def refreshIndex(
+      store: TableStore, table: String, batch: DataFrame,
+      pkCol: String, textCol: String): Unit = {
+    IndexMaintain.recordIfChanged(store, indexName(table), Map(
+      "table" -> table, "family" -> "trigram",
+      "pk" -> pkCol, "text" -> textCol))
     val fresh = Iteration.materialize(gramRows(batch, pkCol, textCol))
     val batchPks = Iteration.materialize(
       batch.select(col(pkCol).as("pk")).distinct())
@@ -94,7 +109,6 @@ object Trigram {
               .sortWithinPartitions(col(BucketCol), col("g")),
             partitionBy = Seq(BucketCol))
     }
-    store.upsert(table, batch, Seq(pkCol))
   }
 
   /** Opt the trigram postings into FILE-level gram skipping: build the

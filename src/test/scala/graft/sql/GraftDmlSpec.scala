@@ -105,8 +105,8 @@ class GraftDmlSpec extends SparkSpec {
   }
 
   test("MERGE INTO, full clause surface on an indexed governed table: " +
-    "deletes cascade through every index, the whole merge is ONE epoch, " +
-    "and the change feed drives the documented postings refresh") {
+    "deletes cascade and upserts REFRESH every index (the trigger " +
+    "contract) — the whole merge is ONE epoch, Doctor green throughout") {
     val (_, store) = mountCatalog()
     val dims = 8
     store.ensureBucketed("docs", Seq("id"), 4)
@@ -158,26 +158,28 @@ class GraftDmlSpec extends SparkSpec {
       s"SELECT count(*) FROM graft.docs VERSION AS OF $e1 " +
         "WHERE id IN (7, 11)").collect().head.getLong(0) === 2L)
 
-    // updated/inserted rows leave postings to index maintenance (the
-    // INSERT INTO contract) — Doctor REPORTS the gap rather than the
-    // engine hiding it...
-    assert(Doctor.check(store).nonEmpty,
-      "Doctor must flag postings that MERGE's upserts made stale")
-    // ...and the change feed names exactly the rows to refresh: the
-    // O(batch) repair is one upsertWithIndexCols over the feed's
-    // non-delete rows
+    // updated/inserted rows refreshed their postings and codes IN the
+    // merge (IndexMaintain — the reference's FTS-trigger contract,
+    // generalized): every Doctor invariant holds with no manual step,
+    // and the refresh landed in the SAME epoch as the base rows (the
+    // e2 === e1 + 1 assertion above already proved that)
+    assert(Doctor.check(store) === Seq.empty,
+      "MERGE must leave base + every index consistent on its own")
+    // the new row is SERVED: FTS finds the inserted text, the SQ codes
+    // cover the inserted vector
+    assert(Fts.search(spark, store, "docs", "fresh").select(col("pk").cast("long"))
+      .as[Long].collect().toSeq === Seq(100L),
+      "the inserted row must be searchable immediately")
+    assert(store.read(Sq.codesName("docs"))
+      .filter(col("pk").isin(3L, 100L)).count() === 2L)
+    // the updated text replaced its postings (old tokens retract)
+    assert(Fts.search(spark, store, "docs", "word3").isEmpty,
+      "the updated row's STALE postings must be gone")
+    // the change feed still names exactly the merged rows
     val ch = store.readChangesSince("docs", e1, e2, Seq("id"))
     val touched = ch.filter(col("_change_type") =!= "delete")
       .select(col("id").cast("long")).as[Long].collect().toSeq.sorted
     assert(touched === Seq(3L, 100L))
-    val touchedRows = store.read("docs").filter(col("id").isin(touched: _*))
-    Fts.upsertWithIndexCols(store, "docs", touchedRows, "id",
-      Seq("full_text"), buckets = 4)
-    store.upsert(Sq.codesName("docs"),
-      Sq.encode(touchedRows, store.read(Sq.scalesName("docs")), "id", "e"),
-      Seq("pk"))
-    assert(Doctor.check(store) === Seq.empty,
-      "feed-driven index refresh must restore every invariant")
   }
 
   test("MERGE guardrails: cardinality violation, duplicate-pk batch, " +

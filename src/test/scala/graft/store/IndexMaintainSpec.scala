@@ -1,0 +1,151 @@
+package graft.store
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The trigger contract, breadth-first: one SQL `INSERT INTO` against
+  * a table carrying EVERY maintained index family refreshes them all
+  * — one epoch when everything is governed, Doctor green, the new row
+  * served by every search surface. Plus the degradation path: an
+  * index whose provenance is missing (or recorded under a different
+  * pk) is SKIPPED, the write still lands, and Doctor reports the gap.
+  */
+class IndexMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mountCatalog(): (String, TableStore) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-im").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    (root, new TableStore(spark, root))
+  }
+
+  private val dims = 8
+  private def corpus(n: Int) = (0 until n).map { i =>
+    (i.toLong, s"common word$i text",
+      (0 until dims).map(d => math.sin(i * dims + d) * 3.0))
+  }.toDF("id", "full_text", "e")
+
+  test("one SQL INSERT refreshes all ten index families in ONE epoch; " +
+    "Doctor green; the new row served everywhere") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 4)
+    val base = corpus(24)
+    store.upsert("docs", base, Seq("id"))
+    def vecs = store.read("docs")
+      .select(col("id"), col("e").cast("array<double>").as("e"))
+
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    Trigram.upsertWithIndex(store, "docs", store.read("docs"), "id",
+      "full_text")
+    Lsh.buildIndex(store, "docs", store.read("docs"), "id", "full_text")
+    Sq.buildIndex(store, "docs", vecs, "id", "e")
+    Pq.buildIndex(store, "docs", vecs, "id", "e", slices = 4, subDim = 2)
+    Bin.buildIndex(store, "docs", vecs, "id", "e")
+    Ivf.buildIndex(store, "docs", vecs, "id", "e", k = 4)
+    IvfPq.buildIndex(store, "docs", vecs, "id", "e", kCells = 4,
+      slices = 4, subDim = 2)
+    IvfSq.buildIndex(store, "docs", vecs, "id", "e", kCells = 4)
+    IvfBin.buildIndex(store, "docs", vecs, "id", "e", kCells = 4)
+
+    val codeTables = Seq(
+      Fts.indexName("docs"), Trigram.indexName("docs"),
+      Lsh.indexName("docs"), Sq.codesName("docs"), Pq.codesName("docs"),
+      Bin.codesName("docs"), Ivf.indexName("docs"),
+      IvfPq.codesName("docs"), IvfSq.codesName("docs"),
+      IvfBin.codesName("docs"))
+    // govern the base and every table the refreshes write, so the
+    // whole INSERT (base + ten refreshes) stages into one epoch
+    store.ensureGoverned(Seq("docs",
+      Fts.statsName("docs"), Lsh.mapName("docs"), Lsh.paramsName("docs"),
+      Ivf.mapName("docs"), IvfPq.mapName("docs"), IvfSq.mapName("docs"),
+      IvfBin.mapName("docs")) ++ codeTables)
+    assert(Doctor.check(store) === Seq.empty, "pre-insert invariants")
+    val e1 = store.snapshot().epoch
+
+    val eight = (1 to dims).map(d => s"0.${d}D").mkString("array(", ", ", ")")
+    spark.sql("INSERT INTO graft.docs VALUES " +
+      s"(100L, 'zebra quagga unique text', $eight)")
+
+    assert(store.snapshot().epoch === e1 + 1,
+      "base + ten index refreshes must land as ONE epoch when " +
+        "everything is governed")
+    codeTables.foreach { idx =>
+      assert(store.read(idx).filter(col("pk") === 100L).count() > 0,
+        s"$idx must cover the inserted pk")
+    }
+    assert(Doctor.check(store) === Seq.empty,
+      "every invariant must hold with no manual maintenance step")
+    // served, not just stored: FTS term, trigram substring, SQ ANN
+    assert(Fts.search(spark, store, "docs", "quagga")
+      .select(col("pk").cast("long")).as[Long].collect().toSeq === Seq(100L))
+    assert(Trigram.substringSearch(store, "docs", "id", "full_text",
+      "ebra quag").select(col("id").cast("long")).as[Long]
+      .collect().toSeq === Seq(100L))
+    val probe = Seq((100L, (1 to dims).map(d => s"0.$d".toDouble)))
+      .toDF("qid", "qe")
+    val top = Sq.annTopK(store, "docs", probe, "qid", "qe", k = 1)
+    assert(top.filter(col("cand_id") === 100L).count() === 1L,
+      "the inserted vector must be its own nearest neighbor")
+  }
+
+  test("healDiverged closes pk-set divergence from provenance: ghosts " +
+    "retract, missing vector rows re-encode; idempotent; SQL CALL too") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.upsert("docs", corpus(16), Seq("id"))
+    def vecs = store.read("docs")
+      .select(col("id"), col("e").cast("array<double>").as("e"))
+    Sq.buildIndex(store, "docs", vecs, "id", "e")
+    Ivf.buildIndex(store, "docs", vecs, "id", "e", k = 4)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // diverge both ways OUT OF BAND: library-upsert new rows without
+    // refresh (missing from both indexes), bare-delete others (ghosts
+    // stay in both indexes)
+    store.upsert("docs", corpus(20).filter(col("id") >= 16), Seq("id"))
+    store.deleteByPk("docs", Seq(1L, 2L).toDF("id"), Seq("id"))
+    assert(Doctor.check(store).nonEmpty, "divergence must be visible")
+
+    val healed = Doctor.healCoverage(store)
+    assert(healed.nonEmpty)
+    assert(Doctor.check(store) === Seq.empty,
+      "ghosts + missing vector rows must heal in one pass")
+    assert(Doctor.healCoverage(store) === Seq.empty, "idempotent")
+
+    // the SQL surface reaches the same verb
+    store.upsert("docs", corpus(22).filter(col("id") >= 20), Seq("id"))
+    val viaSql = spark.sql("CALL graft.system.heal_coverage()")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viaSql.exists(_._2.startsWith("missing:")), viaSql.mkString(", "))
+    assert(Doctor.check(store) === Seq.empty)
+  }
+
+  test("missing or pk-mismatched provenance skips that family (write " +
+    "still lands; Doctor names the divergence)") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    val base = corpus(8).toDF("id", "full_text", "e")
+    store.upsert("t", base, Seq("id"))
+    Sq.buildIndex(store, "t",
+      store.read("t").select(col("id"), col("e").cast("array<double>")
+        .as("e")), "id", "e")
+    // simulate a pre-provenance build: wrong pk in the recorded meta
+    IvfDrift.recordTraining(store, Sq.codesName("t"),
+      Map("table" -> "t", "family" -> "sq", "pk" -> "other", "emb" -> "e"))
+
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t",
+      Seq((50L, "fresh row", (0 until dims).map(_.toDouble)))
+        .toDF("id", "full_text", "e"), Seq("id"))
+    assert(refreshed === Seq.empty)
+    assert(skipped === Seq("sq"))
+    assert(store.read("t").filter(col("id") === 50L).count() === 1L,
+      "the base write must land even when every family is skipped")
+    assert(store.read(Sq.codesName("t")).filter(col("pk") === 50L).isEmpty)
+    assert(Doctor.check(store).exists(_.table == "t"),
+      "Doctor must name the coverage gap the skip left")
+  }
+}
