@@ -237,6 +237,38 @@ class GraftDmlSpec extends SparkSpec {
     assert(err.getMessage.contains("pk"), err.getMessage)
   }
 
+  test("composite-pk tables: UPDATE upserts by both keys; MERGE deletes " +
+    "ride the bucketed deleteByPk; pk assignment still refused") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("c", Seq("a", "b"), 2)
+    store.ensureGoverned(Seq("c"))
+    store.upsert("c",
+      Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L))
+        .toDF("a", "b", "n"), Seq("a", "b"))
+
+    spark.sql("UPDATE graft.c SET n = n + 1 WHERE a = 1")
+    assert(spark.sql("SELECT sum(n) FROM graft.c")
+      .collect().head.getLong(0) === 62L)
+
+    val e1 = store.snapshot().epoch
+    spark.sql(
+      """MERGE INTO graft.c t
+        |USING (SELECT 1L AS a, 2L AS b, 99L AS n
+        |       UNION ALL SELECT 3L, 3L, 7L) s
+        |ON t.a = s.a AND t.b = s.b
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(store.snapshot().epoch === e1 + 1,
+      "composite-pk merge (delete + insert) is one governed epoch")
+    assert(spark.sql("SELECT a, b, n FROM graft.c ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 1L, 11L), (2L, 1L, 30L), (3L, 3L, 7L)))
+
+    val pkErr = intercept[Exception](spark.sql(
+      "UPDATE graft.c SET b = b + 1 WHERE a = 2"))
+    assert(pkErr.getMessage.contains("pk"), pkErr.getMessage)
+  }
+
   test("MERGE on a flat un-indexed table: single-swap full rebuild with " +
     "first-matching-clause-wins semantics") {
     val (_, store) = mountCatalog()
