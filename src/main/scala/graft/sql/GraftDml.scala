@@ -43,7 +43,11 @@ import graft.store.{Iteration, Retract, TableStore}
   *  - `UPDATE t SET c = e WHERE p`: on a bucketed table, the matching
   *    rows are re-projected and UPSERTED by the declared pk —
   *    O(matched + touched buckets), one epoch; assigning a pk column
-  *    is refused (that is an identity change — delete + insert). On a
+  *    is refused (that is an identity change — delete + insert).
+  *    Struct-field assignments (`SET s.x.y = e`) patch the named
+  *    field via `withField`, siblings untouched — mixing a
+  *    whole-column and a field assignment to one column is refused.
+  *    On a
   *    flat un-indexed table the whole table rewrites through one
   *    atomic swap (`WHERE` keeps SQL three-valued semantics: NULL
   *    predicates leave the row unchanged). A flat table WITH per-pk
@@ -154,13 +158,13 @@ object GraftDml {
       condition: Option[Expression]): Unit = {
     val s = new TableStore(spark, root)
     val out = rel.output
-    val assignMap = keyMap(assignments)
+    val assignMap = assignPlanOf(assignments)
     // identity assignments (the aligned form assigns every column to
     // itself) are not "changes"
     def newValue(a: Attribute): Option[Column] =
       assignMap.get(a.exprId.id) match {
-        case Some(ref: AttributeReference) if ref.exprId == a.exprId => None
-        case Some(v) => Some(castTo(v, a))
+        case Some(es) if isIdentity(a, es) => None
+        case Some(es) => Some(newValueFor(a, es))
         case None => None
       }
     val condCol = condition.map(PlanFrame.columnOf).getOrElse(lit(true))
@@ -274,9 +278,10 @@ object GraftDml {
     val pkNames: Set[String] = layout.map(_._2.toSet).getOrElse(Set.empty)
     layout.foreach { case (_, pk) =>
       val assignedPk = (matched ++ nmbs).collect { case Upd(_, assigns) =>
-        val m = keyMap(assigns)
+        val m = assignPlanOf(assigns)
         out.filter(a => pk.contains(a.name) && (m.get(a.exprId.id) match {
-          case Some(v) => !pkIdentity(a, v)
+          case Some(Seq((Nil, v))) => !pkIdentity(a, v)
+          case Some(_) => true // nested pk surgery is never identity
           case None => false
         })).map(_.name)
       }.flatten.distinct
@@ -325,22 +330,25 @@ object GraftDml {
         case ((a, i), els) => when(a.cond, lit(i)).otherwise(els)
       }
     def updProjection(assigns: Seq[Assignment]): Seq[Column] = {
-      val m = keyMap(assigns)
+      val m = assignPlanOf(assigns)
       out.map(a => m.get(a.exprId.id) match {
-        case Some(ref: AttributeReference) if ref.exprId == a.exprId =>
+        case Some(es) if isIdentity(a, es) =>
           PlanFrame.columnOf(a).as(a.name)
         case Some(_) if pkNames.contains(a.name) =>
           // guarded above: only provably-identity pk assignments get
           // here — keep the target value (equal, and identity-safe)
           PlanFrame.columnOf(a).as(a.name)
-        case Some(v) => castTo(v, a).as(a.name)
+        case Some(es) => newValueFor(a, es).as(a.name)
         case None => PlanFrame.columnOf(a).as(a.name)
       })
     }
     def insProjection(assigns: Seq[Assignment]): Seq[Column] = {
-      val m = keyMap(assigns)
+      val m = assignPlanOf(assigns)
       out.map(a => m.get(a.exprId.id) match {
-        case Some(v) => castTo(v, a).as(a.name)
+        case Some(Seq((Nil, v))) => castTo(v, a).as(a.name)
+        case Some(_) => throw new UnsupportedOperationException(
+          s"INSERT cannot assign struct fields of ${a.name} — there is " +
+            "no pre-existing row to patch")
         case None => lit(null).cast(a.dataType).as(a.name)
       })
     }
@@ -409,11 +417,10 @@ object GraftDml {
             orig: Column): Column =
           acts.zipWithIndex.foldRight(orig) {
             case ((Upd(_, assigns), i), els) =>
-              val m = keyMap(assigns)
+              val m = assignPlanOf(assigns)
               val v = m.get(a.exprId.id) match {
-                case Some(ref: AttributeReference)
-                  if ref.exprId == a.exprId => PlanFrame.columnOf(a)
-                case Some(expr) => castTo(expr, a)
+                case Some(es) if isIdentity(a, es) => PlanFrame.columnOf(a)
+                case Some(es) => newValueFor(a, es)
                 case None => PlanFrame.columnOf(a)
               }
               when(idx === i, v).otherwise(els)
@@ -427,10 +434,13 @@ object GraftDml {
         val insValue: Attribute => Column = a =>
           notMatched.zipWithIndex.foldRight(lit(null).cast(a.dataType): Column) {
             case ((Ins(_, assigns), i), els) =>
-              val m = keyMap(assigns)
-              val v = m.get(a.exprId.id)
-                .map(expr => castTo(expr, a))
-                .getOrElse(lit(null).cast(a.dataType))
+              val m = assignPlanOf(assigns)
+              val v = m.get(a.exprId.id) match {
+                case Some(Seq((Nil, expr))) => castTo(expr, a)
+                case Some(_) => throw new UnsupportedOperationException(
+                  s"INSERT cannot assign struct fields of ${a.name}")
+                case None => lit(null).cast(a.dataType)
+              }
               when(nIdx === i, v).otherwise(els)
             case (_, els) => els
           }
@@ -462,16 +472,74 @@ object GraftDml {
     case other => Seq(other)
   }
 
-  private def keyMap(assigns: Seq[Assignment]): Map[Long, Expression] =
-    assigns.map { a =>
-      a.key match {
-        case ar: AttributeReference => ar.exprId.id -> a.value
-        case k => throw new UnsupportedOperationException(
-          "graft DML supports top-level column assignments only " +
-            s"(got: $k — nested-field assignment needs the library's " +
-            "upsert)")
+  /** Per-TOP-LEVEL-attribute assignment entries: `(path, value)`
+    * where an empty path is a whole-column assignment and a non-empty
+    * one names a struct field chain (`SET s.x.y = v`). Array/map
+    * element assignment has no SQL surface here and is refused.
+    */
+  private type NestedAssigns = Seq[(Seq[String], Expression)]
+
+  private def splitKey(
+      key: Expression): (AttributeReference, Seq[String]) = key match {
+    case ar: AttributeReference => (ar, Nil)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (root, p) = splitKey(g.child)
+      (root, p :+ g.extractFieldName)
+    case k => throw new UnsupportedOperationException(
+      "graft DML supports column and struct-field assignments only " +
+        s"(got: $k)")
+  }
+
+  private def assignPlanOf(
+      assigns: Seq[Assignment]): Map[Long, NestedAssigns] =
+    assigns.map(a => (splitKey(a.key), a.value))
+      .groupBy(_._1._1.exprId.id)
+      .map { case (id, xs) =>
+        val entries: NestedAssigns = xs.map { case ((_, p), v) => (p, v) }
+        require(entries.count(_._1.isEmpty) == 0 || entries.size == 1,
+          "cannot mix a whole-column assignment with struct-field " +
+            "assignments to the same column in one statement")
+        id -> entries
       }
-    }.toMap
+
+  private def isIdentity(a: Attribute, es: NestedAssigns): Boolean =
+    es match {
+      case Seq((Nil, ref: AttributeReference)) => ref.exprId == a.exprId
+      case _ => false
+    }
+
+  /** The column's new value under its assignment entries — a cast
+    * whole value, or the original with each named field replaced
+    * ([[Column.withField]]), every value lossless-cast to the field's
+    * declared type.
+    */
+  private def newValueFor(a: Attribute, es: NestedAssigns): Column =
+    es match {
+      case Seq((Nil, v)) => castTo(v, a)
+      case nested => nested.foldLeft(PlanFrame.columnOf(a)) {
+        case (c, (path, v)) =>
+          val ft = fieldTypeOf(a.dataType, path,
+            s"${a.name}.${path.mkString(".")}")
+          c.withField(path.map(quotePart).mkString("."),
+            castToType(v, ft, s"${a.name}.${path.mkString(".")}"))
+      }
+    }
+
+  private def quotePart(p: String): String =
+    if (p.contains(".") || p.contains("`")) "`" + p.replace("`", "``") + "`"
+    else p
+
+  private def fieldTypeOf(
+      dt: org.apache.spark.sql.types.DataType, path: Seq[String],
+      label: String): org.apache.spark.sql.types.DataType =
+    path.foldLeft(dt) {
+      case (st: org.apache.spark.sql.types.StructType, name) =>
+        st.find(_.name == name).getOrElse(throw new IllegalStateException(
+          s"$label: no field $name in ${st.simpleString}")).dataType
+      case (other, name) => throw new UnsupportedOperationException(
+        s"$label: cannot assign field $name inside ${other.simpleString} " +
+          "— struct fields only")
+    }
 
   private def colByName(out: Seq[Attribute], name: String): Column =
     PlanFrame.columnOf(out.find(_.name == name).getOrElse(
@@ -480,18 +548,23 @@ object GraftDml {
       .as(name)
 
   /** Assignment value as a Column, losslessly cast to the target
-    * column's type; a lossy assignment is refused loudly (graft DML
-    * never silently narrows).
+    * column's (or struct field's) type; a lossy assignment is refused
+    * loudly (graft DML never silently narrows).
     */
-  private def castTo(v: Expression, a: Attribute): Column = {
+  private def castTo(v: Expression, a: Attribute): Column =
+    castToType(v, a.dataType, a.name)
+
+  private def castToType(
+      v: Expression, dt: org.apache.spark.sql.types.DataType,
+      label: String): Column = {
     val c = PlanFrame.columnOf(v)
-    if (v.dataType == a.dataType) c
+    if (v.dataType == dt) c
     else {
-      require(Cast.canUpCast(v.dataType, a.dataType),
-        s"cannot assign ${v.dataType.simpleString} to column " +
-          s"${a.name}: ${a.dataType.simpleString} — no lossless cast; " +
+      require(Cast.canUpCast(v.dataType, dt),
+        s"cannot assign ${v.dataType.simpleString} to " +
+          s"$label: ${dt.simpleString} — no lossless cast; " +
           "CAST explicitly if the narrowing is intended")
-      c.cast(a.dataType)
+      c.cast(dt)
     }
   }
 }

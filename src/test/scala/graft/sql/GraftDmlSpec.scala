@@ -237,6 +237,62 @@ class GraftDmlSpec extends SparkSpec {
     assert(err.getMessage.contains("pk"), err.getMessage)
   }
 
+  test("struct-field assignment: UPDATE SET s.x patches the field in " +
+    "place; sibling fields survive; guardrails hold") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", spark.sql(
+      "SELECT * FROM VALUES (1L, named_struct('v', 'a', 'k', 10L), 1L), " +
+        "(2L, named_struct('v', 'b', 'k', 20L), 2L) AS t(id, s, n)"),
+      Seq("id"))
+
+    spark.sql("UPDATE graft.t SET s.v = 'A', n = n + 1 WHERE id = 1")
+    val r = spark.sql("SELECT s.v, s.k, n FROM graft.t WHERE id = 1")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === ("A", 10L, 2L),
+      "the named field patches; its sibling and the other column hold")
+
+    // MERGE updates patch fields too
+    spark.sql(
+      """MERGE INTO graft.t t USING (SELECT 2L AS id, 99L AS k2) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.s.k = s.k2""".stripMargin)
+    assert(spark.sql("SELECT s.v, s.k FROM graft.t WHERE id = 2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 99L)))
+
+    // mixing whole-column and field assignment to one column refuses
+    val mix = intercept[Exception](spark.sql(
+      "UPDATE graft.t SET s = named_struct('v', 'x', 'k', 1L), " +
+        "s.k = 2 WHERE id = 1"))
+    assert(mix.getMessage.toLowerCase.contains("mix") ||
+      mix.getMessage.toLowerCase.contains("conflict"), mix.getMessage)
+  }
+
+  test("subqueries and catalog tables compose: UPDATE WHERE IN " +
+    "(SELECT ...), MERGE USING graft.<table> — the captured analyzed " +
+    "plans carry their subtrees") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t", "allow"))
+    store.upsert("t", Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("id", "n"), Seq("id"))
+    store.upsert("allow", Seq(Tuple1(2L), Tuple1(3L)).toDF("id"), Seq("id"))
+
+    spark.sql(
+      "UPDATE graft.t SET n = n * 2 WHERE id IN (SELECT id FROM graft.allow)")
+    assert(spark.sql("SELECT id, n FROM graft.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 40L), (3L, 60L)))
+
+    spark.sql(
+      "MERGE INTO graft.t t USING graft.allow s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET n = t.n + 1")
+    assert(spark.sql("SELECT sum(n) FROM graft.t")
+      .collect().head.getLong(0) === 112L)
+  }
+
   test("composite-pk tables: UPDATE upserts by both keys; MERGE deletes " +
     "ride the bucketed deleteByPk; pk assignment still refused") {
     val (_, store) = mountCatalog()
