@@ -538,6 +538,10 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
               graft.store.IndexMaintain.upsertMaintained(s, table, data, pk)
             case None if wantOverwrite => s.overwrite(table, data)
             case None =>
+              // flat tables keep the append-by-rewrite contract; note
+              // a flat table WITH per-pk indexes accepts inserts but
+              // cannot refresh them (no declared key) — Doctor names
+              // the gap, the same boundary DELETE/UPDATE refuse at
               val merged = s.readIfExists(table) match {
                 case Some(cur) => cur.unionByName(data, allowMissingColumns = true)
                 case None => data

@@ -237,6 +237,29 @@ class GraftDmlSpec extends SparkSpec {
     assert(err.getMessage.contains("pk"), err.getMessage)
   }
 
+  test("DML on a declared-but-empty table: CTAS'd schema serves the " +
+    "target, a no-match UPDATE is a no-op, MERGE seeds the first rows") {
+    val (_, store) = mountCatalog()
+    spark.sql("CREATE TABLE graft.kv (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='id','buckets'='2')")
+
+    spark.sql("UPDATE graft.kv SET v = 'x' WHERE id = 1") // zero rows match
+    assert(spark.sql("SELECT count(*) FROM graft.kv")
+      .collect().head.getLong(0) === 0L)
+
+    spark.sql(
+      """MERGE INTO graft.kv t
+        |USING (SELECT 1L AS id, 'a' AS v UNION ALL SELECT 2L, 'b') s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.kv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")),
+      "MERGE must seed an empty declared table through its insert clause")
+    assert(store.bucketLayoutOf("kv") === Some((2, Seq("id"))))
+  }
+
   test("struct-field assignment: UPDATE SET s.x patches the field in " +
     "place; sibling fields survive; guardrails hold") {
     val (_, store) = mountCatalog()
