@@ -86,6 +86,25 @@ class CliSpec extends SparkSpec {
     assert(store.read("frag").count() === 400L)
   }
 
+  test("doctor --repair heals index coverage through the dispatch") {
+    val dir = freshDir()
+    val store = new TableStore(spark, dir)
+    store.ensureBucketed("docs", Seq("id"), 2)
+    val rows = (0 until 10).map(i =>
+      (i.toLong, (0 until 4).map(d => (i * 4 + d).toDouble)))
+      .toDF("id", "e")
+    store.upsert("docs", rows, Seq("id"))
+    graft.store.Sq.buildIndex(store, "docs", store.read("docs")
+      .select(col("id"), col("e").cast("array<double>").as("e")), "id", "e")
+    // diverge out of band: a bare library upsert misses the codes
+    store.upsert("docs",
+      Seq((50L, (0 until 4).map(_.toDouble))).toDF("id", "e"), Seq("id"))
+    assert(Doctor.check(store).nonEmpty)
+    cli("doctor", dir, "--repair")
+    assert(Doctor.check(store) === Seq.empty,
+      "the CLI repair must run the coverage heal")
+  }
+
   test("quantiles verb reads the streaming sample through the dispatch") {
     val dir = freshDir()
     val store = new TableStore(spark, dir)
