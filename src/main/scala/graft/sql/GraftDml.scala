@@ -315,13 +315,21 @@ object GraftDml {
     val srcOnly = col(TM).isNull
     val tgtOnly = col(SM).isNull
 
-    if (matched.nonEmpty) {
-      val dup = joined.filter(isMatched).groupBy(col(RID)).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
+    // guard frames (empty when clean) — evaluated together with the
+    // duplicate-pk guard in ONE action below, not one job each
+    val cardinalityViolation: Option[DataFrame] =
+      if (matched.isEmpty) None
+      else Some(joined.filter(isMatched).groupBy(col(RID)).count()
+        .filter(col("count") > 1).limit(1)
+        .select(lit("cardinality").as("violation")))
+    def requireClean(found: Seq[String]): Unit = {
+      require(!found.contains("cardinality"),
         "MERGE cardinality violation: a target row of " + table +
           " matched more than one source row and matched clauses exist — " +
           "deduplicate the source on the ON keys first")
+      require(!found.contains("duplicate_pk"),
+        s"MERGE would write duplicate pk rows to $table — the ON " +
+          "condition does not constrain the declared pk uniquely")
     }
 
     // first-matching-clause-wins index over a clause group
@@ -387,16 +395,19 @@ object GraftDml {
         }
         val ups = upserts.result().reduceOption(_ union _)
         val dels = deletes.result().reduceOption(_ union _)
-        ups.foreach { u =>
-          // a non-pk ON condition could write the same key twice in
-          // one batch (insert + insert, or update + insert) — upsert
-          // precedence would pick one arbitrarily; refuse instead
-          val dupKeys = u.groupBy(pk.map(col): _*).count()
-            .filter(col("count") > 1).limit(1).count()
-          require(dupKeys == 0L,
-            s"MERGE would write duplicate pk rows to $table — the ON " +
-              "condition does not constrain the declared pk uniquely")
-        }
+        // a non-pk ON condition could write the same key twice in one
+        // batch (insert + insert, or update + insert) — upsert
+        // precedence would pick one arbitrarily; refuse instead. Both
+        // guards (this and the cardinality rule) read the one
+        // materialized join, unioned into a SINGLE action — a guard
+        // costs one job per statement, not one per rule.
+        val dupPkViolation = ups.map(_.groupBy(pk.map(col): _*).count()
+          .filter(col("count") > 1).limit(1)
+          .select(lit("duplicate_pk").as("violation")))
+        (cardinalityViolation.toSeq ++ dupPkViolation.toSeq)
+          .reduceOption(_ unionAll _)
+          .foreach(g => requireClean(
+            g.collect().map(_.getString(0)).toIndexedSeq))
         def applyDeletes(d: DataFrame): Unit = pk match {
           case Seq(one) => Retract.cascade(s, table, d, one)
           case _ => s.deleteByPk(table, d, pk)
@@ -413,6 +424,8 @@ object GraftDml {
       case None =>
         // flat single-pass rebuild: each joined row maps to ≤1 output
         // row; one swap commits it
+        cardinalityViolation.foreach(g => requireClean(
+          g.collect().map(_.getString(0)).toIndexedSeq))
         def chainValues(acts: Seq[Act], idx: Column, a: Attribute,
             orig: Column): Column =
           acts.zipWithIndex.foldRight(orig) {
@@ -455,7 +468,18 @@ object GraftDml {
             .otherwise(insValue(a))
             .as(a.name)
         }
-        s.overwrite(table, joined.filter(keepRow).select(values: _*))
+        // with NO matched clause there is no cardinality rule to
+        // refuse multi-matched target rows (standard MERGE: they are
+        // simply untouched) — but the join still carries one row per
+        // match. Collapse them to one by the minted row id: the
+        // output values of a matched row reference only target
+        // columns here (chainValues over an empty clause list is the
+        // identity), so any representative row is THE row.
+        val base =
+          if (matched.nonEmpty) joined
+          else joined.filter(!isMatched)
+            .union(joined.filter(isMatched).dropDuplicates(RID))
+        s.overwrite(table, base.filter(keepRow).select(values: _*))
     }
   }
 

@@ -215,7 +215,7 @@ object Fts {
         affected.filterNot(stillThere).foreach(b =>
           store.dropPartition(indexName(table), BucketCol, b.toString))
         writeStats(store, table, oldN - outN + inN, oldDl - outDl + inDl,
-          buckets, epoch, textCols)
+          buckets, epoch, textCols, Some(pkCol))
         // an index opted into file skipping keeps its token envelopes
         // fresh at O(replaced buckets' files), matching the write
         // (governed stores get this from the commit itself; there the
@@ -263,7 +263,7 @@ object Fts {
         // the price FTS5 pays in its docsize table — so ranked queries
         // read a broadcast 1-row table instead of re-aggregating
         val (n, dl) = docTotals(store.read(indexName(table)))
-        writeStats(store, table, n, dl, buckets, epoch, textCols)
+        writeStats(store, table, n, dl, buckets, epoch, textCols, Some(pkCol))
     }
   }
 
@@ -348,7 +348,8 @@ object Fts {
           affected.filterNot(stillThere).foreach(b =>
             store.dropPartition(indexName(table), BucketCol, b.toString))
           writeStats(store, table, oldN - outN, oldDl - outDl,
-            buckets, epoch, statsCols(store, table).get)
+            buckets, epoch, statsCols(store, table).get,
+            statsPk(store, table))
           if (store.hasFileStats(indexName(table)))
             store.refreshFileStatsIncremental(indexName(table))
         }
@@ -368,7 +369,8 @@ object Fts {
         else store.overwrite(indexName(table), flat)
         statsCols(store, table).foreach { cols =>
           val (n, dl) = docTotals(store.read(indexName(table)))
-          writeStats(store, table, n, dl, buckets, epoch, cols)
+          writeStats(store, table, n, dl, buckets, epoch, cols,
+            statsPk(store, table))
         }
       case None => () // never indexed — nothing to retract
     }
@@ -437,16 +439,34 @@ object Fts {
 
   private def writeStats(
       store: TableStore, table: String, nDocs: Long, totalDl: Long,
-      buckets: Int, epoch: Long, cols: Seq[String]): Unit = {
+      buckets: Int, epoch: Long, cols: Seq[String],
+      pk: Option[String]): Unit = {
     val spark = store.spark
     import spark.implicits._
     store.overwrite(statsName(table),
-      Seq((nDocs, totalDl, buckets, epoch, cols.mkString(",")))
-        .toDF("n_docs", "total_dl", "n_buckets", "epoch", "cols")
+      Seq((nDocs, totalDl, buckets, epoch, cols.mkString(","),
+        pk.orNull))
+        .toDF("n_docs", "total_dl", "n_buckets", "epoch", "cols", "pk")
         .withColumn("avgdl",
           when(col("n_docs") > 0,
             col("total_dl").cast("double") / col("n_docs").cast("double"))))
   }
+
+  /** The pk column the index was built under, recorded in the stats
+    * row — the provenance [[IndexMaintain]]'s pk-match guard checks
+    * for FTS exactly as the `_meta` rows do for every other family
+    * (None = legacy stats from before pk capture: such an index is
+    * reported as skipped, never refreshed under a guessed key).
+    * Retractions carry the recorded value forward (delete keys arrive
+    * pre-projected to `pk`, so the retraction path cannot learn the
+    * name itself).
+    */
+  private[store] def statsPk(store: TableStore, table: String): Option[String] =
+    store.readIfExists(statsName(table)).flatMap { st =>
+      if (st.columns.contains("pk"))
+        Option(st.select(col("pk")).head.getString(0))
+      else None
+    }
 
   /** Indexed column names recorded in the stats row (None = legacy
     * stats from before multi-column support).

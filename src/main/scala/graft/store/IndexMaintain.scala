@@ -59,13 +59,18 @@ object IndexMaintain {
     val skip = Seq.newBuilder[String]
 
     if (store.exists(Fts.indexName(table)))
-      Fts.statsCols(store, table) match {
-        case Some(cols) =>
+      (Fts.statsCols(store, table), Fts.statsPk(store, table)) match {
+        // same pk-provenance rule as every `_meta`-carrying family:
+        // an index recorded under a DIFFERENT key than the declared
+        // bucket pk (or predating pk capture) is skipped, never
+        // refreshed under a guessed key — mixing key domains in the
+        // postings is the one thing a refresh must not do
+        case (Some(cols), Some(pk)) if pk == pkCol =>
           out += Family("fts",
             Seq(Fts.indexName(table), Fts.statsName(table)),
             (s, t, b, pk) => Fts.refreshPostings(
               s, t, b, pk, cols, Fts.bucketCountOf(s, t)))
-        case None => skip += "fts"
+        case _ => skip += "fts"
       }
 
     def withMeta(fam: String, primary: String, writes: Seq[String],

@@ -370,4 +370,39 @@ class GraftDmlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "keep"), (2L, "updated"), (4L, "inserted")))
   }
+
+  test("flat MERGE with ONLY not-matched clauses: a target row matched " +
+    "by several source rows survives exactly once (no silent duplication); " +
+    "with matched clauses present the cardinality rule still refuses") {
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("plain"))
+    store.overwrite("plain", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // id=1 appears twice in the source; standard MERGE with only a
+    // NOT MATCHED clause leaves the matched target row untouched —
+    // once, not once per match
+    spark.sql(
+      """MERGE INTO graft.plain t
+        |USING (SELECT 1L AS id, 'x' AS v
+        |       UNION ALL SELECT 1L, 'y'
+        |       UNION ALL SELECT 9L, 'new') s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.plain ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (9L, "new")),
+      "the doubly-matched row must appear exactly once, unchanged")
+
+    // the flat path enforces the same cardinality rule as the
+    // bucketed one when matched clauses DO exist
+    val card = intercept[Exception](spark.sql(
+      """MERGE INTO graft.plain t
+        |USING (SELECT 2L AS id, 'p' AS v UNION ALL SELECT 2L, 'q') s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(card.getMessage.toLowerCase.contains("cardinality"),
+      card.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.plain")
+      .collect().head.getLong(0) === 3L, "failed MERGEs must not write")
+  }
 }

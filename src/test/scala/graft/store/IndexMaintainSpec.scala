@@ -148,4 +148,40 @@ class IndexMaintainSpec extends SparkSpec {
     assert(Doctor.check(store).exists(_.table == "t"),
       "Doctor must name the coverage gap the skip left")
   }
+
+  test("FTS enforces the same pk-provenance rule as the _meta families: " +
+    "an index built under a different key than the declared bucket pk " +
+    "is skipped, never refreshed with the declared pk") {
+    val (_, store) = mountCatalog()
+    // index built while the table keyed on `alt` — the FTS stats row
+    // records that pk
+    val rows = (0 until 6).map(i => (i.toLong, i.toLong + 100L, s"word$i body"))
+      .toDF("id", "alt", "full_text")
+    store.overwrite("t", rows)
+    Fts.upsertWithIndexCols(store, "t", rows, "alt", Seq("full_text"),
+      buckets = 2)
+    // the table is then bucketed on a DIFFERENT column
+    store.bucketize("t", Seq("id"), 2)
+
+    val before = store.read(Fts.indexName("t")).count()
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t",
+      Seq((50L, 150L, "fresh row")).toDF("id", "alt", "full_text"), Seq("id"))
+    assert(!refreshed.contains("fts"),
+      "an FTS index keyed on another column must not refresh under the " +
+        "declared bucket pk — that mixes key domains in the postings")
+    assert(skipped.contains("fts"))
+    assert(store.read(Fts.indexName("t")).count() === before,
+      "the skipped index must be untouched")
+    assert(store.read("t").filter(col("id") === 50L).count() === 1L)
+
+    // re-built under the declared pk, the family re-enrolls
+    Fts.upsertWithIndexCols(store, "t", store.read("t").drop(store.BucketCol),
+      "id", Seq("full_text"), buckets = 2)
+    val (refreshed2, _) = IndexMaintain.upsertMaintained(store, "t",
+      Seq((51L, 151L, "another row")).toDF("id", "alt", "full_text"),
+      Seq("id"))
+    assert(refreshed2.contains("fts"))
+    assert(store.read(Fts.indexName("t"))
+      .filter(col("pk") === 51L).count() > 0L)
+  }
 }
