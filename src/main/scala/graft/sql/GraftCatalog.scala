@@ -240,7 +240,59 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       "schema evolution happens through the library's upsert path")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE graft.t` — close the lifecycle the catalog opened
+    * with CREATE/CTAS: remove the base table AND every index-family
+    * artifact keyed on it (postings, maps, params, centroids,
+    * codebooks, occupancy snapshots, `_meta` provenance rows —
+    * [[graft.store.Retract.artifactTablesOf]]), un-governing all of
+    * them in ONE pointer write before the directories delete. The
+    * reference's own archive flow is drop-and-recreate
+    * (`/root/reference/archive.py:240-248`), so removal is IMMEDIATE —
+    * there is no to-be-vacuumed limbo state; `VERSION AS OF` a
+    * pre-drop epoch fails loudly afterwards (the commit resolves, its
+    * files are gone), and a re-created table of the same name starts
+    * its `$history` fresh (the dead incarnation's epochs are not its
+    * history).
+    *
+    * Pins follow Iceberg's drop-vs-purge escalation: plain DROP
+    * REFUSES while a release tag's pinned commit contains the table
+    * (or any of its artifacts) or a consumer cursor is registered on
+    * one — deleting under a pin would break it silently; `DROP TABLE
+    * ... PURGE` ([[purgeTable]]) releases those pins itself (drops the
+    * tags, deregisters the cursors) and then drops. Streaming
+    * consumers of a dropped table fail loudly on their next window
+    * ("not governed at epoch"), never serve empty batches.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = false)
+
+  override def purgeTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = true)
+
+  private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
+    if (ident.namespace.nonEmpty) return false
+    val (base, meta) = GraftCatalog.splitMeta(ident.name)
+    require(meta.isEmpty,
+      s"cannot DROP metadata table '${ident.name}' — it is a read-only " +
+        s"view over '$base'; DROP the base table")
+    val s = store()
+    if (!s.tableNames.contains(base)) return false
+    val doomed = base +: graft.store.Retract.artifactTablesOf(s, base)
+    if (purge) {
+      // release the pins DROP would refuse on: consumer cursors on any
+      // doomed table, and release tags whose pinned commit contains one
+      graft.store.EpochFollower.cursors(s).keys.foreach {
+        case (t, c) if doomed.contains(t) =>
+          graft.store.EpochFollower.drop(s, t, c)
+        case _ =>
+      }
+      s.tags().foreach { case (tag, e) =>
+        if (doomed.exists(t => s.governedAt(t, e))) s.dropTag(tag)
+      }
+    }
+    s.dropTables(doomed)
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
@@ -538,10 +590,18 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
               graft.store.IndexMaintain.upsertMaintained(s, table, data, pk)
             case None if wantOverwrite => s.overwrite(table, data)
             case None =>
-              // flat tables keep the append-by-rewrite contract; note
-              // a flat table WITH per-pk indexes accepts inserts but
-              // cannot refresh them (no declared key) — Doctor names
-              // the gap, the same boundary DELETE/UPDATE refuse at
+              // flat tables keep the append-by-rewrite contract — but
+              // a flat table WITH per-pk indexes has no declared key
+              // to refresh them by, so accepting the write would
+              // silently diverge every index. Refuse with the library
+              // pointer, the same boundary DELETE/UPDATE/MERGE hold.
+              val indexed = graft.store.Retract.indexTablesOf(s, table)
+              require(indexed.isEmpty,
+                s"$table has maintained per-pk indexes " +
+                  s"(${indexed.mkString(", ")}) but no declared bucket pk — " +
+                  "SQL INSERT cannot keep them consistent without a key; " +
+                  "use the library's upsertWith* verbs (or declare a pk " +
+                  "via ensureBucketed)")
               val merged = s.readIfExists(table) match {
                 case Some(cur) => cur.unionByName(data, allowMissingColumns = true)
                 case None => data

@@ -56,6 +56,38 @@ object Retract {
     (if (store.exists(Fts.indexName(table))) Seq(Fts.indexName(table))
      else Nil) ++ registry(table).map(_._1).filter(store.exists)
 
+  /** EVERY store artifact belonging to `table`'s index families that
+    * exists right now — the per-pk tables [[indexTablesOf]] names PLUS
+    * everything that parameterizes them: FTS stats/epoch rows, LSH
+    * params, centroids/codebooks/scales, k-means occupancy snapshots,
+    * and the `_meta` training-provenance rows. This is the DROP
+    * inventory: removing a table without these leaves orphans no
+    * later build can reach (they key on a dead name) and pointless
+    * bytes on disk. Contrast [[cascade]], which deliberately leaves
+    * model-parameter tables alive — there the corpus survives; here
+    * it does not.
+    */
+  def artifactTablesOf(store: TableStore, table: String): Seq[String] = {
+    val fts = Seq(
+      Fts.indexName(table), Fts.statsName(table), Fts.epochName(table))
+    val families = Seq(
+      Trigram.indexName(table),
+      Lsh.indexName(table), Lsh.mapName(table), Lsh.paramsName(table),
+      Sq.codesName(table), Sq.scalesName(table),
+      Pq.codesName(table), Pq.booksName(table),
+      Bin.codesName(table),
+      Ivf.indexName(table), Ivf.centsName(table), Ivf.mapName(table),
+      IvfPq.codesName(table), IvfPq.centsName(table),
+      IvfPq.booksName(table), IvfPq.mapName(table),
+      IvfSq.codesName(table), IvfSq.centsName(table),
+      IvfSq.scalesName(table), IvfSq.mapName(table),
+      IvfBin.codesName(table), IvfBin.centsName(table),
+      IvfBin.mapName(table))
+    val derived = families.flatMap(f =>
+      Seq(IvfDrift.metaName(f), IvfDrift.snapName(f)))
+    (fts ++ families ++ derived).distinct.filter(store.exists)
+  }
+
   /** Every table a [[cascade]] on `table` would WRITE for its indexes
     * (the FTS postings commit together with their corpus-stats row,
     * hence the extra stats entry vs [[indexTablesOf]]).

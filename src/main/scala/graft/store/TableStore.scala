@@ -131,29 +131,48 @@ class TableStore(val spark: SparkSession, val root: String) {
       .parquet(path(name))
   }
 
-  def drop(name: String): Unit = {
-    if (isGoverned(name)) {
-      // a release tag's guarantee is "stays readable until the tag is
-      // dropped", and a consumer cursor's is "my diff base survives":
-      // deleting the directory would break both SILENTLY (the pinned
-      // epochs would still resolve, to files that no longer exist).
-      // Refuse until the pins are released — the same
-      // drop-the-ref-first discipline as branches in git.
+  def drop(name: String): Unit = dropTables(Seq(name))
+
+  /** Drop several tables as ONE operation: the pin guards run for all
+    * of them first (nothing is deleted when any member refuses), every
+    * governed member leaves the commit log in a SINGLE un-govern
+    * pointer write (one epoch, not one per table — the SQL DROP of an
+    * indexed table removes the base plus ~20 index artifacts), then
+    * the directories delete. A release tag whose pinned commit
+    * contains a member, or a consumer cursor registered on one,
+    * refuses the whole drop: deleting the directory would break the
+    * pin SILENTLY (the pinned epochs would still resolve, to files
+    * that no longer exist) — the same drop-the-ref-first discipline
+    * as branches in git.
+    */
+  def dropTables(names: Seq[String]): Unit = {
+    require(activeTx.isEmpty, "cannot drop tables inside a transaction")
+    require(pinnedCommit.isEmpty, "cannot drop tables inside withSnapshot")
+    val governedNow = names.filter(isGoverned)
+    if (governedNow.nonEmpty) {
       val commitByEpoch = listCommits().toMap
-      val taggedBy = tags().filter { case (_, e) =>
-        commitByEpoch.get(e).exists(p => parseCommit(p).contains(name)) }
+      val allTags = tags()
+      val taggedBy = governedNow.flatMap(n => allTags.filter { case (_, e) =>
+        commitByEpoch.get(e).exists(p => parseCommit(p).contains(n))
+      }.keys.map(t => s"$t (pins $n)")).distinct.sorted
       require(taggedBy.isEmpty,
-        s"$name is pinned by release tag(s) " +
-          s"${taggedBy.keys.toSeq.sorted.mkString(", ")} — drop-tag first")
-      val cursorsOn = EpochFollower.cursors(this).keys
-        .filter(_._1 == name).map(_._2).toSeq.sorted
+        s"pinned by release tag(s) ${taggedBy.mkString(", ")} — " +
+          "drop-tag first (or DROP TABLE ... PURGE)")
+      val cursorsOn = EpochFollower.cursors(this).keys.collect {
+        case (t, c) if names.contains(t) => s"$c (on $t)" }.toSeq.sorted
       require(cursorsOn.isEmpty,
-        s"$name has registered consumer cursor(s) " +
-          s"${cursorsOn.mkString(", ")} — drop-consumer first")
-      ungovern(name)
+        s"registered consumer cursor(s) ${cursorsOn.mkString(", ")} — " +
+          "drop-consumer first (or DROP TABLE ... PURGE)")
+      currentCommit.foreach { case (epoch, tables) =>
+        val remaining = tables -- governedNow
+        writePointer(epoch + 1, remaining.toSeq.sorted
+          .map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+      }
     }
-    val dst = new Path(path(name))
-    if (fs.exists(dst)) fs.delete(dst, true)
+    names.foreach { n =>
+      val dst = new Path(path(n))
+      if (fs.exists(dst)) fs.delete(dst, true)
+    }
   }
 
   /** Delete one Hive partition directory (`name/col=value`) — the
@@ -1735,10 +1754,17 @@ class TableStore(val spark: SparkSession, val root: String) {
     val commits = listCommits()
     val cmap = commits.toMap
     var prevEntry: Option[String] = None
-    val out = Seq.newBuilder[(Long, String, Int)]
+    var out = Seq.newBuilder[(Long, String, Int)]
     commits.map(_._1).sorted.foreach { e =>
       val cur = entryAt(name, cmap, e)
       if (cur != prevEntry) {
+        // a governance GAP (the table left the commit log — DROP, or
+        // an explicit ungovern) ends the incarnation: a re-created
+        // table of the same name starts its history fresh; the dead
+        // incarnation's epochs are not ITS history (their reads fail
+        // loudly — the files are gone)
+        if (cur.isEmpty && prevEntry.nonEmpty)
+          out = Seq.newBuilder[(Long, String, Int)]
         cur.foreach(en => out += ((e, opOf(en), resolveEntry(en).size)))
         prevEntry = cur
       }
@@ -2129,6 +2155,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     * but the latest).
     */
   def epochs(): Seq[Long] = listCommits().map(_._1)
+
+  /** Whether `name` was governed in the retained commit at `epoch` —
+    * pure pointer metadata (the DROP/PURGE pin checks resolve "does
+    * this tag pin this table" through it).
+    */
+  def governedAt(name: String, epoch: Long): Boolean =
+    listCommits().collectFirst { case (e, p) if e == epoch =>
+      parseCommit(p).contains(name) }.getOrElse(false)
 
   /** Snapshot read — the governed table AS OF `epoch`, the time-travel
     * dividend the pointer log pays for free (Delta's `versionAsOf`):

@@ -621,6 +621,140 @@ class GraftCatalogSpec extends SparkSpec {
       s"cause: ${bad.getCause}")
   }
 
+  test("INSERT INTO a flat table carrying per-pk indexes is refused " +
+    "loudly — the one write verb that previously diverged them silently") {
+    import graft.store.{Fts, Retract}
+    val (_, store) = mountCatalog()
+    store.overwrite("flat", (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text"))
+    Fts.upsertWithIndexCols(store, "flat", store.read("flat"), "id",
+      Seq("full_text"), buckets = 2)
+    assert(Retract.indexTablesOf(store, "flat").nonEmpty)
+
+    val before = store.read("flat").count()
+    val refuse = intercept[Exception](
+      spark.sql("INSERT INTO graft.flat VALUES (99, 'sneaky new doc')"))
+    assert(refuse.getMessage.contains("index"), refuse.getMessage)
+    assert(store.read("flat").count() === before,
+      "the refused INSERT must not write")
+    // the library pointer works: declaring a pk re-enables SQL INSERT
+    // through the maintained-upsert path
+    store.bucketize("flat", Seq("id"), 2)
+    Fts.upsertWithIndexCols(store, "flat",
+      store.read("flat").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    spark.sql("INSERT INTO graft.flat VALUES (99, 'legit new doc')")
+    assert(store.read("flat").count() === before + 1)
+    assert(store.read(Fts.indexName("flat"))
+      .filter(col("pk") === 99L).count() > 0L,
+      "the bucketed path refreshes the index with the insert")
+  }
+
+  test("DROP TABLE closes the lifecycle: base + every index artifact " +
+    "removed in one operation, no orphans, Doctor green; re-CREATE " +
+    "starts history fresh; pre-drop epochs and streams fail loudly") {
+    import graft.store.{Doctor, Fts, Retract, Sq}
+    val (root, store) = mountCatalog()
+    val dims = 8
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.upsert("docs", (0 until 24).map { i =>
+      (i.toLong, s"common word$i text",
+        (0 until dims).map(d => math.sin(i * dims + d) * 3.0))
+    }.toDF("id", "full_text", "e"), Seq("id"))
+    Fts.upsertWithIndexCols(store, "docs", store.read("docs"), "id",
+      Seq("full_text"), buckets = 4)
+    Sq.buildIndex(store, "docs", store.read("docs"), "id", "e")
+    graft.store.Ivf.buildIndex(store, "docs",
+      store.read("docs").select(col("id"), col("e")), "id", "e", k = 4)
+    store.ensureGoverned(Seq("docs", Fts.indexName("docs"),
+      Fts.statsName("docs"), Sq.codesName("docs")))
+    // an unrelated survivor table proves the drop is scoped
+    store.ensureGoverned(Seq("other"))
+    store.upsert("other", Seq((1L, "keep")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    assert(Retract.artifactTablesOf(store, "docs").size >= 8,
+      "the fixture must actually carry a multi-family artifact set")
+
+    // a release tag pinning the table refuses a plain DROP
+    store.tagEpoch("rel-1")
+    val pinned = intercept[Exception](spark.sql("DROP TABLE graft.docs"))
+    assert(pinned.getMessage.contains("rel-1"), pinned.getMessage)
+    assert(store.tableNames.contains("docs"), "a refused DROP removes nothing")
+    store.dropTag("rel-1")
+
+    spark.sql("DROP TABLE graft.docs")
+
+    assert(!store.tableNames.exists(t => t == "docs" || t.startsWith("docs_")),
+      s"no orphan artifacts may survive: ${store.tableNames.mkString(", ")}")
+    assert(Retract.artifactTablesOf(store, "docs") === Seq.empty)
+    assert(Doctor.check(store) === Seq.empty, "the store stays doctor-green")
+    assert(store.governed === Set("other"),
+      "one un-govern pointer write scoped to the dropped tables")
+    assert(spark.sql("SELECT v FROM graft.other").collect()
+      .head.getString(0) === "keep")
+    val gone = intercept[Exception](
+      spark.sql("SELECT * FROM graft.docs").collect())
+    assert(gone.getMessage.toLowerCase.contains("table"), gone.getMessage)
+    // time travel into the dead incarnation fails loudly, not empty
+    val tt = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.docs VERSION AS OF $e1").collect())
+    assert(tt != null)
+
+    // re-CREATE: same name, fresh history — the dead incarnation's
+    // epochs are not its history
+    spark.sql("CREATE TABLE graft.docs TBLPROPERTIES('pk'='id') AS " +
+      "SELECT 100L AS id, 'fresh' AS full_text")
+    assert(spark.sql("SELECT full_text FROM graft.docs").collect()
+      .head.getString(0) === "fresh")
+    val hist = store.tableHistory("docs").map(_._1)
+    assert(hist.forall(_ > e1),
+      s"re-created history must start after the drop, got $hist")
+
+    // a streaming consumer WITH PROGRESS on the dropped table (its
+    // offset predates the drop — the mid-flight mirror case) fails
+    // LOUDLY on its next window — never serves silent empties
+    spark.sql("DROP TABLE graft.docs")
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("graft-cdc")
+        .option("root", root).option("table", "docs").option("pk", "id")
+        .option("startingEpoch", e1.toString)
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("id", "long").add("full_text", "string")
+          .add("_change_type", "string"))
+        .load()
+        .writeStream.format("memory").queryName("dropped_feed").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("docs") ||
+      err.getCause != null, err.getMessage)
+  }
+
+  test("DROP TABLE PURGE releases the pins a plain DROP refuses on: " +
+    "tags pinning the table drop, consumer cursors deregister") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t", "other"))
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.upsert("other", Seq((1L, "keep")).toDF("id", "v"), Seq("id"))
+    store.tagEpoch("rel-t")
+    graft.store.EpochFollower.consumeChanges(store, "t", "mirror",
+      Seq("id"))(_ => ())
+
+    val refuse = intercept[Exception](spark.sql("DROP TABLE graft.t"))
+    assert(refuse.getMessage.contains("rel-t") ||
+      refuse.getMessage.contains("mirror"), refuse.getMessage)
+
+    spark.sql("DROP TABLE graft.t PURGE")
+    assert(!store.tableNames.contains("t"))
+    assert(!store.tags().contains("rel-t"),
+      "PURGE drops the tags that pinned the table")
+    assert(!graft.store.EpochFollower.cursors(store).keys.exists(_._1 == "t"),
+      "PURGE deregisters the table's consumer cursors")
+    assert(store.governed === Set("other"))
+    // IF EXISTS on a never-existed table is a clean no-op
+    spark.sql("DROP TABLE IF EXISTS graft.never_was")
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
