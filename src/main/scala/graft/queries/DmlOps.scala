@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.TableStore
+
+/** The SQL DML surface (UPDATE / MERGE INTO through the
+  * [[graft.sql.GraftDml]] extensions seam) promoted into the ORACLE
+  * inventory: each query runs the REAL DML statement against a
+  * scratch governed copy of a testdata table and returns the table's
+  * END STATE, which the DuckDB oracle expresses over the same source
+  * parquet in plain ANSI SQL (CASE projection for UPDATE; left-join +
+  * filter + union for MERGE's update/delete/insert clauses). This is
+  * the difference between "spec-tested" and "oracle-checked": the
+  * whole path — catalog resolution, the analyzer rule, the planner
+  * strategy, the store's bucketed upsert/retraction, the epoch commit
+  * — must produce exactly the rows an independent engine computes.
+  *
+  * Scale shape: the scratch build is one bucketed upsert of the
+  * source table; the UPDATE re-projects only matching rows (O(matched
+  * + touched buckets)); the MERGE's one right-outer join is
+  * source-batch-sized. Nothing here collects to the driver.
+  */
+object DmlOps {
+
+  /** Fresh scratch store per invocation, mounted as the `graftdml`
+    * catalog (the catalog re-reads its root from the live conf per
+    * call, so re-pointing it is one conf set — same contract the CLI
+    * uses). Requires the session to be built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` (Verify /
+    * Bench / the test harness all are).
+    */
+  private def mountScratch(spark: SparkSession): TableStore = {
+    val root = java.nio.file.Files.createTempDirectory("graft-dmlop").toString
+    spark.conf.set("spark.sql.catalog.graftdml",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdml.root", root)
+    new TableStore(spark, root)
+  }
+
+  // ---------------------------------------------------------------------
+  // q_update_where — SQL UPDATE on a bucketed governed table: matching
+  // rows re-project and upsert by pk in one epoch; the end state is
+  // the CASE projection the oracle writes directly.
+  def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = mountScratch(spark)
+    store.ensureBucketed("cust", Seq("c_custkey"), 8)
+    store.ensureGoverned(Seq("cust"))
+    store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
+      Seq("c_custkey"))
+    spark.sql(
+      "UPDATE graftdml.cust SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_mktsegment = 'BUILDING'")
+    spark.sql(
+      "SELECT c_custkey, c_name, c_acctbal FROM graftdml.cust " +
+        "ORDER BY c_custkey")
+  }
+
+  val updateWhereSql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_merge_upsert — SQL MERGE with the full clause surface against a
+  // bucketed governed copy of customer, sourced from an orders
+  // aggregate: heavy customers (≥15 orders) DELETE (the cascade
+  // path), the rest UPDATE (acctbal += order count), and a shifted
+  // key range INSERTs as new rows. End state = left-join CASE +
+  // anti-filter + union in the oracle.
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = mountScratch(spark)
+    store.ensureBucketed("cust", Seq("c_custkey"), 8)
+    store.ensureGoverned(Seq("cust"))
+    store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
+      Seq("c_custkey"))
+    Catalog.table(spark, sfDir, "orders")
+      .createOrReplaceTempView("dml_orders_src")
+    spark.sql(
+      """MERGE INTO graftdml.cust t
+        |USING (
+        |  SELECT o_custkey AS k, COUNT(*) AS n
+        |  FROM dml_orders_src GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000, COUNT(*)
+        |  FROM dml_orders_src GROUP BY o_custkey
+        |) s
+        |ON t.c_custkey = s.k
+        |WHEN MATCHED AND s.n >= 15 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.n
+        |WHEN NOT MATCHED THEN INSERT
+        |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        |  VALUES (s.k, 'merged', 0, CAST(s.n AS DOUBLE), 'NEW')
+        |""".stripMargin)
+    spark.sql(
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+        "FROM graftdml.cust ORDER BY c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+      |)
+      |SELECT c.c_custkey, c.c_name,
+      |  CASE WHEN s.k IS NOT NULL THEN c.c_acctbal + s.n
+      |       ELSE c.c_acctbal END AS c_acctbal,
+      |  c.c_mktsegment
+      |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+      |WHERE s.k IS NULL OR s.n < 15
+      |UNION ALL
+      |SELECT k + 1000000, 'merged', CAST(n AS DOUBLE), 'NEW' FROM src
+      |ORDER BY c_custkey""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q_update_where", updateWhere, Some(updateWhereSql)),
+    Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
+}

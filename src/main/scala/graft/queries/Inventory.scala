@@ -24,7 +24,7 @@ object Inventory {
   def all: Seq[Op] =
     RelationalOps.ops ++ StateOps.ops ++ TextOps.ops ++
       DedupOps.ops ++ SimilarityOps.ops ++ MultimodalOps.ops ++
-      SamplingOps.ops ++ PipelineOps.ops
+      SamplingOps.ops ++ PipelineOps.ops ++ DmlOps.ops
 
   lazy val byName: Map[String, Op] = all.map(op => op.name -> op).toMap
 }

@@ -39,6 +39,11 @@ import graft.store.TableStore
   * changes over the SAME global epoch window, rows tagged with a
   * `_table` discriminator — the batch twin of the streaming source's
   * multi mode and [[graft.store.EpochFollower.consumeChangesMulti]].
+  * `mode=appends` composes with `tables=` too (no `pk.<t>` needed, no
+  * `_change_type` column): the cheap file-level adds scan per member
+  * over the one global window — a multi-table mirror that only needs
+  * at-least-once appends skips the exact-feed price while keeping the
+  * never-torn pairing (a joint transact's files land in one read).
   * Because the window is one epoch pair, two tables upserted in one
   * `transact` always appear in the same result — a release diff
   * joining them can never be torn. The schema is `_table` + the
@@ -83,10 +88,7 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
       .getOrElse(throw new IllegalStateException(
         "no commits — govern tables first"))
     val frame = (mode, parameters.get("tables")) match {
-      case (m, Some(_)) if m != "changes" =>
-        throw new IllegalArgumentException(
-          "multi-table graft-changes is changes-mode only")
-      case ("changes", Some(ts)) =>
+      case (m, Some(ts)) if m == "changes" || m == "appends" =>
         require(!parameters.contains("table"),
           "pass option(\"table\", ...) or option(\"tables\", ...), not both")
         val names = ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -96,7 +98,8 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         // the served shape is STABLE regardless of which members
         // changed in the window: _table + the union of the members'
         // CURRENT schemas (first-seen order, same-name columns must
-        // agree on type) + _change_type; members null-fill each
+        // agree on type) + _change_type (changes mode only — an
+        // appends scan is untyped adds); members null-fill each
         // other's columns
         val fields =
           scala.collection.mutable.LinkedHashMap[String, StructField]()
@@ -114,26 +117,33 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         }
         val target = StructType(
           StructField("_table", StringType, nullable = false) +:
-            (fields.values.toSeq :+
-              StructField("_change_type", StringType, nullable = false)))
+            (fields.values.toSeq ++
+              (if (mode == "changes")
+                Seq(StructField("_change_type", StringType, nullable = false))
+              else Nil)))
         // one global window for every member: a one-transact commit is
         // never torn across the result. Provably-unchanged members
         // (commit-op metadata: no logical op in the window) contribute
-        // nothing and cost no data I/O.
+        // nothing and cost no data I/O — in appends mode the
+        // rewrite-aware file walk itself yields zero added files.
         val parts = names.flatMap { t =>
-          val pk = parameters.get(s"pk.$t")
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(throw new IllegalArgumentException(
-              s"multi-table graft-changes needs option(\"pk.$t\", ...) — " +
-                "each member's logical key"))
-          val logical = store.commitOps(t, from, to) match {
-            case Some(ops) => ops.exists { case (e, op) =>
-              e > from && e <= to && !TableStore.RewriteOps(op) }
-            case None => true // unprovable (vacuumed): must deliver
+          if (mode == "appends")
+            Some(store.readAddedSince(t, from, to).withColumn("_table", lit(t)))
+          else {
+            val pk = parameters.get(s"pk.$t")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(throw new IllegalArgumentException(
+                s"multi-table graft-changes needs option(\"pk.$t\", ...) — " +
+                  "each member's logical key"))
+            val logical = store.commitOps(t, from, to) match {
+              case Some(ops) => ops.exists { case (e, op) =>
+                e > from && e <= to && !TableStore.RewriteOps(op) }
+              case None => true // unprovable (vacuumed): must deliver
+            }
+            if (!logical) None
+            else Some(store.readChangesSince(t, from, to, pk)
+              .withColumn("_table", lit(t)))
           }
-          if (!logical) None
-          else Some(store.readChangesSince(t, from, to, pk)
-            .withColumn("_table", lit(t)))
         }
         val aligned = parts.map { df =>
           val have = df.schema.map(f => f.name -> f.dataType).toMap
@@ -151,7 +161,7 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
       case ("changes", None) =>
         val pk = required("pk").split(",").map(_.trim).toSeq
         store.readChangesSince(table, from, to, pk)
-      case (other, None) => throw new IllegalArgumentException(
+      case (other, _) => throw new IllegalArgumentException(
         s"mode must be changes|appends, got '$other'")
     }
     new ChangesRelation(sqlContext, frame)

@@ -236,9 +236,54 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(root, ident.name, epoch = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution happens through the library's upsert path")
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — METADATA-ONLY schema
+    * evolution, Delta/Iceberg-style: the `_graft_schema` marker widens
+    * to the union and the catalog's reader NULL-FILLS the
+    * declared-but-missing column until data actually carries it (no
+    * table rewrite — at 100 TB an ADD COLUMN must not touch data
+    * files). The store's own upsert evolution takes over from the
+    * first write that includes the column. This is also the hook
+    * Spark's `MERGE WITH SCHEMA EVOLUTION` resolves through (the
+    * table declares `AUTOMATIC_SCHEMA_EVOLUTION`, Spark's analyzer
+    * computes the source-minus-target changes and calls here).
+    * Top-level nullable adds only: a non-nullable add has no value
+    * for existing rows, struct-field surgery and drops/renames stay
+    * with the library's richer verbs.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(ident.namespace.isEmpty && !ident.name.contains("$"),
+      s"cannot ALTER '${ident.name}'")
+    val s = store()
+    if (!s.tableNames.contains(ident.name))
+      throw new NoSuchTableException(ident)
+    val base: StructType = s.declaredSchemaOf(ident.name).getOrElse(
+      StructType(s.readIfExists(ident.name).map(_.schema.fields
+        .filterNot(_.name == s.BucketCol)).getOrElse(Array.empty)))
+    val widened = changes.foldLeft(base) { (sch, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"ADD COLUMN supports top-level columns only " +
+              s"(got ${add.fieldNames.mkString(".")}) — struct-field " +
+              "surgery stays with the library")
+          val name = add.fieldNames.head
+          require(add.isNullable,
+            s"added column '$name' must be nullable — existing rows " +
+              "null-fill; there is no value to backfill NOT NULL with")
+          require(!sch.fieldNames.exists(
+            spark.sessionState.conf.resolver(_, name)),
+            s"column '$name' already exists in ${ident.name}")
+          sch.add(name, add.dataType, nullable = true)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER on graft tables: $other — only ADD " +
+            "COLUMN; drops/renames/type changes stay with the library")
+      }
+    }
+    s.declareSchema(ident.name, widened)
+    new GraftTable(root, ident.name, epoch = None)
+  }
+
+  private def spark: SparkSession = SparkSession.active
 
   /** `DROP TABLE graft.t` — close the lifecycle the catalog opened
     * with CREATE/CTAS: remove the base table AND every index-family
@@ -403,7 +448,23 @@ private[sql] class GraftTable(
     // the bucket routing column is store-internal layout, not table
     // surface: SQL readers never see it, INSERT never has to supply it
     // (the upsert path recomputes it)
-    if (raw.columns.contains(s.BucketCol)) raw.drop(s.BucketCol) else raw
+    val surfaced =
+      if (raw.columns.contains(s.BucketCol)) raw.drop(s.BucketCol) else raw
+    // CURRENT reads serve the DECLARED surface: a column added by SQL
+    // ALTER (metadata-only — see GraftCatalog.alterTable) null-fills
+    // until data carries it. Time-travel reads keep the epoch's own
+    // shape — old snapshots predate the evolution.
+    epoch match {
+      case None =>
+        store().declaredSchemaOf(tableName) match {
+          case Some(decl) =>
+            val have = surfaced.columns.toSet
+            decl.fields.filterNot(f => have(f.name)).foldLeft(surfaced)(
+              (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+          case None => surfaced
+        }
+      case Some(_) => surfaced
+    }
   }
 
   override def name(): String =
@@ -413,7 +474,11 @@ private[sql] class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: Spark's analyzer gates on this
+      // capability, then routes the source-minus-target column adds
+      // through GraftCatalog.alterTable and reloads the relation
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(() => frame())

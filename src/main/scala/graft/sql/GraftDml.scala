@@ -117,9 +117,12 @@ object GraftDml {
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
           case Some((rel, gt)) =>
-            require(!m.withSchemaEvolution,
-              "MERGE WITH SCHEMA EVOLUTION is not supported on graft " +
-                "tables — evolve through the library's upsert first")
+            // WITH SCHEMA EVOLUTION needs no handling here: by the
+            // time the plan resolves, Spark's own rule has routed the
+            // source-minus-target adds through the catalog's
+            // alterTable (AUTOMATIC_SCHEMA_EVOLUTION capability) and
+            // rebuilt `rel` with the widened output — the merge below
+            // sees an ordinary, already-evolved target.
             requireCurrent(gt, "MERGE INTO")
             GraftDmlCommand("MERGE", gt.graftTableName,
               sp => runMerge(sp, gt.graftRoot, gt.graftTableName, rel,

@@ -145,6 +145,21 @@ private[sql] object GraftProcedures {
       "heal pk-set divergence of every per-pk index: ghosts retract, " +
         "missing vector rows re-encode from recorded provenance; one " +
         "row per healed divergence (no rows = nothing to heal)"),
+    Proc("heal_window",
+      Seq(in("table", StringType), in("from_epoch", LongType),
+        inDefault("to_epoch", LongType, "-1")),
+      StructType(Seq(StructField("family", StringType),
+        StructField("pks_refreshed", LongType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        val to = args.getLong(2)
+        graft.store.IndexMaintain.healWindow(s, t, args.getLong(1),
+          if (to < 0) None else Some(to))
+          .map { case (fam, n) => row(utf8(fam), n) }
+      },
+      "re-refresh every per-pk index for exactly the pks the change " +
+        "feed reports upserted in (from_epoch, to_epoch] — heals " +
+        "content-stale rows a bypassed write left behind, O(window)"),
     Proc("refresh_stats", Seq(in("table", StringType)),
       StructType(Seq(StructField("table", StringType),
         StructField("files", LongType))),

@@ -351,14 +351,19 @@ object Doctor {
     * pruneFiles call footer-walks on the driver (slow, never wrong),
     * and tracked-but-gone files that waste manifest rows.
     */
-  /** A `_graft_schema` marker (SQL CREATE/CTAS) is only CONSULTED
-    * while the table holds no data — but if a delete later empties the
-    * table, readers fall back to it. A marker that drifted from the
-    * evolved data schema would then silently serve the ORIGINAL shape,
-    * so divergence is named here while the data still exists to
-    * compare against (fix: re-declare, or remove the marker).
-    * Name+type only — nullability and the store-internal bucket
-    * column are not part of the declared surface.
+  /** A `_graft_schema` marker (SQL CREATE/CTAS/ALTER) serves two
+    * roles: the schema while the table holds no data, and — since SQL
+    * `ALTER TABLE ADD COLUMN` — the declared surface the catalog's
+    * reader NULL-FILLS declared-but-missing columns from. A marker
+    * that is a SUPERSET of the data (agreeing on shared column types)
+    * is therefore the VALID pending-evolution state, not drift: the
+    * added column simply has no data yet. What IS drift: a data
+    * column absent from the marker (library-side evolution the marker
+    * never learned — a delete emptying the table would serve the
+    * stale narrow shape) or a type disagreement on a shared column
+    * (fix: re-declare, or remove the marker). Name+type only —
+    * nullability and the store-internal bucket column are not part of
+    * the declared surface.
     */
   private def declaredSchema(store: TableStore, table: String): Seq[Issue] =
     store.declaredSchemaOf(table) match {
@@ -369,22 +374,18 @@ object Doctor {
               .filterNot(_.name == store.BucketCol)
               .map(f => f.name -> f.dataType).toMap
             val decl = declared.fields.map(f => f.name -> f.dataType).toMap
-            if (decl == actual) Seq.empty
-            else {
-              val drift =
-                (decl.keySet -- actual.keySet).toSeq.sorted
-                  .map(c => s"$c only declared") ++
-                (actual.keySet -- decl.keySet).toSeq.sorted
-                  .map(c => s"$c only in data") ++
-                decl.keySet.intersect(actual.keySet).toSeq.sorted
-                  .filter(c => decl(c) != actual(c))
-                  .map(c => s"$c ${decl(c)}→${actual(c)}")
-              Seq(Issue("schema", table,
-                s"declared-schema marker diverges from the data " +
-                  s"(${drift.mkString(", ")}) — a delete emptying the " +
-                  "table would serve the stale declared shape; " +
-                  "re-declare (declareSchema) or remove the marker"))
-            }
+            val drift =
+              (actual.keySet -- decl.keySet).toSeq.sorted
+                .map(c => s"$c only in data") ++
+              decl.keySet.intersect(actual.keySet).toSeq.sorted
+                .filter(c => decl(c) != actual(c))
+                .map(c => s"$c ${decl(c)}→${actual(c)}")
+            if (drift.isEmpty) Seq.empty
+            else Seq(Issue("schema", table,
+              s"declared-schema marker diverges from the data " +
+                s"(${drift.mkString(", ")}) — a delete emptying the " +
+                "table would serve the stale declared shape; " +
+                "re-declare (declareSchema) or remove the marker"))
           case None => Seq.empty // empty table: the marker IS the schema
         }
       case None => Seq.empty

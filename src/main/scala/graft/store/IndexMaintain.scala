@@ -190,6 +190,50 @@ object IndexMaintain {
       case _ => Nil
     }
 
+  /** Heal CONTENT-STALE index rows over an epoch window — the gap
+    * [[healDiverged]] documents as undetectable from pk coverage: a
+    * base write that bypassed index maintenance (library
+    * `store.upsert`, a family skipped on pk-mismatch later fixed)
+    * leaves the postings/codes of exactly the window's upserted pks
+    * outdated, and the CHANGE FEED knows which pks those are. This
+    * verb re-refreshes precisely them: one
+    * [[TableStore.readChangesSince]] for the window's inserted pks,
+    * one semi-join to their CURRENT base rows, then each refreshable
+    * family's own delete-and-replace refresh — cost O(window + touched
+    * index buckets), never O(table), and idempotent in effect
+    * (replace-by-pk: a second run rewrites the same correct rows).
+    * Deleted pks are out of scope — an index can never retract by
+    * refresh; [[Retract.cascade]] owns deletes and
+    * [[healDiverged]]/healGhosts repair their aftermath. One epoch
+    * when the base and index tables are all governed. Returns
+    * (family, pks-refreshed).
+    */
+  def healWindow(
+      store: TableStore, table: String, fromEpoch: Long,
+      toEpoch: Option[Long] = None): Seq[(String, Long)] =
+    store.bucketLayoutOf(table) match {
+      case Some((_, Seq(pk))) =>
+        val (fams, _) = resolve(store, table, pk)
+        if (fams.isEmpty) return Nil
+        val to = toEpoch.orElse(store.currentEpochIfAny).getOrElse(
+          return Nil)
+        val feed = store.readChangesSince(table, fromEpoch, to, Seq(pk))
+        val upserted = feed
+          .filter(org.apache.spark.sql.functions.col(store.ChangeTypeCol)
+            === "insert")
+          .select(org.apache.spark.sql.functions.col(pk)).distinct()
+        val rows = Iteration.materialize(
+          store.read(table).join(upserted, Seq(pk), "left_semi"))
+        val n = rows.count()
+        if (n == 0L) return Nil
+        def go(): Unit = fams.foreach(_.refresh(store, table, rows, pk))
+        val governed = store.governed
+        val atomic = fams.flatMap(_.writes).forall(governed.contains)
+        if (atomic && !store.inTransaction) store.transact(go()) else go()
+        fams.map(f => f.name -> n)
+      case _ => Nil
+    }
+
   def upsertMaintained(
       store: TableStore, table: String, batch: DataFrame,
       pk: Seq[String]): (Seq[String], Seq[String]) = {

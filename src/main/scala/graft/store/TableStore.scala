@@ -79,11 +79,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     val tmp = new Path(path(name + ".__tmp"))
     val dst = new Path(path(name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // the stats manifest lives INSIDE the table dir, so the swap
-    // destroys it with the old files — remember and rebuild after, so
-    // a table that opted into file skipping stays skippable across
-    // every whole-table rewrite (overwrite, compact, schema evolution)
+    // the stats manifest and the declared-schema marker live INSIDE
+    // the table dir, so the swap destroys them with the old files —
+    // remember and restore after, so a table that opted into file
+    // skipping stays skippable and a declared surface (SQL
+    // CREATE/ALTER) survives every whole-table rewrite (overwrite,
+    // compact, schema evolution)
     val hadStats = hasFileStats(name)
+    val declared = declaredSchemaOf(name)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
@@ -91,6 +94,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"rename $tmp -> $dst failed; data is preserved at $tmp")
+    declared.foreach(declareSchema(name, _))
     if (hadStats) refreshFileStats(name)
   }
 

@@ -74,7 +74,9 @@ import graft.store.{EpochFollower, TableStore}
   * multi mode); `mode` = `changes` (default, rows tagged
   * `_change_type ∈ {insert, delete}`) | `appends` (file-level
   * at-least-once adds, no tag column, rewrite-skipping via
-  * [[TableStore.readAddedSince]]; single-table only); `startingEpoch`
+  * [[TableStore.readAddedSince]]; composes with `tables=` — per-member
+  * adds over one global window, `_table` tagged, the never-torn
+  * pairing without the exact-feed price); `startingEpoch`
   * = `earliest` (default: first batch is the full table(s) as
   * inserts) | `latest` (only commits after query start); OR
   * `startingTimestamp` (epoch millis or ISO-8601 instant — commits
@@ -195,7 +197,12 @@ class EpochLogSource(
     val frame = baseE match {
       case Some(b) if b >= endE => emptyFrame()
       case Some(b) =>
-        if (mode == "appends") store.readAddedSince(tables.head, b, endE)
+        if (mode == "appends")
+          // per-member file-level adds over the ONE global window —
+          // the rewrite-aware walk itself yields nothing for an
+          // unchanged member (empty frame, metadata cost only)
+          unionAligned(members.map { case (t, _) =>
+            tagged(t, store.readAddedSince(t, b, endE)) })
         else unionAligned(members.flatMap { case (t, pk) =>
           if (logicalIn(t, b, endE))
             Some(tagged(t, store.readChangesSince(t, b, endE, pk)))
@@ -329,8 +336,8 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
   }
 
   /** `table` + `pk` (single) XOR `tables` + per-member `pk.<t>`
-    * (multi). Multi is changes-mode only — `appends` has no pk and no
-    * torn-join problem to solve.
+    * (multi). In `appends` mode no key exists or is needed (file-level
+    * adds) — multi members resolve with empty pks.
     */
   private def resolveMembers(
       parameters: Map[String, String], mode: String): Seq[(String, Seq[String])] =
@@ -338,15 +345,15 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
       case Some(ts) =>
         require(!parameters.contains("table"),
           "pass option(\"table\", ...) or option(\"tables\", ...), not both")
-        require(mode == "changes",
-          "multi-table graft-cdc is changes-mode only")
         val names = splitCsv(ts)
         require(names.nonEmpty, "tables must name at least one table")
         names.map { t =>
-          t -> parameters.get(s"pk.$t").map(splitCsv).getOrElse(
-            throw new IllegalArgumentException(
+          t -> parameters.get(s"pk.$t").map(splitCsv).getOrElse {
+            if (mode == "appends") Seq.empty
+            else throw new IllegalArgumentException(
               s"multi-table graft-cdc needs option(\"pk.$t\", ...) — " +
-                "each member's logical key"))
+                "each member's logical key")
+          }
         }
       case None =>
         val table = required(parameters, "table")

@@ -65,6 +65,20 @@ class ScaleShapeSpec extends SparkSpec {
       "a pair-expansion or join-back is leaking quadratic volume")
   }
 
+  test("SQL DML shuffle volume grows ≤ ~linearly in the source batch " +
+    "from sf0.01 to sf0.1") {
+    assume(available, s"driver testdata missing at $lo / $hi")
+    // the full statement path: scratch-store build + the MERGE's one
+    // right-outer join + the FUSED guard aggregate (cardinality +
+    // duplicate-pk in one action) + bucketed upsert/cascade. A guard
+    // that recomputed the join per rule, or a join that went O(table ×
+    // batch), would surface as α well above linear.
+    pinAlpha(Seq(
+      "q_update_where" -> "customer",
+      "q_merge_upsert" -> "orders"),
+      "a DML guard or merge join is leaking super-linear volume")
+  }
+
   test("ANN/similarity-family shuffle volume grows ≤ ~linearly " +
     "from sf0.01 to sf0.1") {
     assume(available, s"driver testdata missing at $lo / $hi")

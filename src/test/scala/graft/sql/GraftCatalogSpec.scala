@@ -566,6 +566,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(truncFeed === Set((1L, "delete"), (2L, "delete"), (3L, "delete")))
   }
 
+  test("multi-table graft-changes mode=appends: per-member file adds " +
+    "over one global window — a joint transact never tears, no pk or " +
+    "_change_type needed, pruning reaches the parquet scan") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("a", "b"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    store.upsert("b", Seq((10L, "b1", 7)).toDF("id", "v", "extra"), Seq("id"))
+    val e0 = store.snapshot().epoch
+    store.transact {
+      store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+      store.upsert("b", Seq((20L, "b2", 8)).toDF("id", "v", "extra"), Seq("id"))
+    }
+    val e1 = store.snapshot().epoch
+    // a rewrite-only commit must contribute no appends
+    store.compact("a")
+    val e2 = store.snapshot().epoch
+
+    val opts = Map("root" -> root, "tables" -> "a,b", "mode" -> "appends",
+      "fromEpoch" -> e0.toString, "toEpoch" -> e1.toString)
+    val joint = spark.read.format("graft-changes").options(opts).load()
+    assert(joint.columns.head === "_table")
+    assert(!joint.columns.contains("_change_type"),
+      "appends mode serves untyped adds")
+    val rows = joint.select(col("_table"), col("id").cast("long"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // file-level at-least-once: rewritten files may carry surviving
+    // old rows too — the never-torn claim is that BOTH members' adds
+    // arrive in the one read
+    assert(rows.contains(("a", 2L, "a2")) && rows.contains(("b", 20L, "b2")),
+      s"the joint transact's adds must pair in one read: $rows")
+
+    // rewrite-only window: nothing to deliver for either member
+    val quiet = spark.read.format("graft-changes")
+      .options(opts + ("fromEpoch" -> e1.toString, "toEpoch" -> e2.toString))
+      .load()
+    assert(quiet.count() === 0L,
+      "a compaction is not an append — the rewrite-aware walk skips it")
+
+    // the projection reaches each member's parquet scan
+    val rel = new ChangesRelationProvider()
+      .createRelation(spark.sqlContext, opts)
+      .asInstanceOf[ChangesRelation]
+    val innerScans = rel.project(Array("id"), Array.empty)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSeq
+      }
+    assert(innerScans.nonEmpty && innerScans.forall(_ == Seq("id")),
+      s"parquet ReadSchema carries ${innerScans} — the appends window " +
+        "deserializes columns the projection dropped")
+  }
+
   test("stored procedures: CALL graft.system.* runs the maintenance verbs") {
     import graft.store.{Doctor, Sq}
     val (_, store) = mountCatalog()
@@ -755,6 +807,51 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft.never_was")
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only evolution: readers " +
+    "null-fill until data carries the column, no file rewrite, Doctor " +
+    "green, old epochs keep the old shape") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    val filesBefore = store.dataFiles("t").toSet
+
+    spark.sql("ALTER TABLE graft.t ADD COLUMN score DOUBLE")
+
+    assert(store.dataFiles("t").toSet === filesBefore,
+      "ADD COLUMN must not rewrite a single data file")
+    assert(store.snapshot().epoch === e1,
+      "metadata-only: no new epoch")
+    val rows = spark.sql("SELECT id, v, score FROM graft.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", None)),
+      "existing rows null-fill the added column")
+    assert(graft.store.Doctor.check(store)
+      .filter(_.component == "schema") === Seq.empty,
+      "a declared-superset marker is pending evolution, not drift")
+
+    // data starts carrying the column through ordinary writes
+    spark.sql("INSERT INTO graft.t VALUES (3L, 'c', 9.5D)")
+    assert(spark.sql("SELECT score FROM graft.t WHERE id = 3")
+      .collect().head.getDouble(0) === 9.5)
+    assert(spark.sql("SELECT count(*) FROM graft.t WHERE score IS NULL")
+      .collect().head.getLong(0) === 2L)
+    // the pre-evolution epoch time-travels with the OLD shape
+    assert(!spark.sql(s"SELECT * FROM graft.t VERSION AS OF $e1")
+      .columns.contains("score"),
+      "old snapshots predate the evolution")
+
+    // guardrails: duplicate and non-nullable adds refuse
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t ADD COLUMN v STRING"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    val nn = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t ADD COLUMN req STRING NOT NULL"))
+    assert(nn.getMessage.toLowerCase.contains("null"), nn.getMessage)
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
@@ -763,9 +860,11 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.t RENAME TO graft.t2"))
     assert(e.getMessage.toLowerCase.contains("support") ||
       e.getMessage.toLowerCase.contains("rename"), e.getMessage)
+    // ADD COLUMN is supported (see the evolution test); everything
+    // else on ALTER still refuses with the library pointer
     val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graft.t ADD COLUMN w STRING"))
-    assert(alter.getMessage.toLowerCase.contains("upsert") ||
+      spark.sql("ALTER TABLE graft.t DROP COLUMN v"))
+    assert(alter.getMessage.toLowerCase.contains("library") ||
       alter.getMessage.toLowerCase.contains("support"), alter.getMessage)
     val missing = intercept[Exception](
       spark.sql("SELECT * FROM graft.never_was").collect())

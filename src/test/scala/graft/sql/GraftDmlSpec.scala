@@ -371,6 +371,56 @@ class GraftDmlSpec extends SparkSpec {
       Seq((1L, "keep"), (2L, "updated"), (4L, "inserted")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a source-only column evolves the " +
+    "table through the catalog's ALTER hook; old epochs keep the old " +
+    "shape; the CDC feed serves the union schema; indexes unaffected") {
+    import graft.store.Fts
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.upsert("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    Fts.upsertWithIndexCols(store, "t",
+      store.read("t").drop(store.BucketCol).withColumn("v", col("v")),
+      "id", Seq("v"), buckets = 2)
+    store.ensureGoverned(Seq("t", Fts.indexName("t"), Fts.statsName("t")))
+    val e1 = store.snapshot().epoch
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.t t
+        |USING (SELECT 2L AS id, 'B' AS v, 7L AS score
+        |       UNION ALL SELECT 9L, 'z', 3L) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(spark.sql("SELECT id, v, score FROM graft.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ===
+      Seq((1L, "a", -1L), (2L, "B", 7L), (9L, "z", 3L)),
+      "the source-only column lands; untouched rows null-fill")
+    // the pre-evolution epoch time-travels with the OLD shape
+    assert(!spark.sql(s"SELECT * FROM graft.t VERSION AS OF $e1")
+      .columns.contains("score"))
+    // the CDC feed serves the union schema across the evolution
+    val e2 = store.snapshot().epoch
+    val feed = store.readChangesSince("t", e1, e2, Seq("id"))
+    assert(feed.columns.contains("score"))
+    assert(feed.filter(col("id") === 9L).select("score")
+      .collect().head.getLong(0) === 3L)
+    // the FTS index refreshed with the merge and is untouched by the
+    // new column
+    assert(store.read(Fts.indexName("t"))
+      .filter(col("pk") === 9L).count() > 0L)
+    // a second evolving merge is idempotent on the schema (the column
+    // now exists — no further ALTER)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.t t
+        |USING (SELECT 1L AS id, 'A' AS v, 5L AS score) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.sql("SELECT score FROM graft.t WHERE id = 1")
+      .collect().head.getLong(0) === 5L)
+  }
+
   test("flat MERGE with ONLY not-matched clauses: a target row matched " +
     "by several source rows survives exactly once (no silent duplication); " +
     "with matched clauses present the cardinality rule still refuses") {

@@ -149,6 +149,61 @@ class IndexMaintainSpec extends SparkSpec {
       "Doctor must name the coverage gap the skip left")
   }
 
+  test("healWindow re-refreshes exactly the change feed's upserted pks: " +
+    "a bypassed write's content-stale and missing index rows heal to a " +
+    "from-scratch rebuild, at O(window) cost") {
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    val base = corpus(8).toDF("id", "full_text", "e")
+    store.upsert("t", base, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t", store.read("t").drop(store.BucketCol),
+      "id", Seq("full_text"), buckets = 2)
+    // buildIndex's frame IS the base upsert batch (replace semantics —
+    // a projection would null-fill the other columns): pass full rows
+    Sq.buildIndex(store, "t", store.read("t").drop(store.BucketCol),
+      "id", "e")
+    store.ensureGoverned(Seq("t"))
+    val e1 = store.snapshot().epoch
+
+    // a write that BYPASSES index maintenance: one changed doc
+    // (content-stale postings) and one new doc (missing everywhere)
+    store.upsert("t",
+      Seq((3L, "totally rewritten text", (0 until dims).map(_ * 1.0)),
+        (50L, "brand new doc", (0 until dims).map(_ * 2.0)))
+        .toDF("id", "full_text", "e"), Seq("id"))
+    val e2 = store.snapshot().epoch
+    assert(store.read(Fts.indexName("t"))
+      .filter(col("pk") === 3L && col("token") === "rewritten").isEmpty,
+      "fixture: the bypassed write must have left the postings stale")
+
+    val healed = IndexMaintain.healWindow(store, "t", e1, Some(e2))
+    assert(healed.toMap.get("fts").contains(2L), s"got $healed")
+    assert(healed.toMap.get("sq").contains(2L), s"got $healed")
+
+    // postings now match a from-scratch rebuild of the same corpus
+    val refStore = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-imref").toString)
+    Fts.upsertWithIndexCols(refStore, "ref",
+      store.read("t").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    def postings(s: TableStore, idx: String) =
+      s.read(idx).select(col("pk").cast("long"), col("token"), col("tf"),
+        col("dl")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(postings(store, Fts.indexName("t")) ===
+      postings(refStore, Fts.indexName("ref")),
+      "healed postings must equal a from-scratch rebuild")
+    assert(store.read(Sq.codesName("t")).filter(col("pk") === 50L)
+      .count() === 1L, "the missing vector row re-encoded")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // re-running is idempotent in effect; SQL surface works too
+    spark.sql(s"CALL graft.system.heal_window('t', $e1, $e2)")
+    assert(postings(store, Fts.indexName("t")) ===
+      postings(refStore, Fts.indexName("ref")))
+  }
+
   test("FTS enforces the same pk-provenance rule as the _meta families: " +
     "an index built under a different key than the declared bucket pk " +
     "is skipped, never refreshed with the declared pk") {

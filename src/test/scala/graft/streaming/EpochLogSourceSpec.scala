@@ -437,6 +437,60 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-table appends mode: per-member file adds over one global " +
+    "window — a joint transact's files land in ONE micro-batch, no pk " +
+    "options needed, no _change_type") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureGoverned(Seq("a", "b"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    store.upsert("b", Seq((10L, "b1")).toDF("id", "v"), Seq("id"))
+
+    val batches = mutable.ArrayBuffer[Map[String, Set[Long]]]()
+    val src = spark.readStream.format("graft-cdc")
+      .option("root", root).option("tables", "a,b")
+      .option("mode", "appends").option("startingEpoch", "latest")
+      .load()
+    assert(src.columns.head === "_table")
+    assert(!src.columns.contains("_change_type"),
+      "appends mode must not carry a change-type column")
+    val q = src.writeStream
+      .option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val rows = df.select(col("_table"), col("id").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        batches.synchronized {
+          if (rows.nonEmpty)
+            batches += rows.groupBy(_._1).map { case (t, rs) =>
+              t -> rs.map(_._2).toSet }
+        }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      store.transact {
+        store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+        store.upsert("b", Seq((20L, "b2")).toDF("id", "v"), Seq("id"))
+      }
+      q.processAllAvailable()
+      val joint = batches.synchronized(batches.toSeq)
+      assert(joint.nonEmpty)
+      val withA = joint.filter(_.get("a").exists(_.contains(2L)))
+      assert(withA.nonEmpty && withA.forall(m =>
+        m.get("b").exists(_.contains(20L))),
+        s"the joint transact's adds must land in ONE micro-batch: $joint")
+      // a rewrite delivers nothing for either member
+      val n = batches.synchronized(batches.size)
+      store.compact("a")
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.size) === n,
+        "a compaction is not an append")
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   /** foreachBatch sink for the multi-table form: records, per
     * micro-batch, which member tables contributed rows — the torn-join
     * witness — plus every delivered (table, pk, value, tag) row.
