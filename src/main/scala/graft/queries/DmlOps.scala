@@ -68,7 +68,9 @@ object DmlOps {
   // bucketed governed copy of customer, sourced from an orders
   // aggregate: heavy customers (≥15 orders) DELETE (the cascade
   // path), the rest UPDATE (acctbal += order count), and a shifted
-  // key range INSERTs as new rows. End state = left-join CASE +
+  // key range INSERTs as new rows (offset 1e9: disjoint from the live
+  // key range up to sf ~6000, so no scale factor can make a shifted
+  // key MATCH a real customer and diverge from the oracle). End state = left-join CASE +
   // anti-filter + union in the oracle.
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val store = mountScratch(spark)
@@ -84,7 +86,7 @@ object DmlOps {
         |  SELECT o_custkey AS k, COUNT(*) AS n
         |  FROM dml_orders_src GROUP BY o_custkey
         |  UNION ALL
-        |  SELECT o_custkey + 1000000, COUNT(*)
+        |  SELECT o_custkey + 1000000000, COUNT(*)
         |  FROM dml_orders_src GROUP BY o_custkey
         |) s
         |ON t.c_custkey = s.k
@@ -110,7 +112,7 @@ object DmlOps {
       |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
       |WHERE s.k IS NULL OR s.n < 15
       |UNION ALL
-      |SELECT k + 1000000, 'merged', CAST(n AS DOUBLE), 'NEW' FROM src
+      |SELECT k + 1000000000, 'merged', CAST(n AS DOUBLE), 'NEW' FROM src
       |ORDER BY c_custkey""".stripMargin
 
   def ops: Seq[Op] = Seq(

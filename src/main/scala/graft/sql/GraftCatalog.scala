@@ -456,7 +456,7 @@ private[sql] class GraftTable(
     // shape — old snapshots predate the evolution.
     epoch match {
       case None =>
-        store().declaredSchemaOf(tableName) match {
+        s.declaredSchemaOf(tableName) match {
           case Some(decl) =>
             val have = surfaced.columns.toSet
             decl.fields.filterNot(f => have(f.name)).foldLeft(surfaced)(
@@ -653,13 +653,15 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
               // trigger contract, one epoch when governed) — see
               // graft.store.IndexMaintain
               graft.store.IndexMaintain.upsertMaintained(s, table, data, pk)
-            case None if wantOverwrite => s.overwrite(table, data)
             case None =>
-              // flat tables keep the append-by-rewrite contract — but
-              // a flat table WITH per-pk indexes has no declared key
-              // to refresh them by, so accepting the write would
-              // silently diverge every index. Refuse with the library
-              // pointer, the same boundary DELETE/UPDATE/MERGE hold.
+              // flat tables keep the append-by-rewrite (or, for
+              // OVERWRITE, whole-swap) contract — but a flat table
+              // WITH per-pk indexes has no declared key to refresh
+              // them by, so accepting EITHER write would silently
+              // diverge every index (OVERWRITE strictly worse: all
+              // postings go stale, not just the batch's). Refuse with
+              // the library pointer, the same boundary
+              // DELETE/UPDATE/MERGE hold.
               val indexed = graft.store.Retract.indexTablesOf(s, table)
               require(indexed.isEmpty,
                 s"$table has maintained per-pk indexes " +
@@ -667,11 +669,12 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
                   "SQL INSERT cannot keep them consistent without a key; " +
                   "use the library's upsertWith* verbs (or declare a pk " +
                   "via ensureBucketed)")
-              val merged = s.readIfExists(table) match {
-                case Some(cur) => cur.unionByName(data, allowMissingColumns = true)
+              if (wantOverwrite) s.overwrite(table, data)
+              else s.overwrite(table, s.readIfExists(table) match {
+                case Some(cur) =>
+                  cur.unionByName(data, allowMissingColumns = true)
                 case None => data
-              }
-              s.overwrite(table, merged)
+              })
           }
         }
       }

@@ -468,6 +468,30 @@ object Fts {
       else None
     }
 
+  /** (indexed columns, recorded pk) in ONE read of the 1-row stats
+    * table — the hot-DML-path accessor ([[IndexMaintain.resolve]]
+    * consults both per SQL write; separate statsCols/statsPk calls
+    * would pay two collect jobs for one row).
+    */
+  private[store] def statsProvenance(
+      store: TableStore, table: String): (Option[Seq[String]], Option[String]) =
+    store.readIfExists(statsName(table)) match {
+      case Some(st) =>
+        val hasCols = st.columns.contains("cols")
+        val hasPk = st.columns.contains("pk")
+        if (!hasCols && !hasPk) (None, None)
+        else {
+          val r = st.select(
+            (if (hasCols) col("cols") else lit(null).cast("string"))
+              .as("cols"),
+            (if (hasPk) col("pk") else lit(null).cast("string")).as("pk"))
+            .head
+          (Option(r.getString(0)).map(_.split(",", -1).toSeq),
+            Option(r.getString(1)))
+        }
+      case None => (None, None)
+    }
+
   /** Indexed column names recorded in the stats row (None = legacy
     * stats from before multi-column support).
     */

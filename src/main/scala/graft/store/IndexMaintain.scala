@@ -59,7 +59,7 @@ object IndexMaintain {
     val skip = Seq.newBuilder[String]
 
     if (store.exists(Fts.indexName(table)))
-      (Fts.statsCols(store, table), Fts.statsPk(store, table)) match {
+      Fts.statsProvenance(store, table) match {
         // same pk-provenance rule as every `_meta`-carrying family:
         // an index recorded under a DIFFERENT key than the declared
         // bucket pk (or predating pk capture) is skipped, never

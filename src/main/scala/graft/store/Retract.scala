@@ -56,36 +56,42 @@ object Retract {
     (if (store.exists(Fts.indexName(table))) Seq(Fts.indexName(table))
      else Nil) ++ registry(table).map(_._1).filter(store.exists)
 
+  /** Model-PARAMETER tables per family — what [[cascade]] deliberately
+    * leaves alive (they parameterize the encoding, not the corpus) but
+    * a DROP must take: FTS's stats/epoch rows, LSH's params, the
+    * centroids/codebooks/scales. Keep this next to [[registry]]: a new
+    * family adds its per-pk tables THERE and its parameter tables
+    * HERE, and every consumer (cascade, ghost heal, the DROP
+    * inventory) stays complete.
+    */
+  private def paramsRegistry(table: String): Seq[String] = Seq(
+    Fts.statsName(table), Fts.epochName(table),
+    Lsh.paramsName(table),
+    Sq.scalesName(table),
+    Pq.booksName(table),
+    Ivf.centsName(table),
+    IvfPq.centsName(table), IvfPq.booksName(table),
+    IvfSq.centsName(table), IvfSq.scalesName(table),
+    IvfBin.centsName(table))
+
   /** EVERY store artifact belonging to `table`'s index families that
-    * exists right now — the per-pk tables [[indexTablesOf]] names PLUS
-    * everything that parameterizes them: FTS stats/epoch rows, LSH
-    * params, centroids/codebooks/scales, k-means occupancy snapshots,
-    * and the `_meta` training-provenance rows. This is the DROP
-    * inventory: removing a table without these leaves orphans no
-    * later build can reach (they key on a dead name) and pointless
-    * bytes on disk. Contrast [[cascade]], which deliberately leaves
-    * model-parameter tables alive — there the corpus survives; here
-    * it does not.
+    * exists right now — the per-pk tables [[indexTablesOf]] names
+    * (derived from the SAME [[registry]] the cascade uses, so a new
+    * family is never silently absent here) PLUS everything that
+    * parameterizes them ([[paramsRegistry]]) and the derived `_meta`
+    * training-provenance rows and k-means occupancy snapshots. This
+    * is the DROP inventory: removing a table without these leaves
+    * orphans no later build can reach (they key on a dead name) and
+    * pointless bytes on disk. Contrast [[cascade]], which
+    * deliberately leaves model-parameter tables alive — there the
+    * corpus survives; here it does not.
     */
   def artifactTablesOf(store: TableStore, table: String): Seq[String] = {
-    val fts = Seq(
-      Fts.indexName(table), Fts.statsName(table), Fts.epochName(table))
-    val families = Seq(
-      Trigram.indexName(table),
-      Lsh.indexName(table), Lsh.mapName(table), Lsh.paramsName(table),
-      Sq.codesName(table), Sq.scalesName(table),
-      Pq.codesName(table), Pq.booksName(table),
-      Bin.codesName(table),
-      Ivf.indexName(table), Ivf.centsName(table), Ivf.mapName(table),
-      IvfPq.codesName(table), IvfPq.centsName(table),
-      IvfPq.booksName(table), IvfPq.mapName(table),
-      IvfSq.codesName(table), IvfSq.centsName(table),
-      IvfSq.scalesName(table), IvfSq.mapName(table),
-      IvfBin.codesName(table), IvfBin.centsName(table),
-      IvfBin.mapName(table))
-    val derived = families.flatMap(f =>
+    val perPk = Fts.indexName(table) +: registry(table).map(_._1)
+    val params = paramsRegistry(table)
+    val derived = (perPk ++ params).flatMap(f =>
       Seq(IvfDrift.metaName(f), IvfDrift.snapName(f)))
-    (fts ++ families ++ derived).distinct.filter(store.exists)
+    (perPk ++ params ++ derived).distinct.filter(store.exists)
   }
 
   /** Every table a [[cascade]] on `table` would WRITE for its indexes

@@ -152,6 +152,14 @@ class TableStore(val spark: SparkSession, val root: String) {
   def dropTables(names: Seq[String]): Unit = {
     require(activeTx.isEmpty, "cannot drop tables inside a transaction")
     require(pinnedCommit.isEmpty, "cannot drop tables inside withSnapshot")
+    // the cursor guard runs regardless of governance — a consumer can
+    // be registered on a table the current pointer no longer lists,
+    // and its diff-base break would be just as silent
+    val cursorsOn = EpochFollower.cursors(this).keys.collect {
+      case (t, c) if names.contains(t) => s"$c (on $t)" }.toSeq.sorted
+    require(cursorsOn.isEmpty,
+      s"registered consumer cursor(s) ${cursorsOn.mkString(", ")} — " +
+        "drop-consumer first (or DROP TABLE ... PURGE)")
     val governedNow = names.filter(isGoverned)
     if (governedNow.nonEmpty) {
       val commitByEpoch = listCommits().toMap
@@ -162,11 +170,6 @@ class TableStore(val spark: SparkSession, val root: String) {
       require(taggedBy.isEmpty,
         s"pinned by release tag(s) ${taggedBy.mkString(", ")} — " +
           "drop-tag first (or DROP TABLE ... PURGE)")
-      val cursorsOn = EpochFollower.cursors(this).keys.collect {
-        case (t, c) if names.contains(t) => s"$c (on $t)" }.toSeq.sorted
-      require(cursorsOn.isEmpty,
-        s"registered consumer cursor(s) ${cursorsOn.mkString(", ")} — " +
-          "drop-consumer first (or DROP TABLE ... PURGE)")
       currentCommit.foreach { case (epoch, tables) =>
         val remaining = tables -- governedNow
         writePointer(epoch + 1, remaining.toSeq.sorted
@@ -1841,17 +1844,6 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
     writePointer(next,
       (tables ++ added).toSeq.sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
-  }
-
-  private def ungovern(name: String): Unit = {
-    require(activeTx.isEmpty, "cannot change governance inside a transaction")
-    require(pinnedCommit.isEmpty, "cannot change governance inside withSnapshot")
-    currentCommit.foreach { case (epoch, tables) =>
-      if (tables.contains(name))
-        writePointer(epoch + 1,
-          (tables - name).toSeq.sorted
-            .map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
-    }
   }
 
   /** Run `f` with every governed-table write STAGED, then commit them

@@ -689,6 +689,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(refuse.getMessage.contains("index"), refuse.getMessage)
     assert(store.read("flat").count() === before,
       "the refused INSERT must not write")
+    // OVERWRITE diverges strictly worse (every posting goes stale,
+    // not just the batch's) — same refusal
+    val refuseOvr = intercept[Exception](
+      spark.sql("INSERT OVERWRITE graft.flat VALUES (99, 'replace all')"))
+    assert(refuseOvr.getMessage.contains("index"), refuseOvr.getMessage)
+    assert(store.read("flat").count() === before,
+      "the refused INSERT OVERWRITE must not write")
     // the library pointer works: declaring a pk re-enables SQL INSERT
     // through the maintained-upsert path
     store.bucketize("flat", Seq("id"), 2)
