@@ -321,5 +321,16 @@ class CliSpec extends SparkSpec {
     assert(store.read("kv").select("id", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((1L, "a2!"), (2L, "B2"), (3L, "c")))
+
+    // round-14 lifecycle closers ride the same session: metadata-only
+    // ALTER ADD COLUMN, the window heal procedure, and DROP TABLE
+    cli("sql", dir, "ALTER TABLE graft.kv ADD COLUMN score DOUBLE")
+    cli("sql", dir, "UPDATE graft.kv SET score = 1.5 WHERE id = 2")
+    assert(store.read("kv").filter(col("id") === 2L)
+      .select("score").collect().head.getDouble(0) === 1.5)
+    cli("sql", dir, s"CALL graft.system.heal_window('kv', 0)")
+    cli("sql", dir, "DROP TABLE graft.kv2")
+    assert(!store.tableNames.contains("kv2"),
+      "DROP through the CLI must remove the table")
   }
 }
