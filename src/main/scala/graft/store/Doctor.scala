@@ -27,6 +27,39 @@ object Doctor {
     def baseOf(idx: String, suffix: String): String =
       idx.stripSuffix(suffix)
 
+    // ORPHAN index artifacts: SQL DROP removes a base plus its whole
+    // artifact inventory, but a library-side `store.drop(base)` alone
+    // leaves every index family keyed on the dead name — unreachable
+    // by any later build and invisible to the per-family checks below
+    // (they anchor on the base). Flag them HERE, and only with the
+    // provenance that proves they are index artifacts: a `_meta`
+    // provenance row naming a base that is gone, or an FTS postings +
+    // stats pair whose base is gone. A user table that merely LOOKS
+    // like an artifact (`x_fts` with no stats shadow) is never
+    // flagged on its name alone.
+    names.filter(_.endsWith("_meta")).foreach { m =>
+      val famBase = baseOf(m, "_meta")
+      IvfDrift.trainingMeta(store, famBase).foreach { kv =>
+        kv.get("table").foreach { base =>
+          if (!names.contains(base))
+            issues += Issue("orphan", famBase,
+              s"index artifact of dropped table '$base' — the base is " +
+                "gone but the family's tables remain (a library-side " +
+                "drop bypassed the artifact inventory); remove them " +
+                "(Retract.artifactTablesOf + dropTables) or re-create " +
+                s"'$base'")
+        }
+      }
+    }
+    names.filter(_.endsWith("_fts")).foreach { idx =>
+      val base = baseOf(idx, "_fts")
+      if (!names.contains(base) && names.contains(Fts.statsName(base)))
+        issues += Issue("orphan", idx,
+          s"FTS postings of dropped table '$base' — the base is gone " +
+            "but postings + stats remain; remove them or re-create " +
+            s"'$base'")
+    }
+
     names.filter(_.endsWith("_fts")).foreach { idx =>
       issues ++= fts(store, baseOf(idx, "_fts"), names)
     }

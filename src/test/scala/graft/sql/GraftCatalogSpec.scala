@@ -786,6 +786,15 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("docs") ||
       err.getCause != null, err.getMessage)
+
+    // vacuum after a DROP is safe: retained pre-drop commits still
+    // NAME the dead table but its directory is never swept (only
+    // currently-governed dirs are), survivors stay intact, and once
+    // the pre-drop commits age out their log entries reclaim too
+    store.vacuumEpochs(0L)
+    assert(spark.sql("SELECT v FROM graft.other").collect()
+      .head.getString(0) === "keep")
+    assert(graft.store.Doctor.check(store) === Seq.empty)
   }
 
   test("DROP TABLE PURGE releases the pins a plain DROP refuses on: " +

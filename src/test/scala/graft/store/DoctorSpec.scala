@@ -389,6 +389,36 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.repair(store) === Seq.empty)
   }
 
+  test("orphan index artifacts of a library-dropped base are named; " +
+    "provenance-less lookalikes and standalone indexes stay silent") {
+    val store = freshStore()
+    val rows = (0 until 6).map(i => (i.toLong, s"word$i body",
+      (0 until 4).map(_ * 1.0))).toDF("id", "full_text", "e")
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.upsert("t", rows, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t",
+      store.read("t").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    Sq.buildIndex(store, "t", store.read("t").drop(store.BucketCol),
+      "id", "e")
+    assert(Doctor.check(store).filter(_.component == "orphan") === Seq.empty)
+
+    // the library-side drop that bypasses the artifact inventory
+    store.drop("t")
+    val orphans = Doctor.check(store).filter(_.component == "orphan")
+    assert(orphans.nonEmpty, "dropped base must surface its orphans")
+    assert(orphans.exists(_.table == Sq.codesName("t")),
+      s"the _meta provenance names the dead base: $orphans")
+    assert(orphans.exists(_.table == Fts.indexName("t")),
+      s"the postings+stats pair names the dead base: $orphans")
+    assert(orphans.forall(_.problem.contains("t")), orphans.toString)
+
+    // a user table that merely LOOKS like an artifact is not flagged
+    val quiet = freshStore()
+    quiet.overwrite("x_fts", Seq((1L, "not an index")).toDF("pk", "v"))
+    assert(Doctor.check(quiet).filter(_.component == "orphan") === Seq.empty)
+  }
+
   test("a drifted declared-schema marker is named; matching or empty is silent") {
     val store = freshStore()
     import org.apache.spark.sql.types._
