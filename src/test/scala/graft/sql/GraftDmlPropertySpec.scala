@@ -110,4 +110,73 @@ class GraftDmlPropertySpec extends SparkSpec {
           s"src=$src")
     }
   }
+
+  test("random FLAT-table MERGE rounds equal a row-list model, " +
+    "including duplicate source keys on insert-only merges (seed 2027)") {
+    val rnd = new Random(2027)
+    val (_, store) = mountCatalog()
+    store.ensureGoverned(Seq("p"))
+
+    // flat tables have no pk: the model is a plain ROW LIST — inserted
+    // duplicate ids are legal and must round-trip (later matched
+    // clauses then touch EVERY row of that id, each against the one
+    // deduped source row)
+    var model: Vector[(Long, String, Long)] =
+      (0L until 10L).map(i => (i, s"v$i", i * 10)).toVector
+    store.overwrite("p", model.toDF("id", "v", "n"))
+
+    for (round <- 1 to 10) {
+      val insertOnly = rnd.nextBoolean()
+      val rawIds = List.fill(1 + rnd.nextInt(8))(rnd.nextInt(16).toLong)
+      // insert-only merges tolerate (and must not duplicate targets
+      // under) repeated source keys; merges with matched clauses hit
+      // the cardinality rule, so those sources dedupe
+      val ids = if (insertOnly) rawIds else rawIds.distinct
+      val src = ids.zipWithIndex.map { case (i, k) =>
+        DmlSrc(i, s"r$round-$i-$k", rnd.nextInt(100).toLong)
+      }
+      val iThr = rnd.nextInt(80).toLong
+      val mThr = rnd.nextInt(120).toLong
+
+      src.toDF("id", "v", "n").createOrReplaceTempView(s"psrc_$round")
+      val clauses =
+        if (insertOnly)
+          s"WHEN NOT MATCHED AND s.n >= $iThr THEN " +
+            "INSERT (id, v, n) VALUES (s.id, s.v, s.n)"
+        else
+          s"""WHEN MATCHED AND t.n < $mThr THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + s.n
+             |WHEN NOT MATCHED AND s.n >= $iThr THEN
+             |  INSERT (id, v, n) VALUES (s.id, s.v, s.n)""".stripMargin
+      spark.sql(
+        s"""MERGE INTO graft.p t USING psrc_$round s
+           |ON t.id = s.id
+           |$clauses""".stripMargin)
+
+      val pre = model
+      val preIds = pre.map(_._1).toSet
+      val srcById = src.map(s => s.id -> s).toMap // deduped in full mode
+      val kept =
+        if (insertOnly) pre // matched rows untouched — exactly once
+        else pre.flatMap { case row @ (id, _, n) =>
+          srcById.get(id) match {
+            case Some(s) =>
+              if (n < mThr) None else Some((id, s.v, n + s.n))
+            case None => Some(row)
+          }
+        }
+      // standard MERGE: EVERY qualifying not-matched source row
+      // inserts — duplicates included on a keyless table
+      val inserts = src.filter(s => !preIds.contains(s.id) && s.n >= iThr)
+        .map(s => (s.id, s.v, s.n))
+      model = kept ++ inserts
+
+      val actual = spark.sql("SELECT id, v, n FROM graft.p")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toVector
+      assert(actual.sorted === model.sorted,
+        s"round $round diverged (insertOnly=$insertOnly iThr=$iThr " +
+          s"mThr=$mThr)\nsrc=$src")
+    }
+  }
 }
