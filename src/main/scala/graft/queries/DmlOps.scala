@@ -44,7 +44,7 @@ object DmlOps {
   // the CASE projection the oracle writes directly.
   def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val store = mountScratch(spark)
-    store.ensureBucketed("cust", Seq("c_custkey"), 8)
+    store.ensureBucketed("cust", Seq("c_custkey"), 4)
     store.ensureGoverned(Seq("cust"))
     store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
       Seq("c_custkey"))
@@ -74,7 +74,7 @@ object DmlOps {
   // anti-filter + union in the oracle.
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val store = mountScratch(spark)
-    store.ensureBucketed("cust", Seq("c_custkey"), 8)
+    store.ensureBucketed("cust", Seq("c_custkey"), 4)
     store.ensureGoverned(Seq("cust"))
     store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
       Seq("c_custkey"))
