@@ -437,6 +437,62 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a RUNNING stream survives SQL ALTER ADD COLUMN mid-flight " +
+    "(fixed-schema contract); a restart serves the evolved shape") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("docs", Seq("id"), 2)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id"))
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+
+    val seen = mutable.ArrayBuffer[Seq[String]]()
+    def start(ckpt: String) = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "docs").option("pk", "id")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val cols = df.columns.toSeq
+        if (!df.isEmpty) seen.synchronized { seen += cols }
+        ()
+      })
+      .start()
+    val ckpt = freshDir("graft-els-ck")
+    val q = start(ckpt)
+    try {
+      q.processAllAvailable()
+      // metadata-only evolution + a write that CARRIES the new column,
+      // all while the stream runs: delivered windows mix pre- and
+      // post-evolution files, and the source must keep serving the
+      // query-start schema (column dropped until restart), not crash
+      spark.sql("ALTER TABLE graft.docs ADD COLUMN score DOUBLE")
+      spark.sql("UPDATE graft.docs SET score = 1.5 WHERE id = 2")
+      store.upsert("docs", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"mid-flight evolution must not kill the stream: ${q.exception}")
+      assert(seen.synchronized(seen.toSeq).nonEmpty &&
+        seen.synchronized(seen.toSeq).forall(!_.contains("score")),
+        "the fixed query-start schema must hold until restart")
+    } finally q.stop()
+
+    // restart: the source re-resolves the table's CURRENT schema
+    seen.synchronized(seen.clear())
+    val q2 = start(ckpt)
+    try {
+      store.upsert("docs",
+        Seq((4L, "d", 2.5)).toDF("id", "v", "score"), Seq("id"))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty)
+      assert(seen.synchronized(seen.toSeq).exists(_.contains("score")),
+        "a restarted stream serves the evolved shape")
+    } finally q2.stop()
+  }
+
   test("multi-table appends mode: per-member file adds over one global " +
     "window — a joint transact's files land in ONE micro-batch, no pk " +
     "options needed, no _change_type") {
