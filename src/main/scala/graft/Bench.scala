@@ -25,9 +25,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // optional comma-separated filter for local profiling runs
+    // optional comma-separated filter for local profiling runs.
+    // Name order, except the WRITE-PATH pins (scratch-store DML) run
+    // LAST: interleaved, their GC/FS churn measurably perturbs the
+    // next read queries' sub-second timings (q_mixture_temperature
+    // read ~2× its steady state until this split), which poisons
+    // cross-round per-query diffs of queries that didn't change.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) =>
+        (if (graft.queries.DmlOps.writePins(n)) 1 else 0, n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warm-up at the smallest sf (JIT, codegen cache, parquet footers)

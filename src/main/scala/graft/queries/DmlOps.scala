@@ -115,6 +115,16 @@ object DmlOps {
       |SELECT k + 1000000000, 'merged', CAST(n AS DOUBLE), 'NEW' FROM src
       |ORDER BY c_custkey""".stripMargin
 
+  /** The WRITE-PATH pins: each invocation builds a governed scratch
+    * store and commits epochs — heavy enough (GC, shuffle-dir and FS
+    * cache churn) to measurably perturb the next few READ queries'
+    * sub-second timings when interleaved. The bench schedules these
+    * after every read query (measured: with them interleaved,
+    * q_mixture_temperature and friends read ~2× their steady-state;
+    * excluded, they return to it exactly).
+    */
+  val writePins: Set[String] = Set("q_update_where", "q_merge_upsert")
+
   def ops: Seq[Op] = Seq(
     Op("q_update_where", updateWhere, Some(updateWhereSql)),
     Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
