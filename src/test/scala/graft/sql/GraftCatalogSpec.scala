@@ -866,6 +866,18 @@ class GraftCatalogSpec extends SparkSpec {
     val nn = intercept[Exception](
       spark.sql("ALTER TABLE graft.t ADD COLUMN req STRING NOT NULL"))
     assert(nn.getMessage.toLowerCase.contains("null"), nn.getMessage)
+
+    // FLAT table: the declared marker must survive the swap-based
+    // merge INSERT (writeSwapped restores it), so the evolved column
+    // does not silently vanish on the next write
+    spark.sql("CREATE TABLE graft.f AS SELECT 1L AS id, 'x' AS v")
+    spark.sql("ALTER TABLE graft.f ADD COLUMN w STRING")
+    spark.sql("INSERT INTO graft.f VALUES (2L, 'y', 'wide')")
+    val f = spark.sql("SELECT id, v, w FROM graft.f ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("-")))
+    assert(f.toSeq === Seq((1L, "x", "-"), (2L, "y", "wide")),
+      "the flat swap must not drop the evolved declared surface")
   }
 
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
