@@ -322,9 +322,13 @@ object Cli {
         // `graft` SQL catalog and run one statement: SELECT over any
         // governed table (incl. `t$history`/`t$files`/`t$tags`/
         // `t$cursors` metadata tables and `VERSION AS OF <epoch>` time
-        // travel) or INSERT INTO / INSERT OVERWRITE routed through the
-        // store's write discipline. One root per session (Spark caches
-        // the catalog instance on first reference).
+        // travel), the full write/DDL lifecycle (CREATE/CTAS, INSERT
+        // INTO/OVERWRITE, UPDATE, DELETE, MERGE INTO [WITH SCHEMA
+        // EVOLUTION], TRUNCATE, ALTER TABLE ADD COLUMN, DROP TABLE
+        // [PURGE]) routed through the store's write discipline, and
+        // `CALL graft.system.<proc>` maintenance. One root per
+        // session (Spark caches the catalog instance on first
+        // reference).
         spark.conf.set("spark.sql.catalog.graft",
           classOf[graft.sql.GraftCatalog].getName)
         spark.conf.set("spark.sql.catalog.graft.root", args(1))

@@ -52,7 +52,10 @@ import graft.store.TableStore
   * writers) where this catalog deliberately bridges through V1
   * frames, so the analyzed plans are intercepted one level up and
   * routed through the store's upsert / retraction verbs instead.
-  * ALTER/DROP/RENAME stay with the library's richer lifecycle.
+  * `ALTER TABLE ADD COLUMN` evolves metadata-only (see
+  * [[alterTable]]) and `DROP TABLE` / `DROP TABLE PURGE` close the
+  * lifecycle (see [[dropTable]]); other ALTER shapes and RENAME stay
+  * with the library's richer lifecycle.
   *
   * Consistency: like Iceberg/Delta catalogs, each TABLE REFERENCE
   * resolves the then-current commit independently, so a multi-table
@@ -202,7 +205,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * INSERT path — the standard non-atomic V2 CTAS shape, with each
     * step crash-safe on its own. Layout is `pk`-hash bucketing only:
     * `PARTITIONED BY` is refused (the store owns physical layout).
-    * DROP/ALTER/RENAME stay with the library.
+    * ADD COLUMN and DROP TABLE are supported (see
+    * [[alterTable]]/[[dropTable]]); other ALTER shapes and RENAME
+    * stay with the library.
     */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
