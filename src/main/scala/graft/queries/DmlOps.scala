@@ -115,6 +115,31 @@ object DmlOps {
       |SELECT k + 1000000000, 'merged', CAST(n AS DOUBLE), 'NEW' FROM src
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_delete_where — SQL DELETE through SupportsDelete: the condition
+  // arrives as pushed source filters, the matching keys feed the
+  // single-pk retraction cascade, and the end state is the oracle's
+  // negated-predicate filter.
+  def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = mountScratch(spark)
+    store.ensureBucketed("cust", Seq("c_custkey"), 4)
+    store.ensureGoverned(Seq("cust"))
+    store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
+      Seq("c_custkey"))
+    spark.sql(
+      "DELETE FROM graftdml.cust " +
+        "WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 5000.0")
+    spark.sql(
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+        "FROM graftdml.cust ORDER BY c_custkey")
+  }
+
+  val deleteWhereSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   /** The WRITE-PATH pins: each invocation builds a governed scratch
     * store and commits epochs — heavy enough (GC, shuffle-dir and FS
     * cache churn) to measurably perturb the next few READ queries'
@@ -123,9 +148,11 @@ object DmlOps {
     * q_mixture_temperature and friends read ~2× their steady-state;
     * excluded, they return to it exactly).
     */
-  val writePins: Set[String] = Set("q_update_where", "q_merge_upsert")
+  val writePins: Set[String] =
+    Set("q_update_where", "q_merge_upsert", "q_delete_where")
 
   def ops: Seq[Op] = Seq(
     Op("q_update_where", updateWhere, Some(updateWhereSql)),
-    Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
+    Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Op("q_delete_where", deleteWhere, Some(deleteWhereSql)))
 }

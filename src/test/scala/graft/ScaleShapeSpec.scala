@@ -75,8 +75,10 @@ class ScaleShapeSpec extends SparkSpec {
     // batch), would surface as α well above linear.
     pinAlpha(Seq(
       "q_update_where" -> "customer",
-      "q_merge_upsert" -> "orders"),
-      "a DML guard or merge join is leaking super-linear volume")
+      "q_merge_upsert" -> "orders",
+      "q_delete_where" -> "customer"),
+      "a DML guard, merge join, or delete cascade is leaking " +
+        "super-linear volume")
   }
 
   test("ANN/similarity-family shuffle volume grows ≤ ~linearly " +
