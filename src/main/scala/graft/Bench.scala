@@ -26,18 +26,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated filter for local profiling runs.
-    // Name order, except the WRITE-PATH pins (scratch-store DML) run
-    // LAST: interleaved, their GC/FS churn measurably perturbs the
-    // next read queries' sub-second timings (q_mixture_temperature
-    // read ~2× its steady state until this split), which poisons
-    // cross-round per-query diffs of queries that didn't change.
+    // The WRITE-PATH pins (scratch-store DML) run as a SEPARATE PHASE
+    // after EVERY read pass has completed — not merely last within
+    // each pass, which would still park 5+ s of GC/FS churn right
+    // before passes 2..N's first read queries. Interleaved, that
+    // churn measurably perturbed neighboring read queries' sub-second
+    // timings (q_mixture_temperature read ~2× its steady state),
+    // poisoning cross-round per-query diffs of queries that didn't
+    // change. Pass totals pair read-pass i with write-pass i so
+    // "value"/"min3" keep their whole-suite meaning.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val queries = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) =>
-        (if (graft.queries.DmlOps.writePins(n)) 1 else 0, n) }
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (writes, reads) =
+      all.partition { case (n, _) => graft.queries.DmlOps.writePins(n) }
+    val queries = reads ++ writes // result/report order
 
-    // warm-up at the smallest sf (JIT, codegen cache, parquet footers)
+    // warm-up at the smallest sf (JIT, codegen cache, parquet
+    // footers) — same phase order as the timed runs
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -50,17 +56,20 @@ object Bench {
     // ambient machine phase has twice forced judges to re-litigate
     // single-run totals; min-of-3 is the steady-state evidence.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
-    def onePass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val passes = (1 to runs).map(_ => onePass())
+    def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val readPasses = (1 to runs).map(_ => onePass(reads))
+    val writePasses = (1 to runs).map(_ => onePass(writes))
+    val passes = readPasses.zip(writePasses).map { case (r, w) => r ++ w }
     def passTotal(p: Seq[(String, Double)]): Double =
       p.collect { case (_, v) if v >= 0 => v }.sum
     // per-query MIN-of-runs: the steady-state number a per-query diff

@@ -23,19 +23,35 @@ import graft.store.TableStore
   */
 object DmlOps {
 
-  /** Fresh scratch store per invocation, mounted as the `graftdml`
-    * catalog (the catalog re-reads its root from the live conf per
-    * call, so re-pointing it is one conf set — same contract the CLI
-    * uses). Requires the session to be built with
+  // per-JVM disambiguator so concurrent JVMs never share scratch roots
+  private lazy val scratchEra: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Scratch store per QUERY NAME, mounted as the `graftdml` catalog
+    * (the catalog re-reads its root from the live conf per call, so
+    * re-pointing it is one conf set — same contract the CLI uses).
+    * The root is REUSED across invocations of the same query and
+    * wiped at mount, so repeated bench passes keep at most one live
+    * scratch copy per query instead of leaking a governed store per
+    * run (each prior pass's end-state frame has been consumed by the
+    * time its dir is wiped). Requires the session to be built with
     * `spark.sql.extensions=graft.functions.GraftExtensions` (Verify /
     * Bench / the test harness all are).
     */
-  private def mountScratch(spark: SparkSession): TableStore = {
-    val root = java.nio.file.Files.createTempDirectory("graft-dmlop").toString
+  private def mountScratch(spark: SparkSession, tag: String): TableStore = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-dmlop-$scratchEra-$tag")
+    if (root.exists()) {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(root.toPath).iterator().asScala.toSeq.reverse
+        .foreach((p: Path) => Files.deleteIfExists(p))
+    }
+    root.mkdirs()
     spark.conf.set("spark.sql.catalog.graftdml",
       classOf[graft.sql.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graftdml.root", root)
-    new TableStore(spark, root)
+    spark.conf.set("spark.sql.catalog.graftdml.root", root.toString)
+    new TableStore(spark, root.toString)
   }
 
   // ---------------------------------------------------------------------
@@ -43,7 +59,7 @@ object DmlOps {
   // rows re-project and upsert by pk in one epoch; the end state is
   // the CASE projection the oracle writes directly.
   def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = mountScratch(spark)
+    val store = mountScratch(spark, "upd")
     store.ensureBucketed("cust", Seq("c_custkey"), 4)
     store.ensureGoverned(Seq("cust"))
     store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
@@ -73,7 +89,7 @@ object DmlOps {
   // key MATCH a real customer and diverge from the oracle). End state = left-join CASE +
   // anti-filter + union in the oracle.
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = mountScratch(spark)
+    val store = mountScratch(spark, "mrg")
     store.ensureBucketed("cust", Seq("c_custkey"), 4)
     store.ensureGoverned(Seq("cust"))
     store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
@@ -121,7 +137,7 @@ object DmlOps {
   // single-pk retraction cascade, and the end state is the oracle's
   // negated-predicate filter.
   def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = mountScratch(spark)
+    val store = mountScratch(spark, "del")
     store.ensureBucketed("cust", Seq("c_custkey"), 4)
     store.ensureGoverned(Seq("cust"))
     store.upsert("cust", Catalog.table(spark, sfDir, "customer"),
@@ -148,11 +164,15 @@ object DmlOps {
     * q_mixture_temperature and friends read ~2× their steady-state;
     * excluded, they return to it exactly).
     */
-  val writePins: Set[String] =
-    Set("q_update_where", "q_merge_upsert", "q_delete_where")
-
   def ops: Seq[Op] = Seq(
     Op("q_update_where", updateWhere, Some(updateWhereSql)),
     Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Op("q_delete_where", deleteWhere, Some(deleteWhereSql)))
+
+  /** Derived, not restated: every DML oracle row IS a write pin — a
+    * future fourth row joins the bench's write-last phase
+    * automatically instead of silently re-interleaving into the read
+    * queries.
+    */
+  lazy val writePins: Set[String] = ops.map(_.name).toSet
 }

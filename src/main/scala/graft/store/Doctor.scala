@@ -39,15 +39,19 @@ object Doctor {
     // flagged on its name alone.
     names.filter(_.endsWith("_meta")).foreach { m =>
       val famBase = baseOf(m, "_meta")
+      // trainingMeta is shape-guarded: a user table that merely
+      // matches the _meta name reads as None, never crashes the pass
       IvfDrift.trainingMeta(store, famBase).foreach { kv =>
         kv.get("table").foreach { base =>
           if (!names.contains(base))
             issues += Issue("orphan", famBase,
-              s"index artifact of dropped table '$base' — the base is " +
-                "gone but the family's tables remain (a library-side " +
-                "drop bypassed the artifact inventory); remove them " +
+              s"index artifact whose base table '$base' is not in the " +
+                "store — most likely a library-side drop that bypassed " +
+                "the artifact inventory; remove the family's tables " +
                 "(Retract.artifactTablesOf + dropTables) or re-create " +
-                s"'$base'")
+                s"'$base' (a deliberately base-less index built through " +
+                "the refresh seam can silence this by dropping its " +
+                "_meta provenance row)")
         }
       }
     }
@@ -55,9 +59,9 @@ object Doctor {
       val base = baseOf(idx, "_fts")
       if (!names.contains(base) && names.contains(Fts.statsName(base)))
         issues += Issue("orphan", idx,
-          s"FTS postings of dropped table '$base' — the base is gone " +
-            "but postings + stats remain; remove them or re-create " +
-            s"'$base'")
+          s"FTS postings whose base table '$base' is not in the store " +
+            "— most likely a library-side drop; remove postings + " +
+            s"stats or re-create '$base'")
     }
 
     names.filter(_.endsWith("_fts")).foreach { idx =>

@@ -50,12 +50,24 @@ object IvfDrift {
   }
 
   /** The recorded provenance, or None for a pre-provenance index
-    * (retrain then needs the manual buildIndex path).
+    * (retrain then needs the manual buildIndex path). Shape-guarded:
+    * a table that merely MATCHES the `_meta` name convention but does
+    * not carry [[recordTraining]]'s (key, value) string layout — a
+    * user's own table, an out-of-band edit — reads as no-provenance
+    * instead of crashing the caller (Doctor's orphan sweep probes
+    * every `*_meta` name and must survive exactly the states it
+    * reports).
     */
   def trainingMeta(
       store: TableStore, famBase: String): Option[Map[String, String]] =
-    store.readIfExists(metaName(famBase)).map(
-      _.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    store.readIfExists(metaName(famBase)).flatMap { df =>
+      val shape = df.schema.fields.map(f => f.name -> f.dataType)
+      if (shape.toSeq == Seq(
+          "key" -> org.apache.spark.sql.types.StringType,
+          "value" -> org.apache.spark.sql.types.StringType))
+        Some(df.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+      else None
+    }
 
   /** Close the drift loop: re-run the family's buildIndex from the
     * recorded provenance — retraining centroids (and any dependent

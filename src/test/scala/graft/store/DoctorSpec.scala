@@ -413,9 +413,13 @@ class DoctorSpec extends SparkSpec {
       s"the postings+stats pair names the dead base: $orphans")
     assert(orphans.forall(_.problem.contains("t")), orphans.toString)
 
-    // a user table that merely LOOKS like an artifact is not flagged
+    // a user table that merely LOOKS like an artifact is not flagged —
+    // and a mis-shaped `_meta` lookalike (non-string columns) must
+    // read as no-provenance, never crash the whole pass
     val quiet = freshStore()
     quiet.overwrite("x_fts", Seq((1L, "not an index")).toDF("pk", "v"))
+    quiet.overwrite("events_meta", Seq((1L, "x")).toDF("n", "v"))
+    quiet.overwrite("short_meta", Seq(Tuple1("one-col")).toDF("only"))
     assert(Doctor.check(quiet).filter(_.component == "orphan") === Seq.empty)
   }
 
