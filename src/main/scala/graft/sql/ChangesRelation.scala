@@ -127,9 +127,15 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         // nothing and cost no data I/O — in appends mode the
         // rewrite-aware file walk itself yields zero added files.
         val parts = names.flatMap { t =>
-          if (mode == "appends")
-            Some(store.readAddedSince(t, from, to).withColumn("_table", lit(t)))
-          else {
+          if (mode == "appends") {
+            // a member with no files at EITHER endpoint (governed
+            // empty: CREATE/CTAS before any insert) contributes
+            // nothing — readAddedSince has no schema to serve for it,
+            // and the union target shape is already fixed above
+            if (!store.hasFilesAt(t, from) && !store.hasFilesAt(t, to)) None
+            else Some(
+              store.readAddedSince(t, from, to).withColumn("_table", lit(t)))
+          } else {
             val pk = parameters.get(s"pk.$t")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(throw new IllegalArgumentException(

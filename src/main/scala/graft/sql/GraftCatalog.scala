@@ -205,9 +205,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * INSERT path — the standard non-atomic V2 CTAS shape, with each
     * step crash-safe on its own. Layout is `pk`-hash bucketing only:
     * `PARTITIONED BY` is refused (the store owns physical layout).
-    * ADD COLUMN and DROP TABLE are supported (see
-    * [[alterTable]]/[[dropTable]]); other ALTER shapes and RENAME
-    * stay with the library.
+    *
+    * `TBLPROPERTIES('fts'='col1,col2')` (requires a single-column
+    * `pk`; optional `'fts_buckets'='N'`, default = the base bucket
+    * count) creates the table WITH its FTS index — the reference's
+    * own contract (`ensure_tables` creates the FTS shadow tables at
+    * table-creation time, `/root/reference/utils.py:330-352`): the
+    * index exists from birth (stats-only until rows arrive),
+    * [[graft.store.IndexMaintain]] refreshes it inside every INSERT /
+    * UPDATE / MERGE epoch from the very first one, and DROP removes
+    * it with the inventory. ADD/DROP COLUMN and DROP TABLE are
+    * supported (see [[alterTable]]/[[dropTable]]); other ALTER shapes
+    * and RENAME stay with the library.
     */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
@@ -231,6 +240,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     pk.foreach(p => p.foreach(c => require(schema.fieldNames.contains(c),
       s"pk column '$c' is not in the created schema " +
         s"(${schema.fieldNames.mkString(", ")})")))
+    val fts = Option(properties.get("fts"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val ftsBuckets = Option(properties.get("fts_buckets")).map(_.trim.toInt)
+    require(ftsBuckets.isEmpty || fts.nonEmpty,
+      "'fts_buckets' needs an 'fts' table property to lay out")
+    fts.foreach { cols =>
+      require(pk.exists(_.size == 1),
+        "'fts' needs a single-column 'pk' table property — per-pk " +
+          "indexes key on one column")
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"fts column '$c' is not in the created schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    }
     // declare layout + schema, then govern — the schema marker lets
     // the empty table resolve (and SELECT as zero rows) before any
     // insert; the CTAS rows land as the next epoch via the normal
@@ -238,22 +260,43 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     pk.foreach(p => s.ensureBucketed(ident.name, p, buckets.getOrElse(16)))
     s.declareSchema(ident.name, schema)
     s.ensureGoverned(Seq(ident.name))
+    // index-from-birth: stats-only build records the provenance, the
+    // write tables govern empty, and the CTAS/INSERT rows arriving
+    // next land base + postings as ONE epoch (IndexMaintain)
+    fts.foreach(cols => graft.store.IndexMaintain.buildFts(
+      s, ident.name, cols, ftsBuckets.getOrElse(-1)))
     new GraftTable(root, ident.name, epoch = None)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — METADATA-ONLY schema
-    * evolution, Delta/Iceberg-style: the `_graft_schema` marker widens
-    * to the union and the catalog's reader NULL-FILLS the
-    * declared-but-missing column until data actually carries it (no
-    * table rewrite — at 100 TB an ADD COLUMN must not touch data
-    * files). The store's own upsert evolution takes over from the
-    * first write that includes the column. This is also the hook
-    * Spark's `MERGE WITH SCHEMA EVOLUTION` resolves through (the
-    * table declares `AUTOMATIC_SCHEMA_EVOLUTION`, Spark's analyzer
-    * computes the source-minus-target changes and calls here).
-    * Top-level nullable adds only: a non-nullable add has no value
-    * for existing rows, struct-field surgery and drops/renames stay
-    * with the library's richer verbs.
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` / `DROP COLUMN c` —
+    * METADATA-ONLY schema evolution, Delta/Iceberg-style: no table
+    * rewrite in either direction (at 100 TB an ALTER must not touch
+    * data files).
+    *
+    * ADD widens the `_graft_schema` marker to the union and the
+    * catalog's reader NULL-FILLS the declared-but-missing column until
+    * data actually carries it; the store's own upsert evolution takes
+    * over from the first write that includes the column. This is also
+    * the hook Spark's `MERGE WITH SCHEMA EVOLUTION` resolves through
+    * (the table declares `AUTOMATIC_SCHEMA_EVOLUTION`, Spark's
+    * analyzer computes the source-minus-target changes and calls
+    * here). Top-level nullable adds only: a non-nullable add has no
+    * value for existing rows.
+    *
+    * DROP narrows the marker AND records the name in the dropped
+    * tombstone list ([[TableStore.declareDropped]]): the data files
+    * keep the column, the reader projects it out of CURRENT reads,
+    * and time-travel keeps each epoch's own shape. Because the values
+    * survive in the files, RE-ADDING a dropped name is REFUSED — it
+    * would resurrect the old values instead of null-filling (Iceberg
+    * avoids this with field ids; a name-keyed store must refuse) —
+    * which also blocks `MERGE WITH SCHEMA EVOLUTION` from
+    * accidentally resurrecting it from a stale source. Refused drops:
+    * pk/bucket columns (the table's identity), columns a maintained
+    * index records as its input ([[graft.store.IndexMaintain
+    * .provenancedColumns]] — the next refresh would need them), and
+    * the last column. Struct-field surgery, renames and type changes
+    * stay with the library's richer verbs.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace.isEmpty && !ident.name.contains("$"),
@@ -261,10 +304,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val s = store()
     if (!s.tableNames.contains(ident.name))
       throw new NoSuchTableException(ident)
+    val resolver = spark.sessionState.conf.resolver
     val base: StructType = s.declaredSchemaOf(ident.name).getOrElse(
       StructType(s.readIfExists(ident.name).map(_.schema.fields
         .filterNot(_.name == s.BucketCol)).getOrElse(Array.empty)))
-    val widened = changes.foldLeft(base) { (sch, ch) =>
+    val dropped = Seq.newBuilder[String]
+    val evolved = changes.foldLeft(base) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
@@ -275,16 +320,55 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           require(add.isNullable,
             s"added column '$name' must be nullable — existing rows " +
               "null-fill; there is no value to backfill NOT NULL with")
-          require(!sch.fieldNames.exists(
-            spark.sessionState.conf.resolver(_, name)),
+          require(!sch.fieldNames.exists(resolver(_, name)),
             s"column '$name' already exists in ${ident.name}")
+          require(!s.droppedColumnsOf(ident.name).exists(resolver(_, name)),
+            s"column '$name' was DROPPED from ${ident.name} and its old " +
+              "values may still live in the data files — re-adding the " +
+              "name would resurrect them instead of null-filling; pick " +
+              "another name, or rewrite the table (CTAS) to really " +
+              "shed the column")
           sch.add(name, add.dataType, nullable = true)
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            s"DROP COLUMN supports top-level columns only " +
+              s"(got ${del.fieldNames.mkString(".")}) — struct-field " +
+              "surgery stays with the library")
+          val name = del.fieldNames.head
+          sch.fields.find(f => resolver(f.name, name)) match {
+            case None =>
+              require(del.ifExists,
+                s"no such column '$name' in ${ident.name} " +
+                  s"(${sch.fieldNames.mkString(", ")})")
+              sch
+            case Some(field) =>
+              require(sch.fields.length > 1,
+                s"cannot drop '$name' — it is ${ident.name}'s last column")
+              require(!s.bucketLayoutOf(ident.name)
+                .exists(_._2.exists(resolver(_, name))),
+                s"cannot drop '$name' — it is part of ${ident.name}'s " +
+                  "declared bucket pk (the table's identity); rewrite " +
+                  "via CTAS instead")
+              val indexed =
+                graft.store.IndexMaintain.provenancedColumns(s, ident.name)
+              require(!indexed.exists(resolver(_, name)),
+                s"cannot drop '$name' — a maintained index of " +
+                  s"${ident.name} records it as its input " +
+                  s"(indexed columns: ${indexed.toSeq.sorted.mkString(", ")}); " +
+                  "drop the index first")
+              dropped += field.name
+              StructType(sch.fields.filterNot(f => resolver(f.name, name)))
+          }
         case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER on graft tables: $other — only ADD " +
-            "COLUMN; drops/renames/type changes stay with the library")
+          s"unsupported ALTER on graft tables: $other — only ADD COLUMN " +
+            "and DROP COLUMN; renames/type changes stay with the library")
       }
     }
-    s.declareSchema(ident.name, widened)
+    s.declareSchema(ident.name, evolved)
+    val newDropped = dropped.result()
+    if (newDropped.nonEmpty)
+      s.declareDropped(ident.name,
+        (s.droppedColumnsOf(ident.name) ++ newDropped).distinct)
     new GraftTable(root, ident.name, epoch = None)
   }
 
@@ -308,8 +392,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * REFUSES while a release tag's pinned commit contains the table
     * (or any of its artifacts) or a consumer cursor is registered on
     * one — deleting under a pin would break it silently; `DROP TABLE
-    * ... PURGE` ([[purgeTable]]) releases those pins itself (drops the
-    * tags, deregisters the cursors) and then drops. Streaming
+    * ... PURGE` ([[purgeTable]]) releases those pins itself
+    * (deregisters the cursors; drops a pinning tag only when it pins
+    * nothing but the doomed tables, KEEPING a tag that also protects
+    * other tables' retention — purging one table never silently
+    * un-pins the rest) and then drops. Streaming
     * consumers of a dropped table fail loudly on their next window
     * ("not governed at epoch"), never serve empty batches.
     */
@@ -330,17 +417,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val doomed = base +: graft.store.Retract.artifactTablesOf(s, base)
     if (purge) {
       // release the pins DROP would refuse on: consumer cursors on any
-      // doomed table, and release tags whose pinned commit contains one
+      // doomed table deregister; a tag whose pinned commit contains
+      // one is DROPPED only when it pins nothing else — a tag that
+      // also protects OTHER tables' retention at its epoch SURVIVES
+      // (dropping it would silently release their vacuum pins too),
+      // and the doomed tables simply leave it (the kept tag's epoch
+      // then names a dead table, the same retained-commit state every
+      // plain DROP leaves — vacuum-safe, and VERSION AS OF that tag
+      // fails loudly for the dead table, exactly like any pre-drop
+      // epoch)
       graft.store.EpochFollower.cursors(s).keys.foreach {
         case (t, c) if doomed.contains(t) =>
           graft.store.EpochFollower.drop(s, t, c)
         case _ =>
       }
+      val kept = Set.newBuilder[String]
       s.tags().foreach { case (tag, e) =>
-        if (doomed.exists(t => s.governedAt(t, e))) s.dropTag(tag)
+        if (doomed.exists(t => s.governedAt(t, e))) {
+          if ((s.tablesAt(e) -- doomed).isEmpty) s.dropTag(tag)
+          else kept += tag
+        }
       }
-    }
-    s.dropTables(doomed)
+      s.dropTables(doomed, ignorePinsOf = kept.result())
+    } else s.dropTables(doomed)
     true
   }
 
@@ -457,16 +556,23 @@ private[sql] class GraftTable(
       if (raw.columns.contains(s.BucketCol)) raw.drop(s.BucketCol) else raw
     // CURRENT reads serve the DECLARED surface: a column added by SQL
     // ALTER (metadata-only — see GraftCatalog.alterTable) null-fills
-    // until data carries it. Time-travel reads keep the epoch's own
-    // shape — old snapshots predate the evolution.
+    // until data carries it, and a column DROPPED by SQL ALTER
+    // projects OUT even though the data files still carry its values
+    // (the tombstone list — no rewrite happened). Time-travel reads
+    // keep the epoch's own shape — old snapshots predate the
+    // evolution in both directions.
     epoch match {
       case None =>
+        val tombstoned = s.droppedColumnsOf(tableName)
+        val current =
+          if (tombstoned.isEmpty) surfaced
+          else surfaced.drop(tombstoned: _*)
         s.declaredSchemaOf(tableName) match {
           case Some(decl) =>
-            val have = surfaced.columns.toSet
-            decl.fields.filterNot(f => have(f.name)).foldLeft(surfaced)(
+            val have = current.columns.toSet
+            decl.fields.filterNot(f => have(f.name)).foldLeft(current)(
               (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-          case None => surfaced
+          case None => current
         }
       case Some(_) => surfaced
     }

@@ -145,6 +145,15 @@ private[sql] object GraftProcedures {
       "heal pk-set divergence of every per-pk index: ghosts retract, " +
         "missing vector rows re-encode from recorded provenance; one " +
         "row per healed divergence (no rows = nothing to heal)"),
+    Proc("heal_orphans", Seq.empty,
+      StructType(Seq(StructField("dead_base", StringType),
+        StructField("artifacts_dropped", LongType))),
+      (s, _) => Doctor.healOrphans(s).map { case (base, arts) =>
+        row(utf8(base), arts.size.toLong) },
+      "drop provenance-proven orphan index artifacts — the full " +
+        "inventory of every base a library-side drop removed without " +
+        "them; lookalike user tables are never touched; one row per " +
+        "dead base (no rows = nothing orphaned); idempotent"),
     Proc("heal_window",
       Seq(in("table", StringType), in("from_epoch", LongType),
         inDefault("to_epoch", LongType, "-1")),
@@ -169,7 +178,79 @@ private[sql] object GraftProcedures {
         Seq(row(utf8(t), s.dataFiles(t).size.toLong))
       },
       "rebuild the footer-free column-envelope manifest used for " +
-        "file-level pruning"))
+        "file-level pruning"),
+    Proc("build_fts",
+      Seq(in("table", StringType), in("cols", StringType),
+        inDefault("buckets", LongType, "-1")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("cols", StringType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        val cols = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.store.IndexMaintain.buildFts(s, t, cols,
+          args.getLong(2).toInt)
+        Seq(row(utf8(t), utf8(cols.mkString(","))))
+      },
+      "build (or rebuild) the table's FTS index over its current rows " +
+        "under the declared bucket pk — empty tables build stats-only " +
+        "(index-from-birth; the first INSERT materializes postings in " +
+        "its own epoch); every later SQL write keeps it fresh; " +
+        "buckets<0 = mirror the base bucket count"),
+    Proc("build_index",
+      Seq(in("table", StringType), in("family", StringType),
+        in("column", StringType),
+        inDefault("k", LongType, "16"),
+        inDefault("slices", LongType, "4")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("family", StringType),
+        StructField("rows_indexed", LongType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        val fam = args.getUTF8String(1).toString
+        graft.store.IndexMaintain.buildFamily(s, t, fam,
+          args.getUTF8String(2).toString,
+          k = args.getLong(3).toInt, slices = args.getLong(4).toInt)
+        Seq(row(utf8(t), utf8(fam), s.read(t).count()))
+      },
+      "build one index family (trigram, lsh, sq, pq, bin, ivf, ivfpq, " +
+        "ivfsq, ivfbin) over the table's current rows with recorded " +
+        "provenance — every later SQL write refreshes it, Doctor " +
+        "checks it, DROP removes it; k = cells for the IVF families, " +
+        "slices = PQ sub-spaces (subDim derives from the emb dim)"),
+    Proc("search",
+      Seq(in("table", StringType), in("query", StringType),
+        inDefault("k", LongType, "100")),
+      StructType(Seq(StructField("pk", StringType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        graft.store.Fts.search(s.spark, s, t,
+          args.getUTF8String(1).toString)
+          .select(org.apache.spark.sql.functions.col("pk").cast("string"))
+          .orderBy("pk").limit(args.getLong(2).toInt)
+          .collect().map(r => row(utf8(r.getString(0)))).toSeq
+      },
+      "FTS5 MATCH over the table's FTS index (AND/OR/NOT, phrases, " +
+        "prefix terms, NEAR, column filters) — first k matching pks " +
+        "(cast to string), pk-ordered; the SQL-only MATCH surface"),
+    Proc("search_ranked",
+      Seq(in("table", StringType), in("query", StringType),
+        inDefault("k", LongType, "20")),
+      StructType(Seq(StructField("pk", StringType),
+        StructField("score", DoubleType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        import org.apache.spark.sql.functions.col
+        graft.store.Fts.searchRanked(s.spark, s, t,
+          args.getUTF8String(1).toString)
+          .select(col("pk").cast("string"), col("score"))
+          .orderBy(col("score").desc, col("pk"))
+          .limit(args.getLong(2).toInt)
+          .collect().map(r => row(utf8(r.getString(0)), r.getDouble(1)))
+          .toSeq
+      },
+      "BM25-ranked FTS5 MATCH — top-k (pk, score) best-first, the " +
+        "reference's `rank` ordering, SQL-only"))
 
   private val byName: Map[String, Proc] = procs.map(p => p.procName -> p).toMap
 

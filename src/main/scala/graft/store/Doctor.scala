@@ -372,6 +372,47 @@ object Doctor {
     store.tableNames.sorted.flatMap(t =>
       IndexMaintain.healDiverged(store, t).map { case (w, n) => (t, w, n) })
 
+  /** Remove PROVENANCE-PROVEN orphan index artifacts — the repair verb
+    * paired with [[check]]'s `orphan` findings, closing the
+    * detect→repair loop the other Doctor families already have. A dead
+    * base is proven exactly the way the check proves it: a `_meta`
+    * provenance row naming a base that is not in the store, or an FTS
+    * postings + stats pair whose base is gone; once proven, the ENTIRE
+    * inventory of that base drops ([[Retract.artifactTablesOf]] — the
+    * same set a SQL DROP takes), because partial removal would leave
+    * the per-family checks flagging the remainder. A user table that
+    * merely LOOKS like an artifact (`x_fts` with no stats shadow, a
+    * mis-shaped `_meta` lookalike) is never touched — no provenance,
+    * no proof, no drop. Tag/cursor pins on an artifact refuse through
+    * [[TableStore.dropTables]]' own guards, the same discipline DROP
+    * has. Returns (dead base, artifacts dropped); idempotent — a
+    * healthy store returns nothing.
+    */
+  def healOrphans(store: TableStore): Seq[(String, Seq[String])] = {
+    val names = store.tableNames.toSet
+    val dead = scala.collection.mutable.LinkedHashSet[String]()
+    names.filter(_.endsWith("_meta")).foreach { m =>
+      IvfDrift.trainingMeta(store, m.stripSuffix("_meta")).foreach { kv =>
+        kv.get("table").foreach { base =>
+          if (!names.contains(base)) dead += base
+        }
+      }
+    }
+    names.filter(_.endsWith("_fts")).foreach { idx =>
+      val base = idx.stripSuffix("_fts")
+      if (!names.contains(base) && names.contains(Fts.statsName(base)))
+        dead += base
+    }
+    dead.toSeq.sorted.flatMap { base =>
+      val arts = Retract.artifactTablesOf(store, base)
+      if (arts.isEmpty) None
+      else {
+        store.dropTables(arts)
+        Some(base -> arts)
+      }
+    }
+  }
+
   def retrainDrifted(
       store: TableStore): Seq[(String, IvfDrift.Report, IvfDrift.Report)] =
     centroidDrift(store).flatMap { issue =>
@@ -398,21 +439,27 @@ object Doctor {
     * column absent from the marker (library-side evolution the marker
     * never learned — a delete emptying the table would serve the
     * stale narrow shape) or a type disagreement on a shared column
-    * (fix: re-declare, or remove the marker). Name+type only —
-    * nullability and the store-internal bucket column are not part of
-    * the declared surface.
+    * (fix: re-declare, or remove the marker). The REVERSE
+    * subset-direction has one sanctioned case: a data column named in
+    * the DROPPED tombstone list ([[TableStore.droppedColumnsOf]]) is
+    * the valid post-`ALTER TABLE DROP COLUMN` state — the catalog
+    * projects it out of current reads, the data files deliberately
+    * keep it (metadata-only drop, no rewrite at 100 TB). Name+type
+    * only — nullability and the store-internal bucket column are not
+    * part of the declared surface.
     */
   private def declaredSchema(store: TableStore, table: String): Seq[Issue] =
     store.declaredSchemaOf(table) match {
       case Some(declared) =>
         store.readIfExists(table) match {
           case Some(df) =>
+            val dropped = store.droppedColumnsOf(table).toSet
             val actual = df.schema.fields
               .filterNot(_.name == store.BucketCol)
               .map(f => f.name -> f.dataType).toMap
             val decl = declared.fields.map(f => f.name -> f.dataType).toMap
             val drift =
-              (actual.keySet -- decl.keySet).toSeq.sorted
+              (actual.keySet -- decl.keySet -- dropped).toSeq.sorted
                 .map(c => s"$c only in data") ++
               decl.keySet.intersect(actual.keySet).toSeq.sorted
                 .filter(c => decl(c) != actual(c))

@@ -144,6 +144,60 @@ object Fts {
     store.upsert(table, batch, Seq(pkCol))
   }
 
+  /** Build (or rebuild) the FTS index of `table` from its CURRENT
+    * rows — the entry DDL-time index creation
+    * (`TBLPROPERTIES('fts'=...)` on CREATE/CTAS) and `CALL
+    * graft.system.build_fts` reach, completing the reference's
+    * index-comes-with-the-table contract (`ensure_tables` creates the
+    * FTS shadow tables at DDL time,
+    * `/root/reference/utils.py:330-352`) for SQL-only users. An EMPTY
+    * table (CREATE/CTAS before any insert) builds STATS-ONLY: the
+    * 1-row stats table records the provenance (cols, pk, bucket
+    * count) [[IndexMaintain]] resolves, so the first INSERT
+    * materializes the postings in the same epoch as its base rows —
+    * no empty postings table is written (an empty parquet dir has no
+    * schema to serve; [[search]]/[[searchRanked]] treat the
+    * stats-only state as an empty result, never an error).
+    */
+  def buildIndex(
+      store: TableStore, table: String, pkCol: String,
+      textCols: Seq[String], buckets: Int = 0): Unit = {
+    require(textCols.nonEmpty, "at least one indexed column required")
+    store.readIfExists(table) match {
+      case Some(rows) =>
+        (pkCol +: textCols).foreach(c => require(rows.columns.contains(c),
+          s"column '$c' is not in $table (${rows.columns.mkString(", ")})"))
+        refreshPostings(store, table, rows, pkCol, textCols, buckets)
+      case None =>
+        val sch = store.declaredSchemaOf(table).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table holds no data and declares no schema — nothing " +
+              "to index"))
+        (pkCol +: textCols).foreach(c => require(sch.fieldNames.contains(c),
+          s"column '$c' is not in $table (${sch.fieldNames.mkString(", ")})"))
+        val epoch = writeEpoch(store, table)
+        writeStats(store, table, 0L, 0L, buckets, epoch, textCols,
+          Some(pkCol))
+    }
+  }
+
+  /** The empty result of a MATCH against a stats-only index (built at
+    * DDL time over an empty table): a zero-row `pk` frame typed from
+    * the base/declared schema's recorded pk column.
+    */
+  private def emptyPkFrame(store: TableStore, table: String): DataFrame = {
+    val dt: org.apache.spark.sql.types.DataType =
+      statsPk(store, table).flatMap { p =>
+        store.readIfExists(table).map(_.schema)
+          .orElse(store.declaredSchemaOf(table))
+          .flatMap(_.fields.find(_.name == p).map(_.dataType))
+      }.getOrElse(org.apache.spark.sql.types.StringType)
+    store.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pk", dt))))
+  }
+
   /** The postings half of [[upsertWithIndexCols]] — delete-and-replace
     * the index rows and stats of the batch's pks WITHOUT writing the
     * base table. The seam SQL DML maintenance composes with: there the
@@ -467,6 +521,53 @@ object Fts {
         Option(st.select(col("pk")).head.getString(0))
       else None
     }
+
+  /** Adopt a LEGACY index — stats row predating pk capture — under the
+    * declared bucket pk, so pre-upgrade indexes keep refreshing on SQL
+    * writes instead of silently going stale behind a provenance guard
+    * they never had the chance to satisfy. Adoption is VERIFIED, never
+    * assumed: the postings' pk set must be a subset of the base
+    * table's declared-pk values (subset, not equality — text indexes
+    * legitimately skip token-less docs), which is exactly the
+    * coverage invariant an index built under a DIFFERENT key cannot
+    * hold by accident beyond pathological value collisions. On success
+    * the stats row is stamped with the pk, so the O(index-pks) check
+    * runs ONCE per legacy index; on failure the index stays skipped
+    * (Doctor flags the divergence, the old contract).
+    */
+  private[store] def adoptLegacyPk(
+      store: TableStore, table: String, pkCol: String): Boolean = {
+    val cols = statsCols(store, table).getOrElse(return false)
+    val base = store.readIfExists(table).getOrElse(return false)
+    if (!base.columns.contains(pkCol)) return false
+    val idx = store.readIfExists(indexName(table))
+    val ok = idx match {
+      case Some(ix) =>
+        ix.schema.fields.find(_.name == "pk").exists(
+          _.dataType == base.schema(pkCol).dataType) &&
+          ix.select(col("pk")).distinct()
+            .join(base.select(col(pkCol).as("pk")), Seq("pk"), "left_anti")
+            .isEmpty
+      case None => true // stats without postings: nothing to mis-key
+    }
+    if (ok) {
+      // stamp: same totals, same layout, same epoch marker — ONLY the
+      // pk is new, so epochsAgree and the incremental path are
+      // undisturbed
+      val (n, dl) = statsTotals(store, table,
+        idx.getOrElse(base.limit(0).select(lit(1L).as("pk"))
+          .withColumn("dl", lit(0L))))
+      val recordedEpoch = store.readIfExists(statsName(table)).flatMap { st =>
+        if (st.columns.contains("epoch"))
+          Some(st.select(col("epoch")).head.getLong(0))
+        else None
+      }.getOrElse(0L)
+      writeStats(store, table, n, dl,
+        statsBucketCount(store, table).getOrElse(0), recordedEpoch,
+        cols, Some(pkCol))
+    }
+    ok
+  }
 
   /** (indexed columns, recorded pk) in ONE read of the 1-row stats
     * table — the hot-DML-path accessor ([[IndexMaintain.resolve]]
@@ -1004,6 +1105,11 @@ object Fts {
     * left-anti join.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
+    // stats-only index (DDL-time build over an empty table): nothing
+    // matches, which is an empty result — not an error
+    if (store.readIfExists(indexName(table)).isEmpty &&
+        store.exists(statsName(table)))
+      return emptyPkFrame(store, table)
     parseQuery(query) match {
       case None => store.read(indexName(table)).select(col("pk")).limit(0)
       case Some(node) =>
@@ -1140,6 +1246,12 @@ object Fts {
       k1: Double = 1.2,
       b: Double = 0.75,
       colWeights: Map[String, Double] = Map.empty): DataFrame = {
+    // stats-only index (DDL-time build over an empty table): empty
+    // ranked result, same contract as search
+    if (store.readIfExists(indexName(table)).isEmpty &&
+        store.exists(statsName(table)))
+      return emptyPkFrame(store, table)
+        .withColumn("score", lit(0.0))
     val node = parseQuery(query) match {
       case Some(n) => n
       case None    => return store.read(indexName(table))

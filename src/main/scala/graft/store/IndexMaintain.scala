@@ -58,20 +58,29 @@ object IndexMaintain {
     val out = Seq.newBuilder[Family]
     val skip = Seq.newBuilder[String]
 
-    if (store.exists(Fts.indexName(table)))
+    if (store.exists(Fts.indexName(table)) ||
+        store.exists(Fts.statsName(table))) {
+      def ftsFamily(cols: Seq[String]): Family = Family("fts",
+        Seq(Fts.indexName(table), Fts.statsName(table)),
+        (s, t, b, pk) => Fts.refreshPostings(
+          s, t, b, pk, cols, Fts.bucketCountOf(s, t)))
       Fts.statsProvenance(store, table) match {
         // same pk-provenance rule as every `_meta`-carrying family:
         // an index recorded under a DIFFERENT key than the declared
-        // bucket pk (or predating pk capture) is skipped, never
-        // refreshed under a guessed key — mixing key domains in the
-        // postings is the one thing a refresh must not do
+        // bucket pk is skipped, never refreshed under a guessed key —
+        // mixing key domains in the postings is the one thing a
+        // refresh must not do
         case (Some(cols), Some(pk)) if pk == pkCol =>
-          out += Family("fts",
-            Seq(Fts.indexName(table), Fts.statsName(table)),
-            (s, t, b, pk) => Fts.refreshPostings(
-              s, t, b, pk, cols, Fts.bucketCountOf(s, t)))
+          out += ftsFamily(cols)
+        // LEGACY stats (predating pk capture): verify-then-stamp the
+        // declared pk once (postings ⊆ base pk set) so pre-upgrade
+        // indexes keep refreshing instead of silently going stale —
+        // a verification failure keeps the skip
+        case (Some(cols), None) if Fts.adoptLegacyPk(store, table, pkCol) =>
+          out += ftsFamily(cols)
         case _ => skip += "fts"
       }
+    }
 
     def withMeta(fam: String, primary: String, writes: Seq[String],
         need: Seq[String])(
@@ -206,7 +215,12 @@ object IndexMaintain {
     * refresh; [[Retract.cascade]] owns deletes and
     * [[healDiverged]]/healGhosts repair their aftermath. One epoch
     * when the base and index tables are all governed. Returns
-    * (family, pks-refreshed).
+    * (family, pks-refreshed). REFUSES (rather than silently returning
+    * nothing) on a table without a single-column declared bucket pk —
+    * per-pk indexes only exist on single-pk bucketed tables, so a
+    * composite-pk or unbucketed caller has either nothing healWindow
+    * could ever touch or a flat layout whose indexes the library's
+    * own verbs must own; "nothing to do" would misreport both.
     */
   def healWindow(
       store: TableStore, table: String, fromEpoch: Long,
@@ -231,8 +245,121 @@ object IndexMaintain {
         val atomic = fams.flatMap(_.writes).forall(governed.contains)
         if (atomic && !store.inTransaction) store.transact(go()) else go()
         fams.map(f => f.name -> n)
-      case _ => Nil
+      case other => throw new IllegalArgumentException(
+        s"healWindow needs a single-pk bucketed table; '$table' has " +
+          other.fold("no declared bucket layout")(l =>
+            s"a composite bucket pk (${l._2.mkString(", ")})") +
+          " — per-pk indexes cannot exist on it, so there is nothing " +
+          "a window heal could refresh; use healDiverged/heal_ghosts " +
+          "for coverage repair or the library's upsertWith* verbs")
     }
+
+  /** `CALL graft.system.build_fts` / `TBLPROPERTIES('fts'=...)`: build
+    * the FTS index of `table` over its current rows (stats-only on an
+    * empty table — [[Fts.buildIndex]]) under the DECLARED bucket pk,
+    * and when the base is governed, govern the index's write tables
+    * too — empty-inclusive, so the very first INSERT commits base rows
+    * and postings as ONE epoch (the reference's index-comes-with-the-
+    * table contract, trigger semantics from birth). `buckets < 0`
+    * defaults the postings layout to the base table's own bucket
+    * count.
+    */
+  def buildFts(
+      store: TableStore, table: String, cols: Seq[String],
+      buckets: Int = -1): Unit = {
+    val (baseBuckets, pk) = store.bucketLayoutOf(table) match {
+      case Some((n, Seq(p))) => (n, p)
+      case other => throw new IllegalArgumentException(
+        s"build_fts needs a single-pk bucketed table; '$table' has " +
+          other.fold("no declared bucket layout")(l =>
+            s"a composite bucket pk (${l._2.mkString(", ")})") +
+          " — declare TBLPROPERTIES('pk'=..., 'buckets'=...) or " +
+          "ensureBucketed first")
+    }
+    Fts.buildIndex(store, table, pk, cols,
+      if (buckets < 0) baseBuckets else buckets)
+    if (store.governed.contains(table))
+      store.ensureGoverned(Seq(Fts.indexName(table), Fts.statsName(table),
+        Fts.epochName(table)))
+  }
+
+  /** `CALL graft.system.build_index(table, family, column, ...)`: build
+    * one non-FTS index family over `table`'s CURRENT rows with recorded
+    * provenance, so every later SQL write refreshes it and Doctor can
+    * check it — the SQL-surface twin of the library's per-family
+    * `buildIndex` verbs. The frame handed to each family's build IS
+    * the base upsert batch (replace semantics), so the FULL current
+    * rows go in — never a projection, which would null-fill every
+    * other column. Vector/text families must train on data: an empty
+    * table refuses (only FTS can build index-from-birth). When the
+    * base is governed, every artifact the build created is governed
+    * after it, so later maintenance stays one-epoch-atomic.
+    */
+  def buildFamily(
+      store: TableStore, table: String, family: String, column: String,
+      k: Int = 16, slices: Int = 4): Unit = {
+    val pk = store.bucketLayoutOf(table) match {
+      case Some((_, Seq(p))) => p
+      case other => throw new IllegalArgumentException(
+        s"build_index needs a single-pk bucketed table; '$table' has " +
+          other.fold("no declared bucket layout")(l =>
+            s"a composite bucket pk (${l._2.mkString(", ")})"))
+    }
+    val rows = store.readIfExists(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table holds no rows — vector/text index builds train on " +
+          "data; only build_fts can build on an empty table"))
+      .drop(store.BucketCol)
+    require(rows.columns.contains(column),
+      s"column '$column' is not in $table (${rows.columns.mkString(", ")})")
+    def dim: Int = rows.select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(column))).head.getInt(0)
+    family match {
+      case "trigram" => Trigram.upsertWithIndex(store, table, rows, pk, column)
+      case "lsh" => Lsh.buildIndex(store, table, rows, pk, column)
+      case "sq" => Sq.buildIndex(store, table, rows, pk, column)
+      case "bin" => Bin.buildIndex(store, table, rows, pk, column)
+      case "ivf" => Ivf.buildIndex(store, table, rows, pk, column, k = k)
+      case "ivfsq" =>
+        IvfSq.buildIndex(store, table, rows, pk, column, kCells = k)
+      case "ivfbin" =>
+        IvfBin.buildIndex(store, table, rows, pk, column, kCells = k)
+      case "pq" =>
+        val d = dim
+        require(slices > 0 && d % slices == 0,
+          s"emb dim $d is not divisible by slices=$slices")
+        Pq.buildIndex(store, table, rows, pk, column,
+          slices = slices, subDim = d / slices)
+      case "ivfpq" =>
+        val d = dim
+        require(slices > 0 && d % slices == 0,
+          s"emb dim $d is not divisible by slices=$slices")
+        IvfPq.buildIndex(store, table, rows, pk, column,
+          kCells = k, slices = slices, subDim = d / slices)
+      case other => throw new IllegalArgumentException(
+        s"unknown index family '$other' — known: trigram, lsh, sq, pq, " +
+          "bin, ivf, ivfpq, ivfsq, ivfbin (FTS builds through build_fts)")
+    }
+    if (store.governed.contains(table))
+      store.ensureGoverned(Retract.artifactTablesOf(store, table))
+  }
+
+  /** Every base-table column some maintained index of `table` records
+    * as its INPUT — the FTS stats row's indexed columns plus each
+    * `_meta`-carrying family's recorded text/emb column. These are the
+    * columns `ALTER TABLE DROP COLUMN` must refuse: dropping one would
+    * break the very next maintained write (the refresh would project a
+    * column the surface no longer serves) and strand the index with no
+    * rebuild path.
+    */
+  def provenancedColumns(store: TableStore, table: String): Set[String] = {
+    val fts = Fts.statsProvenance(store, table)._1.getOrElse(Nil).toSet
+    val meta = Retract.artifactTablesOf(store, table).flatMap(art =>
+      IvfDrift.trainingMeta(store, art).toSeq.flatMap(m =>
+        Seq("text", "emb").flatMap(m.get))).toSet
+    fts ++ meta
+  }
 
   def upsertMaintained(
       store: TableStore, table: String, batch: DataFrame,

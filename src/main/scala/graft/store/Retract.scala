@@ -91,7 +91,13 @@ object Retract {
     val params = paramsRegistry(table)
     val derived = (perPk ++ params).flatMap(f =>
       Seq(IvfDrift.metaName(f), IvfDrift.snapName(f)))
-    (perPk ++ params ++ derived).distinct.filter(store.exists)
+    // governed-but-EMPTY artifacts count too: a DDL-time index build
+    // on an empty table governs the postings table before any file
+    // exists (index-from-birth atomicity) — leaving it out of the
+    // inventory would strand a phantom pointer entry after DROP
+    val governed = store.governed
+    (perPk ++ params ++ derived).distinct
+      .filter(f => store.exists(f) || governed(f))
   }
 
   /** Every table a [[cascade]] on `table` would WRITE for its indexes

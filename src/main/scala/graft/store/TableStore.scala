@@ -87,14 +87,23 @@ class TableStore(val spark: SparkSession, val root: String) {
     // compact, schema evolution)
     val hadStats = hasFileStats(name)
     val declared = declaredSchemaOf(name)
+    val dropped = droppedColumnsOf(name)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
+    // the declared-surface markers are written INTO the tmp dir so the
+    // rename installs data + surface atomically — a crash after the
+    // swap can no longer silently drop ALTER-added (not yet
+    // data-carried) or resurrect ALTER-dropped columns; the stats
+    // manifest below is only a perf artifact, so its post-swap rebuild
+    // window stays acceptable
+    declared.foreach(s => writeSmall(new Path(tmp, SchemaMarkerFile), s.json))
+    if (dropped.nonEmpty)
+      writeSmall(new Path(tmp, DroppedMarkerFile), dropped.mkString("\n"))
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"rename $tmp -> $dst failed; data is preserved at $tmp")
-    declared.foreach(declareSchema(name, _))
     if (hadStats) refreshFileStats(name)
   }
 
@@ -149,7 +158,19 @@ class TableStore(val spark: SparkSession, val root: String) {
     * that no longer exist) — the same drop-the-ref-first discipline
     * as branches in git.
     */
-  def dropTables(names: Seq[String]): Unit = {
+  def dropTables(names: Seq[String]): Unit = dropTables(names, Set.empty)
+
+  /** [[dropTables]] with an explicit tag override: tags named in
+    * `ignorePinsOf` do not refuse the drop — the PURGE escalation
+    * path, which has already DECIDED each pinning tag's fate (drop it
+    * when it pins nothing but doomed tables; keep it when it also
+    * protects others, accepting that the kept tag's epoch now names a
+    * dead table — the same retained-commit state every plain DROP
+    * leaves behind, vacuum-safe because only currently-governed dirs
+    * are swept).
+    */
+  private[graft] def dropTables(
+      names: Seq[String], ignorePinsOf: Set[String]): Unit = {
     require(activeTx.isEmpty, "cannot drop tables inside a transaction")
     require(pinnedCommit.isEmpty, "cannot drop tables inside withSnapshot")
     // the cursor guard runs regardless of governance — a consumer can
@@ -163,7 +184,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val governedNow = names.filter(isGoverned)
     if (governedNow.nonEmpty) {
       val commitByEpoch = listCommits().toMap
-      val allTags = tags()
+      val allTags = tags() -- ignorePinsOf
       val taggedBy = governedNow.flatMap(n => allTags.filter { case (_, e) =>
         commitByEpoch.get(e).exists(p => parseCommit(p).contains(n))
       }.keys.map(t => s"$t (pins $n)")).distinct.sorted
@@ -1659,7 +1680,37 @@ class TableStore(val spark: SparkSession, val root: String) {
       .parquet(rels.map(r => new Path(path(name), r).toString): _*)
   }
 
-  private def schemaPath(name: String) = new Path(path(name), "_graft_schema")
+  private val SchemaMarkerFile = "_graft_schema"
+  private val DroppedMarkerFile = "_graft_dropped"
+
+  private def schemaPath(name: String) = new Path(path(name), SchemaMarkerFile)
+  private def droppedPath(name: String) = new Path(path(name), DroppedMarkerFile)
+
+  /** Record column names as DROPPED from the declared SQL surface —
+    * the metadata-only half of `ALTER TABLE ... DROP COLUMN` (the ADD
+    * mirror of [[declareSchema]]'s widening): data files are never
+    * rewritten (at 100 TB a DROP COLUMN must not touch them), the
+    * catalog's reader simply projects the column out of CURRENT reads,
+    * and time-travel keeps each epoch's own shape. The tombstone list
+    * REPLACES wholesale (pass the full set); an empty list clears the
+    * marker. Kept separate from the schema marker so legacy markers
+    * (plain StructType json) parse unchanged.
+    */
+  def declareDropped(name: String, cols: Seq[String]): Unit = {
+    fs.mkdirs(new Path(path(name)))
+    if (cols.isEmpty) fs.delete(droppedPath(name), false)
+    else writeSmall(droppedPath(name), cols.mkString("\n"))
+  }
+
+  /** Column names dropped from the declared SQL surface (empty when
+    * none) — consulted by the catalog's current-read projection and by
+    * ADD COLUMN's resurrect guard (re-adding a dropped name would
+    * serve the OLD values still in the data files, not nulls).
+    */
+  def droppedColumnsOf(name: String): Seq[String] =
+    if (!fs.exists(droppedPath(name))) Seq.empty
+    else readSmall(droppedPath(name)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Persist the DECLARED schema of a table created EMPTY (SQL
     * CREATE / CTAS, before any insert): [[declaredSchemaOf]] lets
@@ -2184,6 +2235,26 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def entryAt(
       name: String, commits: Map[Long, Path], e: Long): Option[String] =
     commits.get(e).flatMap(p => parseCommit(p).get(name))
+
+  /** Does `name` hold any data files in the retained commit at `epoch`?
+    * Pure pointer metadata, no data I/O. The guard multi-table appends
+    * consumers need: a governed-but-EMPTY member (SQL CREATE/CTAS
+    * before any insert) has no schema [[readAddedSince]] could serve —
+    * callers that already know the union schema skip such members
+    * instead of crashing every window on the empty one.
+    */
+  def hasFilesAt(name: String, epoch: Long): Boolean =
+    entryAt(name, listCommits().toMap, epoch)
+      .exists(resolveEntry(_).nonEmpty)
+
+  /** Table names governed in the retained commit at `epoch` (empty
+    * when the commit is not retained) — pure pointer metadata; the
+    * PURGE tag guard resolves "what else does this tag pin" through
+    * it.
+    */
+  def tablesAt(epoch: Long): Set[String] =
+    listCommits().collectFirst { case (e, p) if e == epoch =>
+      parseCommit(p).keySet }.getOrElse(Set.empty)
 
   private def relsAtRequired(
       name: String, commits: Map[Long, Path], e: Long): Set[String] = {

@@ -200,9 +200,14 @@ class EpochLogSource(
         if (mode == "appends")
           // per-member file-level adds over the ONE global window —
           // the rewrite-aware walk itself yields nothing for an
-          // unchanged member (empty frame, metadata cost only)
-          unionAligned(members.map { case (t, _) =>
-            tagged(t, store.readAddedSince(t, b, endE)) })
+          // unchanged member (empty frame, metadata cost only). A
+          // member with no files at EITHER endpoint (governed empty:
+          // CREATE/CTAS before any insert) is skipped outright —
+          // readAddedSince has no schema to serve for it, and the
+          // delivered shape is the fixed union schema anyway
+          unionAligned(members.flatMap { case (t, _) =>
+            if (!store.hasFilesAt(t, b) && !store.hasFilesAt(t, endE)) None
+            else Some(tagged(t, store.readAddedSince(t, b, endE))) })
         else unionAligned(members.flatMap { case (t, pk) =>
           if (logicalIn(t, b, endE))
             Some(tagged(t, store.readChangesSince(t, b, endE, pk)))

@@ -570,7 +570,9 @@ class GraftCatalogSpec extends SparkSpec {
     "over one global window — a joint transact never tears, no pk or " +
     "_change_type needed, pruning reaches the parquet scan") {
     val (root, store) = mountCatalog()
-    store.ensureGoverned(Seq("a", "b"))
+    // 'c' stays governed with ZERO files (CREATE-before-insert): an
+    // empty member must contribute nothing, not crash the window
+    store.ensureGoverned(Seq("a", "b", "c"))
     store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
     store.upsert("b", Seq((10L, "b1", 7)).toDF("id", "v", "extra"), Seq("id"))
     val e0 = store.snapshot().epoch
@@ -583,7 +585,7 @@ class GraftCatalogSpec extends SparkSpec {
     store.compact("a")
     val e2 = store.snapshot().epoch
 
-    val opts = Map("root" -> root, "tables" -> "a,b", "mode" -> "appends",
+    val opts = Map("root" -> root, "tables" -> "a,b,c", "mode" -> "appends",
       "fromEpoch" -> e0.toString, "toEpoch" -> e1.toString)
     val joint = spark.read.format("graft-changes").options(opts).load()
     assert(joint.columns.head === "_table")
@@ -798,27 +800,50 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("DROP TABLE PURGE releases the pins a plain DROP refuses on: " +
-    "tags pinning the table drop, consumer cursors deregister") {
+    "doomed-only tags drop, a tag also protecting OTHER tables " +
+    "survives (purging one table never un-pins the rest), consumer " +
+    "cursors deregister") {
     val (_, store) = mountCatalog()
     store.ensureBucketed("t", Seq("id"), 2)
-    store.ensureGoverned(Seq("t", "other"))
+    store.ensureGoverned(Seq("t"))
     store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
-    store.upsert("other", Seq((1L, "keep")).toDF("id", "v"), Seq("id"))
+    // pins an epoch whose commit contains ONLY t → PURGE may drop it
     store.tagEpoch("rel-t")
+    store.ensureGoverned(Seq("other"))
+    store.upsert("other", Seq((1L, "keep")).toDF("id", "v"), Seq("id"))
+    // pins an epoch containing t AND other → dropping it would
+    // silently release other's retention pin too; PURGE must keep it
+    store.tagEpoch("rel-both")
     graft.store.EpochFollower.consumeChanges(store, "t", "mirror",
       Seq("id"))(_ => ())
 
     val refuse = intercept[Exception](spark.sql("DROP TABLE graft.t"))
     assert(refuse.getMessage.contains("rel-t") ||
+      refuse.getMessage.contains("rel-both") ||
       refuse.getMessage.contains("mirror"), refuse.getMessage)
 
     spark.sql("DROP TABLE graft.t PURGE")
     assert(!store.tableNames.contains("t"))
     assert(!store.tags().contains("rel-t"),
-      "PURGE drops the tags that pinned the table")
+      "PURGE drops a tag that pinned nothing but the doomed tables")
+    assert(store.tags().contains("rel-both"),
+      "a tag that also pins OTHER tables survives the purge — " +
+        "dropping it would silently release their retention")
     assert(!graft.store.EpochFollower.cursors(store).keys.exists(_._1 == "t"),
       "PURGE deregisters the table's consumer cursors")
     assert(store.governed === Set("other"))
+    // the surviving tag still serves the OTHER table's pinned snapshot
+    assert(spark.sql(
+      "SELECT v FROM graft.other VERSION AS OF 'rel-both'")
+      .collect().head.getString(0) === "keep")
+    // ... and fails loudly for the dead table, like any pre-drop epoch
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.t VERSION AS OF 'rel-both'").collect())
+    // vacuum with the surviving tag is safe: other's pinned files stay
+    store.vacuumEpochs(0L)
+    assert(spark.sql(
+      "SELECT v FROM graft.other VERSION AS OF 'rel-both'")
+      .collect().head.getString(0) === "keep")
     // IF EXISTS on a never-existed table is a clean no-op
     spark.sql("DROP TABLE IF EXISTS graft.never_was")
   }
@@ -880,6 +905,170 @@ class GraftCatalogSpec extends SparkSpec {
       "the flat swap must not drop the evolved declared surface")
   }
 
+  test("index-from-birth: CREATE TABLE TBLPROPERTIES('fts'=...) " +
+    "serves MATCH SQL-only, the FIRST INSERT commits base + postings " +
+    "as one epoch, and DROP takes the index with the inventory") {
+    val (_, store) = mountCatalog()
+    spark.sql(
+      "CREATE TABLE graft.docs (id BIGINT, full_text STRING) " +
+        "TBLPROPERTIES('pk'='id', 'buckets'='2', 'fts'='full_text')")
+    // the index exists from birth: stats-only, provenance recorded,
+    // MATCH answers empty instead of erroring
+    assert(store.tableNames.contains(
+      graft.store.Fts.statsName("docs")), store.tableNames.mkString(","))
+    assert(spark.sql(
+      "CALL graft.system.search('docs', 'zebra')").collect().isEmpty)
+    val e0 = store.snapshot().epoch
+
+    spark.sql("INSERT INTO graft.docs VALUES " +
+      "(1L, 'alpha beta gamma'), (2L, 'beta zebra quagga')")
+    assert(store.snapshot().epoch === e0 + 1,
+      "the FIRST insert must land base rows AND postings as ONE epoch")
+    assert(store.read(graft.store.Fts.indexName("docs"))
+      .filter(col("pk") === 2L && col("token") === "zebra").count() === 1L)
+    // MATCH SQL-only, unranked and ranked
+    assert(spark.sql("CALL graft.system.search('docs', 'zebra')")
+      .collect().map(_.getString(0)).toSeq === Seq("2"))
+    val ranked = spark.sql(
+      "CALL graft.system.search_ranked('docs', 'beta OR quagga', k => 5)")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(ranked.map(_._1).toSet === Set("1", "2"), ranked.mkString(","))
+    assert(ranked.head._1 === "2",
+      "two hits must outrank one under BM25")
+    // UPDATE refreshes the postings in the same statement
+    spark.sql("UPDATE graft.docs SET full_text = 'omega only' WHERE id = 1")
+    assert(spark.sql("CALL graft.system.search('docs', 'alpha')")
+      .collect().isEmpty, "stale postings after UPDATE")
+    assert(spark.sql("CALL graft.system.search('docs', 'omega')")
+      .collect().map(_.getString(0)).toSeq === Seq("1"))
+    assert(graft.store.Doctor.check(store) === Seq.empty)
+
+    // DROP removes the base plus the whole index inventory — including
+    // the from-birth governed entries
+    spark.sql("DROP TABLE graft.docs")
+    assert(!store.tableNames.exists(_.startsWith("docs")),
+      store.tableNames.mkString(","))
+    assert(store.governed.forall(!_.startsWith("docs")),
+      s"no phantom pointer entries may linger: ${store.governed}")
+  }
+
+  test("CALL graft.system.build_fts / build_index retrofit indexes " +
+    "onto an existing governed table: provenance recorded, Doctor " +
+    "green, later SQL writes refresh them") {
+    import graft.store.{Doctor, Sq}
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 12).map(i => (i.toLong, s"common word$i",
+      (0 until 8).map(d => math.sin(i * 8 + d)))).toDF("id", "v", "e"),
+      Seq("id"))
+
+    spark.sql("CALL graft.system.build_fts('t', 'v')")
+    val built = spark.sql(
+      "CALL graft.system.build_index('t', 'sq', 'e')").collect()
+    assert(built.head.getString(1) === "sq" && built.head.getLong(2) === 12L)
+    assert(Doctor.check(store) === Seq.empty,
+      "a CALL-built index must land Doctor-green with provenance")
+
+    // one SQL INSERT refreshes BOTH retrofitted families in ONE epoch
+    val e1 = store.snapshot().epoch
+    val eight = (1 to 8).map(d => s"0.${d}D").mkString("array(", ", ", ")")
+    spark.sql(s"INSERT INTO graft.t VALUES (100L, 'zebra text', $eight)")
+    assert(store.snapshot().epoch === e1 + 1,
+      "base + both retrofitted indexes must commit as ONE epoch")
+    assert(spark.sql("CALL graft.system.search('t', 'zebra')")
+      .collect().map(_.getString(0)).toSeq === Seq("100"))
+    assert(store.read(Sq.codesName("t")).filter(col("pk") === 100L)
+      .count() === 1L)
+    assert(Doctor.check(store) === Seq.empty)
+
+    // guardrails: unknown family, empty table, flat table all refuse
+    val fam = intercept[Exception](spark.sql(
+      "CALL graft.system.build_index('t', 'nope', 'e')"))
+    assert(fam.getMessage.contains("unknown index family"), fam.getMessage)
+    store.overwrite("flat", Seq((1L, "x")).toDF("id", "v"))
+    val flat = intercept[Exception](spark.sql(
+      "CALL graft.system.build_fts('flat', 'v')"))
+    assert(flat.getMessage.contains("bucket"), flat.getMessage)
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only: current reads " +
+    "project the column out with no file rewrite, old epochs keep it, " +
+    "re-ADD of the name refuses (no value resurrection), Doctor green") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", Seq((1L, "a", 1.5), (2L, "b", 2.5))
+      .toDF("id", "v", "score"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    val filesBefore = store.dataFiles("t").toSet
+
+    spark.sql("ALTER TABLE graft.t DROP COLUMN score")
+
+    assert(store.dataFiles("t").toSet === filesBefore,
+      "DROP COLUMN must not rewrite a single data file")
+    assert(store.snapshot().epoch === e1, "metadata-only: no new epoch")
+    assert(!spark.table("graft.t").columns.contains("score"),
+      "current reads must project the dropped column out")
+    assert(spark.sql("SELECT * FROM graft.t ORDER BY id")
+      .columns.toSeq === Seq("id", "v"))
+    // the pre-drop epoch still serves the column — its files carry it
+    val old = spark.sql(s"SELECT * FROM graft.t VERSION AS OF $e1")
+    assert(old.columns.contains("score"),
+      "time-travel keeps each epoch's own shape")
+    assert(old.filter(col("id") === 1L).select("score")
+      .collect().head.getDouble(0) === 1.5)
+    assert(graft.store.Doctor.check(store)
+      .filter(_.component == "schema") === Seq.empty,
+      "a tombstoned data column is the valid post-DROP state, not drift")
+
+    // writes keep working against the narrowed surface
+    spark.sql("INSERT INTO graft.t VALUES (3L, 'c')")
+    assert(spark.sql("SELECT v FROM graft.t WHERE id = 3")
+      .collect().head.getString(0) === "c")
+    assert(!spark.table("graft.t").columns.contains("score"))
+
+    // re-adding the dropped name must refuse — the old values still
+    // live in the data files and would resurrect instead of null-fill
+    val res = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t ADD COLUMN score DOUBLE"))
+    assert(res.getMessage.toLowerCase.contains("resurrect"),
+      res.getMessage)
+    // ... which also blocks MERGE WITH SCHEMA EVOLUTION from
+    // resurrecting it out of a stale wide source
+    Seq((9L, "m", 9.9)).toDF("id", "v", "score")
+      .createOrReplaceTempView("wide_src")
+    val mergeRes = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.t t
+        |USING wide_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(mergeRes.getMessage.toLowerCase.contains("resurrect"),
+      mergeRes.getMessage)
+    // a DIFFERENT name evolves fine afterwards
+    spark.sql("ALTER TABLE graft.t ADD COLUMN score2 DOUBLE")
+    assert(spark.table("graft.t").columns.contains("score2"))
+
+    // guardrails: pk and last-column drops refuse; IF EXISTS no-ops
+    val pk = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t DROP COLUMN id"))
+    assert(pk.getMessage.contains("bucket pk"), pk.getMessage)
+    spark.sql("ALTER TABLE graft.t DROP COLUMN IF EXISTS never_was")
+    val gone = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t DROP COLUMN never_was"))
+    assert(gone.getMessage.toLowerCase.contains("no such column") ||
+      gone.getMessage.toLowerCase.contains("cannot be resolved") ||
+      gone.getMessage.toLowerCase.contains("not found"), gone.getMessage)
+
+    // an indexed input column refuses to drop
+    store.upsert("t",
+      spark.sql("SELECT id, v, score2 FROM graft.t"), Seq("id"))
+    graft.store.Fts.upsertWithIndexCols(store, "t",
+      store.read("t").drop(store.BucketCol), "id", Seq("v"), buckets = 2)
+    val idx = intercept[Exception](
+      spark.sql("ALTER TABLE graft.t DROP COLUMN v"))
+    assert(idx.getMessage.contains("maintained index"), idx.getMessage)
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
@@ -888,10 +1077,10 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.t RENAME TO graft.t2"))
     assert(e.getMessage.toLowerCase.contains("support") ||
       e.getMessage.toLowerCase.contains("rename"), e.getMessage)
-    // ADD COLUMN is supported (see the evolution test); everything
-    // else on ALTER still refuses with the library pointer
+    // ADD/DROP COLUMN are supported (see the evolution tests);
+    // everything else on ALTER still refuses with the library pointer
     val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graft.t DROP COLUMN v"))
+      spark.sql("ALTER TABLE graft.t RENAME COLUMN v TO w"))
     assert(alter.getMessage.toLowerCase.contains("library") ||
       alter.getMessage.toLowerCase.contains("support"), alter.getMessage)
     val missing = intercept[Exception](

@@ -423,6 +423,58 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.check(quiet).filter(_.component == "orphan") === Seq.empty)
   }
 
+  test("healOrphans drops exactly the provenance-proven dead-base " +
+    "inventories — Doctor green after, lookalikes survive, idempotent; " +
+    "CALL graft.system.heal_orphans reaches it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    val store = new TableStore(spark, root)
+    val rows = (0 until 6).map(i => (i.toLong, s"word$i body",
+      (0 until 4).map(_ * 1.0))).toDF("id", "full_text", "e")
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.upsert("t", rows, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t",
+      store.read("t").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    Sq.buildIndex(store, "t", store.read("t").drop(store.BucketCol),
+      "id", "e")
+    // a keep-table plus a lookalike that must SURVIVE the heal
+    store.overwrite("keep", Seq((1L, "v")).toDF("id", "v"))
+    store.overwrite("x_fts", Seq((1L, "not an index")).toDF("pk", "v"))
+
+    // the library-side drop that bypasses the artifact inventory
+    store.drop("t")
+    assert(Doctor.check(store).exists(_.component == "orphan"))
+
+    val healed = Doctor.healOrphans(store)
+    assert(healed.map(_._1) === Seq("t"), s"got $healed")
+    assert(healed.head._2.contains(Sq.codesName("t")) &&
+      healed.head._2.contains(Fts.indexName("t")), s"got $healed")
+    assert(!store.tableNames.exists(_.startsWith("t_")),
+      s"the full inventory must drop: ${store.tableNames}")
+    assert(store.tableNames.contains("keep") &&
+      store.tableNames.contains("x_fts"),
+      "tables without dead-base provenance must survive")
+    assert(Doctor.check(store) === Seq.empty, "heal must land Doctor green")
+    assert(Doctor.healOrphans(store) === Seq.empty, "idempotent")
+
+    // the SQL surface reaches the same verb
+    val store2 = new TableStore(spark, root)
+    store2.ensureBucketed("u", Seq("id"), 2)
+    store2.upsert("u", rows, Seq("id"))
+    Sq.buildIndex(store2, "u", store2.read("u").drop(store2.BucketCol),
+      "id", "e")
+    store2.drop("u")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val out = spark.sql("CALL graft.system.heal_orphans()").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("u"), out.mkString(","))
+    assert(out.head.getLong(1) > 0L)
+    assert(Doctor.check(store2) === Seq.empty)
+    assert(spark.sql("CALL graft.system.heal_orphans()").collect().isEmpty,
+      "idempotent through SQL too")
+  }
+
   test("a drifted declared-schema marker is named; matching or empty is silent") {
     val store = freshStore()
     import org.apache.spark.sql.types._

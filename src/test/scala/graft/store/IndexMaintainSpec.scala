@@ -204,6 +204,32 @@ class IndexMaintainSpec extends SparkSpec {
       postings(refStore, Fts.indexName("ref")))
   }
 
+  test("healWindow refuses LOUDLY on composite-pk and unbucketed " +
+    "tables — 'nothing to do' would misreport both; CALL heal_window " +
+    "surfaces the same error") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("comp", Seq("a", "b"), 2)
+    store.upsert("comp", Seq((1L, 2L, "v")).toDF("a", "b", "v"),
+      Seq("a", "b"))
+    store.ensureGoverned(Seq("comp"))
+    val e = store.snapshot().epoch
+    val err = intercept[IllegalArgumentException](
+      IndexMaintain.healWindow(store, "comp", e - 1, Some(e)))
+    assert(err.getMessage.contains("composite"), err.getMessage)
+    val sqlErr = intercept[Exception](
+      spark.sql(s"CALL graft.system.heal_window('comp', ${e - 1}, $e)")
+        .collect())
+    assert(sqlErr.getMessage.contains("composite") ||
+      Option(sqlErr.getCause).exists(_.getMessage.contains("composite")),
+      sqlErr.getMessage)
+
+    store.overwrite("flat", Seq((1L, "v")).toDF("id", "v"))
+    val err2 = intercept[IllegalArgumentException](
+      IndexMaintain.healWindow(store, "flat", 0L, Some(e)))
+    assert(err2.getMessage.contains("no declared bucket layout"),
+      err2.getMessage)
+  }
+
   test("FTS enforces the same pk-provenance rule as the _meta families: " +
     "an index built under a different key than the declared bucket pk " +
     "is skipped, never refreshed with the declared pk") {
@@ -238,5 +264,54 @@ class IndexMaintainSpec extends SparkSpec {
     assert(refreshed2.contains("fts"))
     assert(store.read(Fts.indexName("t"))
       .filter(col("pk") === 51L).count() > 0L)
+  }
+
+  test("LEGACY FTS stats (predating pk capture) adopt the declared pk " +
+    "after a one-time postings⊆base verification — pre-upgrade indexes " +
+    "keep refreshing on SQL writes; a mismatched key domain stays " +
+    "skipped") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    val rows = (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text")
+    store.upsert("t", rows, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t", store.read("t").drop(store.BucketCol),
+      "id", Seq("full_text"), buckets = 2)
+    // simulate a pre-upgrade store: strip the pk column from the
+    // stats row (the exact shape every index built before pk capture
+    // carries)
+    store.overwrite(Fts.statsName("t"),
+      store.read(Fts.statsName("t")).drop("pk"))
+    assert(Fts.statsProvenance(store, "t")._2.isEmpty, "fixture: legacy")
+
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t",
+      Seq((50L, "fresh zebra row")).toDF("id", "full_text"), Seq("id"))
+    assert(refreshed.contains("fts"),
+      s"a legacy index whose postings match the declared key domain " +
+        s"must keep refreshing (skipped=$skipped)")
+    assert(store.read(Fts.indexName("t"))
+      .filter(col("pk") === 50L && col("token") === "zebra").count() === 1L)
+    assert(Fts.statsProvenance(store, "t")._2.contains("id"),
+      "adoption must STAMP the stats row so the O(index) check runs once")
+
+    // mismatched key domain: postings keyed on values outside the
+    // declared pk's value set must NOT adopt
+    val (_, store2) = mountCatalog()
+    val rows2 = (0 until 6).map(i => (i.toLong, i.toLong + 100L, s"word$i x"))
+      .toDF("id", "alt", "full_text")
+    store2.overwrite("t2", rows2)
+    Fts.upsertWithIndexCols(store2, "t2", rows2, "alt", Seq("full_text"),
+      buckets = 2)
+    store2.overwrite(Fts.statsName("t2"),
+      store2.read(Fts.statsName("t2")).drop("pk"))
+    store2.bucketize("t2", Seq("id"), 2)
+    val before = store2.read(Fts.indexName("t2")).count()
+    val (refreshed2, skipped2) = IndexMaintain.upsertMaintained(store2, "t2",
+      Seq((50L, 150L, "fresh row")).toDF("id", "alt", "full_text"), Seq("id"))
+    assert(!refreshed2.contains("fts") && skipped2.contains("fts"),
+      "an alien key domain must never adopt the declared pk")
+    assert(store2.read(Fts.indexName("t2")).count() === before)
+    assert(Fts.statsProvenance(store2, "t2")._2.isEmpty,
+      "a failed verification must not stamp")
   }
 }

@@ -547,6 +547,55 @@ class EpochLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-table appends mode tolerates a governed-but-EMPTY member: " +
+    "it contributes nothing (instead of crashing every micro-batch) " +
+    "until its first insert, whose rows then flow") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    // 'later' is governed with ZERO files — the CREATE/CTAS-before-
+    // insert state the provider's .schema(...) hint exists for
+    store.ensureGoverned(Seq("a", "later"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+
+    val seen = mutable.ArrayBuffer[(String, Long)]()
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("_table", "string", nullable = false)
+      .add("id", "long").add("v", "string")
+    val q = spark.readStream.format("graft-cdc")
+      .schema(sch)
+      .option("root", root).option("tables", "a,later")
+      .option("mode", "appends").option("startingEpoch", "earliest")
+      .load()
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-els-ck"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val rows = df.select(col("_table"), col("id").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        seen.synchronized { seen ++= rows }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"an empty member must not crash the stream: ${q.exception}")
+      store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"windows over the empty member must keep serving: ${q.exception}")
+      assert(seen.synchronized(seen.toSet)
+        .filter(_._1 == "a").map(_._2) === Set(1L, 2L))
+      // the moment the empty member gains rows, they flow — the skip
+      // is files-at-endpoints metadata, never a standing exclusion
+      store.upsert("later", Seq((100L, "l1")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(seen.synchronized(seen.toSet).contains(("later", 100L)),
+        s"the late member's first insert must be delivered: $seen")
+    } finally q.stop()
+  }
+
   /** foreachBatch sink for the multi-table form: records, per
     * micro-batch, which member tables contributed rows — the torn-join
     * witness — plus every delivered (table, pk, value, tag) row.
