@@ -52,10 +52,12 @@ import graft.store.TableStore
   * writers) where this catalog deliberately bridges through V1
   * frames, so the analyzed plans are intercepted one level up and
   * routed through the store's upsert / retraction verbs instead.
-  * `ALTER TABLE ADD COLUMN` evolves metadata-only (see
-  * [[alterTable]]) and `DROP TABLE` / `DROP TABLE PURGE` close the
-  * lifecycle (see [[dropTable]]); other ALTER shapes and RENAME stay
-  * with the library's richer lifecycle.
+  * `ALTER TABLE ADD COLUMN` / `DROP COLUMN` evolve metadata-only (see
+  * [[alterTable]]), `RENAME TO` moves the table WITH its index
+  * inventory (see [[renameTable]]), and `DROP TABLE` / `DROP TABLE
+  * PURGE` close the lifecycle (see [[dropTable]]); remaining ALTER
+  * shapes (column renames/type changes) stay with the library's
+  * richer lifecycle.
   *
   * Consistency: like Iceberg/Delta catalogs, each TABLE REFERENCE
   * resolves the then-current commit independently, so a multi-table
@@ -214,9 +216,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * index exists from birth (stats-only until rows arrive),
     * [[graft.store.IndexMaintain]] refreshes it inside every INSERT /
     * UPDATE / MERGE epoch from the very first one, and DROP removes
-    * it with the inventory. ADD/DROP COLUMN and DROP TABLE are
-    * supported (see [[alterTable]]/[[dropTable]]); other ALTER shapes
-    * and RENAME stay with the library.
+    * it with the inventory. ADD/DROP COLUMN, RENAME TO and DROP TABLE
+    * are supported (see [[alterTable]]/[[renameTable]]/[[dropTable]]);
+    * column renames/type changes stay with the library.
     */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
@@ -443,8 +445,50 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  /** `ALTER TABLE graft.t RENAME TO t2` — the inventory-carrying move:
+    * the base AND every index artifact keyed on it rename together
+    * (postings, codes, params, `_meta` provenance, occupancy
+    * snapshots — the same [[graft.store.Retract.artifactTablesOf]]
+    * set DROP takes), via one commit-pointer re-key + directory moves
+    * ([[TableStore.renameTables]]); `_meta` provenance rows re-point
+    * their recorded base name so Doctor's orphan proof and the
+    * retrain loop follow the rename. Pins REFUSE, exactly like plain
+    * DROP: a release tag pinning the table (the pinned epoch would
+    * resolve moved files) or a consumer cursor on it (its diff base
+    * would break silently) must be dropped first — there is no
+    * RENAME ... PURGE escalation. History is name-keyed: queries,
+    * MATCH and CDC serve under the new name from the rename commit
+    * on; the old name is NoSuchTable; the new name's `$history`
+    * starts fresh at the rename (pre-rename epochs keep the old name
+    * — retained pointers are immutable), the DROP + re-CREATE
+    * incarnation rule.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace.isEmpty && newIdent.namespace.isEmpty,
+      "graft catalog has no namespaces — RENAME TO a bare table name")
+    val (oldBase, meta) = GraftCatalog.splitMeta(oldIdent.name)
+    require(meta.isEmpty && !newIdent.name.contains("$"),
+      "'$' names the metadata-table suffix — rename the base table")
+    val s = store()
+    if (!s.tableNames.contains(oldBase))
+      throw new NoSuchTableException(oldIdent)
+    if (s.tableNames.contains(newIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(catalogName, newIdent.name))
+    val arts = graft.store.Retract.artifactTablesOf(s, oldBase)
+    val pairs = (oldBase -> newIdent.name) +: arts.map(a =>
+      a -> (newIdent.name + a.stripPrefix(oldBase)))
+    s.renameTables(pairs)
+    // re-point each artifact's recorded base name at the new one —
+    // Doctor's orphan proof and IvfDrift's retrain loop key on it
+    pairs.map(_._2).foreach { na =>
+      graft.store.IvfDrift.trainingMeta(s, na).foreach { m =>
+        if (m.get("table").contains(oldBase))
+          graft.store.IvfDrift.recordTraining(s, na,
+            m.updated("table", newIdent.name))
+      }
+    }
+  }
 }
 
 object GraftCatalog {

@@ -203,6 +203,72 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Rename several tables as ONE operation — the inventory-carrying
+    * move SQL `RENAME TABLE` drives (base + every index artifact
+    * renames together). Commit-log entries are rel-path lists keyed
+    * only by the POINTER's table name (table-name-agnostic contents),
+    * so a rename is: the same pin guards [[dropTables]] runs (a
+    * release tag pinning a member, or a consumer cursor on one,
+    * REFUSES — moved files would break the pinned epoch's resolution
+    * just as silently as deleted ones), ONE pointer write re-keying
+    * every governed member's current entry to its new name, then the
+    * directory moves. History is name-keyed and retained pointers are
+    * IMMUTABLE (the cross-instance parse caches rely on it), so
+    * pre-rename epochs keep the old name: the new name starts its
+    * `$history` at the rename commit and `VERSION AS OF` a pre-rename
+    * epoch fails loudly under both names — DROP + re-CREATE
+    * incarnation semantics, deliberately. Crash discipline mirrors
+    * [[dropTables]]: the pointer flips FIRST (the log is the source
+    * of truth), directories move after; a crash between leaves
+    * governed reads of the new name failing loudly ("no files") and
+    * RE-RUNNING the same rename completes the moves (the pointer
+    * re-key detects it already happened).
+    */
+  def renameTables(pairs: Seq[(String, String)]): Unit = {
+    require(activeTx.isEmpty, "cannot rename tables inside a transaction")
+    require(pinnedCommit.isEmpty, "cannot rename tables inside withSnapshot")
+    val renames = pairs.toMap
+    require(renames.size == pairs.size && pairs.map(_._2).distinct.size == pairs.size,
+      "rename pairs must be unique on both sides")
+    val olds = pairs.map(_._1)
+    pairs.foreach { case (o, n) =>
+      require(n.nonEmpty && !n.contains("/") && !n.startsWith("_") &&
+        !n.contains("$") && !n.endsWith(".__tmp"),
+        s"'$n' is not a valid table name")
+      require(!fs.exists(new Path(path(n))),
+        s"cannot rename $o -> $n: '$n' already exists")
+    }
+    val cursorsOn = EpochFollower.cursors(this).keys.collect {
+      case (t, c) if olds.contains(t) => s"$c (on $t)" }.toSeq.sorted
+    require(cursorsOn.isEmpty,
+      s"registered consumer cursor(s) ${cursorsOn.mkString(", ")} — " +
+        "their diff base would silently break under the new name; " +
+        "drop-consumer first")
+    val governedNow = olds.filter(isGoverned)
+    if (governedNow.nonEmpty) {
+      val commitByEpoch = listCommits().toMap
+      val allTags = tags()
+      val taggedBy = governedNow.flatMap(n => allTags.filter { case (_, e) =>
+        commitByEpoch.get(e).exists(p => parseCommit(p).contains(n))
+      }.keys.map(t => s"$t (pins $n)")).distinct.sorted
+      require(taggedBy.isEmpty,
+        s"pinned by release tag(s) ${taggedBy.mkString(", ")} — the " +
+          "pinned epoch resolves files the rename would move; drop-tag first")
+      currentCommit.foreach { case (epoch, tables) =>
+        writePointer(epoch + 1, tables.toSeq
+          .map { case (t, lf) => renames.getOrElse(t, t) -> lf }
+          .sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
+      }
+    }
+    pairs.foreach { case (o, n) =>
+      val src = new Path(path(o))
+      if (fs.exists(src) && !fs.rename(src, new Path(path(n))))
+        throw new java.io.IOException(
+          s"rename $src -> ${path(n)} failed; the commit log already " +
+            "serves the new name — re-run the rename to complete the move")
+    }
+  }
+
   /** Delete one Hive partition directory (`name/col=value`) — the
     * companion of `overwritePartitions` for partitions whose new
     * content is empty (dynamic overwrite can only rewrite partitions

@@ -1069,14 +1069,92 @@ class GraftCatalogSpec extends SparkSpec {
     assert(idx.getMessage.contains("maintained index"), idx.getMessage)
   }
 
+  test("RENAME TABLE carries the whole index inventory: queries, " +
+    "MATCH, CDC and maintenance serve under the new name, the old " +
+    "name is NoSuchTable, $history starts fresh, pins refuse") {
+    import graft.store.{Doctor, EpochFollower, Fts, Sq}
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 2)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", (0 until 8).map(i => (i.toLong, s"common word$i",
+      (0 until 8).map(d => math.sin(i * 8 + d)))).toDF("id", "v", "e"),
+      Seq("id"))
+    spark.sql("CALL graft.system.build_fts('docs', 'v')")
+    spark.sql("CALL graft.system.build_index('docs', 'sq', 'e')")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // pins refuse, exactly like DROP
+    store.tagEpoch("rel-1")
+    val pinned = intercept[Exception](
+      spark.sql("ALTER TABLE graft.docs RENAME TO corpus"))
+    assert(pinned.getMessage.contains("rel-1"), pinned.getMessage)
+    store.dropTag("rel-1")
+    EpochFollower.consumeChanges(store, "docs", "mirror", Seq("id"))(_ => ())
+    val cursored = intercept[Exception](
+      spark.sql("ALTER TABLE graft.docs RENAME TO corpus"))
+    assert(cursored.getMessage.contains("mirror"), cursored.getMessage)
+    EpochFollower.drop(store, "docs", "mirror")
+
+    val preRename = store.snapshot().epoch
+    spark.sql("ALTER TABLE graft.docs RENAME TO corpus")
+
+    // the full inventory moved: no docs-prefixed table remains, the
+    // corpus-prefixed twins exist, nothing is orphaned
+    assert(!store.tableNames.exists(_.startsWith("docs")),
+      store.tableNames.mkString(","))
+    assert(store.tableNames.contains(Fts.indexName("corpus")) &&
+      store.tableNames.contains(Sq.codesName("corpus")))
+    assert(Doctor.check(store) === Seq.empty,
+      "_meta provenance must re-point at the new base name")
+
+    // served under the new name — query, MATCH, maintenance, CDC
+    assert(spark.sql("SELECT count(*) FROM graft.corpus")
+      .collect().head.getLong(0) === 8L)
+    assert(spark.sql("CALL graft.system.search('corpus', 'word3')")
+      .collect().map(_.getString(0)).toSeq === Seq("3"))
+    val e1 = store.snapshot().epoch
+    val eight = (1 to 8).map(d => s"0.${d}D").mkString("array(", ", ", ")")
+    spark.sql(s"INSERT INTO graft.corpus VALUES (100L, 'zebra row', $eight)")
+    assert(store.snapshot().epoch === e1 + 1,
+      "maintained writes stay one-epoch-atomic after the rename")
+    assert(spark.sql("CALL graft.system.search('corpus', 'zebra')")
+      .collect().map(_.getString(0)).toSeq === Seq("100"))
+    val feed = spark.read.format("graft-changes")
+      .option("root", root).option("table", "corpus").option("pk", "id")
+      .option("fromEpoch", e1.toString).load()
+    assert(feed.filter(col("id") === 100L).count() === 1L,
+      "CDC serves under the new name")
+
+    // the old name is gone; $history starts fresh at the rename
+    val gone = intercept[Exception](
+      spark.sql("SELECT * FROM graft.docs").collect())
+    assert(gone.getMessage.toLowerCase.contains("not") ||
+      gone.getMessage.toLowerCase.contains("found"), gone.getMessage)
+    val hist = spark.sql("SELECT epoch FROM graft.`corpus$history`")
+      .collect().map(_.getLong(0))
+    assert(hist.min > preRename,
+      s"the new name's history starts at the rename commit: $hist")
+    // pre-rename epochs fail loudly under the new name (the
+    // incarnation rule — retained pointers keep the old name)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft.corpus VERSION AS OF $preRename").collect())
+
+    // target-name collision refuses
+    store.overwrite("taken", Seq((1L, "x")).toDF("id", "v"))
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE graft.corpus RENAME TO taken"))
+    assert(dup.getMessage.toLowerCase.contains("already exists"),
+      dup.getMessage)
+  }
+
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {
     val (_, store) = mountCatalog()
     store.ensureGoverned(Seq("t"))
     store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE graft.t RENAME TO graft.t2"))
+      spark.sql("ALTER TABLE graft.t SET TBLPROPERTIES('x'='y')"))
     assert(e.getMessage.toLowerCase.contains("support") ||
-      e.getMessage.toLowerCase.contains("rename"), e.getMessage)
+      e.getMessage.toLowerCase.contains("library"), e.getMessage)
     // ADD/DROP COLUMN are supported (see the evolution tests);
     // everything else on ALTER still refuses with the library pointer
     val alter = intercept[Exception](
