@@ -156,6 +156,68 @@ object DmlOps {
       |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cdc_multi — transactionally-consistent MULTI-TABLE CDC, oracle-
+  // checked: two governed tables, ONE transact upserting changed
+  // images into both, one `graft-changes` read over the global window
+  // returning the `_table`-tagged union. The never-torn pairing is
+  // structural (one epoch window for every member); the oracle
+  // recomputes each member's expected change set directly from the
+  // source parquet and unions them — the feed must emit EXACTLY the
+  // changed rows (carried rows in rewritten buckets never appear), so
+  // the row sets match 1:1. Members null-fill each other's columns.
+  def cdcMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = mountScratch(spark, "cdcm")
+    store.ensureBucketed("cust", Seq("c_custkey"), 4)
+    store.ensureBucketed("supp", Seq("s_suppkey"), 2)
+    store.ensureGoverned(Seq("cust", "supp"))
+    val cust = Catalog.table(spark, sfDir, "customer")
+    val supp = Catalog.table(spark, sfDir, "supplier")
+    store.transact {
+      store.upsert("cust", cust, Seq("c_custkey"))
+      store.upsert("supp", supp, Seq("s_suppkey"))
+    }
+    val from = store.currentEpochIfAny.get
+    // ONE joint transact: genuinely-changed images in both members
+    // (the feed is content-exact — an identical re-upsert would
+    // contribute nothing)
+    store.transact {
+      store.upsert("cust",
+        cust.filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)),
+        Seq("c_custkey"))
+      store.upsert("supp",
+        supp.withColumn("s_acctbal", col("s_acctbal") + lit(1.0)),
+        Seq("s_suppkey"))
+    }
+    spark.read.format("graft-changes")
+      .option("root", store.root).option("tables", "cust,supp")
+      .option("pk.cust", "c_custkey").option("pk.supp", "s_suppkey")
+      .option("fromEpoch", from.toString)
+      .load()
+      .select(col("_table"), col("_change_type"),
+        col("c_custkey"), col("c_acctbal"),
+        col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("_table"), col("c_custkey"), col("s_suppkey"))
+  }
+
+  // within each _table group the member's own key is total (the other
+  // key is constant NULL), so Spark-vs-DuckDB NULL-ordering rules
+  // cannot reorder rows
+  val cdcMultiSql: String =
+    """SELECT * FROM (
+      |  SELECT 'cust' AS _table, 'insert' AS _change_type,
+      |    c_custkey, c_acctbal + 1.0 AS c_acctbal,
+      |    CAST(NULL AS BIGINT) AS s_suppkey,
+      |    CAST(NULL AS DOUBLE) AS s_acctbal
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT 'supp', 'insert', NULL, NULL, s_suppkey, s_acctbal + 1.0
+      |  FROM supplier
+      |)
+      |ORDER BY _table, c_custkey, s_suppkey""".stripMargin
+
   /** The WRITE-PATH pins: each invocation builds a governed scratch
     * store and commits epochs — heavy enough (GC, shuffle-dir and FS
     * cache churn) to measurably perturb the next few READ queries'
@@ -167,7 +229,8 @@ object DmlOps {
   def ops: Seq[Op] = Seq(
     Op("q_update_where", updateWhere, Some(updateWhereSql)),
     Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
-    Op("q_delete_where", deleteWhere, Some(deleteWhereSql)))
+    Op("q_delete_where", deleteWhere, Some(deleteWhereSql)),
+    Op("q_cdc_multi", cdcMulti, Some(cdcMultiSql)))
 
   /** Derived, not restated: every DML oracle row IS a write pin — a
     * future fourth row joins the bench's write-last phase
