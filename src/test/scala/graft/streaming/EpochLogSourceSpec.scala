@@ -398,6 +398,96 @@ class EpochLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("property: random histories WITH a drop/re-create incarnation — " +
+    "the pre-drop mirror is exact, the running stream dies LOUDLY at " +
+    "the drop, a fresh stream converges on the new incarnation, and " +
+    "history segments at the drop") {
+    // every seeded history performs ≥1 DROP + re-CREATE mid-stream:
+    // random upserts/deletes/compacts before and after, drains at
+    // arbitrary points. Contract under test: (1) deliveries up to the
+    // drop reconstruct the pre-drop table exactly; (2) the RUNNING
+    // query fails loudly on its next window (never serves empty
+    // batches for a dead table); (3) a fresh query over the re-created
+    // incarnation converges to ITS table; (4) the new incarnation's
+    // history contains only post-drop epochs (fresh $history rule).
+    val rnd = new scala.util.Random(5150)
+    (1 to 2).foreach { trial =>
+      val root = freshRoot()
+      val store = new TableStore(spark, root)
+      def create(): Unit = {
+        store.ensureBucketed("docs", Seq("id"), 4)
+        store.ensureGoverned(Seq("docs"))
+        store.upsert("docs", Seq((0L, s"seed$trial")).toDF("id", "v"),
+          Seq("id"))
+      }
+      create()
+      var live = Set(0L)
+      def randomStep(step: Int): Unit = rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val ids = (0 until 1 + rnd.nextInt(3))
+            .map(_ => rnd.nextInt(24).toLong).distinct
+          store.upsert("docs",
+            ids.map(i => (i, s"t$trial-s$step-$i")).toDF("id", "v"),
+            Seq("id"))
+          live ++= ids
+        case 2 if live.nonEmpty =>
+          val victim = live.toSeq(rnd.nextInt(live.size))
+          store.deleteByPk("docs", Seq(victim).toDF("id"), Seq("id"))
+          live -= victim
+        case _ => store.compact("docs")
+      }
+      val mirror = new Mirror
+      val q = startQuery(root, mirror, freshDir("graft-els-ck"))
+      var dropEpoch = 0L
+      try {
+        (1 to 3 + rnd.nextInt(4)).foreach { step =>
+          randomStep(step)
+          if (rnd.nextInt(3) == 0) q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"trial $trial: ${q.exception}")
+        val preDrop = store.read("docs")
+          .select(col("id").cast("long"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(mirror.snapshot() === preDrop,
+          s"trial $trial: pre-drop mirror diverged")
+
+        // the incarnation boundary
+        dropEpoch = store.snapshot().epoch
+        store.dropTables("docs" +:
+          graft.store.Retract.artifactTablesOf(store, "docs"))
+        create()
+        live = Set(0L)
+        (1 to 2 + rnd.nextInt(3)).foreach(randomStep)
+
+        // the RUNNING stream must fail loudly on its next window —
+        // a dead incarnation never serves empty batches
+        val died = intercept[Exception](q.processAllAvailable())
+        assert(died.getMessage.contains("docs") || died.getCause != null,
+          s"trial $trial: ${died.getMessage}")
+      } finally q.stop()
+
+      // a FRESH query over the new incarnation converges to ITS table
+      val mirror2 = new Mirror
+      val q2 = startQuery(root, mirror2, freshDir("graft-els-ck"))
+      try {
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"trial $trial: ${q2.exception}")
+        val table = store.read("docs")
+          .select(col("id").cast("long"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(mirror2.snapshot() === table,
+          s"trial $trial: post-recreate mirror diverged")
+        // history segmentation: the new incarnation's epochs all
+        // POST-date the drop — the dead incarnation's commits are not
+        // its history
+        val hist = store.tableHistory("docs").map(_._1)
+        assert(hist.nonEmpty && hist.min > dropEpoch,
+          s"trial $trial: history $hist must start after drop@$dropEpoch")
+      } finally q2.stop()
+    }
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
