@@ -599,6 +599,15 @@ object GraftDml {
 /** Opaque analyzed-DML command: the closure captured the resolved
   * plans/expressions at rule time, so the analyzer and optimizer see
   * only a leaf command (executed eagerly like every Spark command).
+  *
+  * The `body` FUNCTION inside a plan node is safe precisely because
+  * this is an eagerly-executed Command: it runs once at statement
+  * execution and the node is never canonicalized into a plan-cache /
+  * exchange-reuse key (closures have identity equality, so two
+  * textually-identical statements would never cache-hit anyway). If
+  * commands ever became cacheable plan fragments, replace the closure
+  * with the captured (plans, expressions) data and rebuild the run in
+  * the exec node.
   */
 case class GraftDmlCommand(
     verb: String, table: String, body: SparkSession => Unit)

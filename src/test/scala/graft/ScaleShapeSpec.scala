@@ -76,7 +76,8 @@ class ScaleShapeSpec extends SparkSpec {
     pinAlpha(Seq(
       "q_update_where" -> "customer",
       "q_merge_upsert" -> "orders",
-      "q_delete_where" -> "customer"),
+      "q_delete_where" -> "customer",
+      "q_cdc_multi" -> "customer"),
       "a DML guard, merge join, or delete cascade is leaking " +
         "super-linear volume")
   }
