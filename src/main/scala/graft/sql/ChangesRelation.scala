@@ -104,16 +104,22 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         val fields =
           scala.collection.mutable.LinkedHashMap[String, StructField]()
         names.foreach { t =>
-          store.readIfExists(t).foreach(_.schema.fields
-            .filterNot(_.name == store.BucketCol).foreach { f =>
-              fields.get(f.name) match {
-                case Some(g) => require(g.dataType == f.dataType,
-                  s"column '${f.name}' is ${g.dataType} in one member and " +
-                    s"${f.dataType} in '$t' — multi-table windows need " +
-                    "union-compatible member schemas")
-                case None => fields(f.name) = f.copy(nullable = true)
-              }
-            })
+          // a governed-but-empty member (CREATE/CTAS before any
+          // insert) contributes its DECLARED shape, so the union
+          // schema is stable from the member's creation — not from
+          // its first insert
+          store.readIfExists(t).map(_.schema)
+            .orElse(store.declaredSchemaOf(t))
+            .foreach(_.fields
+              .filterNot(_.name == store.BucketCol).foreach { f =>
+                fields.get(f.name) match {
+                  case Some(g) => require(g.dataType == f.dataType,
+                    s"column '${f.name}' is ${g.dataType} in one member and " +
+                      s"${f.dataType} in '$t' — multi-table windows need " +
+                      "union-compatible member schemas")
+                  case None => fields(f.name) = f.copy(nullable = true)
+                }
+              })
         }
         val target = StructType(
           StructField("_table", StringType, nullable = false) +:
@@ -126,13 +132,16 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         // (commit-op metadata: no logical op in the window) contribute
         // nothing and cost no data I/O — in appends mode the
         // rewrite-aware file walk itself yields zero added files.
+        // one batched pointer probe: members with no files at either
+        // endpoint (governed empty) contribute nothing in appends mode
+        // — readAddedSince has no schema to serve for them, and the
+        // union target shape is already fixed above
+        val nonEmpty =
+          if (mode == "appends") store.withFilesAtEither(names, from, to)
+          else Set.empty[String]
         val parts = names.flatMap { t =>
           if (mode == "appends") {
-            // a member with no files at EITHER endpoint (governed
-            // empty: CREATE/CTAS before any insert) contributes
-            // nothing — readAddedSince has no schema to serve for it,
-            // and the union target shape is already fixed above
-            if (!store.hasFilesAt(t, from) && !store.hasFilesAt(t, to)) None
+            if (!nonEmpty(t)) None
             else Some(
               store.readAddedSince(t, from, to).withColumn("_table", lit(t)))
           } else {

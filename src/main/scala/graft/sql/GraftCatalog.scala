@@ -231,7 +231,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "PARTITIONED BY is not supported — declare TBLPROPERTIES('pk'=..., " +
         "'buckets'=...) for the bucketed layout; the store owns physical layout")
     val s = store()
-    if (s.tableNames.contains(ident.name))
+    // governed-but-dirless names (CREATE before any insert, or an
+    // index governed empty at DDL time) collide too — a dir-only
+    // check would let CREATE silently adopt a live pointer entry
+    if (s.tableNames.contains(ident.name) || s.governed.contains(ident.name))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(catalogName, ident.name))
     val pk = Option(properties.get("pk"))
@@ -434,9 +437,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         case _ =>
       }
       val kept = Set.newBuilder[String]
+      val doomedSet = doomed.toSet
       s.tags().foreach { case (tag, e) =>
-        if (doomed.exists(t => s.governedAt(t, e))) {
-          if ((s.tablesAt(e) -- doomed).isEmpty) s.dropTag(tag)
+        val at = s.tablesAt(e) // one pointer resolution per tag
+        if (at.exists(doomedSet)) {
+          if ((at -- doomedSet).isEmpty) s.dropTag(tag)
           else kept += tag
         }
       }
@@ -470,25 +475,50 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(meta.isEmpty && !newIdent.name.contains("$"),
       "'$' names the metadata-table suffix — rename the base table")
     val s = store()
-    if (!s.tableNames.contains(oldBase))
+    val newName = newIdent.name
+    val oldLive = s.tableNames.contains(oldBase) || s.governed.contains(oldBase)
+    val newLive = s.tableNames.contains(newName) || s.governed.contains(newName)
+    if (!oldLive) {
+      // crash-RESUME: a prior rename flipped the pointer (old name
+      // un-keyed) but died mid-directory-moves — old-named artifact
+      // dirs may remain. Re-running the SAME rename finishes the
+      // moves; anything else is a genuine unknown table. (Spark's
+      // analyzer pre-validates the old name for the SQL form, so the
+      // resume entry is this catalog method / the library's
+      // renameTables — pinned in GraftCatalogSpec.)
+      val leftover = graft.store.Retract.artifactTablesOf(s, oldBase)
+      if (newLive && leftover.nonEmpty) {
+        s.renameTables(leftover.map(a =>
+          a -> (newName + a.stripPrefix(oldBase))))
+        repointMeta(s, oldBase, newName)
+        return
+      }
       throw new NoSuchTableException(oldIdent)
-    if (s.tableNames.contains(newIdent.name))
+    }
+    if (newLive)
       throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(Seq(catalogName, newIdent.name))
+        .TableAlreadyExistsException(Seq(catalogName, newName))
     val arts = graft.store.Retract.artifactTablesOf(s, oldBase)
-    val pairs = (oldBase -> newIdent.name) +: arts.map(a =>
-      a -> (newIdent.name + a.stripPrefix(oldBase)))
+    val pairs = (oldBase -> newName) +: arts.map(a =>
+      a -> (newName + a.stripPrefix(oldBase)))
     s.renameTables(pairs)
-    // re-point each artifact's recorded base name at the new one —
-    // Doctor's orphan proof and IvfDrift's retrain loop key on it
-    pairs.map(_._2).foreach { na =>
+    repointMeta(s, oldBase, newName)
+  }
+
+  /** Re-point every renamed artifact's recorded base name at the new
+    * one — Doctor's orphan proof and IvfDrift's retrain loop key on
+    * it. Scans the NEW names (resume-safe: works whether the move
+    * just happened or is being completed).
+    */
+  private def repointMeta(
+      s: TableStore, oldBase: String, newName: String): Unit =
+    graft.store.Retract.artifactTablesOf(s, newName).foreach { na =>
       graft.store.IvfDrift.trainingMeta(s, na).foreach { m =>
         if (m.get("table").contains(oldBase))
           graft.store.IvfDrift.recordTraining(s, na,
-            m.updated("table", newIdent.name))
+            m.updated("table", newName))
       }
     }
-  }
 }
 
 object GraftCatalog {

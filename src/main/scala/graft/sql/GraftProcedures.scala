@@ -223,16 +223,20 @@ private[sql] object GraftProcedures {
         inDefault("k", LongType, "100")),
       StructType(Seq(StructField("pk", StringType))),
       (s, args) => {
+        import org.apache.spark.sql.functions.col
         val t = args.getUTF8String(0).toString
+        // order on the NATIVE pk BEFORE casting — string order would
+        // pick a lexicographic subset of numeric pks at the k cut
         graft.store.Fts.search(s.spark, s, t,
           args.getUTF8String(1).toString)
-          .select(org.apache.spark.sql.functions.col("pk").cast("string"))
-          .orderBy("pk").limit(args.getLong(2).toInt)
+          .orderBy(col("pk")).limit(args.getLong(2).toInt)
+          .select(col("pk").cast("string"))
           .collect().map(r => row(utf8(r.getString(0)))).toSeq
       },
       "FTS5 MATCH over the table's FTS index (AND/OR/NOT, phrases, " +
         "prefix terms, NEAR, column filters) — first k matching pks " +
-        "(cast to string), pk-ordered; the SQL-only MATCH surface"),
+        "in native pk order (served cast to string); the SQL-only " +
+        "MATCH surface"),
     Proc("search_ranked",
       Seq(in("table", StringType), in("query", StringType),
         inDefault("k", LongType, "20")),
@@ -241,11 +245,13 @@ private[sql] object GraftProcedures {
       (s, args) => {
         val t = args.getUTF8String(0).toString
         import org.apache.spark.sql.functions.col
+        // best-first, ties on the NATIVE pk (string order would tie-
+        // break numeric pks lexicographically); cast after the cut
         graft.store.Fts.searchRanked(s.spark, s, t,
           args.getUTF8String(1).toString)
-          .select(col("pk").cast("string"), col("score"))
           .orderBy(col("score").desc, col("pk"))
           .limit(args.getLong(2).toInt)
+          .select(col("pk").cast("string"), col("score"))
           .collect().map(r => row(utf8(r.getString(0)), r.getDouble(1)))
           .toSeq
       },

@@ -168,6 +168,19 @@ object Fts {
         (pkCol +: textCols).foreach(c => require(rows.columns.contains(c),
           s"column '$c' is not in $table (${rows.columns.mkString(", ")})"))
         refreshPostings(store, table, rows, pkCol, textCols, buckets)
+        // full-corpus build: also purge GHOST postings (pks no longer
+        // in the base — the aftermath of a bare delete this build is
+        // often run to repair). The incremental refresh path replaces
+        // live pks but can never retract dead ones, so without this a
+        // "rebuild" would keep ranking deleted documents. One
+        // distinct + anti-join over the index's pk column — O(index),
+        // the build's own cost class.
+        val basePks = rows.select(col(pkCol).as("pk")).distinct()
+        val ghosts = Iteration.materialize(
+          store.read(indexName(table)).select(col("pk")).distinct()
+            .join(basePks, Seq("pk"), "left_anti"))
+        if (ghosts.limit(1).count() > 0)
+          retractPostings(store, table, ghosts, bucketCountOf(store, table))
       case None =>
         val sch = store.declaredSchemaOf(table).getOrElse(
           throw new IllegalArgumentException(
@@ -530,10 +543,13 @@ object Fts {
     * table's declared-pk values (subset, not equality — text indexes
     * legitimately skip token-less docs), which is exactly the
     * coverage invariant an index built under a DIFFERENT key cannot
-    * hold by accident beyond pathological value collisions. On success
-    * the stats row is stamped with the pk, so the O(index-pks) check
-    * runs ONCE per legacy index; on failure the index stays skipped
-    * (Doctor flags the divergence, the old contract).
+    * hold by accident beyond pathological value collisions. The
+    * verdict STAMPS either way, so the O(index-pks) check runs ONCE
+    * per legacy index: success records the pk (maintenance resumes),
+    * failure records [[PkMismatchSentinel]] (the index stays skipped
+    * at O(1) per write — Doctor flags the divergence, the old
+    * contract — and a rebuild under the right key overwrites the
+    * sentinel with the true pk).
     */
   private[store] def adoptLegacyPk(
       store: TableStore, table: String, pkCol: String): Boolean = {
@@ -550,24 +566,30 @@ object Fts {
             .isEmpty
       case None => true // stats without postings: nothing to mis-key
     }
-    if (ok) {
-      // stamp: same totals, same layout, same epoch marker — ONLY the
-      // pk is new, so epochsAgree and the incremental path are
-      // undisturbed
-      val (n, dl) = statsTotals(store, table,
-        idx.getOrElse(base.limit(0).select(lit(1L).as("pk"))
-          .withColumn("dl", lit(0L))))
-      val recordedEpoch = store.readIfExists(statsName(table)).flatMap { st =>
-        if (st.columns.contains("epoch"))
-          Some(st.select(col("epoch")).head.getLong(0))
-        else None
-      }.getOrElse(0L)
-      writeStats(store, table, n, dl,
-        statsBucketCount(store, table).getOrElse(0), recordedEpoch,
-        cols, Some(pkCol))
-    }
+    // stamp the VERDICT: same totals, same layout, same epoch marker —
+    // only the pk field changes, so epochsAgree and the incremental
+    // path are undisturbed
+    val (n, dl) = statsTotals(store, table,
+      idx.getOrElse(base.limit(0).select(lit(1L).as("pk"))
+        .withColumn("dl", lit(0L))))
+    val recordedEpoch = store.readIfExists(statsName(table)).flatMap { st =>
+      if (st.columns.contains("epoch"))
+        Some(st.select(col("epoch")).head.getLong(0))
+      else None
+    }.getOrElse(0L)
+    writeStats(store, table, n, dl,
+      statsBucketCount(store, table).getOrElse(0), recordedEpoch,
+      cols, Some(if (ok) pkCol else PkMismatchSentinel))
     ok
   }
+
+  /** Recorded in the stats row's pk field when [[adoptLegacyPk]]'s
+    * verification FAILED — never a real column name (column names
+    * cannot start with '!'), so the maintenance pk-match guard skips
+    * at O(1) forever instead of re-verifying per write; a rebuild
+    * under the correct key overwrites it with the true pk.
+    */
+  private[store] val PkMismatchSentinel = "!verified-mismatch"
 
   /** (indexed columns, recorded pk) in ONE read of the 1-row stats
     * table — the hot-DML-path accessor ([[IndexMaintain.resolve]]
@@ -1105,10 +1127,15 @@ object Fts {
     * left-anti join.
     */
   def search(spark: SparkSession, store: TableStore, table: String, query: String): DataFrame = {
-    // stats-only index (DDL-time build over an empty table): nothing
-    // matches, which is an empty result — not an error
+    // stats-only index (DDL-time build, table still empty): nothing
+    // matches, which is an empty result — not an error. The guard is
+    // deliberately conditioned on the BASE being empty too: postings
+    // missing while the base HAS rows is a broken index (a write path
+    // that bypassed maintenance) and must stay a loud read failure,
+    // never a silent zero-matches.
     if (store.readIfExists(indexName(table)).isEmpty &&
-        store.exists(statsName(table)))
+        store.exists(statsName(table)) &&
+        store.readIfExists(table).isEmpty)
       return emptyPkFrame(store, table)
     parseQuery(query) match {
       case None => store.read(indexName(table)).select(col("pk")).limit(0)
@@ -1246,10 +1273,12 @@ object Fts {
       k1: Double = 1.2,
       b: Double = 0.75,
       colWeights: Map[String, Double] = Map.empty): DataFrame = {
-    // stats-only index (DDL-time build over an empty table): empty
-    // ranked result, same contract as search
+    // stats-only index (DDL-time build, table still empty): empty
+    // ranked result — same contract and same base-empty condition as
+    // [[search]] (a populated base with missing postings stays loud)
     if (store.readIfExists(indexName(table)).isEmpty &&
-        store.exists(statsName(table)))
+        store.exists(statsName(table)) &&
+        store.readIfExists(table).isEmpty)
       return emptyPkFrame(store, table)
         .withColumn("score", lit(0.0))
     val node = parseQuery(query) match {

@@ -183,11 +183,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         "drop-consumer first (or DROP TABLE ... PURGE)")
     val governedNow = names.filter(isGoverned)
     if (governedNow.nonEmpty) {
-      val commitByEpoch = listCommits().toMap
-      val allTags = tags() -- ignorePinsOf
-      val taggedBy = governedNow.flatMap(n => allTags.filter { case (_, e) =>
-        commitByEpoch.get(e).exists(p => parseCommit(p).contains(n))
-      }.keys.map(t => s"$t (pins $n)")).distinct.sorted
+      val taggedBy = pinnedByTags(governedNow)
+        .collect { case (t, n) if !ignorePinsOf(t) => s"$t (pins $n)" }
       require(taggedBy.isEmpty,
         s"pinned by release tag(s) ${taggedBy.mkString(", ")} — " +
           "drop-tag first (or DROP TABLE ... PURGE)")
@@ -235,7 +232,16 @@ class TableStore(val spark: SparkSession, val root: String) {
       require(n.nonEmpty && !n.contains("/") && !n.startsWith("_") &&
         !n.contains("$") && !n.endsWith(".__tmp"),
         s"'$n' is not a valid table name")
-      require(!fs.exists(new Path(path(n))),
+      // a GENUINE collision is the new name being live alongside the
+      // old one — a live pointer entry next to the old's (re-keying
+      // would write duplicate keys), or both directories present
+      // (moving would merge). A new name present while the OLD one is
+      // already un-keyed/gone is the crash-RESUME state (pointer
+      // flipped, some dirs moved) and must pass, per the re-run
+      // contract below.
+      require(!(isGoverned(o) && isGoverned(n)),
+        s"cannot rename $o -> $n: '$n' is already a governed table")
+      require(!(fs.exists(new Path(path(o))) && fs.exists(new Path(path(n)))),
         s"cannot rename $o -> $n: '$n' already exists")
     }
     val cursorsOn = EpochFollower.cursors(this).keys.collect {
@@ -246,11 +252,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         "drop-consumer first")
     val governedNow = olds.filter(isGoverned)
     if (governedNow.nonEmpty) {
-      val commitByEpoch = listCommits().toMap
-      val allTags = tags()
-      val taggedBy = governedNow.flatMap(n => allTags.filter { case (_, e) =>
-        commitByEpoch.get(e).exists(p => parseCommit(p).contains(n))
-      }.keys.map(t => s"$t (pins $n)")).distinct.sorted
+      val taggedBy = pinnedByTags(governedNow)
+        .map { case (t, n) => s"$t (pins $n)" }
       require(taggedBy.isEmpty,
         s"pinned by release tag(s) ${taggedBy.mkString(", ")} — the " +
           "pinned epoch resolves files the rename would move; drop-tag first")
@@ -260,6 +263,7 @@ class TableStore(val spark: SparkSession, val root: String) {
           .sorted.map { case (t, lf) => s"$t\t$lf" }.mkString("\n"))
       }
     }
+    // already-moved pairs (crash resume) skip; both-present was refused
     pairs.foreach { case (o, n) =>
       val src = new Path(path(o))
       if (fs.exists(src) && !fs.rename(src, new Path(path(n))))
@@ -267,6 +271,20 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"rename $src -> ${path(n)} failed; the commit log already " +
             "serves the new name — re-run the rename to complete the move")
     }
+  }
+
+  /** (tag, pinned table) pairs for every release tag whose pinned
+    * commit contains one of `names` — the shared pin guard
+    * [[dropTables]] and [[renameTables]] refuse on (one commit-log
+    * listing for the whole check).
+    */
+  private def pinnedByTags(names: Seq[String]): Seq[(String, String)] = {
+    val commitByEpoch = listCommits().toMap
+    val allTags = tags()
+    names.flatMap(n => allTags.collect {
+      case (t, e) if commitByEpoch.get(e)
+        .exists(p => parseCommit(p).contains(n)) => (t, n)
+    }).distinct.sorted
   }
 
   /** Delete one Hive partition directory (`name/col=value`) — the
@@ -2302,16 +2320,22 @@ class TableStore(val spark: SparkSession, val root: String) {
       name: String, commits: Map[Long, Path], e: Long): Option[String] =
     commits.get(e).flatMap(p => parseCommit(p).get(name))
 
-  /** Does `name` hold any data files in the retained commit at `epoch`?
-    * Pure pointer metadata, no data I/O. The guard multi-table appends
-    * consumers need: a governed-but-EMPTY member (SQL CREATE/CTAS
-    * before any insert) has no schema [[readAddedSince]] could serve —
-    * callers that already know the union schema skip such members
-    * instead of crashing every window on the empty one.
+  /** The subset of `names` holding data files at EITHER epoch
+    * endpoint — pure pointer metadata, ONE commit-log listing for the
+    * whole probe (a per-name form would re-list the directory per
+    * member per micro-batch; on object stores every listing is a
+    * billed round-trip). The guard multi-table appends consumers
+    * need: a governed-but-EMPTY member (SQL CREATE/CTAS before any
+    * insert) has no schema [[readAddedSince]] could serve — callers
+    * that already know the union schema skip such members instead of
+    * crashing every window on the empty one.
     */
-  def hasFilesAt(name: String, epoch: Long): Boolean =
-    entryAt(name, listCommits().toMap, epoch)
-      .exists(resolveEntry(_).nonEmpty)
+  def withFilesAtEither(names: Seq[String], a: Long, b: Long): Set[String] = {
+    val commits = listCommits().toMap
+    def has(n: String, e: Long): Boolean =
+      entryAt(n, commits, e).exists(resolveEntry(_).nonEmpty)
+    names.filter(n => has(n, a) || has(n, b)).toSet
+  }
 
   /** Table names governed in the retained commit at `epoch` (empty
     * when the commit is not retained) — pure pointer metadata; the

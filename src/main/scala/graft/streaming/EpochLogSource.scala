@@ -197,17 +197,19 @@ class EpochLogSource(
     val frame = baseE match {
       case Some(b) if b >= endE => emptyFrame()
       case Some(b) =>
-        if (mode == "appends")
+        if (mode == "appends") {
           // per-member file-level adds over the ONE global window —
           // the rewrite-aware walk itself yields nothing for an
           // unchanged member (empty frame, metadata cost only). A
           // member with no files at EITHER endpoint (governed empty:
           // CREATE/CTAS before any insert) is skipped outright —
           // readAddedSince has no schema to serve for it, and the
-          // delivered shape is the fixed union schema anyway
-          unionAligned(members.flatMap { case (t, _) =>
-            if (!store.hasFilesAt(t, b) && !store.hasFilesAt(t, endE)) None
-            else Some(tagged(t, store.readAddedSince(t, b, endE))) })
+          // delivered shape is the fixed union schema anyway (one
+          // batched pointer probe for all members)
+          val nonEmpty = store.withFilesAtEither(tables, b, endE)
+          unionAligned(members.collect { case (t, _) if nonEmpty(t) =>
+            tagged(t, store.readAddedSince(t, b, endE)) })
+        }
         else unionAligned(members.flatMap { case (t, pk) =>
           if (logicalIn(t, b, endE))
             Some(tagged(t, store.readChangesSince(t, b, endE, pk)))
@@ -293,12 +295,13 @@ object EpochLogSource {
 
 /** `format("graft-cdc")` registration. The source schema is resolved
   * at query definition: the user-provided `.schema(...)` wins; else
-  * the table's current schema (plus `_change_type` in changes mode),
-  * which requires the table to already hold data. Multi-table
+  * the table's current data schema, falling back to its DECLARED
+  * schema for a governed-but-empty table (SQL CREATE/CTAS before any
+  * insert) — plus `_change_type` in changes mode. Multi-table
   * (`tables=a,b`): `_table` + the union of the member schemas (all
   * nullable — members null-fill each other's columns) +
-  * `_change_type`; every member must hold data unless `.schema(...)`
-  * is passed.
+  * `_change_type`; a member contributing neither data nor a declared
+  * schema needs `.schema(...)`.
   */
 class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -389,10 +392,15 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
           // user's .schema(...) decides (align() casts members to it)
           val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
           splitCsv(ts).foreach { t =>
-            val sch = store.readIfExists(t).getOrElse(
-              throw new IllegalArgumentException(
-                s"table '$t' holds no data yet — pass .schema(...) to " +
-                  "start a multi-table stream over empty members")).schema
+            // a governed-but-empty member (SQL CREATE/CTAS before any
+            // insert) contributes its DECLARED shape — .schema(...) is
+            // only needed for empty members that never declared one
+            val sch = store.readIfExists(t).map(_.schema)
+              .orElse(store.declaredSchemaOf(t)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"table '$t' holds no data and declares no schema — " +
+                    "pass .schema(...) to start a multi-table stream " +
+                    "over such members"))
             sch.fields.filterNot(_.name == store.BucketCol).foreach { f =>
               fields.get(f.name) match {
                 case Some(g) =>
@@ -407,10 +415,12 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
           StructType(StructField(EpochLogSource.TableCol, StringType,
             nullable = false) +: fields.values.toSeq)
         case None =>
-          store.readIfExists(required(parameters, "table")).getOrElse(
-            throw new IllegalArgumentException(
-              s"table '${parameters("table")}' holds no data yet — pass " +
-                ".schema(...) to start a stream over an empty table")).schema
+          val t = required(parameters, "table")
+          store.readIfExists(t).map(_.schema)
+            .orElse(store.declaredSchemaOf(t)).getOrElse(
+              throw new IllegalArgumentException(
+                s"table '$t' holds no data and declares no schema — " +
+                  "pass .schema(...) to start a stream over an empty table"))
       }
     }
     if (mode == "appends" || base.fieldNames.contains("_change_type")) base

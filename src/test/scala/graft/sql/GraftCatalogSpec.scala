@@ -571,8 +571,11 @@ class GraftCatalogSpec extends SparkSpec {
     "_change_type needed, pruning reaches the parquet scan") {
     val (root, store) = mountCatalog()
     // 'c' stays governed with ZERO files (CREATE-before-insert): an
-    // empty member must contribute nothing, not crash the window
+    // empty member must contribute nothing, not crash the window —
+    // while its DECLARED schema still shapes the union
     store.ensureGoverned(Seq("a", "b", "c"))
+    store.declareSchema("c", new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("conly", "string"))
     store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
     store.upsert("b", Seq((10L, "b1", 7)).toDF("id", "v", "extra"), Seq("id"))
     val e0 = store.snapshot().epoch
@@ -591,6 +594,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(joint.columns.head === "_table")
     assert(!joint.columns.contains("_change_type"),
       "appends mode serves untyped adds")
+    assert(joint.columns.contains("conly"),
+      "an empty member's DECLARED schema must shape the union — " +
+        "stable from creation, not from its first insert")
     val rows = joint.select(col("_table"), col("id").cast("long"), col("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     // file-level at-least-once: rewritten files may carry surviving
@@ -982,6 +988,22 @@ class GraftCatalogSpec extends SparkSpec {
       .count() === 1L)
     assert(Doctor.check(store) === Seq.empty)
 
+    // search truncation is NATIVE-pk-ordered (string order would cut
+    // a lexicographic subset: 0,1,10,100,11,...)
+    assert(spark.sql("CALL graft.system.search('t', 'common', k => 5)")
+      .collect().map(_.getString(0)).toSeq ===
+      Seq("0", "1", "2", "3", "4"))
+
+    // build_fts is a REBUILD: ghost postings (bare-deleted pks) purge
+    store.deleteByPk("t", Seq(3L).toDF("id"), Seq("id"))
+    assert(spark.sql("CALL graft.system.search('t', 'word3')")
+      .collect().map(_.getString(0)).toSeq === Seq("3"),
+      "fixture: the bare delete must have left a ghost posting")
+    spark.sql("CALL graft.system.build_fts('t', 'v')")
+    assert(spark.sql("CALL graft.system.search('t', 'word3')")
+      .collect().isEmpty,
+      "a full build must purge ghosts, not just replace live pks")
+
     // guardrails: unknown family, empty table, flat table all refuse
     val fam = intercept[Exception](spark.sql(
       "CALL graft.system.build_index('t', 'nope', 'e')"))
@@ -1145,6 +1167,66 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.corpus RENAME TO taken"))
     assert(dup.getMessage.toLowerCase.contains("already exists"),
       dup.getMessage)
+  }
+
+  test("RENAME resumes after a crash mid-directory-moves; " +
+    "governed-but-dirless names collide for RENAME and CREATE") {
+    import graft.store.{Doctor, Sq}
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 2)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", (0 until 6).map(i => (i.toLong, s"w$i",
+      (0 until 8).map(d => math.sin(i * 8 + d)))).toDF("id", "v", "e"),
+      Seq("id"))
+    spark.sql("CALL graft.system.build_index('docs', 'sq', 'e')")
+    spark.sql("ALTER TABLE graft.docs RENAME TO corpus")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // simulate the crash state a death mid-moves leaves: the pointer
+    // serves the new names but one artifact dir is still old-named
+    val fsDir = new java.io.File(root)
+    assert(new java.io.File(fsDir, Sq.codesName("corpus"))
+      .renameTo(new java.io.File(fsDir, Sq.codesName("docs"))))
+    // governed reads of the moved-back artifact now fail ("no files");
+    // RE-RUNNING the same rename through the catalog completes the
+    // move (Spark's OWN analyzer pre-validates the old name for the
+    // SQL form, so the resume entry is the catalog/library API)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    def ident(n: String) = Identifier.of(Array.empty[String], n)
+    cat.renameTable(ident("docs"), ident("corpus"))
+    assert(store.tableNames.contains(Sq.codesName("corpus")) &&
+      !store.tableNames.contains(Sq.codesName("docs")))
+    assert(Doctor.check(store) === Seq.empty, "resume must finish clean")
+    // with nothing left to resume, the old name is a genuine unknown
+    intercept[Exception](cat.renameTable(ident("docs"), ident("corpus")))
+
+    // governed-but-DIRLESS names collide: CREATE refuses, RENAME refuses
+    store.ensureGoverned(Seq("phantom"))
+    val c = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.phantom (id BIGINT) TBLPROPERTIES('pk'='id')"))
+    assert(c.getMessage.toLowerCase.contains("already exists"), c.getMessage)
+    val r = intercept[Exception](
+      spark.sql("ALTER TABLE graft.corpus RENAME TO phantom"))
+    assert(r.getMessage.toLowerCase.contains("already"), r.getMessage)
+  }
+
+  test("a stats-only FTS index stays LOUD when rows bypass " +
+    "maintenance: silent zero-matches only while the base is empty too") {
+    val (_, store) = mountCatalog()
+    spark.sql(
+      "CREATE TABLE graft.d (id BIGINT, v STRING) " +
+        "TBLPROPERTIES('pk'='id', 'buckets'='2', 'fts'='v')")
+    // empty base + stats-only index: MATCH answers empty, no error
+    assert(spark.sql("CALL graft.system.search('d', 'x')")
+      .collect().isEmpty)
+    // rows land through the LIBRARY (bypassing IndexMaintain): the
+    // postings are now genuinely missing for live rows — a MATCH must
+    // fail loudly, never silently report zero matches
+    store.upsert("d", Seq((1L, "zebra text")).toDF("id", "v"), Seq("id"))
+    intercept[Exception](
+      spark.sql("CALL graft.system.search('d', 'zebra')").collect())
   }
 
   test("unsupported DDL fails loudly; unknown table is NoSuchTable") {

@@ -311,7 +311,18 @@ class IndexMaintainSpec extends SparkSpec {
     assert(!refreshed2.contains("fts") && skipped2.contains("fts"),
       "an alien key domain must never adopt the declared pk")
     assert(store2.read(Fts.indexName("t2")).count() === before)
-    assert(Fts.statsProvenance(store2, "t2")._2.isEmpty,
-      "a failed verification must not stamp")
+    assert(Fts.statsProvenance(store2, "t2")._2
+      .contains(Fts.PkMismatchSentinel),
+      "a failed verification stamps the mismatch sentinel so the " +
+        "O(index) check never re-runs per write")
+    // stamped failure keeps skipping (now at O(1)) ...
+    val (refreshed3, skipped3) = IndexMaintain.upsertMaintained(store2, "t2",
+      Seq((51L, 151L, "next row")).toDF("id", "alt", "full_text"), Seq("id"))
+    assert(!refreshed3.contains("fts") && skipped3.contains("fts"))
+    // ... and a rebuild under the RIGHT key overwrites the sentinel
+    Fts.upsertWithIndexCols(store2, "t2",
+      store2.read("t2").drop(store2.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    assert(Fts.statsProvenance(store2, "t2")._2.contains("id"))
   }
 }

@@ -967,7 +967,7 @@ class EpochLogSourceSpec extends SparkSpec {
     val noPk = intercept[Exception](qNoPk.processAllAvailable())
     assert(noPk.getMessage.contains("pk.y"), noPk.getMessage)
 
-    // an empty member has no schema to union — .schema(...) required
+    // an empty member with NO declared schema — .schema(...) required
     store.ensureGoverned(Seq("z"))
     val empty = intercept[Exception] {
       spark.readStream.format("graft-cdc")
@@ -976,5 +976,17 @@ class EpochLogSourceSpec extends SparkSpec {
         .load()
     }
     assert(empty.getMessage.contains("schema"), empty.getMessage)
+
+    // ... but an empty member that DECLARED a schema (SQL CREATE/CTAS)
+    // contributes its declared shape to the union — stable from
+    // creation, not from the first insert
+    store.declareSchema("z", new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("zonly", "string"))
+    val srcZ = spark.readStream.format("graft-cdc")
+      .option("root", root).option("tables", "x,z")
+      .option("pk.x", "id").option("pk.z", "id")
+      .load()
+    assert(srcZ.columns.contains("zonly"),
+      s"declared shape must join the union: ${srcZ.columns.toSeq}")
   }
 }
