@@ -476,31 +476,57 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "'$' names the metadata-table suffix — rename the base table")
     val s = store()
     val newName = newIdent.name
-    val oldLive = s.tableNames.contains(oldBase) || s.governed.contains(oldBase)
-    val newLive = s.tableNames.contains(newName) || s.governed.contains(newName)
-    if (!oldLive) {
-      // crash-RESUME: a prior rename flipped the pointer (old name
-      // un-keyed) but died mid-directory-moves — old-named artifact
-      // dirs may remain. Re-running the SAME rename finishes the
-      // moves; anything else is a genuine unknown table. (Spark's
-      // analyzer pre-validates the old name for the SQL form, so the
-      // resume entry is this catalog method / the library's
+    val oldGov = s.governed.contains(oldBase)
+    val oldDir = s.tableNames.contains(oldBase)
+    val newGov = s.governed.contains(newName)
+    val newDir = s.tableNames.contains(newName)
+    if (!oldGov && newGov) {
+      // the pointer may ALREADY serve the new name — the crash-RESUME
+      // states (renameTables flips the pointer first, then moves
+      // directories; a death anywhere between leaves old-named dirs
+      // and/or stale _meta provenance behind). Resume ONLY on positive
+      // evidence that THIS old name was renamed to THIS new one: the
+      // old base dir still waiting to move while the new name is
+      // dirless, a leftover artifact whose TARGET name the pointer
+      // carries, or stale provenance on the new name's artifacts
+      // recording the old base. A bare orphan set of some dead table,
+      // or a typo'd rename against an unrelated live target, has none
+      // of these and must NOT graft — it stays NoSuchTable/collision.
+      // (Spark's analyzer pre-validates the old name for the SQL form,
+      // so the resume entry is this catalog method / the library's
       // renameTables — pinned in GraftCatalogSpec.)
-      val leftover = graft.store.Retract.artifactTablesOf(s, oldBase)
-      if (newLive && leftover.nonEmpty) {
-        s.renameTables(leftover.map(a =>
-          a -> (newName + a.stripPrefix(oldBase))))
+      val arts = graft.store.Retract.artifactTablesOf(s, oldBase)
+      // artifacts first, BASE LAST (same order as the normal path):
+      // while any artifact dir is still old-named the base dir is too,
+      // so no crash state can present a provably-dead base
+      val pairs = (arts ++ (if (oldDir) Seq(oldBase) else Nil))
+        .map(a => a -> (newName + a.stripPrefix(oldBase)))
+      val staleMeta = graft.store.Retract.artifactTablesOf(s, newName)
+        .exists(na => graft.store.IvfDrift.trainingMeta(s, na)
+          .exists(_.get("table").contains(oldBase)))
+      val evidence = (oldDir && !newDir) || staleMeta ||
+        pairs.exists { case (o, n) => o != oldBase && s.governed.contains(n) }
+      if (evidence) {
+        if (pairs.nonEmpty) s.renameTables(pairs)
         repointMeta(s, oldBase, newName)
         return
       }
-      throw new NoSuchTableException(oldIdent)
     }
-    if (newLive)
+    if (!oldGov && !oldDir) throw new NoSuchTableException(oldIdent)
+    if (newGov || newDir)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(catalogName, newName))
     val arts = graft.store.Retract.artifactTablesOf(s, oldBase)
-    val pairs = (oldBase -> newName) +: arts.map(a =>
-      a -> (newName + a.stripPrefix(oldBase)))
+    // directory moves run in pair order — artifacts first, BASE LAST:
+    // a crash anywhere mid-moves then still has the old base dir
+    // present, so (a) the resume evidence above holds trivially and
+    // (b) heal_orphans can never prove the base dead while un-moved
+    // artifact dirs remain (names.contains(base) defeats every orphan
+    // proof); after the base moves, only the _meta re-point remains,
+    // which the name-agreement rule keeps un-healable and the resume
+    // (staleMeta evidence) completes
+    val pairs = arts.map(a =>
+      a -> (newName + a.stripPrefix(oldBase))) :+ (oldBase -> newName)
     s.renameTables(pairs)
     repointMeta(s, oldBase, newName)
   }

@@ -22,6 +22,11 @@ object Doctor {
   /** Check every index family of every base table in the store. */
   def check(store: TableStore): Seq[Issue] = {
     val names = store.tableNames.toSet
+    // LIVENESS includes governed-but-dirless names: a table created
+    // empty (CREATE/CTAS before any insert) and a mid-rename base
+    // whose dir move is pending are both live — treating either as
+    // dead would mis-prove its artifacts orphaned
+    val live = names ++ store.governed
     val issues = Seq.newBuilder[Issue]
 
     def baseOf(idx: String, suffix: String): String =
@@ -43,7 +48,14 @@ object Doctor {
       // matches the _meta name reads as None, never crashes the pass
       IvfDrift.trainingMeta(store, famBase).foreach { kv =>
         kv.get("table").foreach { base =>
-          if (!names.contains(base))
+          // proof needs NAME agreement too: every build derives the
+          // index name from its base (famBase = base + suffix), so a
+          // meta whose own name does NOT extend the recorded base is
+          // not an orphan — it is STALE PROVENANCE (a crash between a
+          // rename's directory moves and its _meta re-point), which
+          // the rename's resume repairs; flagging (and worse, healing)
+          // it as an orphan would delete a live table's artifacts
+          if (!live.contains(base) && famBase.startsWith(base))
             issues += Issue("orphan", famBase,
               s"index artifact whose base table '$base' is not in the " +
                 "store — most likely a library-side drop that bypassed " +
@@ -57,7 +69,7 @@ object Doctor {
     }
     names.filter(_.endsWith("_fts")).foreach { idx =>
       val base = baseOf(idx, "_fts")
-      if (!names.contains(base) && names.contains(Fts.statsName(base)))
+      if (!live.contains(base) && names.contains(Fts.statsName(base)))
         issues += Issue("orphan", idx,
           s"FTS postings whose base table '$base' is not in the store " +
             "— most likely a library-side drop; remove postings + " +
@@ -390,17 +402,27 @@ object Doctor {
     */
   def healOrphans(store: TableStore): Seq[(String, Seq[String])] = {
     val names = store.tableNames.toSet
+    // governed-but-dirless names are LIVE (create-before-insert, a
+    // mid-rename base) — same rule as the check
+    val live = names ++ store.governed
     val dead = scala.collection.mutable.LinkedHashSet[String]()
     names.filter(_.endsWith("_meta")).foreach { m =>
-      IvfDrift.trainingMeta(store, m.stripSuffix("_meta")).foreach { kv =>
+      val famBase = m.stripSuffix("_meta")
+      IvfDrift.trainingMeta(store, famBase).foreach { kv =>
         kv.get("table").foreach { base =>
-          if (!names.contains(base)) dead += base
+          // same NAME-agreement rule as the check: a meta whose own
+          // name does not extend the recorded base is stale provenance
+          // from a mid-rename crash, NOT an orphan — healing it would
+          // delete the not-yet-moved directories the rename's resume
+          // needs (data loss); the resume re-points it instead
+          if (!live.contains(base) && famBase.startsWith(base))
+            dead += base
         }
       }
     }
     names.filter(_.endsWith("_fts")).foreach { idx =>
       val base = idx.stripSuffix("_fts")
-      if (!names.contains(base) && names.contains(Fts.statsName(base)))
+      if (!live.contains(base) && names.contains(Fts.statsName(base)))
         dead += base
     }
     dead.toSeq.sorted.flatMap { base =>

@@ -172,15 +172,18 @@ object Fts {
         // in the base — the aftermath of a bare delete this build is
         // often run to repair). The incremental refresh path replaces
         // live pks but can never retract dead ones, so without this a
-        // "rebuild" would keep ranking deleted documents. One
-        // distinct + anti-join over the index's pk column — O(index),
-        // the build's own cost class.
+        // "rebuild" would keep ranking deleted documents. The
+        // emptiness probe runs on the LAZY join (nothing is rewriting
+        // the index files at this point), so the ghost-free common
+        // case pays one metadata-cheap scan and no scratch I/O; only
+        // an actual purge materializes (retraction rewrites the files
+        // the plan reads).
         val basePks = rows.select(col(pkCol).as("pk")).distinct()
-        val ghosts = Iteration.materialize(
-          store.read(indexName(table)).select(col("pk")).distinct()
-            .join(basePks, Seq("pk"), "left_anti"))
+        val ghosts = store.read(indexName(table)).select(col("pk"))
+          .distinct().join(basePks, Seq("pk"), "left_anti")
         if (ghosts.limit(1).count() > 0)
-          retractPostings(store, table, ghosts, bucketCountOf(store, table))
+          retractPostings(store, table, Iteration.materialize(ghosts),
+            bucketCountOf(store, table))
       case None =>
         val sch = store.declaredSchemaOf(table).getOrElse(
           throw new IllegalArgumentException(
@@ -1132,7 +1135,11 @@ object Fts {
     // deliberately conditioned on the BASE being empty too: postings
     // missing while the base HAS rows is a broken index (a write path
     // that bypassed maintenance) and must stay a loud read failure,
-    // never a silent zero-matches.
+    // never a silent zero-matches. Known conservative edge: a corpus
+    // whose EVERY doc was re-upserted with token-less text reaches the
+    // same (no postings, live base) state legitimately and also reads
+    // loud — indistinguishable from the bypass without scanning the
+    // base, and loud-on-ambiguity is the engine's norm.
     if (store.readIfExists(indexName(table)).isEmpty &&
         store.exists(statsName(table)) &&
         store.readIfExists(table).isEmpty)

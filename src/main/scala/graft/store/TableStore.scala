@@ -2288,12 +2288,12 @@ class TableStore(val spark: SparkSession, val root: String) {
   def epochs(): Seq[Long] = listCommits().map(_._1)
 
   /** Whether `name` was governed in the retained commit at `epoch` —
-    * pure pointer metadata (the DROP/PURGE pin checks resolve "does
-    * this tag pin this table" through it).
+    * pure pointer metadata. Single-probe convenience over
+    * [[tablesAt]] (which the DROP/PURGE pin loop uses directly — one
+    * pointer resolution per tag instead of one per doomed table).
     */
   def governedAt(name: String, epoch: Long): Boolean =
-    listCommits().collectFirst { case (e, p) if e == epoch =>
-      parseCommit(p).contains(name) }.getOrElse(false)
+    tablesAt(epoch).contains(name)
 
   /** Snapshot read — the governed table AS OF `epoch`, the time-travel
     * dividend the pointer log pays for free (Delta's `versionAsOf`):

@@ -1202,6 +1202,45 @@ class GraftCatalogSpec extends SparkSpec {
     // with nothing left to resume, the old name is a genuine unknown
     intercept[Exception](cat.renameTable(ident("docs"), ident("corpus")))
 
+    // DEEPER crash state: base AND an artifact still old-named (the
+    // base moves LAST, so every real crash keeps it while any
+    // artifact is unmoved). heal_orphans must prove NOTHING here —
+    // the base dir's presence defeats every orphan proof — and the
+    // resume completes both moves.
+    assert(new java.io.File(fsDir, "corpus")
+      .renameTo(new java.io.File(fsDir, "docs")))
+    assert(new java.io.File(fsDir, Sq.codesName("corpus"))
+      .renameTo(new java.io.File(fsDir, Sq.codesName("docs"))))
+    assert(spark.sql("CALL graft.system.heal_orphans()").collect().isEmpty,
+      "heal_orphans must never eat a crashed rename's unmoved dirs")
+    cat.renameTable(ident("docs"), ident("corpus"))
+    assert(Doctor.check(store) === Seq.empty)
+
+    // STALE-META state (crash between the moves and the re-point):
+    // provenance naming the dead old base under a NEW-named artifact
+    // is not an orphan proof (name disagreement) — and the resume's
+    // staleMeta evidence completes the re-point
+    val m0 = graft.store.IvfDrift.trainingMeta(store, Sq.codesName("corpus")).get
+    graft.store.IvfDrift.recordTraining(store, Sq.codesName("corpus"),
+      m0.updated("table", "docs"))
+    assert(spark.sql("CALL graft.system.heal_orphans()").collect().isEmpty,
+      "stale mid-rename provenance must never heal as an orphan")
+    cat.renameTable(ident("docs"), ident("corpus"))
+    assert(graft.store.IvfDrift.trainingMeta(store, Sq.codesName("corpus"))
+      .exists(_.get("table").contains("corpus")))
+    assert(Doctor.check(store) === Seq.empty)
+
+    // a TYPO'd rename of a dead base onto a live table must NOT graft
+    // the dead base's orphan artifacts onto it
+    store.upsert("x", (0 until 4).map(i => (i.toLong, s"t$i"))
+      .toDF("id", "v"), Seq("id"))
+    graft.store.Fts.upsertWithIndexCols(store, "x",
+      store.read("x"), "id", Seq("v"))
+    store.drop("x") // library-side drop: orphans remain
+    intercept[Exception](cat.renameTable(ident("x"), ident("corpus")))
+    assert(store.tableNames.contains(graft.store.Fts.indexName("x")),
+      "an orphan set is not evidence of a rename — nothing may move")
+
     // governed-but-DIRLESS names collide: CREATE refuses, RENAME refuses
     store.ensureGoverned(Seq("phantom"))
     val c = intercept[Exception](spark.sql(
