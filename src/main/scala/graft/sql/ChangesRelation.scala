@@ -95,6 +95,21 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         require(names.nonEmpty, "tables must name at least one table")
         import org.apache.spark.sql.functions.lit
         import org.apache.spark.sql.types.{StringType, StructField}
+        // every member must be a KNOWN table — governed at an
+        // endpoint, holding data, or declaring a schema (the same
+        // disjunction the streaming provider enforces at creation). A
+        // misspelled member would otherwise be indistinguishable from
+        // a governed-but-empty one and serve zero rows forever; the
+        // engine's norm is loud-on-ambiguity.
+        val knownAtEndpoints = store.tablesAt(from) ++ store.tablesAt(to)
+        names.foreach { t =>
+          require(knownAtEndpoints.contains(t) ||
+            store.readIfExists(t).isDefined ||
+            store.declaredSchemaOf(t).isDefined,
+            s"unknown member '$t' in multi-table graft-changes — not " +
+              s"governed at epoch $from or $to, holds no data, and " +
+              "declares no schema (misspelled table name?)")
+        }
         // the served shape is STABLE regardless of which members
         // changed in the window: _table + the union of the members'
         // CURRENT schemas (first-seen order, same-name columns must
@@ -132,12 +147,14 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         // (commit-op metadata: no logical op in the window) contribute
         // nothing and cost no data I/O — in appends mode the
         // rewrite-aware file walk itself yields zero added files.
-        // one batched pointer probe: members with no files at either
-        // endpoint (governed empty) contribute nothing in appends mode
-        // — readAddedSince has no schema to serve for them, and the
-        // union target shape is already fixed above
+        // one batched pointer probe: members with no files ANYWHERE in
+        // the window (governed empty) contribute nothing in appends
+        // mode — readAddedSince has no schema to serve for them, and
+        // the union target shape is already fixed above. The probe is
+        // window-wide, not endpoints-only: a member emptied within the
+        // window still owes its added files (at-least-once appends).
         val nonEmpty =
-          if (mode == "appends") store.withFilesAtEither(names, from, to)
+          if (mode == "appends") store.withFilesInWindow(names, from, to)
           else Set.empty[String]
         val parts = names.flatMap { t =>
           if (mode == "appends") {

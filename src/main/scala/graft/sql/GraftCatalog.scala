@@ -482,32 +482,40 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val newDir = s.tableNames.contains(newName)
     if (!oldGov && newGov) {
       // the pointer may ALREADY serve the new name — the crash-RESUME
-      // states (renameTables flips the pointer first, then moves
-      // directories; a death anywhere between leaves old-named dirs
-      // and/or stale _meta provenance behind). Resume ONLY on positive
-      // evidence that THIS old name was renamed to THIS new one: the
-      // old base dir still waiting to move while the new name is
-      // dirless, a leftover artifact whose TARGET name the pointer
-      // carries, or stale provenance on the new name's artifacts
-      // recording the old base. A bare orphan set of some dead table,
-      // or a typo'd rename against an unrelated live target, has none
-      // of these and must NOT graft — it stays NoSuchTable/collision.
-      // (Spark's analyzer pre-validates the old name for the SQL form,
-      // so the resume entry is this catalog method / the library's
-      // renameTables — pinned in GraftCatalogSpec.)
+      // states (renameTables writes an intent marker, flips the
+      // pointer, then moves directories; a death anywhere between
+      // leaves old-named dirs and/or stale _meta provenance behind).
+      // Resume ONLY on positive evidence that THIS old name was
+      // renamed to THIS new one: the intent marker recording exactly
+      // this pair (the primary signal — every crash inside
+      // renameTables leaves it), a leftover artifact whose TARGET name
+      // the pointer carries, or stale provenance on the new name's
+      // artifacts recording the old base. A bare orphan set of some
+      // dead table, a typo'd rename against an unrelated live target,
+      // or a live FLAT table colliding with a governed-but-dirless
+      // name (SQL CREATE before any insert — directory shapes
+      // identical to a mid-move crash) has none of these and must NOT
+      // graft — it stays NoSuchTable/collision. (Spark's analyzer
+      // pre-validates the old name for the SQL form, so the resume
+      // entry is this catalog method / the library's renameTables —
+      // pinned in GraftCatalogSpec.)
       val arts = graft.store.Retract.artifactTablesOf(s, oldBase)
       // artifacts first, BASE LAST (same order as the normal path):
       // while any artifact dir is still old-named the base dir is too,
       // so no crash state can present a provably-dead base
       val pairs = (arts ++ (if (oldDir) Seq(oldBase) else Nil))
         .map(a => a -> (newName + a.stripPrefix(oldBase)))
+      val intended = s.renameIntent()
+        .exists(_.get(oldBase).contains(newName))
       val staleMeta = graft.store.Retract.artifactTablesOf(s, newName)
         .exists(na => graft.store.IvfDrift.trainingMeta(s, na)
           .exists(_.get("table").contains(oldBase)))
-      val evidence = (oldDir && !newDir) || staleMeta ||
+      val evidence = intended || staleMeta ||
         pairs.exists { case (o, n) => o != oldBase && s.governed.contains(n) }
       if (evidence) {
-        if (pairs.nonEmpty) s.renameTables(pairs)
+        // an empty pair list still completes the rename: renameTables
+        // clears the intent marker (everything already moved)
+        s.renameTables(pairs)
         repointMeta(s, oldBase, newName)
         return
       }

@@ -542,17 +542,27 @@ object Fts {
     * declared bucket pk, so pre-upgrade indexes keep refreshing on SQL
     * writes instead of silently going stale behind a provenance guard
     * they never had the chance to satisfy. Adoption is VERIFIED, never
-    * assumed: the postings' pk set must be a subset of the base
-    * table's declared-pk values (subset, not equality — text indexes
-    * legitimately skip token-less docs), which is exactly the
-    * coverage invariant an index built under a DIFFERENT key cannot
-    * hold by accident beyond pathological value collisions. The
-    * verdict STAMPS either way, so the O(index-pks) check runs ONCE
-    * per legacy index: success records the pk (maintenance resumes),
-    * failure records [[PkMismatchSentinel]] (the index stays skipped
-    * at O(1) per write — Doctor flags the divergence, the old
-    * contract — and a rebuild under the right key overwrites the
-    * sentinel with the true pk).
+    * assumed, in two steps: (1) the postings' pk set must be a subset
+    * of the base table's declared-pk values (subset, not equality —
+    * text indexes legitimately skip token-less docs); (2) a SAMPLE of
+    * postings (up to 100 pks, lowest-first for determinism) must agree
+    * byte-for-byte with postings recomputed from the base rows at
+    * those pk values under the candidate key. Step 2 is what step 1
+    * cannot decide: an index built under a DIFFERENT integer surrogate
+    * key whose value domain overlaps the declared pk's (both starting
+    * at 0/1 — common, not pathological) passes the subset check, but
+    * the base row AT an overlapping pk value carries different text,
+    * so its recomputed token rows disagree. A CONTENT-STALE legacy
+    * index (right key, rows upserted while it was skipped) also fails
+    * step 2 — correct, since adopting it would leave the stale rows
+    * permanently wrong (refreshes only touch future batches); the
+    * rebuild path heals it wholesale. The verdict STAMPS either way,
+    * so the O(index-pks + sample) check runs ONCE per legacy index:
+    * success records the pk (maintenance resumes), failure records
+    * [[PkMismatchSentinel]] (the index stays skipped at O(1) per
+    * write — Doctor flags the divergence, the old contract — and a
+    * rebuild under the right key overwrites the sentinel with the
+    * true pk).
     */
   private[store] def adoptLegacyPk(
       store: TableStore, table: String, pkCol: String): Boolean = {
@@ -566,7 +576,8 @@ object Fts {
           _.dataType == base.schema(pkCol).dataType) &&
           ix.select(col("pk")).distinct()
             .join(base.select(col(pkCol).as("pk")), Seq("pk"), "left_anti")
-            .isEmpty
+            .isEmpty &&
+          sampledContentAgrees(store, ix, base, pkCol, cols)
       case None => true // stats without postings: nothing to mis-key
     }
     // stamp the VERDICT: same totals, same layout, same epoch marker —
@@ -584,6 +595,37 @@ object Fts {
       statsBucketCount(store, table).getOrElse(0), recordedEpoch,
       cols, Some(if (ok) pkCol else PkMismatchSentinel))
     ok
+  }
+
+  /** [[adoptLegacyPk]]'s step 2: postings for a deterministic sample
+    * of pks must equal postings recomputed from the base rows at those
+    * pk values under the candidate key. Compared on the column
+    * intersection (a pre-positions legacy index still verifies on
+    * pk/token/tf), both directions, exact — tokenization is
+    * deterministic, so any divergence means a wrong key or stale
+    * content, and either must refuse adoption. A multi-column index
+    * carries `fcol`; a single-column legacy shape only verifies when
+    * exactly one column is recorded (anything else is an
+    * unreconstructable shape — refuse).
+    */
+  private def sampledContentAgrees(
+      store: TableStore, ix: DataFrame, base: DataFrame,
+      pkCol: String, cols: Seq[String]): Boolean = {
+    if (!cols.forall(base.columns.contains)) return false
+    val multi = ix.columns.contains("fcol")
+    if (!multi && cols.size != 1) return false
+    val sampled = ix.select(col("pk")).distinct()
+      .orderBy(col("pk")).limit(100)
+    val rows = base.join(sampled.select(col("pk").as(pkCol)),
+      Seq(pkCol), "left_semi")
+    val recomputed =
+      if (multi) indexRowsCols(rows, pkCol, cols)
+      else indexRows(rows, pkCol, cols.head)
+    val shared = recomputed.columns.filter(ix.columns.contains).toSeq
+    val rec = recomputed.select(shared.map(col): _*)
+    val got = ix.join(sampled, Seq("pk"), "left_semi")
+      .select(shared.map(col): _*)
+    rec.exceptAll(got).isEmpty && got.exceptAll(rec).isEmpty
   }
 
   /** Recorded in the stats row's pk field when [[adoptLegacyPk]]'s

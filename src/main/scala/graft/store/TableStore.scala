@@ -228,6 +228,18 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(renames.size == pairs.size && pairs.map(_._2).distinct.size == pairs.size,
       "rename pairs must be unique on both sides")
     val olds = pairs.map(_._1)
+    // A marker from a DIFFERENT crashed rename refuses loudly: finish
+    // (re-run) that rename first — completing it is the only way to
+    // tell its unmoved directories from fresh collisions. A resume's
+    // pairs are a subset of the crashed rename's (already-moved
+    // members drop out), so subset-consistency is the re-run test.
+    val pendingIntent = renameIntent()
+    pendingIntent.foreach { pending =>
+      require(pairs.forall { case (o, n) => pending.get(o).contains(n) },
+        s"a previous rename crashed mid-move (${pending.toSeq.sorted
+          .map { case (o, n) => s"$o -> $n" }.mkString(", ")}) — " +
+          "re-run that rename to complete it before starting another")
+    }
     pairs.foreach { case (o, n) =>
       require(n.nonEmpty && !n.contains("/") && !n.startsWith("_") &&
         !n.contains("$") && !n.endsWith(".__tmp"),
@@ -251,12 +263,24 @@ class TableStore(val spark: SparkSession, val root: String) {
         "their diff base would silently break under the new name; " +
         "drop-consumer first")
     val governedNow = olds.filter(isGoverned)
+    val taggedBy = pinnedByTags(governedNow)
+      .map { case (t, n) => s"$t (pins $n)" }
+    require(taggedBy.isEmpty,
+      s"pinned by release tag(s) ${taggedBy.mkString(", ")} — the " +
+        "pinned epoch resolves files the rename would move; drop-tag first")
+    // POSITIVE rename intent: written only after every guard passed,
+    // immediately before anything flips, and deleted after the last
+    // directory move — so a crash state carries explicit old→new
+    // evidence, and the catalog's resume keys on it instead of
+    // guessing from directory shapes (a live FLAT table next to a
+    // governed-but-dirless name looks exactly like a mid-move crash
+    // to any heuristic; the marker cannot be confused). A guard
+    // failure above leaves NO marker behind — an abandoned attempt
+    // never blocks later renames.
+    if (pendingIntent.isEmpty && pairs.nonEmpty)
+      writeSmall(renameIntentPath,
+        pairs.map { case (o, n) => s"$o\t$n" }.mkString("\n"))
     if (governedNow.nonEmpty) {
-      val taggedBy = pinnedByTags(governedNow)
-        .map { case (t, n) => s"$t (pins $n)" }
-      require(taggedBy.isEmpty,
-        s"pinned by release tag(s) ${taggedBy.mkString(", ")} — the " +
-          "pinned epoch resolves files the rename would move; drop-tag first")
       currentCommit.foreach { case (epoch, tables) =>
         writePointer(epoch + 1, tables.toSeq
           .map { case (t, lf) => renames.getOrElse(t, t) -> lf }
@@ -271,7 +295,21 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"rename $src -> ${path(n)} failed; the commit log already " +
             "serves the new name — re-run the rename to complete the move")
     }
+    fs.delete(renameIntentPath, false)
   }
+
+  private def renameIntentPath: Path = new Path(root, "_graft_renaming")
+
+  /** The old→new pairs of a rename that started but has not finished —
+    * Some only between [[renameTables]]'s intent write and its final
+    * marker delete, i.e. exactly the crash states. The catalog's
+    * RENAME resume and Doctor's pending-rename finding key on it.
+    */
+  def renameIntent(): Option[Map[String, String]] =
+    if (!fs.exists(renameIntentPath)) None
+    else Some(readSmall(renameIntentPath).linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(o, n) = l.split("\t", 2); o -> n }.toMap)
 
   /** (tag, pinned table) pairs for every release tag whose pinned
     * commit contains one of `names` — the shared pin guard
@@ -2320,21 +2358,32 @@ class TableStore(val spark: SparkSession, val root: String) {
       name: String, commits: Map[Long, Path], e: Long): Option[String] =
     commits.get(e).flatMap(p => parseCommit(p).get(name))
 
-  /** The subset of `names` holding data files at EITHER epoch
-    * endpoint — pure pointer metadata, ONE commit-log listing for the
-    * whole probe (a per-name form would re-list the directory per
+  /** The subset of `names` holding data files at SOME retained commit
+    * in `[a, b]` — pure pointer metadata, ONE commit-log listing for
+    * the whole probe (a per-name form would re-list the directory per
     * member per micro-batch; on object stores every listing is a
     * billed round-trip). The guard multi-table appends consumers
     * need: a governed-but-EMPTY member (SQL CREATE/CTAS before any
     * insert) has no schema [[readAddedSince]] could serve — callers
     * that already know the union schema skip such members instead of
-    * crashing every window on the empty one.
+    * crashing every window on the empty one. The probe checks the two
+    * ENDPOINTS first (the common case short-circuits in two lookups)
+    * but must also walk the retained interior for endpoint-empty
+    * members: an insert → rewrite → delete-all sequence inside one
+    * window is empty at both endpoints yet [[readAddedSince]]'s
+    * rewrite-aware walk still owes its added files (the at-least-once
+    * appends contract) — an endpoints-only skip would silently drop
+    * them. Interior commits vacuumed away probe as absent, matching
+    * what the walk itself could deliver.
     */
-  def withFilesAtEither(names: Seq[String], a: Long, b: Long): Set[String] = {
+  def withFilesInWindow(names: Seq[String], a: Long, b: Long): Set[String] = {
     val commits = listCommits().toMap
     def has(n: String, e: Long): Boolean =
       entryAt(n, commits, e).exists(resolveEntry(_).nonEmpty)
-    names.filter(n => has(n, a) || has(n, b)).toSet
+    lazy val interior =
+      ((a + 1) until b).filter(commits.contains)
+    names.filter(n =>
+      has(n, a) || has(n, b) || interior.exists(has(n, _))).toSet
   }
 
   /** Table names governed in the retained commit at `epoch` (empty

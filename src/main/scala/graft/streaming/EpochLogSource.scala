@@ -201,12 +201,13 @@ class EpochLogSource(
           // per-member file-level adds over the ONE global window —
           // the rewrite-aware walk itself yields nothing for an
           // unchanged member (empty frame, metadata cost only). A
-          // member with no files at EITHER endpoint (governed empty:
-          // CREATE/CTAS before any insert) is skipped outright —
-          // readAddedSince has no schema to serve for it, and the
+          // member with no files ANYWHERE in the window (governed
+          // empty: CREATE/CTAS before any insert) is skipped outright
+          // — readAddedSince has no schema to serve for it, and the
           // delivered shape is the fixed union schema anyway (one
-          // batched pointer probe for all members)
-          val nonEmpty = store.withFilesAtEither(tables, b, endE)
+          // batched pointer probe for all members; window-wide, so a
+          // member emptied within the window still delivers its adds)
+          val nonEmpty = store.withFilesInWindow(tables, b, endE)
           unionAligned(members.collect { case (t, _) if nonEmpty(t) =>
             tagged(t, store.readAddedSince(t, b, endE)) })
         }

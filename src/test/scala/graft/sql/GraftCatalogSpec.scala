@@ -626,6 +626,54 @@ class GraftCatalogSpec extends SparkSpec {
         "deserializes columns the projection dropped")
   }
 
+  test("multi-table graft-changes refuses an UNKNOWN member loudly — " +
+    "a misspelled name must never be mistaken for a governed-empty " +
+    "member and serve zero rows forever") {
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("a"))
+    store.upsert("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    val e0 = store.snapshot().epoch
+    store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    Seq("appends", "changes").foreach { mode =>
+      val e = intercept[Exception](spark.read.format("graft-changes")
+        .option("root", root).option("tables", "a,typo_name")
+        .option("mode", mode).option("pk.a", "id")
+        .option("pk.typo_name", "id")
+        .option("fromEpoch", e0.toString).option("toEpoch", e1.toString)
+        .load())
+      assert(e.getMessage.contains("typo_name"),
+        s"mode=$mode must name the unknown member: ${e.getMessage}")
+    }
+  }
+
+  test("multi-table appends delivers a member EMPTIED within the " +
+    "window: insert → compact → delete-all is empty at both endpoints " +
+    "yet still owes its added files (at-least-once)") {
+    val (root, store) = mountCatalog()
+    // 'a' is empty at BOTH endpoints — an endpoints-only probe would
+    // wrongly skip it; the window-wide probe must not
+    store.ensureBucketed("a", Seq("id"), 2)
+    store.ensureGoverned(Seq("a", "b"))
+    store.upsert("b", Seq((10L, "keep")).toDF("id", "v"), Seq("id"))
+    val e0 = store.snapshot().epoch
+    // 'a' inside the window: add rows, rewrite, then delete everything
+    // (deleteByPk drops the emptied partitions — zero live files)
+    store.upsert("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+    store.compact("a")
+    store.deleteByPk("a", Seq(2L).toDF("id"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    assert(store.readIfExists("a").isEmpty, "fixture: 'a' emptied")
+    val rows = spark.read.format("graft-changes")
+      .option("root", root).option("tables", "a,b").option("mode", "appends")
+      .option("fromEpoch", e0.toString).option("toEpoch", e1.toString)
+      .load().filter(col("_table") === "a")
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(rows.contains(2L),
+      s"the window's added files must deliver even though 'a' is empty " +
+        s"at both endpoints (got $rows)")
+  }
+
   test("stored procedures: CALL graft.system.* runs the maintenance verbs") {
     import graft.store.{Doctor, Sq}
     val (_, store) = mountCatalog()
@@ -1249,6 +1297,69 @@ class GraftCatalogSpec extends SparkSpec {
     val r = intercept[Exception](
       spark.sql("ALTER TABLE graft.corpus RENAME TO phantom"))
     assert(r.getMessage.toLowerCase.contains("already"), r.getMessage)
+  }
+
+  test("RENAME of a live FLAT table onto a governed-but-dirless name " +
+    "refuses — directory shapes identical to a mid-move crash must " +
+    "not graft foreign data onto the governed name") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val (root, store) = mountCatalog()
+    // a live FLAT (never governed) table…
+    store.overwrite("flat", Seq((1L, "mine")).toDF("id", "v"))
+    // …and a governed name with no directory yet (SQL CREATE before
+    // any insert) — the exact state the resume heuristic `(oldDir &&
+    // !newDir)` used to mistake for a crashed rename
+    spark.sql("CREATE TABLE graft.dirless (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='id')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    def ident(n: String) = Identifier.of(Array.empty[String], n)
+    val e = intercept[Exception](
+      cat.renameTable(ident("flat"), ident("dirless")))
+    assert(e.getMessage.toLowerCase.contains("already"), e.getMessage)
+    assert(new java.io.File(root, "flat").exists(),
+      "the flat table's directory must not move")
+    assert(store.read("flat").count() === 1L)
+    // the governed name still serves its own (empty, declared) surface
+    assert(spark.sql("SELECT * FROM graft.dirless").collect().isEmpty)
+  }
+
+  test("RENAME crash-resume keys on the intent marker: a no-artifact " +
+    "table's mid-move crash resumes (no directory heuristic needed), " +
+    "and a DIFFERENT rename refuses while one is pending") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val (root, store) = mountCatalog()
+    store.ensureGoverned(Seq("plain", "other"))
+    store.upsert("plain", Seq((1L, "p")).toDF("id", "v"), Seq("id"))
+    store.upsert("other", Seq((2L, "o")).toDF("id", "v"), Seq("id"))
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    def ident(n: String) = Identifier.of(Array.empty[String], n)
+    cat.renameTable(ident("plain"), ident("moved"))
+    assert(store.renameIntent().isEmpty,
+      "a completed rename must clear its intent marker")
+    // simulate the crash state: pointer serves the new name, base dir
+    // still old-named, intent marker present (every real crash inside
+    // renameTables leaves it — it is written before the pointer flip
+    // and deleted after the last move)
+    val fsDir = new java.io.File(root)
+    assert(new java.io.File(fsDir, "moved")
+      .renameTo(new java.io.File(fsDir, "plain")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_graft_renaming"),
+      "plain\tmoved".getBytes("UTF-8"))
+    // a DIFFERENT rename refuses while this one is pending
+    val busy = intercept[Exception](
+      cat.renameTable(ident("other"), ident("elsewhere")))
+    assert(busy.getMessage.contains("plain -> moved"), busy.getMessage)
+    // re-running the crashed rename completes it and clears the marker
+    cat.renameTable(ident("plain"), ident("moved"))
+    assert(store.renameIntent().isEmpty)
+    assert(store.read("moved").count() === 1L)
+    assert(!new java.io.File(fsDir, "plain").exists())
+    // the blocked rename now proceeds
+    cat.renameTable(ident("other"), ident("elsewhere"))
+    assert(store.read("elsewhere").count() === 1L)
   }
 
   test("a stats-only FTS index stays LOUD when rows bypass " +

@@ -325,4 +325,59 @@ class IndexMaintainSpec extends SparkSpec {
       buckets = 2)
     assert(Fts.statsProvenance(store2, "t2")._2.contains("id"))
   }
+
+  test("LEGACY adoption refuses an OVERLAPPING alien key domain — the " +
+    "postings⊆base subset check alone cannot see it, the sampled " +
+    "content check must (two integer surrogates both starting at 0)") {
+    val (_, store) = mountCatalog()
+    // id and alt share the exact value domain 0..5 (the common two-
+    // surrogate-keys shape), but each value names a DIFFERENT row —
+    // an index built under alt passes the subset check under id
+    // trivially, yet the base row AT id=k carries different text than
+    // the row the index keyed at alt=k
+    val rows = (0 until 6).map(i =>
+      (i.toLong, ((i + 3) % 6).toLong, s"word$i body$i"))
+      .toDF("id", "alt", "full_text")
+    store.overwrite("t3", rows)
+    Fts.upsertWithIndexCols(store, "t3", rows, "alt", Seq("full_text"),
+      buckets = 2)
+    store.overwrite(Fts.statsName("t3"),
+      store.read(Fts.statsName("t3")).drop("pk"))
+    store.bucketize("t3", Seq("id"), 2)
+    val before = store.read(Fts.indexName("t3")).count()
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t3",
+      Seq((50L, 150L, "fresh row")).toDF("id", "alt", "full_text"),
+      Seq("id"))
+    assert(!refreshed.contains("fts") && skipped.contains("fts"),
+      "an overlapping-but-wrong key domain must never adopt — mixing " +
+        "key domains in the postings is what the guard exists to prevent")
+    assert(store.read(Fts.indexName("t3")).count() === before,
+      "a refused adoption must not touch the postings")
+    assert(Fts.statsProvenance(store, "t3")._2
+      .contains(Fts.PkMismatchSentinel))
+  }
+
+  test("LEGACY adoption refuses a CONTENT-STALE index (right key, rows " +
+    "upserted while it was skipped) — adopting would leave those rows " +
+    "permanently wrong; the rebuild path heals wholesale") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t4", Seq("id"), 2)
+    val rows = (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text")
+    store.upsert("t4", rows, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t4",
+      store.read("t4").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    store.overwrite(Fts.statsName("t4"),
+      store.read(Fts.statsName("t4")).drop("pk"))
+    // a bypassing write changes base content the skipped index missed
+    store.upsert("t4", Seq((2L, "replaced different text"))
+      .toDF("id", "full_text"), Seq("id"))
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t4",
+      Seq((50L, "fresh row")).toDF("id", "full_text"), Seq("id"))
+    assert(!refreshed.contains("fts") && skipped.contains("fts"),
+      "stale content must refuse adoption, not adopt-and-stay-wrong")
+    assert(Fts.statsProvenance(store, "t4")._2
+      .contains(Fts.PkMismatchSentinel))
+  }
 }
