@@ -331,8 +331,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             s"column '$name' was DROPPED from ${ident.name} and its old " +
               "values may still live in the data files — re-adding the " +
               "name would resurrect them instead of null-filling; pick " +
-              "another name, or rewrite the table (CTAS) to really " +
-              "shed the column")
+              "another name, or really shed the column with a CTAS " +
+              "rewrite: CREATE TABLE graft.tmp TBLPROPERTIES(...) AS " +
+              s"SELECT <surviving columns> FROM graft.${ident.name}; " +
+              s"DROP TABLE graft.${ident.name}; ALTER TABLE graft.tmp " +
+              s"RENAME TO ${ident.name}; then ADD COLUMN $name " +
+              "null-fills as expected (the rewrite dropped the values)")
           sch.add(name, add.dataType, nullable = true)
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1,
@@ -596,7 +600,14 @@ private[sql] class GraftMetaTable(root: String, base: String, meta: String)
         // manifest-backed when the table opted into footer-free pruning
         // (refreshFileStats); plain live file list otherwise
         s.fileStatsTable(base).getOrElse(s.dataFiles(base).toDF("file"))
-      case "tags" => s.tags().toSeq.toDF("tag", "epoch")
+      case "tags" =>
+        // dead_members: tables the pinned commit names that are no
+        // longer live (the PURGE-survivor state Doctor's
+        // tag-dead-member flags) — empty for a fully-live tag
+        val live = s.tableNames.toSet ++ s.governed
+        s.tags().toSeq.map { case (t, e) =>
+          (t, e, (s.tablesAt(e) -- live).toSeq.sorted.mkString(",")) }
+          .toDF("tag", "epoch", "dead_members")
       case "cursors" =>
         graft.store.EpochFollower.cursors(s).toSeq.collect {
           case ((t, consumer), epoch) if t == base => (consumer, epoch)

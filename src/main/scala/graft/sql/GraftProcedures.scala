@@ -218,6 +218,27 @@ private[sql] object GraftProcedures {
         "provenance — every later SQL write refreshes it, Doctor " +
         "checks it, DROP removes it; k = cells for the IVF families, " +
         "slices = PQ sub-spaces (subDim derives from the emb dim)"),
+    Proc("drop_index",
+      Seq(in("table", StringType), in("family", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("family", StringType),
+        StructField("artifacts_dropped", LongType))),
+      (s, args) => {
+        val t = args.getUTF8String(0).toString
+        val fam = args.getUTF8String(1).toString
+        require(s.tableNames.contains(t) || s.governed.contains(t),
+          s"no such table '$t'")
+        val arts = Retract.familyArtifacts(s, t, fam)
+        if (arts.nonEmpty) s.dropTables(arts)
+        Seq(row(utf8(t), utf8(fam), arts.size.toLong))
+      },
+      "drop ONE index family's artifacts from a table — build_fts / " +
+        "build_index's inverse: postings/codes, parameter tables and " +
+        "provenance rows go (one pointer write when governed), the " +
+        "base table and every other family stay, later SQL writes " +
+        "stop refreshing it; idempotent (a second call drops 0); " +
+        "refuses unknown tables and unknown families; a release tag " +
+        "pinning an artifact refuses exactly like DROP TABLE"),
     Proc("search",
       Seq(in("table", StringType), in("query", StringType),
         inDefault("k", LongType, "100")),

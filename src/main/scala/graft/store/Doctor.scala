@@ -162,6 +162,34 @@ object Doctor {
             s"(e.g. ${missing.head}) — out-of-band deletion; restore " +
             "the files or rebuild and re-govern the table")
     }
+    // PARTIALLY-DEAD release tags: `DROP TABLE PURGE` deliberately
+    // keeps a tag that also pins OTHER tables' retention (dropping it
+    // would silently release their vacuum pins), so the kept tag's
+    // pinned commit then names tables that no longer exist — correct,
+    // but silent: `VERSION AS OF '<tag>'` fails only per-dead-table at
+    // read time. Name the state here so a release manager can see
+    // which release pins are partial ($tags surfaces the same list).
+    store.tags().toSeq.sortBy(_._1).foreach { case (tag, e) =>
+      val dead = (store.tablesAt(e) -- live).toSeq.sorted
+      if (dead.nonEmpty)
+        issues += Issue("tag-dead-member", tag,
+          s"release tag pins epoch $e whose commit names non-live " +
+            s"table(s) ${dead.mkString(", ")} — a DROP TABLE PURGE " +
+            "kept the tag because it also protects other tables' " +
+            "retention; VERSION AS OF the tag fails for the dead " +
+            "members; drop_tag when the release no longer matters")
+    }
+    // a rename that started but never finished (crash mid-move): the
+    // intent marker is the positive evidence the resume keys on —
+    // surface it so the fix (re-run the same rename) is visible
+    // instead of discovered through failing reads
+    store.renameIntent().foreach(_.toSeq.sorted.foreach { case (o, n) =>
+      issues += Issue("rename-pending", o,
+        s"a rename $o -> $n started but did not finish (crash " +
+          "mid-move) — re-run the same rename (ALTER TABLE ... RENAME " +
+          "TO / renameTables) to complete it; other renames refuse " +
+          "until it completes")
+    })
     issues.result()
   }
 

@@ -100,6 +100,47 @@ object Retract {
       .filter(f => store.exists(f) || governed(f))
   }
 
+  /** One FAMILY's slice of the artifact inventory — per-pk tables,
+    * parameter tables, and the derived `_meta`/occupancy rows, filtered
+    * to what exists (or is governed empty) right now. This is what
+    * `CALL graft.system.drop_index(table, family)` removes: exactly one
+    * family's artifacts, base untouched, every other family intact —
+    * build_fts/build_index's inverse. Unknown family names refuse with
+    * the known list (a typo must never silently drop nothing). Kept
+    * next to [[registry]]/[[paramsRegistry]] so a new family that adds
+    * its tables there is named here too or the exhaustiveness check
+    * fails at the test's family sweep.
+    */
+  def familyArtifacts(
+      store: TableStore, table: String, family: String): Seq[String] = {
+    val named: Seq[String] = family match {
+      case "fts" => Seq(Fts.indexName(table), Fts.statsName(table),
+        Fts.epochName(table))
+      case "trigram" => Seq(Trigram.indexName(table))
+      case "lsh" => Seq(Lsh.indexName(table), Lsh.mapName(table),
+        Lsh.paramsName(table))
+      case "sq" => Seq(Sq.codesName(table), Sq.scalesName(table))
+      case "pq" => Seq(Pq.codesName(table), Pq.booksName(table))
+      case "bin" => Seq(Bin.codesName(table))
+      case "ivf" => Seq(Ivf.indexName(table), Ivf.mapName(table),
+        Ivf.centsName(table))
+      case "ivfpq" => Seq(IvfPq.codesName(table), IvfPq.mapName(table),
+        IvfPq.centsName(table), IvfPq.booksName(table))
+      case "ivfsq" => Seq(IvfSq.codesName(table), IvfSq.mapName(table),
+        IvfSq.centsName(table), IvfSq.scalesName(table))
+      case "ivfbin" => Seq(IvfBin.codesName(table), IvfBin.mapName(table),
+        IvfBin.centsName(table))
+      case other => throw new IllegalArgumentException(
+        s"unknown index family '$other' — known: fts, trigram, lsh, sq, " +
+          "pq, bin, ivf, ivfpq, ivfsq, ivfbin")
+    }
+    val derived = named.flatMap(f =>
+      Seq(IvfDrift.metaName(f), IvfDrift.snapName(f)))
+    val governed = store.governed
+    (named ++ derived).distinct
+      .filter(f => store.exists(f) || governed(f))
+  }
+
   /** Every table a [[cascade]] on `table` would WRITE for its indexes
     * (the FTS postings commit together with their corpus-stats row,
     * hence the extra stats entry vs [[indexTablesOf]]).

@@ -1062,6 +1062,80 @@ class GraftCatalogSpec extends SparkSpec {
     assert(flat.getMessage.contains("bucket"), flat.getMessage)
   }
 
+  test("CALL graft.system.drop_index removes EXACTLY one family's " +
+    "artifacts — build's inverse: base and other families untouched, " +
+    "SQL writes stop refreshing it, Doctor green, idempotent") {
+    import graft.store.{Doctor, Fts, Retract, Sq}
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t", Seq("id"), 2)
+    store.ensureGoverned(Seq("t"))
+    store.upsert("t", (0 until 8).map(i => (i.toLong, s"common word$i",
+      (0 until 8).map(d => math.sin(i * 8 + d)))).toDF("id", "v", "e"),
+      Seq("id"))
+    spark.sql("CALL graft.system.build_fts('t', 'v')")
+    spark.sql("CALL graft.system.build_index('t', 'sq', 'e')")
+    spark.sql("CALL graft.system.build_index('t', 'ivf', 'e', k => 2)")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // drop ONE family: its whole slice goes, the others stay
+    val r = spark.sql("CALL graft.system.drop_index('t', 'fts')")
+      .collect().head
+    assert(r.getString(1) === "fts" && r.getLong(2) > 0L)
+    assert(!store.exists(Fts.indexName("t")) &&
+      !store.exists(Fts.statsName("t")) &&
+      !store.governed.contains(Fts.indexName("t")) &&
+      !store.governed.contains(Fts.statsName("t")),
+      "the fts slice must be fully gone, pointer entries included")
+    assert(store.exists(Sq.codesName("t")),
+      "other families must survive a single-family drop")
+    assert(spark.sql("SELECT count(*) FROM graft.t")
+      .collect().head.getLong(0) === 8L, "the base must be untouched")
+    assert(Doctor.check(store) === Seq.empty,
+      "a dropped family must leave nothing half-referenced")
+
+    // SQL writes no longer refresh the dropped family; the survivors
+    // still refresh in one epoch
+    val e1 = store.snapshot().epoch
+    val eight = (1 to 8).map(d => s"0.${d}D").mkString("array(", ", ", ")")
+    spark.sql(s"INSERT INTO graft.t VALUES (100L, 'zebra text', $eight)")
+    assert(store.snapshot().epoch === e1 + 1)
+    assert(!store.exists(Fts.indexName("t")),
+      "a write must not resurrect a dropped index")
+    assert(store.read(Sq.codesName("t")).filter(col("pk") === 100L)
+      .count() === 1L)
+    val gone = intercept[Exception](
+      spark.sql("CALL graft.system.search('t', 'zebra')").collect())
+    assert(gone.getMessage.toLowerCase.contains("fts") ||
+      gone.getMessage.toLowerCase.contains("index"), gone.getMessage)
+
+    // idempotent: a second drop removes nothing and does not error
+    assert(spark.sql("CALL graft.system.drop_index('t', 'fts')")
+      .collect().head.getLong(2) === 0L)
+
+    // dropping the remaining families leaves ZERO inventory
+    spark.sql("CALL graft.system.drop_index('t', 'sq')")
+    spark.sql("CALL graft.system.drop_index('t', 'ivf')")
+    assert(Retract.artifactTablesOf(store, "t").isEmpty,
+      "after every family drops, the DROP inventory must be empty")
+    assert(Doctor.check(store) === Seq.empty)
+
+    // refusals: unknown family, unknown table; a pinning tag refuses
+    val fam = intercept[Exception](
+      spark.sql("CALL graft.system.drop_index('t', 'nope')"))
+    assert(fam.getMessage.contains("unknown index family"), fam.getMessage)
+    val tbl = intercept[Exception](
+      spark.sql("CALL graft.system.drop_index('never_was', 'fts')"))
+    assert(tbl.getMessage.contains("never_was"), tbl.getMessage)
+    spark.sql("CALL graft.system.build_fts('t', 'v')")
+    store.tagEpoch("pin-1")
+    val pinned = intercept[Exception](
+      spark.sql("CALL graft.system.drop_index('t', 'fts')"))
+    assert(pinned.getMessage.contains("pin-1"), pinned.getMessage)
+    store.dropTag("pin-1")
+    assert(spark.sql("CALL graft.system.drop_index('t', 'fts')")
+      .collect().head.getLong(2) > 0L)
+  }
+
   test("ALTER TABLE DROP COLUMN is metadata-only: current reads " +
     "project the column out with no file rewrite, old epochs keep it, " +
     "re-ADD of the name refuses (no value resurrection), Doctor green") {
@@ -1104,6 +1178,11 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.t ADD COLUMN score DOUBLE"))
     assert(res.getMessage.toLowerCase.contains("resurrect"),
       res.getMessage)
+    // the refusal names its escape hatch: the verbatim CTAS-rewrite
+    // recipe (CREATE AS SELECT → DROP → RENAME TO) that really sheds
+    // the column so the name becomes re-addable
+    assert(res.getMessage.contains("CREATE TABLE") &&
+      res.getMessage.contains("RENAME TO"), res.getMessage)
     // ... which also blocks MERGE WITH SCHEMA EVOLUTION from
     // resurrecting it out of a stale wide source
     Seq((9L, "m", 9.9)).toDF("id", "v", "score")
@@ -1137,6 +1216,21 @@ class GraftCatalogSpec extends SparkSpec {
     val idx = intercept[Exception](
       spark.sql("ALTER TABLE graft.t DROP COLUMN v"))
     assert(idx.getMessage.contains("maintained index"), idx.getMessage)
+
+    // the recipe the refusal names actually WORKS: CTAS the surviving
+    // columns, drop, rename back — the rewrite shed the values, so the
+    // once-burned name re-adds and null-fills as expected
+    spark.sql("CALL graft.system.drop_index('t', 'fts')") // unpin v
+    spark.sql("CREATE TABLE graft.tmp_rewrite " +
+      "TBLPROPERTIES('pk'='id', 'buckets'='2') AS " +
+      "SELECT id, v, score2 FROM graft.t")
+    spark.sql("DROP TABLE graft.t")
+    spark.sql("ALTER TABLE graft.tmp_rewrite RENAME TO t")
+    spark.sql("ALTER TABLE graft.t ADD COLUMN score DOUBLE")
+    val refilled = spark.sql("SELECT score FROM graft.t").collect()
+    assert(refilled.nonEmpty && refilled.forall(_.isNullAt(0)),
+      "after the CTAS rewrite the re-added column must null-fill — " +
+        "no surviving file values to resurrect")
   }
 
   test("RENAME TABLE carries the whole index inventory: queries, " +

@@ -538,4 +538,59 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.suggest(store, vacuumMinAgeMs = Some(0L))
       .filter(_.component == "vacuum-horizon") === Seq.empty)
   }
+
+  test("a PURGE-surviving tag that names dead tables is flagged " +
+    "(tag-dead-member) and listed in $tags; drop_tag clears it") {
+    val store = freshStore()
+    store.ensureGoverned(Seq("t", "other"))
+    store.upsert("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.upsert("other", Seq((1L, "keep")).toDF("id", "v"), Seq("id"))
+    // the tag pins a commit containing BOTH tables, so PURGE keeps it
+    store.tagEpoch("rel-both")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", store.root)
+    assert(Doctor.check(store)
+      .filter(_.component == "tag-dead-member") === Seq.empty,
+      "a fully-live tag is silent")
+
+    spark.sql("DROP TABLE graft.t PURGE")
+    assert(store.tags().contains("rel-both"), "fixture: the tag survived")
+    val flagged = Doctor.check(store)
+      .filter(_.component == "tag-dead-member")
+    assert(flagged.size === 1 && flagged.head.table === "rel-both" &&
+      flagged.head.problem.contains("t"), s"got $flagged")
+    // $tags surfaces the same list per tag
+    val tagsRow = spark.sql(
+      "SELECT tag, dead_members FROM graft.`other$tags`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(tagsRow("rel-both") === "t", s"got $tagsRow")
+
+    // drop_tag releases the pin and the finding clears
+    spark.sql("CALL graft.system.drop_tag('rel-both')")
+    assert(Doctor.check(store)
+      .filter(_.component == "tag-dead-member") === Seq.empty)
+  }
+
+  test("a crashed rename's pending intent marker is flagged " +
+    "(rename-pending) and completing the rename clears it") {
+    val store = freshStore()
+    store.ensureGoverned(Seq("old_name"))
+    store.upsert("old_name", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    assert(Doctor.check(store)
+      .filter(_.component == "rename-pending") === Seq.empty)
+    // simulate the crash: marker written, pointer flipped, dir unmoved
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store.root, "_graft_renaming"),
+      "old_name\tnew_name".getBytes("UTF-8"))
+    val flagged = Doctor.check(store)
+      .filter(_.component == "rename-pending")
+    assert(flagged.size === 1 && flagged.head.table === "old_name" &&
+      flagged.head.problem.contains("new_name"), s"got $flagged")
+    // completing the rename clears the marker and the finding
+    store.renameTables(Seq("old_name" -> "new_name"))
+    assert(Doctor.check(store)
+      .filter(_.component == "rename-pending") === Seq.empty)
+    assert(store.read("new_name").count() === 1L)
+  }
 }
