@@ -91,6 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // MATCH as a composable TABLE function (`SELECT pk FROM
+    // graft_fts('docs', 'a AND b')` joins/nests like any relation) —
+    // see graft.sql.FtsTableFunctions
+    graft.sql.FtsTableFunctions.all.foreach { case (name, ranked) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql", name),
+        (args: Seq[Expression]) =>
+          graft.sql.FtsTableFunctions.plan(name, ranked, args)))
+    }
     ext.injectPostHocResolutionRule(sp => new graft.sql.GraftDml.DmlRule(sp))
     ext.injectPlannerStrategy(sp => new graft.sql.GraftDml.DmlStrategy(sp))
   }

@@ -218,6 +218,41 @@ object DmlOps {
       |)
       |ORDER BY _table, c_custkey, s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_fts_sql — COMPOSABLE SQL MATCH, oracle-checked end to end: CTAS
+  // a governed table WITH its FTS index (index-from-birth,
+  // TBLPROPERTIES('fts'=...)), then run a MATCH-in-subquery semi-join
+  // + facet ENTIRELY through spark.sql — the graft_fts table function
+  // is a real distributed relation (the reference's `*_fts` MATCH
+  // subqueries are ordinary SQL composed into larger statements,
+  // README.md:212,222-259), not a driver-local CALL result. The
+  // oracle states the same MATCH as word-boundary regexes over the
+  // source parquet (equivalent to token AND — the q_fts_match
+  // equivalence) and recomputes the facet.
+  def ftsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    mountScratch(spark, "fts")
+    Catalog.table(spark, sfDir, "documents")
+      .createOrReplaceTempView("fts_docs_src")
+    spark.sql(
+      "CREATE TABLE graftdml.docs " +
+        "TBLPROPERTIES('pk'='doc_id', 'buckets'='4', 'fts'='text') " +
+        "AS SELECT doc_id, lang, text FROM fts_docs_src")
+    spark.sql(
+      """SELECT d.lang, count(*) AS n_docs
+        |FROM graftdml.docs d
+        |WHERE d.doc_id IN
+        |  (SELECT pk FROM graft_fts('graftdml', 'docs', 'spark AND vector'))
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin)
+  }
+
+  val ftsSqlSql: String =
+    """SELECT lang, COUNT(*) AS n_docs FROM documents
+      |WHERE regexp_matches(lower(text), '\bspark\b')
+      |  AND regexp_matches(lower(text), '\bvector\b')
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** The WRITE-PATH pins: each invocation builds a governed scratch
     * store and commits epochs — heavy enough (GC, shuffle-dir and FS
     * cache churn) to measurably perturb the next few READ queries'
@@ -230,7 +265,8 @@ object DmlOps {
     Op("q_update_where", updateWhere, Some(updateWhereSql)),
     Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Op("q_delete_where", deleteWhere, Some(deleteWhereSql)),
-    Op("q_cdc_multi", cdcMulti, Some(cdcMultiSql)))
+    Op("q_cdc_multi", cdcMulti, Some(cdcMultiSql)),
+    Op("q_fts_sql", ftsSql, Some(ftsSqlSql)))
 
   /** Derived, not restated: every DML oracle row IS a write pin — a
     * future fourth row joins the bench's write-last phase

@@ -77,9 +77,13 @@ class ScaleShapeSpec extends SparkSpec {
       "q_update_where" -> "customer",
       "q_merge_upsert" -> "orders",
       "q_delete_where" -> "customer",
-      "q_cdc_multi" -> "customer"),
-      "a DML guard, merge join, or delete cascade is leaking " +
-        "super-linear volume")
+      "q_cdc_multi" -> "customer",
+      // the composable-MATCH path: CTAS + index-from-birth postings
+      // build + the TVF's token-pruned semi-join + facet — a postings
+      // expansion or an unpruned MATCH side would surface here
+      "q_fts_sql" -> "documents"),
+      "a DML guard, merge join, delete cascade, or MATCH semi-join " +
+        "is leaking super-linear volume")
   }
 
   test("ANN/similarity-family shuffle volume grows ≤ ~linearly " +

@@ -1456,6 +1456,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(store.read("elsewhere").count() === 1L)
   }
 
+  test("graft_fts table function: MATCH is a COMPOSABLE SQL relation — " +
+    "semi-join + facet in one statement, rank-preserving join, full " +
+    "grammar; literal-argument and unmounted-catalog misuse is loud") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("docs", Seq("id"), 2)
+    store.ensureGoverned(Seq("docs"))
+    // evens carry BOTH terms; lang splits them 3 en / 2 fr
+    store.upsert("docs", (0 until 10).map(i => (i.toLong,
+      if (i < 5) "en" else "fr",
+      if (i % 2 == 0) s"spark vector doc$i" else s"spark only doc$i"))
+      .toDF("id", "lang", "v"), Seq("id"))
+    spark.sql("CALL graft.system.build_fts('docs', 'v')")
+
+    // MATCH-in-subquery semi-join + facet, entirely through spark.sql
+    val facet = spark.sql(
+      """SELECT d.lang, count(*) AS n
+        |FROM graft.docs d
+        |WHERE d.id IN (SELECT pk FROM graft_fts('docs', 'spark AND vector'))
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(facet === Seq(("en", 3L), ("fr", 2L)), s"got $facet")
+
+    // the full MATCH grammar is served (NOT / phrase forms)
+    assert(spark.sql(
+      "SELECT pk FROM graft_fts('docs', 'spark NOT vector')")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+    assert(spark.sql(
+      "SELECT pk FROM graft_fts('docs', '\"spark vector\"')")
+      .count() === 5L)
+
+    // rank-preserving join: BM25 scores ride into the outer statement
+    val ranked = spark.sql(
+      """SELECT d.id, m.score
+        |FROM graft_fts_ranked('docs', 'doc3') m
+        |JOIN graft.docs d ON d.id = m.pk""".stripMargin).collect()
+    assert(ranked.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(ranked.head.getDouble(1) > 0.0, "BM25 score must be served")
+
+    // the 3-argument form names another mounted catalog explicitly
+    assert(spark.sql(
+      "SELECT pk FROM graft_fts('graft', 'docs', 'vector')")
+      .count() === 5L)
+
+    // misuse is loud: non-literal query, unmounted catalog
+    val lit = intercept[Exception](spark.sql(
+      "SELECT pk FROM graft_fts('docs', concat('sp', rand()))").collect())
+    assert(lit.getMessage.contains("literal"), lit.getMessage)
+    val cat = intercept[Exception](spark.sql(
+      "SELECT pk FROM graft_fts('no_such_cat', 'docs', 'x')").collect())
+    assert(cat.getMessage.contains("no_such_cat"), cat.getMessage)
+  }
+
   test("a stats-only FTS index stays LOUD when rows bypass " +
     "maintenance: silent zero-matches only while the base is empty too") {
     val (_, store) = mountCatalog()
