@@ -122,8 +122,14 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
           // a governed-but-empty member (CREATE/CTAS before any
           // insert) contributes its DECLARED shape, so the union
           // schema is stable from the member's creation — not from
-          // its first insert
+          // its first insert. Data-derived schemas carry PHYSICAL
+          // names — map them to the member's surface names (ALTER
+          // RENAME COLUMN), like every current read does; declared
+          // schemas are already surface-shaped.
+          val surfOf = store.renamedColumnsOf(t).toMap
           store.readIfExists(t).map(_.schema)
+            .map(sch => org.apache.spark.sql.types.StructType(sch.fields
+              .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
             .orElse(store.declaredSchemaOf(t))
             .foreach(_.fields
               .filterNot(_.name == store.BucketCol).foreach { f =>
@@ -159,8 +165,8 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         val parts = names.flatMap { t =>
           if (mode == "appends") {
             if (!nonEmpty(t)) None
-            else Some(
-              store.readAddedSince(t, from, to).withColumn("_table", lit(t)))
+            else Some(store.toSurface(t, store.readAddedSince(t, from, to))
+              .withColumn("_table", lit(t)))
           } else {
             val pk = parameters.get(s"pk.$t")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -173,7 +179,7 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
               case None => true // unprovable (vacuumed): must deliver
             }
             if (!logical) None
-            else Some(store.readChangesSince(t, from, to, pk)
+            else Some(store.toSurface(t, store.readChangesSince(t, from, to, pk))
               .withColumn("_table", lit(t)))
           }
         }
@@ -189,10 +195,13 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
           sqlContext.sparkSession.createDataFrame(
             new java.util.ArrayList[Row](), target)
         else aligned.reduce(_.unionByName(_))
-      case ("appends", None) => store.readAddedSince(table, from, to)
+      // single-table modes serve the surface shape too (ALTER RENAME
+      // COLUMN maps the files' physical names on every current read)
+      case ("appends", None) =>
+        store.toSurface(table, store.readAddedSince(table, from, to))
       case ("changes", None) =>
         val pk = required("pk").split(",").map(_.trim).toSeq
-        store.readChangesSince(table, from, to, pk)
+        store.toSurface(table, store.readChangesSince(table, from, to, pk))
       case (other, _) => throw new IllegalArgumentException(
         s"mode must be changes|appends, got '$other'")
     }

@@ -273,10 +273,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(root, ident.name, epoch = None)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` / `DROP COLUMN c` —
-    * METADATA-ONLY schema evolution, Delta/Iceberg-style: no table
-    * rewrite in either direction (at 100 TB an ALTER must not touch
-    * data files).
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` / `DROP COLUMN c` /
+    * `RENAME COLUMN a TO b` — METADATA-ONLY schema evolution,
+    * Delta/Iceberg-style: no table rewrite in any direction (at
+    * 100 TB an ALTER must not touch data files).
     *
     * ADD widens the `_graft_schema` marker to the union and the
     * catalog's reader NULL-FILLS the declared-but-missing column until
@@ -300,8 +300,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * pk/bucket columns (the table's identity), columns a maintained
     * index records as its input ([[graft.store.IndexMaintain
     * .provenancedColumns]] — the next refresh would need them), and
-    * the last column. Struct-field surgery, renames and type changes
-    * stay with the library's richer verbs.
+    * the last column.
+    *
+    * RENAME records a physical→surface NAME-MAP entry
+    * ([[TableStore.declareRenamed]]): the data files keep the column's
+    * BIRTH name forever, current reads serve the mapped name, every
+    * SQL write path translates surface→physical before landing, and
+    * time-travel keeps each epoch's own (physical) shape. Renaming
+    * back to the birth name clears the entry (the values were live
+    * throughout — no resurrection). Refused renames mirror DROP's
+    * identity guards (pk/bucket, index-provenance inputs) plus
+    * target-name hazards: a live surface name, a DROPPED name (its
+    * values may survive in files), another renamed column's physical
+    * name (the write translation would collide at the file level),
+    * and the store's bucket routing column. Struct-field surgery and
+    * type changes stay with the library's richer verbs.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace.isEmpty && !ident.name.contains("$"),
@@ -314,6 +327,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       StructType(s.readIfExists(ident.name).map(_.schema.fields
         .filterNot(_.name == s.BucketCol)).getOrElse(Array.empty)))
     val dropped = Seq.newBuilder[String]
+    // the physical→surface name map, threaded through the fold so a
+    // statement chaining renames sees its own earlier changes; a
+    // surface name's PHYSICAL name is what the data files carry (its
+    // birth name — identity unless a rename map entry says otherwise)
+    var renames: Seq[(String, String)] = s.renamedColumnsOf(ident.name)
+    def physOf(surface: String): String =
+      renames.find { case (_, surf) => resolver(surf, surface) }
+        .map(_._1).getOrElse(surface)
     val evolved = changes.foldLeft(base) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
@@ -337,6 +358,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"DROP TABLE graft.${ident.name}; ALTER TABLE graft.tmp " +
               s"RENAME TO ${ident.name}; then ADD COLUMN $name " +
               "null-fills as expected (the rewrite dropped the values)")
+          require(!renames.exists { case (phys, _) => resolver(phys, name) },
+            s"column name '$name' is the PHYSICAL (file-level) name of a " +
+              s"renamed column of ${ident.name} " +
+              s"(${renames.map { case (p, sf) => s"$p→$sf" }.mkString(", ")}) " +
+              "— the data files still carry values under it, so adding it " +
+              "would collide with the renamed column's storage; pick " +
+              "another name, or rename the column back first")
           sch.add(name, add.dataType, nullable = true)
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1,
@@ -353,24 +381,86 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             case Some(field) =>
               require(sch.fields.length > 1,
                 s"cannot drop '$name' — it is ${ident.name}'s last column")
+              // guards and the tombstone operate on the PHYSICAL name:
+              // that is what the bucket layout, index provenance, and
+              // data files record
+              val phys = physOf(field.name)
               require(!s.bucketLayoutOf(ident.name)
-                .exists(_._2.exists(resolver(_, name))),
+                .exists(_._2.exists(resolver(_, phys))),
                 s"cannot drop '$name' — it is part of ${ident.name}'s " +
                   "declared bucket pk (the table's identity); rewrite " +
                   "via CTAS instead")
               val indexed =
                 graft.store.IndexMaintain.provenancedColumns(s, ident.name)
-              require(!indexed.exists(resolver(_, name)),
+              require(!indexed.exists(resolver(_, phys)),
                 s"cannot drop '$name' — a maintained index of " +
                   s"${ident.name} records it as its input " +
                   s"(indexed columns: ${indexed.toSeq.sorted.mkString(", ")}); " +
                   "drop the index first")
-              dropped += field.name
+              dropped += phys
+              renames = renames.filterNot { case (p, _) => resolver(p, phys) }
               StructType(sch.fields.filterNot(f => resolver(f.name, name)))
           }
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames.length == 1,
+            s"RENAME COLUMN supports top-level columns only " +
+              s"(got ${ren.fieldNames.mkString(".")}) — struct-field " +
+              "surgery stays with the library")
+          val from = ren.fieldNames.head
+          val to = ren.newName
+          val field = sch.fields.find(f => resolver(f.name, from)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no such column '$from' in ${ident.name} " +
+                s"(${sch.fieldNames.mkString(", ")})"))
+          val phys = physOf(field.name)
+          // identity guards mirror DROP: the pk/bucket columns ARE the
+          // table's identity (every index, CDC key and bucket route
+          // names them), and index provenance records its input by
+          // name (column-scoped MATCH, rebuilds and refreshes would
+          // split between two names)
+          require(!s.bucketLayoutOf(ident.name)
+            .exists(_._2.exists(resolver(_, phys))),
+            s"cannot rename '$from' — it is part of ${ident.name}'s " +
+              "declared bucket pk (the table's identity); rewrite via " +
+              "CTAS instead")
+          val indexed =
+            graft.store.IndexMaintain.provenancedColumns(s, ident.name)
+          require(!indexed.exists(resolver(_, phys)),
+            s"cannot rename '$from' — a maintained index of ${ident.name} " +
+              s"records it as its input (indexed columns: " +
+              s"${indexed.toSeq.sorted.mkString(", ")}); drop the index " +
+              "first, rename, and rebuild under the new name")
+          // target-name guards: live surface names, dropped tombstones
+          // (files may still carry their values — the same resurrect
+          // hazard ADD refuses), other columns' physical names (write
+          // translation would collide at the file level), and the
+          // store-internal bucket column
+          require(!sch.fieldNames.exists(resolver(_, to)),
+            s"cannot rename '$from' to '$to' — column '$to' already " +
+              s"exists in ${ident.name}")
+          require(!s.droppedColumnsOf(ident.name).exists(resolver(_, to)),
+            s"cannot rename '$from' to '$to' — '$to' was DROPPED from " +
+              s"${ident.name} and its old values may still live in the " +
+              "data files; pick another name or CTAS-rewrite first")
+          require(!resolver(to, s.BucketCol),
+            s"cannot rename '$from' to '$to' — the name is reserved for " +
+              "the store's bucket routing column")
+          require(!renames.exists { case (p, surf) =>
+            resolver(p, to) && !resolver(surf, from) },
+            s"cannot rename '$from' to '$to' — '$to' is the PHYSICAL " +
+              s"(file-level) name of another renamed column of " +
+              s"${ident.name}; the data files still carry values under it")
+          // metadata-only: update the name map (physical name is the
+          // birth name — renaming back to it clears the entry) and the
+          // declared surface; no data file is touched
+          renames = renames.filterNot { case (p, _) => resolver(p, phys) }
+          if (!resolver(phys, to)) renames = renames :+ (phys -> to)
+          StructType(sch.fields.map(f =>
+            if (resolver(f.name, from)) f.copy(name = to) else f))
         case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER on graft tables: $other — only ADD COLUMN " +
-            "and DROP COLUMN; renames/type changes stay with the library")
+          s"unsupported ALTER on graft tables: $other — only ADD COLUMN, " +
+            "DROP COLUMN and RENAME COLUMN; type changes stay with the " +
+            "library")
       }
     }
     s.declareSchema(ident.name, evolved)
@@ -378,6 +468,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (newDropped.nonEmpty)
       s.declareDropped(ident.name,
         (s.droppedColumnsOf(ident.name) ++ newDropped).distinct)
+    if (renames != s.renamedColumnsOf(ident.name))
+      s.declareRenamed(ident.name, renames)
     new GraftTable(root, ident.name, epoch = None)
   }
 
@@ -675,17 +767,20 @@ private[sql] class GraftTable(
       if (raw.columns.contains(s.BucketCol)) raw.drop(s.BucketCol) else raw
     // CURRENT reads serve the DECLARED surface: a column added by SQL
     // ALTER (metadata-only — see GraftCatalog.alterTable) null-fills
-    // until data carries it, and a column DROPPED by SQL ALTER
-    // projects OUT even though the data files still carry its values
-    // (the tombstone list — no rewrite happened). Time-travel reads
-    // keep the epoch's own shape — old snapshots predate the
-    // evolution in both directions.
+    // until data carries it, a column DROPPED by SQL ALTER projects
+    // OUT even though the data files still carry its values (the
+    // tombstone list — no rewrite happened), and a column RENAMED by
+    // SQL ALTER serves its mapped surface name over the files'
+    // physical one (the name map — tombstones key on physical names,
+    // so they project before the map applies). Time-travel reads keep
+    // the epoch's own shape — old snapshots predate the evolution in
+    // every direction.
     epoch match {
       case None =>
         val tombstoned = s.droppedColumnsOf(tableName)
-        val current =
+        val current = s.toSurface(tableName,
           if (tombstoned.isEmpty) surfaced
-          else surfaced.drop(tombstoned: _*)
+          else surfaced.drop(tombstoned: _*))
         s.declaredSchemaOf(tableName) match {
           case Some(decl) =>
             val have = current.columns.toSet
@@ -871,8 +966,12 @@ private[sql] class GraftWriteBuilder(mkStore: () => TableStore, table: String)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, ovr: Boolean): Unit = {
+        override def insert(data0: DataFrame, ovr: Boolean): Unit = {
           val s = mkStore()
+          // SQL batches arrive in the SURFACE shape; the files carry
+          // physical (birth) names — translate before landing (see
+          // TableStore.declareRenamed)
+          val data = s.toPhysical(table, data0)
           val wantOverwrite = overwrite || ovr
           s.bucketLayoutOf(table) match {
             case Some((_, pk)) =>

@@ -183,7 +183,9 @@ object GraftDml {
             "the new one")
         val projected = out.map(a =>
           newValue(a).getOrElse(PlanFrame.columnOf(a)).as(a.name))
-        val updated = tgt.filter(condCol).select(projected: _*)
+        // the relation serves SURFACE names; the store's files carry
+        // physical ones — translate before landing
+        val updated = s.toPhysical(table, tgt.filter(condCol).select(projected: _*))
         graft.store.IndexMaintain.upsertMaintained(s, table, updated, pk)
       case None =>
         val indexed = Retract.indexTablesOf(s, table)
@@ -201,7 +203,7 @@ object GraftDml {
             case None => PlanFrame.columnOf(a).as(a.name)
           }
         }: _*)
-        s.overwrite(table, rewritten)
+        s.overwrite(table, s.toPhysical(table, rewritten))
     }
   }
 
@@ -417,8 +419,8 @@ object GraftDml {
         }
         def applyAll(): Unit = {
           dels.foreach(applyDeletes)
-          ups.foreach(u =>
-            graft.store.IndexMaintain.upsertMaintained(s, table, u, pk))
+          ups.foreach(u => graft.store.IndexMaintain.upsertMaintained(
+            s, table, s.toPhysical(table, u), pk))
         }
         val atomic = dels.isDefined && ups.isDefined &&
           (pk.size > 1 || Retract.cascadeAtomic(s, table)) &&
@@ -482,7 +484,8 @@ object GraftDml {
           if (matched.nonEmpty) joined
           else joined.filter(!isMatched)
             .union(joined.filter(isMatched).dropDuplicates(RID))
-        s.overwrite(table, base.filter(keepRow).select(values: _*))
+        s.overwrite(table,
+          s.toPhysical(table, base.filter(keepRow).select(values: _*)))
     }
   }
 

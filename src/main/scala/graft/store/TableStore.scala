@@ -88,18 +88,23 @@ class TableStore(val spark: SparkSession, val root: String) {
     val hadStats = hasFileStats(name)
     val declared = declaredSchemaOf(name)
     val dropped = droppedColumnsOf(name)
+    val renamed = renamedColumnsOf(name)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     // the declared-surface markers are written INTO the tmp dir so the
     // rename installs data + surface atomically — a crash after the
     // swap can no longer silently drop ALTER-added (not yet
-    // data-carried) or resurrect ALTER-dropped columns; the stats
-    // manifest below is only a perf artifact, so its post-swap rebuild
-    // window stays acceptable
+    // data-carried) or resurrect ALTER-dropped columns, and the column
+    // name map survives every whole-table rewrite; the stats manifest
+    // below is only a perf artifact, so its post-swap rebuild window
+    // stays acceptable
     declared.foreach(s => writeSmall(new Path(tmp, SchemaMarkerFile), s.json))
     if (dropped.nonEmpty)
       writeSmall(new Path(tmp, DroppedMarkerFile), dropped.mkString("\n"))
+    if (renamed.nonEmpty)
+      writeSmall(new Path(tmp, RenamedMarkerFile),
+        renamed.map { case (p, s) => s"$p\t$s" }.mkString("\n"))
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
@@ -1804,9 +1809,11 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   private val SchemaMarkerFile = "_graft_schema"
   private val DroppedMarkerFile = "_graft_dropped"
+  private val RenamedMarkerFile = "_graft_renamed"
 
   private def schemaPath(name: String) = new Path(path(name), SchemaMarkerFile)
   private def droppedPath(name: String) = new Path(path(name), DroppedMarkerFile)
+  private def renamedPath(name: String) = new Path(path(name), RenamedMarkerFile)
 
   /** Record column names as DROPPED from the declared SQL surface —
     * the metadata-only half of `ALTER TABLE ... DROP COLUMN` (the ADD
@@ -1833,6 +1840,59 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (!fs.exists(droppedPath(name))) Seq.empty
     else readSmall(droppedPath(name)).linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Record the physical→surface column NAME MAP — the metadata-only
+    * half of `ALTER TABLE ... RENAME COLUMN` (the sibling of
+    * [[declareDropped]]'s tombstone): data files keep the column's
+    * BIRTH name forever (at 100 TB a rename must not touch them), the
+    * catalog's current reads serve the mapped surface name, write
+    * paths translate surface→physical before landing, and time-travel
+    * keeps each epoch's own (physical) shape. The map REPLACES
+    * wholesale (pass the full set); identity entries are elided; an
+    * empty map clears the marker. Like the dropped tombstone this is
+    * a SQL-surface contract — the library's own read/upsert verbs
+    * keep operating on physical names.
+    */
+  def declareRenamed(name: String, physToSurface: Seq[(String, String)]): Unit = {
+    fs.mkdirs(new Path(path(name)))
+    val kept = physToSurface.filter { case (p, s) => p != s }
+    if (kept.isEmpty) fs.delete(renamedPath(name), false)
+    else writeSmall(renamedPath(name),
+      kept.map { case (p, s) => s"$p\t$s" }.mkString("\n"))
+  }
+
+  /** The physical→surface column name map (empty when no column was
+    * ever SQL-renamed), in declaration order. Consulted by the
+    * catalog's current-read projection, every SQL write path's
+    * surface→physical translation, and the CDC readers' member-frame
+    * surfacing.
+    */
+  def renamedColumnsOf(name: String): Seq[(String, String)] =
+    if (!fs.exists(renamedPath(name))) Seq.empty
+    else readSmall(renamedPath(name)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt rename marker line for $name: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }.toSeq
+
+  /** Apply the rename map to a PHYSICAL-shape frame, producing the
+    * surface shape current SQL reads serve. Columns absent from the
+    * frame are skipped (a projection may have pruned them).
+    */
+  def toSurface(name: String, df: DataFrame): DataFrame =
+    renamedColumnsOf(name).foldLeft(df) { case (d, (phys, surf)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, surf) else d
+    }
+
+  /** Apply the rename map in REVERSE to a SURFACE-shape frame (a SQL
+    * INSERT/UPDATE/MERGE batch), producing the physical shape the
+    * store's files carry.
+    */
+  def toPhysical(name: String, df: DataFrame): DataFrame =
+    renamedColumnsOf(name).foldLeft(df) { case (d, (phys, surf)) =>
+      if (d.columns.contains(surf)) d.withColumnRenamed(surf, phys) else d
+    }
 
   /** Persist the DECLARED schema of a table created EMPTY (SQL
     * CREATE / CTAS, before any insert): [[declaredSchemaOf]] lets

@@ -208,18 +208,23 @@ class EpochLogSource(
           // batched pointer probe for all members; window-wide, so a
           // member emptied within the window still delivers its adds)
           val nonEmpty = store.withFilesInWindow(tables, b, endE)
+          // member frames carry PHYSICAL column names — surface-map
+          // them (ALTER RENAME COLUMN) before align() matches against
+          // the fixed (surface-shaped) schema, or a renamed column
+          // would silently null-fill
           unionAligned(members.collect { case (t, _) if nonEmpty(t) =>
-            tagged(t, store.readAddedSince(t, b, endE)) })
+            tagged(t, store.toSurface(t, store.readAddedSince(t, b, endE))) })
         }
         else unionAligned(members.flatMap { case (t, pk) =>
           if (logicalIn(t, b, endE))
-            Some(tagged(t, store.readChangesSince(t, b, endE, pk)))
+            Some(tagged(t,
+              store.toSurface(t, store.readChangesSince(t, b, endE, pk))))
           else None // provably unchanged member: zero data I/O
         })
       case None => // earliest: the registration snapshot, all inserts
         unionAligned(members.flatMap { case (t, _) =>
           if (store.readIfExists(t).isEmpty) None
-          else Some(tagged(t, store.readEpoch(t, endE)
+          else Some(tagged(t, store.toSurface(t, store.readEpoch(t, endE))
             .withColumn(store.ChangeTypeCol, lit("insert"))))
         })
     }
@@ -395,8 +400,13 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
           splitCsv(ts).foreach { t =>
             // a governed-but-empty member (SQL CREATE/CTAS before any
             // insert) contributes its DECLARED shape — .schema(...) is
-            // only needed for empty members that never declared one
+            // only needed for empty members that never declared one.
+            // Data schemas carry PHYSICAL names; map them to the
+            // surface names current reads serve (ALTER RENAME COLUMN)
+            val surfOf = store.renamedColumnsOf(t).toMap
             val sch = store.readIfExists(t).map(_.schema)
+              .map(s => StructType(s.fields
+                .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
               .orElse(store.declaredSchemaOf(t)).getOrElse(
                 throw new IllegalArgumentException(
                   s"table '$t' holds no data and declares no schema — " +
@@ -417,7 +427,10 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
             nullable = false) +: fields.values.toSeq)
         case None =>
           val t = required(parameters, "table")
+          val surfOf = store.renamedColumnsOf(t).toMap
           store.readIfExists(t).map(_.schema)
+            .map(s => StructType(s.fields
+              .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
             .orElse(store.declaredSchemaOf(t)).getOrElse(
               throw new IllegalArgumentException(
                 s"table '$t' holds no data and declares no schema — " +

@@ -1233,6 +1233,116 @@ class GraftCatalogSpec extends SparkSpec {
         "no surviving file values to resurrect")
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only: reads, writes, " +
+    "MATCH and CDC serve the new name with no file rewrite, old " +
+    "epochs time-travel the old, resurrect and identity guards hold") {
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("rc", Seq("id"), 2)
+    store.ensureGoverned(Seq("rc"))
+    store.upsert("rc",
+      Seq((1L, "alpha word", 10L, "x1"), (2L, "beta word", 20L, "x2"))
+        .toDF("id", "v", "n", "x"), Seq("id"))
+    spark.sql("CALL graft.system.build_fts('rc', 'v')")
+    val e1 = store.snapshot().epoch
+    val filesBefore = store.dataFiles("rc").toSet
+
+    spark.sql("ALTER TABLE graft.rc RENAME COLUMN n TO amount")
+
+    assert(store.dataFiles("rc").toSet === filesBefore,
+      "RENAME COLUMN must not rewrite a single data file")
+    assert(store.snapshot().epoch === e1, "metadata-only: no new epoch")
+    assert(spark.table("graft.rc").columns.toSeq ===
+      Seq("id", "v", "amount", "x"))
+    assert(spark.sql("SELECT amount FROM graft.rc WHERE id = 1")
+      .collect().head.getLong(0) === 10L)
+    // old epochs time-travel the OLD (physical) name
+    val old = spark.sql(s"SELECT * FROM graft.rc VERSION AS OF $e1")
+    assert(old.columns.contains("n") && !old.columns.contains("amount"),
+      "time-travel keeps each epoch's own shape")
+
+    // every SQL write path addresses the new name; the files keep the
+    // birth name (write translation, not rewrite)
+    spark.sql("INSERT INTO graft.rc VALUES (3L, 'gamma word', 30L, 'x3')")
+    spark.sql("UPDATE graft.rc SET amount = 99 WHERE id = 1")
+    Seq((2L, 222L), (4L, 444L)).toDF("id", "amt")
+      .createOrReplaceTempView("rc_src")
+    spark.sql(
+      """MERGE INTO graft.rc t USING rc_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET amount = s.amt
+        |WHEN NOT MATCHED THEN INSERT (id, v, amount, x)
+        |  VALUES (s.id, 'merged word', s.amt, 'x4')""".stripMargin)
+    assert(spark.sql("SELECT amount FROM graft.rc ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(99L, 222L, 30L, 444L))
+    assert(store.read("rc").columns.contains("n") &&
+      !store.read("rc").columns.contains("amount"),
+      "the store's files must keep the physical (birth) name")
+
+    // MATCH keeps serving (index provenance columns cannot be renamed)
+    assert(spark.sql("SELECT pk FROM graft_fts('rc', 'word')")
+      .count() === 4L)
+
+    // CDC serves the surface name — including rows written pre-rename
+    val cdc = spark.read.format("graft-changes")
+      .option("root", root).option("table", "rc").option("pk", "id")
+      .option("fromEpoch", e1.toString).load()
+    assert(cdc.columns.contains("amount") && !cdc.columns.contains("n"))
+    assert(cdc.filter(col("id") === 4L).select("amount")
+      .collect().map(_.getLong(0)).toSeq === Seq(444L))
+
+    // chained rename composes; renaming back to the birth name clears
+    // the map entry (the values were live throughout)
+    spark.sql("ALTER TABLE graft.rc RENAME COLUMN amount TO total")
+    assert(spark.sql("SELECT total FROM graft.rc WHERE id = 2")
+      .collect().head.getLong(0) === 222L)
+    spark.sql("ALTER TABLE graft.rc RENAME COLUMN total TO n")
+    assert(store.renamedColumnsOf("rc") === Seq.empty,
+      "renaming back to the birth name must clear the map entry")
+    assert(spark.sql("SELECT n FROM graft.rc WHERE id = 2")
+      .collect().head.getLong(0) === 222L)
+    spark.sql("ALTER TABLE graft.rc RENAME COLUMN n TO amount")
+
+    // identity guards: pk/bucket and index-provenance inputs refuse
+    val pk = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc RENAME COLUMN id TO key"))
+    assert(pk.getMessage.contains("bucket pk"), pk.getMessage)
+    val idx = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc RENAME COLUMN v TO text"))
+    assert(idx.getMessage.contains("maintained index"), idx.getMessage)
+
+    // target-name guards: a live surface name, the physical name of a
+    // renamed column (both as ADD and as rename target), and a
+    // DROPPED name all refuse
+    val live = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc RENAME COLUMN x TO amount"))
+    assert(live.getMessage.contains("already exists"), live.getMessage)
+    val phys = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc ADD COLUMN n STRING"))
+    assert(phys.getMessage.toLowerCase.contains("physical"), phys.getMessage)
+    val phys2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc RENAME COLUMN x TO n"))
+    assert(phys2.getMessage.toLowerCase.contains("physical"), phys2.getMessage)
+    spark.sql("ALTER TABLE graft.rc DROP COLUMN x")
+    val dropTgt = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc RENAME COLUMN amount TO x"))
+    assert(dropTgt.getMessage.contains("DROPPED"), dropTgt.getMessage)
+
+    // dropping a RENAMED column tombstones its PHYSICAL name: the
+    // never-file-carried surface name re-adds and null-fills, the
+    // physical name stays refused (its values survive in the files)
+    spark.sql("ALTER TABLE graft.rc DROP COLUMN amount")
+    assert(store.droppedColumnsOf("rc").contains("n"),
+      "the tombstone must record the physical name the files carry")
+    spark.sql("ALTER TABLE graft.rc ADD COLUMN amount BIGINT")
+    val aNull = spark.sql("SELECT amount FROM graft.rc").collect()
+    assert(aNull.nonEmpty && aNull.forall(_.isNullAt(0)),
+      "the re-added surface name never hit the files — it must null-fill")
+    val res = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rc ADD COLUMN n BIGINT"))
+    assert(res.getMessage.toLowerCase.contains("resurrect"), res.getMessage)
+
+    assert(graft.store.Doctor.check(store) === Seq.empty, "Doctor green")
+  }
+
   test("RENAME TABLE carries the whole index inventory: queries, " +
     "MATCH, CDC and maintenance serve under the new name, the old " +
     "name is NoSuchTable, $history starts fresh, pins refuse") {
