@@ -488,6 +488,114 @@ class EpochLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("property: random histories WITH a mid-stream RENAME (half the " +
+    "trials crash mid-move and resume): the pre-rename mirror is " +
+    "exact, the old name dies loudly running and at definition, and " +
+    "a fresh stream under the NEW name converges with full history") {
+    // every seeded history performs ≥1 RENAME mid-stream; odd trials
+    // additionally simulate a crash mid-directory-moves (pointer
+    // serves the new name, base dir still old-named, intent marker
+    // present — the exact state a death inside renameTables leaves)
+    // and must complete via the re-run resume before converging.
+    val rnd = new scala.util.Random(160816)
+    (1 to 2).foreach { trial =>
+      val root = freshRoot()
+      val store = new TableStore(spark, root)
+      store.ensureBucketed("docs", Seq("id"), 4)
+      store.ensureGoverned(Seq("docs"))
+      store.upsert("docs", Seq((0L, s"seed$trial")).toDF("id", "v"),
+        Seq("id"))
+      var live = Set(0L)
+      def randomStep(t: String, step: Int): Unit = rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val ids = (0 until 1 + rnd.nextInt(3))
+            .map(_ => rnd.nextInt(24).toLong).distinct
+          store.upsert(t,
+            ids.map(i => (i, s"t$trial-s$step-$i")).toDF("id", "v"),
+            Seq("id"))
+          live ++= ids
+        case 2 if live.nonEmpty =>
+          val victim = live.toSeq(rnd.nextInt(live.size))
+          store.deleteByPk(t, Seq(victim).toDF("id"), Seq("id"))
+          live -= victim
+        case _ => store.compact(t)
+      }
+      val mirror = new Mirror
+      val q = startQuery(root, mirror, freshDir("graft-els-ck"))
+      try {
+        (1 to 3 + rnd.nextInt(4)).foreach { step =>
+          randomStep("docs", step)
+          if (rnd.nextInt(3) == 0) q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"trial $trial: ${q.exception}")
+        val preRename = store.read("docs")
+          .select(col("id").cast("long"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(mirror.snapshot() === preRename,
+          s"trial $trial: pre-rename mirror diverged")
+
+        store.renameTables(Seq("docs" -> "corpus"))
+        if (trial % 2 == 1) {
+          val fsDir = new java.io.File(root)
+          assert(new java.io.File(fsDir, "corpus")
+            .renameTo(new java.io.File(fsDir, "docs")))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, "_graft_renaming"),
+            "docs\tcorpus".getBytes)
+          // an UNRELATED rename must refuse while the crash pends —
+          // completing the crashed one is the only way to tell its
+          // unmoved directories from fresh collisions
+          val blocked = intercept[Exception](
+            store.renameTables(Seq("corpus" -> "elsewhere")))
+          assert(blocked.getMessage.contains("crashed"),
+            s"trial $trial: ${blocked.getMessage}")
+          store.renameTables(Seq("docs" -> "corpus")) // the resume
+        }
+        assert(store.renameIntent().isEmpty,
+          s"trial $trial: the intent marker must clear after the rename")
+
+        // life continues under the new name
+        (1 to 2 + rnd.nextInt(3)).foreach(s => randomStep("corpus", s))
+
+        // the RUNNING stream on the old name dies loudly — a renamed-
+        // away table never serves empty batches
+        val died = intercept[Exception](q.processAllAvailable())
+        assert(died.getMessage.contains("docs") || died.getCause != null,
+          s"trial $trial: ${died.getMessage}")
+      } finally q.stop()
+
+      // a FRESH stream on the dead old name fails loudly too (at
+      // definition or first batch — never a silent empty stream)
+      intercept[Exception] {
+        val src = spark.readStream.format("graft-cdc")
+          .option("root", root).option("table", "docs").option("pk", "id")
+          .load()
+        val qq = src.writeStream
+          .option("checkpointLocation", freshDir("graft-els-ck"))
+          .foreachBatch(
+            (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => ()).start()
+        try qq.processAllAvailable() finally qq.stop()
+      }
+
+      // a fresh stream under the NEW name converges to ITS table —
+      // including every pre-rename row (the rename carries history)
+      val mirror2 = new Mirror
+      val q2 = startQuery(root, mirror2, freshDir("graft-els-ck"),
+        extra = Map("table" -> "corpus"))
+      try {
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"trial $trial: ${q2.exception}")
+        val table = store.read("corpus")
+          .select(col("id").cast("long"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(mirror2.snapshot() === table,
+          s"trial $trial: post-rename mirror diverged")
+      } finally q2.stop()
+    }
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
