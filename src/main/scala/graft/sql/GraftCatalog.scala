@@ -850,7 +850,19 @@ private[sql] class GraftTable(
             s"(${indexed.mkString(", ")}) but no declared bucket pk — " +
             "SQL DELETE cannot cascade without a key; use the library's " +
             "Retract.cascade(store, table, keys, pkCol)")
-        s.deleteWhere(tableName, cond)
+        // the store's predicate rewrite runs against the PHYSICAL
+        // frame — translate renamed surface names in the condition
+        // first (the bucketed branches above filter frame(), which
+        // already serves the surface shape)
+        val toPhys = s.renamedColumnsOf(tableName)
+          .map { case (p, sf) => sf -> p }.toMap
+        val physCond =
+          if (toPhys.isEmpty) cond
+          // each filter already proved translatable above — .get holds
+          else filters.map(f => GraftScanBuilder.toColumn(
+            GraftScanBuilder.renameRefs(f, toPhys)).get)
+            .reduceOption(_ && _).getOrElse(lit(true))
+        s.deleteWhere(tableName, physCond)
     }
   }
 }
@@ -912,6 +924,33 @@ private[sql] object GraftScanBuilder {
     case AlwaysTrue() => Some(lit(true)) // DELETE with no WHERE
     case AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+
+  /** Rewrite a filter's attribute references through a name map —
+    * used to translate a condition over RENAMED surface columns to
+    * the physical names the store's own frames carry. Covers exactly
+    * the shapes [[toColumn]] translates.
+    */
+  def renameRefs(f: Filter, m: Map[String, String]): Filter = {
+    def r(a: String): String = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(r(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(r(a), v)
+      case GreaterThan(a, v) => GreaterThan(r(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(r(a), v)
+      case LessThan(a, v) => LessThan(r(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(r(a), v)
+      case In(a, vs) => In(r(a), vs)
+      case IsNull(a) => IsNull(r(a))
+      case IsNotNull(a) => IsNotNull(r(a))
+      case StringStartsWith(a, v) => StringStartsWith(r(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(r(a), v)
+      case StringContains(a, v) => StringContains(r(a), v)
+      case And(l, rr) => And(renameRefs(l, m), renameRefs(rr, m))
+      case Or(l, rr) => Or(renameRefs(l, m), renameRefs(rr, m))
+      case Not(c) => Not(renameRefs(c, m))
+      case other => other
+    }
   }
 }
 

@@ -494,7 +494,10 @@ object Doctor {
     * the DROPPED tombstone list ([[TableStore.droppedColumnsOf]]) is
     * the valid post-`ALTER TABLE DROP COLUMN` state — the catalog
     * projects it out of current reads, the data files deliberately
-    * keep it (metadata-only drop, no rewrite at 100 TB). Name+type
+    * keep it (metadata-only drop, no rewrite at 100 TB). A data
+    * column under a RENAMED physical name compares by its SURFACE
+    * name ([[TableStore.renamedColumnsOf]]) — the files keeping the
+    * birth name is the valid post-`RENAME COLUMN` state. Name+type
     * only — nullability and the store-internal bucket column are not
     * part of the declared surface.
     */
@@ -504,9 +507,10 @@ object Doctor {
         store.readIfExists(table) match {
           case Some(df) =>
             val dropped = store.droppedColumnsOf(table).toSet
+            val surfOf = store.renamedColumnsOf(table).toMap
             val actual = df.schema.fields
               .filterNot(_.name == store.BucketCol)
-              .map(f => f.name -> f.dataType).toMap
+              .map(f => surfOf.getOrElse(f.name, f.name) -> f.dataType).toMap
             val decl = declared.fields.map(f => f.name -> f.dataType).toMap
             val drift =
               (actual.keySet -- decl.keySet -- dropped).toSeq.sorted

@@ -189,7 +189,15 @@ object Fts {
           throw new IllegalArgumentException(
             s"$table holds no data and declares no schema — nothing " +
               "to index"))
-        (pkCol +: textCols).foreach(c => require(sch.fieldNames.contains(c),
+        // cols arrive PHYSICAL; the declared schema is surface-shaped
+        // (a CREATE→RENAME COLUMN→build_fts sequence on a still-empty
+        // table must validate through the name map)
+        val physDecl = {
+          val toPhys = store.renamedColumnsOf(table)
+            .map { case (p, s) => s -> p }.toMap
+          sch.fieldNames.map(n => toPhys.getOrElse(n, n))
+        }
+        (pkCol +: textCols).foreach(c => require(physDecl.contains(c),
           s"column '$c' is not in $table (${sch.fieldNames.mkString(", ")})"))
         val epoch = writeEpoch(store, table)
         writeStats(store, table, 0L, 0L, buckets, epoch, textCols,

@@ -1259,6 +1259,10 @@ class GraftCatalogSpec extends SparkSpec {
     val old = spark.sql(s"SELECT * FROM graft.rc VERSION AS OF $e1")
     assert(old.columns.contains("n") && !old.columns.contains("amount"),
       "time-travel keeps each epoch's own shape")
+    assert(graft.store.Doctor.check(store)
+      .filter(_.component == "schema") === Seq.empty,
+      "a data column under its birth name is the valid post-RENAME " +
+        "state, not drift")
 
     // every SQL write path addresses the new name; the files keep the
     // birth name (write translation, not rewrite)
@@ -1341,6 +1345,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(res.getMessage.toLowerCase.contains("resurrect"), res.getMessage)
 
     assert(graft.store.Doctor.check(store) === Seq.empty, "Doctor green")
+  }
+
+  test("RENAME COLUMN on a FLAT table: reads, UPDATE's whole-rewrite " +
+    "and DELETE WHERE translate through the name map; the marker " +
+    "survives the swap") {
+    val (_, store) = mountCatalog()
+    spark.sql("CREATE TABLE graft.fl (id BIGINT, v STRING)") // no pk: flat
+    spark.sql("INSERT INTO graft.fl VALUES (1L, 'a'), (2L, 'b'), (3L, 'c')")
+    spark.sql("ALTER TABLE graft.fl RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM graft.fl ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // UPDATE takes the flat whole-table rewrite; the swap must carry
+    // the name map and the files must keep the physical name
+    spark.sql("UPDATE graft.fl SET label = 'bb' WHERE id = 2")
+    assert(spark.sql("SELECT label FROM graft.fl WHERE id = 2")
+      .collect().head.getString(0) === "bb")
+    assert(store.read("fl").columns.contains("v") &&
+      !store.read("fl").columns.contains("label"),
+      "the swapped files must keep the physical name — marker carried")
+    // DELETE WHERE over the renamed column translates to the physical
+    // frame the store's predicate rewrite runs against
+    spark.sql("DELETE FROM graft.fl WHERE label = 'a'")
+    assert(spark.sql("SELECT id FROM graft.fl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("build_fts resolves SURFACE column names through the rename " +
+    "map; the built index then pins the physical name against renames") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("bt", Seq("id"), 2)
+    store.ensureGoverned(Seq("bt"))
+    store.upsert("bt", Seq((1L, "hello world"), (2L, "bye world"))
+      .toDF("id", "txt"), Seq("id"))
+    spark.sql("ALTER TABLE graft.bt RENAME COLUMN txt TO body")
+    spark.sql("CALL graft.system.build_fts('bt', 'body')")
+    assert(spark.sql("SELECT pk FROM graft_fts('bt', 'world')")
+      .count() === 2L,
+      "a build addressed by the surface name must index the physical column")
+    // provenance recorded the physical name — further renames refuse
+    val r = intercept[Exception](
+      spark.sql("ALTER TABLE graft.bt RENAME COLUMN body TO content"))
+    assert(r.getMessage.contains("maintained index"), r.getMessage)
   }
 
   test("RENAME TABLE carries the whole index inventory: queries, " +
@@ -1644,10 +1690,10 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.t SET TBLPROPERTIES('x'='y')"))
     assert(e.getMessage.toLowerCase.contains("support") ||
       e.getMessage.toLowerCase.contains("library"), e.getMessage)
-    // ADD/DROP COLUMN are supported (see the evolution tests);
+    // ADD/DROP/RENAME COLUMN are supported (see the evolution tests);
     // everything else on ALTER still refuses with the library pointer
     val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graft.t RENAME COLUMN v TO w"))
+      spark.sql("ALTER TABLE graft.t ALTER COLUMN v TYPE INT"))
     assert(alter.getMessage.toLowerCase.contains("library") ||
       alter.getMessage.toLowerCase.contains("support"), alter.getMessage)
     val missing = intercept[Exception](
