@@ -100,7 +100,11 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
         // disjunction the streaming provider enforces at creation). A
         // misspelled member would otherwise be indistinguishable from
         // a governed-but-empty one and serve zero rows forever; the
-        // engine's norm is loud-on-ambiguity.
+        // engine's norm is loud-on-ambiguity. In APPENDS mode the bar
+        // is higher: the file-add walk is commit-log based, so a FLAT
+        // (data-holding but never-governed) member would pass the
+        // known-table test yet serve zero rows forever — refuse it
+        // too (govern the table, or read it directly).
         val knownAtEndpoints = store.tablesAt(from) ++ store.tablesAt(to)
         names.foreach { t =>
           require(knownAtEndpoints.contains(t) ||
@@ -109,6 +113,14 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
             s"unknown member '$t' in multi-table graft-changes — not " +
               s"governed at epoch $from or $to, holds no data, and " +
               "declares no schema (misspelled table name?)")
+          if (mode == "appends")
+            require(knownAtEndpoints.contains(t) ||
+              store.governed.contains(t) ||
+              store.declaredSchemaOf(t).isDefined,
+              s"member '$t' is a flat (ungoverned) table — appends " +
+                "windows walk the commit log, so it would serve zero " +
+                "rows forever; govern it (ensureGoverned) or read it " +
+                "directly")
         }
         // the served shape is STABLE regardless of which members
         // changed in the window: _table + the union of the members'
@@ -126,10 +138,8 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
           // names — map them to the member's surface names (ALTER
           // RENAME COLUMN), like every current read does; declared
           // schemas are already surface-shaped.
-          val surfOf = store.renamedColumnsOf(t).toMap
           store.readIfExists(t).map(_.schema)
-            .map(sch => org.apache.spark.sql.types.StructType(sch.fields
-              .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
+            .map(store.surfaceSchemaOf(t, _))
             .orElse(store.declaredSchemaOf(t))
             .foreach(_.fields
               .filterNot(_.name == store.BucketCol).foreach { f =>

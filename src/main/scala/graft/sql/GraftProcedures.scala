@@ -44,7 +44,7 @@ private[sql] object GraftProcedures {
     * through the table's rename map (identity when never renamed).
     */
   private def physicalOf(s: graft.store.TableStore, t: String, c: String): String =
-    s.renamedColumnsOf(t).find(_._2.equalsIgnoreCase(c)).map(_._1).getOrElse(c)
+    s.physicalColumnOf(t, c)
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)
 

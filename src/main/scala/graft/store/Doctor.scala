@@ -507,10 +507,10 @@ object Doctor {
         store.readIfExists(table) match {
           case Some(df) =>
             val dropped = store.droppedColumnsOf(table).toSet
-            val surfOf = store.renamedColumnsOf(table).toMap
-            val actual = df.schema.fields
-              .filterNot(_.name == store.BucketCol)
-              .map(f => surfOf.getOrElse(f.name, f.name) -> f.dataType).toMap
+            val actual = store.surfaceSchemaOf(table,
+              org.apache.spark.sql.types.StructType(df.schema.fields
+                .filterNot(_.name == store.BucketCol)))
+              .fields.map(f => f.name -> f.dataType).toMap
             val decl = declared.fields.map(f => f.name -> f.dataType).toMap
             val drift =
               (actual.keySet -- decl.keySet -- dropped).toSeq.sorted

@@ -192,11 +192,8 @@ object Fts {
         // cols arrive PHYSICAL; the declared schema is surface-shaped
         // (a CREATE→RENAME COLUMN→build_fts sequence on a still-empty
         // table must validate through the name map)
-        val physDecl = {
-          val toPhys = store.renamedColumnsOf(table)
-            .map { case (p, s) => s -> p }.toMap
-          sch.fieldNames.map(n => toPhys.getOrElse(n, n))
-        }
+        val physDecl =
+          sch.fieldNames.map(store.physicalColumnOf(table, _))
         (pkCol +: textCols).foreach(c => require(physDecl.contains(c),
           s"column '$c' is not in $table (${sch.fieldNames.mkString(", ")})"))
         val epoch = writeEpoch(store, table)
@@ -553,18 +550,20 @@ object Fts {
     * assumed, in two steps: (1) the postings' pk set must be a subset
     * of the base table's declared-pk values (subset, not equality —
     * text indexes legitimately skip token-less docs); (2) a SAMPLE of
-    * postings (up to 100 pks, lowest-first for determinism) must agree
-    * byte-for-byte with postings recomputed from the base rows at
-    * those pk values under the candidate key. Step 2 is what step 1
-    * cannot decide: an index built under a DIFFERENT integer surrogate
-    * key whose value domain overlaps the declared pk's (both starting
-    * at 0/1 — common, not pathological) passes the subset check, but
-    * the base row AT an overlapping pk value carries different text,
-    * so its recomputed token rows disagree. A CONTENT-STALE legacy
-    * index (right key, rows upserted while it was skipped) also fails
-    * step 2 — correct, since adopting it would leave the stale rows
-    * permanently wrong (refreshes only touch future batches); the
-    * rebuild path heals it wholesale. The verdict STAMPS either way,
+    * up to 100 BASE pks (deterministic hash order — spread across the
+    * pk domain) must have postings agreeing byte-for-byte with
+    * postings recomputed from the base rows at those pk values under
+    * the candidate key. Step 2 is what step 1 cannot decide: an index
+    * built under a DIFFERENT integer surrogate key whose value domain
+    * overlaps the declared pk's (both starting at 0/1 — common, not
+    * pathological) passes the subset check, but the base row AT an
+    * overlapping pk value carries different text, so its recomputed
+    * token rows disagree. A CONTENT-STALE or INCOMPLETE legacy index
+    * (right key, rows upserted or inserted while it was skipped) fails
+    * step 2 whenever the divergence touches the sample — base-driven,
+    * so never-indexed rows are visible too; staleness entirely outside
+    * the sample is probabilistic, and the rebuild path is the
+    * exhaustive answer. The verdict STAMPS either way,
     * so the O(index-pks + sample) check runs ONCE per legacy index:
     * success records the pk (maintenance resumes), failure records
     * [[PkMismatchSentinel]] (the index stays skipped at O(1) per
@@ -607,11 +606,19 @@ object Fts {
 
   /** [[adoptLegacyPk]]'s step 2: postings for a deterministic sample
     * of pks must equal postings recomputed from the base rows at those
-    * pk values under the candidate key. Compared on the column
-    * intersection (a pre-positions legacy index still verifies on
-    * pk/token/tf), both directions, exact — tokenization is
-    * deterministic, so any divergence means a wrong key or stale
-    * content, and either must refuse adoption. A multi-column index
+    * pk values under the candidate key. The sample draws up to 100
+    * BASE pks in hash order (`xxhash64` — deterministic, spread across
+    * the whole pk domain rather than privileging the lowest values),
+    * so it also catches base rows the index never indexed at all
+    * (recomputed postings non-empty, index postings absent) — a sample
+    * drawn from the index's own pks could never see those. Compared on
+    * the column intersection (a pre-positions legacy index still
+    * verifies on pk/token/tf), both directions, exact — tokenization
+    * is deterministic, so any divergence means a wrong key, stale
+    * content, or missing rows, and each must refuse adoption.
+    * Staleness OUTSIDE the sample remains probabilistic — the hash
+    * spread makes the sample representative, not exhaustive; the
+    * exhaustive answer is the rebuild path. A multi-column index
     * carries `fcol`; a single-column legacy shape only verifies when
     * exactly one column is recorded (anything else is an
     * unreconstructable shape — refuse).
@@ -622,8 +629,9 @@ object Fts {
     if (!cols.forall(base.columns.contains)) return false
     val multi = ix.columns.contains("fcol")
     if (!multi && cols.size != 1) return false
-    val sampled = ix.select(col("pk")).distinct()
-      .orderBy(col("pk")).limit(100)
+    val sampled = base.select(col(pkCol).as("pk")).distinct()
+      .orderBy(org.apache.spark.sql.functions.xxhash64(col("pk")), col("pk"))
+      .limit(100)
     val rows = base.join(sampled.select(col("pk").as(pkCol)),
       Seq(pkCol), "left_semi")
     val recomputed =

@@ -300,7 +300,14 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"rename $src -> ${path(n)} failed; the commit log already " +
             "serves the new name — re-run the rename to complete the move")
     }
-    fs.delete(renameIntentPath, false)
+    // the marker clears only when THIS invocation owns it: either it
+    // wrote it (no pending), or its pairs cover every pending old name
+    // (a full resume). An empty-pairs call (a resume whose moves all
+    // completed before the crash) or a partial resume must NOT erase a
+    // different — or the remainder of the same — crashed rename's
+    // evidence.
+    if (pendingIntent.forall(_.keySet.subsetOf(olds.toSet)))
+      fs.delete(renameIntentPath, false)
   }
 
   private def renameIntentPath: Path = new Path(root, "_graft_renaming")
@@ -1880,19 +1887,55 @@ class TableStore(val spark: SparkSession, val root: String) {
     * surface shape current SQL reads serve. Columns absent from the
     * frame are skipped (a projection may have pruned them).
     */
-  def toSurface(name: String, df: DataFrame): DataFrame =
+  def toSurface(name: String, df: DataFrame): DataFrame = {
+    val resolver = spark.sessionState.conf.resolver
     renamedColumnsOf(name).foldLeft(df) { case (d, (phys, surf)) =>
-      if (d.columns.contains(phys)) d.withColumnRenamed(phys, surf) else d
+      if (d.columns.exists(resolver(_, phys)))
+        d.withColumnRenamed(phys, surf)
+      else d
     }
+  }
 
   /** Apply the rename map in REVERSE to a SURFACE-shape frame (a SQL
     * INSERT/UPDATE/MERGE batch), producing the physical shape the
     * store's files carry.
     */
-  def toPhysical(name: String, df: DataFrame): DataFrame =
+  def toPhysical(name: String, df: DataFrame): DataFrame = {
+    val resolver = spark.sessionState.conf.resolver
     renamedColumnsOf(name).foldLeft(df) { case (d, (phys, surf)) =>
-      if (d.columns.contains(surf)) d.withColumnRenamed(surf, phys) else d
+      if (d.columns.exists(resolver(_, surf)))
+        d.withColumnRenamed(surf, phys)
+      else d
     }
+  }
+
+  /** A schema's field names mapped physical→surface — the schema-level
+    * sibling of [[toSurface]], for readers that union or compare
+    * schemas (CDC shape resolution, Doctor's drift check).
+    */
+  def surfaceSchemaOf(name: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val m = renamedColumnsOf(name)
+    if (m.isEmpty) schema
+    else {
+      val resolver = spark.sessionState.conf.resolver
+      org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+        m.find { case (p, _) => resolver(p, f.name) }
+          .fold(f) { case (_, s) => f.copy(name = s) }
+      })
+    }
+  }
+
+  /** Resolve ONE surface column name to the physical name the data
+    * files carry (identity when never renamed) — session-resolver
+    * semantics, the same rule the catalog's ALTER guards use.
+    */
+  def physicalColumnOf(name: String, col: String): String = {
+    val resolver = spark.sessionState.conf.resolver
+    renamedColumnsOf(name)
+      .find { case (_, surf) => resolver(surf, col) }
+      .fold(col)(_._1)
+  }
 
   /** Persist the DECLARED schema of a table created EMPTY (SQL
     * CREATE / CTAS, before any insert): [[declaredSchemaOf]] lets
@@ -2440,8 +2483,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     val commits = listCommits().toMap
     def has(n: String, e: Long): Boolean =
       entryAt(n, commits, e).exists(resolveEntry(_).nonEmpty)
+    // iterate the RETAINED commit keys, not the numeric epoch range —
+    // a wide catch-up window (fromEpoch=0 on a long-lived store) must
+    // cost O(retained commits), not O(epochs)
     lazy val interior =
-      ((a + 1) until b).filter(commits.contains)
+      commits.keysIterator.filter(e => e > a && e < b).toSeq
     names.filter(n =>
       has(n, a) || has(n, b) || interior.exists(has(n, _))).toSet
   }

@@ -105,6 +105,28 @@ class EpochLogSource(
   private val store = new TableStore(sqlContext.sparkSession, root)
   private val tables = members.map(_._1)
 
+  // the column name maps at QUERY START — the fixed streaming schema
+  // was resolved through them, so a mid-stream ALTER RENAME COLUMN
+  // would make align() silently null-fill the renamed column (its
+  // new surface name no longer matches the fixed schema). Detect and
+  // die loudly instead; a restart re-resolves under the new names —
+  // the same pick-up-on-restart contract every schema evolution keeps.
+  private val startRenames: Map[String, Seq[(String, String)]] =
+    tables.map(t => t -> store.renamedColumnsOf(t)).toMap
+
+  private def surfaceChecked(t: String, df: org.apache.spark.sql.DataFrame) = {
+    val cur = store.renamedColumnsOf(t)
+    if (cur != startRenames(t))
+      throw new IllegalStateException(
+        s"table '$t' had columns renamed while this stream was " +
+          s"running (at start: ${startRenames(t).map { case (p, s) =>
+            s"$p→$s" }.mkString(", ")}; now: ${cur.map { case (p, s) =>
+            s"$p→$s" }.mkString(", ")}) — the delivered schema is fixed " +
+          "at query start, so continuing would silently null-fill the " +
+          "renamed column; restart the query to adopt the new names")
+    store.toSurface(t, df)
+  }
+
   /** `latest` skips history (base = the epoch at source creation), a
     * NUMBER resumes/reprocesses from that exact epoch (retained-epoch
     * contract applies), `earliest` leaves None — the first batch is a
@@ -210,21 +232,22 @@ class EpochLogSource(
           val nonEmpty = store.withFilesInWindow(tables, b, endE)
           // member frames carry PHYSICAL column names — surface-map
           // them (ALTER RENAME COLUMN) before align() matches against
-          // the fixed (surface-shaped) schema, or a renamed column
-          // would silently null-fill
+          // the fixed (surface-shaped) schema; a map that CHANGED
+          // since query start dies loudly (surfaceChecked) instead of
+          // silently null-filling the renamed column
           unionAligned(members.collect { case (t, _) if nonEmpty(t) =>
-            tagged(t, store.toSurface(t, store.readAddedSince(t, b, endE))) })
+            tagged(t, surfaceChecked(t, store.readAddedSince(t, b, endE))) })
         }
         else unionAligned(members.flatMap { case (t, pk) =>
           if (logicalIn(t, b, endE))
             Some(tagged(t,
-              store.toSurface(t, store.readChangesSince(t, b, endE, pk))))
+              surfaceChecked(t, store.readChangesSince(t, b, endE, pk))))
           else None // provably unchanged member: zero data I/O
         })
       case None => // earliest: the registration snapshot, all inserts
         unionAligned(members.flatMap { case (t, _) =>
           if (store.readIfExists(t).isEmpty) None
-          else Some(tagged(t, store.toSurface(t, store.readEpoch(t, endE))
+          else Some(tagged(t, surfaceChecked(t, store.readEpoch(t, endE))
             .withColumn(store.ChangeTypeCol, lit("insert"))))
         })
     }
@@ -339,6 +362,21 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
       "pass option(\"startingEpoch\", ...) or " +
         "option(\"startingTimestamp\", ...), not both")
     val members = resolveMembers(parameters, mode)
+    // appends windows walk the COMMIT LOG, so a flat (data-holding but
+    // never-governed) member would pass the known-table schema checks
+    // yet serve zero rows forever — refuse it at creation, matching
+    // the batch reader's guard
+    if (mode == "appends") {
+      val st = new TableStore(
+        sqlContext.sparkSession, required(parameters, "root"))
+      members.map(_._1).foreach { t =>
+        require(st.governed.contains(t) ||
+          st.declaredSchemaOf(t).isDefined,
+          s"table '$t' is a flat (ungoverned) table — appends windows " +
+            "walk the commit log, so it would serve zero rows forever; " +
+            "govern it (ensureGoverned) or read it directly")
+      }
+    }
     new EpochLogSource(
       sqlContext, required(parameters, "root"),
       members, tagTable = parameters.contains("tables"),
@@ -403,10 +441,8 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
             // only needed for empty members that never declared one.
             // Data schemas carry PHYSICAL names; map them to the
             // surface names current reads serve (ALTER RENAME COLUMN)
-            val surfOf = store.renamedColumnsOf(t).toMap
             val sch = store.readIfExists(t).map(_.schema)
-              .map(s => StructType(s.fields
-                .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
+              .map(store.surfaceSchemaOf(t, _))
               .orElse(store.declaredSchemaOf(t)).getOrElse(
                 throw new IllegalArgumentException(
                   s"table '$t' holds no data and declares no schema — " +
@@ -427,10 +463,8 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
             nullable = false) +: fields.values.toSeq)
         case None =>
           val t = required(parameters, "table")
-          val surfOf = store.renamedColumnsOf(t).toMap
           store.readIfExists(t).map(_.schema)
-            .map(s => StructType(s.fields
-              .map(f => f.copy(name = surfOf.getOrElse(f.name, f.name)))))
+            .map(store.surfaceSchemaOf(t, _))
             .orElse(store.declaredSchemaOf(t)).getOrElse(
               throw new IllegalArgumentException(
                 s"table '$t' holds no data and declares no schema — " +

@@ -1233,6 +1233,44 @@ class GraftCatalogSpec extends SparkSpec {
         "no surviving file values to resurrect")
   }
 
+  test("multi-table appends refuses a FLAT (ungoverned) member — it " +
+    "passes the known-table check but the commit-log walk would serve " +
+    "zero rows for it forever") {
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("g", Seq("id"), 2)
+    store.ensureGoverned(Seq("g"))
+    store.upsert("g", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.overwrite("flat_t", Seq((2L, "b")).toDF("id", "v"))
+    val e = intercept[Exception](spark.read.format("graft-changes")
+      .option("root", root).option("tables", "g,flat_t")
+      .option("mode", "appends").option("fromEpoch", "0").load())
+    assert(e.getMessage.contains("ungoverned"), e.getMessage)
+  }
+
+  test("a crashed rename's intent marker survives OTHER renameTables " +
+    "invocations: empty-pairs and partial resumes keep it; only a " +
+    "full resume clears it") {
+    val (root, store) = mountCatalog()
+    // a crashed rename of other tables left its two-pair marker
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_graft_renaming"),
+      "x\ty\np\tq".getBytes)
+    // an empty-pairs invocation (a resume whose moves all completed
+    // before the crash) must not erase foreign/remaining evidence
+    store.renameTables(Seq.empty)
+    assert(store.renameIntent()
+      .contains(Map("x" -> "y", "p" -> "q")),
+      "empty-pairs rename must keep the pending marker")
+    // a PARTIAL resume (one pair of two) keeps the marker too — the
+    // other pair's unmoved directories still need their evidence
+    store.renameTables(Seq("x" -> "y"))
+    assert(store.renameIntent().isDefined,
+      "a partial resume must keep the marker for the remaining pair")
+    // the FULL resume clears it
+    store.renameTables(Seq("x" -> "y", "p" -> "q"))
+    assert(store.renameIntent().isEmpty)
+  }
+
   test("ALTER TABLE RENAME COLUMN is metadata-only: reads, writes, " +
     "MATCH and CDC serve the new name with no file rewrite, old " +
     "epochs time-travel the old, resurrect and identity guards hold") {

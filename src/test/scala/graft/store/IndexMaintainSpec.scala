@@ -357,6 +357,34 @@ class IndexMaintainSpec extends SparkSpec {
       .contains(Fts.PkMismatchSentinel))
   }
 
+  test("LEGACY adoption refuses an INCOMPLETE index — a base row the " +
+    "index never saw is visible because the sample draws from BASE " +
+    "pks, not the index's own") {
+    val (_, store) = mountCatalog()
+    store.ensureBucketed("t5", Seq("id"), 2)
+    val rows = (0 until 6).map(i => (i.toLong, s"word$i body"))
+      .toDF("id", "full_text")
+    store.upsert("t5", rows, Seq("id"))
+    Fts.upsertWithIndexCols(store, "t5",
+      store.read("t5").drop(store.BucketCol), "id", Seq("full_text"),
+      buckets = 2)
+    store.overwrite(Fts.statsName("t5"),
+      store.read(Fts.statsName("t5")).drop("pk"))
+    // a bypassing write INSERTS a new row the skipped index never
+    // indexed — a sample drawn from the index's own pks could never
+    // see it; the base-driven sample must
+    store.upsert("t5", Seq((50L, "unindexed zebra tokens"))
+      .toDF("id", "full_text"), Seq("id"))
+    val before = store.read(Fts.indexName("t5")).count()
+    val (refreshed, skipped) = IndexMaintain.upsertMaintained(store, "t5",
+      Seq((60L, "fresh row")).toDF("id", "full_text"), Seq("id"))
+    assert(!refreshed.contains("fts") && skipped.contains("fts"),
+      "a base row entirely missing from the index must refuse adoption")
+    assert(store.read(Fts.indexName("t5")).count() === before)
+    assert(Fts.statsProvenance(store, "t5")._2
+      .contains(Fts.PkMismatchSentinel))
+  }
+
   test("LEGACY adoption refuses a CONTENT-STALE index (right key, rows " +
     "upserted while it was skipped) — adopting would leave those rows " +
     "permanently wrong; the rebuild path heals wholesale") {

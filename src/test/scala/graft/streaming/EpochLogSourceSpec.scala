@@ -596,6 +596,60 @@ class EpochLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("a mid-stream COLUMN rename dies LOUDLY — the fixed query-start " +
+    "schema would otherwise silently null-fill the renamed column; a " +
+    "fresh stream adopts the new surface name") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("docs", Seq("id"), 4)
+    store.ensureGoverned(Seq("docs"))
+    store.upsert("docs", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val mirror = new Mirror
+    val q = startQuery(root, mirror, freshDir("graft-els-ck"))
+    try {
+      q.processAllAvailable()
+      assert(mirror.snapshot() === Map(1L -> "a"))
+      // the SQL ALTER's library half: record the name map, then write
+      // — the running stream's next window must die, not deliver
+      // null-filled rows for the renamed column
+      store.declareRenamed("docs", Seq("v" -> "label"))
+      store.upsert("docs", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+      val died = intercept[Exception](q.processAllAvailable())
+      assert(died.toString.contains("renamed") || died.getCause != null,
+        died.toString)
+    } finally q.stop()
+    // a FRESH stream resolves the new surface name
+    val src = spark.readStream.format("graft-cdc")
+      .option("root", root).option("table", "docs").option("pk", "id")
+      .load()
+    assert(src.schema.fieldNames.contains("label") &&
+      !src.schema.fieldNames.contains("v"),
+      s"restart must adopt the new name (got ${src.schema.fieldNames.toSeq})")
+  }
+
+  test("appends mode refuses a FLAT (ungoverned) member at creation — " +
+    "the commit-log walk would serve zero rows for it forever") {
+    val root = freshRoot()
+    val store = new TableStore(spark, root)
+    store.ensureBucketed("g", Seq("id"), 2)
+    store.ensureGoverned(Seq("g"))
+    store.upsert("g", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    store.overwrite("flat_t", Seq((2L, "b")).toDF("id", "v"))
+    val died = intercept[Exception] {
+      val src = spark.readStream.format("graft-cdc")
+        .option("root", root).option("tables", "g,flat_t")
+        .option("mode", "appends").load()
+      val qq = src.writeStream
+        .option("checkpointLocation", freshDir("graft-els-ck"))
+        .foreachBatch(
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => ()).start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(died.toString.contains("ungoverned") || died.getCause != null,
+      died.toString)
+  }
+
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
     val root = freshRoot()
     val store = new TableStore(spark, root)
