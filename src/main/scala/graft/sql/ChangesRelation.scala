@@ -136,13 +136,16 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
           // schema is stable from the member's creation — not from
           // its first insert. Data-derived schemas carry PHYSICAL
           // names — map them to the member's surface names (ALTER
-          // RENAME COLUMN), like every current read does; declared
-          // schemas are already surface-shaped.
+          // RENAME COLUMN) and project out the member's DROPPED
+          // tombstones, like every current read does; declared
+          // schemas are already surface-shaped and narrow.
+          val gone = store.droppedColumnsOf(t).toSet
           store.readIfExists(t).map(_.schema)
             .map(store.surfaceSchemaOf(t, _))
             .orElse(store.declaredSchemaOf(t))
             .foreach(_.fields
-              .filterNot(_.name == store.BucketCol).foreach { f =>
+              .filterNot(f => f.name == store.BucketCol || gone(f.name))
+              .foreach { f =>
                 fields.get(f.name) match {
                   case Some(g) => require(g.dataType == f.dataType,
                     s"column '${f.name}' is ${g.dataType} in one member and " +
@@ -205,13 +208,17 @@ class ChangesRelationProvider extends RelationProvider with DataSourceRegister {
           sqlContext.sparkSession.createDataFrame(
             new java.util.ArrayList[Row](), target)
         else aligned.reduce(_.unionByName(_))
-      // single-table modes serve the surface shape too (ALTER RENAME
-      // COLUMN maps the files' physical names on every current read)
+      // single-table modes serve the surface shape too: DROPPED
+      // tombstones project out (physical names), then ALTER RENAME
+      // COLUMN maps the files' physical names — the same order every
+      // current read applies
       case ("appends", None) =>
-        store.toSurface(table, store.readAddedSince(table, from, to))
+        store.toSurface(table, store.readAddedSince(table, from, to)
+          .drop(store.droppedColumnsOf(table): _*))
       case ("changes", None) =>
         val pk = required("pk").split(",").map(_.trim).toSeq
-        store.toSurface(table, store.readChangesSince(table, from, to, pk))
+        store.toSurface(table, store.readChangesSince(table, from, to, pk)
+          .drop(store.droppedColumnsOf(table): _*))
       case (other, _) => throw new IllegalArgumentException(
         s"mode must be changes|appends, got '$other'")
     }

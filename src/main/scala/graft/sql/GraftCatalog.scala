@@ -365,6 +365,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
               "— the data files still carry values under it, so adding it " +
               "would collide with the renamed column's storage; pick " +
               "another name, or rename the column back first")
+          Seq(s.BucketCol, "_table", s.ChangeTypeCol).foreach(res =>
+            require(!resolver(name, res),
+              s"cannot add column '$name' — the name is reserved " +
+                "(bucket routing / CDC metadata column)"))
           sch.add(name, add.dataType, nullable = true)
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1,
@@ -435,26 +439,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           // hazard ADD refuses), other columns' physical names (write
           // translation would collide at the file level), and the
           // store-internal bucket column
-          require(!sch.fieldNames.exists(resolver(_, to)),
+          // the column itself is exempt: renaming to a CASE-variant of
+          // its own current name is a legal re-casing, not a collision
+          require(!sch.fieldNames.exists(f =>
+            resolver(f, to) && !resolver(f, from)),
             s"cannot rename '$from' to '$to' — column '$to' already " +
               s"exists in ${ident.name}")
           require(!s.droppedColumnsOf(ident.name).exists(resolver(_, to)),
             s"cannot rename '$from' to '$to' — '$to' was DROPPED from " +
               s"${ident.name} and its old values may still live in the " +
               "data files; pick another name or CTAS-rewrite first")
-          require(!resolver(to, s.BucketCol),
-            s"cannot rename '$from' to '$to' — the name is reserved for " +
-              "the store's bucket routing column")
+          // reserved: the bucket routing column and the CDC metadata
+          // columns (graft-changes/graft-cdc stamp `_table` and
+          // `_change_type` onto every frame — a user column of either
+          // name would be silently replaced or collide)
+          Seq(s.BucketCol, "_table", s.ChangeTypeCol).foreach(res =>
+            require(!resolver(to, res),
+              s"cannot rename '$from' to '$to' — the name is reserved " +
+                "(bucket routing / CDC metadata column)"))
           require(!renames.exists { case (p, surf) =>
             resolver(p, to) && !resolver(surf, from) },
             s"cannot rename '$from' to '$to' — '$to' is the PHYSICAL " +
               s"(file-level) name of another renamed column of " +
               s"${ident.name}; the data files still carry values under it")
           // metadata-only: update the name map (physical name is the
-          // birth name — renaming back to it clears the entry) and the
+          // birth name — renaming back to it clears the entry; EXACT
+          // match, because a case-variant of the birth name still
+          // needs the map so reads serve the declared casing) and the
           // declared surface; no data file is touched
           renames = renames.filterNot { case (p, _) => resolver(p, phys) }
-          if (!resolver(phys, to)) renames = renames :+ (phys -> to)
+          if (phys != to) renames = renames :+ (phys -> to)
           StructType(sch.fields.map(f =>
             if (resolver(f.name, from)) f.copy(name = to) else f))
         case other => throw new UnsupportedOperationException(
@@ -610,7 +624,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         pairs.exists { case (o, n) => o != oldBase && s.governed.contains(n) }
       if (evidence) {
         // an empty pair list still completes the rename: renameTables
-        // clears the intent marker (everything already moved)
+        // clears the intent marker once every pending pair is
+        // complete (old name un-keyed, old dir gone) — which an
+        // all-moved crash state satisfies
         s.renameTables(pairs)
         repointMeta(s, oldBase, newName)
         return
@@ -783,9 +799,16 @@ private[sql] class GraftTable(
           else surfaced.drop(tombstoned: _*))
         s.declaredSchemaOf(tableName) match {
           case Some(decl) =>
-            val have = current.columns.toSet
-            decl.fields.filterNot(f => have(f.name)).foldLeft(current)(
-              (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+            // resolver-aware presence check: a declared case-variant
+            // of a present column must NOT null-fill — withColumn
+            // would REPLACE the live column under case-insensitive
+            // resolution, serving NULLs over intact data
+            val resolver = SparkSession.active.sessionState.conf.resolver
+            val have = current.columns
+            decl.fields
+              .filterNot(f => have.exists(resolver(_, f.name)))
+              .foldLeft(current)(
+                (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
           case None => current
         }
       case Some(_) => surfaced

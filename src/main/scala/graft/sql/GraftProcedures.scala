@@ -38,13 +38,6 @@ import graft.store.{Doctor, Retract, TableStore}
 private[sql] object GraftProcedures {
 
   private def utf8(s: String) = UTF8String.fromString(s)
-
-  /** SQL callers name columns by their SURFACE name; index builds and
-    * provenance operate on the PHYSICAL (file-level) name — resolve
-    * through the table's rename map (identity when never renamed).
-    */
-  private def physicalOf(s: graft.store.TableStore, t: String, c: String): String =
-    s.physicalColumnOf(t, c)
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)
 
@@ -198,7 +191,7 @@ private[sql] object GraftProcedures {
         // the files carry
         val cols = args.getUTF8String(1).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          .map(physicalOf(s, t, _))
+          .map(s.physicalColumnOf(t, _))
         graft.store.IndexMaintain.buildFts(s, t, cols,
           args.getLong(2).toInt)
         Seq(row(utf8(t), utf8(cols.mkString(","))))
@@ -220,7 +213,7 @@ private[sql] object GraftProcedures {
         val t = args.getUTF8String(0).toString
         val fam = args.getUTF8String(1).toString
         graft.store.IndexMaintain.buildFamily(s, t, fam,
-          physicalOf(s, t, args.getUTF8String(2).toString),
+          s.physicalColumnOf(t, args.getUTF8String(2).toString),
           k = args.getLong(3).toInt, slices = args.getLong(4).toInt)
         Seq(row(utf8(t), utf8(fam), s.read(t).count()))
       },

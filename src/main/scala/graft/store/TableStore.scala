@@ -300,14 +300,18 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"rename $src -> ${path(n)} failed; the commit log already " +
             "serves the new name — re-run the rename to complete the move")
     }
-    // the marker clears only when THIS invocation owns it: either it
-    // wrote it (no pending), or its pairs cover every pending old name
-    // (a full resume). An empty-pairs call (a resume whose moves all
-    // completed before the crash) or a partial resume must NOT erase a
-    // different — or the remainder of the same — crashed rename's
-    // evidence.
-    if (pendingIntent.forall(_.keySet.subsetOf(olds.toSet)))
-      fs.delete(renameIntentPath, false)
+    // the marker clears only when every pending pair is COMPLETE —
+    // its old name un-keyed from the pointer and its old directory
+    // gone. A catalog resume derives its pairs from the still-unmoved
+    // subset (or none, when the crash hit after the last move), so
+    // keying the delete on this invocation's own pair list would
+    // either strand the marker forever (deadlocking all later
+    // renames) or erase a DIFFERENT crashed rename's evidence while
+    // its directories still wait; completion of the pending pairs
+    // themselves is the one test that does neither.
+    val pendingDone = renameIntent().forall(_.forall { case (o, _) =>
+      !isGoverned(o) && !fs.exists(new Path(path(o))) })
+    if (pendingDone) fs.delete(renameIntentPath, false)
   }
 
   private def renameIntentPath: Path = new Path(root, "_graft_renaming")
@@ -1887,9 +1891,16 @@ class TableStore(val spark: SparkSession, val root: String) {
     * surface shape current SQL reads serve. Columns absent from the
     * frame are skipped (a projection may have pruned them).
     */
-  def toSurface(name: String, df: DataFrame): DataFrame = {
+  def toSurface(name: String, df: DataFrame): DataFrame =
+    toSurface(renamedColumnsOf(name), df)
+
+  /** [[toSurface]] with an already-read map — for callers on a hot
+    * path that just read it (the streaming source reads the map once
+    * per member per batch for its changed-mid-stream check).
+    */
+  def toSurface(map: Seq[(String, String)], df: DataFrame): DataFrame = {
     val resolver = spark.sessionState.conf.resolver
-    renamedColumnsOf(name).foldLeft(df) { case (d, (phys, surf)) =>
+    map.foldLeft(df) { case (d, (phys, surf)) =>
       if (d.columns.exists(resolver(_, phys)))
         d.withColumnRenamed(phys, surf)
       else d

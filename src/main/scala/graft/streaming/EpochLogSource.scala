@@ -124,7 +124,7 @@ class EpochLogSource(
             s"$p→$s" }.mkString(", ")}) — the delivered schema is fixed " +
           "at query start, so continuing would silently null-fill the " +
           "renamed column; restart the query to adopt the new names")
-    store.toSurface(t, df)
+    store.toSurface(cur, df)
   }
 
   /** `latest` skips history (base = the epoch at source creation), a
@@ -441,6 +441,9 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
             // only needed for empty members that never declared one.
             // Data schemas carry PHYSICAL names; map them to the
             // surface names current reads serve (ALTER RENAME COLUMN)
+            // and project out DROPPED tombstones (declared schemas
+            // are already narrow)
+            val gone = store.droppedColumnsOf(t).toSet
             val sch = store.readIfExists(t).map(_.schema)
               .map(store.surfaceSchemaOf(t, _))
               .orElse(store.declaredSchemaOf(t)).getOrElse(
@@ -448,7 +451,8 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
                   s"table '$t' holds no data and declares no schema — " +
                     "pass .schema(...) to start a multi-table stream " +
                     "over such members"))
-            sch.fields.filterNot(_.name == store.BucketCol).foreach { f =>
+            sch.fields.filterNot(f =>
+              f.name == store.BucketCol || gone(f.name)).foreach { f =>
               fields.get(f.name) match {
                 case Some(g) =>
                   require(g.dataType == f.dataType,
@@ -463,8 +467,10 @@ class EpochLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
             nullable = false) +: fields.values.toSeq)
         case None =>
           val t = required(parameters, "table")
+          val gone = store.droppedColumnsOf(t).toSet
           store.readIfExists(t).map(_.schema)
-            .map(store.surfaceSchemaOf(t, _))
+            .map(s => StructType(store.surfaceSchemaOf(t, s).fields
+              .filterNot(f => gone(f.name))))
             .orElse(store.declaredSchemaOf(t)).getOrElse(
               throw new IllegalArgumentException(
                 s"table '$t' holds no data and declares no schema — " +

@@ -1247,28 +1247,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("ungoverned"), e.getMessage)
   }
 
-  test("a crashed rename's intent marker survives OTHER renameTables " +
-    "invocations: empty-pairs and partial resumes keep it; only a " +
-    "full resume clears it") {
+  test("a crashed rename's intent marker clears exactly when every " +
+    "pending pair COMPLETES — unmoved evidence survives empty-pairs " +
+    "and partial resumes, and a subset resume never deadlocks") {
     val (root, store) = mountCatalog()
-    // a crashed rename of other tables left its two-pair marker
+    // two flat tables stand in for a crashed rename's unmoved dirs
+    store.overwrite("x", Seq((1L, "a")).toDF("id", "v"))
+    store.overwrite("p", Seq((2L, "b")).toDF("id", "v"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "_graft_renaming"),
       "x\ty\np\tq".getBytes)
-    // an empty-pairs invocation (a resume whose moves all completed
-    // before the crash) must not erase foreign/remaining evidence
+    // an empty-pairs invocation (a resume whose own moves all
+    // completed before the crash) must keep the waiting evidence
     store.renameTables(Seq.empty)
     assert(store.renameIntent()
       .contains(Map("x" -> "y", "p" -> "q")),
       "empty-pairs rename must keep the pending marker")
-    // a PARTIAL resume (one pair of two) keeps the marker too — the
-    // other pair's unmoved directories still need their evidence
+    // a PARTIAL resume moves x; p's directory still waits — kept
     store.renameTables(Seq("x" -> "y"))
     assert(store.renameIntent().isDefined,
       "a partial resume must keep the marker for the remaining pair")
-    // the FULL resume clears it
-    store.renameTables(Seq("x" -> "y", "p" -> "q"))
-    assert(store.renameIntent().isEmpty)
+    // finishing the remainder clears it: the clearing key is
+    // pending-pair COMPLETION (old name un-keyed, old dir gone), not
+    // this invocation's own pair list — a catalog resume derives its
+    // pairs from the still-unmoved subset, so a pair-list key would
+    // strand the marker and deadlock every later rename
+    store.renameTables(Seq("p" -> "q"))
+    assert(store.renameIntent().isEmpty,
+      "completion of all pending pairs must clear the marker")
+    assert(store.read("y").count() === 1L && store.read("q").count() === 1L)
   }
 
   test("ALTER TABLE RENAME COLUMN is metadata-only: reads, writes, " +
@@ -1383,6 +1390,53 @@ class GraftCatalogSpec extends SparkSpec {
     assert(res.getMessage.toLowerCase.contains("resurrect"), res.getMessage)
 
     assert(graft.store.Doctor.check(store) === Seq.empty, "Doctor green")
+  }
+
+  test("RENAME COLUMN to a case-variant of the birth name keeps the " +
+    "map entry (reads serve the declared casing, never a null-fill " +
+    "over the live column); CDC metadata names are reserved; CDC " +
+    "projects DROPPED tombstones out") {
+    val (root, store) = mountCatalog()
+    store.ensureBucketed("cv", Seq("id"), 2)
+    store.ensureGoverned(Seq("cv"))
+    store.upsert("cv", Seq((1L, 7L, "x")).toDF("id", "n", "aux"), Seq("id"))
+    val e1 = store.snapshot().epoch
+    spark.sql("ALTER TABLE graft.cv RENAME COLUMN n TO amount")
+    spark.sql("ALTER TABLE graft.cv RENAME COLUMN amount TO N")
+    assert(store.renamedColumnsOf("cv") === Seq("n" -> "N"),
+      "a case-variant of the birth name is not an identity — the map " +
+        "entry must stay so reads serve the declared casing")
+    assert(spark.sql("SELECT N FROM graft.cv").collect()
+      .head.getLong(0) === 7L,
+      "the value must serve — a null-fill would replace the live column")
+    // back to the EXACT birth name clears the entry. Spark's own
+    // analyzer refuses the SQL form of a case-variant re-rename
+    // (case-insensitive FIELD_ALREADY_EXISTS), so the re-casing entry
+    // point is the catalog API — where the live-name guard exempts
+    // the column itself
+    import org.apache.spark.sql.connector.catalog.{Identifier => Id, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    cat.alterTable(Id.of(Array.empty[String], "cv"),
+      TableChange.renameColumn(Array("N"), "n"))
+    assert(store.renamedColumnsOf("cv") === Seq.empty)
+    // the CDC metadata names are reserved targets for RENAME and ADD
+    val r = intercept[Exception](
+      spark.sql("ALTER TABLE graft.cv RENAME COLUMN n TO _change_type"))
+    assert(r.getMessage.contains("reserved"), r.getMessage)
+    val a = intercept[Exception](
+      spark.sql("ALTER TABLE graft.cv ADD COLUMN _table STRING"))
+    assert(a.getMessage.contains("reserved"), a.getMessage)
+    // a DROPPED column leaves the CDC feed like it leaves SELECT —
+    // the files keep it, the surface (batch reader shown; the stream
+    // resolves through the same schema path) must not
+    spark.sql("ALTER TABLE graft.cv DROP COLUMN aux")
+    val cdc = spark.read.format("graft-changes")
+      .option("root", root).option("table", "cv").option("pk", "id")
+      .option("fromEpoch", e1.toString).load()
+    assert(!cdc.columns.contains("aux"),
+      s"tombstoned columns must project out of CDC (got ${cdc.columns.toSeq})")
+    assert(cdc.columns.contains("n"))
   }
 
   test("RENAME COLUMN on a FLAT table: reads, UPDATE's whole-rewrite " +

@@ -18,6 +18,14 @@ class EpochLogSourceSpec extends SparkSpec {
   private def freshRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-elsrc").toString
 
+  /** The full toString of a throwable AND its cause chain — loud-death
+    * assertions must match the SPECIFIC failure, not accept any
+    * stream exception (every StreamingQueryException carries a cause,
+    * so `getCause != null` is vacuously true).
+    */
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).mkString(" ;; ")
+
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
@@ -463,8 +471,8 @@ class EpochLogSourceSpec extends SparkSpec {
         // the RUNNING stream must fail loudly on its next window —
         // a dead incarnation never serves empty batches
         val died = intercept[Exception](q.processAllAvailable())
-        assert(died.getMessage.contains("docs") || died.getCause != null,
-          s"trial $trial: ${died.getMessage}")
+        assert(causeChain(died).contains("docs"),
+          s"trial $trial: ${causeChain(died)}")
       } finally q.stop()
 
       // a FRESH query over the new incarnation converges to ITS table
@@ -561,8 +569,8 @@ class EpochLogSourceSpec extends SparkSpec {
         // the RUNNING stream on the old name dies loudly — a renamed-
         // away table never serves empty batches
         val died = intercept[Exception](q.processAllAvailable())
-        assert(died.getMessage.contains("docs") || died.getCause != null,
-          s"trial $trial: ${died.getMessage}")
+        assert(causeChain(died).contains("docs"),
+          s"trial $trial: ${causeChain(died)}")
       } finally q.stop()
 
       // a FRESH stream on the dead old name fails loudly too (at
@@ -615,8 +623,8 @@ class EpochLogSourceSpec extends SparkSpec {
       store.declareRenamed("docs", Seq("v" -> "label"))
       store.upsert("docs", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
       val died = intercept[Exception](q.processAllAvailable())
-      assert(died.toString.contains("renamed") || died.getCause != null,
-        died.toString)
+      assert(causeChain(died).contains("renamed while this stream"),
+        causeChain(died))
     } finally q.stop()
     // a FRESH stream resolves the new surface name
     val src = spark.readStream.format("graft-cdc")
@@ -646,8 +654,7 @@ class EpochLogSourceSpec extends SparkSpec {
             _: Long) => ()).start()
       try qq.processAllAvailable() finally qq.stop()
     }
-    assert(died.toString.contains("ungoverned") || died.getCause != null,
-      died.toString)
+    assert(causeChain(died).contains("ungoverned"), causeChain(died))
   }
 
   test("appends mode: tag-free schema, pk-union reconstruction (at-least-once)") {
