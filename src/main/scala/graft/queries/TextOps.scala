@@ -1112,10 +1112,12 @@ object TextOps {
   // IEEE-pinned across engines (the q_lm_bigram_score lesson), while
   // bigint division is bit-exact everywhere and induces the same
   // rare-term-weighted ranking family. Shape: one tokenize+explode
-  // pass → (doc, term, tf) partial agg; df is a groupBy on the SAME
-  // pass's distinct (doc, term) rows; the scalar N broadcasts; top-3
-  // per doc is a per-doc window (InferWindowGroupLimit ships only
-  // local top-3 through the exchange). Ties pin on term ASC.
+  // pass → (doc, term, tf) partial agg; df is a COUNT(*) window over
+  // the term partition of the SAME aggregated rows (one corpus pass,
+  // one term exchange — not the self-join that re-tokenized the
+  // corpus); the scalar N broadcasts; top-3 per doc is a per-doc
+  // window (InferWindowGroupLimit ships only local top-3 through the
+  // exchange). Ties pin on term ASC.
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Catalog.table(spark, sfDir, "documents")
@@ -1128,9 +1130,17 @@ object TextOps {
       .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df = docs-per-term = COUNT(*) over the term partition of tf's
+    // (doc, term) rows: same value the former `tf.groupBy(term)` +
+    // self-join produced, but Spark has no common-subexpression reuse
+    // across DAG branches, so the join form tokenized and aggregated
+    // the corpus TWICE (two full scan+explode jobs, plan-verified).
+    // The window form computes tf once and reuses the term exchange
+    // the join needed anyway (guide §2.4: operations keyed the same
+    // way share one shuffle).
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf") * expr("(1000000L * n) div df")).as("score_q"))

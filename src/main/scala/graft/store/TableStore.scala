@@ -50,10 +50,33 @@ class TableStore(val spark: SparkSession, val root: String) {
         // basePath keeps Hive partition discovery working per source
         // dir (committed files under the table dir; staged files
         // under their staging dir, mid-transaction only)
-        spark.read.option("basePath", b.toString)
-          .parquet(rs.map(r => new Path(b, r.rel).toString): _*)
+        memoParquet(b.toString, rs.map(_.rel))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     } else spark.read.parquet(path(name))
+
+  /** Read an explicit parquet file set under `base` with the schema
+    * memoized on the exact (base, rel set): part files are UUID-named
+    * and immutable (writes add files, vacuum removes them -- never
+    * rewrites in place), so an identical file set always carries the
+    * identical schema. Skipping re-inference saves one footer-reading
+    * Spark job PER read -- the write paths read the same epoch's live
+    * set many times per statement (merge, stats, index refresh,
+    * end-state select), each paying ~50 ms of pure job-scheduling
+    * overhead otherwise (guide: fewer passes/actions first).
+    */
+  private def memoParquet(base: String, rels: Seq[String]): DataFrame = {
+    val paths = rels.map(r => new Path(base, r).toString)
+    val key = (base, rels.sorted.mkString("|"))
+    val reader = spark.read.option("basePath", base)
+    TableStore.schemaMemo.get(key) match {
+      case Some(s) => reader.schema(s).parquet(paths: _*)
+      case None =>
+        val df = reader.parquet(paths: _*)
+        if (TableStore.schemaMemo.size > 512) TableStore.schemaMemo.clear()
+        TableStore.schemaMemo.put(key, df.schema)
+        df
+    }
+  }
 
   // a dir holding only markers (ensureBucketed before first write) has
   // no schema to read — treat it as absent
@@ -1814,8 +1837,7 @@ class TableStore(val spark: SparkSession, val root: String) {
       case None => throw new IllegalStateException(
         s"$name has no files at epoch $epoch (empty snapshot)")
     }
-    else spark.read.option("basePath", path(name))
-      .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+    else memoParquet(path(name), rels)
   }
 
   private val SchemaMarkerFile = "_graft_schema"
@@ -2726,8 +2748,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val added = (toSet -- fromSet).toSeq.sorted
     val removed = (fromSet -- toSet).toSeq.sorted
     def readRels(rels: Seq[String]): DataFrame =
-      spark.read.option("basePath", path(name))
-        .parquet(rels.map(r => new Path(path(name), r).toString): _*)
+      memoParquet(path(name), rels)
     if (added.isEmpty && removed.isEmpty) return empty
     if (removed.isEmpty)
       return readRels(added).withColumn(ChangeTypeCol, lit("insert"))
@@ -3030,6 +3051,16 @@ object TableStore {
     * inferring it from the plan.
     */
   private[graft] val driverListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** (base dir, sorted rel file list) → inferred read schema, shared
+    * across TableStore instances (scratch stores are re-instantiated
+    * per statement over the same committed files). Bounded: cleared
+    * wholesale past 512 entries — correctness never depends on it
+    * (a miss merely re-infers from footers).
+    */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.types.StructType]
 
   /** Order-preserving 8-byte-prefix encoding of a string into the
     * manifest's Long envelope slots: the first 8 UTF-8 bytes, read
