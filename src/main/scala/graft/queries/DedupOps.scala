@@ -550,6 +550,11 @@ object DedupOps {
   // Native expression on the Spark side (graft.functions.WinnowFp);
   // the oracle spells the identical math declaratively.
   def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    // examined r16: fanning the kernel out (Iteration.fanOutNarrow)
+    // measured FLAT-to-worse here — the single map pass feeds a global
+    // ORDER BY whose range-sampling re-runs the un-pinned kernel
+    // either way, so the added exchange buys nothing. Left as one
+    // codegen'd pass.
     Catalog.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         graft.functions.WinnowFp.winnowFp(spark, col("text")).as("winnow_fp"))

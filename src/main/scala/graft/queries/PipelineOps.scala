@@ -291,7 +291,11 @@ object PipelineOps {
     import graft.store.Iteration.materialize
     // pinned narrow (doc_id, bucket) token frame: feeds the stats pass
     // and the scoring join (tokenize once, ints only downstream)
-    val tb = materialize(docs
+    // fanned out before the tokenize+per-token-md5 projection: a
+    // narrow input (one-row-group file) serialized ~0.8 s of hashing
+    // on a single task (Iteration.fanOutNarrow is the identity on an
+    // already-wide input)
+    val tb = materialize(graft.store.Iteration.fanOutNarrow(docs)
       .select(col("doc_id"), col("source"),
         explode(Transforms.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"),

@@ -1806,7 +1806,14 @@ object SimilarityOps {
     // per-token state still explode — BM25 over a FIXED query term
     // set does not). The corpus constants (N, avgdl, per-term df) are
     // then one 1-row aggregate, broadcast back.
-    val docStats = Catalog.table(spark, sfDir, "documents")
+    // pinned + fanned out: docStats feeds BOTH the corpus-stats
+    // aggregate and the scored leg — lazy, the regex tokenize ran
+    // twice (once per DAG branch; no cross-branch reuse in Spark) and
+    // serialized on the narrow scan (measured: one 1.2 s single-task
+    // stage). The pin is a ≤N-row narrow (id, 3 numbers) frame.
+    val docStats = graft.store.Iteration.materialize(
+      graft.store.Iteration.fanOutNarrow(
+        Catalog.table(spark, sfDir, "documents"))
       .select(col("doc_id"),
         graft.ingest.Transforms.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -1816,7 +1823,7 @@ object SimilarityOps {
       // a zero-token doc has no postings: it is absent from an FTS
       // index and from the oracle's exploded token stream — N/avgdl
       // must not count it
-      .filter(col("dl") > 0)
+      .filter(col("dl") > 0))
     val stats = docStats.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"),

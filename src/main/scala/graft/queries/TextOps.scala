@@ -656,14 +656,19 @@ object TextOps {
   }
 
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Catalog.table(spark, sfDir, "documents")
-    val lab = docs.select(col("doc_id"),
-      lengthGateLabel(col("text")).as("y"))
-    val feat = docs
+    import graft.store.Iteration.{fanOutNarrow, materialize}
+    val docs = fanOutNarrow(Catalog.table(spark, sfDir, "documents"))
+    // pinned: lab feeds the class counts, the per-bucket sums AND the
+    // prediction join; feat feeds the sums and the prediction — lazy,
+    // each DAG branch re-ran the tokenize (+ per-token md5 for feat)
+    // from scratch. Both pins are narrow int frames.
+    val lab = materialize(docs.select(col("doc_id"),
+      lengthGateLabel(col("text")).as("y")))
+    val feat = materialize(docs
       .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("token"))
       .select(col("doc_id"), featBucket.as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val counts = lab.agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("b_pos"),
       sum(when(col("y") === -1, 1L).otherwise(0L)).as("a_neg"))

@@ -66,13 +66,34 @@ object Fts {
     * once at index time.
     */
   def indexRows(batch: DataFrame, pkCol: String, textCol: String): DataFrame =
-    batch
+    fanOutNarrow(batch)
       .select(col(pkCol).as("pk"), Transforms.tokens(col(textCol)).as("toks"))
       .select(col("pk"), size(col("toks")).cast("long").as("dl"),
-        posexplode(col("toks")).as(Seq("pos", "token")))
-      .groupBy(col("pk"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
-      .select(col("pk"), col("token"), col("tf"), col("dl"), col("positions"))
+        explode(perRowPostings(col("toks"))).as("e"))
+      .select(col("pk"), col("e.token").as("token"),
+        size(col("e.positions")).cast("long").as("tf"), col("dl"),
+        col("e.positions").as("positions"))
+
+  /** All (token, positions) entries of ONE document's token array,
+    * computed row-local with higher-order functions: the (pk, token)
+    * grouping the postings need never crosses rows, so the former
+    * posexplode → groupBy(pk, dl, token) → collect_list shape shuffled
+    * every token occurrence just to regroup values that already sat in
+    * a single row (guide §2.4: remove shuffles outright). Positions
+    * come out ascending (sequence order), matching the old
+    * sort_array(collect_list(pos)); tf = size(positions).
+    */
+  private def perRowPostings(toks: Column): Column =
+    transform(array_distinct(toks), t =>
+      struct(t.as("token"),
+        filter(sequence(lit(0), size(toks) - 1),
+          i => toks.getItem(i) === t).as("positions")))
+
+  /** Scan-parallelism floor for the CPU-dense tokenize+postings
+    * derivation — see [[Iteration.fanOutNarrow]].
+    */
+  private def fanOutNarrow(df: DataFrame): DataFrame =
+    Iteration.fanOutNarrow(df)
 
   /** Multi-column index rows `(pk, fcol, token, tf, dl, positions)`:
     * one posting per (pk, column, token). dl and positions are PER
@@ -82,17 +103,17 @@ object Fts {
     * utils.py:352`). Phrases and NEAR never span columns.
     */
   def indexRowsCols(batch: DataFrame, pkCol: String, textCols: Seq[String]): DataFrame =
-    batch
+    fanOutNarrow(batch)
       .select(col(pkCol).as("pk"),
         explode(array(textCols.map(tc =>
           struct(lit(tc).as("fcol"),
             Transforms.tokens(col(tc)).as("toks"))): _*)).as("c"))
       .select(col("pk"), col("c.fcol").as("fcol"),
         size(col("c.toks")).cast("long").as("dl"),
-        posexplode(col("c.toks")).as(Seq("pos", "token")))
-      .groupBy(col("pk"), col("fcol"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
-      .select(col("pk"), col("fcol"), col("token"), col("tf"), col("dl"), col("positions"))
+        explode(perRowPostings(col("c.toks"))).as("e"))
+      .select(col("pk"), col("fcol"), col("e.token").as("token"),
+        size(col("e.positions")).cast("long").as("tf"), col("dl"),
+        col("e.positions").as("positions"))
 
   /** Partition column of the bucketed postings layout. */
   private val BucketCol = "pk_bucket"
@@ -238,9 +259,12 @@ object Fts {
     // itself), and TableStore's write-swap deletes them — any plan
     // still pointing at the old files would fail afterwards.
     val multi = textCols.size > 1
-    val fresh =
+    // pinned ONCE: the incremental path below reads the fresh postings
+    // twice (stats deltas + the merged write) and the lazy form would
+    // re-run the whole tokenize+postings derivation per consumer
+    lazy val fresh = Iteration.materialize(
       if (multi) indexRowsCols(batch, pkCol, textCols)
-      else indexRows(batch, pkCol, textCols.head)
+      else indexRows(batch, pkCol, textCols.head))
     val existing = store.readIfExists(indexName(table))
     val existingBucketed = existing.exists(_.columns.contains(BucketCol))
 
@@ -270,12 +294,16 @@ object Fts {
         val (inN, inDl) = docTotals(fresh)
         // materialize severs the plan's dependency on the files the
         // dynamic overwrite is about to replace (in-place, no swap)
+        // hash-repartition on the bucket (one task/file per touched
+        // bucket, the same layout rule the base-table merge uses);
+        // repartitionByRange here cost a SAMPLING pass that re-executed
+        // the whole union subtree a second time per write
         val merged = Iteration.materialize(
           exAffected.join(batchPks, Seq("pk"), "left_anti")
             .drop(BucketCol)
             .unionByName(fresh)
             .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-            .repartitionByRange(col(BucketCol), col("token"))
+            .repartition(col(BucketCol))
             .sortWithinPartitions(col(BucketCol), col("token")))
         // bump the epoch BEFORE touching postings: a crash anywhere
         // between here and writeStats leaves epoch ≠ stats.epoch and
@@ -330,7 +358,7 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartitionByRange(col(BucketCol), col("token"))
+              .repartition(col(BucketCol))
               .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)
@@ -412,7 +440,7 @@ object Fts {
             exAffected.join(delPks, Seq("pk"), "left_anti")
               .drop(BucketCol)
               .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartitionByRange(col(BucketCol), col("token"))
+              .repartition(col(BucketCol))
               .sortWithinPartitions(col(BucketCol), col("token")))
           // same crash discipline as the upsert path: epoch bump FIRST
           val epoch = writeEpoch(store, table)
@@ -438,7 +466,7 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartitionByRange(col(BucketCol), col("token"))
+              .repartition(col(BucketCol))
               .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)

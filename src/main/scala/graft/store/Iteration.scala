@@ -40,4 +40,22 @@ object Iteration {
   def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
+
+  /** Scan-parallelism floor for CPU-dense per-row stages (regex
+    * tokenization, per-token hashing, vector kernels): when the input
+    * arrives as fewer partitions than the session's parallelism — a
+    * single small file, or a one-row-group parquet that byte-range
+    * splits cannot parallelize — the whole projection serializes on
+    * one task while the rest of the cluster idles. Fan the rows out
+    * round-robin first; an input that is already at least as wide as
+    * the parallelism passes through UNTOUCHED, so at cluster scale
+    * (thousands of splits) this is the identity and no extra exchange
+    * ever appears in the plan. The guard, not the constant, is what
+    * makes it scale-adaptive (guide §2.5 input skew: "one huge
+    * unsplittable file … repartition immediately after the read").
+    */
+  def fanOutNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
