@@ -291,11 +291,11 @@ object PipelineOps {
     import graft.store.Iteration.materialize
     // pinned narrow (doc_id, bucket) token frame: feeds the stats pass
     // and the scoring join (tokenize once, ints only downstream)
-    // fanned out before the tokenize+per-token-md5 projection: a
-    // narrow input (one-row-group file) serialized ~0.8 s of hashing
-    // on a single task (Iteration.fanOutNarrow is the identity on an
-    // already-wide input)
-    val tb = materialize(graft.store.Iteration.fanOutNarrow(docs)
+    // examined r16: a fan-out (Iteration.fanOutNarrow) before the
+    // tokenize+md5 measured 1.31x SLOWER on the interleaved A/B —
+    // the extra exchange + repartition tasks cost more than the
+    // single-task kernel saves on this host. Left as-is.
+    val tb = materialize(docs
       .select(col("doc_id"), col("source"),
         explode(Transforms.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"),
@@ -576,6 +576,10 @@ object PipelineOps {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(graft.functions.WordGrams.wordGrams(
         spark, col("text"), 8, distinct = true)).as("gram"))
+    // examined r16: pinning this (it feeds the bloom-blob subquery
+    // AND the confirm join) measured slower on the interleaved A/B —
+    // the two lazy branches overlap on idle local cores while a pin
+    // serializes them. Kept lazy, like standalone decontaminate.
     val evalGrams = grams(evalDocs.select(col("doc_id"), col("text")))
       .select(col("gram")).distinct()
     graft.functions.BloomFns.register(spark)

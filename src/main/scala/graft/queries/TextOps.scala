@@ -656,19 +656,20 @@ object TextOps {
   }
 
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.store.Iteration.{fanOutNarrow, materialize}
-    val docs = fanOutNarrow(Catalog.table(spark, sfDir, "documents"))
-    // pinned: lab feeds the class counts, the per-bucket sums AND the
-    // prediction join; feat feeds the sums and the prediction — lazy,
-    // each DAG branch re-ran the tokenize (+ per-token md5 for feat)
-    // from scratch. Both pins are narrow int frames.
-    val lab = materialize(docs.select(col("doc_id"),
-      lengthGateLabel(col("text")).as("y")))
-    val feat = materialize(docs
+    // examined r16: pinning lab/feat (each feeds 2-3 DAG branches)
+    // measured 1.22x SLOWER on the interleaved A/B — with idle local
+    // cores the duplicated branches execute in parallel for free,
+    // while the pins serialize the critical path. Left lazy; at
+    // cluster scale the duplicate passes are real cost, so this is a
+    // candidate to revisit when the bench host is saturated.
+    val docs = Catalog.table(spark, sfDir, "documents")
+    val lab = docs.select(col("doc_id"),
+      lengthGateLabel(col("text")).as("y"))
+    val feat = docs
       .select(col("doc_id"), explode(Transforms.tokens(col("text"))).as("token"))
       .select(col("doc_id"), featBucket.as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))
     val counts = lab.agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("b_pos"),
       sum(when(col("y") === -1, 1L).otherwise(0L)).as("a_neg"))

@@ -90,10 +90,15 @@ object Fts {
           i => toks.getItem(i) === t).as("positions")))
 
   /** Scan-parallelism floor for the CPU-dense tokenize+postings
-    * derivation — see [[Iteration.fanOutNarrow]].
+    * derivation — see [[Iteration.fanOutNarrow]]. Capped at 8 ways:
+    * index builds are per-batch and usually small, and the measured
+    * sweet spot for the derivation kernel was 8 tasks (32-way fan-out
+    * paid more scheduling than it saved; adjacent-JVM A/B). At
+    * cluster scale the width guard makes this the identity either
+    * way.
     */
   private def fanOutNarrow(df: DataFrame): DataFrame =
-    Iteration.fanOutNarrow(df)
+    Iteration.fanOutNarrow(df, cap = 8)
 
   /** Multi-column index rows `(pk, fcol, token, tf, dl, positions)`:
     * one posting per (pk, column, token). dl and positions are PER
@@ -293,17 +298,17 @@ object Fts {
           exAffected.join(batchPks, Seq("pk"), "left_semi"))
         val (inN, inDl) = docTotals(fresh)
         // materialize severs the plan's dependency on the files the
-        // dynamic overwrite is about to replace (in-place, no swap)
-        // hash-repartition on the bucket (one task/file per touched
-        // bucket, the same layout rule the base-table merge uses);
-        // repartitionByRange here cost a SAMPLING pass that re-executed
-        // the whole union subtree a second time per write
+        // dynamic overwrite is about to replace (in-place, no swap).
+        // The range split stays (SCALING.md: narrow per-file token
+        // envelopes are what keep the manifest file skip selective);
+        // its sampling pass now reads the PINNED fresh postings, so it
+        // no longer re-executes the tokenize/derivation subtree
         val merged = Iteration.materialize(
           exAffected.join(batchPks, Seq("pk"), "left_anti")
             .drop(BucketCol)
             .unionByName(fresh)
             .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-            .repartition(col(BucketCol))
+            .repartitionByRange(col(BucketCol), col("token"))
             .sortWithinPartitions(col(BucketCol), col("token")))
         // bump the epoch BEFORE touching postings: a crash anywhere
         // between here and writeStats leaves epoch ≠ stats.epoch and
@@ -358,7 +363,7 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
+              .repartitionByRange(col(BucketCol), col("token"))
               .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)
@@ -440,7 +445,7 @@ object Fts {
             exAffected.join(delPks, Seq("pk"), "left_anti")
               .drop(BucketCol)
               .withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
+              .repartitionByRange(col(BucketCol), col("token"))
               .sortWithinPartitions(col(BucketCol), col("token")))
           // same crash discipline as the upsert path: epoch bump FIRST
           val epoch = writeEpoch(store, table)
@@ -466,7 +471,7 @@ object Fts {
         if (buckets > 0)
           store.overwrite(indexName(table),
             flat.withColumn(BucketCol, bucketOf(col("pk"), buckets))
-              .repartition(col(BucketCol))
+              .repartitionByRange(col(BucketCol), col("token"))
               .sortWithinPartitions(col(BucketCol), col("token")),
             partitionBy = Seq(BucketCol))
         else store.overwrite(indexName(table), flat)

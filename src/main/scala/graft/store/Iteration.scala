@@ -54,8 +54,8 @@ object Iteration {
     * makes it scale-adaptive (guide §2.5 input skew: "one huge
     * unsplittable file … repartition immediately after the read").
     */
-  def fanOutNarrow(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+  def fanOutNarrow(df: DataFrame, cap: Int = Int.MaxValue): DataFrame = {
+    val p = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

@@ -160,9 +160,15 @@ class EpochLogSourceSpec extends SparkSpec {
       // would then show up as separate batches — with the whole
       // backlog BEFORE the start, the snapshot covers it; now feed a
       // live backlog and drain capped
+      // snapshot the count BEFORE feeding the backlog: the query is
+      // LIVE during the upsert loop and may deliver the first new
+      // commits while the loop still runs — reading `before` after
+      // the loop silently absorbed those batches and under-counted
+      // the delta (a latent race the r16 read-path speedups exposed:
+      // faster micro-batches win the race reliably)
+      val before = mirror.batchCount()
       (4 to 6).foreach(i =>
         store.upsert("docs", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
-      val before = mirror.batchCount()
       q.processAllAvailable()
       assert(mirror.batchCount() - before >= 3,
         "cap=1 must deliver one commit per micro-batch")
