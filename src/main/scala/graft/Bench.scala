@@ -96,7 +96,13 @@ object Bench {
     // rounds); "min3" is the min-of-run-totals; "queries" carries the
     // per-query mins (sums to ≤ min3 — each query's best run)
     val total = passTotal(passes.head)
-    println(s"""{"metric":"total","unit":"sec","per_query":"min-of-runs","queries":$qs,"sf":"$sfDir","errs":$errs,"runs":$runs,"min3":${r3(minTotal)},"value":${r3(total)},"count":${results.size}}""")
+    // "cpus"/"parallelism" prove the $SPARK_GRAFT_CPUS contract took
+    // effect (master local[cpus] ⇒ defaultParallelism == cpus): the
+    // sf0.1 testdata is single-row-group/few-MB, so per-query scaling
+    // ratios are structurally ~1 and the line itself must carry the
+    // evidence. Additions-only: every pre-existing key is unchanged.
+    val par = spark.sparkContext.defaultParallelism
+    println(s"""{"metric":"total","unit":"sec","per_query":"min-of-runs","queries":$qs,"sf":"$sfDir","errs":$errs,"runs":$runs,"min3":${r3(minTotal)},"cpus":$cpus,"parallelism":$par,"value":${r3(total)},"count":${results.size}}""")
     spark.stop()
   }
 }

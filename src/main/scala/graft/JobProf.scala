@@ -18,7 +18,8 @@ object JobProf {
 
   final case class StageAgg(
       var tasks: Int = 0, var shufRead: Long = 0, var shufWrite: Long = 0,
-      var input: Long = 0, var ms: Long = 0)
+      var input: Long = 0, var ms: Long = 0,
+      var execMs: Long = 0, var cpuMs: Long = 0)
 
   final class Collector extends SparkListener {
     val jobStages = mutable.LinkedHashMap.empty[Int, Seq[Int]]
@@ -58,6 +59,11 @@ object JobProf {
         agg.input += m.inputMetrics.bytesRead
         agg.ms += (for { a <- info.completionTime; b <- info.submissionTime }
           yield a - b).getOrElse(0L)
+        // total WORK, not wall: sums across tasks, so branch-parallel
+        // duplicated subtrees show their true cost even when an idle
+        // host hides it from wall-clock (the r16 serialization lesson)
+        agg.execMs += m.executorRunTime
+        agg.cpuMs += m.executorCpuTime / 1000000L
       }
     def reset(): Unit = {
       jobStages.clear(); jobDesc.clear(); jobMs.clear(); stages.clear()
@@ -100,9 +106,12 @@ object JobProf {
       val jobs = collector.jobStages.toSeq
       val totTasks = collector.stages.values.map(_.tasks).sum
       val totShufW = collector.stages.values.map(_.shufWrite).sum
+      val totExec = collector.stages.values.map(_.execMs).sum
+      val totCpu = collector.stages.values.map(_.cpuMs).sum
       println(f"\n===== $name: wall=$wallS%.3f s rows=$n " +
         f"jobs=${jobs.size} stages=${collector.stages.size} " +
-        f"tasks=$totTasks shufWriteMB=${totShufW / 1e6}%.1f =====")
+        f"tasks=$totTasks shufWriteMB=${totShufW / 1e6}%.1f " +
+        f"taskMs=$totExec cpuMs=$totCpu =====")
       jobs.foreach { case (jid, sids) =>
         val realized = sids.filter(collector.stages.contains)
         val tasks = realized.map(collector.stages(_).tasks).sum

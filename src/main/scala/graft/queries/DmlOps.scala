@@ -96,14 +96,25 @@ object DmlOps {
       Seq("c_custkey"))
     Catalog.table(spark, sfDir, "orders")
       .createOrReplaceTempView("dml_orders_src")
+    // ONE orders aggregation, fanned to both key ranges by a 2-row
+    // cross join (offset 0 = the matched range, offset 1e9 = the
+    // insert range) — row-for-row the same (k, n) multiset as the
+    // former UNION ALL of two identical GROUP BYs, which scanned and
+    // aggregated orders twice (Spark has no cross-branch subtree
+    // reuse; guide §2.4 / §1.2 step 1: don't compute things twice).
+    // Types unchanged: o_custkey BIGINT + offs BIGINT = BIGINT, same
+    // as o_custkey + 1000000000. Equivalence proved against the
+    // unchanged DuckDB oracle (row-order exact) before adoption.
     spark.sql(
       """MERGE INTO graftdml.cust t
         |USING (
-        |  SELECT o_custkey AS k, COUNT(*) AS n
-        |  FROM dml_orders_src GROUP BY o_custkey
-        |  UNION ALL
-        |  SELECT o_custkey + 1000000000, COUNT(*)
-        |  FROM dml_orders_src GROUP BY o_custkey
+        |  SELECT o_custkey + offs AS k, n
+        |  FROM (
+        |    SELECT o_custkey, COUNT(*) AS n
+        |    FROM dml_orders_src GROUP BY o_custkey
+        |  )
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+        |                     (CAST(1000000000 AS BIGINT))) AS offsets(offs)
         |) s
         |ON t.c_custkey = s.k
         |WHEN MATCHED AND s.n >= 15 THEN DELETE

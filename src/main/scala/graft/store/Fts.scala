@@ -68,8 +68,17 @@ object Fts {
   def indexRows(batch: DataFrame, pkCol: String, textCol: String): DataFrame =
     fanOutNarrow(batch)
       .select(col(pkCol).as("pk"), Transforms.tokens(col(textCol)).as("toks"))
+      // pairs and bounds are PROJECTED before the lambdas that index
+      // into them: a computed array referenced inside a higher-order
+      // lambda is re-evaluated PER ELEMENT (no common-subexpression
+      // reuse inside lambda bodies) — as attributes they are one row
+      // field read, keeping the derivation O(dl log dl) per document
       .select(col("pk"), size(col("toks")).cast("long").as("dl"),
-        explode(perRowPostings(col("toks"))).as("e"))
+        sortedPairs(col("toks")).as("pairs"))
+      .select(col("pk"), col("dl"), col("pairs"),
+        runBounds(col("pairs")).as("bounds"))
+      .select(col("pk"), col("dl"),
+        explode(perRowPostings(col("pairs"), col("bounds"))).as("e"))
       .select(col("pk"), col("e.token").as("token"),
         size(col("e.positions")).cast("long").as("tf"), col("dl"),
         col("e.positions").as("positions"))
@@ -80,14 +89,57 @@ object Fts {
     * posexplode → groupBy(pk, dl, token) → collect_list shape shuffled
     * every token occurrence just to regroup values that already sat in
     * a single row (guide §2.4: remove shuffles outright). Positions
-    * come out ascending (sequence order), matching the old
-    * sort_array(collect_list(pos)); tf = size(positions).
+    * come out ascending within each token; tf = size(positions).
+    *
+    * Single pass per row, O(dl log dl): sort the (token, position)
+    * pairs once, find each token run's start index, and slice the run
+    * back out — every step is O(1) per element. The previous shape
+    * (`array_distinct` + re-`filter`ing the whole position sequence
+    * per distinct token) was O(distinct_tokens × dl) per document:
+    * invisible on tweet-length text but a CPU cliff on a 100k-token
+    * document (~10^10 comparisons in one task). Rows are identical up
+    * to entry order (token runs now come out sorted instead of in
+    * first-occurrence order — the entries are exploded into an
+    * unordered postings table either way); proved by exceptAll in both
+    * directions plus the oracle.
     */
-  private def perRowPostings(toks: Column): Column =
-    transform(array_distinct(toks), t =>
-      struct(t.as("token"),
-        filter(sequence(lit(0), size(toks) - 1),
-          i => toks.getItem(i) === t).as("positions")))
+  /** (token, position) pairs sorted by token then position — struct
+    * ordering is field-by-field, so each token's positions come out
+    * ascending. Index-aware transform, NOT zip_with(toks,
+    * sequence(0, dl-1)): sequence(0, -1) on an empty doc is the
+    * descending [0, -1] and zip_with null-pads the shorter side — a
+    * spurious NULL posting.
+    */
+  private def sortedPairs(toks: Column): Column =
+    array_sort(transform(toks, (t, i) => struct(t.as("token"), i.as("pos"))))
+
+  /** 0-based indexes where a new token run starts in `pairs`, plus the
+    * terminating size(pairs): run k spans pairs[bounds(k) ..
+    * bounds(k+1)-1]. `pairs` MUST be a projected attribute, never a
+    * computed expression (see indexRows). The index-lambda `filter`
+    * keeps this [size] for an empty token array, where a
+    * `sequence(0, -1)` would instead yield the descending [0, -1].
+    */
+  private def runBounds(pairs: Column): Column =
+    concat(
+      filter(transform(pairs, (_, i) => i),
+        i => (i === lit(0)) ||
+          (element_at(pairs, i + 1)("token") =!= element_at(pairs, i)("token"))),
+      array(size(pairs)))
+
+  /** All (token, positions) entries of the sorted pair array: one
+    * slice per token run. O(1) per element — both inputs are
+    * attributes, so the lambdas only index into already-computed
+    * arrays.
+    */
+  private def perRowPostings(pairs: Column, bounds: Column): Column =
+    zip_with(
+      slice(bounds, lit(1), size(bounds) - 1),
+      slice(bounds, lit(2), size(bounds) - 1),
+      (s, e) => struct(
+        element_at(pairs, s + 1)("token").as("token"),
+        transform(sequence(s, e - 1),
+          j => element_at(pairs, j + 1)("pos")).as("positions")))
 
   /** Scan-parallelism floor for the CPU-dense tokenize+postings
     * derivation — see [[Iteration.fanOutNarrow]]. Capped at 8 ways:
@@ -113,9 +165,15 @@ object Fts {
         explode(array(textCols.map(tc =>
           struct(lit(tc).as("fcol"),
             Transforms.tokens(col(tc)).as("toks"))): _*)).as("c"))
+      // pairs/bounds projected before the lambdas consume them — see
+      // indexRows for why (per-element re-evaluation inside lambdas)
       .select(col("pk"), col("c.fcol").as("fcol"),
         size(col("c.toks")).cast("long").as("dl"),
-        explode(perRowPostings(col("c.toks"))).as("e"))
+        sortedPairs(col("c.toks")).as("pairs"))
+      .select(col("pk"), col("fcol"), col("dl"), col("pairs"),
+        runBounds(col("pairs")).as("bounds"))
+      .select(col("pk"), col("fcol"), col("dl"),
+        explode(perRowPostings(col("pairs"), col("bounds"))).as("e"))
       .select(col("pk"), col("fcol"), col("e.token").as("token"),
         size(col("e.positions")).cast("long").as("tf"), col("dl"),
         col("e.positions").as("positions"))

@@ -1,6 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Durable materialization seam for iterative algorithms (connected
   * components, k-means training): each round's output must be pinned
@@ -56,6 +58,39 @@ object Iteration {
     */
   def fanOutNarrow(df: DataFrame, cap: Int = Int.MaxValue): DataFrame = {
     val p = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    scanWidth(df.queryExecution.analyzed) match {
+      case Some(w) if w < p => df.repartition(p)
+      case _ => df
+    }
+  }
+
+  /** Scan width of a plan that is narrow (per-row) operators over ONE
+    * file relation: the file count — the task-count ceiling for the
+    * single-row-group parquet this floor exists for (byte-range splits
+    * cannot parallelize below one row group, so more files is the only
+    * way such a scan widens; a plan wide enough in files is left
+    * untouched exactly like before). `None` for every other plan shape
+    * — joins, aggregates, unions: their inputs already crossed an
+    * exchange sized by spark.sql.shuffle.partitions, so the floor has
+    * nothing to fix there. Derived from the ANALYZED plan, never from
+    * `df.rdd`: under AQE, `Dataset.rdd` materializes every upstream
+    * shuffle stage just to learn a partition count, so probing an
+    * arbitrary caller frame (e.g. an index rebuild's upsert join)
+    * executed it once for the probe and again after the repartition.
+    */
+  private def scanWidth(plan: LogicalPlan): Option[Int] = plan match {
+    case p: Project => scanWidth(p.child)
+    case f: Filter => scanWidth(f.child)
+    case g: Generate => scanWidth(g.child)
+    case s: SubqueryAlias => scanWidth(s.child)
+    case v: View => scanWidth(v.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => Some(h.location.inputFiles.length)
+      case _ => None
+    }
+    // an in-memory batch (tests, CLI literals) parallelizes like a
+    // single split: apply the floor
+    case _: LocalRelation => Some(1)
+    case _ => None
   }
 }

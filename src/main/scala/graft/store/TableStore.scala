@@ -66,14 +66,19 @@ class TableStore(val spark: SparkSession, val root: String) {
     */
   private def memoParquet(base: String, rels: Seq[String]): DataFrame = {
     val paths = rels.map(r => new Path(base, r).toString)
-    val key = (base, rels.sorted.mkString("|"))
+    // the confs that change what parquet inference yields — part of
+    // the key, so sessions with different settings never share entries
+    val cfg = spark.conf.get("spark.sql.caseSensitive", "false") + "|" +
+      spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") + "|" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (cfg, base, rels.sorted.mkString("|"))
     val reader = spark.read.option("basePath", base)
     TableStore.schemaMemo.get(key) match {
       case Some(s) => reader.schema(s).parquet(paths: _*)
       case None =>
         val df = reader.parquet(paths: _*)
         if (TableStore.schemaMemo.size > 512) TableStore.schemaMemo.clear()
-        TableStore.schemaMemo.put(key, df.schema)
+        TableStore.schemaMemo.putIfAbsent(key, df.schema)
         df
     }
   }
@@ -3052,15 +3057,19 @@ object TableStore {
     */
   private[graft] val driverListings = new java.util.concurrent.atomic.AtomicLong
 
-  /** (base dir, sorted rel file list) → inferred read schema, shared
-    * across TableStore instances (scratch stores are re-instantiated
-    * per statement over the same committed files). Bounded: cleared
-    * wholesale past 512 entries — correctness never depends on it
-    * (a miss merely re-infers from footers).
+  /** (inference confs, base dir, sorted rel file list) → inferred
+    * read schema, shared across TableStore instances (scratch stores
+    * are re-instantiated per statement over the same committed files).
+    * The parquet-affecting confs (caseSensitive, inferTimestampNTZ,
+    * nanosAsLong) are part of the key, so a schema inferred under one
+    * session's settings is never replayed into a session with
+    * different ones. Bounded: cleared wholesale past 512 entries —
+    * correctness never depends on it (a miss merely re-infers from
+    * footers).
     */
   private val schemaMemo =
     scala.collection.concurrent.TrieMap
-      .empty[(String, String), org.apache.spark.sql.types.StructType]
+      .empty[(String, String, String), org.apache.spark.sql.types.StructType]
 
   /** Order-preserving 8-byte-prefix encoding of a string into the
     * manifest's Long envelope slots: the first 8 UTF-8 bytes, read

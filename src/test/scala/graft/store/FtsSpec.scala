@@ -693,4 +693,38 @@ class FtsSpec extends SparkSpec {
         s"bucketed avgdl diverged in round $round")
     }
   }
+
+  test("postings derivation (single-sort row-local shape) equals the " +
+    "reference posexplode→groupBy shape on adversarial docs: empty, " +
+    "single-token, all-repeats, long multi-run") {
+    val docs = Seq(
+      (1L, ""),                                    // zero tokens
+      (2L, "only"),                                // one token
+      (3L, "dup dup dup dup dup"),                 // single run
+      (4L, "b a b a c a b"),                       // interleaved runs
+      (5L, "  spaces   and\ttabs  "),              // tokenizer edges
+      (6L, (0 until 500).map(i => s"w${i % 37}").mkString(" ")) // long doc
+    ).toDF("id", "full_text")
+    val got = Fts.indexRows(docs, "id", "full_text")
+    // reference: explode every occurrence, regroup — the pre-r16
+    // shuffle shape, kept here as the semantic oracle
+    val ref = docs
+      .select(col("id").as("pk"),
+        graft.ingest.Transforms.tokens(col("full_text")).as("toks"))
+      .select(col("pk"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+      .groupBy("pk", "dl", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("pk"), col("token"), col("tf"), col("dl"),
+        col("positions"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "row-local postings must equal the exploded-regroup reference")
+    // positions must come out ascending (poslist contract)
+    val unsorted = got.filter(
+      exists(zip_with(col("positions"),
+        slice(col("positions"), lit(2), size(col("positions"))),
+        (a, b) => b <= a), x => x)).count()
+    assert(unsorted === 0L, "every poslist must be strictly ascending")
+  }
 }
